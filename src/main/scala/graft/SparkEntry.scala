@@ -14,6 +14,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (gq.Relational.queries, gq.Relational.oracles),
+      (gq.Shaping.queries, gq.Shaping.oracles),
+      (gq.Textual.queries, gq.Textual.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-rewrite, set-op, temporal and statistics operators
+  * (SURVEY.md §2.3 J4-J7, §2.4, §2.6).
+  *
+  * The correlated-subquery backfills of the reference
+  * (transformed.sql:41-54,116-151,191-205) are deliberately NOT ported as
+  * correlated subqueries: at scale they decorrelate into per-key window
+  * aggregates — one shuffle per distinct key-set, no join at all.
+  */
+object Shaping {
+
+  /** q09 — single-tier NULL backfill via partition-wide aggregate window,
+    * the decorrelated form of the reference's correlated
+    * `DISTINCT content ... LIMIT 1` lookup (ref J4: transformed.sql:41-54).
+    * NULLs are manufactured deterministically (click events) since the
+    * synthetic data has none. */
+  val backfillWindow: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables(s, dir, "events")
+      .withColumn("v",
+        when($"event_type" === "click", lit(null).cast("double"))
+          .otherwise($"value"))
+      .select($"event_id", $"user_id",
+        coalesce($"v", min($"v").over(w)).as("value_filled"))
+  }
+
+  /** q10 — two-tier fallback backfill: narrow key first, wider key second
+    * (ref J5/J6: transformed.sql:116-151). */
+  val backfillTwoTier: Q = (s, dir) => {
+    import s.implicits._
+    val day = to_date(date_trunc("day", $"ts"))
+    val w1 = Window.partitionBy($"user_id", $"day")
+    val w2 = Window.partitionBy($"user_id")
+    Tables(s, dir, "events")
+      .withColumn("day", day)
+      .withColumn("v",
+        when($"event_type" === "click", lit(null).cast("double"))
+          .otherwise($"value"))
+      .select($"event_id",
+        coalesce($"v", min($"v").over(w1), min($"v").over(w2))
+          .as("value_filled"))
+  }
+
+  /** q11 — disjunctive-predicate correlated MIN as `least` of three
+    * windowed mins (ref J7: transformed.sql:191-205). Valid because every
+    * outer row matches all three of its own key branches, so MIN over the
+    * OR-set equals the least of the three per-branch mins — and it avoids
+    * the quadratic theta-join a naive translation would produce. */
+  val minDisjunctive: Q = (s, dir) => {
+    import s.implicits._
+    val byPart = Window.partitionBy($"l_partkey")
+    val bySupp = Window.partitionBy($"l_suppkey")
+    val byOrder = Window.partitionBy($"l_orderkey")
+    Tables(s, dir, "lineitem").select(
+      $"l_orderkey", $"l_linenumber",
+      least(min($"l_extendedprice").over(byPart),
+        min($"l_extendedprice").over(bySupp),
+        min($"l_extendedprice").over(byOrder)).as("min_related_price"))
+  }
+
+  /** q12 — union-all of per-source batches + dedup (ref U1/U2:
+    * newsairflowtasks.py:27-52, utils.py:72). */
+  val unionDedup: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val a = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_type")
+    val b = e.filter($"event_type".isin("click", "view"))
+      .select($"user_id", $"event_type")
+    a.unionByName(b).distinct()
+  }
+
+  /** q13 — daily downsample with empty-day gap fill (ref A9:
+    * sentiment_dashboard.py:296-300; pandas resample('D') emits NaN rows
+    * for gap days — reproduced via a generated date spine left join). */
+  val dailyResample: Q = (s, dir) => {
+    import s.implicits._
+    // restrict to a sparse slice so empty days exist and the gap-fill
+    // branch genuinely executes at the correctness-gate scale factor
+    val e = Tables(s, dir, "events")
+      .filter($"event_type" === "signup" && $"value" > 150.0)
+    val daily = e
+      .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(
+        round(round(sum($"value"), 2) / count(lit(1)), 6).as("avg_value"),
+        count(lit(1)).as("n_events"))
+    val spine = e
+      .agg(min(to_date(date_trunc("day", $"ts"))).as("d0"),
+        max(to_date(date_trunc("day", $"ts"))).as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select($"day", $"avg_value",
+        coalesce($"n_events", lit(0L)).as("n_events"))
+  }
+
+  /** q14 — grouped mean/stddev/min/max per category (ref A5/A7/A8:
+    * sentiment_dashboard.py:194-199,281-288,349-359; pandas sample std =
+    * stddev_samp). */
+  val groupedStats: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(round(sum($"value"), 2) / count(lit(1)), 6).as("avg_value"),
+        round(stddev_samp($"value"), 4).as("std_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        count($"value").as("n_nonnull"))
+  }
+
+  /** q15 — value_counts with deterministic ordering (ref A6:
+    * sentiment_dashboard.py:263). */
+  val eventTypeCounts: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"event_type".asc)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q09_backfill_window" -> backfillWindow,
+    "q10_backfill_two_tier" -> backfillTwoTier,
+    "q11_min_disjunctive" -> minDisjunctive,
+    "q12_union_dedup" -> unionDedup,
+    "q13_daily_resample" -> dailyResample,
+    "q14_grouped_stats" -> groupedStats,
+    "q15_event_type_counts" -> eventTypeCounts,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q09_backfill_window" ->
+      """SELECT event_id, user_id,
+        | coalesce(v, min(v) OVER (PARTITION BY user_id)) AS value_filled
+        |FROM (SELECT event_id, user_id,
+        |        CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        |      FROM events) t""".stripMargin,
+    "q10_backfill_two_tier" ->
+      """SELECT event_id,
+        | coalesce(v,
+        |   min(v) OVER (PARTITION BY user_id, day),
+        |   min(v) OVER (PARTITION BY user_id)) AS value_filled
+        |FROM (SELECT event_id, user_id,
+        |        CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        |      FROM events) t""".stripMargin,
+    "q11_min_disjunctive" ->
+      """SELECT l_orderkey, l_linenumber,
+        | least(min(l_extendedprice) OVER (PARTITION BY l_partkey),
+        |       min(l_extendedprice) OVER (PARTITION BY l_suppkey),
+        |       min(l_extendedprice) OVER (PARTITION BY l_orderkey))
+        |   AS min_related_price
+        |FROM lineitem""".stripMargin,
+    "q12_union_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM (
+        | SELECT user_id, event_type FROM events WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'view')) t""".stripMargin,
+    "q13_daily_resample" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(round(sum(value), 2) / count(*), 6) AS avg_value,
+        |    count(*) AS n_events
+        |  FROM events
+        |  WHERE event_type = 'signup' AND value > 150.0 GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT spine.day, daily.avg_value,
+        |  coalesce(daily.n_events, 0) AS n_events
+        |FROM spine LEFT JOIN daily USING (day)""".stripMargin,
+    "q14_grouped_stats" ->
+      """SELECT event_type,
+        | round(round(sum(value), 2) / count(*), 6) AS avg_value,
+        | round(stddev_samp(value), 4) AS std_value,
+        | min(value) AS min_value,
+        | max(value) AS max_value,
+        | count(value) AS n_nonnull
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q15_event_type_counts" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+  )
+}
