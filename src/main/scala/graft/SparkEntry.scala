@@ -16,6 +16,7 @@ object SparkEntry {
       (gq.Relational.queries, gq.Relational.oracles),
       (gq.Shaping.queries, gq.Shaping.oracles),
       (gq.Textual.queries, gq.Textual.oracles),
+      (gq.TrainingData.queries, gq.TrainingData.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Hashing._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector
+  * against a full scan; at cluster scale this is one pass over the
+  * embeddings table with a TakeOrderedAndProject (no global sort, no
+  * shuffle of the vectors themselves).
+  *
+  * Scale path: random-hyperplane LSH buckets — each vector maps to a
+  * small signature; a query probes only its own bucket, turning top-k
+  * into a pruned scan. Hyperplane weights are derived from hash60 so the
+  * whole path stays deterministic and oracle-verifiable.
+  *
+  * All arithmetic is double-precision sequential folds (zip_with +
+  * aggregate), bit-identical to DuckDB's list_transform + list_sum.
+  */
+object Similarity {
+
+  /** dot(a, b) as a sequential double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k against one query vector (by id). */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Pseudo-random hyperplane weight for (plane p, dimension d):
+    * uniform in [-1, 1] with 1/1000 resolution, derived from hash60 so
+    * DuckDB reproduces it exactly. */
+  def planeWeight(p: Column, d: Column): Column =
+    ((hash60(concat(p.cast("string"), lit("_"), d.cast("string"))) % 2001)
+      - lit(1000)).cast("double") / 1000.0
+
+  def sqlPlaneWeight(p: String, d: String): String =
+    s"((${sqlHash60(s"CAST($p AS VARCHAR) || '_' || CAST($d AS VARCHAR)")} " +
+      s"% 2001 - 1000)::DOUBLE / 1000.0)"
+
+  /** LSH bucket id: numPlanes sign bits of hyperplane dot products. */
+  def lshBucket(embCol: Column, numPlanes: Int, dims: Int): Column = {
+    val planeBits = (0 until numPlanes).map { p =>
+      val planeDot = aggregate(
+        sequence(lit(0), lit(dims - 1)), lit(0.0),
+        (acc, d) => acc +
+          element_at(embCol, d + 1).cast("double") * planeWeight(lit(p), d))
+      when(planeDot > 0, lit(1L << p)).otherwise(0L)
+    }
+    planeBits.reduce(_ + _)
+  }
+
+  /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
+    * the query's bucket. Recall < 1 by construction; the candidate scan
+    * is |bucket| instead of |table|. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int,
+      numPlanes: Int, dims: Int): DataFrame = {
+    val withBucket = emb.withColumn("bucket",
+      lshBucket(col("embedding"), numPlanes, dims))
+    val q = withBucket.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    withBucket.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

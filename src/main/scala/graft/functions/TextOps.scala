@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the dedup / text-analysis operators.
+  * All codegen-friendly built-ins (split/filter/transform) — no UDFs —
+  * with regexes pinned to ASCII classes that Java and RE2 agree on.
+  */
+object TextOps {
+  /** Lowercase word tokens, empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), w => w =!= "")
+
+  /** DuckDB equivalent of tokens(). */
+  def sqlTokens(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), w -> w <> '')"
+
+  /** Distinct word n-gram shingles joined with single spaces. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** DuckDB equivalent of shingles(). DuckDB list_slice uses inclusive
+    * begin..end indexes (1-based) vs Spark slice(start, length). */
+  def sqlShingles(expr: String, n: Int): String = {
+    val toks = sqlTokens(expr)
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len($toks) - ${n - 1}, 1) + 1),
+       |  i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')))"""
+      .stripMargin
+  }
+}

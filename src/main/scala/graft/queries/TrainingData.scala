@@ -1,0 +1,406 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Dedup, Hashing, Multimodal, MediaRecord,
+  Similarity, StubImageDecoder, TextOps}
+import Hashing.{sqlHash60}
+import TextOps.{sqlShingles, sqlTokens}
+
+/** Training-data-pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. Every query here has a DuckDB
+  * oracle — including MinHash/SimHash/LSH, made portable by the
+  * md5-derived hash60 (see Hashing). Oracle SQL with repeated structure
+  * (64 minhash lanes, 60 simhash bit votes) is generated in lockstep
+  * with the Spark plan.
+  *
+  * Near-dup queries run on `documents` unioned with perturbed twins
+  * (id+100000, three words appended): the synthetic corpus has no
+  * natural near-duplicates, and the twins give the detectors a known,
+  * deterministic target set to find.
+  */
+object TrainingData {
+
+  private val TwinOffset = 100000L
+  private val TwinSuffix = " graft dedup probe"
+  private val NumHashes = 64
+  private val RowsPerBand = 4
+  private val ShingleN = 3
+  private val SimhashBits = 60
+  private val NumPlanes = 6
+  private val Dims = 64
+
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    d.unionByName(d.select(($"doc_id" + TwinOffset).as("doc_id"),
+      concat($"text", lit(TwinSuffix)).as("text")))
+  }
+
+  private val sqlCorpus =
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $TwinOffset AS doc_id,
+       |        text || '$TwinSuffix' AS text FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  /** q22 — exact dedup by content hash over a re-ingested (duplicated)
+    * corpus: one uniform-key shuffle, keep-min-id policy. */
+  val dedupExact: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val reingested = d.unionByName(
+      d.select(($"doc_id" + TwinOffset).as("doc_id"), $"text"))
+    Dedup.exactDedup(reingested, "doc_id", "text")
+  }
+
+  /** q23 — MinHash+LSH near-dup detection: shingle → 64-lane minhash →
+    * 16 banded buckets → candidate self-join → Jaccard verify ≥ 0.5.
+    * Candidate generation cost is O(docs×bands), never all-pairs. */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val sigs = Dedup.minhashSignatures(c, "doc_id", "text",
+      NumHashes, ShingleN)
+    val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
+      RowsPerBand))
+    val shs = c.select($"doc_id",
+      TextOps.shingles($"text", ShingleN).as("sh_set"))
+    cand.join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        round(Dedup.jaccard(col("sa.sh_set"), col("sb.sh_set")), 6)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  /** q24 — SimHash fingerprints + hamming distance to each doc's
+    * perturbed twin (small by construction). */
+  val dedupSimhash: Q = (s, dir) => {
+    import s.implicits._
+    val fp = Dedup.simhash(corpus(s, dir), "doc_id", "text", SimhashBits)
+    val orig = fp.filter($"doc_id" < TwinOffset)
+    val twin = fp.filter($"doc_id" >= TwinOffset)
+      .select(($"doc_id" - TwinOffset).as("doc_id"),
+        $"simhash".as("twin_simhash"))
+    orig.join(twin, Seq("doc_id"))
+      .select($"doc_id", $"simhash",
+        Dedup.hamming($"simhash", $"twin_simhash").as("twin_hamming"))
+  }
+
+  /** q25 — direct n-gram Jaccard between each doc and its twin. */
+  val ngramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val shs = corpus(s, dir).select($"doc_id",
+      TextOps.shingles($"text", ShingleN).as("sh_set"))
+    val orig = shs.filter($"doc_id" < TwinOffset)
+    val twin = shs.filter($"doc_id" >= TwinOffset)
+      .select(($"doc_id" - TwinOffset).as("doc_id"),
+        $"sh_set".as("twin_set"))
+    orig.join(twin, Seq("doc_id"))
+      .select($"doc_id",
+        round(Dedup.jaccard($"sh_set", $"twin_set"), 6).as("jaccard"))
+      .withColumn("is_near", $"jaccard" >= 0.5)
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  /** q26 — brute-force cosine top-10 vs query vector 0 (ANN baseline). */
+  val annCosineTopK: Q = (s, dir) => {
+    import s.implicits._
+    val top = Similarity.bruteForceTopK(Tables(s, dir, "embeddings"), 0L, 10)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id", $"label", round($"cos_sim", 6).as("cos_sim"),
+        $"rank")
+  }
+
+  /** q27 — LSH-bucketed ANN: 6 deterministic hyperplanes prune the scan
+    * to the query's bucket before the cosine top-k. */
+  val annLshTopK: Q = (s, dir) => {
+    import s.implicits._
+    val top = Similarity.lshTopK(Tables(s, dir, "embeddings"), 0L, 10,
+      NumPlanes, Dims)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id", $"label", round($"cos_sim", 6).as("cos_sim"),
+        $"rank")
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val FrWords = Seq("le", "la", "les", "et", "de", "un")
+  private val DeWords = Seq("der", "die", "das", "und", "ein")
+  private val EsWords = Seq("el", "los", "las", "y", "una")
+
+  /** q28 — n-gram-heuristic language ID: stopword hits per language,
+    * fixed-priority argmax. */
+  val langId: Q = (s, dir) => {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        hits(EnWords).as("en_hits"), hits(FrWords).as("fr_hits"),
+        hits(DeWords).as("de_hits"), hits(EsWords).as("es_hits"))
+      .withColumn("lang_pred",
+        when($"en_hits" >= $"fr_hits" && $"en_hits" >= $"de_hits" &&
+          $"en_hits" >= $"es_hits" && $"en_hits" > 0, "en")
+          .when($"fr_hits" >= $"de_hits" && $"fr_hits" >= $"es_hits" &&
+            $"fr_hits" > 0, "fr")
+          .when($"de_hits" >= $"es_hits" && $"de_hits" > 0, "de")
+          .when($"es_hits" > 0, "es")
+          .otherwise("unknown"))
+  }
+
+  /** q29 — document quality scoring: length/stopword-ratio features. */
+  val qualityScore: Q = (s, dir) => {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val enHits = size(filter(toks, t => t.isin(EnWords: _*)))
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(toks).as("n_words"),
+        length(regexp_replace(lower($"text"), "[^a-z]", ""))
+          .as("n_letters"),
+        enHits.as("stop_hits"))
+      .withColumn("avg_word_len",
+        round($"n_letters".cast("double") / $"n_words", 6))
+      .withColumn("stop_ratio",
+        round($"stop_hits".cast("double") / $"n_words", 6))
+      .withColumn("quality",
+        round(least(lit(1.0), $"n_words" / 100.0) *
+          (lit(1.0) - $"stop_ratio"), 6))
+  }
+
+  /** q30 — token counting: whitespace tokens + BPE-ish regex pieces. */
+  val tokenCount: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "documents").select($"doc_id", $"n_chars",
+      size(split($"text", "\\s+")).as("ws_tokens"),
+      regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        .as("bpe_pieces"),
+      length($"text").cast("long").as("len_chars"),
+      octet_length($"text").cast("long").as("len_bytes"))
+  }
+
+  /** q31 — document fingerprint: min over rolling character-8-gram
+    * hashes (winnowing-style content signature). */
+  val fingerprint: Q = (s, dir) => {
+    import s.implicits._
+    val nGrams = greatest(length($"text") - 7, lit(1))
+    Tables(s, dir, "documents").select($"doc_id",
+      array_min(transform(sequence(lit(1), nGrams),
+        i => Hashing.hash60($"text".substr(i, lit(8))))).as("fingerprint"),
+      nGrams.cast("long").as("n_grams"))
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  /** q32 — multimodal metadata extraction: text→binary content column,
+    * typed Dataset, executor-side batch decode (stubbed codec). */
+  val multimodalMeta: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("content"),
+        lit("image/fake").as("media_type"))
+      .as[MediaRecord]
+    Multimodal.decodeMeta(media, StubImageDecoder).toDF()
+  }
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private def sqlJaccard(a: String, b: String): String =
+    s"""round(CAST(len(list_intersect($a, $b)) AS DOUBLE) /
+       | (CAST(len($a) + len($b) AS DOUBLE)
+       |  - CAST(len(list_intersect($a, $b)) AS DOUBLE)), 6)""".stripMargin
+
+  private def sqlMinhashLsh: String = {
+    val lanes = (0 until NumHashes)
+      .map(i => s"min(${sqlHash60("s", i)}) AS h$i").mkString(",\n  ")
+    val numBands = NumHashes / RowsPerBand
+    val bandSelects = (0 until numBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(j => s"CAST(h${b * RowsPerBand + j} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ${sqlHash60(s"concat_ws(',', $parts)")}" +
+        " AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS $sqlCorpus,
+       |sh AS (SELECT doc_id, ${sqlShingles("text", ShingleN)} AS sh_set
+       |       FROM corpus),
+       |ex AS (SELECT doc_id, unnest(sh_set) AS s FROM sh),
+       |sig AS (SELECT doc_id, $lanes FROM ex GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_hash = b.band_hash
+       |          AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  ${sqlJaccard("sa.sh_set", "sb.sh_set")} AS jaccard
+       |FROM cand
+       |JOIN sh sa ON cand.doc_a = sa.doc_id
+       |JOIN sh sb ON cand.doc_b = sb.doc_id
+       |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
+  }
+
+  private def sqlSimhash: String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val fp = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS $sqlCorpus,
+       |ex AS (SELECT doc_id, ${sqlHash60("tok")} AS th FROM
+       |  (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM corpus) t),
+       |votes AS (SELECT doc_id, $votes FROM ex GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)
+       |SELECT o.doc_id, o.simhash,
+       |  CAST(bit_count(xor(o.simhash, t.simhash)) AS INTEGER)
+       |    AS twin_hamming
+       |FROM fp o JOIN fp t ON t.doc_id = o.doc_id + $TwinOffset
+       |WHERE o.doc_id < $TwinOffset""".stripMargin
+  }
+
+  private val sqlDot =
+    """list_sum(list_transform(list_zip(embedding, qv),
+      |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+  private def sqlNorm(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private val sqlCos =
+    s"$sqlDot / (sqrt(${sqlNorm("embedding")}) * sqrt(${sqlNorm("qv")}))"
+
+  private def sqlBucket: String = {
+    val bits = (0 until NumPlanes).map { p =>
+      val w = Similarity.sqlPlaneWeight(p.toString, "d")
+      val dotP = s"""list_sum(list_transform(range(0, $Dims),
+                    |  d -> CAST(embedding[d + 1] AS DOUBLE) * $w))""".stripMargin
+      s"CASE WHEN $dotP > 0 THEN (1::BIGINT << $p) ELSE 0 END"
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q22_dedup_exact" -> dedupExact,
+    "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "q24_dedup_simhash" -> dedupSimhash,
+    "q25_ngram_jaccard" -> ngramJaccard,
+    "q26_ann_cosine_topk" -> annCosineTopK,
+    "q27_ann_lsh_topk" -> annLshTopK,
+    "q28_lang_id" -> langId,
+    "q29_quality_score" -> qualityScore,
+    "q30_token_count" -> tokenCount,
+    "q31_fingerprint" -> fingerprint,
+    "q32_multimodal_meta" -> multimodalMeta,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      s"""SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+         | count(*) AS n_copies
+         |FROM (SELECT doc_id, text FROM documents
+         |      UNION ALL
+         |      SELECT doc_id + $TwinOffset, text FROM documents) t
+         |GROUP BY md5(text)""".stripMargin,
+    "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
+    "q24_dedup_simhash" -> sqlSimhash,
+    "q25_ngram_jaccard" ->
+      s"""WITH corpus AS $sqlCorpus,
+         |sh AS (SELECT doc_id, ${sqlShingles("text", ShingleN)} AS sh_set
+         |       FROM corpus)
+         |SELECT o.doc_id,
+         |  ${sqlJaccard("o.sh_set", "t.sh_set")} AS jaccard,
+         |  ${sqlJaccard("o.sh_set", "t.sh_set")} >= 0.5 AS is_near
+         |FROM sh o JOIN sh t ON t.doc_id = o.doc_id + $TwinOffset
+         |WHERE o.doc_id < $TwinOffset""".stripMargin,
+    "q26_ann_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |           WHERE vec_id = 0),
+         |c AS (SELECT vec_id, label, $sqlCos AS cs FROM embeddings, q),
+         |r AS (SELECT vec_id, label, cs, row_number() OVER
+         |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "q27_ann_lsh_topk" ->
+      s"""WITH wb AS (SELECT vec_id, label, embedding, $sqlBucket AS bucket
+         |            FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM wb
+         |      WHERE vec_id = 0),
+         |c AS (SELECT vec_id, label, $sqlCos AS cs FROM wb, q
+         |      WHERE bucket = qbucket),
+         |r AS (SELECT vec_id, label, cs, row_number() OVER
+         |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "q28_lang_id" -> {
+      def in(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      def hits(ws: Seq[String]) =
+        s"len(list_filter(${sqlTokens("text")}, t -> t IN (${in(ws)})))"
+      s"""SELECT doc_id, lang,
+         | CAST(${hits(EnWords)} AS INTEGER) AS en_hits,
+         | CAST(${hits(FrWords)} AS INTEGER) AS fr_hits,
+         | CAST(${hits(DeWords)} AS INTEGER) AS de_hits,
+         | CAST(${hits(EsWords)} AS INTEGER) AS es_hits,
+         | CASE
+         |  WHEN ${hits(EnWords)} >= ${hits(FrWords)}
+         |   AND ${hits(EnWords)} >= ${hits(DeWords)}
+         |   AND ${hits(EnWords)} >= ${hits(EsWords)}
+         |   AND ${hits(EnWords)} > 0 THEN 'en'
+         |  WHEN ${hits(FrWords)} >= ${hits(DeWords)}
+         |   AND ${hits(FrWords)} >= ${hits(EsWords)}
+         |   AND ${hits(FrWords)} > 0 THEN 'fr'
+         |  WHEN ${hits(DeWords)} >= ${hits(EsWords)}
+         |   AND ${hits(DeWords)} > 0 THEN 'de'
+         |  WHEN ${hits(EsWords)} > 0 THEN 'es'
+         |  ELSE 'unknown' END AS lang_pred
+         |FROM documents""".stripMargin
+    },
+    "q29_quality_score" -> {
+      val nWords = s"len(${sqlTokens("text")})"
+      val enHits =
+        s"len(list_filter(${sqlTokens("text")}, t -> t IN " +
+          s"(${EnWords.map(w => s"'$w'").mkString(", ")})))"
+      s"""SELECT doc_id,
+         | CAST($nWords AS INTEGER) AS n_words,
+         | CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |   AS INTEGER) AS n_letters,
+         | CAST($enHits AS INTEGER) AS stop_hits,
+         | round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |   AS DOUBLE) / $nWords, 6) AS avg_word_len,
+         | round(CAST($enHits AS DOUBLE) / $nWords, 6) AS stop_ratio,
+         | round(least(1.0, $nWords / 100.0) *
+         |   (1.0 - round(CAST($enHits AS DOUBLE) / $nWords, 6)), 6)
+         |   AS quality
+         |FROM documents""".stripMargin
+    },
+    "q30_token_count" ->
+      """SELECT doc_id, n_chars,
+        | CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |   AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |   AS INTEGER) AS bpe_pieces,
+        | CAST(length(text) AS BIGINT) AS len_chars,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len_bytes
+        |FROM documents""".stripMargin,
+    "q31_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_min(list_transform(
+         |   range(1, greatest(length(text) - 7, 1) + 1),
+         |   i -> ${sqlHash60("substr(text, i, 8)")})) AS fingerprint,
+         | CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
+         |FROM documents""".stripMargin,
+    "q32_multimodal_meta" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS width,
+        | CAST(ascii(substr(text, 2, 1)) AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TrainingData
+
+/** Semantic checks the DuckDB oracle can't express: detector recall on
+  * the constructed twin set, ANN sanity, multimodal decode behavior. */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds every perturbed twin pair") {
+    val pairs = TrainingData.dedupMinhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    val twins = (0L until nDocs).map(i => (i, i + 100000L)).toSet
+    val missed = twins -- pairs
+    assert(missed.isEmpty, s"LSH missed ${missed.size} twin pairs")
+  }
+
+  test("simhash twin hamming distance is small") {
+    val maxHam = TrainingData.dedupSimhash(spark, sfDir)
+      .agg(max($"twin_hamming")).as[Int].head()
+    // a 3-word suffix flips few of the 60 bits (observed max 16 at sf0.01);
+    // random doc pairs average ~30
+    assert(maxHam <= 25, s"twin hamming too large: $maxHam")
+  }
+
+  test("exact dedup collapses the re-ingested corpus 2:1") {
+    val df = TrainingData.dedupExact(spark, sfDir)
+    assert(df.filter($"n_copies" =!= 2).count() == 0)
+    assert(df.filter($"keep_doc_id" >= 100000L).count() == 0,
+      "keep-min-id policy violated")
+  }
+
+  test("brute-force ANN rank 1 is the query vector itself") {
+    val top = TrainingData.annCosineTopK(spark, sfDir)
+      .filter($"rank" === 1).select($"vec_id", $"cos_sim")
+      .as[(Long, Double)].head()
+    assert(top._1 == 0L && math.abs(top._2 - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates by cosine") {
+    val lsh = TrainingData.annLshTopK(spark, sfDir)
+    assert(lsh.filter($"rank" === 1).select($"vec_id").as[Long].head() == 0L)
+    assert(lsh.count() > 0)
+  }
+
+  test("multimodal decode: dimensions equal first two bytes") {
+    val row = TrainingData.multimodalMeta(spark, sfDir)
+      .join(Tables(spark, sfDir, "documents"), "doc_id")
+      .select($"width", $"height", $"n_bytes", $"text").head()
+    val text = row.getString(3)
+    assert(row.getInt(0) == text.charAt(0).toInt)
+    assert(row.getInt(1) == text.charAt(1).toInt)
+    assert(row.getInt(2) == text.getBytes("UTF-8").length)
+  }
+
+  test("langid predicts en on the english-stopword corpus") {
+    val dist = TrainingData.langId(spark, sfDir)
+      .groupBy($"lang_pred").count().as[(String, Long)].collect().toMap
+    assert(dist.getOrElse("en", 0L) > 0)
+  }
+}
