@@ -17,6 +17,7 @@ object SparkEntry {
       (gq.Shaping.queries, gq.Shaping.oracles),
       (gq.Textual.queries, gq.Textual.oracles),
       (gq.TrainingData.queries, gq.TrainingData.oracles),
+      (gq.NewsPipeline.queries, gq.NewsPipeline.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
