@@ -29,14 +29,19 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** MinHash signature columns h0..h{k-1}: per doc, min over shingles of
-    * hash_i(shingle). One explode + one groupBy with k min-aggregates —
+    * lane_i(shingle). One md5 per shingle then k affine lanes (see
+    * Hashing.lane) — one explode + one groupBy with k min-aggregates;
     * partial aggregation keeps the shuffle tiny (k longs per doc). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val exploded = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("toks"), shingleSize)).as("sh"))
+      .select(col("doc_id"),
+        hash60(col("sh")).bitwiseAND(lit(Mask31)).as("h31"))
     val aggs = (0 until numHashes)
-      .map(i => min(hash60(col("sh"), i)).as(s"h$i"))
+      .map(i => min(lane(col("h31"), i)).as(s"h$i"))
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

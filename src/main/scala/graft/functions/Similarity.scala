@@ -44,24 +44,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** Pseudo-random hyperplane weight for (plane p, dimension d):
-    * uniform in [-1, 1] with 1/1000 resolution, derived from hash60 so
-    * DuckDB reproduces it exactly. */
-  def planeWeight(p: Column, d: Column): Column =
-    ((hash60(concat(p.cast("string"), lit("_"), d.cast("string"))) % 2001)
-      - lit(1000)).cast("double") / 1000.0
+  /** Pseudo-random hyperplane weights, one per (plane p, dimension d):
+    * uniform in [-1, 1] with 1/1000 resolution, derived from hash60 of
+    * "p_d". Precomputed at plan-build time — the weights are constants,
+    * so the runtime plan is pure arithmetic (no per-row hashing) and the
+    * oracle carries the same values as decimal literals. */
+  def planeWeightK(p: Int, d: Int): Int =
+    (Hashing.hash60(s"${p}_$d") % 2001).toInt - 1000
 
-  def sqlPlaneWeight(p: String, d: String): String =
-    s"((${sqlHash60(s"CAST($p AS VARCHAR) || '_' || CAST($d AS VARCHAR)")} " +
-      s"% 2001 - 1000)::DOUBLE / 1000.0)"
+  def planeWeights(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims)((p, d) => planeWeightK(p, d) / 1000.0)
 
-  /** LSH bucket id: numPlanes sign bits of hyperplane dot products. */
+  /** Exact 3-decimal literal for a weight — parses to the identical
+    * double in every engine. */
+  def sqlPlaneWeights(numPlanes: Int, dims: Int): Array[Array[String]] =
+    Array.tabulate(numPlanes, dims)((p, d) =>
+      java.math.BigDecimal.valueOf(planeWeightK(p, d).toLong, 3)
+        .toPlainString)
+
+  /** LSH bucket id: numPlanes sign bits of hyperplane dot products
+    * against the literal weight rows. */
   def lshBucket(embCol: Column, numPlanes: Int, dims: Int): Column = {
+    val w = planeWeights(numPlanes, dims)
     val planeBits = (0 until numPlanes).map { p =>
+      val wArr = array(w(p).map(lit).toIndexedSeq: _*)
       val planeDot = aggregate(
-        sequence(lit(0), lit(dims - 1)), lit(0.0),
-        (acc, d) => acc +
-          element_at(embCol, d + 1).cast("double") * planeWeight(lit(p), d))
+        zip_with(embCol, wArr, (x, wv) => x.cast("double") * wv),
+        lit(0.0), (acc, v) => acc + v)
       when(planeDot > 0, lit(1L << p)).otherwise(0L)
     }
     planeBits.reduce(_ + _)

@@ -16,14 +16,20 @@ object TextOps {
   def sqlTokens(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), w -> w <> '')"
 
-  /** Distinct word n-gram shingles joined with single spaces. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from an already-materialized token
+    * array column. Take a column reference, not the tokens() expression:
+    * higher-order functions re-evaluate argument expressions per element,
+    * so inlining tokens() here would re-split the text once per shingle. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+
+  /** Convenience form over raw text — only for frames where the row
+    * count is small or a tokens column can't be projected first. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** DuckDB equivalent of shingles(). DuckDB list_slice uses inclusive
     * begin..end indexes (1-based) vs Spark slice(start, length). */

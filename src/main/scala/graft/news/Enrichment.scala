@@ -84,15 +84,13 @@ object Enrichment {
     * sentiment_batch_job_tasks.py:195-223): one nested request object per
     * article, custom_id = ARTICLE_ID. */
   def buildRequests(candidates: DataFrame): DataFrame =
-    candidates.select(
-      col("ARTICLE_ID"),
+    candidates.withColumn("request",
       to_json(struct(
         col("ARTICLE_ID").as("custom_id"),
         lit("POST").as("method"),
         lit("/v1/chat/completions").as("url"),
         struct(lit("news-scorer").as("model"),
-          col("CLEAN_CONTENT").as("content")).as("body")))
-        .as("request"))
+          col("CLEAN_CONTENT").as("content")).as("body"))))
 
   private val messageT = StructType(Seq(
     StructField("content", StringType)))
@@ -109,16 +107,18 @@ object Enrichment {
   /** JSONL batch-result parse (ref S10:
     * sentiment_batch_job_tasks.py:258-292): nested JSON →
     * (article_id, sentiment_mark, sentiment_poilievre) score strings. */
-  def parseResults(jsonl: DataFrame, jsonCol: String = "value"): DataFrame = {
+  def parseResults(jsonl: DataFrame, jsonCol: String = "value",
+      passThrough: Seq[String] = Nil): DataFrame = {
     val parsed = jsonl.select(
-      from_json(col(jsonCol), resultSchema).as("r"))
+      (from_json(col(jsonCol), resultSchema).as("r") +:
+        passThrough.map(col)): _*)
     val content = col("r.response.body.choices").getItem(0)
       .getField("message").getField("content")
     parsed.select(
-      col("r.custom_id").as("article_id"),
-      get_json_object(content, "$.sentiment_mark").as("sentiment_mark"),
-      get_json_object(content, "$.sentiment_poilievre")
-        .as("sentiment_poilievre"))
+      (Seq(col("r.custom_id").as("article_id"),
+        get_json_object(content, "$.sentiment_mark").as("sentiment_mark"),
+        get_json_object(content, "$.sentiment_poilievre")
+          .as("sentiment_poilievre")) ++ passThrough.map(col)): _*)
   }
 
   /** Pre-load recode (ref S7: sentiment_batch_job_tasks.py:295-326):

@@ -156,11 +156,11 @@ object NewsPipeline {
         Seq("data", "query"))
       .withColumn("CLEAN_CONTENT",
         Enrichment.cleanContent($"ARTICLE_CONTENT"))
+    // one pass: build the request JSONL (S9) and the simulated scoring
+    // result JSONL (deterministic, FIXTURES.md §4 shape) side by side —
+    // no self-join, so the transformed chain is computed once
     val requests = Enrichment.buildRequests(cand)
-    // simulate the scoring service: deterministic result JSONL keyed by
-    // custom_id, inner content itself JSON-encoded (FIXTURES.md §4)
-    val results = cand.select(
-      to_json(struct(
+      .withColumn("value", to_json(struct(
         $"ARTICLE_ID".as("custom_id"),
         struct(struct(array(struct(struct(
           to_json(struct(
@@ -168,14 +168,12 @@ object NewsPipeline {
               .as("sentiment_mark"),
             StubScorer.score($"CLEAN_CONTENT", "query")
               .as("sentiment_poilievre"))).as("content"))
-          .as("message"))).as("choices")).as("body")).as("response")))
-        .as("value"))
-    val parsed = Enrichment.parseResults(results)
-    val reqLens = requests.select($"ARTICLE_ID".as("req_article_id"),
-      length($"request").as("request_len"))
+          .as("message"))).as("choices")).as("body")).as("response"))))
+      .withColumn("request_len", length($"request"))
+    val parsed = Enrichment.parseResults(requests, "value",
+      passThrough = Seq("request_len"))
     Enrichment.recodeNA(parsed,
         Seq("sentiment_mark", "sentiment_poilievre"))
-      .join(reqLens, $"article_id" === $"req_article_id")
       .select($"article_id", $"sentiment_mark", $"sentiment_poilievre",
         $"request_len")
   }

@@ -67,8 +67,9 @@ object TrainingData {
       NumHashes, ShingleN)
     val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
       RowsPerBand))
-    val shs = c.select($"doc_id",
-      TextOps.shingles($"text", ShingleN).as("sh_set"))
+    val shs = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
     cand.join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select($"doc_a", $"doc_b",
@@ -94,8 +95,10 @@ object TrainingData {
   /** q25 — direct n-gram Jaccard between each doc and its twin. */
   val ngramJaccard: Q = (s, dir) => {
     import s.implicits._
-    val shs = corpus(s, dir).select($"doc_id",
-      TextOps.shingles($"text", ShingleN).as("sh_set"))
+    val shs = corpus(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
     val orig = shs.filter($"doc_id" < TwinOffset)
     val twin = shs.filter($"doc_id" >= TwinOffset)
       .select(($"doc_id" - TwinOffset).as("doc_id"),
@@ -221,7 +224,8 @@ object TrainingData {
 
   private def sqlMinhashLsh: String = {
     val lanes = (0 until NumHashes)
-      .map(i => s"min(${sqlHash60("s", i)}) AS h$i").mkString(",\n  ")
+      .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
+      .mkString(",\n  ")
     val numBands = NumHashes / RowsPerBand
     val bandSelects = (0 until numBands).map { b =>
       val parts = (0 until RowsPerBand)
@@ -233,7 +237,9 @@ object TrainingData {
     s"""WITH corpus AS $sqlCorpus,
        |sh AS (SELECT doc_id, ${sqlShingles("text", ShingleN)} AS sh_set
        |       FROM corpus),
-       |ex AS (SELECT doc_id, unnest(sh_set) AS s FROM sh),
+       |ex AS (SELECT doc_id,
+       |         (${sqlHash60("s")} & ${Hashing.Mask31}) AS h31
+       |       FROM (SELECT doc_id, unnest(sh_set) AS s FROM sh) u),
        |sig AS (SELECT doc_id, $lanes FROM ex GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -276,10 +282,11 @@ object TrainingData {
     s"$sqlDot / (sqrt(${sqlNorm("embedding")}) * sqrt(${sqlNorm("qv")}))"
 
   private def sqlBucket: String = {
+    val w = Similarity.sqlPlaneWeights(NumPlanes, Dims)
     val bits = (0 until NumPlanes).map { p =>
-      val w = Similarity.sqlPlaneWeight(p.toString, "d")
-      val dotP = s"""list_sum(list_transform(range(0, $Dims),
-                    |  d -> CAST(embedding[d + 1] AS DOUBLE) * $w))""".stripMargin
+      val wList = w(p).mkString("[", ", ", "]")
+      val dotP = s"list_sum(list_transform(list_zip(embedding, $wList), " +
+        "x -> CAST(x[1] AS DOUBLE) * x[2]))"
       s"CASE WHEN $dotP > 0 THEN (1::BIGINT << $p) ELSE 0 END"
     }.mkString(" + ")
     s"CAST($bits AS BIGINT)"

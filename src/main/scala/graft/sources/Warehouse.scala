@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Storage layer: parquet warehouse + the reference's file codecs.
+  *
+  * Scale design: raw tables are append-only parquet partitioned by ingest
+  * date; marts are partitioned by publish date so every dashboard /
+  * sentiment predicate (F3/F5 date ranges) becomes partition pruning
+  * (SURVEY.md §4). At 100 TB this is the difference between scanning a
+  * day and scanning the table.
+  */
+object Warehouse {
+
+  /** Append a batch to an append-only raw table (engine-native form of
+    * the reference's Postgres COPY sink, S6: newsairflowtasks.py:73-95). */
+  def appendRaw(df: DataFrame, warehouseDir: String, table: String): Unit =
+    df.withColumn("ingest_date", to_date(col("ingest_ts")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("ingest_date")
+      .parquet(s"$warehouseDir/$table")
+
+  /** Overwrite a mart table, partitioned by publish date (dbt
+    * `+materialized: table` equivalent; ref dbt_project.yml:43-45). */
+  def writeMart(df: DataFrame, warehouseDir: String, table: String,
+      partitionCol: Option[String] = None): Unit = {
+    val w = partitionCol match {
+      case Some(c) => df.withColumn("part_date", to_date(col(c)))
+        .write.partitionBy("part_date")
+      case None => df.write
+    }
+    w.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/$table")
+  }
+
+  def read(spark: SparkSession, warehouseDir: String,
+      table: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$table")
+
+  /** Headerless CSV staging sink in schema column order (S5:
+    * newsairflowtasks.py:56-71 — the reference's crash-resume staging
+    * file; Structured Streaming checkpoints replace its branch logic,
+    * see graft.streaming). */
+  def writeStagingCsv(df: DataFrame, schema: StructType,
+      path: String): Unit =
+    df.select(schema.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "false")
+      .csv(path)
+
+  def readStagingCsv(spark: SparkSession, schema: StructType,
+      path: String): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
+  /** JSONL sink (S9 request files): one JSON object per line. */
+  def writeJsonl(df: DataFrame, jsonCol: String, path: String): Unit =
+    df.select(col(jsonCol)).write.mode(SaveMode.Overwrite).text(path)
+
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+}

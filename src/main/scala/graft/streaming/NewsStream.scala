@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming restatement of the reference's incremental
+  * semantics (SURVEY.md §2.8):
+  *
+  *  - Airflow 3-hourly cron re-run          → Trigger.AvailableNow over a
+  *    landing directory (or ProcessingTime for a live deployment)
+  *  - temp-CSV write-ahead + branch resume  → checkpointLocation (offsets
+  *    + sink commit log give exactly-once without any branch operator)
+  *  - re-scraped duplicate articles         → dropDuplicatesWithinWatermark
+  *    keyed by the article surrogate id
+  *  - 2-day sentiment lookback              → watermark + windowed agg
+  *
+  * At cluster scale the landing dir is an object-store prefix written by
+  * fetchers; each micro-batch shuffles only its own files.
+  */
+object NewsStream {
+
+  /** File-landing source with the raw_news schema. maxFilesPerTrigger
+    * bounds micro-batch size so one giant backlog doesn't become one
+    * giant batch. */
+  def landingSource(spark: SparkSession, landingDir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+
+  /** Streaming dedup of re-ingested articles: same natural key within
+    * the watermark window keeps only the first-seen row
+    * (ref articles.sql:7-58 latest-wins, done incrementally). State is
+    * bounded by the watermark — at 100 TB/day this is what keeps the
+    * dedup map from growing without limit. */
+  def dedupedIngest(raw: DataFrame): DataFrame =
+    raw.withColumn("article_key",
+        md5(concat_ws("-", col("title"), col("source_name"), col("url"))))
+      .withWatermark("ingest_ts", "2 days")
+      .dropDuplicatesWithinWatermark("article_key")
+
+  /** Windowed per-source daily counts with late-data tolerance — the
+    * streaming form of the dashboard's daily resample (A9). */
+  def dailyCounts(raw: DataFrame): DataFrame =
+    raw.withWatermark("publishedat", "1 day")
+      .groupBy(window(col("publishedat"), "1 day"), col("source_name"))
+      .agg(count(lit(1)).as("n_articles"))
+      .select(col("window.start").as("day"), col("source_name"),
+        col("n_articles"))
+
+  /** Sink to the warehouse raw_news table with exactly-once checkpoint
+    * resume (replaces S5's temp-CSV branch, newsairflowtasks.py:107-113). */
+  def toWarehouse(deduped: DataFrame, warehouseDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    deduped.writeStream
+      .format("parquet")
+      .option("path", s"$warehouseDir/raw_news_stream")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
+  /** Drain-available-and-stop helper for batch-style invocations. */
+  def runAvailableNow(writer: DataStreamWriter[Row]): Unit = {
+    val q = writer.start()
+    q.awaitTermination()
+  }
+}

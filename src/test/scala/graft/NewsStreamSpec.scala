@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.news.Schemas
+import graft.sources.Warehouse
+import graft.streaming.NewsStream
+
+/** End-to-end streaming semantics: landing-dir ingest, in-stream dedup,
+  * checkpointed exactly-once resume across restarts. */
+class NewsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def mkRow(id: Long, title: String, ingest: String): Row =
+    Row(id, "globalnews", "ca", "politics", "Jane Doe", null, null, title,
+      null, s"https://news/$title", ts("2024-01-01 00:00:00"), "content",
+      "left", "english", ts(ingest))
+
+  private def writeBatch(dir: String, rows: Seq[Row]): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.rawNews)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("streaming ingest dedups re-scraped articles and resumes " +
+    "exactly-once from checkpoint") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val landing = s"$base/landing"
+    val warehouse = s"$base/warehouse"
+    val checkpoint = s"$base/checkpoint"
+
+    // batch 1: two articles, one duplicated within the batch
+    writeBatch(landing, Seq(
+      mkRow(1, "T1", "2024-01-01 00:00:00"),
+      mkRow(2, "T1", "2024-01-01 01:00:00"),
+      mkRow(3, "T2", "2024-01-01 00:30:00")))
+
+    def runOnce(): Unit = NewsStream.runAvailableNow(
+      NewsStream.toWarehouse(
+        NewsStream.dedupedIngest(
+          NewsStream.landingSource(spark, landing, Schemas.rawNews)),
+        warehouse, checkpoint))
+
+    runOnce()
+    val out1 = Warehouse.read(spark, warehouse, "raw_news_stream")
+    assert(out1.select($"article_key").distinct().count() == 2)
+    assert(out1.count() == 2, "in-batch duplicate not dropped")
+
+    // batch 2: re-scrape of T2 (cross-batch dup) + new T3; restart the
+    // stream from the same checkpoint — batch 1 files must not replay
+    writeBatch(landing, Seq(
+      mkRow(4, "T2", "2024-01-01 02:00:00"),
+      mkRow(5, "T3", "2024-01-01 02:30:00")))
+    runOnce()
+    val out2 = Warehouse.read(spark, warehouse, "raw_news_stream")
+    assert(out2.count() == 3,
+      s"expected 3 rows after resume, got ${out2.count()}")
+    assert(out2.select($"article_key").distinct().count() == 3)
+  }
+
+  test("streaming daily counts with watermark produce per-day totals") {
+    val base = Files.createTempDirectory("graft-stream2").toString
+    val landing = s"$base/landing"
+    writeBatch(landing, Seq(
+      mkRow(1, "A", "2024-01-01 00:00:00"),
+      mkRow(2, "B", "2024-01-01 01:00:00"),
+      mkRow(3, "C", "2024-01-01 02:00:00")))
+    val q = NewsStream.dailyCounts(
+        NewsStream.landingSource(spark, landing, Schemas.rawNews))
+      .writeStream.format("memory").queryName("daily_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("daily_counts").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_articles") == 3)
+  }
+
+  test("CSV staging codec round-trips the raw_news schema") {
+    val base = Files.createTempDirectory("graft-csv").toString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        mkRow(1, "T1", "2024-01-01 00:00:00"),
+        mkRow(2, "T2", "2024-01-01 01:00:00"))), Schemas.rawNews)
+    Warehouse.writeStagingCsv(df, Schemas.rawNews, s"$base/stage")
+    val back = Warehouse.readStagingCsv(spark, Schemas.rawNews,
+      s"$base/stage")
+    assert(back.count() == 2)
+    assert(back.schema.fieldNames.sameElements(Schemas.rawNews.fieldNames))
+    assert(back.select($"title").as[String].collect().toSet ==
+      Set("T1", "T2"))
+  }
+
+  test("warehouse mart write partitions by date for pruning") {
+    val base = Files.createTempDirectory("graft-wh").toString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        mkRow(1, "T1", "2024-01-01 00:00:00"),
+        mkRow(2, "T2", "2024-01-02 01:00:00"))), Schemas.rawNews)
+    Warehouse.writeMart(df, base, "articles", Some("ingest_ts"))
+    val dirs = new java.io.File(s"$base/articles").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("part_date=2024-01-01")))
+    assert(dirs.exists(_.startsWith("part_date=2024-01-02")))
+    // pruned read touches one partition
+    val pruned = spark.read.parquet(s"$base/articles")
+      .filter($"part_date" === "2024-01-01")
+    assert(pruned.count() == 1)
+  }
+}
