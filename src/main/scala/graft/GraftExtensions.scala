@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSimilarity
+
+/** Engine extension point: registers graft's native expressions with the
+  * session so they're callable from SQL and `call_function`.
+  *
+  * Enable with:
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -21,7 +21,8 @@ import Hashing._
   */
 object Similarity {
 
-  /** dot(a, b) as a sequential double fold. */
+  /** dot(a, b) as a sequential double fold (reference implementation —
+    * higher-order functions evaluate interpreted). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -30,8 +31,18 @@ object Similarity {
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composed-builtin cosine — kept as the executable spec the native
+    * expression is tested against. */
+  def cosineFold(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Native codegen cosine (graft.expressions.CosineSimilarity) —
+    * bit-identical to cosineFold, no per-row allocation/boxing. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Brute-force cosine top-k against one query vector (by id). */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {

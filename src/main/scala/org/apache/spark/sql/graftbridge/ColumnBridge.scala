@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 scopes ExpressionUtils
+  * `private[sql]`, so extension libraries expose it from a package under
+  * org.apache.spark.sql (the same pattern Delta/Frameless use). This is
+  * the only file outside the graft package.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
