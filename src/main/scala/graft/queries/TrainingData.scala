@@ -133,6 +133,38 @@ object TrainingData {
         $"rank")
   }
 
+  /** q40 — embedding-cosine near-dup detection: noisy twin vectors
+    * (deterministic exact-decimal noise) planted at vec_id+100000, then
+    * LSH-bucket self-join → native-cosine verify ≥ 0.9. The bucket join
+    * is the scale path: candidates are per-bucket, never all-pairs. */
+  private val NoisePlaneSeed = 7777
+  private def noiseVals: IndexedSeq[Double] =
+    (0 until Dims).map(d =>
+      Similarity.planeWeightK(NoisePlaneSeed, d) / 20000.0)
+  private def sqlNoiseList: String =
+    (0 until Dims).map(d => java.math.BigDecimal.valueOf(
+      Similarity.planeWeightK(NoisePlaneSeed, d) * 5L, 5).toPlainString)
+      .mkString("[", ", ", "]")
+
+  val dedupEmbedding: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val nz = array(noiseVals.map(lit): _*)
+    val twins = e.select(($"vec_id" + TwinOffset).as("vec_id"),
+      transform(zip_with($"embedding", nz,
+          (x, w) => x.cast("double") + w),
+        v => v.cast("float")).as("embedding"))
+    val wb = e.unionByName(twins).withColumn("bucket",
+      Similarity.lshBucket($"embedding", NumPlanes, Dims))
+    wb.as("a").join(wb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos_sim"))
+      .filter($"cos_sim" >= 0.9)
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -273,13 +305,14 @@ object TrainingData {
        |WHERE o.doc_id < $TwinOffset""".stripMargin
   }
 
-  private val sqlDot =
-    """list_sum(list_transform(list_zip(embedding, qv),
-      |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+  private def sqlDotCols(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private def sqlNorm(c: String) =
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-  private val sqlCos =
-    s"$sqlDot / (sqrt(${sqlNorm("embedding")}) * sqrt(${sqlNorm("qv")}))"
+  private def sqlCosCols(a: String, b: String) =
+    s"${sqlDotCols(a, b)} / (sqrt(${sqlNorm(a)}) * sqrt(${sqlNorm(b)}))"
+  private val sqlCos = sqlCosCols("embedding", "qv")
 
   private def sqlBucket: String = {
     val w = Similarity.sqlPlaneWeights(NumPlanes, Dims)
@@ -298,6 +331,7 @@ object TrainingData {
     "q24_dedup_simhash" -> dedupSimhash,
     "q25_ngram_jaccard" -> ngramJaccard,
     "q26_ann_cosine_topk" -> annCosineTopK,
+    "q40_dedup_embedding" -> dedupEmbedding,
     "q27_ann_lsh_topk" -> annLshTopK,
     "q28_lang_id" -> langId,
     "q29_quality_score" -> qualityScore,
@@ -315,6 +349,23 @@ object TrainingData {
          |      SELECT doc_id + $TwinOffset, text FROM documents) t
          |GROUP BY md5(text)""".stripMargin,
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
+    "q40_dedup_embedding" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |twins AS (SELECT vec_id + $TwinOffset AS vec_id,
+         |    list_transform(list_zip(embedding, $sqlNoiseList),
+         |      x -> CAST(CAST(x[1] AS DOUBLE) + x[2] AS FLOAT))
+         |      AS embedding
+         |  FROM base),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+         |wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
+         |       FROM corpus)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${sqlCosCols("a.embedding", "b.embedding")}, 6)
+         |    AS cos_sim
+         |FROM wb a JOIN wb b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${sqlCosCols("a.embedding", "b.embedding")}, 6)
+         |  >= 0.9""".stripMargin,
     "q24_dedup_simhash" -> sqlSimhash,
     "q25_ngram_jaccard" ->
       s"""WITH corpus AS $sqlCorpus,
