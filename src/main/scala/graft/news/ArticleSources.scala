@@ -1,0 +1,126 @@
+package graft.news
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion-edge sources (SURVEY.md §2.1 S1-S4, UD4) — the reference's
+  * RSS / link-page / article scrapers re-expressed as deterministic
+  * engine stages over a pluggable `Fetcher`.
+  *
+  * Network I/O is behind the Fetcher trait: production wires an HTTP
+  * client (batched inside mapPartitions, executor-side, one client per
+  * partition); tests and this zero-egress container wire a fixture map.
+  * Parsing is regex-based column logic — public Spark built-ins, no
+  * HTML library dependency.
+  *
+  * Scale note: the URL universe per run is tiny (9 sources × 10
+  * articles in the reference), so the link lists live in a small
+  * DataFrame; the per-URL fetch fan-out happens in executors via
+  * mapPartitions, which is the piece that scales when the source list
+  * does.
+  */
+trait Fetcher extends Serializable {
+  /** Fetch a URL's body, or None on failure (failures drop the row —
+    * the reference's permissive behavior, get_news.py:288-292). */
+  def fetch(url: String): Option[String]
+}
+
+/** Deterministic fixture-backed fetcher. */
+final class MapFetcher(pages: Map[String, String]) extends Fetcher {
+  def fetch(url: String): Option[String] = pages.get(url)
+}
+
+object ArticleSources {
+
+  /** S1 — RSS item-link extraction: `<item>...<link>URL</link>` (ref
+    * get_news.py:54-68). */
+  val RssLinkRe = "(?s)<item>.*?<link>\\s*([^<\\s]+)\\s*</link>"
+
+  /** S2 — anchor-href extraction from a link page (ref utils.py:36-74). */
+  val HrefRe = "href=[\"']([^\"']+)[\"']"
+
+  /** Extract article links from fetched page bodies: regex extract-all,
+    * absolutize relative hrefs, keyword filter, order-preserving dedup,
+    * head-n limit (ref utils.py:36-74 + W3 n_articles). */
+  def extractLinks(pages: DataFrame, linkRe: String, baseUrl: String,
+      keywordFilter: Option[String], nArticles: Int): DataFrame = {
+    val withLinks = pages.select(
+      col("source_name"),
+      posexplode(regexp_extract_all(col("body"), lit(linkRe), lit(1)))
+        .as(Seq("pos", "link")))
+      .withColumn("link",
+        when(col("link").startsWith("http"), col("link"))
+          .otherwise(concat(lit(baseUrl), col("link"))))
+    val filtered = keywordFilter match {
+      case Some(kw) => withLinks.filter(col("link").contains(kw))
+      case None => withLinks
+    }
+    // order-preserving dedup (U2: first occurrence wins) then head-n
+    filtered
+      .groupBy(col("source_name"), col("link"))
+      .agg(min(col("pos")).as("pos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source_name")).orderBy(col("pos"))))
+      .filter(col("rn") <= nArticles)
+      .select(col("source_name"), col("link"), col("pos"))
+  }
+
+  /** S3 — per-link article fetch in executors: mapPartitions over the
+    * link list, one Fetcher per partition. Returns (source, url, body)
+    * rows; fetch failures are dropped. */
+  def fetchArticles(links: Dataset[(String, String)],
+      fetcher: Fetcher): Dataset[(String, String, String)] = {
+    import links.sparkSession.implicits._
+    links.mapPartitions { it =>
+      it.flatMap { case (source, url) =>
+        fetcher.fetch(url).map(body => (source, url, body))
+      }
+    }
+  }
+
+  /** S3/UD4 — parse title / authors / date / text out of a fetched body
+    * with the same regex-pinned approach as the cleaning layer. Authors
+    * fan out one row per author (ref get_news.py:258-293 → explode). */
+  def parseArticles(fetched: DataFrame): DataFrame = {
+    val title = regexp_extract(col("body"),
+      "(?s)<title>\\s*(.*?)\\s*</title>", 1)
+    val authorsCsv = regexp_extract(col("body"),
+      "(?s)<meta name=\"author\" content=\"([^\"]*)\"", 1)
+    val published = regexp_extract(col("body"),
+      "(?s)<meta name=\"date\" content=\"([^\"]*)\"", 1)
+    val text = regexp_replace(
+      regexp_extract(col("body"), "(?s)<article>(.*?)</article>", 1),
+      "<[^>]+>", " ")
+    fetchedWithCols(fetched, title, authorsCsv, published, text)
+  }
+
+  private def fetchedWithCols(fetched: DataFrame,
+      title: org.apache.spark.sql.Column,
+      authorsCsv: org.apache.spark.sql.Column,
+      published: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): DataFrame =
+    fetched
+      .withColumn("title", title)
+      // try_: ANSI mode makes to_timestamp throw on malformed input;
+      // the reference drops invalid rows instead (get_news.py:288-292),
+      // and validation (F8) filters NULL publishedat downstream
+      .withColumn("publishedat",
+        try_to_timestamp(published, lit("yyyy-MM-dd HH:mm:ss")))
+      .withColumn("article_content", trim(regexp_replace(text, "\\s+", " ")))
+      .withColumn("author",
+        explode(filter(split(authorsCsv, ","), a => trim(a) =!= "")))
+      .withColumn("author", trim(col("author")))
+      .drop("body")
+
+  /** S4 — author-page email lookup with editor-email de-preference
+    * (ref utils.py:99-138): prefer a non-editor email when present. */
+  def extractAuthorEmail(body: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val all = regexp_extract_all(body,
+      lit("[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}"), lit(0))
+    val nonEditor = filter(all, e => !e.contains("editor"))
+    when(size(nonEditor) > 0, element_at(nonEditor, 1))
+      .otherwise(when(size(all) > 0, element_at(all, 1)))
+  }
+}

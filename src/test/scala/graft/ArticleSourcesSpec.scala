@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.news.{ArticleSources, MapFetcher}
+
+/** Inline-HTML fixture tests for the ingestion edge, mirroring the
+  * reference's test_utils.py style (its fixture files are absent from
+  * the repo; these fixtures derive from FIXTURES.md §3). */
+class ArticleSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rss =
+    """<rss><channel>
+      |<item><title>A</title><link>https://site/news/a</link></item>
+      |<item><title>B</title><link> https://site/news/b </link></item>
+      |</channel></rss>""".stripMargin
+
+  private val linkPage =
+    """<html><body>
+      |<a class="story" href="/news/one">One</a>
+      |<a class="story" href="/news/two">Two</a>
+      |<a class="story" href="/news/one">One again</a>
+      |<a class="nav" href="/about">About</a>
+      |<a class="story" href="https://site/news/three">Three</a>
+      |</body></html>""".stripMargin
+
+  private val article =
+    """<html><head><title> Big Story </title>
+      |<meta name="author" content="Jane Doe, Bob Li">
+      |<meta name="date" content="2024-01-02 10:30:00">
+      |</head><body><article><p>Hello   world</p>
+      |<p>More text</p></article></body></html>""".stripMargin
+
+  private val authorPage =
+    """<html><body>Contact editor@site.com or
+      |jane.doe@site.com for info</body></html>""".stripMargin
+
+  test("S1: RSS item links extracted and trimmed") {
+    val pages = Seq(("rss_src", rss)).toDF("source_name", "body")
+    val links = ArticleSources.extractLinks(pages,
+      ArticleSources.RssLinkRe, "https://site", None, 10)
+    assert(links.select($"link").as[String].collect().toSet ==
+      Set("https://site/news/a", "https://site/news/b"))
+  }
+
+  test("S2: hrefs absolutized, keyword-filtered, deduped, limited") {
+    val pages = Seq(("lp", linkPage)).toDF("source_name", "body")
+    val links = ArticleSources.extractLinks(pages,
+      ArticleSources.HrefRe, "https://site", Some("/news/"), 2)
+    val got = links.orderBy($"pos").select($"link").as[String].collect()
+    // order-preserving dedup keeps first occurrence; head-2 limit
+    assert(got.toSeq == Seq("https://site/news/one", "https://site/news/two"))
+  }
+
+  test("S3: executor-side fetch drops failed URLs") {
+    val fetcher = new MapFetcher(Map("u1" -> article))
+    val fetched = ArticleSources.fetchArticles(
+      Seq(("src", "u1"), ("src", "u404")).toDS(), fetcher)
+    assert(fetched.count() == 1)
+  }
+
+  test("S3/UD4: article parse extracts title/date/text, fans out authors") {
+    val fetched = Seq(("src", "u1", article))
+      .toDF("source_name", "url", "body")
+    val parsed = ArticleSources.parseArticles(fetched)
+    val rows = parsed.select($"title", $"author", $"article_content",
+      date_format($"publishedat", "yyyy-MM-dd HH:mm:ss").as("p"))
+      .collect()
+    assert(rows.length == 2, "one row per author")
+    assert(rows.map(_.getString(1)).toSet == Set("Jane Doe", "Bob Li"))
+    assert(rows.head.getString(0) == "Big Story")
+    assert(rows.head.getString(2) == "Hello world More text")
+    assert(rows.head.getString(3) == "2024-01-02 10:30:00")
+  }
+
+  test("S4: author email lookup de-prefers editor addresses") {
+    val df = Seq(authorPage).toDF("body")
+      .select(ArticleSources.extractAuthorEmail($"body").as("email"))
+    assert(df.head().getString(0) == "jane.doe@site.com")
+  }
+}
