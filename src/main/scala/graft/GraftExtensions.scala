@@ -17,7 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
   }
 }

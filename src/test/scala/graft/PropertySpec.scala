@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Property-based invariants (SURVEY.md §5.3): surrogate-key byte
+  * stability against an independent JVM implementation, hash60
+  * cross-engine contract, lane-family bounds, jaccard identity.
+  * Raw ScalaCheck generators with a fixed seed (the scalatestplus
+  * bridge isn't in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jvmMd5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '-', '.', '@')))
+      .map(_.mkString.take(200))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("surrogate key matches the dbt_utils recipe for arbitrary inputs") {
+    val pairs = samples(Gen.zip(asciiText, asciiText), 40)
+    val df = pairs.flatMap { case (a, b) =>
+      Seq((Option(a), Option(b)), (Option.empty[String], Option(b)))
+    }.toDF("x", "y")
+      .select($"x", $"y",
+        graft.news.NewsTransform.surrogateKey($"x", $"y").as("k"))
+    val sentinel = "_dbt_utils_surrogate_key_null_"
+    df.collect().foreach { r =>
+      val a = Option(r.getString(0)).getOrElse(sentinel)
+      val b = Option(r.getString(1)).getOrElse(sentinel)
+      assert(r.getString(2) == jvmMd5(s"$a-$b"))
+    }
+  }
+
+  test("column hash60 equals JVM hash60 for arbitrary strings") {
+    val ss = samples(asciiText, 60).filter(_.nonEmpty).distinct
+    val got = ss.toDF("x")
+      .select($"x", Hashing.hash60($"x").as("h"))
+      .as[(String, Long)].collect().toMap
+    ss.foreach { s =>
+      assert(got(s) == Hashing.hash60(s))
+      assert(got(s) >= 0L)
+    }
+  }
+
+  test("minhash lanes stay in [0, p) for the full h31 domain edges") {
+    val hs = samples(Gen.choose(0L, Hashing.Mask31), 50) ++
+      Seq(0L, 1L, Hashing.Mask31)
+    for (h <- hs; i <- 0 until 64) {
+      val v = (Hashing.laneA(i) * h + Hashing.laneB(i)) % Hashing.LaneP
+      assert(v >= 0 && v < Hashing.LaneP, s"lane $i out of range for $h")
+    }
+  }
+
+  test("jaccard is 1 for identical sets and within [0,1] generally") {
+    val sets = samples(Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)), 20)
+    val df = sets.map(ws => (ws.distinct, ws.distinct.reverse))
+      .toDF("a", "b")
+      .select(graft.functions.Dedup.jaccard($"a", $"b").as("j"))
+    df.as[Double].collect().foreach(j =>
+      assert(math.abs(j - 1.0) < 1e-12, "order must not matter"))
+  }
+}
