@@ -123,7 +123,32 @@ object Shaping {
       .orderBy($"cnt".desc, $"event_type".asc)
   }
 
+  /** q41 — gap-based sessionization (gaps-and-islands): per-user
+    * sessions split at 30-minute inactivity gaps, one lag window + one
+    * running-sum window + one aggregate. Streaming counterpart with
+    * bounded state: graft.streaming.Sessionize. All timestamps are
+    * truncated to whole seconds first so the arithmetic is
+    * engine-exact. */
+  val sessionize: Q = (s, dir) => {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      .withColumn("prev", lag($"sec", 1).over(order))
+      .withColumn("brk",
+        when($"prev".isNull || $"sec" - $"prev" > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum($"brk").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"sec").as("start_sec"),
+        (max($"sec") - min($"sec")).as("duration_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_sessionize" -> sessionize,
     "q09_backfill_window" -> backfillWindow,
     "q10_backfill_two_tier" -> backfillTwoTier,
     "q11_min_disjunctive" -> minDisjunctive,
@@ -134,6 +159,24 @@ object Shaping {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      AS BIGINT) AS sec
+        |  FROM events),
+        |l AS (SELECT *, lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) AS prev
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_seq FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(sec) AS start_sec,
+        |  max(sec) - min(sec) AS duration_s
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
     "q09_backfill_window" ->
       """SELECT event_id, user_id,
         | coalesce(v, min(v) OVER (PARTITION BY user_id)) AS value_filled
