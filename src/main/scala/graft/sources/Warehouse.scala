@@ -53,6 +53,19 @@ object Warehouse {
       path: String): DataFrame =
     spark.read.schema(schema).option("header", "false").csv(path)
 
+  /** Bucketed managed table: co-locates join/agg keys at write time so
+    * repeated joins on `bucketCol` skip their shuffle entirely — the
+    * 100 TB answer to "this join runs every 3 hours on the same key"
+    * (raw_news ⋈ sentiment on article_id). Requires the session's
+    * catalog (saveAsTable); bucket count should match downstream
+    * parallelism, not file-size targets. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** JSONL sink (S9 request files): one JSON object per line. */
   def writeJsonl(df: DataFrame, jsonCol: String, path: String): Unit =
     df.select(col(jsonCol)).write.mode(SaveMode.Overwrite).text(path)

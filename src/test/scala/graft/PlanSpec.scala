@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import graft.functions.Skew
+import graft.sources.Warehouse
+
+/** Physical-plan contracts: the properties that make queries scale are
+  * asserted, not hoped for — pushdown reaching the parquet scan,
+  * broadcast dims, rank-limit pushdown, top-k without global sort,
+  * shuffle-free bucketed joins, salt-spread joins staying correct. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q03: all predicates push into the parquet scan, schema pruned") {
+    val p = plan("q03_filter_pushdown")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("Not(EqualTo(l_returnflag,N))"))
+    assert(!p.contains("l_partkey"), "unused columns must be pruned")
+  }
+
+  test("q04: dimension joins broadcast") {
+    val p = plan("q04_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q06: latest-per-key gets rank-limit pushdown (WindowGroupLimit)") {
+    assert(plan("q06_latest_event_per_user").contains("WindowGroupLimit"))
+  }
+
+  test("q18/q26: top-k is TakeOrderedAndProject, no global Sort") {
+    assert(plan("q18_word_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q26_ann_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val s2 = SparkSpec.session
+    // clear any leftover managed-table locations from prior runs
+    s2.sql("DROP TABLE IF EXISTS b_orders")
+    s2.sql("DROP TABLE IF EXISTS b_customer")
+    for (t <- Seq("b_orders", "b_customer")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val orders = Tables(s2, sfDir, "orders")
+    val customer = Tables(s2, sfDir, "customer")
+    Warehouse.writeBucketed(orders, "b_orders", "o_custkey", 8)
+    Warehouse.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", "o_custkey", 8)
+    // broadcast would (rightly) win on these tiny dims — disable it so
+    // the plan shows the property that matters at scale: a sort-merge
+    // join reading co-located buckets with NO shuffle exchange
+    val prevThreshold = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s2.table("b_orders").join(s2.table("b_customer"),
+        Seq("o_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle:\n${p.take(800)}")
+      assert(p.contains("SortMergeJoin"))
+      assert(p.contains("Bucketed: true"),
+        "scan must actually use the bucket layout")
+      assert(joined.count() == orders.count())
+    } finally {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s2.sql("DROP TABLE IF EXISTS b_orders")
+      s2.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("salted join equals plain join; salted count equals plain count") {
+    val orders = Tables(spark, sfDir, "orders")
+    val customer = Tables(spark, sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plainCnt = orders.join(customer, Seq("o_custkey")).count()
+    val saltedCnt = Skew.saltedEquiJoin(orders, customer,
+      "o_custkey", 4).count()
+    assert(saltedCnt == plainCnt)
+
+    val plain = Tables(spark, sfDir, "events")
+      .groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(
+      Tables(spark, sfDir, "events"), "event_type", 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
