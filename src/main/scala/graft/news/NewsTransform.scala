@@ -109,18 +109,27 @@ object NewsTransform {
     val wUrlByEmail = Window.partitionBy(col("AUTHOR"), col("AUTHOR_EMAIL"))
     val wBySource = Window.partitionBy(col("AUTHOR"),
       col("NEWS_SOURCE_NAME"))
-    val urlFilled = withClean.withColumn("AUTHOR_URL",
+    // both tier-2 fallback mins share the (AUTHOR, SOURCE) window and
+    // neither input column is modified by the fills, so computing them
+    // together up front merges their shuffles (CollapseWindow) without
+    // changing any value
+    val withSourceMins = withClean
+      .withColumn("__urlBySource", min(col("AUTHOR_URL")).over(wBySource))
+      .withColumn("__emailBySource",
+        min(col("AUTHOR_EMAIL")).over(wBySource))
+    val urlFilled = withSourceMins.withColumn("AUTHOR_URL",
       coalesce(col("AUTHOR_URL"),
         when(col("AUTHOR_EMAIL").isNotNull,
           min(col("AUTHOR_URL")).over(wUrlByEmail)),
-        min(col("AUTHOR_URL")).over(wBySource)))
+        col("__urlBySource")))
 
     val wEmailByUrl = Window.partitionBy(col("AUTHOR"), col("AUTHOR_URL"))
     val emailFilled = urlFilled.withColumn("AUTHOR_EMAIL",
       coalesce(col("AUTHOR_EMAIL"),
         when(col("AUTHOR_URL").isNotNull,
           min(col("AUTHOR_EMAIL")).over(wEmailByUrl)),
-        min(col("AUTHOR_EMAIL")).over(wBySource)))
+        col("__emailBySource")))
+      .drop("__urlBySource", "__emailBySource")
 
     val wByTitle = Window.partitionBy(col("TITLE"), col("AUTHOR"),
       col("NEWS_SOURCE_NAME"))
