@@ -87,6 +87,37 @@ object Similarity {
     planeBits.reduce(_ + _)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `numCells`
+    * coarse centroids (here: the first `numCells` vectors — a
+    * deterministic stand-in for trained k-means centroids), then search
+    * only the query's cell (nprobe = 1). The inverted-file structure is
+    * the partitioning: at scale, `repartition(cell)` + partitioned
+    * storage makes a query touch one cell's files. */
+  def ivfAssign(emb: DataFrame, numCells: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccs").desc, col("cid").asc)
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("ccs", cosine(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+  }
+
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      numCells: Int): DataFrame = {
+    val assigned = ivfAssign(emb, numCells)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("cid").as("qcid"))
+    assigned.join(broadcast(q), col("cid") === col("qcid"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
     * the query's bucket. Recall < 1 by construction; the candidate scan
     * is |bucket| instead of |table|. */

@@ -165,6 +165,19 @@ object TrainingData {
       .filter($"cos_sim" >= 0.9)
   }
 
+  /** q42 — IVF-style ANN: nearest-of-16-centroids cell assignment, then
+    * top-10 within the query's cell (nprobe=1). */
+  private val NumCells = 16
+  val annIvfTopK: Q = (s, dir) => {
+    import s.implicits._
+    val top = Similarity.ivfTopK(Tables(s, dir, "embeddings"), 0L, 10,
+      NumCells)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id", $"label", round($"cos_sim", 6).as("cos_sim"),
+        $"rank")
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -333,6 +346,7 @@ object TrainingData {
     "q26_ann_cosine_topk" -> annCosineTopK,
     "q40_dedup_embedding" -> dedupEmbedding,
     "q27_ann_lsh_topk" -> annLshTopK,
+    "q42_ann_ivf_topk" -> annIvfTopK,
     "q28_lang_id" -> langId,
     "q29_quality_score" -> qualityScore,
     "q30_token_count" -> tokenCount,
@@ -394,6 +408,26 @@ object TrainingData {
          |      WHERE bucket = qbucket),
          |r AS (SELECT vec_id, label, cs, row_number() OVER
          |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "q42_ann_ivf_topk" ->
+      s"""WITH centroids AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $NumCells),
+         |scored AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |    ${sqlCosCols("e.embedding", "c.cemb")} AS ccs
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |assigned AS (SELECT vec_id, label, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY ccs DESC, cid ASC) AS rn FROM scored) t
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cid AS qcid FROM assigned
+         |  WHERE vec_id = 0),
+         |cand AS (SELECT a.vec_id, a.label,
+         |    ${sqlCosCols("a.embedding", "qv")} AS cs
+         |  FROM assigned a JOIN q ON a.cid = q.qcid),
+         |r AS (SELECT vec_id, label, cs, row_number() OVER
+         |    (ORDER BY cs DESC, vec_id ASC) AS rank FROM cand)
          |SELECT vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10""".stripMargin,

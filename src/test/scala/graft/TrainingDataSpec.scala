@@ -53,6 +53,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("IVF ANN: rank 1 is the query, results confined to its cell") {
+    val ivf = TrainingData.annIvfTopK(spark, sfDir)
+    assert(ivf.filter($"rank" === 1).select($"vec_id").as[Long].head() == 0L)
+    val assigned = graft.functions.Similarity.ivfAssign(
+      Tables(spark, sfDir, "embeddings"), 16)
+    val qcid = assigned.filter($"vec_id" === 0)
+      .select($"cid").as[Long].head()
+    val cellIds = assigned.filter($"cid" === qcid)
+      .select($"vec_id").as[Long].collect().toSet
+    val resultIds = ivf.select($"vec_id").as[Long].collect().toSet
+    assert(resultIds.subsetOf(cellIds))
+  }
+
   test("multimodal decode: dimensions equal first two bytes") {
     val row = TrainingData.multimodalMeta(spark, sfDir)
       .join(Tables(spark, sfDir, "documents"), "doc_id")
