@@ -247,6 +247,50 @@ object TrainingData {
       nGrams.cast("long").as("n_grams"))
   }
 
+  /** q43 — TF-IDF relevance ranking for a fixed term set: tf from token
+    * counts, smoothed idf from document frequencies, fixed-order score
+    * sum (so no engine reorders the float additions), top-15. */
+  private val TfidfTerms = Seq("spark", "query", "hash")
+  val tfidfRank: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val statCols = (count(lit(1)) + 1).cast("long").as("n1") +:
+      TfidfTerms.map(t => sum(when(array_contains($"toks", t), 1L)
+        .otherwise(0L)).as(s"df_$t"))
+    val stats = tk.agg(statCols.head, statCols.tail: _*)
+    val tfCols = $"doc_id" +: TfidfTerms.map(t =>
+      size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))
+    val withTf = tk.select(tfCols: _*)
+    val score = TfidfTerms.map { t =>
+      col(s"tf_$t") * (log(col("n1") / (col(s"df_$t") + 1L)) + 1.0)
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select($"doc_id", round(score, 6).as("tfidf"))
+      .filter($"tfidf" > 0.0)
+      .orderBy($"tfidf".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
+  /** q44 — hybrid retrieval: keyword prefilter over document text, then
+    * vector re-rank by cosine to the query embedding (doc_id = vec_id).
+    * The lexical filter prunes the candidate set before any vector math
+    * — at scale the expensive cosine runs on the survivors only. */
+  val hybridSearch: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val emb = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    docs.filter($"text".contains("spark"))
+      .join(emb, docs("doc_id") === emb("vec_id"))
+      .crossJoin(broadcast(q))
+      .select($"doc_id",
+        round(Similarity.cosine($"embedding", $"qv"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal metadata extraction: text→binary content column,
@@ -347,6 +391,8 @@ object TrainingData {
     "q40_dedup_embedding" -> dedupEmbedding,
     "q27_ann_lsh_topk" -> annLshTopK,
     "q42_ann_ivf_topk" -> annIvfTopK,
+    "q43_tfidf_rank" -> tfidfRank,
+    "q44_hybrid_search" -> hybridSearch,
     "q28_lang_id" -> langId,
     "q29_quality_score" -> qualityScore,
     "q30_token_count" -> tokenCount,
@@ -431,6 +477,38 @@ object TrainingData {
          |SELECT vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10""".stripMargin,
+    "q43_tfidf_rank" -> {
+      val dfs = TfidfTerms.map(t =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(", ")
+      val tfs = TfidfTerms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf_$t")
+        .mkString(",\n  ")
+      val score = TfidfTerms.map(t =>
+        s"tf_$t * (ln(n1 / (df_$t + 1)) + 1.0)").mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |stats AS (SELECT (count(*) + 1)::BIGINT AS n1, $dfs FROM tk),
+         |tf AS (SELECT doc_id,
+         |  $tfs
+         |  FROM tk)
+         |SELECT doc_id, round($score, 6) AS tfidf
+         |FROM tf, stats
+         |WHERE round($score, 6) > 0.0
+         |ORDER BY tfidf DESC, doc_id ASC
+         |LIMIT 15""".stripMargin
+    },
+    "q44_hybrid_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |cand AS (SELECT d.doc_id, e.embedding FROM documents d
+         |  JOIN embeddings e ON d.doc_id = e.vec_id
+         |  WHERE d.text LIKE '%spark%')
+         |SELECT doc_id,
+         |  round(${sqlCosCols("embedding", "qv")}, 6) AS cos_sim
+         |FROM cand, q
+         |ORDER BY cos_sim DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
     "q28_lang_id" -> {
       def in(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
       def hits(ws: Seq[String]) =
