@@ -163,7 +163,11 @@ object NewsTransform {
   def articlesMart(tr: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ARTICLE_ID"))
       .orderBy(col("INGEST_TS").desc, col("ID").desc)
-    val wCnt = Window.partitionBy(col("ARTICLE_ID"))
+    // count over the SAME ordered spec with a full frame — identical
+    // value to an unordered partition count, but CollapseWindow merges
+    // both functions into one sort+exchange
+    val wCnt = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     tr.withColumn("rn", row_number().over(w))
       .withColumn("n_versions", count(lit(1)).over(wCnt))
       .filter(col("rn") === 1)

@@ -23,11 +23,16 @@ object Warehouse {
       .parquet(s"$warehouseDir/$table")
 
   /** Overwrite a mart table, partitioned by publish date (dbt
-    * `+materialized: table` equivalent; ref dbt_project.yml:43-45). */
+    * `+materialized: table` equivalent; ref dbt_project.yml:43-45).
+    * Rows are sorted within partitions on the partition-source column —
+    * the engine-native form of the reference's `sort='publishedat'`
+    * declaration (W1: stg_articles.sql:1-5), giving parquet min/max
+    * row-group pruning for time-range predicates. */
   def writeMart(df: DataFrame, warehouseDir: String, table: String,
       partitionCol: Option[String] = None): Unit = {
     val w = partitionCol match {
       case Some(c) => df.withColumn("part_date", to_date(col(c)))
+        .sortWithinPartitions(col(c))
         .write.partitionBy("part_date")
       case None => df.write
     }
