@@ -291,6 +291,55 @@ object TrainingData {
       .limit(10)
   }
 
+  /** q45 — repetition scoring (Gopher/C4-style quality signal): the
+    * fraction of duplicated word 2-grams and the share of the single
+    * most-repeated 2-gram, per document. Ratios are int/int → the
+    * doubles are engine-exact. */
+  val repetitionScore: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val grams = tk.select($"doc_id",
+      TextOps.shinglesFromTokens($"toks", 2).as("dist_grams"),
+      transform(sequence(lit(1), greatest(size($"toks") - 1, lit(1))),
+        i => concat_ws(" ", slice($"toks", i, lit(2)))).as("all_grams"))
+    val perGram = grams
+      .select($"doc_id", size($"all_grams").as("n_grams"),
+        size($"dist_grams").as("n_distinct"),
+        explode($"all_grams").as("g"))
+      .groupBy($"doc_id", $"n_grams", $"n_distinct", $"g")
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy($"doc_id", $"n_grams", $"n_distinct")
+      .agg(max($"c").as("top_gram_count"))
+      .select($"doc_id", $"n_grams",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 6)
+          .as("dup_2gram_frac"),
+        round($"top_gram_count".cast("double") / $"n_grams", 6)
+          .as("top_2gram_frac"))
+  }
+
+  /** q46 — curation filter-rule bundle: per-document boolean rules
+    * (too short, stopword-free, repetitive) and the resulting keep
+    * decision — the C4-ish shape of a corpus filter as one pass. */
+  val qualityFilter: Q = (s, dir) => {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val enHits = size(filter(toks, t => t.isin(EnWords: _*)))
+    val base = Tables(s, dir, "documents").select($"doc_id",
+      size(toks).as("n_words"), enHits.as("stop_hits"))
+    val rep = repetitionScore(s, dir)
+      .select($"doc_id", $"dup_2gram_frac")
+    base.join(rep, Seq("doc_id"))
+      .select($"doc_id",
+        ($"n_words" < 20).as("too_short"),
+        ($"stop_hits" === 0).as("no_stopwords"),
+        // production threshold is ~0.6 (Gopher-style); 0.1 here so the
+        // rule genuinely fires on the synthetic corpus (max ≈ 0.13)
+        ($"dup_2gram_frac" > 0.1).as("repetitive"))
+      .withColumn("keep",
+        !$"too_short" && !$"no_stopwords" && !$"repetitive")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** q32 — multimodal metadata extraction: text→binary content column,
@@ -393,6 +442,8 @@ object TrainingData {
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q43_tfidf_rank" -> tfidfRank,
     "q44_hybrid_search" -> hybridSearch,
+    "q45_repetition_score" -> repetitionScore,
+    "q46_quality_filter" -> qualityFilter,
     "q28_lang_id" -> langId,
     "q29_quality_score" -> qualityScore,
     "q30_token_count" -> tokenCount,
@@ -509,6 +560,48 @@ object TrainingData {
          |FROM cand, q
          |ORDER BY cos_sim DESC, doc_id ASC
          |LIMIT 10""".stripMargin,
+    "q45_repetition_score" -> {
+      val allGrams =
+        s"""list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+           |  i -> array_to_string(list_slice(toks, i, i + 1), ' '))"""
+          .stripMargin
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    len($allGrams) AS n_grams,
+         |    len(list_distinct($allGrams)) AS n_distinct,
+         |    unnest($allGrams) AS gr
+         |  FROM tk),
+         |pg AS (SELECT doc_id, n_grams, n_distinct, gr, count(*) AS c
+         |  FROM g GROUP BY doc_id, n_grams, n_distinct, gr)
+         |SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+         |    AS dup_2gram_frac,
+         |  round(CAST(max(c) AS DOUBLE) / n_grams, 6) AS top_2gram_frac
+         |FROM pg GROUP BY doc_id, n_grams, n_distinct""".stripMargin
+    },
+    "q46_quality_filter" -> {
+      val allGrams =
+        s"""list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+           |  i -> array_to_string(list_slice(toks, i, i + 1), ' '))"""
+          .stripMargin
+      val enIn = EnWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |feats AS (SELECT doc_id,
+         |    len(toks) AS n_words,
+         |    len(list_filter(toks, t -> t IN ($enIn))) AS stop_hits,
+         |    round(1.0 - CAST(len(list_distinct($allGrams)) AS DOUBLE)
+         |      / len($allGrams), 6) AS dup_frac
+         |  FROM tk)
+         |SELECT doc_id,
+         |  n_words < 20 AS too_short,
+         |  stop_hits = 0 AS no_stopwords,
+         |  dup_frac > 0.1 AS repetitive,
+         |  (NOT n_words < 20 AND NOT stop_hits = 0
+         |   AND NOT dup_frac > 0.1) AS keep
+         |FROM feats""".stripMargin
+    },
     "q28_lang_id" -> {
       def in(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
       def hits(ws: Seq[String]) =
