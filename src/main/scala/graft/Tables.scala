@@ -16,15 +16,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables whose queries are per-row CPU-heavy (tokenization, regex,
+    * vector math). Their parquet files are single row-groups — Spark
+    * cannot split below a row-group, so without an explicit repartition
+    * every downstream operator runs on ONE core (measured: q45 5.6 s →
+    * 0.9 s at local[32]). The shuffle is a few thousand small rows —
+    * noise next to the 30× compute spread. */
+  private val CpuHeavy = Set("documents", "embeddings")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
     // outright; read it as a nanos long and truncate to a µs timestamp —
     // the same truncation DuckDB applies when casting ns → timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+    val ts = df.schema.fields
+      .find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
+    if (CpuHeavy(name)) ts.repartition(spark.sparkContext.defaultParallelism)
+    else ts
   }
 }
