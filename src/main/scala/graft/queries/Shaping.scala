@@ -147,8 +147,54 @@ object Shaping {
         (max($"sec") - min($"sec")).as("duration_s"))
   }
 
+  /** q47 — ROLLUP hierarchy aggregation (beyond the reference, which
+    * has no grouping sets): per (returnflag, linestatus), per
+    * returnflag subtotals, and the grand total in one pass. */
+  val rollupSummary: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q48 — INTERSECT / EXCEPT set semantics: users who both clicked and
+    * purchased, and users who clicked but never purchased, as one
+    * labeled union. */
+  val setOps: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    def users(t: String) =
+      e.filter($"event_type" === t).select($"user_id").distinct()
+    // the except side subtracts BIG purchasers so both branches are
+    // non-empty on the gate data (every user has some purchase)
+    val bigPurchasers = e.filter($"event_type" === "purchase" &&
+      $"value" > 190.0).select($"user_id").distinct()
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("segment", lit("click_and_purchase"))
+    val only = users("click").except(bigPurchasers)
+      .withColumn("segment", lit("click_no_big_purchase"))
+    both.unionByName(only)
+  }
+
+  /** q49 — wide pivot: per-user event-type counts as columns. Expressed
+    * as conditional aggregation (identical to Dataset.pivot with pinned
+    * values, and portable to the oracle: pivot emits NULL for empty
+    * cells where FILTER-counts emit 0 — conditional agg pins the 0). */
+  val pivotCounts: Q = (s, dir) => {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n_$t"))
+    Tables(s, dir, "events").groupBy($"user_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
+    "q47_rollup_summary" -> rollupSummary,
+    "q48_set_ops" -> setOps,
+    "q49_pivot_counts" -> pivotCounts,
     "q09_backfill_window" -> backfillWindow,
     "q10_backfill_two_tier" -> backfillTwoTier,
     "q11_min_disjunctive" -> minDisjunctive,
@@ -159,6 +205,36 @@ object Shaping {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q48_set_ops" ->
+      """SELECT user_id, 'click_and_purchase' AS segment FROM (
+        | SELECT user_id FROM events WHERE event_type = 'click'
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type = 'purchase') a
+        |UNION ALL
+        |SELECT user_id, 'click_no_big_purchase' AS segment FROM (
+        | SELECT user_id FROM events WHERE event_type = 'click'
+        | EXCEPT
+        | SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 190.0) b""".stripMargin,
+    "q49_pivot_counts" ->
+      """SELECT user_id,
+        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_click,
+        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_view,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_purchase,
+        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_signup,
+        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
