@@ -46,14 +46,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    // NULL elements poison the result, matching the composed
+    // zip_with/aggregate form (null product → null fold)
+    var i = 0
+    while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < ny) { if (y.isNullAt(i)) return null; i += 1 }
     val n = math.min(nx, ny)
     var dot = 0.0
-    var i = 0
+    i = 0
     while (i < n) {
       dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
@@ -81,6 +89,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
+         |boolean ${ev.isNull}_elems = false;
+         |for (int $i = 0; $i < $nx && !${ev.isNull}_elems; $i++) {
+         |  if ($a.isNullAt($i)) ${ev.isNull}_elems = true;
+         |}
+         |for (int $i = 0; $i < $ny && !${ev.isNull}_elems; $i++) {
+         |  if ($b.isNullAt($i)) ${ev.isNull}_elems = true;
+         |}
+         |if (${ev.isNull}_elems) { ${ev.isNull} = true; } else {
          |final int $n = java.lang.Math.min($nx, $ny);
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -98,6 +114,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |${ev.value} = $dot /
          |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
          |""".stripMargin
     })
 

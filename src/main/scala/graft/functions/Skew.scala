@@ -19,6 +19,12 @@ object Skew {
     * spreading each key over `saltFactor` partitions. */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit one null-extended row PER SALT for
+    // unmatched replicated right rows — only left-preserving joins are
+    // semantically safe under replication
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer" || joinType == "leftouter",
+      s"saltedEquiJoin supports inner/left joins only, got $joinType")
     val salted = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltFactor)).cast("int"))

@@ -108,8 +108,11 @@ object ArticleSources {
       .withColumn("publishedat",
         try_to_timestamp(published, lit("yyyy-MM-dd HH:mm:ss")))
       .withColumn("article_content", trim(regexp_replace(text, "\\s+", " ")))
+      // explode_outer: an author-less page keeps its article row with a
+      // NULL author (raw_news.author is nullable; F1/validation decide
+      // its fate downstream) instead of silently vanishing here
       .withColumn("author",
-        explode(filter(split(authorsCsv, ","), a => trim(a) =!= "")))
+        explode_outer(filter(split(authorsCsv, ","), a => trim(a) =!= "")))
       .withColumn("author", trim(col("author")))
       .drop("body")
 
@@ -117,8 +120,7 @@ object ArticleSources {
     * (ref utils.py:99-138): prefer a non-editor email when present. */
   def extractAuthorEmail(body: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val all = regexp_extract_all(body,
-      lit("[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}"), lit(0))
+    val all = regexp_extract_all(body, lit(Schemas.EmailReBase), lit(0))
     val nonEditor = filter(all, e => !e.contains("editor"))
     when(size(nonEditor) > 0, element_at(nonEditor, 1))
       .otherwise(when(size(all) > 0, element_at(all, 1)))

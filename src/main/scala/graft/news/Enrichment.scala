@@ -75,8 +75,7 @@ object Enrichment {
     val noNewline = replace(c, lit("\\n"), lit(""))
     val truncated = substring_index(
       substring_index(noNewline, "trending now", 1), "Trending Now", 1)
-    val noEmail = regexp_replace(truncated,
-      "[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}", "")
+    val noEmail = regexp_replace(truncated, Schemas.EmailReBase, "")
     regexp_replace(noEmail, "www\\.[a-zA-Z0-9\\-]+\\.[\\w]{2,6}", "")
   }
 

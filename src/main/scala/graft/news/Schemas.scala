@@ -43,6 +43,10 @@ object Schemas {
     * PydanticModels.py:9-29): author name regex, email shape, required
     * fields, bias enum. */
   val AuthorNameRe = "^[A-Za-zÀ-ÖØ-öø-ÿ'\\.+ -]+$"
-  val EmailRe = "^[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}$"
+  /** Email shape shared by validation (anchored) and scrubbing/lookup
+    * (unanchored) — ref uses the same pattern everywhere
+    * (get_news.py:27, utils.py:123, sentiment_batch_job_tasks.py:86). */
+  val EmailReBase = "[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}"
+  val EmailRe = s"^$EmailReBase$$"
   val BiasValues = Seq("left", "right", "centre")
 }

@@ -14,8 +14,8 @@ object Textual {
 
   private val NullSentinel = "_dbt_utils_surrogate_key_null_"
   /** Same email regex the reference scrubs with (X8:
-    * sentiment_batch_job_tasks.py:86). */
-  private val EmailRe = "[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}"
+    * sentiment_batch_job_tasks.py:86) — single source of truth. */
+  private val EmailRe = graft.news.Schemas.EmailReBase
 
   /** q16 — dbt_utils.generate_surrogate_key parity: md5 over '-'-joined
     * string-cast columns with the NULL sentinel (ref X5:
@@ -23,13 +23,12 @@ object Textual {
     * testing downstream. */
   val surrogateKeys: Q = (s, dir) => {
     import s.implicits._
-    def part(c: String) =
-      coalesce(col(c).cast("string"), lit(NullSentinel))
+    import graft.news.NewsTransform.surrogateKey
     Tables(s, dir, "customer").select(
       $"c_custkey",
-      md5(concat_ws("-", part("c_name"), part("c_nationkey"),
-        part("c_mktsegment"))).as("customer_sk"),
-      md5(concat_ws("-", part("c_custkey"))).as("custkey_sk"))
+      surrogateKey($"c_name", $"c_nationkey", $"c_mktsegment")
+        .as("customer_sk"),
+      surrogateKey($"c_custkey").as("custkey_sk"))
   }
 
   /** q17 — cleaning pipeline over document text: punctuation-strip +

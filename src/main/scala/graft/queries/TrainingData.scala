@@ -216,10 +216,12 @@ object TrainingData {
         length(regexp_replace(lower($"text"), "[^a-z]", ""))
           .as("n_letters"),
         enHits.as("stop_hits"))
+      // nullif guard: a letter-free document has zero tokens and ANSI
+      // mode turns the division into a query-killing DIVIDE_BY_ZERO
       .withColumn("avg_word_len",
-        round($"n_letters".cast("double") / $"n_words", 6))
+        round($"n_letters".cast("double") / nullif($"n_words", lit(0)), 6))
       .withColumn("stop_ratio",
-        round($"stop_hits".cast("double") / $"n_words", 6))
+        round($"stop_hits".cast("double") / nullif($"n_words", lit(0)), 6))
       .withColumn("quality",
         round(least(lit(1.0), $"n_words" / 100.0) *
           (lit(1.0) - $"stop_ratio"), 6))
@@ -640,11 +642,12 @@ object TrainingData {
          |   AS INTEGER) AS n_letters,
          | CAST($enHits AS INTEGER) AS stop_hits,
          | round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-         |   AS DOUBLE) / $nWords, 6) AS avg_word_len,
-         | round(CAST($enHits AS DOUBLE) / $nWords, 6) AS stop_ratio,
+         |   AS DOUBLE) / nullif($nWords, 0), 6) AS avg_word_len,
+         | round(CAST($enHits AS DOUBLE) / nullif($nWords, 0), 6)
+         |   AS stop_ratio,
          | round(least(1.0, $nWords / 100.0) *
-         |   (1.0 - round(CAST($enHits AS DOUBLE) / $nWords, 6)), 6)
-         |   AS quality
+         |   (1.0 - round(CAST($enHits AS DOUBLE) / nullif($nWords, 0), 6)),
+         |   6) AS quality
          |FROM documents""".stripMargin
     },
     "q30_token_count" ->

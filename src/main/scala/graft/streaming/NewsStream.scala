@@ -32,14 +32,18 @@ object NewsStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
 
-  /** Streaming dedup of re-ingested articles: same natural key within
-    * the watermark window keeps only the first-seen row
-    * (ref articles.sql:7-58 latest-wins, done incrementally). State is
-    * bounded by the watermark — at 100 TB/day this is what keeps the
-    * dedup map from growing without limit. */
+  /** Streaming dedup of re-ingested rows: IDENTICAL re-ingests (same
+    * article AND same content) within the watermark window are dropped;
+    * a re-scrape with changed content hashes to a new key and flows
+    * through so the mart's latest-wins dedup can supersede the old
+    * version — without content in the key, dropDuplicates' first-wins
+    * would pin the stale version forever. State is bounded by the
+    * watermark — at 100 TB/day this is what keeps the dedup map from
+    * growing without limit. */
   def dedupedIngest(raw: DataFrame): DataFrame =
     raw.withColumn("article_key",
-        md5(concat_ws("-", col("title"), col("source_name"), col("url"))))
+        md5(concat_ws("-", col("title"), col("source_name"), col("url"),
+          coalesce(col("article_content"), lit("")))))
       .withWatermark("ingest_ts", "2 days")
       .dropDuplicatesWithinWatermark("article_key")
 
@@ -85,26 +89,41 @@ object NewsStream {
         val martPath = s"$warehouseDir/articles_mart"
         val merged =
           if (new java.io.File(martPath).exists()) {
+            // latest-wins across old + new: incoming values supersede
+            // the stored version of a re-ingested ARTICLE_ID, and the
+            // cumulative n_versions is the SUM of both generations
             val existing = spark.read.parquet(martPath)
-            // latest-wins across old + new: keep the incoming version
-            // of any re-ingested ARTICLE_ID, summing version counts
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("ARTICLE_ID")).orderBy(col("__gen").desc)
-            existing.withColumn("__gen", lit(0))
-              .unionByName(newRows.withColumn("__gen", lit(1)))
-              .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1)
-              .drop("__gen", "__rn")
+            val valueCols = existing.columns.toSeq
+              .filter(c => c != "ARTICLE_ID" && c != "n_versions")
+            val o = existing.as("o")
+            val n = newRows.withColumn("__has_new", lit(true)).as("n")
+            o.join(n, Seq("ARTICLE_ID"), "full_outer")
+              .select(col("ARTICLE_ID") +:
+                valueCols.map(c =>
+                  when(col("__has_new").isNotNull, col(s"n.$c"))
+                    .otherwise(col(s"o.$c")).as(c)) :+
+                (coalesce(col("n.n_versions"), lit(0L)) +
+                  coalesce(col("o.n_versions"), lit(0L)))
+                  .as("n_versions"): _*)
           } else newRows
-        // stage-then-commit: write to a temp dir, swap atomically-ish
+        // stage-then-commit: write to a temp dir, swap. A plain rename
+        // is only atomic on a local filesystem — production should sit
+        // on a table format (Delta/Iceberg MERGE); here a failed swap
+        // must at least fail LOUDLY, never silently lose the mart.
         val tmp = martPath + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
         val target = new java.io.File(martPath)
         if (target.exists()) {
           import scala.reflect.io.Directory
-          new Directory(target).deleteRecursively()
+          if (!new Directory(target).deleteRecursively()) {
+            throw new java.io.IOException(
+              s"could not clear mart at $target; merged data staged at $tmp")
+          }
         }
-        new java.io.File(tmp).renameTo(target)
+        if (!new java.io.File(tmp).renameTo(target)) {
+          throw new java.io.IOException(
+            s"rename $tmp -> $target failed; mart missing, data staged at $tmp")
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -36,8 +36,18 @@ object Sessionize {
       } else if (sec - open.end > gapSec) {
         closed += ClosedSession(userId, open.start, open.end, open.n)
         open = OpenSession(sec, sec, 1)
+      } else if (sec < open.start - gapSec) {
+        // cross-batch late arrival older than the open session's reach:
+        // it can't merge (the gap backwards exceeds gapSec) — emit it as
+        // its own already-closed late session rather than corrupting the
+        // open one. (The batch counterpart q41, which sees all events at
+        // once, would have sessionized it in order.)
+        closed += ClosedSession(userId, sec, sec, 1)
       } else {
-        open = OpenSession(open.start, math.max(open.end, sec), open.n + 1)
+        // merge; late-but-mergeable events may extend the session START
+        // backwards as well as the end forwards
+        open = OpenSession(math.min(open.start, sec),
+          math.max(open.end, sec), open.n + 1)
       }
     }
     state.update(open)

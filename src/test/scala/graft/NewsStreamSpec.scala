@@ -101,15 +101,28 @@ class NewsStreamSpec extends SparkSpec {
     val m1 = spark.read.parquet(s"$base/articles_mart")
     assert(m1.count() == 2)
 
-    // re-ingest T1 with new content (different ARTICLE_ID would split —
-    // same title/source but content changes the clean key, so use the
-    // same content with a later ingest plus one genuinely new article)
+    // re-ingest T1 with content that differs ONLY after the 50-char
+    // clean-prefix: passes the content-hash ingest dedup (new hash) but
+    // keeps the same ARTICLE_ID — the merge must supersede values and
+    // SUM the version counts — plus one genuinely new article
+    val longContent = "first version content padded out well beyond the " +
+      "fifty character clean prefix boundary ORIGINAL tail"
+    val changedTail = longContent.replace("ORIGINAL", "CHANGED")
     writeBatch(landing, Seq(
-      row(3, "T1", "first version content", "2024-01-02 00:00:00"),
+      row(3, "T9", longContent, "2024-01-01 12:00:00"),
       row(4, "T3", "third article", "2024-01-02 00:00:00")))
     run()
+    writeBatch(landing, Seq(
+      row(5, "T9", changedTail, "2024-01-03 00:00:00")))
+    run()
     val m2 = spark.read.parquet(s"$base/articles_mart")
-    assert(m2.count() == 3, s"expected 3 mart rows, got ${m2.count()}")
+    assert(m2.count() == 4, s"expected 4 mart rows, got ${m2.count()}")
+    val t9 = m2.filter(col("TITLE") === "T9")
+      .select(col("n_versions"), col("ARTICLE_CONTENT")).head()
+    assert(t9.getLong(0) == 2L,
+      s"cumulative versions should sum to 2, got ${t9.getLong(0)}")
+    assert(t9.getString(1).contains("CHANGED"),
+      "latest re-ingest's content must win")
   }
 
   test("CSV staging codec round-trips the raw_news schema") {
