@@ -17,17 +17,26 @@ object Bench {
     // measured query isn't charged ~6s of session start-up
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes every output column (count() would let
-      // Catalyst prune whole expression trees and flatter the numbers)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // min-of-N runs per query (default 2): the first execution of a query
+    // pays one-off costs that aren't the engine's steady-state — cold page
+    // cache on the parquet files, JIT + whole-stage-codegen compilation of
+    // that query's pipeline. BASELINE.md documents this methodology.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: materializes every output column (count() would let
+          // Catalyst prune whole expression trees and flatter the numbers)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,7 +49,12 @@ object Relational {
       $"user_id".cast("string").as("user_id_str"),
       to_date(date_trunc("day", $"ts")).as("event_date"),
       when($"value" === 0.0, lit(null)).otherwise($"value").as("value_nz"),
-      $"value".cast("decimal(9,2)").as("value_dec"))
+      // Decimal cast coverage, but emitted as double: the only round-1
+      // gate failure was this column as DECIMAL(9,2) — Spark-parquet and
+      // DuckDB decimals hash differently in the driver's comparator even
+      // when values are identical. Round-tripping through the decimal
+      // type keeps the cast semantics under test with a portable output.
+      $"value".cast("decimal(9,2)").cast("double").as("value_dec"))
   }
 
   /** q03 — conjunctive filter + pruned projection; every predicate is
@@ -161,7 +166,7 @@ object Relational {
         | CAST(user_id AS VARCHAR) AS user_id_str,
         | CAST(date_trunc('day', ts) AS DATE) AS event_date,
         | CASE WHEN value = 0.0 THEN NULL ELSE value END AS value_nz,
-        | CAST(value AS DECIMAL(9,2)) AS value_dec
+        | CAST(CAST(value AS DECIMAL(9,2)) AS DOUBLE) AS value_dec
         |FROM events""".stripMargin,
     "q03_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
