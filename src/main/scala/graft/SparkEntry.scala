@@ -18,6 +18,7 @@ object SparkEntry {
       (gq.Textual.queries, gq.Textual.oracles),
       (gq.TrainingData.queries, gq.TrainingData.oracles),
       (gq.NewsPipeline.queries, gq.NewsPipeline.oracles),
+      (gq.Scale.queries, gq.Scale.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates for cardinality at scale.
+  *
+  * HyperLogLog (Flajolet et al. 2007) distinct-count: the exact
+  * `COUNT(DISTINCT k)` needs a shuffle carrying every distinct key;
+  * the HLL sketch shuffles at most `m` (here 1024) register rows per
+  * group regardless of cardinality — the 100 TB path for "distinct
+  * users per segment" style queries.
+  *
+  * This implementation is compositional (groupBy over register rows)
+  * rather than a custom TypedImperativeAggregate, for two reasons:
+  * map-side partial aggregation already collapses each partition to
+  * ≤ m rows per group (the same state a UDAF buffer would hold), and
+  * every step is portable SQL — the DuckDB oracle runs the identical
+  * algorithm, so even the *approximate* result is hash-exact across
+  * engines (unlike engine-native approx_count_distinct / approx_distinct
+  * whose sketches differ). Spark's own `approx_count_distinct` remains
+  * the drop-in when cross-engine determinism isn't required.
+  *
+  * Register derivation from the portable 60-bit hash60: top 10 bits →
+  * bucket, remaining 50 bits w → rho = (leading zeros in 50-bit field)+1
+  * = 51 - bitlength(w), computed as `length(ltrim(bin(w),'0'))` which
+  * both engines evaluate identically (bin(0)='0' → ltrim '' → rho 51).
+  */
+object Sketches {
+  val HllP = 10
+  val HllM = 1024
+  private val WBits = 60 - HllP
+  private val WMask = (1L << WBits) - 1
+
+  /** alpha_m * m^2 for m=1024 — both engines fold the same IEEE ops. */
+  private def alphaM2: Column =
+    lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble)) *
+      lit(HllM.toDouble) * lit(HllM.toDouble)
+
+  def hllBucket(h: Column): Column = shiftright(h, WBits)
+
+  def hllRho(h: Column): Column =
+    (lit(WBits + 1) -
+      length(ltrim(bin(h.bitwiseAND(lit(WMask))), "0"))).cast("int")
+
+  /** Distinct-count estimate of `key` per `groupCol`, with the standard
+    * small-range linear-counting correction. Output column `hll_est`
+    * (double, rounded to 4 decimals — the register sum is a dyadic
+    * rational with < 52 significant bits here, so it is order-exact and
+    * the estimate is bit-identical cross-engine). */
+  def hllDistinct(df: DataFrame, groupCol: String, key: Column): DataFrame = {
+    val h = Hashing.hash60(key)
+    val regs = df
+      .select(col(groupCol), hllBucket(h).as("b"), hllRho(h).as("rho"))
+      .groupBy(col(groupCol), col("b")).agg(max("rho").as("r"))
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nb"), sum(pow(lit(0.5), col("r"))).as("sp"))
+      .select(col(groupCol), {
+        val v = lit(HllM) - col("nb") // empty registers
+        val raw = alphaM2 / (col("sp") + v.cast("double"))
+        val linear = lit(HllM.toDouble) *
+          log(lit(HllM.toDouble) / v.cast("double"))
+        round(when(raw <= 2.5 * HllM && v > 0, linear).otherwise(raw), 4)
+          .as("hll_est")
+      })
+  }
+
+  /** DuckDB SQL for the identical estimate — keep in lockstep. */
+  def sqlHllDistinct(table: String, groupExpr: String, groupAlias: String,
+      keyExpr: String): String = {
+    val h = Hashing.sqlHash60(keyExpr)
+    s"""SELECT g AS $groupAlias, round(CASE
+       |    WHEN raw <= ${2.5 * HllM} AND v > 0
+       |    THEN ${HllM}.0 * ln(${HllM}.0 / v) ELSE raw END, 4) AS hll_est
+       |FROM (
+       |  SELECT g, (${HllM} - count(*)) AS v,
+       |    (0.7213 / (1.0 + 1.079 / ${HllM}.0)) * ${HllM}.0 * ${HllM}.0
+       |      / (sum(power(0.5, r)) + (${HllM} - count(*))) AS raw
+       |  FROM (
+       |    SELECT g, b, max(rho) AS r FROM (
+       |      SELECT $groupExpr AS g, ($h >> $WBits) AS b,
+       |        CAST($WBits + 1
+       |          - length(ltrim(bin($h & $WMask), '0')) AS INTEGER) AS rho
+       |      FROM $table) x
+       |    GROUP BY g, b) y
+       |  GROUP BY g) z""".stripMargin
+  }
+}

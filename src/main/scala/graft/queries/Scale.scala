@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{AsOfJoin, ConnectedComponents, Hashing, RangeJoin,
+  Sketches}
+
+/** Scale-path operators (round 2, beyond the reference's surface): the
+  * join/aggregate shapes a 100 TB training-data or analytics run needs
+  * that neither vanilla Spark SQL nor the reference expresses directly.
+  * Every query is DuckDB-oracle-backed; the oracle states the semantics
+  * in an independent formulation (correlated joins, recursive CTEs,
+  * engine-native window frames) while the Spark side uses the plan that
+  * survives scale (union-sweep as-of, bucketed band join, register
+  * sketches, iterative label propagation).
+  */
+object Scale {
+
+  /** q50 — backward as-of join (event attribution): every purchase is
+    * attributed to the user's latest preceding-or-simultaneous click.
+    * One shuffle on user_id (AsOfJoin union-sweep); the oracle is the
+    * naive join+argmax formulation. */
+  val asofJoin: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "ts"))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"asof_event_id".as("click_event_id"),
+        (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
+  }
+
+  /** q51 — keyless band join: for each error event, how many purchases
+    * (any user) happened within ±120 s. Bucketized equi-join (see
+    * RangeJoin) instead of the nested-loop plan Spark would pick for the
+    * bare inequality predicate. */
+  val rangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"ts".as("e_ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"))
+    val bandUs = 120L * 1000000L
+    val counts = RangeJoin
+      .pairsWithinBand(errors, "e_ts", purchases, "p_ts", bandUs)
+      .groupBy($"e_id").agg(count(lit(1)).as("n_nearby"))
+    errors.select($"e_id").join(counts, Seq("e_id"), "left")
+      .select($"e_id".as("event_id"),
+        coalesce($"n_nearby", lit(0L)).as("n_nearby"))
+  }
+
+  /** q52 — HLL distinct-count sketch next to the exact count: distinct
+    * users per event type. The sketch shuffles ≤1024 register rows per
+    * group no matter the cardinality — the 100 TB path — and, being
+    * built on the portable hash60, is hash-exact against the identical
+    * algorithm in DuckDB (see Sketches). */
+  val hllDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val exact = e.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    val est = Sketches.hllDistinct(
+      e.select($"event_type", $"user_id"),
+      "event_type", $"user_id".cast("string"))
+    exact.join(est, Seq("event_type"))
+      .select($"event_type", $"exact_users", $"hll_est")
+  }
+
+  /** q53 — SCD type-2 history build: collapse each user's event stream
+    * into status runs with [valid_from, valid_to) intervals and an
+    * is_current flag — the warehouse dimension-maintenance pattern,
+    * done as gaps-and-islands (lag + running sum) in one pass. */
+  val scd2History: Q = (s, dir) => {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val runs = Tables(s, dir, "events")
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .withColumn("chg",
+        when($"prev_type".isNull || $"prev_type" =!= $"event_type", 1)
+          .otherwise(0))
+      .withColumn("run_id", sum($"chg").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grouped = runs.groupBy($"user_id", $"run_id")
+      .agg(min($"event_type").as("status"), // constant within a run
+        date_trunc("second", min($"ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy($"user_id").orderBy($"run_id".asc)
+    grouped
+      .withColumn("valid_to", lead($"valid_from", 1).over(wRun))
+      .select($"user_id", $"run_id", $"status", $"valid_from",
+        $"valid_to", $"valid_to".isNull.as("is_current"), $"n_events")
+  }
+
+  /** q54 — exact quantiles per group (sort-based `percentile`; at
+    * 100 TB swap in approx_percentile/t-digest — QuantilesSpec bounds
+    * the error of that swap). Values sit on a 2-dec grid and the
+    * interpolation fractions on a 2-dec grid, so round(,4) lands both
+    * engines on the same 4-dec grid point despite different
+    * interpolation arithmetic. */
+  val quantiles: Q = (s, dir) => {
+    import s.implicits._
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val aggs = qs.map { case (n, p) =>
+      round(percentile($"l_extendedprice", lit(p)), 4).as(n)
+    } :+ count(lit(1)).as("n_rows")
+    Tables(s, dir, "lineitem").groupBy($"l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** q55 — near-dup clustering: the MinHash+LSH candidate pairs of q23
+    * (Jaccard ≥ 0.5) closed into connected components by min-label
+    * propagation, sized per cluster — LSH finds PAIRS; keep-one-per-
+    * cluster dedup needs their transitive closure. Oracle: recursive
+    * CTE over the identical pair set. */
+  val dupClusters: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id")
+    val nodes = d.unionByName(
+        d.select(($"doc_id" + TrainingData.TwinOffset).as("doc_id")))
+      .select($"doc_id".as("id"))
+    val edges = TrainingData.dedupMinhashLsh(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val labels = ConnectedComponents.minLabel(nodes, edges)
+    val sizes = labels.groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select($"id".as("doc_id"), $"component", $"cluster_size")
+  }
+
+  /** q56 — deterministic stratified sampling by hash threshold: 40% of
+    * the first five sources, 10% of the rest, with no count, sort, or
+    * state — each row decides locally from hash60(doc_id), so the same
+    * rows are kept on any cluster size (reproducible corpus splits). */
+  val sampleStratified: Q = (s, dir) => {
+    import s.implicits._
+    val rate = when($"source".isin("src0", "src1", "src2", "src3", "src4"),
+      40L).otherwise(10L)
+    Tables(s, dir, "documents")
+      .filter(Hashing.hash60(concat(lit("sample|"),
+        $"doc_id".cast("string"))) % 100 < rate)
+      .select($"doc_id", $"source")
+  }
+
+  /** q57 — time-window frame aggregate: 7-day trailing average of daily
+    * revenue via a RANGE frame over day number (RANGE, not ROWS: gap
+    * days must widen, not shift, the window). The window is global but
+    * runs on the POST-aggregate frame — one row per day regardless of
+    * SF, so the single-partition sort never grows with the data. */
+  val movingAvg: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice"), 2).as("daily_revenue"))
+      .withColumn("day_num",
+        datediff($"day", lit("1995-01-01").cast("date")))
+    val w = Window.orderBy($"day_num").rangeBetween(-6, 0)
+    daily.select($"day", $"daily_revenue",
+      round(round(sum($"daily_revenue").over(w), 2) /
+        count(lit(1)).over(w), 6).as("avg_7d"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q50_asof_join" -> asofJoin,
+    "q51_range_join" -> rangeJoin,
+    "q52_hll_distinct" -> hllDistinct,
+    "q53_scd2_history" -> scd2History,
+    "q54_quantiles" -> quantiles,
+    "q55_dup_clusters" -> dupClusters,
+    "q56_sample_stratified" -> sampleStratified,
+    "q57_moving_avg" -> movingAvg,
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val sqlAsof =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      | last(c.event_id ORDER BY c.ts, c.event_id) AS click_event_id,
+      | CAST(epoch_us(p.ts) - epoch_us(max(c.ts)) AS BIGINT) AS gap_us
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.event_type = 'click' AND c.user_id = p.user_id
+      | AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin
+
+  private val sqlRange =
+    """SELECT e.event_id, count(p.event_id) AS n_nearby
+      |FROM events e
+      |LEFT JOIN events p
+      |  ON p.event_type = 'purchase'
+      | AND p.ts >= e.ts - INTERVAL 120 SECOND
+      | AND p.ts <= e.ts + INTERVAL 120 SECOND
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id""".stripMargin
+
+  // assembled by concatenation, not interpolation into stripMargin (the
+  // inner SQL's continuation-line '|'s would be eaten)
+  private def sqlHll: String =
+    "SELECT x.event_type, x.exact_users, h.hll_est\n" +
+      "FROM (SELECT event_type, count(DISTINCT user_id) AS exact_users\n" +
+      "      FROM events GROUP BY event_type) x\n" +
+      "JOIN (" + Sketches.sqlHllDistinct("events", "event_type",
+        "event_type", "CAST(user_id AS VARCHAR)") +
+      ") h USING (event_type)"
+
+  private val sqlScd2 =
+    """WITH ord AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), runs AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM ord
+      |), g AS (
+      |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+      |    min(event_type) AS status,
+      |    date_trunc('second', min(ts)) AS valid_from,
+      |    count(*) AS n_events
+      |  FROM runs GROUP BY user_id, run_id
+      |)
+      |SELECT user_id, run_id, status, valid_from,
+      |  lead(valid_from) OVER w2 AS valid_to,
+      |  (lead(valid_from) OVER w2 IS NULL) AS is_current, n_events
+      |FROM g
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin
+
+  private val sqlQuantiles =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      | round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      | count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  private def sqlDupClusters: String =
+    "WITH RECURSIVE pairs AS (\n" +
+      TrainingData.oracles("q23_dedup_minhash_lsh") + "\n),\n" +
+      s"""edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL SELECT doc_id + ${TrainingData.TwinOffset} FROM documents
+         |), reach(n, lab) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.n
+         |), comp AS (
+         |  SELECT n AS doc_id, min(lab) AS component FROM reach GROUP BY n
+         |)
+         |SELECT c.doc_id, c.component, s.cluster_size
+         |FROM comp c
+         |JOIN (SELECT component, count(*) AS cluster_size
+         |      FROM comp GROUP BY component) s USING (component)""".stripMargin
+
+  private val sqlSample = {
+    val h = Hashing.sqlHash60("'sample|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE $h % 100 <
+       |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+       |       THEN 40 ELSE 10 END""".stripMargin
+  }
+
+  private val sqlMovingAvg =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    round(sum(o_totalprice), 2) AS daily_revenue,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS day_num
+      |  FROM orders GROUP BY 1, 3
+      |)
+      |SELECT day, daily_revenue,
+      |  round(round(sum(daily_revenue) OVER w, 2)
+      |        / count(*) OVER w, 6) AS avg_7d
+      |FROM daily
+      |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING
+      |             AND CURRENT ROW)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q50_asof_join" -> sqlAsof,
+    "q51_range_join" -> sqlRange,
+    "q52_hll_distinct" -> sqlHll,
+    "q53_scd2_history" -> sqlScd2,
+    "q54_quantiles" -> sqlQuantiles,
+    "q55_dup_clusters" -> sqlDupClusters,
+    "q56_sample_stratified" -> sqlSample,
+    "q57_moving_avg" -> sqlMovingAvg,
+  )
+}

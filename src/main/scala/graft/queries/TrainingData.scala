@@ -23,7 +23,7 @@ import TextOps.{sqlShingles, sqlTokens}
   */
 object TrainingData {
 
-  private val TwinOffset = 100000L
+  private[queries] val TwinOffset = 100000L
   private val TwinSuffix = " graft dedup probe"
   private val NumHashes = 64
   private val RowsPerBand = 4

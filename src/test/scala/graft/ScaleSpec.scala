@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{AsOfJoin, ConnectedComponents, RangeJoin, Sketches}
+import graft.queries.Scale
+
+/** Semantics the DuckDB oracle can't (or shouldn't) express: crafted
+  * edge inputs for the scale operators, error bounds for the documented
+  * approximate swaps, and independent-formulation cross-checks. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = timestamp_seconds(lit(sec))
+
+  // ------------------------------------------------------------- as-of
+
+  test("as-of join: inclusive bound, tie-break, unmatched probes") {
+    val probes = Seq(
+      (1L, 20L, 101L), // equal-time click exists → inclusive match
+      (1L, 5L, 102L),  // before any click → null
+      (2L, 50L, 103L), // two clicks at t=40 → larger event_id wins
+      (3L, 10L, 104L)  // user with no clicks at all → null
+    ).toDF("user_id", "sec", "event_id")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+    val refs = Seq(
+      (1L, 10L, 201L), (1L, 20L, 202L),
+      (2L, 40L, 203L), (2L, 40L, 204L), (2L, 60L, 205L)
+    ).toDF("user_id", "sec", "event_id")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+
+    val got = AsOfJoin.backward(probes, refs, Seq("user_id"), "ts",
+        "event_id", Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(101L).contains(202L), "equal-time ref must match (<=)")
+    assert(got(102L).isEmpty, "probe before any ref must be unmatched")
+    assert(got(103L).contains(204L),
+      "at equal ref times the larger tie-break id must win")
+    assert(got(104L).isEmpty, "keyless user must be unmatched")
+  }
+
+  // -------------------------------------------------------- range join
+
+  test("band join equals the nested-loop formulation, boundaries inclusive") {
+    val band = 120L * 1000000L
+    val left = Seq((1L, 1000L), (2L, 5000L), (3L, 9999L))
+      .toDF("l_id", "sec")
+      .select($"l_id", timestamp_seconds($"sec").as("l_ts"))
+    // offsets probe exact band edges: ±120 s in, ±120.000001 s out,
+    // plus bucket-boundary crossings
+    val right = Seq(
+      (11L, 1000L - 120L), (12L, 1000L + 120L), (13L, 1121L),
+      (14L, 879L), (15L, 5060L), (16L, 4880L), (17L, 9999L)
+    ).toDF("r_id", "sec")
+      .select($"r_id", timestamp_seconds($"sec").as("r_ts"))
+    val gotPairs = RangeJoin
+      .pairsWithinBand(left, "l_ts", right, "r_ts", band)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    val expPairs = left.crossJoin(right)
+      .filter(abs(unix_micros($"l_ts") - unix_micros($"r_ts")) <= band)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs == expPairs)
+    assert(gotPairs.contains((1L, 11L)) && gotPairs.contains((1L, 12L)),
+      "exact ±band boundary must be inclusive")
+  }
+
+  // --------------------------------------------------------------- HLL
+
+  test("HLL estimate within sketch error for large and small cardinality") {
+    val big = spark.range(20000)
+      .select(lit("g").as("grp"), $"id".cast("string").as("k"))
+    val bigEst = Sketches.hllDistinct(big, "grp", $"k")
+      .select($"hll_est").as[Double].head()
+    // m=1024 → relative std error 1.04/sqrt(1024) ≈ 3.25%
+    assert(math.abs(bigEst - 20000) / 20000 < 0.1,
+      s"HLL estimate $bigEst too far from 20000")
+    val small = spark.range(150)
+      .select(lit("g").as("grp"), $"id".cast("string").as("k"))
+    val smallEst = Sketches.hllDistinct(small, "grp", $"k")
+      .select($"hll_est").as[Double].head()
+    // linear-counting regime is much tighter at n << m
+    assert(math.abs(smallEst - 150) / 150 < 0.05,
+      s"linear-counting estimate $smallEst too far from 150")
+  }
+
+  // ------------------------------------------------ connected components
+
+  test("min-label propagation closes chains, pairs and singletons") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    // 1-2-3-4 is a diameter-3 chain: forces multiple iterations
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.minLabel(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), s"chain: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L, "singleton keeps its own label")
+  }
+
+  test("q55 clusters: every twin pair lands in one cluster of size ≥ 2") {
+    val byDoc = Scale.dupClusters(spark, sfDir)
+      .select($"doc_id", $"component").as[(Long, Long)].collect().toMap
+    val twinPairs = byDoc.keys.filter(_ < 100000L)
+      .filter(id => byDoc.contains(id + 100000L))
+    // q23's Jaccard≥0.5 gate admits every twin (suffix-only perturbation)
+    val split = twinPairs.filter(id => byDoc(id) != byDoc(id + 100000L))
+    assert(split.isEmpty, s"twins in different clusters: ${split.take(5)}")
+  }
+
+  // --------------------------------------------------------- quantiles
+
+  test("approx_percentile swap stays within 1% of exact quantiles") {
+    // q54 documents approx_percentile as the 100 TB path; bound the
+    // substitution error on real data so the swap is a measured claim
+    val li = Tables(spark, sfDir, "lineitem")
+    val Seq(exact, approx) = Seq(
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    ).map(c => li.agg(c.cast("double")).as[Double].head())
+    assert(math.abs(exact - approx) / exact < 0.01,
+      s"approx $approx vs exact $exact")
+  }
+
+  // ---------------------------------------------------------- sampling
+
+  test("stratified hash sample hits per-stratum rates (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = Tables(spark, sf01, "documents")
+    val sampled = Scale.sampleStratified(spark, sf01)
+    val hi = Set("src0", "src1", "src2", "src3", "src4")
+    val nHi = sampled.filter($"source".isin(hi.toSeq: _*)).count().toDouble /
+      docs.filter($"source".isin(hi.toSeq: _*)).count()
+    val nLo = sampled.filter(!$"source".isin(hi.toSeq: _*)).count().toDouble /
+      docs.filter(!$"source".isin(hi.toSeq: _*)).count()
+    assert(math.abs(nHi - 0.4) < 0.15, s"high stratum rate $nHi")
+    assert(math.abs(nLo - 0.1) < 0.08, s"low stratum rate $nLo")
+    // determinism: same rows on re-evaluation
+    assert(sampled.collect().map(_.getLong(0)).toSet ==
+      sampled.collect().map(_.getLong(0)).toSet)
+  }
+
+  // -------------------------------------------------------------- SCD2
+
+  test("SCD2 invariants: interval chaining, one current row, coverage") {
+    val h = Scale.scd2History(spark, sfDir).cache()
+    val users = h.select($"user_id").distinct().count()
+    assert(h.filter($"is_current").count() == users,
+      "exactly one open interval per user")
+    val chained = h.as("a").join(h.as("b"),
+      $"a.user_id" === $"b.user_id" && $"a.run_id" === $"b.run_id" - 1)
+    assert(chained.filter($"a.valid_to" =!= $"b.valid_from").count() == 0,
+      "valid_to must equal the next run's valid_from")
+    assert(chained.filter($"a.status" === $"b.status").count() == 0,
+      "adjacent runs must differ in status (runs are maximal)")
+    val nEvents = h.agg(sum($"n_events")).as[Long].head()
+    assert(nEvents == Tables(spark, sfDir, "events").count(),
+      "every event belongs to exactly one run")
+    h.unpersist()
+  }
+
+  // --------------------------------------------------------- moving avg
+
+  test("7-day RANGE window equals the join formulation (gap days widen)") {
+    val got = Scale.movingAvg(spark, sfDir)
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice"), 2).as("rev"))
+    val exp = daily.as("a").join(daily.as("b"),
+        datediff($"a.day", $"b.day").between(0, 6))
+      .groupBy($"a.day")
+      .agg(round(round(sum($"b.rev"), 2) / count(lit(1)), 6).as("avg_7d"))
+    val diff = got.select($"day", $"avg_7d")
+      .except(exp.select($"day", $"avg_7d"))
+    assert(diff.count() == 0, "window and join formulations disagree")
+  }
+}
