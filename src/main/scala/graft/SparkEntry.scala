@@ -19,6 +19,7 @@ object SparkEntry {
       (gq.TrainingData.queries, gq.TrainingData.oracles),
       (gq.NewsPipeline.queries, gq.NewsPipeline.oracles),
       (gq.Scale.queries, gq.Scale.oracles),
+      (gq.Curation.queries, gq.Curation.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Hashing, TextOps}
+import Hashing.sqlHash60
+import TextOps.{sqlShingles, sqlTokens}
+
+/** Corpus-curation operators (round 2): the steps between "raw scraped
+  * corpus" and "training-ready token stream" that the reference's news
+  * pipeline stops short of — benchmark decontamination, chunking, PII
+  * scrubbing, sketch-based heavy hitters, incremental ingest dedup and
+  * sequence-packing layout. Every query is DuckDB-oracle-backed; sketch
+  * and hash steps ride the portable md5-derived hash60 (see Hashing).
+  *
+  * Scale stance per query is documented inline — what broadcasts, what
+  * shuffles on which key, and what stays O(sketch) instead of O(data).
+  */
+object Curation {
+
+  private val ShingleN = 3
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  /** q58 — test-set decontamination (the n-gram overlap check run before
+    * any training corpus ships): every 25th document plays the held-out
+    * benchmark; each remaining document reports how many of its distinct
+    * word 3-grams collide with the benchmark gram set. The benchmark gram
+    * set is tiny by construction (eval suites are), so it BROADCASTS —
+    * the corpus-side scan never shuffles; the only wide exchange is the
+    * per-document count aggregation, keyed by doc_id (uniform). */
+  val decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val sh = tokenized(s, dir)
+      .select($"doc_id", TextOps.shinglesFromTokens($"toks", ShingleN).as("sh"))
+    val benchGrams = sh.filter($"doc_id" % 25 === 0)
+      .select(explode($"sh").as("g")).distinct()
+    val train = sh.filter($"doc_id" % 25 =!= 0)
+      .select($"doc_id", size($"sh").as("n_grams"), $"sh")
+    val shared = train.select($"doc_id", explode($"sh").as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    train.drop("sh").join(shared, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("contam_frac",
+        round($"n_shared".cast("double") / $"n_grams", 6))
+      .withColumn("contaminated", $"contam_frac" >= 0.5)
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  /** q59 — overlapping-window chunking (context-window preparation):
+    * size-32 stride-24 token windows per document, short tail kept.
+    * Pure per-row generate — no shuffle at any scale; the generator
+    * carries only (doc_id, toks) and counts are recomputed post-explode. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+  val chunk: Q = (s, dir) => {
+    import s.implicits._
+    val nChunks = (greatest(
+      ceil((size($"toks") - ChunkSize).cast("double") / ChunkStride),
+      lit(0L)) + 1L).cast("int")
+    tokenized(s, dir)
+      .select($"doc_id", size($"toks").as("n_toks"), $"toks",
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select($"doc_id", $"n_toks", $"chunk_id",
+        ($"chunk_id" * ChunkStride + 1).as("chunk_start"),
+        concat_ws(" ",
+          slice($"toks", $"chunk_id" * ChunkStride + 1, lit(ChunkSize)))
+          .as("chunk_text"),
+        size(slice($"toks", $"chunk_id" * ChunkStride + 1, lit(ChunkSize)))
+          .as("n_chunk_toks"))
+  }
+
+  // ----------------------------------------------------------- PII scrub
+
+  /** q60 — PII redaction: deterministic synthetic PII (email, URL, phone)
+    * is appended to each document, then counted and scrubbed with the
+    * reference's own email/url regexes (SURVEY §2.7 X8/X9) plus a phone
+    * pattern. Pure map — codegen'd regexes, no shuffle, no UDF. */
+  private val EmailRe = "[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}"
+  private val UrlRe = "www\\.[a-zA-Z0-9\\-]+\\.[\\w]{2,6}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val piiScrub: Q = (s, dir) => {
+    import s.implicits._
+    val withPii = Tables(s, dir, "documents").select($"doc_id",
+      concat($"text",
+        lit(" contact user"), $"doc_id", lit("@mail"), $"doc_id" % 7,
+        lit(".com or www.site"), $"doc_id" % 13,
+        lit(".org call 416-555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      $"text", EmailRe, "<EMAIL>"), UrlRe, "<URL>"), PhoneRe, "<PHONE>")
+    withPii.select($"doc_id",
+      regexp_count($"text", lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(regexp_replace($"text", EmailRe, ""), lit(UrlRe))
+        .cast("int").as("n_urls"),
+      regexp_count($"text", lit(PhoneRe)).cast("int").as("n_phones"),
+      md5(scrubbed).as("scrub_md5"))
+  }
+
+  // ------------------------------------------------- count-min heavy hitters
+
+  /** q61 — count-min sketch word frequencies (Cormode & Muthukrishnan
+    * 2005): 4 hash lanes × 64 buckets. The sketch build shuffles at most
+    * d×w = 256 rows regardless of corpus size (map-side partial
+    * aggregation collapses each partition to ≤256 rows first) — the
+    * 100 TB path for "how often does each probe term appear". Probe-word
+    * buckets are plan-time constants (hash60 evaluated on the driver),
+    * and the estimate joins 32 probe rows against the 256-row sketch —
+    * broadcast. Exact counts ride alongside to show the sketch error. */
+  private val CmsLanes = 4
+  private val CmsW = 64
+  private val CmsProbes =
+    Seq("join", "hash", "row", "spark", "query", "window", "scan", "dup")
+  val cmsHeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val toks = tokenized(s, dir).select(explode($"toks").as("tok"))
+    val buckets = array((0 until CmsLanes).map(l =>
+      Hashing.hash60($"tok", l) % CmsW): _*)
+    val sketch = toks
+      .select(posexplode(buckets).as(Seq("lane", "bucket")))
+      .groupBy($"lane", $"bucket").agg(count(lit(1)).as("c"))
+    val probeRows = for {
+      w <- CmsProbes; l <- 0 until CmsLanes
+    } yield (w, l, Hashing.hash60(s"$w|$l") % CmsW)
+    val probes = probeRows.toDF("word", "lane", "bucket")
+    val est = broadcast(probes)
+      .join(sketch, Seq("lane", "bucket"))
+      .groupBy($"word").agg(min($"c").as("cms_est"))
+    val exact = toks.filter($"tok".isin(CmsProbes: _*))
+      .groupBy($"tok".as("word")).agg(count(lit(1)).as("exact_count"))
+    exact.join(est, Seq("word"))
+      .select($"word", $"exact_count", $"cms_est")
+  }
+
+  // ------------------------------------------------- incremental dedup
+
+  /** q62 — incremental ingest dedup (new batch vs corpus history): an
+    * arriving batch of re-ingested copies and edited revisions is
+    * anti-joined on content hash against everything already stored —
+    * only genuinely-new content survives to be appended. One shuffle on
+    * the uniform md5 key; at 100 TB the history side is pre-bucketed by
+    * the same hash so the anti-join is co-located (see Warehouse). */
+  private val ReingestOffset = 100000L
+  private val RevisionOffset = 200000L
+  val incrementalDedup: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val reingested = d.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + ReingestOffset).as("doc_id"), $"text")
+    val revised = d.filter($"doc_id" % 3 === 1)
+      .select(($"doc_id" + RevisionOffset).as("doc_id"),
+        concat($"text", lit(" revised v2")).as("text"))
+    val batch = reingested.unionByName(revised)
+      .withColumn("text_md5", md5($"text"))
+    val history = d.select(md5($"text").as("text_md5"))
+    batch.join(history, Seq("text_md5"), "left_anti")
+      .select($"doc_id", $"text_md5")
+  }
+
+  // ------------------------------------------------- packing preparation
+
+  /** q63 — length-bucket histogram (padding-waste audit): documents
+    * binned to the power-of-two context length that would hold them;
+    * per bucket: count, token total and the fraction of a padded batch
+    * that would be waste. Fixed-threshold CASE, 4-row aggregate. */
+  val lengthBuckets: Q = (s, dir) => {
+    import s.implicits._
+    val n = size($"toks")
+    val bucket = when(n <= 16, 16).when(n <= 32, 32)
+      .when(n <= 64, 64).otherwise(128)
+    tokenized(s, dir)
+      .select(bucket.as("bucket"), n.as("n_toks"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("sum_toks"))
+      .select($"bucket", $"n_docs", $"sum_toks",
+        round(lit(1.0) -
+          $"sum_toks".cast("double") / ($"n_docs" * $"bucket"), 6)
+          .as("pad_waste_frac"))
+  }
+
+  /** q64 — sequence-packing offsets (GPT-style concat-and-cut layout):
+    * documents are concatenated per source in doc_id order and cut every
+    * 128 tokens; each document reports its token offsets and whether it
+    * straddles a cut. One running-sum window per source partition —
+    * a single shuffle on `source`, and each partition's window state is
+    * O(1). The offsets are exactly what a packed-dataset writer needs
+    * to slice token buffers at scale. */
+  private val PackLen = 128
+  val packOffsets: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(TextOps.tokens($"text")).as("n_toks"))
+    val w = Window.partitionBy($"source").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("end_off", sum($"n_toks").over(w))
+      .select($"doc_id", $"source", $"n_toks",
+        ($"end_off" - $"n_toks").as("start_off"), $"end_off")
+      .withColumn("first_bin", floor($"start_off" / PackLen))
+      .withColumn("last_bin", floor(($"end_off" - 1) / PackLen))
+      .withColumn("spans_cut", $"first_bin" < $"last_bin")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q58_decontaminate" -> decontaminate,
+    "q59_chunk" -> chunk,
+    "q60_pii_scrub" -> piiScrub,
+    "q61_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q62_incremental_dedup" -> incrementalDedup,
+    "q63_length_buckets" -> lengthBuckets,
+    "q64_pack_offsets" -> packOffsets,
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val sqlDecon = {
+    val sh = sqlShingles("text", ShingleN)
+    s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents),
+       |bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+       |       WHERE doc_id % 25 = 0),
+       |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh
+       |       WHERE doc_id % 25 <> 0),
+       |shared AS (SELECT doc_id, count(*) AS n_shared
+       |           FROM tr JOIN bg USING (g) GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.sh) AS INTEGER) AS n_grams,
+       |  coalesce(s.n_shared, 0) AS n_shared,
+       |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / len(t.sh), 6)
+       |    AS contam_frac,
+       |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / len(t.sh), 6)
+       |    >= 0.5 AS contaminated
+       |FROM sh t LEFT JOIN shared s USING (doc_id)
+       |WHERE t.doc_id % 25 <> 0""".stripMargin
+  }
+
+  private val sqlChunk = {
+    val toks = sqlTokens("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS toks,
+       |    len($toks) AS n_toks,
+       |    CAST(greatest(ceil((len($toks) - $ChunkSize) / $ChunkStride.0),
+       |      0) AS BIGINT) + 1 AS n_chunks
+       |  FROM documents),
+       |ex AS (SELECT *, unnest(range(0, n_chunks)) AS i FROM base)
+       |SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+       |  CAST(i AS INTEGER) AS chunk_id,
+       |  CAST(i * $ChunkStride + 1 AS INTEGER) AS chunk_start,
+       |  array_to_string(list_slice(toks, i * $ChunkStride + 1,
+       |    i * $ChunkStride + $ChunkSize), ' ') AS chunk_text,
+       |  CAST(len(list_slice(toks, i * $ChunkStride + 1,
+       |    i * $ChunkStride + $ChunkSize)) AS INTEGER) AS n_chunk_toks
+       |FROM ex""".stripMargin
+  }
+
+  private val sqlPii = {
+    // RE2 needs no escaping changes for these classes
+    val email = "[\\w\\.-]+@[\\w\\-]+\\.[a-zA-Z]{2,6}"
+    val url = "www\\.[a-zA-Z0-9\\-]+\\.[\\w]{2,6}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    s"""WITH p AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+       |      || CAST(doc_id % 7 AS VARCHAR) || '.com or www.site'
+       |      || CAST(doc_id % 13 AS VARCHAR) || '.org call 416-555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$email', '', 'g'), '$url')) AS INTEGER)
+       |    AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER)
+       |    AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS scrub_md5
+       |FROM p""".stripMargin
+  }
+
+  private val sqlCms = {
+    val laneBucket = (0 until CmsLanes).map(l =>
+      s"WHEN $l THEN ${sqlHash60("tok", l)} % $CmsW").mkString(" ")
+    val probeValues = (for { w <- CmsProbes; l <- 0 until CmsLanes }
+      yield s"('$w', $l, ${sqlHash60(s"'$w'", l)} % $CmsW)")
+      .mkString(",\n    ")
+    val probeIn = CmsProbes.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (SELECT unnest(${sqlTokens("text")}) AS tok
+       |  FROM documents),
+       |lanes AS (SELECT tok, l AS lane,
+       |    CASE l $laneBucket END AS bucket
+       |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS l) ls),
+       |sketch AS (SELECT lane, bucket, count(*) AS c
+       |  FROM lanes GROUP BY lane, bucket),
+       |probes(word, lane, bucket) AS (VALUES
+       |    $probeValues),
+       |est AS (SELECT word, min(c) AS cms_est
+       |  FROM probes JOIN sketch USING (lane, bucket) GROUP BY word),
+       |exact AS (SELECT tok AS word, count(*) AS exact_count
+       |  FROM toks WHERE tok IN ($probeIn) GROUP BY tok)
+       |SELECT word, exact_count, cms_est FROM exact JOIN est USING (word)"""
+      .stripMargin
+  }
+
+  private val sqlIncr =
+    s"""WITH batch AS (
+       |  SELECT doc_id + $ReingestOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $RevisionOffset AS doc_id, text || ' revised v2'
+       |  FROM documents WHERE doc_id % 3 = 1)
+       |SELECT b.doc_id, md5(b.text) AS text_md5
+       |FROM batch b
+       |WHERE NOT EXISTS (SELECT 1 FROM documents h
+       |                  WHERE md5(h.text) = md5(b.text))""".stripMargin
+
+  private val sqlBuckets = {
+    val n = s"len(${sqlTokens("text")})"
+    s"""WITH b AS (SELECT
+       |    CASE WHEN $n <= 16 THEN 16 WHEN $n <= 32 THEN 32
+       |         WHEN $n <= 64 THEN 64 ELSE 128 END AS bucket,
+       |    $n AS n_toks
+       |  FROM documents)
+       |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+       |  sum(n_toks) AS sum_toks,
+       |  round(1.0 - CAST(sum(n_toks) AS DOUBLE)
+       |    / (count(*) * bucket), 6) AS pad_waste_frac
+       |FROM b GROUP BY bucket""".stripMargin
+  }
+
+  private val sqlPack =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(${sqlTokens("text")}) AS INTEGER) AS n_toks
+       |  FROM documents),
+       |o AS (SELECT *, sum(n_toks) OVER
+       |    (PARTITION BY source ORDER BY doc_id
+       |     ROWS UNBOUNDED PRECEDING) AS end_off
+       |  FROM d)
+       |SELECT doc_id, source, n_toks,
+       |  CAST(end_off - n_toks AS BIGINT) AS start_off,
+       |  CAST(end_off AS BIGINT) AS end_off,
+       |  CAST(floor((end_off - n_toks) / $PackLen.0) AS BIGINT)
+       |    AS first_bin,
+       |  CAST(floor((end_off - 1) / $PackLen.0) AS BIGINT) AS last_bin,
+       |  floor((end_off - n_toks) / $PackLen.0)
+       |    < floor((end_off - 1) / $PackLen.0) AS spans_cut
+       |FROM o""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q58_decontaminate" -> sqlDecon,
+    "q59_chunk" -> sqlChunk,
+    "q60_pii_scrub" -> sqlPii,
+    "q61_cms_heavy_hitters" -> sqlCms,
+    "q62_incremental_dedup" -> sqlIncr,
+    "q63_length_buckets" -> sqlBuckets,
+    "q64_pack_offsets" -> sqlPack,
+  )
+}
