@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Curation
+
+/** Invariants of the curation operators that the DuckDB oracle restates
+  * but doesn't *prove*: structural guarantees (coverage, overlap,
+  * contiguity) and the CMS one-sided error bound. Runs at sf0.001. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking covers every token; consecutive chunks overlap by 8") {
+    val chunks = Curation.chunk(spark, sfDir).cache()
+    // coverage: per doc, max(chunk_start + n_chunk_toks - 1) == n_toks
+    val bad = chunks.groupBy($"doc_id", $"n_toks")
+      .agg(max($"chunk_start" + $"n_chunk_toks" - 1).as("covered"),
+        min($"chunk_start").as("first_start"))
+      .filter($"covered" =!= $"n_toks" || $"first_start" =!= 1)
+    assert(bad.count() === 0)
+    // stride contract: chunk k starts exactly 24 after chunk k-1; all
+    // non-final chunks are full-size (so the overlap is 32-24=8 tokens)
+    val nonFinal = chunks
+      .withColumn("max_id",
+        max($"chunk_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id")))
+      .filter($"chunk_id" < $"max_id")
+    assert(nonFinal.filter($"n_chunk_toks" =!= 32).count() === 0)
+    assert(chunks.filter($"chunk_start" =!= $"chunk_id" * 24 + 1)
+      .count() === 0)
+    chunks.unpersist()
+  }
+
+  test("CMS estimate is a one-sided upper bound on the exact count") {
+    val r = Curation.cmsHeavyHitters(spark, sfDir)
+      .select($"word", $"exact_count", $"cms_est").collect()
+    assert(r.length === 8)
+    r.foreach { row =>
+      val (exact, est) = (row.getLong(1), row.getLong(2))
+      assert(est >= exact, s"${row.getString(0)}: est $est < exact $exact")
+      // with 4 lanes × 64 buckets over a ~30-word vocab the collision
+      // inflation stays far below one full heavy word's mass
+      assert(est <= exact * 3, s"${row.getString(0)}: est $est implausible")
+    }
+  }
+
+  test("benchmark docs are fully self-contaminated when probed") {
+    // a doc probed against a gram set containing its own grams must
+    // report 100% contamination — sanity of the overlap arithmetic:
+    // probe the benchmark members through the train path by re-keying
+    val sh = Tables(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextOps.shingles($"text", 3).as("sh"))
+    val benchGrams = sh.filter($"doc_id" % 25 === 0)
+      .select(explode($"sh").as("g")).distinct()
+    val self = sh.filter($"doc_id" % 25 === 0)
+      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("g"))
+      .join(benchGrams, Seq("g"))
+      .groupBy($"doc_id", $"n").agg(count(lit(1)).as("hit"))
+      .filter($"hit" =!= $"n")
+    assert(self.count() === 0)
+  }
+
+  test("incremental dedup keeps revisions, drops re-ingests") {
+    val kept = Curation.incrementalDedup(spark, sfDir)
+    // every survivor is a revision (offset 200000); every revision
+    // survives (appended text can't collide with any original)
+    val ids = kept.select($"doc_id").as[Long].collect()
+    assert(ids.nonEmpty)
+    assert(ids.forall(_ >= 200000L))
+    val nRevisions = Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 3 === 1).count()
+    assert(ids.length === nRevisions)
+  }
+
+  test("pack offsets are contiguous per source and bins consistent") {
+    val p = Curation.packOffsets(spark, sfDir).cache()
+    // start_off of each doc == end_off of the previous doc in the
+    // same source (gapless concatenation)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id".asc)
+    val bad = p.withColumn("prev_end", lag($"end_off", 1, 0L).over(w))
+      .filter($"start_off" =!= $"prev_end")
+    assert(bad.count() === 0)
+    // spans_cut ⇔ the doc crosses a 128 boundary
+    val inconsistent = p.filter(
+      $"spans_cut" =!= ($"first_bin" < $"last_bin"))
+    assert(inconsistent.count() === 0)
+    p.unpersist()
+  }
+
+  test("pii scrub finds exactly the planted identifiers") {
+    val r = Curation.piiScrub(spark, sfDir)
+    // exactly one planted email+phone per doc; url count is 1 except
+    // when the synthetic email's domain also matches the url pattern
+    // (never: pattern requires the literal 'www.' prefix)
+    assert(r.filter($"n_emails" =!= 1).count() === 0)
+    assert(r.filter($"n_urls" =!= 1).count() === 0)
+    assert(r.filter($"n_phones" =!= 1).count() === 0)
+  }
+}
