@@ -22,7 +22,10 @@ object Bench {
     // pays one-off costs that aren't the engine's steady-state — cold page
     // cache on the parquet files, JIT + whole-stage-codegen compilation of
     // that query's pipeline. BASELINE.md documents this methodology.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // dev filter: SPARK_GRAFT_ONLY=q23,q55 benches just those prefixes
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }.map {
       case (name, fn) =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()

@@ -27,7 +27,14 @@ object ConnectedComponents {
     val both = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component"))
+    // iterate ONLY over nodes that touch an edge: in a near-dup graph
+    // the overwhelming majority of nodes are singletons, and dragging
+    // them through every join/groupBy/convergence-probe round multiplies
+    // each iteration's work by nodes/endpoints for labels that cannot
+    // change. Singletons are appended unchanged at the end.
+    val touched = both.select(col("src").as("id")).distinct()
+      .localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -44,6 +51,8 @@ object ConnectedComponents {
       converged = changed == 0
       i += 1
     }
-    labels
+    labels.unionByName(
+      nodes.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
   }
 }

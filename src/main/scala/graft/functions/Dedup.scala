@@ -85,14 +85,22 @@ object Dedup {
     * multiplicity) is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id"),
+    // pre-aggregate token multiplicity per (doc, distinct word): Zipf
+    // corpora collapse hard here, so the md5 and the `bits` vote
+    // aggregates run per distinct word, with counts as vote weights —
+    // identical vote sums, ~3× fewer hash+vote evaluations. Map-side
+    // combine keeps the extra exchange smaller than the explode it
+    // replaces as shuffle input.
+    val counted = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("th", hash60(col("tok")))
     val voteAggs = (0 until bits).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$b")
     }
-    val votes = exploded.groupBy(col("doc_id"))
+    val votes = counted.groupBy(col("doc_id"))
       .agg(voteAggs.head, voteAggs.tail: _*)
     val fp = (0 until bits)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))

@@ -43,14 +43,17 @@ object Curation {
       .select($"doc_id", TextOps.shinglesFromTokens($"toks", ShingleN).as("sh"))
     val benchGrams = sh.filter($"doc_id" % 25 === 0)
       .select(explode($"sh").as("g")).distinct()
-    val train = sh.filter($"doc_id" % 25 =!= 0)
-      .select($"doc_id", size($"sh").as("n_grams"), $"sh")
-    val shared = train.select($"doc_id", explode($"sh").as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-    train.drop("sh").join(shared, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_grams",
-        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("hit", lit(1))
+    // single pass over the train shingles: shingle sets are distinct per
+    // doc, so n_grams is recovered as count(*) post-explode and n_shared
+    // as the count of broadcast-probe hits — the shingle builder (the
+    // expensive tokenize+slice subtree) runs once, not three times
+    sh.filter($"doc_id" % 25 =!= 0)
+      .select($"doc_id", explode($"sh").as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        count($"hit").as("n_shared"))
       .withColumn("contam_frac",
         round($"n_shared".cast("double") / $"n_grams", 6))
       .withColumn("contaminated", $"contam_frac" >= 0.5)
@@ -111,34 +114,44 @@ object Curation {
   // ------------------------------------------------- count-min heavy hitters
 
   /** q61 — count-min sketch word frequencies (Cormode & Muthukrishnan
-    * 2005): 4 hash lanes × 64 buckets. The sketch build shuffles at most
-    * d×w = 256 rows regardless of corpus size (map-side partial
-    * aggregation collapses each partition to ≤256 rows first) — the
-    * 100 TB path for "how often does each probe term appear". Probe-word
-    * buckets are plan-time constants (hash60 evaluated on the driver),
-    * and the estimate joins 32 probe rows against the 256-row sketch —
-    * broadcast. Exact counts ride alongside to show the sketch error. */
+    * 2005): 4 hash lanes × 64 buckets. Token counts are pre-aggregated
+    * per distinct word first (Zipf corpora collapse hard), so the hash
+    * runs once per DISTINCT word — one md5 then 4 affine lanes (the
+    * MinHash lane family), not 4 md5 per token instance. The sketch
+    * itself shuffles at most d×w = 256 weighted rows regardless of
+    * corpus size — the 100 TB path for "how often does each probe term
+    * appear". Probe-word buckets are plan-time constants (hash60
+    * evaluated on the driver); the estimate joins 32 probe rows against
+    * the 256-row sketch — broadcast. Exact counts ride alongside to
+    * show the sketch error. */
   private val CmsLanes = 4
   private val CmsW = 64
   private val CmsProbes =
     Seq("join", "hash", "row", "spark", "query", "window", "scan", "dup")
+  private def jvmCmsBucket(word: String, l: Int): Long = {
+    val h31 = Hashing.hash60(word) & Hashing.Mask31
+    (Hashing.laneA(l) * h31 + Hashing.laneB(l)) % Hashing.LaneP % CmsW
+  }
   val cmsHeavyHitters: Q = (s, dir) => {
     import s.implicits._
-    val toks = tokenized(s, dir).select(explode($"toks").as("tok"))
+    val tokCounts = tokenized(s, dir).select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val withH = tokCounts.withColumn("h31",
+      Hashing.hash60($"tok").bitwiseAND(lit(Hashing.Mask31)))
     val buckets = array((0 until CmsLanes).map(l =>
-      Hashing.hash60($"tok", l) % CmsW): _*)
-    val sketch = toks
-      .select(posexplode(buckets).as(Seq("lane", "bucket")))
-      .groupBy($"lane", $"bucket").agg(count(lit(1)).as("c"))
+      Hashing.lane($"h31", l) % CmsW): _*)
+    val sketch = withH
+      .select($"cnt", posexplode(buckets).as(Seq("lane", "bucket")))
+      .groupBy($"lane", $"bucket").agg(sum($"cnt").as("c"))
     val probeRows = for {
       w <- CmsProbes; l <- 0 until CmsLanes
-    } yield (w, l, Hashing.hash60(s"$w|$l") % CmsW)
+    } yield (w, l, jvmCmsBucket(w, l))
     val probes = probeRows.toDF("word", "lane", "bucket")
     val est = broadcast(probes)
       .join(sketch, Seq("lane", "bucket"))
       .groupBy($"word").agg(min($"c").as("cms_est"))
-    val exact = toks.filter($"tok".isin(CmsProbes: _*))
-      .groupBy($"tok".as("word")).agg(count(lit(1)).as("exact_count"))
+    val exact = tokCounts.filter($"tok".isin(CmsProbes: _*))
+      .select($"tok".as("word"), $"cnt".as("exact_count"))
     exact.join(est, Seq("word"))
       .select($"word", $"exact_count", $"cms_est")
   }
@@ -289,24 +302,25 @@ object Curation {
 
   private val sqlCms = {
     val laneBucket = (0 until CmsLanes).map(l =>
-      s"WHEN $l THEN ${sqlHash60("tok", l)} % $CmsW").mkString(" ")
+      s"WHEN $l THEN ${Hashing.sqlLane("h31", l)} % $CmsW").mkString(" ")
     val probeValues = (for { w <- CmsProbes; l <- 0 until CmsLanes }
-      yield s"('$w', $l, ${sqlHash60(s"'$w'", l)} % $CmsW)")
-      .mkString(",\n    ")
+      yield s"('$w', $l, ${jvmCmsBucket(w, l)})").mkString(",\n    ")
     val probeIn = CmsProbes.map(w => s"'$w'").mkString(", ")
-    s"""WITH toks AS (SELECT unnest(${sqlTokens("text")}) AS tok
-       |  FROM documents),
-       |lanes AS (SELECT tok, l AS lane,
-       |    CASE l $laneBucket END AS bucket
-       |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS l) ls),
-       |sketch AS (SELECT lane, bucket, count(*) AS c
+    s"""WITH tc AS (SELECT tok, count(*) AS cnt
+       |  FROM (SELECT unnest(${sqlTokens("text")}) AS tok
+       |        FROM documents) t GROUP BY tok),
+       |h AS (SELECT tok, cnt,
+       |    (${sqlHash60("tok")} & ${Hashing.Mask31}) AS h31 FROM tc),
+       |lanes AS (SELECT cnt, l AS lane, CASE l $laneBucket END AS bucket
+       |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS l) ls),
+       |sketch AS (SELECT lane, bucket, CAST(sum(cnt) AS BIGINT) AS c
        |  FROM lanes GROUP BY lane, bucket),
        |probes(word, lane, bucket) AS (VALUES
        |    $probeValues),
        |est AS (SELECT word, min(c) AS cms_est
        |  FROM probes JOIN sketch USING (lane, bucket) GROUP BY word),
-       |exact AS (SELECT tok AS word, count(*) AS exact_count
-       |  FROM toks WHERE tok IN ($probeIn) GROUP BY tok)
+       |exact AS (SELECT tok AS word, cnt AS exact_count
+       |  FROM tc WHERE tok IN ($probeIn))
        |SELECT word, exact_count, cms_est FROM exact JOIN est USING (word)"""
       .stripMargin
   }
