@@ -359,6 +359,34 @@ object TrainingData {
     Multimodal.decodeMeta(media, StubImageDecoder).toDF()
   }
 
+  private def mediaOf(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("content"),
+        lit("video/fake").as("media_type"))
+      .as[MediaRecord]
+  }
+
+  /** q65 — frame sampling over the binary media column: 16-byte frames
+    * every 12 bytes, ≤4 per doc, balanced by blob size first; per-frame
+    * md5 so the oracle checks the exact bytes each frame carries. */
+  val mediaFrames: Q = (s, dir) => {
+    import s.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.balanceBySize(mediaOf(s, dir),
+          s.sparkContext.defaultParallelism),
+        frameLen = 16, stride = 12, maxFrames = 4)
+      .toDF()
+      .select($"doc_id", $"frame_id", $"offset",
+        md5($"frame").as("frame_md5"),
+        length($"frame").cast("int").as("n_frame_bytes"))
+  }
+
+  /** q66 — batched feature extraction (the image-embedding batch shape)
+    * over the binary column: normalized byte-class histogram features. */
+  val mediaFeatures: Q = (s, dir) =>
+    Multimodal.extractFeatures(mediaOf(s, dir)).toDF()
+
   // ---------------------------------------------------------- oracle SQL
 
   private def sqlJaccard(a: String, b: String): String =
@@ -455,6 +483,8 @@ object TrainingData {
     "q30_token_count" -> tokenCount,
     "q31_fingerprint" -> fingerprint,
     "q32_multimodal_meta" -> multimodalMeta,
+    "q65_media_frames" -> mediaFrames,
+    "q66_media_features" -> mediaFeatures,
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +702,27 @@ object TrainingData {
         | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS width,
         | CAST(ascii(substr(text, 2, 1)) AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    // text is pure ASCII so char offsets == byte offsets: substr mirrors
+    // the executor-side byte slicing exactly
+    "q65_media_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_id,
+        |  CAST(i * 12 AS INTEGER) AS offset,
+        |  md5(substr(text, CAST(i * 12 + 1 AS INTEGER), 16)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(i * 12 + 1 AS INTEGER), 16))
+        |    AS INTEGER) AS n_frame_bytes
+        |FROM (SELECT doc_id, text, unnest(range(0, 4)) AS i
+        |      FROM documents) t
+        |WHERE i * 12 < length(text)""".stripMargin,
+    "q66_media_features" -> {
+      def cls(re: String) = s"len(regexp_extract_all(text, '$re'))"
+      s"""SELECT doc_id,
+         | round(CAST(${cls(" ")} AS DOUBLE) / length(text), 6) AS f_space,
+         | round(CAST(${cls("[a-o]")} AS DOUBLE) / length(text), 6)
+         |   AS f_low,
+         | round(CAST(${cls("[p-z]")} AS DOUBLE) / length(text), 6)
+         |   AS f_high,
+         | CAST(length(text) AS INTEGER) AS n_bytes
+         |FROM documents""".stripMargin
+    },
   )
 }

@@ -76,6 +76,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(row.getInt(2) == text.getBytes("UTF-8").length)
   }
 
+  test("frame sampling reconstructs the original prefix; resize caps") {
+    import graft.functions.{MediaRecord, Multimodal}
+    val media = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("content"),
+        lit("video/fake").as("media_type")).as[MediaRecord]
+    val frames = Multimodal.sampleFrames(media, 16, 12, 4)
+    // frame 0 of each doc is exactly the first min(16, len) bytes
+    val f0 = frames.filter($"frame_id" === 0)
+      .select($"doc_id", $"frame".cast("string").as("head"))
+    val bad = f0.join(media.toDF(), "doc_id")
+      .filter($"head" =!= substring($"content".cast("string"), 1, 16))
+    assert(bad.count() === 0)
+    // consecutive frames overlap by 4 bytes (16 - 12)
+    val joined = frames.filter($"frame_id" === 0).as("a")
+      .join(frames.filter($"frame_id" === 1).as("b"), "doc_id")
+      .select(col("a.frame").cast("string").as("fa"),
+        col("b.frame").cast("string").as("fb"))
+    assert(joined.filter(substring($"fa", 13, 4) =!= substring($"fb", 1, 4))
+      .count() === 0)
+    // resize never exceeds the cap and is a prefix of the original
+    val resized = Multimodal.resize(media, 8, 8).toDF()
+      .select($"doc_id", $"content".cast("string").as("rz"))
+    val badRz = resized.join(media.toDF(), "doc_id")
+      .filter(length($"rz") > 64 ||
+        $"rz" =!= substring($"content".cast("string"), 1, 64))
+    assert(badRz.count() === 0)
+  }
+
+  test("balanceBySize yields non-overlapping size ranges per partition") {
+    import graft.functions.{MediaRecord, Multimodal}
+    val media = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("content"),
+        lit("image/fake").as("media_type")).as[MediaRecord]
+    val parts = Multimodal.balanceBySize(media, 4)
+      .mapPartitions { it =>
+        val sizes = it.map(_.content.length).toSeq
+        if (sizes.isEmpty) Iterator.empty
+        else Iterator((sizes.min, sizes.max))
+      }.collect().sortBy(_._1)
+    assert(parts.nonEmpty)
+    parts.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ => ()
+    }
+  }
+
   test("langid predicts en on the english-stopword corpus") {
     val dist = TrainingData.langId(spark, sfDir)
       .groupBy($"lang_pred").count().as[(String, Long)].collect().toMap
