@@ -39,6 +39,41 @@ class PlanSpec extends SparkSpec {
     assert(plan("q26_ann_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB shape: a big fact sort-merge-joined to a selectively
+    // filtered build side. Spark injects a bloom filter from the build
+    // side into the fact scan (runtime row-group skipping); at test
+    // scale the size thresholds would suppress it, so they are lowered
+    // — the assertion is that the OPTIMIZER wires the filter, which is
+    // scale-independent.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // application side has a shuffle below the join (the per-order
+      // pre-aggregation) — the rule only injects where the bloom filter
+      // can cut shuffle volume, not just scan output
+      val lineitem = Tables(spark, sfDir, "lineitem")
+        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("qty"))
+      val orders = Tables(spark, sfDir, "orders")
+        .filter($"o_totalprice" > 400000.0) // selective build side
+      val j = lineitem.join(orders,
+        $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderdate").agg(sum($"qty").as("q"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        "expected a runtime bloom filter on the fact scan")
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val s2 = SparkSpec.session
     // clear any leftover managed-table locations from prior runs
