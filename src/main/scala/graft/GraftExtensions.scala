@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, Hash60}
 
 /** Engine extension point: registers graft's native expressions with the
   * session so they're callable from SQL and `call_function`.
@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"cosine_similarity expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"hash60 expects 1 argument, got ${children.length}")
+        Hash60(children.head)
       }))
   }
 }

@@ -18,8 +18,18 @@ import org.apache.spark.sql.functions._
   * configuration, not a design constraint.
   */
 object Hashing {
-  /** 60-bit portable hash of a string column. */
+  /** 60-bit portable hash of a string column — the native codegen
+    * expression (see expressions.Hash60; bit-identical to
+    * `conv(substr(md5(c),1,15),16,10)::long`, parity spec-asserted). */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.Hash60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          c.cast("binary"))))
+
+  /** The composed built-in form of hash60 — the reference formulation
+    * the native expression must match (kept for the parity spec). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: family of independent hash functions h_i. */
