@@ -165,6 +165,72 @@ object TrainingData {
       .filter($"cos_sim" >= 0.9)
   }
 
+  /** q67 — incremental cross-corpus near-dup dedup: an arriving batch
+    * (perturbed twins of half the corpus) LSH-banded against the banded
+    * HISTORY — a band-bucket equi-join between corpora, never the
+    * all-pairs product and never a self-join of the union. At scale the
+    * history side's signatures/bands are precomputed once and bucketed
+    * by (band, band_hash); each new batch joins co-located. Candidates
+    * are Jaccard-verified ≥ 0.5; output = batch docs that must NOT be
+    * ingested, with their matched history doc. */
+  val incrementalNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val batch = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + TwinOffset).as("doc_id"),
+        concat($"text", lit(TwinSuffix)).as("text"))
+    def bands(df: DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(df, "doc_id", "text", NumHashes, ShingleN),
+      NumHashes, RowsPerBand)
+    val cand = bands(d).as("h").join(bands(batch).as("b"),
+        col("h.band") === col("b.band") &&
+          col("h.band_hash") === col("b.band_hash"))
+      .select(col("h.doc_id").as("hist_id"), col("b.doc_id").as("batch_id"))
+      .distinct()
+    def shingleSets(df: DataFrame) = df
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
+    cand.join(shingleSets(d).as("sh"), col("hist_id") === col("sh.doc_id"))
+      .join(shingleSets(batch).as("sb"),
+        col("batch_id") === col("sb.doc_id"))
+      .select($"batch_id", $"hist_id",
+        round(Dedup.jaccard(col("sh.sh_set"), col("sb.sh_set")), 6)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+  }
+
+  /** q68 — per-label embedding centroid + outlier scoring (corpus QC):
+    * the centroid is a tiny per-group aggregate (posexplode → per-dim
+    * sum → re-assembled in dimension order) that BROADCASTS back onto
+    * the vectors; each vector reports its cosine to its own centroid.
+    * One shuffle of (label, dim) partial sums — never the vectors
+    * themselves. Portability: each value is quantized to an exact
+    * integer micro-unit (round(v·10⁶) on the IEEE double both engines
+    * share — decimal CASTs of floats are NOT cross-engine stable at the
+    * last ulp) and summed as longs: exact and order-independent where
+    * a float/double sum is neither. Cosine is scale-invariant, so the
+    * un-divided sum IS the centroid for similarity purposes. */
+  val centroidOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val centroids = e
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(sum(round($"v".cast("double") * 1000000.0).cast("long"))
+        .as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("pairs"))
+      .select($"label",
+        transform($"pairs", p => p.getField("c").cast("float"))
+          .as("centroid"))
+    e.join(broadcast(centroids), Seq("label"))
+      .select($"vec_id", $"label",
+        round(Similarity.cosine($"embedding", $"centroid"), 6)
+          .as("centroid_sim"))
+      .withColumn("is_outlier", $"centroid_sim" < 0.1)
+  }
+
   /** q42 — IVF-style ANN: nearest-of-16-centroids cell assignment, then
     * top-10 within the query's cell (nprobe=1). */
   private val NumCells = 16
@@ -426,6 +492,60 @@ object TrainingData {
        |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
   }
 
+  /** q67 oracle: same sig/band generator as q23's, over history ∪ batch,
+    * with the candidate join restricted to cross-corpus pairs. */
+  private def sqlIncNearDup: String = {
+    val lanes = (0 until NumHashes)
+      .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
+      .mkString(",\n  ")
+    val numBands = NumHashes / RowsPerBand
+    val bandSelects = (0 until numBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(j => s"CAST(h${b * RowsPerBand + j} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ${sqlHash60(s"concat_ws(',', $parts)")}" +
+        " AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $TwinOffset AS doc_id, text || '$TwinSuffix'
+       | FROM documents WHERE doc_id % 2 = 0),
+       |sh AS (SELECT doc_id, ${sqlShingles("text", ShingleN)} AS sh_set
+       |       FROM corpus),
+       |ex AS (SELECT doc_id,
+       |         (${sqlHash60("s")} & ${Hashing.Mask31}) AS h31
+       |       FROM (SELECT doc_id, unnest(sh_set) AS s FROM sh) u),
+       |sig AS (SELECT doc_id, $lanes FROM ex GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT h.doc_id AS hist_id, b.doc_id AS batch_id
+       |         FROM bands h JOIN bands b
+       |           ON h.band = b.band AND h.band_hash = b.band_hash
+       |          AND h.doc_id < $TwinOffset AND b.doc_id >= $TwinOffset)
+       |SELECT batch_id, hist_id,
+       |  ${sqlJaccard("sa.sh_set", "sb.sh_set")} AS jaccard
+       |FROM cand
+       |JOIN sh sa ON cand.hist_id = sa.doc_id
+       |JOIN sh sb ON cand.batch_id = sb.doc_id
+       |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
+  }
+
+  private def sqlCentroidOutliers: String = {
+    val cos = sqlCosCols("e.embedding", "centroid")
+    s"""WITH ex AS (SELECT label, d AS dim,
+       |    CAST(round(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS v
+       |  FROM embeddings CROSS JOIN
+       |    (SELECT unnest(range($Dims)) AS d) dims),
+       |cent AS (SELECT label, dim, CAST(sum(v) AS FLOAT) AS c
+       |  FROM ex GROUP BY label, dim),
+       |cents AS (SELECT label, list(c ORDER BY dim) AS centroid
+       |  FROM cent GROUP BY label)
+       |SELECT e.vec_id, e.label, round($cos, 6) AS centroid_sim,
+       |  round($cos, 6) < 0.1 AS is_outlier
+       |FROM embeddings e JOIN cents USING (label)""".stripMargin
+  }
+
   private def sqlSimhash: String = {
     val votes = (0 until SimhashBits)
       .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
@@ -485,6 +605,8 @@ object TrainingData {
     "q32_multimodal_meta" -> multimodalMeta,
     "q65_media_frames" -> mediaFrames,
     "q66_media_features" -> mediaFeatures,
+    "q67_incremental_near_dup" -> incrementalNearDup,
+    "q68_centroid_outliers" -> centroidOutliers,
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,6 +618,8 @@ object TrainingData {
          |      SELECT doc_id + $TwinOffset, text FROM documents) t
          |GROUP BY md5(text)""".stripMargin,
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
+    "q67_incremental_near_dup" -> sqlIncNearDup,
+    "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q40_dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |twins AS (SELECT vec_id + $TwinOffset AS vec_id,
