@@ -226,6 +226,51 @@ object Curation {
       .withColumn("spans_cut", $"first_bin" < $"last_bin")
   }
 
+  /** q69 — top-N-per-stratum deterministic sample: the smallest-hash N
+    * documents of every source (hash order ⇒ uniform-at-random but
+    * reproducible on any cluster). The rank filter gets WindowGroupLimit
+    * pushdown (asserted for the same shape in PlanSpec), so each map
+    * task keeps ≤N rows per stratum BEFORE the shuffle — at 100 TB the
+    * exchange carries ~N×strata rows, not the corpus. */
+  private val PerStratum = 10
+  val sampleTopNStratum: Q = (s, dir) => {
+    import s.implicits._
+    val h = Hashing.hash60(concat(lit("topn|"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"source").orderBy($"h".asc, $"doc_id".asc)
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source", h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= PerStratum)
+      .select($"doc_id", $"source", $"rk")
+  }
+
+  /** q70 — corpus mixture planning (the data-mixing step before
+    * training): given per-source token counts and fixed target mixture
+    * weights, derive each source's sampling rate toward a fixed token
+    * budget, the expected token yield, and whether the source is
+    * under-represented (rate capped at 1 — can't sample what isn't
+    * there). A 5-row aggregate plus arithmetic: the plan is one
+    * map-side-combined groupBy at any scale. */
+  private val MixTargetTokens = 20000L
+  private val MixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.15,
+    "src3" -> 0.1, "src4" -> 0.05)
+  val mixturePlan: Q = (s, dir) => {
+    import s.implicits._
+    val weights = MixWeights.toDF("source", "weight")
+    val perSource = Tables(s, dir, "documents")
+      .select($"source", size(TextOps.tokens($"text")).as("n"))
+      .groupBy($"source").agg(sum($"n").as("avail_tokens"))
+    perSource.join(broadcast(weights), Seq("source"))
+      .select($"source", $"avail_tokens", $"weight",
+        round(least(lit(1.0),
+          ($"weight" * MixTargetTokens) / $"avail_tokens"), 6).as("rate"))
+      .withColumn("expected_tokens",
+        round($"rate" * $"avail_tokens", 2))
+      .withColumn("underrepresented",
+        ($"weight" * MixTargetTokens) / $"avail_tokens" > 1.0)
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_decontaminate" -> decontaminate,
     "q59_chunk" -> chunk,
@@ -234,6 +279,8 @@ object Curation {
     "q62_incremental_dedup" -> incrementalDedup,
     "q63_length_buckets" -> lengthBuckets,
     "q64_pack_offsets" -> packOffsets,
+    "q69_sample_topn_stratum" -> sampleTopNStratum,
+    "q70_mixture_plan" -> mixturePlan,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -369,6 +416,35 @@ object Curation {
        |    < floor((end_off - 1) / $PackLen.0) AS spans_cut
        |FROM o""".stripMargin
 
+  private val sqlTopN = {
+    val h = sqlHash60("'topn|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT doc_id, source, row_number() OVER
+       |    (PARTITION BY source ORDER BY $h, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $PerStratum""".stripMargin
+  }
+
+  private val sqlMixture = {
+    val weightRows = MixWeights
+      .map { case (s, w) => s"('$s', $w)" }.mkString(",\n    ")
+    s"""WITH w0(source, weight) AS (VALUES
+       |    $weightRows),
+       |w AS (SELECT source, CAST(weight AS DOUBLE) AS weight FROM w0),
+       |ps AS (SELECT source,
+       |    CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT ps.source, ps.avail_tokens, w.weight,
+       |  round(least(1.0, (w.weight * $MixTargetTokens) / ps.avail_tokens),
+       |    6) AS rate,
+       |  round(round(least(1.0,
+       |      (w.weight * $MixTargetTokens) / ps.avail_tokens), 6)
+       |    * ps.avail_tokens, 2) AS expected_tokens,
+       |  (w.weight * $MixTargetTokens) / ps.avail_tokens > 1.0
+       |    AS underrepresented
+       |FROM ps JOIN w USING (source)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q58_decontaminate" -> sqlDecon,
     "q59_chunk" -> sqlChunk,
@@ -377,5 +453,7 @@ object Curation {
     "q62_incremental_dedup" -> sqlIncr,
     "q63_length_buckets" -> sqlBuckets,
     "q64_pack_offsets" -> sqlPack,
+    "q69_sample_topn_stratum" -> sqlTopN,
+    "q70_mixture_plan" -> sqlMixture,
   )
 }
