@@ -24,19 +24,24 @@ object Bench {
     // that query's pipeline. BASELINE.md documents this methodology.
     // dev filter: SPARK_GRAFT_ONLY=q23,q55 benches just those prefixes
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }.map {
-      case (name, fn) =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          // noop sink: materializes every output column (count() would let
-          // Catalyst prune whole expression trees and flatter the numbers)
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // INTERLEAVED min-of-N: all queries once, then all again. Back-to-back
+    // repeats of one query land inside the same machine-contention burst
+    // and both get inflated (observed: a 3 s query measured 41 s twice in
+    // a row); separating the repeats by a full sweep makes the min robust
+    // to bursts shorter than a sweep.
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to runs; (name, fn) <- selected) {
+      val t0 = System.nanoTime()
+      // noop sink: materializes every output column (count() would let
+      // Catalyst prune whole expression trees and flatter the numbers)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      times(name) = math.min(t, times.getOrElse(name, Double.MaxValue))
     }
+    val results = selected.map { case (name, _) => name -> times(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
