@@ -26,20 +26,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    // INTERLEAVED min-of-N: all queries once, then all again. Back-to-back
-    // repeats of one query land inside the same machine-contention burst
-    // and both get inflated (observed: a 3 s query measured 41 s twice in
-    // a row); separating the repeats by a full sweep makes the min robust
-    // to bursts shorter than a sweep.
-    val times = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to runs; (name, fn) <- selected) {
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune whole expression trees and flatter the numbers)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(t, times.getOrElse(name, Double.MaxValue))
+      (System.nanoTime() - t0) / 1e9
+    }
+    // back-to-back min-of-N keeps the second run fully warm (plan,
+    // codegen, page cache) — the honest steady-state number. Its failure
+    // mode: a host-level contention burst covering both runs inflates
+    // that query alone (observed: a 3 s query at 41 s twice in a row).
+    // So afterwards, any query whose min is >3× the suite median gets
+    // ONE retry — by then the sweep has moved minutes past the burst.
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for ((name, fn) <- selected; _ <- 1 to runs) {
+      times(name) =
+        math.min(timeOnce(fn), times.getOrElse(name, Double.MaxValue))
+    }
+    val sortedT = times.values.toSeq.sorted
+    val median = sortedT(sortedT.size / 2)
+    for ((name, fn) <- selected if times(name) > 3 * median) {
+      times(name) = math.min(timeOnce(fn), times(name))
     }
     val results = selected.map { case (name, _) => name -> times(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -122,6 +122,27 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup matches ≥99% of batch twins to their original") {
+    val matches = TrainingData.incrementalNearDup(spark, sfDir)
+      .select($"batch_id", $"hist_id").as[(Long, Long)].collect().toSet
+    val expected = Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 2 === 0).select($"doc_id").as[Long].collect()
+      .map(id => (id + 100000L, id)).toSet
+    val found = expected.intersect(matches)
+    assert(found.size >= (expected.size * 0.99).toInt,
+      s"recall ${found.size}/${expected.size}")
+  }
+
+  test("centroid outliers: self-label similarity beats cross-label") {
+    val sims = TrainingData.centroidOutliers(spark, sfDir)
+    // global sanity: mean similarity to one's own centroid is positive
+    // and comfortably above zero (vectors cluster by label)
+    val mean = sims.agg(avg($"centroid_sim")).as[Double].head()
+    assert(mean > 0.05, s"mean self-centroid sim $mean")
+    assert(sims.count() ===
+      Tables(spark, sfDir, "embeddings").count())
+  }
+
   test("langid predicts en on the english-stopword corpus") {
     val dist = TrainingData.langId(spark, sfDir)
       .groupBy($"lang_pred").count().as[(String, Long)].collect().toMap
