@@ -39,17 +39,23 @@ object Curation {
     * per-document count aggregation, keyed by doc_id (uniform). */
   val decontaminate: Q = (s, dir) => {
     import s.implicits._
-    val sh = tokenized(s, dir)
-      .select($"doc_id", TextOps.shinglesFromTokens($"toks", ShingleN).as("sh"))
-    val benchGrams = sh.filter($"doc_id" % 25 === 0)
-      .select(explode($"sh").as("g")).distinct()
-      .withColumn("hit", lit(1))
     // single pass over the train shingles: shingle sets are distinct per
     // doc, so n_grams is recovered as count(*) post-explode and n_shared
     // as the count of broadcast-probe hits — the shingle builder (the
-    // expensive tokenize+slice subtree) runs once, not three times
-    sh.filter($"doc_id" % 25 =!= 0)
-      .select($"doc_id", explode($"sh").as("g"))
+    // expensive tokenize+slice subtree) runs once, not three times.
+    // The shingle expression is exploded DIRECTLY (not projected to a
+    // column first): explode of a materialized array column makes
+    // InferFiltersFromGenerate push a `size(shingles(text)) > 0` filter
+    // below the repartition, re-running the whole inlined shingle
+    // pipeline single-threaded on the pre-repartition partition
+    // (measured: 4.0 s → 0.6 s for the explode+count at sf0.1)
+    val tok = tokenized(s, dir)
+    def grams(df: DataFrame) = df.select($"doc_id",
+      explode(TextOps.shinglesFromTokens($"toks", ShingleN)).as("g"))
+    val benchGrams = grams(tok.filter($"doc_id" % 25 === 0))
+      .select($"g").distinct()
+      .withColumn("hit", lit(1))
+    grams(tok.filter($"doc_id" % 25 =!= 0))
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).cast("int").as("n_grams"),
