@@ -70,4 +70,36 @@ class PropertySpec extends SparkSpec {
     df.as[Double].collect().foreach(j =>
       assert(math.abs(j - 1.0) < 1e-12, "order must not matter"))
   }
+
+  test("chunking reconstructs the token stream for arbitrary documents") {
+    // for any token list: chunk k covers tokens [k*24+1, k*24+32]; the
+    // union of chunks covers 1..n exactly, and de-chunking (first 24 of
+    // every chunk + the full final chunk) rebuilds the original
+    val words = org.scalacheck.Gen.listOfN(
+      org.scalacheck.Gen.choose(1, 90).sample.getOrElse(30),
+      org.scalacheck.Gen.identifier.map(_.take(6).toLowerCase))
+    val docs = samples(words, 30).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.filter(_.nonEmpty).mkString(" ")) }
+      .filter(_._2.nonEmpty)
+    val df = docs.toDF("doc_id", "text")
+    val chunks = df.select($"doc_id",
+        graft.functions.TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("n_toks"), $"toks",
+        explode(sequence(lit(0),
+          (greatest(ceil((size($"toks") - 32).cast("double") / 24.0),
+            lit(0L)) + 1L).cast("int") - 1)).as("chunk_id"))
+      .select($"doc_id", $"n_toks", $"chunk_id",
+        slice($"toks", $"chunk_id" * 24 + 1, lit(32)).as("chunk"))
+      .collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      val n = sorted.head.getInt(1)
+      val rebuilt = sorted.init.flatMap(
+        _.getSeq[String](3).take(24)) ++ sorted.last.getSeq[String](3)
+      assert(rebuilt.length === n, "token coverage")
+      // every chunk except the last is full-width or the doc is short
+      sorted.init.foreach(r => assert(r.getSeq[String](3).length === 32))
+    }
+  }
 }
