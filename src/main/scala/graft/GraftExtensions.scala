@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, Hash60}
+import graft.expressions.{CosineSimilarity, Hash60, HllSketchAgg}
 
 /** Engine extension point: registers graft's native expressions with the
   * session so they're callable from SQL and `call_function`.
@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"hash60 expects 1 argument, got ${children.length}")
         Hash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_sketch_estimate"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName,
+        "hll_sketch_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"hll_sketch_estimate expects 1 argument, got ${children.length}")
+        HllSketchAgg(children.head).toAggregateExpression()
       }))
   }
 }

@@ -83,6 +83,27 @@ class ScaleSpec extends SparkSpec {
       s"linear-counting estimate $smallEst too far from 150")
   }
 
+  test("buffer HLL aggregate is bit-identical to the compositional form") {
+    // same hash, same registers, same estimate arithmetic: the
+    // TypedImperativeAggregate must agree EXACTLY, not within error
+    val data = Tables(spark, sfDir, "events")
+      .select($"event_type", $"user_id".cast("string").as("k"))
+    val comp = Sketches.hllDistinct(data, "event_type", $"k")
+      .withColumnRenamed("hll_est", "comp")
+    val buf = Sketches.hllDistinctAgg(data, "event_type", $"k")
+      .withColumnRenamed("hll_est", "buf")
+    val joined = comp.join(buf, "event_type")
+    assert(joined.filter($"comp" =!= $"buf").count() === 0)
+    assert(joined.count() > 0)
+    // and via SQL registration
+    data.createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      "SELECT event_type, hll_sketch_estimate(k) AS s FROM hll_in " +
+        "GROUP BY event_type")
+    assert(comp.join(viaSql, "event_type")
+      .filter($"comp" =!= $"s").count() === 0)
+  }
+
   // ------------------------------------------------ connected components
 
   test("min-label propagation closes chains, pairs and singletons") {
