@@ -69,8 +69,16 @@ object Scale {
     val est = Sketches.hllDistinct(
       e.select($"event_type", $"user_id"),
       "event_type", $"user_id".cast("string"))
-    exact.join(est, Seq("event_type"))
-      .select($"event_type", $"exact_users", $"hll_est")
+    // the TypedImperativeAggregate form rides alongside: bit-identical
+    // by construction (see expressions.HllSketchAgg), so the oracle
+    // simply asserts hll_agg_est = hll_est — the custom aggregate is
+    // correctness-gated, not just spec-tested
+    val estAgg = Sketches.hllDistinctAgg(
+        e.select($"event_type", $"user_id"),
+        "event_type", $"user_id".cast("string"))
+      .withColumnRenamed("hll_est", "hll_agg_est")
+    exact.join(est, Seq("event_type")).join(estAgg, Seq("event_type"))
+      .select($"event_type", $"exact_users", $"hll_est", $"hll_agg_est")
   }
 
   /** q53 — SCD type-2 history build: collapse each user's event stream
@@ -211,7 +219,8 @@ object Scale {
   // assembled by concatenation, not interpolation into stripMargin (the
   // inner SQL's continuation-line '|'s would be eaten)
   private def sqlHll: String =
-    "SELECT x.event_type, x.exact_users, h.hll_est\n" +
+    "SELECT x.event_type, x.exact_users, h.hll_est, " +
+      "h.hll_est AS hll_agg_est\n" +
       "FROM (SELECT event_type, count(DISTINCT user_id) AS exact_users\n" +
       "      FROM events GROUP BY event_type) x\n" +
       "JOIN (" + Sketches.sqlHllDistinct("events", "event_type",
