@@ -125,6 +125,37 @@ class NewsStreamSpec extends SparkSpec {
       "latest re-ingest's content must win")
   }
 
+  test("streaming HLL sketch equals the batch estimate across " +
+    "micro-batches") {
+    val base = Files.createTempDirectory("graft-hll").toString
+    val landing = s"$base/landing"
+    // two landing files → two micro-batches (maxFilesPerTrigger=1), with
+    // overlapping articles so the cross-batch buffer merge is exercised
+    writeBatch(landing, (1 to 40).map(i =>
+      mkRow(i.toLong, s"T$i", "2024-01-01 00:00:00")))
+    writeBatch(landing, (30 to 70).map(i =>
+      mkRow(i.toLong, s"T$i", "2024-01-01 01:00:00")))
+    val q = NewsStream.distinctArticleSketch(
+        NewsStream.landingSource(spark, landing, Schemas.rawNews,
+          maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("hll_stream")
+      .as[(String, Double)].collect().toMap
+    val batch = graft.functions.Sketches.hllDistinctAgg(
+        spark.read.parquet(landing), "source_name",
+        concat_ws("-", $"title", $"url"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed == batch,
+      s"stream $streamed must be bit-identical to batch $batch")
+    // 70 distinct titles → the estimate must be in HLL's error band
+    val est = streamed("globalnews")
+    assert(est > 55 && est < 85, s"estimate $est implausible for 70")
+  }
+
   test("CSV staging codec round-trips the raw_news schema") {
     val base = Files.createTempDirectory("graft-csv").toString
     val df = spark.createDataFrame(
