@@ -20,6 +20,7 @@ object SparkEntry {
       (gq.NewsPipeline.queries, gq.NewsPipeline.oracles),
       (gq.Scale.queries, gq.Scale.oracles),
       (gq.Curation.queries, gq.Curation.oracles),
+      (gq.Governance.queries, gq.Governance.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

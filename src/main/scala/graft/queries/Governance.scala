@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing
+
+/** Data-governance operators (round 2): the executable form of the
+  * reference's dbt schema tests, plus a bloom-filter membership
+  * prefilter for incremental ingest.
+  *
+  * The reference declares its integrity contracts declaratively —
+  * `unique` / `not_null` / `relationships` / `accepted_values` /
+  * `unique_combination_of_columns` over the marts
+  * (`airflow_news/newsdbt/models/datamarts/datamarts.yaml:1-70`,
+  * `models/ref/ref.yaml:3-8`) — and dbt compiles each into a COUNT of
+  * violating rows. q71 is that compiler's output re-expressed as Spark
+  * aggregates: one violation-count row per declared contract, so a CI
+  * gate can `filter(!passed)` exactly like `dbt test`.
+  */
+object Governance {
+
+  // ------------------------------------------------------ contract checks
+
+  /** q71 — contract-check suite (dbt-test semantics):
+    *
+    *  - `unique` / `unique_combination`: number of DISTINCT key values
+    *    occurring more than once (dbt counts the offending *values*,
+    *    not the rows: `GROUP BY k HAVING count(*) > 1`).
+    *  - `not_null`: rows with a NULL in the column.
+    *  - `relationships`: child rows whose non-null FK has no parent
+    *    (dbt excludes NULL FKs).
+    *  - `accepted_values`: rows outside the allowed set (NULLs pass —
+    *    dbt leaves null-handling to `not_null`).
+    *
+    * The suite deliberately includes contracts that FAIL on TPC-H-shaped
+    * data (lineitem.l_orderkey is not unique; the synthetic
+    * (l_orderkey, l_linenumber) combination is not a key either since
+    * line numbers are random, not per-order sequences; 'P' breaks the
+    * narrowed status enum) so the report demonstrates real violation
+    * counts, not a column of zeros.
+    *
+    * Scale: every check is a single aggregate over one table — map-side
+    * partial aggregation collapses each partition to O(groups), and the
+    * final union glues 10 one-row results (driver-side negligible). The
+    * relationship checks broadcast the parent key set when it is small
+    * (customer/supplier dims here); a fact-to-fact relationship would
+    * shuffle on the FK, which is the correct plan at 100 TB too. */
+  val contractChecks: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val customer = Tables(s, dir, "customer")
+    val lineitem = Tables(s, dir, "lineitem")
+    val supplier = Tables(s, dir, "supplier")
+
+    def report(tbl: String, colName: String, test: String,
+        v: DataFrame): DataFrame =
+      v.select(lit(tbl).as("table_name"), lit(colName).as("column_name"),
+        lit(test).as("test"),
+        coalesce($"v", lit(0L)).cast("long").as("n_violations"))
+
+    def uniqueV(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).agg(count(lit(1)).as("v"))
+    def notNullV(df: DataFrame, c: String): DataFrame =
+      df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("v"))
+    def acceptedV(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+      df.agg(sum(when(col(c).isNull || col(c).isin(allowed: _*), 0L)
+        .otherwise(1L)).as("v"))
+    def relationshipV(child: DataFrame, fk: String, parent: DataFrame,
+        pk: String): DataFrame =
+      child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk)).distinct(), col(fk) === col(pk),
+          "left_anti")
+        .agg(count(lit(1)).as("v"))
+
+    val checks = Seq(
+      report("orders", "o_orderkey", "unique",
+        uniqueV(orders, Seq("o_orderkey"))),
+      report("lineitem", "l_orderkey", "unique",
+        uniqueV(lineitem, Seq("l_orderkey"))),
+      report("customer", "c_custkey", "unique",
+        uniqueV(customer, Seq("c_custkey"))),
+      report("lineitem", "l_orderkey,l_linenumber", "unique_combination",
+        uniqueV(lineitem, Seq("l_orderkey", "l_linenumber"))),
+      report("orders", "o_custkey", "not_null",
+        notNullV(orders, "o_custkey")),
+      report("customer", "c_nationkey", "not_null",
+        notNullV(customer, "c_nationkey")),
+      report("orders", "o_custkey", "relationships:customer.c_custkey",
+        relationshipV(orders, "o_custkey", customer, "c_custkey")),
+      report("customer", "c_custkey", "relationships:orders.o_custkey",
+        relationshipV(customer, "c_custkey", orders, "o_custkey")),
+      report("lineitem", "l_suppkey", "relationships:supplier.s_suppkey",
+        relationshipV(lineitem, "l_suppkey", supplier, "s_suppkey")),
+      report("orders", "o_orderstatus", "accepted_values:O,F",
+        acceptedV(orders, "o_orderstatus", Seq("O", "F"))),
+    )
+    checks.reduce(_ unionByName _)
+      .withColumn("passed", $"n_violations" === 0L)
+  }
+
+  // ------------------------------------- bloom-prefiltered ingest dedup
+
+  /** q72 — bloom-filter membership prefilter for incremental ingest
+    * dedup (the scale path in front of q62's exact anti-join): the
+    * corpus history is summarized as a partitioned bloom filter —
+    * `BloomLanes` lanes × `BloomM` buckets, ≤ lanes×M set-bit rows
+    * TOTAL regardless of history size — which BROADCASTS to the
+    * arriving batch. Each batch row probes its `BloomLanes` buckets:
+    * all present → `bloom_maybe` (must run the exact check); any
+    * absent → provably new, skips the expensive exact-dedup shuffle
+    * entirely. No false negatives by construction (spec-asserted:
+    * exact_dup ⇒ bloom_maybe); false positives are visible in the
+    * output as `bloom_maybe ∧ ¬exact_dup`.
+    *
+    * At 100 TB the history key set is far too big to broadcast but the
+    * bloom bits are not (m sized ~10 bits/key, built once by a
+    * map-side-combined distinct-bucket aggregate); the exact anti-join
+    * then runs only over the `bloom_maybe` sliver. Spark's own runtime
+    * `bloom_filter_agg` injection (PlanSpec) is the optimizer doing
+    * this implicitly; this operator is the explicit, cross-engine-
+    * portable form with the hash60 lane family.
+    *
+    * M here is sized for sf-scale history so the oracle also exhibits
+    * genuine false positives; production sizing is m ≈ 1.44·n·log2(1/p)
+    * bits per lane. */
+  private val BloomLanes = 4
+  private val BloomM = 512
+  val bloomIncrementalDedup: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    // same arriving batch as q62: ~1/3 verbatim re-ingests (true dups)
+    // + ~1/3 edited revisions (genuinely new content)
+    val batch = d.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      .unionByName(d.filter($"doc_id" % 3 === 1)
+        .select(($"doc_id" + 200000L).as("doc_id"),
+          concat($"text", lit(" revised v2")).as("text")))
+
+    def h31(c: Column): Column =
+      Hashing.hash60(c).bitwiseAND(lit(Hashing.Mask31))
+    def laneBuckets(df: DataFrame): DataFrame =
+      df.select(df.columns.map(col) :+
+          posexplode(array((0 until BloomLanes).map(l =>
+            Hashing.lane($"h31", l) % BloomM): _*))
+            .as(Seq("lane", "bucket")): _*)
+
+    val historyBits = laneBuckets(d.select(h31($"text").as("h31")))
+      .select($"lane", $"bucket").distinct()
+    val probes = laneBuckets(
+      batch.select($"doc_id", h31($"text").as("h31")))
+    val hits = probes
+      .join(broadcast(historyBits.withColumn("hit", lit(1))),
+        Seq("lane", "bucket"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"hit", lit(0))).as("lanes_hit"))
+    val exact = d.select(md5($"text").as("m")).distinct()
+    batch.withColumn("bm", md5($"text"))
+      .join(broadcast(exact.withColumn("e", lit(1))),
+        $"bm" === $"m", "left")
+      .select($"doc_id", ($"e".isNotNull).as("exact_dup"))
+      .join(hits, Seq("doc_id"))
+      .select($"doc_id", ($"lanes_hit" === BloomLanes).as("bloom_maybe"),
+        $"exact_dup")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q71_contract_checks" -> contractChecks,
+    "q72_bloom_dedup" -> bloomIncrementalDedup,
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val sqlContracts = {
+    def unique(tbl: String, cols: String, label: String, test: String) =
+      s"""SELECT '$tbl' AS table_name, '$label' AS column_name,
+         |  '$test' AS test,
+         |  (SELECT count(*) FROM (SELECT 1 FROM $tbl
+         |    GROUP BY $cols HAVING count(*) > 1) t) AS n_violations"""
+        .stripMargin
+    def notNull(tbl: String, c: String) =
+      s"""SELECT '$tbl', '$c', 'not_null',
+         |  (SELECT count(*) FROM $tbl WHERE $c IS NULL)""".stripMargin
+    def rel(tbl: String, fk: String, ptbl: String, pk: String) =
+      s"""SELECT '$tbl', '$fk', 'relationships:$ptbl.$pk',
+         |  (SELECT count(*) FROM $tbl c WHERE c.$fk IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM $ptbl p
+         |                    WHERE p.$pk = c.$fk))""".stripMargin
+    val checks = Seq(
+      unique("orders", "o_orderkey", "o_orderkey", "unique"),
+      unique("lineitem", "l_orderkey", "l_orderkey", "unique"),
+      unique("customer", "c_custkey", "c_custkey", "unique"),
+      unique("lineitem", "l_orderkey, l_linenumber",
+        "l_orderkey,l_linenumber", "unique_combination"),
+      notNull("orders", "o_custkey"),
+      notNull("customer", "c_nationkey"),
+      rel("orders", "o_custkey", "customer", "c_custkey"),
+      rel("customer", "c_custkey", "orders", "o_custkey"),
+      rel("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      s"""SELECT 'orders', 'o_orderstatus', 'accepted_values:O,F',
+         |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+         |    AND o_orderstatus NOT IN ('O', 'F'))""".stripMargin,
+    )
+    s"""SELECT table_name, column_name, test,
+       |  CAST(n_violations AS BIGINT) AS n_violations,
+       |  n_violations = 0 AS passed
+       |FROM (${checks.mkString("\nUNION ALL\n")}) t""".stripMargin
+  }
+
+  private val sqlBloom = {
+    val h31 = s"(${Hashing.sqlHash60("text")} & ${Hashing.Mask31})"
+    def lanesFrom(src: String, keep: String) =
+      (0 until BloomLanes).map(l =>
+        s"""SELECT $keep, $l AS lane,
+           |  ${Hashing.sqlLane("h31", l)} % $BloomM AS bucket
+           |FROM $src""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH batch AS (
+       |  SELECT doc_id + 100000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' revised v2'
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |hh AS (SELECT DISTINCT $h31 AS h31 FROM documents),
+       |hbits AS (SELECT DISTINCT lane, bucket FROM (
+       |  ${lanesFrom("hh", "h31")}) t),
+       |bh AS (SELECT doc_id, $h31 AS h31 FROM batch),
+       |probes AS (${lanesFrom("bh", "doc_id")}),
+       |hits AS (SELECT p.doc_id,
+       |    count(hb.bucket) AS lanes_hit
+       |  FROM probes p LEFT JOIN hbits hb
+       |    ON p.lane = hb.lane AND p.bucket = hb.bucket
+       |  GROUP BY p.doc_id)
+       |SELECT b.doc_id, h.lanes_hit = $BloomLanes AS bloom_maybe,
+       |  EXISTS (SELECT 1 FROM documents d
+       |          WHERE md5(d.text) = md5(b.text)) AS exact_dup
+       |FROM batch b JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q71_contract_checks" -> sqlContracts,
+    "q72_bloom_dedup" -> sqlBloom,
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Governance
+
+/** Invariants of the governance operators beyond the oracle restatement:
+  * which contracts must pass/fail on TPC-H-shaped data, and the bloom
+  * filter's no-false-negative guarantee. Runs at sf0.001. */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contract suite: PK/FK/not-null contracts hold, the deliberately " +
+    "strict ones report real violations") {
+    val r = Governance.contractChecks(spark, sfDir)
+      .select($"table_name", $"test", $"n_violations", $"passed")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r.size === 10)
+    // genuine integrity of the synthetic warehouse
+    assert(r(("orders", "unique")) === ((0L, true)))
+    assert(r(("customer", "unique")) === ((0L, true)))
+    // synthetic lineitem's l_linenumber is random, not sequenced per
+    // order — the combination contract catches it (what data tests
+    // are for)
+    val (dupCombos, comboPassed) = r(("lineitem", "unique_combination"))
+    assert(!comboPassed && dupCombos > 0)
+    assert(r(("orders", "not_null")) === ((0L, true)))
+    assert(r(("orders", "relationships:customer.c_custkey"))._2)
+    assert(r(("lineitem", "relationships:supplier.s_suppkey"))._2)
+    // deliberately failing contracts must count real violations
+    val (dupOrderkeys, dupPassed) = r(("lineitem", "unique"))
+    assert(!dupPassed && dupOrderkeys > 0,
+      "multi-line orders must violate the lineitem unique contract")
+    // the reversed relationship happens to hold on this warehouse
+    // (every customer has at least one order) — consistency is what's
+    // asserted, the count is data
+    assert(r(("customer", "relationships:orders.o_custkey"))._2)
+    assert(!r(("orders", "accepted_values:O,F"))._2,
+      "'P' status rows must violate the narrowed enum")
+    // passed is derived, never inconsistent
+    assert(r.values.forall { case (n, p) => p == (n == 0L) })
+  }
+
+  test("bloom prefilter never false-negatives; re-ingests all flagged") {
+    val r = Governance.bloomIncrementalDedup(spark, sfDir).cache()
+    // exact_dup ⇒ bloom_maybe: a row the exact check would drop must
+    // never be passed through by the prefilter
+    assert(r.filter($"exact_dup" && !$"bloom_maybe").count() === 0)
+    // verbatim re-ingests (doc_id ≥ 100000, < 200000) are exact dups
+    val reingests = r.filter($"doc_id" < 200000L)
+    assert(reingests.count() > 0)
+    assert(reingests.filter(!$"exact_dup").count() === 0)
+    // revisions are genuinely new content
+    assert(r.filter($"doc_id" >= 200000L && $"exact_dup").count() === 0)
+    r.unpersist()
+  }
+}
