@@ -56,6 +56,38 @@ object NewsStream {
       .select(col("window.start").as("day"), col("source_name"),
         col("n_articles"))
 
+  /** Stream-stream join: the articles stream matched with the sentiment
+    * results stream (the reference runs these as two DAGs gated by a
+    * daily batch handoff; here they meet in-flight). Event-time range
+    * join — a sentiment row joins the article it scored only if it
+    * arrives within the reference's 2-day lookback window
+    * (sentiment_batch.py:64) — plus watermarks on BOTH sides so the
+    * state store evicts: article state older than the join window +
+    * sentiment watermark and sentiment state behind its own watermark
+    * are dropped, keeping state O(window · arrival rate) regardless of
+    * stream length. Without the range condition this would be an
+    * unbounded-state join Spark rightly refuses in append mode. */
+  def joinSentimentStream(articles: DataFrame,
+      sentiment: DataFrame): DataFrame = {
+    val a = articles
+      .withColumn("article_id",
+        md5(concat_ws("-", col("title"), col("source_name"), col("url"))))
+      .withWatermark("publishedat", "1 day")
+    val sRaw = sentiment
+      .withColumnRenamed("ingest_ts", "scored_ts")
+      .withColumn("sentiment_mark",
+        when(col("sentiment_mark") === "N/A", lit(null))
+          .otherwise(col("sentiment_mark")).cast("double"))
+      .withWatermark("scored_ts", "1 day")
+    a.join(sRaw,
+        a("article_id") === sRaw("article_id") &&
+        col("scored_ts") >= col("publishedat") &&
+        col("scored_ts") <= col("publishedat") + expr("INTERVAL 2 DAYS"))
+      .select(a("article_id"), col("title"), col("source_name"),
+        col("publishedat"), col("scored_ts"), col("sentiment_mark"),
+        col("model"))
+  }
+
   /** Streaming distinct-article cardinality per source via the buffer
     * HLL aggregate (expressions.HllSketchAgg): the state store holds ONE
     * 1 KB sketch buffer per source instead of one state row per distinct

@@ -125,6 +125,41 @@ class NewsStreamSpec extends SparkSpec {
       "latest re-ingest's content must win")
   }
 
+  test("stream-stream join matches sentiment to articles within the " +
+    "2-day lookback window only") {
+    val base = Files.createTempDirectory("graft-ssj").toString
+    val (aDir, sDir) = (s"$base/articles", s"$base/sentiment")
+    def aid(title: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$title-globalnews-https://news/$title".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    writeBatch(aDir, Seq(
+      mkRow(1, "T1", "2024-01-01 00:00:00"),
+      mkRow(2, "T2", "2024-01-01 00:00:00")))
+    val sentRows = Seq(
+      Row(1L, aid("T1"), "0.35", "0.70", "m1",
+        ts("2024-01-01 12:00:00")), // in window → joins
+      Row(2L, aid("T2"), "0.50", "N/A", "m1",
+        ts("2024-01-06 00:00:00")), // past the 2-day lookback → dropped
+      Row(3L, "nosuch", "0.10", "0.10", "m1",
+        ts("2024-01-01 01:00:00"))) // unknown article → dropped
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(sentRows), Schemas.sentimentRaw)
+      .coalesce(1).write.mode("append").parquet(sDir)
+    val joined = NewsStream.joinSentimentStream(
+      spark.readStream.schema(Schemas.rawNews).parquet(aDir),
+      spark.readStream.schema(Schemas.sentimentRaw).parquet(sDir))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("ssj").collect()
+    assert(out.length == 1, s"expected 1 joined row, got ${out.length}")
+    assert(out.head.getAs[String]("title") == "T1")
+    assert(out.head.getAs[Double]("sentiment_mark") == 0.35)
+  }
+
   test("streaming HLL sketch equals the batch estimate across " +
     "micro-batches") {
     val base = Files.createTempDirectory("graft-hll").toString
