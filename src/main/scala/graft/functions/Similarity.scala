@@ -118,6 +118,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd assignment step (spherical k-means): every vector to its
+    * max-cosine centroid, ties to the lowest cid. The centroid set
+    * BROADCASTS (K × dims doubles); the scan never shuffles — the
+    * per-vector argmax is a WindowGroupLimit-shaped rank over K rows. */
+  def kmeansAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid").asc)
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("cs", cosine(col("embedding"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+  }
+
+  /** Lloyd centroid update, cross-engine exact: each value quantized to
+    * an integer micro-unit and summed as longs (order-independent where
+    * a double sum is not — the q68 trick); cosine is scale-invariant so
+    * the UN-DIVIDED per-dimension sums are the centroid. Shuffles only
+    * (cid, dim) partial sums — never vectors. */
+  def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(round(col("v").cast("double") * 1000000.0).cast("long"))
+        .as("c"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .as("pairs"))
+      .select(col("cid"),
+        transform(col("pairs"), p => p.getField("c").cast("float"))
+          .as("cemb"))
+
   /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
     * the query's bucket. Recall < 1 by construction; the candidate scan
     * is |bucket| instead of |table|. */

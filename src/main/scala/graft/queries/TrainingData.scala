@@ -244,6 +244,34 @@ object TrainingData {
         $"rank")
   }
 
+  /** q73 — distributed k-means training (2 unrolled Lloyd iterations,
+    * spherical): the trained form of q42's IVF coarse quantizer. Init =
+    * the first K vectors (deterministic); each iteration broadcasts the
+    * K centroids, assigns by max-cosine, and rebuilds centroids as
+    * exact integer micro-unit sums (order-independent — see
+    * Similarity.kmeansUpdate; cosine's scale-invariance makes the
+    * un-divided sum the centroid, so no cross-engine float division).
+    * Per iteration: one broadcast + one (cid, dim) partial-sum shuffle
+    * — the vectors themselves never shuffle, which is the property
+    * that matters at 100 TB. In production the assignment DataFrame is
+    * cached per iteration; here the 2-deep lineage recompute is cheaper
+    * than the cache write. Output: per-vector trajectory (iter-1 vs
+    * iter-2 cell, movement flag) + final cluster size. */
+  private val KmK = 8
+  val kmeansTrain: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val init = e.filter($"vec_id" < KmK)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val a1 = Similarity.kmeansAssign(e, init)
+    val a2 = Similarity.kmeansAssign(e, Similarity.kmeansUpdate(a1))
+    a1.select($"vec_id", $"label", $"cid".as("cid_iter1"))
+      .join(a2.select($"vec_id", $"cid".as("cid_iter2")), Seq("vec_id"))
+      .withColumn("moved", $"cid_iter1" =!= $"cid_iter2")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cid_iter2")))
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -546,6 +574,34 @@ object TrainingData {
        |FROM embeddings e JOIN cents USING (label)""".stripMargin
   }
 
+  private def sqlKmeans: String = {
+    val cosInit = sqlCosCols("e.embedding", "c.cemb")
+    s"""WITH init AS (SELECT vec_id AS cid, embedding AS cemb
+       |  FROM embeddings WHERE vec_id < $KmK),
+       |r1 AS (SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cosInit DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN init c) t WHERE rn = 1),
+       |ex AS (SELECT cid, d AS dim,
+       |    CAST(round(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS v
+       |  FROM r1 CROSS JOIN (SELECT unnest(range($Dims)) AS d) dims),
+       |cent AS (SELECT cid, dim, CAST(sum(v) AS FLOAT) AS c
+       |  FROM ex GROUP BY cid, dim),
+       |cents AS (SELECT cid, list(c ORDER BY dim) AS cemb
+       |  FROM cent GROUP BY cid),
+       |r2 AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cosInit DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1)
+       |SELECT r1.vec_id, r1.label, r1.cid AS cid_iter1,
+       |  r2.cid AS cid_iter2, r1.cid <> r2.cid AS moved,
+       |  count(*) OVER (PARTITION BY r2.cid) AS cluster_size
+       |FROM r1 JOIN r2 USING (vec_id)""".stripMargin
+  }
+
   private def sqlSimhash: String = {
     val votes = (0 until SimhashBits)
       .map(b => s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
@@ -607,6 +663,7 @@ object TrainingData {
     "q66_media_features" -> mediaFeatures,
     "q67_incremental_near_dup" -> incrementalNearDup,
     "q68_centroid_outliers" -> centroidOutliers,
+    "q73_kmeans_train" -> kmeansTrain,
   )
 
   val oracles: Map[String, String] = Map(
@@ -620,6 +677,7 @@ object TrainingData {
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
     "q67_incremental_near_dup" -> sqlIncNearDup,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
+    "q73_kmeans_train" -> sqlKmeans,
     "q40_dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |twins AS (SELECT vec_id + $TwinOffset AS vec_id,

@@ -25,6 +25,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(recall >= 0.99, s"twin recall $recall below 0.99")
   }
 
+  test("k-means Lloyd step is the argmax: no vector prefers its old " +
+    "cell under the updated centroids") {
+    import graft.functions.Similarity
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val init = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val a1 = Similarity.kmeansAssign(e, init)
+    val c1 = Similarity.kmeansUpdate(a1)
+    val a2 = Similarity.kmeansAssign(e, c1)
+    val j = a1.select($"vec_id", $"embedding", $"cid".as("cid1"))
+      .join(a2.select($"vec_id", $"cid".as("cid2")), Seq("vec_id"))
+      .join(c1.select($"cid".as("cid1"), $"cemb".as("c1emb")), Seq("cid1"))
+      .join(c1.select($"cid".as("cid2"), $"cemb".as("c2emb")), Seq("cid2"))
+      .withColumn("s_old", Similarity.cosine($"embedding", $"c1emb"))
+      .withColumn("s_new", Similarity.cosine($"embedding", $"c2emb"))
+    assert(j.filter($"s_new" < $"s_old").count() === 0,
+      "assignment must never decrease a vector's cosine to its centroid")
+    // trajectory output is total and consistent
+    val out = TrainingData.kmeansTrain(spark, sfDir).cache()
+    assert(out.count() === e.count())
+    val sizes = out.groupBy($"cid_iter2").agg(count(lit(1)).as("n"),
+      max($"cluster_size").as("cs"), min($"cluster_size").as("cs2"))
+    assert(sizes.filter($"n" =!= $"cs" || $"n" =!= $"cs2").count() === 0)
+    out.unpersist()
+  }
+
   test("simhash twin hamming distance is small") {
     val maxHam = TrainingData.dedupSimhash(spark, sfDir)
       .agg(max($"twin_hamming")).as[Int].head()
