@@ -151,6 +151,31 @@ object Similarity {
         transform(col("pairs"), p => p.getField("c").cast("float"))
           .as("cemb"))
 
+  /** IVF search over a TRAINED quantizer with multi-cell probing: the
+    * query ranks the K centroids, keeps its `nprobe` nearest cells, and
+    * scans only those inverted lists. nprobe is the recall/cost dial —
+    * nprobe=K degenerates to brute force, nprobe=1 to q42's shape. At
+    * scale the inverted file is `repartition(cid)` + partitioned
+    * storage, so a probe touches nprobe cells' files; the centroid
+    * table (K × dims) broadcasts everywhere. */
+  def ivfProbeTopK(emb: DataFrame, centroids: DataFrame, queryId: Long,
+      k: Int, nprobe: Int): DataFrame = {
+    val assigned = kmeansAssign(emb, centroids)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    val qCells = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), cosine(col("cemb"), col("qv")).as("qcs"))
+      .orderBy(col("qcs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"))
+    assigned.join(broadcast(qCells), Seq("cid"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
     * the query's bucket. Recall < 1 by construction; the candidate scan
     * is |bucket| instead of |table|. */

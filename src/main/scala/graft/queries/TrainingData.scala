@@ -272,6 +272,26 @@ object TrainingData {
         count(lit(1)).over(Window.partitionBy($"cid_iter2")))
   }
 
+  /** q74 — ANN over the TRAINED IVF index with nprobe=2: k-means
+    * centroids from q73's one full Lloyd round quantize the corpus; the
+    * query scans its two nearest cells' inverted lists. The nprobe dial
+    * is what production tunes for recall vs cost (nprobe=1 ≈ q42's
+    * shape; spec measures the recall gain of the trained quantizer +
+    * second probe against brute force). */
+  private val IvfNprobe = 2
+  val annIvfTrainedTopK: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val init = e.filter($"vec_id" < KmK)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val trained = Similarity.kmeansUpdate(Similarity.kmeansAssign(e, init))
+    val top = Similarity.ivfProbeTopK(e, trained, 0L, 10, IvfNprobe)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id", $"label", round($"cos_sim", 6).as("cos_sim"),
+        $"rank")
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -574,9 +594,12 @@ object TrainingData {
        |FROM embeddings e JOIN cents USING (label)""".stripMargin
   }
 
-  private def sqlKmeans: String = {
+  /** Shared CTE prefix: first-K init → assignment r1 → exact-integer
+    * centroid update → trained centroids `cents` → re-assignment r2.
+    * Kept in lockstep with Similarity.kmeansAssign/kmeansUpdate. */
+  private def sqlKmeansCtes: String = {
     val cosInit = sqlCosCols("e.embedding", "c.cemb")
-    s"""WITH init AS (SELECT vec_id AS cid, embedding AS cemb
+    s"""init AS (SELECT vec_id AS cid, embedding AS cemb
        |  FROM embeddings WHERE vec_id < $KmK),
        |r1 AS (SELECT vec_id, label, embedding, cid FROM (
        |    SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -595,11 +618,33 @@ object TrainingData {
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY $cosInit DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1)
+       |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private def sqlKmeans: String =
+    s"""WITH $sqlKmeansCtes
        |SELECT r1.vec_id, r1.label, r1.cid AS cid_iter1,
        |  r2.cid AS cid_iter2, r1.cid <> r2.cid AS moved,
        |  count(*) OVER (PARTITION BY r2.cid) AS cluster_size
        |FROM r1 JOIN r2 USING (vec_id)""".stripMargin
+
+  private def sqlIvfTrained: String = {
+    val qcCos = sqlCosCols("c.cemb", "q.qv")
+    val candCos = sqlCosCols("e.embedding", "q.qv")
+    s"""WITH $sqlKmeansCtes,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qc AS (SELECT c.cid FROM cents c CROSS JOIN q
+       |  ORDER BY $qcCos DESC, c.cid LIMIT $IvfNprobe),
+       |top AS (SELECT e.vec_id, e.label, $candCos AS cs
+       |  FROM r2 JOIN qc USING (cid)
+       |  JOIN embeddings e ON e.vec_id = r2.vec_id
+       |  CROSS JOIN q
+       |  ORDER BY cs DESC, e.vec_id LIMIT 10)
+       |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+       |  CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INTEGER)
+       |    AS rank
+       |FROM top""".stripMargin
   }
 
   private def sqlSimhash: String = {
@@ -664,6 +709,7 @@ object TrainingData {
     "q67_incremental_near_dup" -> incrementalNearDup,
     "q68_centroid_outliers" -> centroidOutliers,
     "q73_kmeans_train" -> kmeansTrain,
+    "q74_ann_ivf_trained" -> annIvfTrainedTopK,
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,6 +724,7 @@ object TrainingData {
     "q67_incremental_near_dup" -> sqlIncNearDup,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
+    "q74_ann_ivf_trained" -> sqlIvfTrained,
     "q40_dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |twins AS (SELECT vec_id + $TwinOffset AS vec_id,

@@ -51,6 +51,17 @@ class TrainingDataSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("trained IVF with nprobe=2 recovers most of the brute-force " +
+    "top-10") {
+    val exact = TrainingData.annCosineTopK(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val ivf = TrainingData.annIvfTrainedTopK(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"trained-IVF nprobe=2 recall@10 $recall below 0.8")
+  }
+
   test("simhash twin hamming distance is small") {
     val maxHam = TrainingData.dedupSimhash(spark, sfDir)
       .agg(max($"twin_hamming")).as[Int].head()
