@@ -71,6 +71,19 @@ object Warehouse {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** ORC interchange sink/source: columnar alternative for consumers
+    * outside the parquet warehouse (Hive-ecosystem handoff). Same
+    * pruning properties as parquet (stripe-level min/max, predicate
+    * pushdown); schema travels in the file so reads need no external
+    * schema. zstd for parity with the parquet side's compression
+    * economics at scale. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSONL sink (S9 request files): one JSON object per line. */
   def writeJsonl(df: DataFrame, jsonCol: String, path: String): Unit =
     df.select(col(jsonCol)).write.mode(SaveMode.Overwrite).text(path)

@@ -206,6 +206,23 @@ class NewsStreamSpec extends SparkSpec {
       Set("T1", "T2"))
   }
 
+  test("ORC interchange round-trips the raw_news schema with pushdown") {
+    val base = Files.createTempDirectory("graft-orc").toString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        mkRow(1, "T1", "2024-01-01 00:00:00"),
+        mkRow(2, "T2", "2024-01-01 01:00:00"))), Schemas.rawNews)
+    Warehouse.writeOrc(df, s"$base/orc")
+    val back = Warehouse.readOrc(spark, s"$base/orc")
+    assert(back.schema.fieldNames.sameElements(Schemas.rawNews.fieldNames))
+    assert(back.count() == 2)
+    // predicate reaches the ORC scan (stripe pruning at scale)
+    val plan = back.filter($"title" === "T1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(title), " +
+      "EqualTo(title,T1)]"), s"filter not pushed:\n$plan")
+  }
+
   test("warehouse mart write partitions by date for pruning") {
     val base = Files.createTempDirectory("graft-wh").toString
     val df = spark.createDataFrame(
