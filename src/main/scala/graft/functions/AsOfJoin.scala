@@ -60,4 +60,41 @@ object AsOfJoin {
     }
     carried.filter(col("_is_probe") === 1).drop("_is_probe")
   }
+
+  /** The native whole-operator form of [[backward]] — identical
+    * semantics and output schema (equality spec-asserted in ScaleSpec),
+    * executed by graft.plans.AsOfJoinExec: each side shuffles
+    * separately on the key (no union row widening) and a two-pointer
+    * merge replaces the window carry-forward. Requires the session to
+    * load GraftExtensions (the planner strategy). */
+  def backwardNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, tieBreak: String,
+      rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute,
+      AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the right side: when both inputs derive from the
+    // same relation (self-as-of), the analyzer's relation dedup re-ids
+    // the right SUBTREE but cannot disambiguate this node's right-side
+    // attribute fields (their ids collide with the left's). Aliasing
+    // gives the right output unique ids that survive the dedup remap;
+    // the optimizer collapses the extra Project away.
+    val rPlan = right.select(right.columns.toIndexedSeq
+        .map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    val payloadAttrs = rightPayload.map(attr(rPlan, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference("asof_" + a.name, a.dataType, nullable = true)())
+    ColumnBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+        attr(lPlan, timeCol), attr(rPlan, timeCol),
+        attr(rPlan, tieBreak), payloadAttrs, payloadOut))
+  }
 }

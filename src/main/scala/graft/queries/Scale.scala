@@ -20,8 +20,11 @@ object Scale {
 
   /** q50 — backward as-of join (event attribution): every purchase is
     * attributed to the user's latest preceding-or-simultaneous click.
-    * One shuffle on user_id (AsOfJoin union-sweep); the oracle is the
-    * naive join+argmax formulation. */
+    * Runs on the NATIVE whole-operator exec (plans.AsOfJoinExec —
+    * per-side shuffles + streaming two-pointer merge), so the DuckDB
+    * oracle (naive join+argmax formulation) gates the custom operator
+    * directly; equality with the union-sweep window form is
+    * spec-asserted in ScaleSpec. */
   val asofJoin: Q = (s, dir) => {
     import s.implicits._
     val e = Tables(s, dir, "events")
@@ -29,8 +32,8 @@ object Scale {
       .select($"user_id", $"ts", $"event_id")
     val clicks = e.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"event_id")
-    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "event_id",
-        Seq("event_id", "ts"))
+    AsOfJoin.backwardNative(purchases, clicks, Seq("user_id"), "ts",
+        "event_id", Seq("event_id", "ts"))
       .select($"event_id".as("purchase_id"), $"user_id",
         $"asof_event_id".as("click_event_id"),
         (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))

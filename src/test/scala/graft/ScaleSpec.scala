@@ -39,6 +39,45 @@ class ScaleSpec extends SparkSpec {
     assert(got(104L).isEmpty, "keyless user must be unmatched")
   }
 
+  test("native as-of exec: same crafted-edge results as the window form") {
+    val probes = Seq(
+      (1L, 20L, 101L), (1L, 5L, 102L), (2L, 50L, 103L), (3L, 10L, 104L)
+    ).toDF("user_id", "sec", "event_id")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+    val refs = Seq(
+      (1L, 10L, 201L), (1L, 20L, 202L),
+      (2L, 40L, 203L), (2L, 40L, 204L), (2L, 60L, 205L)
+    ).toDF("user_id", "sec", "event_id")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+    val native = AsOfJoin.backwardNative(probes, refs, Seq("user_id"),
+      "ts", "event_id", Seq("event_id"))
+    // physical node renders as "AsOfJoin" (Exec suffix stripped)
+    assert(native.queryExecution.executedPlan.toString
+      .contains("AsOfJoin "), "strategy must plan the native exec")
+    val got = native.select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(101L).contains(202L) && got(102L).isEmpty &&
+      got(103L).contains(204L) && got(104L).isEmpty)
+  }
+
+  test("native as-of exec equals the window form on the events table") {
+    val e = Tables(spark, sfDir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val window = AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+      "ts", "event_id", Seq("event_id", "ts"))
+      .select($"user_id", $"event_id", $"asof_event_id", $"asof_ts")
+    val native = AsOfJoin.backwardNative(purchases, clicks, Seq("user_id"),
+      "ts", "event_id", Seq("event_id", "ts"))
+      .select($"user_id", $"event_id", $"asof_event_id", $"asof_ts")
+    assert(window.count() === native.count())
+    assert(window.exceptAll(native).isEmpty &&
+      native.exceptAll(window).isEmpty,
+      "native exec must reproduce the window form row-for-row")
+  }
+
   // -------------------------------------------------------- range join
 
   test("band join equals the nested-loop formulation, boundaries inclusive") {
