@@ -165,9 +165,47 @@ object Governance {
         $"exact_dup")
   }
 
+  // ------------------------------------------------------- snapshot diff
+
+  /** q75 — snapshot diff (the executable form of a dbt snapshot /
+    * table-versioning audit): two generations of the documents table
+    * are key-joined and every key classified added / removed / changed
+    * (content hash moved) — the change report an incremental publisher
+    * emits instead of rewriting the world. The synthetic new
+    * generation: every doc_id ≡ 0 (mod 10) deleted, ≡ 1 revised,
+    * ≡ 2 also re-published under a new id.
+    *
+    * Scale: ONE co-partitioned shuffle join on the snapshot key (both
+    * generations bucket by key at 100 TB, making the diff shuffle-free);
+    * unchanged rows are dropped before the report so the output is
+    * O(churn), not O(table). */
+  val snapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val old = Tables(s, dir, "documents")
+      .select($"doc_id", md5($"text").as("old_md5"))
+    val newGen = Tables(s, dir, "documents")
+      .filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 10 === 1, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+      .unionByName(Tables(s, dir, "documents")
+        .filter($"doc_id" % 10 === 2)
+        .select(($"doc_id" + 300000L).as("doc_id"), $"text"))
+      .select($"doc_id", md5($"text").as("new_md5"))
+    old.join(newGen, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"old_md5".isNull, "added")
+          .when($"new_md5".isNull, "removed")
+          .when($"old_md5" =!= $"new_md5", "changed")
+          .otherwise("unchanged"))
+      .filter($"status" =!= "unchanged")
+      .select($"doc_id", $"status", $"old_md5", $"new_md5")
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
+    "q75_snapshot_diff" -> snapshotDiff,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -237,8 +275,28 @@ object Governance {
        |FROM batch b JOIN hits h ON b.doc_id = h.doc_id""".stripMargin
   }
 
+  private val sqlSnapshotDiff =
+    s"""WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+       |newgen AS (
+       |  SELECT doc_id, md5(CASE WHEN doc_id % 10 = 1
+       |      THEN text || ' v2' ELSE text END) AS new_md5
+       |  FROM documents WHERE doc_id % 10 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, md5(text) AS new_md5
+       |  FROM documents WHERE doc_id % 10 = 2)
+       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN o.old_md5 IS NULL THEN 'added'
+       |       WHEN n.new_md5 IS NULL THEN 'removed'
+       |       WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  o.old_md5, n.new_md5
+       |FROM old o FULL OUTER JOIN newgen n ON o.doc_id = n.doc_id
+       |WHERE NOT (o.old_md5 IS NOT NULL AND n.new_md5 IS NOT NULL
+       |           AND o.old_md5 = n.new_md5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q71_contract_checks" -> sqlContracts,
     "q72_bloom_dedup" -> sqlBloom,
+    "q75_snapshot_diff" -> sqlSnapshotDiff,
   )
 }

@@ -42,6 +42,26 @@ class GovernanceSpec extends SparkSpec {
     assert(r.values.forall { case (n, p) => p == (n == 0L) })
   }
 
+  test("snapshot diff classifies exactly the constructed churn") {
+    val r = Governance.snapshotDiff(spark, sfDir).cache()
+    val byStatus = r.groupBy($"status").count()
+      .as[(String, Long)].collect().toMap
+    val n = graft.Tables(spark, sfDir, "documents").count()
+    // doc_id 0..n-1: every ≡0 (mod 10) removed, ≡1 changed, ≡2 re-added
+    def countMod(m: Long) = (0L until n).count(_ % 10 == m).toLong
+    assert(byStatus("removed") === countMod(0))
+    assert(byStatus("changed") === countMod(1))
+    assert(byStatus("added") === countMod(2))
+    // changed rows carry both hashes, added/removed exactly one
+    assert(r.filter($"status" === "changed" &&
+      ($"old_md5".isNull || $"new_md5".isNull)).count() === 0)
+    assert(r.filter($"status" === "added" && $"old_md5".isNotNull)
+      .count() === 0)
+    assert(r.filter($"status" === "removed" && $"new_md5".isNotNull)
+      .count() === 0)
+    r.unpersist()
+  }
+
   test("bloom prefilter never false-negatives; re-ingests all flagged") {
     val r = Governance.bloomIncrementalDedup(spark, sfDir).cache()
     // exact_dup ⇒ bloom_maybe: a row the exact check would drop must
