@@ -190,8 +190,28 @@ object Shaping {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** q76 — unpivot (melt), the inverse reshape of q49: the wide
+    * per-user count matrix back to long (user_id, event_type, n) rows,
+    * via the built-in `unpivot` (plans as Expand — a generate-style
+    * row-multiplier, zero shuffles beyond q49's aggregate; at scale
+    * Expand is map-local and codegen'd). Zero-count cells are kept:
+    * melt must round-trip the matrix, not re-derive the sparse events. */
+  val unpivotCounts: Q = (s, dir) => {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    pivotCounts(s, dir).unpivot(
+        Array($"user_id"),
+        types.map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .select($"user_id",
+        // unpivot names rows after the source columns; strip the n_
+        // prefix so the long form matches the raw event_type domain
+        regexp_replace($"event_type", "^n_", "").as("event_type"), $"n")
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
+    "q76_unpivot_counts" -> unpivotCounts,
     "q47_rollup_summary" -> rollupSummary,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
@@ -235,6 +255,28 @@ object Shaping {
         | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
         |   AS n_error
         |FROM events GROUP BY user_id""".stripMargin,
+    "q76_unpivot_counts" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_click,
+        |   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_view,
+        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_purchase,
+        |   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_signup,
+        |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_error
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, t.event_type,
+        |  CASE t.event_type
+        |    WHEN 'click' THEN n_click WHEN 'view' THEN n_view
+        |    WHEN 'purchase' THEN n_purchase WHEN 'signup' THEN n_signup
+        |    ELSE n_error END AS n
+        |FROM wide CROSS JOIN (SELECT unnest(
+        |  ['click', 'view', 'purchase', 'signup', 'error'])
+        |  AS event_type) t""".stripMargin,
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))

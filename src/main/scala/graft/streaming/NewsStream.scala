@@ -56,6 +56,16 @@ object NewsStream {
       .select(col("window.start").as("day"), col("source_name"),
         col("n_articles"))
 
+  /** Stream-static join: each micro-batch of the articles stream is
+    * enriched with a warehouse dimension (the outlet→bias/country dim
+    * the reference keeps in `config/outletinfo.json`). The static side
+    * is re-planned every trigger — dim updates are picked up without
+    * restarting the stream — and broadcasts when small, so the stream
+    * side never shuffles. */
+  def enrichWithSourceDim(articles: DataFrame,
+      sourceDim: DataFrame): DataFrame =
+    articles.join(broadcast(sourceDim), Seq("source_name"), "left")
+
   /** Stream-stream join: the articles stream matched with the sentiment
     * results stream (the reference runs these as two DAGs gated by a
     * daily batch handoff; here they meet in-flight). Event-time range

@@ -160,6 +160,28 @@ class NewsStreamSpec extends SparkSpec {
     assert(out.head.getAs[Double]("sentiment_mark") == 0.35)
   }
 
+  test("stream-static join enriches micro-batches from the dimension") {
+    val base = Files.createTempDirectory("graft-ssd").toString
+    writeBatch(s"$base/landing", Seq(
+      mkRow(1, "T1", "2024-01-01 00:00:00"),
+      mkRow(2, "T2", "2024-01-01 01:00:00")))
+    val dim = Seq(("globalnews", "centre-ish", 9),
+        ("cbc", "public", 1))
+      .toDF("source_name", "bias_label", "rank")
+    val q = NewsStream.enrichWithSourceDim(
+        NewsStream.landingSource(spark, s"$base/landing", Schemas.rawNews),
+        dim)
+      .writeStream.format("memory").queryName("ssd")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("ssd")
+    assert(out.count() == 2)
+    assert(out.filter($"bias_label" === "centre-ish").count() == 2,
+      "every globalnews row must pick up the dim attributes")
+  }
+
   test("streaming HLL sketch equals the batch estimate across " +
     "micro-batches") {
     val base = Files.createTempDirectory("graft-hll").toString
