@@ -277,8 +277,40 @@ object Curation {
         ($"weight" * MixTargetTokens) / $"avail_tokens" > 1.0)
   }
 
+  /** q77 — unigram LM surprise (perplexity-proxy quality score): each
+    * document scored by the mean negative log-probability of its tokens
+    * under the corpus's own unigram distribution — the cheap stand-in
+    * for "score with a small LM and drop the weird tail" (high surprise
+    * = off-distribution text). Two passes: (1) corpus token counts (one
+    * uniform-key shuffle, map-side combined — Zipf collapses hard);
+    * (2) tokens re-joined with their counts and summed per doc.
+    *
+    * Portability: ln(p) is quantized to an exact integer micro-unit
+    * per TOKEN and summed as longs — double sums are order-dependent,
+    * long sums are not, so the score is identical on any partitioning
+    * and any engine. The vocab side of the join is |vocab| rows (tiny
+    * vs the corpus at any SF) → broadcast; the per-doc aggregation is
+    * the only wide exchange touching corpus-sized data. */
+  val unigramSurprise: Q = (s, dir) => {
+    import s.implicits._
+    val tokd = tokenized(s, dir)
+    val toks = tokd.select($"doc_id", explode($"toks").as("tok"))
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val totals = toks.agg(count(lit(1)).as("total")) // 1-row, stays in-plan
+    val nlpMicro = (-log($"cnt".cast("double") / $"total".cast("double")) *
+      1000000.0)
+    val scored = counts.crossJoin(broadcast(totals)).select($"tok",
+      round(nlpMicro).cast("long").as("nlp_u"))
+    toks.join(broadcast(scored), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"nlp_u").as("sum_u"))
+      .select($"doc_id", $"n_toks",
+        round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_decontaminate" -> decontaminate,
+    "q77_unigram_surprise" -> unigramSurprise,
     "q59_chunk" -> chunk,
     "q60_pii_scrub" -> piiScrub,
     "q61_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -451,8 +483,23 @@ object Curation {
        |FROM ps JOIN w USING (source)""".stripMargin
   }
 
+  private val sqlSurprise =
+    s"""WITH toks AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+       |  FROM documents),
+       |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |tot AS (SELECT count(*) AS total FROM toks),
+       |scored AS (SELECT tok,
+       |    CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS nlp_u
+       |  FROM counts CROSS JOIN tot)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+       |  round(sum(s.nlp_u) / 1000000.0 / count(*), 6) AS mean_surprise
+       |FROM toks t JOIN scored s USING (tok)
+       |GROUP BY t.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q58_decontaminate" -> sqlDecon,
+    "q77_unigram_surprise" -> sqlSurprise,
     "q59_chunk" -> sqlChunk,
     "q60_pii_scrub" -> sqlPii,
     "q61_cms_heavy_hitters" -> sqlCms,

@@ -87,6 +87,40 @@ class CurationSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("unigram surprise: scores sit inside the information-theoretic " +
+    "bounds and rank rare-token docs above common-token docs") {
+    import org.apache.spark.sql.functions.{explode, lit}
+    val scored = Curation.unigramSurprise(spark, sfDir).cache()
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", explode(
+        graft.functions.TextOps.tokens($"text")).as("tok"))
+    val total = toks.count().toDouble
+    val counts = toks.groupBy($"tok").count()
+      .as[(String, Long)].collect().toMap
+    // per-token surprise is bounded by [rarest-possible, most-common]
+    val maxCnt = counts.values.max.toDouble
+    val lo = -math.log(maxCnt / total)
+    val hi = math.log(total)
+    val bad = scored.filter($"mean_surprise" < lo - 1e-6 ||
+      $"mean_surprise" > hi + 1e-6)
+    assert(bad.count() === 0, "score outside information bounds")
+    // ranking: the doc whose tokens are on average rarest must outscore
+    // the doc whose tokens are on average most common (independent
+    // recomputation in plain scala)
+    val perDoc = toks.as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues { ts =>
+        ts.map(t => -math.log(counts(t._2) / total)).sum / ts.size
+      }.toMap
+    val rarest = perDoc.maxBy(_._2)._1
+    val commonest = perDoc.minBy(_._2)._1
+    val s = scored.select($"doc_id", $"mean_surprise")
+      .as[(Long, Double)].collect().toMap
+    assert(s(rarest) > s(commonest))
+    // engine score matches the scala recomputation to quantization error
+    assert(math.abs(s(rarest) - perDoc(rarest)) < 1e-4)
+    scored.unpersist()
+  }
+
   test("pii scrub finds exactly the planted identifiers") {
     val r = Curation.piiScrub(spark, sfDir)
     // exactly one planted email+phone per doc; url count is 1 except
