@@ -253,17 +253,19 @@ object TrainingData {
     * un-divided sum the centroid, so no cross-engine float division).
     * Per iteration: one broadcast + one (cid, dim) partial-sum shuffle
     * — the vectors themselves never shuffle, which is the property
-    * that matters at 100 TB. In production the assignment DataFrame is
-    * cached per iteration; here the 2-deep lineage recompute is cheaper
-    * than the cache write. Output: per-vector trajectory (iter-1 vs
-    * iter-2 cell, movement flag) + final cluster size. */
+    * that matters at 100 TB. The iteration state is materialized per
+    * round (`localCheckpoint`, as ConnectedComponents does) — without
+    * it the iter-1 assignment subtree runs three times (once for the
+    * centroid update, once for iter-2's input, once for the output
+    * join). Output: per-vector trajectory (iter-1 vs iter-2 cell,
+    * movement flag) + final cluster size. */
   private val KmK = 8
   val kmeansTrain: Q = (s, dir) => {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
     val init = e.filter($"vec_id" < KmK)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
-    val a1 = Similarity.kmeansAssign(e, init)
+    val a1 = Similarity.kmeansAssign(e, init).localCheckpoint()
     val a2 = Similarity.kmeansAssign(e, Similarity.kmeansUpdate(a1))
     a1.select($"vec_id", $"label", $"cid".as("cid_iter1"))
       .join(a2.select($"vec_id", $"cid".as("cid_iter2")), Seq("vec_id"))
