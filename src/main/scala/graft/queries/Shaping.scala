@@ -209,9 +209,60 @@ object Shaping {
         regexp_replace($"event_type", "^n_", "").as("event_type"), $"n")
   }
 
+  /** q78 — sequential funnel (click → view → purchase per user): each
+    * stage time is the earliest qualifying event at-or-after the
+    * previous stage. Three stage aggregates, each one co-partitioned
+    * user_id join + groupBy — the distributed funnel shape (no
+    * per-user event collection, no window over full history). Times
+    * compare at SECOND granularity in both engines (events.ts is
+    * ns-precision parquet that Spark reads at µs — sub-second compare
+    * would diverge; see TESTDATA gotcha). */
+  val funnel: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 1000000").as("tsec"))
+    val users = e.select($"user_id").distinct()
+    val t1 = e.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"tsec").as("t_click"))
+    val t2 = e.filter($"event_type" === "view")
+      .join(t1, Seq("user_id"))
+      .filter($"tsec" >= $"t_click")
+      .groupBy($"user_id").agg(min($"tsec").as("t_view"))
+    val t3 = e.filter($"event_type" === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter($"tsec" >= $"t_view")
+      .groupBy($"user_id").agg(min($"tsec").as("t_purchase"))
+    users.join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select($"user_id", $"t_click", $"t_view", $"t_purchase",
+        when($"t_purchase".isNotNull, 3)
+          .when($"t_view".isNotNull, 2)
+          .when($"t_click".isNotNull, 1)
+          .otherwise(0).as("funnel_stage"))
+  }
+
+  /** q79 — retention cohort matrix: users grouped by first-activity day
+    * (their cohort), activity counted per (cohort, day-offset) cell as
+    * distinct users. Two user_id-keyed aggregates + one distinct — the
+    * cohort table is O(days²) regardless of SF, and every exchange key
+    * is uniform. */
+  val retentionCohorts: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val cohorts = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q76_unpivot_counts" -> unpivotCounts,
+    "q78_funnel" -> funnel,
+    "q79_retention_cohorts" -> retentionCohorts,
     "q47_rollup_summary" -> rollupSummary,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
@@ -277,6 +328,39 @@ object Shaping {
         |FROM wide CROSS JOIN (SELECT unnest(
         |  ['click', 'view', 'purchase', 'signup', 'error'])
         |  AS event_type) t""".stripMargin,
+    "q78_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      AS BIGINT) AS tsec FROM events),
+        |t1 AS (SELECT user_id, min(tsec) AS t_click FROM e
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.tsec) AS t_view
+        |  FROM e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.tsec >= t1.t_click
+        |  GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.tsec) AS t_purchase
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tsec >= t2.t_view
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id, t1.t_click, t2.t_view, t3.t_purchase,
+        |  CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+        |       WHEN t2.t_view IS NOT NULL THEN 2
+        |       WHEN t1.t_click IS NOT NULL THEN 1
+        |       ELSE 0 END AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)""".stripMargin,
+    "q79_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |  GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(e.day - c.cohort_day AS INTEGER) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, e.day - c.cohort_day""".stripMargin,
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Shaping
+
+/** Structural invariants of the analytics reshapes beyond the oracle
+  * restatement. Runs at sf0.001. */
+class ShapingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel stages are monotone in time and consistent with nulls") {
+    val f = Shaping.funnel(spark, sfDir).cache()
+    assert(f.filter($"t_view" < $"t_click").count() === 0)
+    assert(f.filter($"t_purchase" < $"t_view").count() === 0)
+    // stage number encodes exactly which times are present (a later
+    // stage requires all earlier ones)
+    assert(f.filter($"funnel_stage" === 3 && ($"t_purchase".isNull ||
+      $"t_view".isNull || $"t_click".isNull)).count() === 0)
+    assert(f.filter($"funnel_stage" === 2 && ($"t_view".isNull ||
+      $"t_purchase".isNotNull)).count() === 0)
+    assert(f.filter($"funnel_stage" === 0 && $"t_click".isNotNull)
+      .count() === 0)
+    f.unpersist()
+  }
+
+  test("retention cohorts: offsets non-negative, day-0 equals cohort " +
+    "size, users conserved") {
+    val m = Shaping.retentionCohorts(spark, sfDir).cache()
+    assert(m.filter($"day_offset" < 0).count() === 0)
+    // every user appears in their cohort's day-0 cell by construction
+    val day0 = m.filter($"day_offset" === 0)
+      .agg(sum($"n_users")).as[Long].head()
+    val users = graft.Tables(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(day0 === users,
+      s"day-0 cells must partition the $users users, got $day0")
+    m.unpersist()
+  }
+}
