@@ -52,6 +52,48 @@ class ArticleSourcesSpec extends SparkSpec {
     assert(got.toSeq == Seq("https://site/news/one", "https://site/news/two"))
   }
 
+  test("DSv2 source: one partition per outlet, agrees with the " +
+    "DataFrame pipeline, prunes columns") {
+    val pages = Map(
+      "https://site/politics" -> linkPage,
+      "https://site/news/one" -> article,
+      "https://site/news/two" -> article,
+      "https://other/feed" -> rss,
+      "https://site/news/a" -> article)
+    // (no page for /news/three or /news/b → fetch-failure rows drop)
+    var reader = spark.read.format("graft-articles")
+      .option("outlets",
+        "lp|https://site/politics,rss_src|https://other/feed")
+      .option("linkre", "href")
+      .option("baseurl", "https://site")
+      .option("keyword", "/news/")
+      .option("narticles", "10")
+    pages.foreach { case (u, b) => reader = reader.option(s"page.$u", b) }
+    // only the href linkRe applies to both outlets here; the rss outlet
+    // contributes via absolute <link> hrefs matched by HrefRe? No —
+    // RSS <link> tags carry no href=, so rss_src yields nothing under
+    // the href regex. The assertion pins that behavior too.
+    val ds = reader.load()
+    assert(ds.rdd.getNumPartitions == 2, "one partition per outlet")
+    val got = ds.select($"source_name", $"url").as[(String, String)]
+      .collect().toSet
+    // DataFrame-pipeline formulation on the same fixture
+    val links = ArticleSources.extractLinks(
+      Seq(("lp", linkPage)).toDF("source_name", "body"),
+      ArticleSources.HrefRe, "https://site", Some("/news/"), 10)
+    val fetched = ArticleSources.fetchArticles(
+      links.select($"source_name", $"link").as[(String, String)],
+      new MapFetcher(pages))
+    val expected = fetched.map(r => (r._1, r._2)).collect().toSet
+    assert(got == expected,
+      s"DSv2 $got must equal pipeline $expected")
+    // column pruning reaches the scan: a bodyless projection must not
+    // materialize article bodies
+    val pruned = ds.select($"source_name", $"url")
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("body"), s"body not pruned:\n$pruned")
+  }
+
   test("S3: executor-side fetch drops failed URLs") {
     val fetcher = new MapFetcher(Map("u1" -> article))
     val fetched = ArticleSources.fetchArticles(
