@@ -39,6 +39,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q26_ann_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q50 native as-of: exactly two exchanges, no union row-widening") {
+    val p = plan("q50_asof_join")
+    assert(p.contains("AsOfJoin"), "native exec must be planned")
+    // formatted mode lists each node twice (tree + detail) — count the
+    // numbered detail headers
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2,
+      s"one exchange per side and nothing else:\n$p")
+    assert(!p.contains("Window"), "no window carry-forward in the native plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // the 100 TB shape: a big fact sort-merge-joined to a selectively
     // filtered build side. Spark injects a bloom filter from the build
