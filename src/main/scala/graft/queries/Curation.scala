@@ -308,9 +308,36 @@ object Curation {
         round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
   }
 
+  /** q80 — quality-weighted (importance) sampling: each document's keep
+    * probability is its quality score (stopword fraction as the cheap
+    * in-plan proxy — natural prose carries function words; keyword spam
+    * and boilerplate don't), decided by the same stateless
+    * hash-threshold mechanism as q56: keep iff
+    * hash60("qw|"+doc_id) mod 1e6 < round(score·1e6). No count, no
+    * sort, no RNG state — the same documents survive on any cluster
+    * size/partitioning, and the expected kept-token mass follows the
+    * quality distribution (how curation pipelines skew a fixed token
+    * budget toward higher-quality text without a hard cutoff). */
+  private val SampleStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+  val weightedSample: Q = (s, dir) => {
+    import s.implicits._
+    val n = size($"toks")
+    val nSw = size(filter($"toks", t => t.isInCollection(SampleStopwords)))
+    tokenized(s, dir)
+      .filter(n > 0)
+      .select($"doc_id",
+        round(nSw.cast("double") / n.cast("double") * 1000000.0)
+          .cast("long").as("rate_micro"))
+      .filter(Hashing.hash60(concat(lit("qw|"), $"doc_id".cast("string")))
+        % 1000000L < $"rate_micro")
+      .select($"doc_id", $"rate_micro")
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
+    "q80_weighted_sample" -> weightedSample,
     "q59_chunk" -> chunk,
     "q60_pii_scrub" -> piiScrub,
     "q61_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -497,9 +524,24 @@ object Curation {
        |FROM toks t JOIN scored s USING (tok)
        |GROUP BY t.doc_id""".stripMargin
 
+  private val sqlWeighted = {
+    val swList = SampleStopwords.map(w => s"'$w'").mkString(", ")
+    val h = sqlHash60("'qw|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |    CAST(round(CAST(len(list_filter(toks, w -> w IN ($swList)))
+       |        AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS rate_micro
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, rate_micro FROM r
+       |WHERE $h % 1000000 < rate_micro""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
+    "q80_weighted_sample" -> sqlWeighted,
     "q59_chunk" -> sqlChunk,
     "q60_pii_scrub" -> sqlPii,
     "q61_cms_heavy_hitters" -> sqlCms,

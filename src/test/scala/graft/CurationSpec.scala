@@ -121,6 +121,34 @@ class CurationSpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("weighted sample keeps mass proportional to quality and is " +
+    "reproducible") {
+    import org.apache.spark.sql.functions.{size => asize, _}
+    val kept = Curation.weightedSample(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // reproducible: a second evaluation keeps the identical set
+    val again = Curation.weightedSample(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(kept == again)
+    // expected kept count = Σ rate over all docs; the hash threshold
+    // realizes it without count/sort state (deterministic, so the
+    // tolerance guards construction, not randomness)
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextOps.tokens($"text").as("toks"))
+      .filter(asize($"toks") > 0)
+    val sw = Seq("the", "a", "of", "and", "to", "in", "is")
+    val rates = toks.select(
+        round(asize(filter($"toks", t => t.isInCollection(sw)))
+          .cast("double") / asize($"toks").cast("double") * 1000000.0)
+          .cast("long").as("r"))
+      .as[Long].collect()
+    val expected = rates.sum.toDouble / 1000000.0
+    assert(kept.size > expected * 0.5 && kept.size < expected * 1.7,
+      s"kept ${kept.size} vs expected ≈ $expected")
+    // every kept doc had a positive keep-probability
+    assert(kept.values.forall(_ > 0))
+  }
+
   test("pii scrub finds exactly the planted identifiers") {
     val r = Curation.piiScrub(spark, sfDir)
     // exactly one planted email+phone per doc; url count is 1 except
