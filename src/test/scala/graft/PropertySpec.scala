@@ -26,6 +26,37 @@ class PropertySpec extends SparkSpec {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("native as-of join equals the in-memory reference on random " +
+    "key/time sets") {
+    import java.sql.Timestamp
+    // small key/time domains force collisions: same-key groups, equal
+    // times (tie-break path), keyless probes, empty reference groups
+    val row = Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 50L))
+    val cases = for (i <- 0 until 8) yield {
+      val probes = samples(row, 40).zipWithIndex
+        .map { case ((k, t), id) => (k, t, 1000L + id) }
+      val refs = samples(row, 40).zipWithIndex
+        .map { case ((k, t), id) => (k, t, 2000L + id) }
+      (probes, refs)
+    }
+    for ((probes, refs) <- cases) {
+      val pDf = probes.toDF("user_id", "sec", "event_id")
+        .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+      val rDf = refs.toDF("user_id", "sec", "event_id")
+        .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_id")
+      val got = graft.functions.AsOfJoin.backwardNative(pDf, rDf,
+          Seq("user_id"), "ts", "event_id", Seq("event_id"))
+        .select($"event_id", $"asof_event_id")
+        .as[(Long, Option[Long])].collect().toMap
+      // reference: argmax over (time, tieBreak) among time <= probe time
+      val expected = probes.map { case (k, t, id) =>
+        val m = refs.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == expected, s"mismatch for probes=$probes refs=$refs")
+    }
+  }
+
   test("surrogate key matches the dbt_utils recipe for arbitrary inputs") {
     val pairs = samples(Gen.zip(asciiText, asciiText), 40)
     val df = pairs.flatMap { case (a, b) =>
