@@ -39,6 +39,50 @@ object Scale {
         (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
   }
 
+  /** q81 — as-of attribution with a tolerance window (the marketing
+    * "click within 1 hour" rule): same native as-of join as q50, then
+    * matches older than the window are nulled out. Equivalent to
+    * constraining the join itself — the latest click ≤ t is also the
+    * latest within [t−tol, t] whenever one exists — so the plan stays
+    * the two-exchange native merge with a post-projection, no extra
+    * join. */
+  val asofTolerance: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val inWindow = $"asof_ts" >= $"ts" - expr("INTERVAL 1 HOUR")
+    AsOfJoin.backwardNative(purchases, clicks, Seq("user_id"), "ts",
+        "event_id", Seq("event_id", "ts"))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        when(inWindow, $"asof_event_id").as("click_event_id"),
+        when(inWindow,
+          unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"),
+        coalesce(inWindow, lit(false)).as("attributed"))
+  }
+
+  /** q82 — FORWARD as-of (next-event attribution): each purchase linked
+    * to the user's earliest error at-or-after it — "did the purchase
+    * flow break afterwards". Forward is backward on the negated
+    * timeline, so the same native exec serves both directions (the
+    * time column is a plain long here; the operator is
+    * type-generic). Ties at the same microsecond resolve to the larger
+    * event id (documented tie policy). */
+  val asofForward: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    def side(t: String) = e.filter($"event_type" === t)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        (-unix_micros($"ts")).as("tneg"))
+    AsOfJoin.backwardNative(side("purchase"), side("error"),
+        Seq("user_id"), "tneg", "event_id", Seq("event_id", "tus"))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"asof_event_id".as("next_error_id"),
+        ($"asof_tus" - $"tus").as("wait_us"))
+  }
+
   /** q51 — keyless band join: for each error event, how many purchases
     * (any user) happened within ±120 s. Bucketized equi-join (see
     * RangeJoin) instead of the nested-loop plan Spark would pick for the
@@ -187,6 +231,8 @@ object Scale {
 
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
+    "q81_asof_tolerance" -> asofTolerance,
+    "q82_asof_forward" -> asofForward,
     "q51_range_join" -> rangeJoin,
     "q52_hll_distinct" -> hllDistinct,
     "q53_scd2_history" -> scd2History,
@@ -206,6 +252,30 @@ object Scale {
       |LEFT JOIN events c
       |  ON c.event_type = 'click' AND c.user_id = p.user_id
       | AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin
+
+  private val sqlAsofTolerance =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      | last(c.event_id ORDER BY c.ts, c.event_id) AS click_event_id,
+      | CAST(epoch_us(p.ts) - epoch_us(max(c.ts)) AS BIGINT) AS gap_us,
+      | count(c.event_id) > 0 AS attributed
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.event_type = 'click' AND c.user_id = p.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin
+
+  private val sqlAsofForward =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      | first(c.event_id ORDER BY c.ts ASC, c.event_id DESC)
+      |   AS next_error_id,
+      | CAST(epoch_us(min(c.ts)) - epoch_us(p.ts) AS BIGINT) AS wait_us
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.event_type = 'error' AND c.user_id = p.user_id
+      | AND c.ts >= p.ts
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin
 
@@ -310,6 +380,8 @@ object Scale {
 
   val oracles: Map[String, String] = Map(
     "q50_asof_join" -> sqlAsof,
+    "q81_asof_tolerance" -> sqlAsofTolerance,
+    "q82_asof_forward" -> sqlAsofForward,
     "q51_range_join" -> sqlRange,
     "q52_hll_distinct" -> sqlHll,
     "q53_scd2_history" -> sqlScd2,

@@ -78,6 +78,19 @@ class ScaleSpec extends SparkSpec {
       "native exec must reproduce the window form row-for-row")
   }
 
+  test("as-of variants: tolerance bounds the gap, forward never looks " +
+    "back") {
+    val tol = Scale.asofTolerance(spark, sfDir)
+    assert(tol.filter($"attributed" &&
+      $"gap_us" > 3600L * 1000000L).count() === 0)
+    assert(tol.filter($"attributed" && $"gap_us" < 0).count() === 0)
+    assert(tol.filter(!$"attributed" && $"click_event_id".isNotNull)
+      .count() === 0)
+    val fwd = Scale.asofForward(spark, sfDir)
+    assert(fwd.filter($"wait_us" < 0).count() === 0,
+      "forward matches must be at-or-after the probe")
+  }
+
   // -------------------------------------------------------- range join
 
   test("band join equals the nested-loop formulation, boundaries inclusive") {
