@@ -78,6 +78,26 @@ class ScaleSpec extends SparkSpec {
       "native exec must reproduce the window form row-for-row")
   }
 
+  test("native as-of exec handles composite keys") {
+    val probes = Seq((1L, "a", 20L, 101L), (1L, "b", 20L, 102L),
+        (2L, "a", 9L, 103L))
+      .toDF("k1", "k2", "sec", "event_id")
+      .select($"k1", $"k2", timestamp_seconds($"sec").as("ts"),
+        $"event_id")
+    val refs = Seq((1L, "a", 10L, 201L), (1L, "b", 15L, 202L),
+        (2L, "a", 10L, 203L))
+      .toDF("k1", "k2", "sec", "event_id")
+      .select($"k1", $"k2", timestamp_seconds($"sec").as("ts"),
+        $"event_id")
+    val got = AsOfJoin.backwardNative(probes, refs, Seq("k1", "k2"),
+        "ts", "event_id", Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(101L).contains(201L), "(1,a) must not see (1,b)'s refs")
+    assert(got(102L).contains(202L))
+    assert(got(103L).isEmpty, "(2,a) ref is after the probe")
+  }
+
   test("as-of variants: tolerance bounds the gap, forward never looks " +
     "back") {
     val tol = Scale.asofTolerance(spark, sfDir)
