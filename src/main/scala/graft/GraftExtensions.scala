@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, Hash60, HllSketchAgg}
+import graft.expressions.{CmsSketchAgg, CosineSimilarity, Hash60,
+  HllSketchAgg}
 
 /** Engine extension point: registers graft's native expressions with the
   * session so they're callable from SQL and `call_function`.
@@ -39,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"hll_sketch_estimate expects 1 argument, got ${children.length}")
         HllSketchAgg(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cms_sketch expects (key, weight), got ${children.length}")
+        CmsSketchAgg(children.head, children(1)).toAggregateExpression()
       }))
   }
 }

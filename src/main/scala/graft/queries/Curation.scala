@@ -156,10 +156,27 @@ object Curation {
     val est = broadcast(probes)
       .join(sketch, Seq("lane", "bucket"))
       .groupBy($"word").agg(min($"c").as("cms_est"))
+    // the TypedImperativeAggregate form rides alongside (one 2 KB
+    // buffer instead of ≤256 weighted rows — see
+    // expressions.CmsSketchAgg): cell-for-cell equal by construction,
+    // so the oracle asserts cms_agg_est = cms_est and the custom
+    // aggregate is correctness-gated like the HLL one in q52
+    val sketchArr = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.expressions.CmsSketchAgg(
+        ColumnBridge.expression($"tok"),
+        ColumnBridge.expression($"cnt")).toAggregateExpression())
+    }
+    val aggSketch = tokCounts.agg(sketchArr.as("sk"))
+    val estAgg = broadcast(probes).crossJoin(broadcast(aggSketch))
+      .select($"word",
+        element_at($"sk", ($"lane" * CmsW + $"bucket" + 1).cast("int"))
+          .as("c2"))
+      .groupBy($"word").agg(min($"c2").as("cms_agg_est"))
     val exact = tokCounts.filter($"tok".isin(CmsProbes: _*))
       .select($"tok".as("word"), $"cnt".as("exact_count"))
-    exact.join(est, Seq("word"))
-      .select($"word", $"exact_count", $"cms_est")
+    exact.join(est, Seq("word")).join(estAgg, Seq("word"))
+      .select($"word", $"exact_count", $"cms_est", $"cms_agg_est")
   }
 
   // ------------------------------------------------- incremental dedup
@@ -433,8 +450,8 @@ object Curation {
        |  FROM probes JOIN sketch USING (lane, bucket) GROUP BY word),
        |exact AS (SELECT tok AS word, cnt AS exact_count
        |  FROM tc WHERE tok IN ($probeIn))
-       |SELECT word, exact_count, cms_est FROM exact JOIN est USING (word)"""
-      .stripMargin
+       |SELECT word, exact_count, cms_est, cms_est AS cms_agg_est
+       |FROM exact JOIN est USING (word)""".stripMargin
   }
 
   private val sqlIncr =

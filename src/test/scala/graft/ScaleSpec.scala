@@ -176,6 +176,41 @@ class ScaleSpec extends SparkSpec {
       .filter($"comp" =!= $"s").count() === 0)
   }
 
+  test("buffer CMS aggregate equals the compositional sketch cell for " +
+    "cell across partitioned merges") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.Hashing
+    // words with repeats, spread over many partitions to force the
+    // serialize/merge path; weights exercise the weighted update
+    val words = Seq("join", "join", "hash", "row", "row", "row", "scan")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (w, (i % 3 + 1).toLong) }
+      .toDF("k", "wt").repartition(7)
+    val agg = ColumnBridge.column(graft.expressions.CmsSketchAgg(
+      ColumnBridge.expression($"k"),
+      ColumnBridge.expression($"wt")).toAggregateExpression())
+    val sk = df.agg(agg.as("sk")).as[Seq[Long]].head()
+    assert(sk.length === 4 * 64)
+    // compositional formulation of the same cells
+    val cells = df
+      .withColumn("h31", Hashing.hash60($"k").bitwiseAND(lit(2147483647L)))
+      .select($"wt", posexplode(array((0 until 4).map(l =>
+        Hashing.lane($"h31", l) % 64): _*)).as(Seq("lane", "bucket")))
+      .groupBy($"lane", $"bucket").agg(sum($"wt").as("c"))
+      .as[(Int, Long, Long)].collect()
+    cells.foreach { case (lane, bucket, c) =>
+      assert(sk(lane * 64 + bucket.toInt) === c,
+        s"cell ($lane,$bucket) diverged")
+    }
+    assert(sk.sum === cells.map(_._3).sum * 1L,
+      "total sketch mass must equal total weight × lanes / ... cells")
+    // SQL registration path
+    df.createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql("SELECT cms_sketch(k, wt) AS sk FROM cms_in")
+      .as[Seq[Long]].head()
+    assert(viaSql === sk)
+  }
+
   // ------------------------------------------------ connected components
 
   test("min-label propagation closes chains, pairs and singletons") {
