@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -70,6 +70,33 @@ object Warehouse {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Z-value of two non-negative int columns: interleave the low
+    * `bits` bits (a even positions, b odd) — points close in BOTH
+    * dimensions get close z-values, so range-partitioning by z gives
+    * every file a small 2-D tile of the key space. Pure bit arithmetic,
+    * fully codegen'd. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+        .cast("long")
+    }.reduce(_ + _)
+
+  /** Multi-dimensional clustering (z-order) for data skipping: rows are
+    * range-partitioned and sorted by the interleaved z-value of two
+    * filter dimensions, so parquet file/row-group min-max stats stay
+    * tight on BOTH columns — a predicate on either dimension (or a 2-D
+    * box) prunes most files, where a single-column sort only serves
+    * its own column. The lakehouse OPTIMIZE ZORDER BY, as a write
+    * layout. Skipping is measured, not hoped for, in NewsStreamSpec. */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String,
+      bCol: String, numFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(aCol), col(bCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** ORC interchange sink/source: columnar alternative for consumers
     * outside the parquet warehouse (Hive-ecosystem handoff). Same

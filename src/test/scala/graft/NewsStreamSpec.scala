@@ -245,6 +245,37 @@ class NewsStreamSpec extends SparkSpec {
       "EqualTo(title,T1)]"), s"filter not pushed:\n$plan")
   }
 
+  test("z-order layout keeps both dimensions skippable; single-column " +
+    "sort serves only its own") {
+    import org.apache.spark.sql.functions.input_file_name
+    val base = Files.createTempDirectory("graft-z").toString
+    val grid = spark.range(256L * 256L)
+      .select(($"id" % 256).cast("int").as("x"),
+        ($"id" / 256).cast("int").as("y"))
+    val files = 16
+    // layout A: sorted by x only
+    grid.repartitionByRange(files, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$base/by_x")
+    // layout B: z-ordered on (x, y)
+    Warehouse.writeZOrdered(grid, s"$base/by_z", "x", "y", files)
+    def filesWithRows(path: String): Long =
+      spark.read.parquet(path).filter($"y" < 16)
+        .select(input_file_name()).distinct().count()
+    val xFiles = filesWithRows(s"$base/by_x")
+    val zFiles = filesWithRows(s"$base/by_z")
+    // a y-predicate finds its rows smeared over every x-sorted file,
+    // but confined to a few z-tiles
+    assert(xFiles === files,
+      s"x-sort must spread y-rows over all $files files, got $xFiles")
+    assert(zFiles <= files / 4,
+      s"z-order must confine y-rows to a few tiles, got $zFiles")
+    // and the z layout still serves x-predicates
+    val zxFiles = spark.read.parquet(s"$base/by_z").filter($"x" < 16)
+      .select(input_file_name()).distinct().count()
+    assert(zxFiles <= files / 4,
+      s"z-order must also confine x-rows, got $zxFiles")
+  }
+
   test("warehouse mart write partitions by date for pruning") {
     val base = Files.createTempDirectory("graft-wh").toString
     val df = spark.createDataFrame(
