@@ -83,6 +83,23 @@ object Scale {
         ($"asof_tus" - $"tus").as("wait_us"))
   }
 
+  /** q83 — skew-safe aggregation through the salting path, oracle-gated:
+    * a synthetically skewed key (80% of events collapse onto one hot
+    * key) is counted via `Skew.saltedCount` — phase 1 spreads the hot
+    * key over (key, salt) reducers, phase 2 merges per key — and the
+    * oracle is the plain GROUP BY, proving the two-phase rewrite is
+    * result-identical. At 100 TB this is the aggregation shape AQE
+    * cannot fix (skew-split only covers sort-merge joins); the salt
+    * bounds any single reducer at 1/saltFactor of the hot key. */
+  val saltedAgg: Q = (s, dir) => {
+    import s.implicits._
+    val skewed = Tables(s, dir, "events")
+      .select(when($"user_id" % 10 < 8, lit("hot"))
+        .otherwise($"user_id".cast("string")).as("k"))
+    graft.functions.Skew.saltedCount(skewed, "k", 16)
+      .select($"k", $"cnt")
+  }
+
   /** q51 — keyless band join: for each error event, how many purchases
     * (any user) happened within ±120 s. Bucketized equi-join (see
     * RangeJoin) instead of the nested-loop plan Spark would pick for the
@@ -233,6 +250,7 @@ object Scale {
     "q50_asof_join" -> asofJoin,
     "q81_asof_tolerance" -> asofTolerance,
     "q82_asof_forward" -> asofForward,
+    "q83_salted_agg" -> saltedAgg,
     "q51_range_join" -> rangeJoin,
     "q52_hll_distinct" -> hllDistinct,
     "q53_scd2_history" -> scd2History,
@@ -382,6 +400,12 @@ object Scale {
     "q50_asof_join" -> sqlAsof,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
+    "q83_salted_agg" ->
+      """SELECT CASE WHEN user_id % 10 < 8 THEN 'hot'
+        |       ELSE CAST(user_id AS VARCHAR) END AS k,
+        | count(*) AS cnt
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     "q51_range_join" -> sqlRange,
     "q52_hll_distinct" -> sqlHll,
     "q53_scd2_history" -> sqlScd2,
