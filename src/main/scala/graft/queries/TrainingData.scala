@@ -294,6 +294,36 @@ object TrainingData {
         $"rank")
   }
 
+  /** q84 — k-NN graph construction (the batch "top-k neighbors for
+    * EVERY vector" join behind SemDeDup-style cluster curation, not
+    * just one query's top-k): LSH-bucket self-join prunes candidates
+    * to same-bucket pairs (O(Σ bucket²), never all-pairs), native
+    * cosine scores them, and the per-vector rank filter takes the
+    * WindowGroupLimit path (≤k rows per vector kept before the
+    * shuffle). Vectors in singleton buckets legitimately have no
+    * neighbors — recall/coverage is the LSH dial (more probes = more
+    * planes unioned), same trade as q27. */
+  private val KnnK = 3
+  val knnGraph: Q = (s, dir) => {
+    import s.implicits._
+    val wb = Tables(s, dir, "embeddings")
+      .withColumn("bucket",
+        Similarity.lshBucket($"embedding", NumPlanes, Dims))
+    val pairs = wb.as("a").join(wb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding"))
+          .as("cs"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cs".desc, $"neighbor_id".asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= KnnK)
+      .select($"vec_id", $"neighbor_id", round($"cs", 6).as("cos_sim"),
+        $"rank")
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -712,6 +742,7 @@ object TrainingData {
     "q68_centroid_outliers" -> centroidOutliers,
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
+    "q84_knn_graph" -> knnGraph,
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,6 +758,20 @@ object TrainingData {
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
     "q74_ann_ivf_trained" -> sqlIvfTrained,
+    "q84_knn_graph" -> {
+      val cos = sqlCosCols("a.embedding", "b.embedding")
+      s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cos AS cs
+         |  FROM wb a JOIN wb b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, cs, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT vec_id, neighbor_id, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $KnnK""".stripMargin
+    },
     "q40_dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |twins AS (SELECT vec_id + $TwinOffset AS vec_id,
