@@ -324,6 +324,26 @@ object TrainingData {
         $"rank")
   }
 
+  /** q85 — SemDeDup-style semantic dedup decision: q40's embedding
+    * near-dup PAIRS (LSH buckets → cosine ≥ 0.9 over the twin-planted
+    * corpus) closed into clusters by min-label propagation, then keep
+    * exactly one representative per semantic cluster (the min id —
+    * deterministic). This is the embedding-space mirror of q55's
+    * MinHash pipeline: pairs are necessary but dedup DECISIONS need
+    * the transitive closure, or chains A~B~C keep both endpoints. */
+  val semanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").select($"vec_id")
+    val nodes = e.unionByName(
+        e.select(($"vec_id" + TwinOffset).as("vec_id")))
+      .select($"vec_id".as("id"))
+    val edges = dedupEmbedding(s, dir)
+      .select($"vec_a".as("src"), $"vec_b".as("dst"))
+    graft.functions.ConnectedComponents.minLabel(nodes, edges)
+      .select($"id".as("vec_id"), $"component",
+        ($"id" === $"component").as("keep"))
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val EnWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -654,6 +674,24 @@ object TrainingData {
       .stripMargin
   }
 
+  private def sqlDedupEmbedding: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |twins AS (SELECT vec_id + $TwinOffset AS vec_id,
+       |    list_transform(list_zip(embedding, $sqlNoiseList),
+       |      x -> CAST(CAST(x[1] AS DOUBLE) + x[2] AS FLOAT))
+       |      AS embedding
+       |  FROM base),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+       |wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
+       |       FROM corpus)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${sqlCosCols("a.embedding", "b.embedding")}, 6)
+       |    AS cos_sim
+       |FROM wb a JOIN wb b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(${sqlCosCols("a.embedding", "b.embedding")}, 6)
+       |  >= 0.9""".stripMargin
+
   private def sqlKmeans: String =
     s"""WITH $sqlKmeansCtes
        |SELECT r1.vec_id, r1.label, r1.cid AS cid_iter1,
@@ -743,6 +781,7 @@ object TrainingData {
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
     "q84_knn_graph" -> knnGraph,
+    "q85_semantic_dedup" -> semanticDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -758,6 +797,24 @@ object TrainingData {
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
     "q74_ann_ivf_trained" -> sqlIvfTrained,
+    "q85_semantic_dedup" -> {
+      s"""WITH RECURSIVE pairs AS (
+         |$sqlDedupEmbedding
+         |), edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION SELECT vec_b, vec_a FROM pairs
+         |), nodes AS (
+         |  SELECT vec_id FROM embeddings
+         |  UNION ALL SELECT vec_id + $TwinOffset FROM embeddings
+         |), reach(n, lab) AS (
+         |  SELECT vec_id, vec_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.n
+         |)
+         |SELECT n AS vec_id, min(lab) AS component,
+         |  n = min(lab) AS keep
+         |FROM reach GROUP BY n""".stripMargin
+    },
     "q84_knn_graph" -> {
       val cos = sqlCosCols("a.embedding", "b.embedding")
       s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
@@ -772,23 +829,7 @@ object TrainingData {
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= $KnnK""".stripMargin
     },
-    "q40_dedup_embedding" ->
-      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-         |twins AS (SELECT vec_id + $TwinOffset AS vec_id,
-         |    list_transform(list_zip(embedding, $sqlNoiseList),
-         |      x -> CAST(CAST(x[1] AS DOUBLE) + x[2] AS FLOAT))
-         |      AS embedding
-         |  FROM base),
-         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
-         |wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
-         |       FROM corpus)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  round(${sqlCosCols("a.embedding", "b.embedding")}, 6)
-         |    AS cos_sim
-         |FROM wb a JOIN wb b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(${sqlCosCols("a.embedding", "b.embedding")}, 6)
-         |  >= 0.9""".stripMargin,
+    "q40_dedup_embedding" -> sqlDedupEmbedding,
     "q24_dedup_simhash" -> sqlSimhash,
     "q25_ngram_jaccard" ->
       s"""WITH corpus AS $sqlCorpus,
