@@ -34,6 +34,13 @@ class PlanSpec extends SparkSpec {
     assert(plan("q06_latest_event_per_user").contains("WindowGroupLimit"))
   }
 
+  test("q84: kNN-graph rank filter gets partial + final WindowGroupLimit") {
+    // ≤k rows per vector survive on the map side BEFORE the window's
+    // shuffle — the property that keeps the kNN join exchange O(k·n)
+    val p = plan("q84_knn_graph")
+    assert("\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size == 2, p)
+  }
+
   test("q18/q26: top-k is TakeOrderedAndProject, no global Sort") {
     assert(plan("q18_word_topk").contains("TakeOrderedAndProject"))
     assert(plan("q26_ann_cosine_topk").contains("TakeOrderedAndProject"))
