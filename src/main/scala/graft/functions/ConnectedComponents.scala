@@ -44,9 +44,14 @@ object ConnectedComponents {
       val next = labels.unionByName(viaNeighbour)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() // convergence probe: scalar, short-circuits
+      // convergence probe: scalar, short-circuits. Round 1 never
+      // converges when edges exist (every edge's larger endpoint
+      // adopts the smaller label), so its probe job is skipped.
+      val changed =
+        if (i == 0) 1L
+        else next.as("n").join(labels.as("o"), Seq("id"))
+          .filter(col("n.component") =!= col("o.component"))
+          .limit(1).count()
       labels = next
       converged = changed == 0
       i += 1
