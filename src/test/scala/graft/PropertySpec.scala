@@ -57,6 +57,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("band join equals the all-pairs reference on random timestamps, " +
+    "including bucket boundaries") {
+    // times quantized to whole seconds around the band width so exact
+    // boundary hits (|Δ| == band) occur frequently
+    val bandUs = 5L * 1000000L
+    val t = Gen.choose(0L, 40L)
+    for (c <- 0 until 6) {
+      val ls = samples(t, 25).zipWithIndex
+        .map { case (sec, i) => (sec * 1000000L, 100L + i) }
+      val rs = samples(Gen.zip(t, t).map(_._2), 25).zipWithIndex
+        .map { case (sec, i) => (sec * 1000000L, 200L + i) }
+      val lDf = ls.toDF("lus", "l_id")
+        .select(timestamp_micros($"lus").as("l_ts"), $"l_id")
+      val rDf = rs.toDF("rus", "r_id")
+        .select(timestamp_micros($"rus").as("r_ts"), $"r_id")
+      val got = graft.functions.RangeJoin
+        .pairsWithinBand(lDf, "l_ts", rDf, "r_ts", bandUs)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (lt, li) <- ls; (rt, ri) <- rs
+        if math.abs(lt - rt) <= bandUs
+      } yield (li, ri)).toSet
+      assert(got == expected,
+        s"case $c: missing ${expected -- got}, extra ${got -- expected}")
+    }
+  }
+
   test("surrogate key matches the dbt_utils recipe for arbitrary inputs") {
     val pairs = samples(Gen.zip(asciiText, asciiText), 40)
     val df = pairs.flatMap { case (a, b) =>
