@@ -351,10 +351,39 @@ object Curation {
       .select($"doc_id", $"rate_micro")
   }
 
+  /** q86 — curation verdict (the final keep/drop gate of the pipeline,
+    * with reason codes): three independent signals — document length,
+    * unigram LM surprise (q77's score), stopword fraction — each
+    * becomes a named boolean, and a document ships only if none fire.
+    * Reason flags, not a bare boolean, because production curation
+    * audits WHY mass was dropped (per-rule drop rates drive threshold
+    * tuning). Thresholds sit inside this corpus's observed spread so
+    * every rule demonstrably fires on a real subset. One token scan
+    * feeds all three signals; the vocab join is q77's broadcast. */
+  private val VerdictMinToks = 16L
+  private val VerdictMaxSurprise = 3.41
+  private val VerdictMinStopFrac = 0.02
+  val curationVerdict: Q = (s, dir) => {
+    import s.implicits._
+    val surprise = unigramSurprise(s, dir) // doc_id, n_toks, mean_surprise
+    val stop = tokenized(s, dir).select($"doc_id",
+      round(size(filter($"toks",
+          t => t.isInCollection(SampleStopwords))).cast("double") /
+        size($"toks").cast("double"), 6).as("stop_frac"))
+    surprise.join(stop, Seq("doc_id"))
+      .withColumn("too_short", $"n_toks" < VerdictMinToks)
+      .withColumn("off_distribution",
+        $"mean_surprise" > VerdictMaxSurprise)
+      .withColumn("low_stopword", $"stop_frac" < VerdictMinStopFrac)
+      .withColumn("keep",
+        !$"too_short" && !$"off_distribution" && !$"low_stopword")
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
+    "q86_curation_verdict" -> curationVerdict,
     "q59_chunk" -> chunk,
     "q60_pii_scrub" -> piiScrub,
     "q61_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -555,10 +584,32 @@ object Curation {
        |WHERE $h % 1000000 < rate_micro""".stripMargin
   }
 
+  private val sqlVerdict = {
+    val swList = SampleStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH sur AS ($sqlSurprise),
+       |st AS (SELECT doc_id,
+       |    round(CAST(len(list_filter(toks, w -> w IN ($swList)))
+       |        AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS stop_frac
+       |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |        FROM documents) t),
+       |j AS (SELECT sur.doc_id, sur.n_toks, sur.mean_surprise,
+       |    st.stop_frac,
+       |    sur.n_toks < $VerdictMinToks AS too_short,
+       |    sur.mean_surprise > $VerdictMaxSurprise AS off_distribution,
+       |    st.stop_frac < $VerdictMinStopFrac AS low_stopword
+       |  FROM sur JOIN st USING (doc_id))
+       |SELECT doc_id, n_toks, mean_surprise, stop_frac, too_short,
+       |  off_distribution, low_stopword,
+       |  NOT too_short AND NOT off_distribution AND NOT low_stopword
+       |    AS keep
+       |FROM j""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,
+    "q86_curation_verdict" -> sqlVerdict,
     "q59_chunk" -> sqlChunk,
     "q60_pii_scrub" -> sqlPii,
     "q61_cms_heavy_hitters" -> sqlCms,

@@ -149,6 +149,24 @@ class CurationSpec extends SparkSpec {
     assert(kept.values.forall(_ > 0))
   }
 
+  test("curation verdict: every rule fires on a real subset, keep is " +
+    "their conjunction, and mass is audited not vanished") {
+    val v = Curation.curationVerdict(spark, sfDir).cache()
+    val n = v.count()
+    for (rule <- Seq("too_short", "off_distribution", "low_stopword")) {
+      val fired = v.filter(col(rule)).count()
+      assert(fired > 0, s"$rule never fires — threshold is decorative")
+      assert(fired < n, s"$rule drops everything")
+    }
+    assert(v.filter($"keep" &&
+      ($"too_short" || $"off_distribution" || $"low_stopword"))
+      .count() === 0)
+    assert(v.filter(!$"keep" && !$"too_short" && !$"off_distribution" &&
+      !$"low_stopword").count() === 0, "drops must carry a reason")
+    assert(v.filter($"keep").count() > 0)
+    v.unpersist()
+  }
+
   test("pii scrub finds exactly the planted identifiers") {
     val r = Curation.piiScrub(spark, sfDir)
     // exactly one planted email+phone per doc; url count is 1 except
