@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * O(component diameter) rounds. Near-dup graphs are shallow (clusters
   * of copies, diameter ≲ 3), so this beats the constant-factor-heavy
   * alternating small-star/large-star algorithm (Kiveris et al. 2014)
-  * that a billion-node web graph would call for; swap it in if
-  * diameters grow. `localCheckpoint` truncates the lineage each round —
-  * without it the plan doubles per iteration and the driver, not the
-  * data, becomes the bottleneck.
+  * that a billion-node web graph would call for; [[largeSmallStar]] IS
+  * that swap, same (id, component) contract, for deep graphs.
+  * `localCheckpoint` truncates the lineage each round — without it the
+  * plan doubles per iteration and the driver, not the data, becomes
+  * the bottleneck.
   */
 object ConnectedComponents {
 
@@ -57,6 +58,90 @@ object ConnectedComponents {
       i += 1
     }
     labels.unionByName(
+      nodes.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+  }
+
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — the algorithm web-scale graph systems use). Converges in
+    * O(log² n) rounds INDEPENDENT of component diameter, vs
+    * [[minLabel]]'s O(diameter): on a billion-node graph with long
+    * chains (link graphs, citation chains) min-label's per-hop rounds
+    * are the bottleneck; star-contraction halves path lengths every
+    * round. Each half-round is one partial-aggregated groupBy-min plus
+    * one join back on the SAME key — the join reuses the groupBy's hash
+    * partitioning, so a round costs two shuffles of the edge set and
+    * the edge set only ever shrinks toward one star edge per non-root
+    * node.
+    *
+    * large-star: every node's strictly-larger neighbours re-attach to
+    * the min of its closed neighbourhood. small-star: every node's
+    * smaller neighbours (and itself) attach to that min. Both preserve
+    * connectivity and strictly reduce total edge "height"; the fixpoint
+    * is a forest of stars rooted at each component's minimum id.
+    *
+    * Same contract as [[minLabel]] (nodes(id), edges(src,dst) →
+    * (id, component = min reachable id)); equality is spec-asserted on
+    * chains, random graphs and the q55/q87 LSH pair set.
+    */
+  def largeSmallStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val touched = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    // convergence = edge-set fixpoint, probed as (count, hash-xor) —
+    // two scalars per round instead of a full-set anti-join. XOR is
+    // order-independent and can't overflow (the set is distinct, so no
+    // duplicate-cancellation blind spot); equal signatures on
+    // consecutive rounds = fixpoint w.h.p., and maxIter backstops.
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = (-1L, 0L)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // ---- large-star: m(u) = min over u's CLOSED neighbourhood;
+      // each neighbour v > u re-attaches as (v, m). Emitting only the
+      // larger side keeps every edge pointing downhill (no cycles).
+      val bi = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = bi.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = bi.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // ---- small-star: orient (u = larger, v = smaller); m(u) =
+      // min smaller-neighbour; u and every other smaller neighbour
+      // attach to m.
+      val o = ls.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val ssMin = o.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = o.join(ssMin, "u")
+        .select(col("u").as("src"), col("m").as("dst"))
+        .unionByName(o.join(ssMin, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("src"), col("m").as("dst")))
+        .distinct().localCheckpoint()
+      val next = checksum(ss)
+      done = next == sig
+      sig = next
+      e = ss
+      i += 1
+    }
+    // fixpoint edges are star edges child→root; roots never appear on
+    // the left (small-star only emits src > dst).
+    val labels = e.select(col("src").as("id"), col("dst").as("component"))
+    val roots = touched.join(
+        e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.unionByName(roots).unionByName(
       nodes.join(touched, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))
   }

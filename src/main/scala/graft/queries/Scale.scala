@@ -214,6 +214,27 @@ object Scale {
       .select($"id".as("doc_id"), $"component", $"cluster_size")
   }
 
+  /** q87 — q55's near-dup clusters computed by the alternating
+    * large-star/small-star contraction instead of min-label rounds:
+    * the billion-node path (O(log² n) rounds regardless of component
+    * diameter — a web-scale link graph has chains min-label would walk
+    * hop by hop). Identical (doc_id, component, cluster_size) output,
+    * same recursive-CTE oracle as q55. */
+  val dupClustersStar: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id")
+    val nodes = d.unionByName(
+        d.select(($"doc_id" + TrainingData.TwinOffset).as("doc_id")))
+      .select($"doc_id".as("id"))
+    val edges = TrainingData.dedupMinhashLsh(s, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val labels = ConnectedComponents.largeSmallStar(nodes, edges)
+    val sizes = labels.groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select($"id".as("doc_id"), $"component", $"cluster_size")
+  }
+
   /** q56 — deterministic stratified sampling by hash threshold: 40% of
     * the first five sources, 10% of the rest, with no count, sort, or
     * state — each row decides locally from hash60(doc_id), so the same
@@ -256,6 +277,7 @@ object Scale {
     "q53_scd2_history" -> scd2History,
     "q54_quantiles" -> quantiles,
     "q55_dup_clusters" -> dupClusters,
+    "q87_dup_clusters_star" -> dupClustersStar,
     "q56_sample_stratified" -> sampleStratified,
     "q57_moving_avg" -> movingAvg,
   )
@@ -411,6 +433,7 @@ object Scale {
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q55_dup_clusters" -> sqlDupClusters,
+    "q87_dup_clusters_star" -> sqlDupClusters,
     "q56_sample_stratified" -> sqlSample,
     "q57_moving_avg" -> sqlMovingAvg,
   )

@@ -225,6 +225,29 @@ class ScaleSpec extends SparkSpec {
     assert(got(20L) == 20L, "singleton keeps its own label")
   }
 
+  test("large/small-star matches min-label on chains, forks and singletons") {
+    // a diameter-63 chain: min-label needs ~63 rounds (capped at 20 it
+    // would be WRONG); star contraction halves heights every round
+    val chainNodes = (1L to 64L).toDF("id")
+    val chainEdges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val viaStar = ConnectedComponents.largeSmallStar(chainNodes, chainEdges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 64L).forall(viaStar(_) == 1L),
+      s"chain must contract to root 1: ${viaStar.filter(_._2 != 1L)}")
+
+    // deterministic pseudo-random graph over 200 nodes + 50 singletons
+    val n = 200L
+    val rngEdges = (0L until 150L)
+      .map(i => ((i * 7919L) % n, (i * i * 104729L + 13L) % n))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val allNodes = (0L until n + 50L).toDF("id")
+    val a = ConnectedComponents.minLabel(allNodes, rngEdges, maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    val b = ConnectedComponents.largeSmallStar(allNodes, rngEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b, "star and min-label components diverge")
+  }
+
   test("q55 clusters: every twin pair lands in one cluster of size ≥ 2") {
     val byDoc = Scale.dupClusters(spark, sfDir)
       .select($"doc_id", $"component").as[(Long, Long)].collect().toMap
