@@ -379,6 +379,50 @@ object Curation {
         !$"too_short" && !$"off_distribution" && !$"low_stopword")
   }
 
+  // ------------------------------------------------- boilerplate removal
+
+  /** q88 — corpus-level boilerplate removal (the CCNet/RefinedWeb move:
+    * a text block shared across documents is template chrome — nav
+    * bars, footers, licence blurbs — not content). Documents are cut
+    * into fixed 8-token blocks, block hashes are counted corpus-wide,
+    * and any block seen in ≥ 2 DISTINCT documents is scrubbed from
+    * every document, which is then reassembled in block order.
+    *
+    * Scale: the block table shuffles once on hash60 for the two-phase
+    * distinct-doc count; the resulting boilerplate set is the heavy
+    * tail of that frequency table — tiny versus the corpus — so the
+    * scrub join BROADCASTS it and the only corpus-sized shuffle is the
+    * doc_id regroup for reassembly. The sub-8-token tail of each doc
+    * carries no shareable block and is out of scope by construction. */
+  private val BlockLen = 8
+  private val BoilerMinDocs = 2
+  val boilerplateScrub: Q = (s, dir) => {
+    import s.implicits._
+    val nBlocks = floor(size($"toks").cast("double") / BlockLen).cast("int")
+    val blocks = tokenized(s, dir)
+      .filter(size($"toks") >= BlockLen)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), nBlocks - 1)).as("block_idx"))
+      .select($"doc_id", $"block_idx",
+        concat_ws(" ",
+          slice($"toks", $"block_idx" * BlockLen + 1, lit(BlockLen)))
+          .as("block_text"))
+      .withColumn("h", Hashing.hash60($"block_text"))
+    val boiler = blocks.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= BoilerMinDocs)
+      .select($"h".as("bh"))
+    blocks.join(broadcast(boiler), $"h" === $"bh", "left")
+      .withColumn("boil", $"bh".isNotNull)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when($"boil", 1)).as("n_dropped"),
+        array_join(transform(
+            array_sort(collect_list(when(!$"boil",
+              struct($"block_idx", $"block_text")))),
+            x => x("block_text")), " ").as("kept_text"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
@@ -392,6 +436,7 @@ object Curation {
     "q64_pack_offsets" -> packOffsets,
     "q69_sample_topn_stratum" -> sampleTopNStratum,
     "q70_mixture_plan" -> mixturePlan,
+    "q88_boilerplate_scrub" -> boilerplateScrub,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -605,6 +650,29 @@ object Curation {
        |FROM j""".stripMargin
   }
 
+  private val sqlBoiler = {
+    val tk = sqlTokens("text")
+    val h = sqlHash60("block_text")
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(i AS INT) AS block_idx,
+       |    array_to_string(tk[(i*$BlockLen+1):(i*$BlockLen+$BlockLen)],
+       |      ' ') AS block_text
+       |  FROM t, UNNEST(range(CAST(floor(len(tk)/$BlockLen.0) AS BIGINT)))
+       |    AS u(i)
+       |  WHERE len(tk) >= $BlockLen),
+       |hb AS (SELECT doc_id, block_idx, block_text, $h AS h FROM b),
+       |boiler AS (SELECT h FROM hb GROUP BY h
+       |           HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+       |j AS (SELECT hb.*, (bo.h IS NOT NULL) AS boil
+       |      FROM hb LEFT JOIN boiler bo ON hb.h = bo.h)
+       |SELECT doc_id, count(*) AS n_blocks,
+       |  count(*) FILTER (WHERE boil) AS n_dropped,
+       |  coalesce(string_agg(block_text, ' ' ORDER BY block_idx)
+       |             FILTER (WHERE NOT boil), '') AS kept_text
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
@@ -618,5 +686,6 @@ object Curation {
     "q64_pack_offsets" -> sqlPack,
     "q69_sample_topn_stratum" -> sqlTopN,
     "q70_mixture_plan" -> sqlMixture,
+    "q88_boilerplate_scrub" -> sqlBoiler,
   )
 }
