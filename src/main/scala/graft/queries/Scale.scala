@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{AsOfJoin, ConnectedComponents, Hashing, RangeJoin,
-  Sketches}
+import graft.functions.{AsOfJoin, ConnectedComponents, Hashing, PageRank,
+  RangeJoin, Sketches}
 
 /** Scale-path operators (round 2, beyond the reference's surface): the
   * join/aggregate shapes a 100 TB training-data or analytics run needs
@@ -235,6 +235,22 @@ object Scale {
       .select($"id".as("doc_id"), $"component", $"cluster_size")
   }
 
+  /** q89 — fixed-point PageRank, 2 power iterations over the bidirected
+    * supplier⇄part co-occurrence graph from lineitem (domain-authority
+    * centrality as a curation quality prior). Integer micro-unit ranks
+    * make distributed sums bit-exact — the oracle is the identical
+    * arithmetic in SQL, not a float approximation. */
+  val pagerank: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select($"dst".as("src"), $"src".as("dst")))
+    PageRank.ranks(edges, iters = 2)
+      .select($"id".as("node_id"), $"rank")
+  }
+
   /** q56 — deterministic stratified sampling by hash threshold: 40% of
     * the first five sources, 10% of the rest, with no count, sort, or
     * state — each row decides locally from hash60(doc_id), so the same
@@ -278,6 +294,7 @@ object Scale {
     "q54_quantiles" -> quantiles,
     "q55_dup_clusters" -> dupClusters,
     "q87_dup_clusters_star" -> dupClustersStar,
+    "q89_pagerank" -> pagerank,
     "q56_sample_stratified" -> sampleStratified,
     "q57_moving_avg" -> movingAvg,
   )
@@ -395,6 +412,34 @@ object Scale {
          |JOIN (SELECT component, count(*) AS cluster_size
          |      FROM comp GROUP BY component) s USING (component)""".stripMargin
 
+  private val sqlPagerank = {
+    // identical fixed-point arithmetic, unrolled; DuckDB `//` on
+    // positive integers = Spark `div`
+    val S = 1000000000000L
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+       |    100000 + l_partkey AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT id, $S // (SELECT n FROM nn) AS rank FROM nodes),
+       |c1 AS (SELECT e.dst AS id, sum(r0.rank // deg.outdeg) AS s
+       |       FROM e JOIN deg ON e.src = deg.src
+       |       JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+       |r1 AS (SELECT nodes.id,
+       |    (15 * $S // 100) // (SELECT n FROM nn)
+       |      + (85 * coalesce(c1.s, 0)) // 100 AS rank
+       |    FROM nodes LEFT JOIN c1 USING (id)),
+       |c2 AS (SELECT e.dst AS id, sum(r1.rank // deg.outdeg) AS s
+       |       FROM e JOIN deg ON e.src = deg.src
+       |       JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+       |r2 AS (SELECT nodes.id,
+       |    (15 * $S // 100) // (SELECT n FROM nn)
+       |      + (85 * coalesce(c2.s, 0)) // 100 AS rank
+       |    FROM nodes LEFT JOIN c2 USING (id))
+       |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank FROM r2""".stripMargin
+  }
+
   private val sqlSample = {
     val h = Hashing.sqlHash60("'sample|' || CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id, source FROM documents
@@ -434,6 +479,7 @@ object Scale {
     "q54_quantiles" -> sqlQuantiles,
     "q55_dup_clusters" -> sqlDupClusters,
     "q87_dup_clusters_star" -> sqlDupClusters,
+    "q89_pagerank" -> sqlPagerank,
     "q56_sample_stratified" -> sqlSample,
     "q57_moving_avg" -> sqlMovingAvg,
   )

@@ -248,6 +248,29 @@ class ScaleSpec extends SparkSpec {
     assert(a === b, "star and min-label components diverge")
   }
 
+  test("fixed-point pagerank: star centre dominates, leaves tie, exact values") {
+    import graft.functions.PageRank
+    // bidirected star 1—2, 1—3, 1—4: deg(1)=3, deg(leaf)=1
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val S = 1000000000000L
+    val got = PageRank.ranks(edges, iters = 2, scale = S)
+      .as[(Long, Long)].collect().toMap
+    // same arithmetic by hand: r0 = S/4 each
+    val r0 = S / 4
+    val base = (15L * S / 100L) / 4
+    val rC1 = base + 85L * (3L * (r0 / 1)) / 100       // centre: 3 leaves
+    val rL1 = base + 85L * (r0 / 3) / 100              // leaf: centre/3
+    val rC2 = base + 85L * (3L * (rL1 / 1)) / 100
+    val rL2 = base + 85L * (rC1 / 3) / 100
+    assert(got(1L) === rC2, s"centre: got ${got(1L)} want $rC2")
+    assert(Seq(2L, 3L, 4L).forall(got(_) === rL2),
+      s"leaves: $got want $rL2")
+    assert(got(1L) > got(2L), "hub must outrank leaves")
+    // mass: truncation only ever loses micro-units, never creates them
+    assert(got.values.sum <= S)
+  }
+
   test("q55 clusters: every twin pair lands in one cluster of size ≥ 2") {
     val byDoc = Scale.dupClusters(spark, sfDir)
       .select($"doc_id", $"component").as[(Long, Long)].collect().toMap

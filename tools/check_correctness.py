@@ -12,6 +12,7 @@ by all columns, exact value equality).
 Dev tool only — the engine itself has no Python dependency.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -36,6 +37,12 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # same filter semantics as graft.Verify/Bench: only check queries
+    # whose name starts with SPARK_GRAFT_ONLY (comma-separable)
+    only = [p for p in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if p]
+    if only:
+        oracles = {k: v for k, v in oracles.items()
+                   if any(k.startswith(p) for p in only)}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
