@@ -202,10 +202,31 @@ object Governance {
       .select($"doc_id", $"status", $"old_md5", $"new_md5")
   }
 
+  /** q90 — MERGE upsert ([[graft.sources.Warehouse.mergeUpsert]]): a
+    * deterministic delta derived from orders (key%10==0 → price+100
+    * update, ==1 → delete, ==2 → insert under a shifted key) merged
+    * into the orders snapshot in one full-outer join pass. Oracle
+    * states the same MERGE as anti-join ∪ surviving-delta. */
+  val mergeUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val delta = t.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 100.0)
+        .withColumn("is_delete", lit(false))
+      .unionByName(t.filter($"o_orderkey" % 10 === 1)
+        .withColumn("is_delete", lit(true)))
+      .unionByName(t.filter($"o_orderkey" % 10 === 2)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+        .withColumn("is_delete", lit(false)))
+    graft.sources.Warehouse.mergeUpsert(t, delta, "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
+    "q90_merge_upsert" -> mergeUpsert,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -298,5 +319,24 @@ object Governance {
     "q71_contract_checks" -> sqlContracts,
     "q72_bloom_dedup" -> sqlBloom,
     "q75_snapshot_diff" -> sqlSnapshotDiff,
+    "q90_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice FROM orders),
+        |d AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice, false AS is_delete
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, true
+        |  FROM t WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, false
+        |  FROM t WHERE o_orderkey % 10 = 2)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM d WHERE NOT is_delete""".stripMargin,
   )
 }

@@ -440,6 +440,40 @@ object TrainingData {
       .limit(15)
   }
 
+  /** q91 — BM25 ranking (Robertson/Spärck Jones): q43's TF-IDF upgraded
+    * with term-frequency saturation (k1 = 1.2) and document-length
+    * normalization (b = 0.75) — the lexical scorer retrieval stacks
+    * actually deploy. Corpus stats (N, avgdl, per-term df) reduce to ONE
+    * broadcast row, so scoring is a map-only pass at any scale; the
+    * float expression tree is mirrored operation-for-operation in the
+    * oracle so both engines walk the same IEEE path. */
+  val bm25Rank: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val statCols = count(lit(1)).cast("long").as("n") +:
+      (sum(size($"toks")) / count(lit(1))).as("avgdl") +:
+      TfidfTerms.map(t => sum(when(array_contains($"toks", t), 1L)
+        .otherwise(0L)).as(s"df_$t"))
+    val stats = tk.agg(statCols.head, statCols.tail: _*)
+    val tfCols = $"doc_id" +: size($"toks").cast("long").as("dl") +:
+      TfidfTerms.map(t =>
+        size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))
+    val withTf = tk.select(tfCols: _*)
+    val score = TfidfTerms.map { t =>
+      (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")) *
+        log((col("n") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5)) + lit(1.0))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select($"doc_id", round(score, 6).as("bm25"))
+      .filter($"bm25" > 0.0)
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
   /** q44 — hybrid retrieval: keyword prefilter over document text, then
     * vector re-rank by cosine to the query embedding (doc_id = vec_id).
     * The lexical filter prunes the candidate set before any vector math
@@ -766,6 +800,7 @@ object TrainingData {
     "q27_ann_lsh_topk" -> annLshTopK,
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q43_tfidf_rank" -> tfidfRank,
+    "q91_bm25_rank" -> bm25Rank,
     "q44_hybrid_search" -> hybridSearch,
     "q45_repetition_score" -> repetitionScore,
     "q46_quality_filter" -> qualityFilter,
@@ -900,6 +935,30 @@ object TrainingData {
          |FROM tf, stats
          |WHERE round($score, 6) > 0.0
          |ORDER BY tfidf DESC, doc_id ASC
+         |LIMIT 15""".stripMargin
+    },
+    "q91_bm25_rank" -> {
+      val dfs = TfidfTerms.map(t =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(", ")
+      val tfs = TfidfTerms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf_$t")
+        .mkString(",\n  ")
+      val score = TfidfTerms.map(t =>
+        s"(tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))" +
+          s" * ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |stats AS (SELECT count(*)::BIGINT AS n,
+         |  sum(len(toks)) / count(*) AS avgdl, $dfs FROM tk),
+         |tf AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |  $tfs
+         |  FROM tk)
+         |SELECT doc_id, round($score, 6) AS bm25
+         |FROM tf, stats
+         |WHERE round($score, 6) > 0.0
+         |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 15""".stripMargin
     },
     "q44_hybrid_search" ->

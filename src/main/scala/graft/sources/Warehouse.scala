@@ -117,4 +117,32 @@ object Warehouse {
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** MERGE INTO as a relational transform: one full-outer shuffle join
+    * on the key produces the next snapshot — WHEN MATCHED [AND delete]
+    * THEN DELETE, WHEN MATCHED THEN UPDATE (delta wins, including its
+    * NULLs), WHEN NOT MATCHED THEN INSERT. Equivalent to the
+    * Delta/Iceberg MERGE semantics the reference's Postgres upsert
+    * (ON CONFLICT DO UPDATE) expresses row-at-a-time; here both sides
+    * shuffle once on the key and every executor merges its slice —
+    * co-locate by bucketing both tables on the key to make the join
+    * shuffle-free at 100 TB.
+    *
+    * @param delta same columns as target plus `deleteFlag` boolean;
+    *              rows flagged true are dropped whether or not matched. */
+  def mergeUpsert(target: DataFrame, delta: DataFrame, key: String,
+      deleteFlag: String = "is_delete"): DataFrame = {
+    val cols = target.columns.toSeq
+    // prefix-rename BOTH sides: the delta is usually derived from the
+    // target, and dataset-qualified columns on a self-join are
+    // ambiguous — by-name resolution over disjoint names never is
+    val t = target.select(cols.map(c => col(c).as(s"__t_$c")): _*)
+    val d = delta.select(
+      (cols :+ deleteFlag).map(c => col(c).as(s"__d_$c")): _*)
+    val matched = col(s"__d_$key").isNotNull
+    t.join(d, col(s"__t_$key") === col(s"__d_$key"), "full_outer")
+      .filter(!coalesce(col(s"__d_$deleteFlag"), lit(false)))
+      .select(cols.map(c =>
+        when(matched, col(s"__d_$c")).otherwise(col(s"__t_$c")).as(c)): _*)
+  }
 }

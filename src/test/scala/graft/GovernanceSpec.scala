@@ -75,4 +75,20 @@ class GovernanceSpec extends SparkSpec {
     assert(r.filter($"doc_id" >= 200000L && $"exact_dup").count() === 0)
     r.unpersist()
   }
+
+  test("mergeUpsert: update wins including NULLs, delete drops, insert lands") {
+    import graft.sources.Warehouse
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val delta = Seq(
+      (1L, null.asInstanceOf[String], 11.0, false), // update: NULL v wins
+      (2L, "b2", 20.0, true),                       // delete
+      (9L, "new", 90.0, false))                     // insert
+      .toDF("k", "v", "x", "is_delete")
+    val got = Warehouse.mergeUpsert(target, delta, "k")
+      .as[(Long, Option[String], Double)].collect().sortBy(_._1)
+    assert(got === Seq((1L, None, 11.0), (3L, Some("c"), 30.0),
+      (9L, Some("new"), 90.0)),
+      s"merge semantics drifted: ${got.toSeq}")
+  }
 }
