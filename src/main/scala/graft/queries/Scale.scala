@@ -83,6 +83,29 @@ object Scale {
         ($"asof_tus" - $"tus").as("wait_us"))
   }
 
+  /** q92 — q50 through the ASOF JOIN SQL syntax (GraftSqlParser): the
+    * statement text parses into the same AsOfJoinPlan/Exec the API
+    * builds, proving the SQL surface end-to-end against the identical
+    * DuckDB oracle. */
+  val asofSql: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+      .createOrReplaceTempView("asof_sql_probes")
+    e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+      .createOrReplaceTempView("asof_sql_quotes")
+    s.sql(
+      """SELECT * FROM asof_sql_probes ASOF JOIN asof_sql_quotes
+        |  ON asof_sql_probes.user_id = asof_sql_quotes.user_id
+        |  AND asof_sql_probes.ts >= asof_sql_quotes.ts
+        |  TIEBREAK event_id PAYLOAD event_id, ts""".stripMargin)
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"asof_event_id".as("click_event_id"),
+        (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
+  }
+
   /** q83 — skew-safe aggregation through the salting path, oracle-gated:
     * a synthetically skewed key (80% of events collapse onto one hot
     * key) is counted via `Skew.saltedCount` — phase 1 spreads the hot
@@ -287,6 +310,7 @@ object Scale {
     "q50_asof_join" -> asofJoin,
     "q81_asof_tolerance" -> asofTolerance,
     "q82_asof_forward" -> asofForward,
+    "q92_asof_sql" -> asofSql,
     "q83_salted_agg" -> saltedAgg,
     "q51_range_join" -> rangeJoin,
     "q52_hll_distinct" -> hllDistinct,
@@ -467,6 +491,7 @@ object Scale {
     "q50_asof_join" -> sqlAsof,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
+    "q92_asof_sql" -> sqlAsof,
     "q83_salted_agg" ->
       """SELECT CASE WHEN user_id % 10 < 8 THEN 'hot'
         |       ELSE CAST(user_id AS VARCHAR) END AS k,
