@@ -351,6 +351,28 @@ object Curation {
       .select($"doc_id", $"rate_micro")
   }
 
+  /** q95 — weighted sampling WITHOUT replacement, Efraimidis–Spirakis:
+    * each row draws key = −ln(u)/w from a hash-derived uniform u and
+    * the N smallest keys ARE a weighted sample without replacement —
+    * one map pass plus a top-N (TakeOrderedAndProject: per-partition
+    * heads, no global sort), vs the naive sequential N-draw loop that
+    * cannot distribute at all. q80 is Bernoulli (random SIZE); this is
+    * the fixed-size companion. u = (hash60+1)/2^60 is exact (power-of-
+    * two scaling), so both engines walk the same doubles. */
+  private val WSampleN = 50
+  val weightedSampleTopN: Q = (s, dir) => {
+    import s.implicits._
+    val u = (Hashing.hash60(concat(lit("wsample|"),
+        $"doc_id".cast("string"))) + 1L).cast("double") /
+      lit(1152921504606846976.0)
+    Tables(s, dir, "documents")
+      .select($"doc_id", (($"n_chars" % 97L) + 1L).as("w"), u.as("u"))
+      .select($"doc_id", $"w", (-log($"u") / $"w").as("es_key"))
+      .orderBy($"es_key".asc, $"doc_id".asc)
+      .limit(WSampleN)
+      .select($"doc_id", $"w", round($"es_key", 9).as("es_key"))
+  }
+
   /** q86 — curation verdict (the final keep/drop gate of the pipeline,
     * with reason codes): three independent signals — document length,
     * unigram LM surprise (q77's score), stopword fraction — each
@@ -437,6 +459,7 @@ object Curation {
     "q69_sample_topn_stratum" -> sampleTopNStratum,
     "q70_mixture_plan" -> mixturePlan,
     "q88_boilerplate_scrub" -> boilerplateScrub,
+    "q95_weighted_sample_topn" -> weightedSampleTopN,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -687,5 +710,15 @@ object Curation {
     "q69_sample_topn_stratum" -> sqlTopN,
     "q70_mixture_plan" -> sqlMixture,
     "q88_boilerplate_scrub" -> sqlBoiler,
+    "q95_weighted_sample_topn" -> {
+      val h = sqlHash60("'wsample|' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, w, round(es_key, 9) AS es_key FROM (
+         |  SELECT doc_id, (n_chars % 97) + 1 AS w,
+         |    -ln(($h + 1)::DOUBLE / 1152921504606846976.0)
+         |      / ((n_chars % 97) + 1) AS es_key
+         |  FROM documents) t
+         |ORDER BY es_key ASC, doc_id ASC
+         |LIMIT $WSampleN""".stripMargin
+    },
   )
 }

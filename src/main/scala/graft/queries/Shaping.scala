@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextOps
 
 /** Window-rewrite, set-op, temporal and statistics operators
   * (SURVEY.md §2.3 J4-J7, §2.4, §2.6).
@@ -158,6 +159,34 @@ object Shaping {
         count(lit(1)).as("n_rows"))
   }
 
+  /** q93 — CUBE over (status, priority): all four grouping sets in one
+    * pass through Expand — q47's ROLLUP covers the hierarchy; CUBE
+    * covers the full cross of subtotal dimensions (dashboard "any
+    * slice" totals without N separate scans). */
+  val cubeSummary: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** q94 — decile bucketing of a per-document quality score (curriculum
+    * /mixture assignment: sample rates per quality band). ntile needs a
+    * TOTAL order — ties broken by doc_id — or bucket boundaries are
+    * nondeterministic across engines and runs. Global sort at 100 TB:
+    * ntile is a range-partitioned sort (Spark's SortExec + a single
+    * pass), or swap to percent_rank over pre-aggregated score
+    * histograms when even that sort is too hot. */
+  val qualityDeciles: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (size(TextOps.tokens($"text")) % 100).as("q_score"))
+    scored.select($"doc_id", $"source", $"q_score",
+      ntile(10).over(Window.orderBy($"q_score", $"doc_id")).as("decile"))
+  }
+
   /** q48 — INTERSECT / EXCEPT set semantics: users who both clicked and
     * purchased, and users who clicked but never purchased, as one
     * labeled union. */
@@ -264,6 +293,8 @@ object Shaping {
     "q78_funnel" -> funnel,
     "q79_retention_cohorts" -> retentionCohorts,
     "q47_rollup_summary" -> rollupSummary,
+    "q93_cube_summary" -> cubeSummary,
+    "q94_quality_deciles" -> qualityDeciles,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
     "q09_backfill_window" -> backfillWindow,
@@ -276,6 +307,19 @@ object Shaping {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_cube_summary" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q94_quality_deciles" -> {
+      val tk = graft.functions.TextOps.sqlTokens("text")
+      s"""SELECT doc_id, source, q_score,
+         | ntile(10) OVER (ORDER BY q_score, doc_id) AS decile
+         |FROM (SELECT doc_id, source, len($tk) % 100 AS q_score
+         |      FROM documents) t""".stripMargin
+    },
     "q47_rollup_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
