@@ -99,4 +99,32 @@ object Sketches {
        |    GROUP BY g, b) y
        |  GROUP BY g) z""".stripMargin
   }
+
+  /** Per-group quantile estimates from a deterministic min-hash sample:
+    * keep the K rows with the smallest hash60 of a unique row key, take
+    * exact quantiles of that sample. The min-K property is what makes
+    * it a SKETCH: min-K(A ∪ B) = min-K(min-K(A) ∪ min-K(B)), so
+    * partitions can sample independently and merge — Spark's
+    * WindowGroupLimit plants exactly that (≤K rows per group survive
+    * each partition BEFORE the shuffle), giving O(groups × K) exchange
+    * bytes at any input size. Unlike approx_percentile the result is
+    * bit-reproducible on any cluster AND cross-engine (the hash decides
+    * membership, not arrival order); the price is sampling error
+    * O(1/√K) instead of a rank bound.
+    *
+    * @param rowKey unique per row — hash ties would make row_number
+    *               nondeterministic (tie-broken by rowKey too). */
+  def sampleQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      rowKey: Column, ps: Seq[Double], k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_hk").asc, col("_rk").asc)
+    df.select(col(groupCol), col(valueCol), rowKey.as("_rk"),
+        Hashing.hash60(rowKey).as("_hk"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), array(ps.map(lit): _*)).as("_qq"),
+        count(lit(1)).as("n_sampled"))
+  }
 }

@@ -217,6 +217,26 @@ object Scale {
         } :+ $"n_rows": _*)
   }
 
+  /** q96 — grouped quantiles from the deterministic min-hash sample
+    * ([[Sketches.sampleQuantiles]]): q54's exact percentile shuffles
+    * every row per group; this shuffles ≤64 rows per group per
+    * partition (WindowGroupLimit) and is still bit-reproducible
+    * cross-engine — the 100 TB grouped-quantile path when
+    * approx_percentile's arrival-order nondeterminism is unacceptable.
+    * Sample error vs exact bounded in ScaleSpec. */
+  val sampleQuantiles: Q = (s, dir) => {
+    import s.implicits._
+    val grouped = Sketches.sampleQuantiles(
+      Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      concat(lit("qsample|"), $"l_orderkey".cast("string"), lit("|"),
+        $"l_linenumber".cast("string")),
+      Seq(0.5, 0.95), k = 64)
+    grouped.select($"l_returnflag",
+      round(element_at($"_qq", 1), 4).as("p50_est"),
+      round(element_at($"_qq", 2), 4).as("p95_est"),
+      $"n_sampled")
+  }
+
   /** q55 — near-dup clustering: the MinHash+LSH candidate pairs of q23
     * (Jaccard ≥ 0.5) closed into connected components by min-label
     * propagation, sized per cluster — LSH finds PAIRS; keep-one-per-
@@ -316,6 +336,7 @@ object Scale {
     "q52_hll_distinct" -> hllDistinct,
     "q53_scd2_history" -> scd2History,
     "q54_quantiles" -> quantiles,
+    "q96_sample_quantiles" -> sampleQuantiles,
     "q55_dup_clusters" -> dupClusters,
     "q87_dup_clusters_star" -> dupClustersStar,
     "q89_pagerank" -> pagerank,
@@ -415,6 +436,24 @@ object Scale {
       | count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  private val sqlSampleQuantiles = {
+    val h = Hashing.sqlHash60(
+      "'qsample|' || CAST(l_orderkey AS VARCHAR) || '|' || " +
+        "CAST(l_linenumber AS VARCHAR)")
+    s"""WITH h AS (SELECT l_returnflag, l_extendedprice,
+       |    $h AS hk,
+       |    'qsample|' || CAST(l_orderkey AS VARCHAR) || '|' ||
+       |      CAST(l_linenumber AS VARCHAR) AS rk
+       |  FROM lineitem),
+       |r AS (SELECT *, row_number() OVER
+       |    (PARTITION BY l_returnflag ORDER BY hk, rk) AS rn FROM h)
+       |SELECT l_returnflag,
+       |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_est,
+       |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_est,
+       |  count(*) AS n_sampled
+       |FROM r WHERE rn <= 64 GROUP BY l_returnflag""".stripMargin
+  }
+
   private def sqlDupClusters: String =
     "WITH RECURSIVE pairs AS (\n" +
       TrainingData.oracles("q23_dedup_minhash_lsh") + "\n),\n" +
@@ -502,6 +541,7 @@ object Scale {
     "q52_hll_distinct" -> sqlHll,
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
+    "q96_sample_quantiles" -> sqlSampleQuantiles,
     "q55_dup_clusters" -> sqlDupClusters,
     "q87_dup_clusters_star" -> sqlDupClusters,
     "q89_pagerank" -> sqlPagerank,

@@ -41,6 +41,13 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size == 2, p)
   }
 
+  test("q96: min-hash sample keeps partial + final WindowGroupLimit") {
+    // ≤64 rows per group survive each partition before the exchange —
+    // the property that makes the sample a mergeable sketch
+    val p = plan("q96_sample_quantiles")
+    assert("\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size == 2, p)
+  }
+
   test("q18/q26: top-k is TakeOrderedAndProject, no global Sort") {
     assert(plan("q18_word_topk").contains("TakeOrderedAndProject"))
     assert(plan("q26_ann_cosine_topk").contains("TakeOrderedAndProject"))

@@ -283,6 +283,21 @@ class ScaleSpec extends SparkSpec {
 
   // --------------------------------------------------------- quantiles
 
+  test("min-hash sample quantiles land within 15% of exact") {
+    // K=64 ⇒ O(1/√K) ≈ 12.5% sampling error; bound the realized error
+    // on real data so "estimate" is a measured claim, not a hope
+    val est = Scale.sampleQuantiles(spark, sfDir)
+      .select($"l_returnflag", $"p50_est").as[(String, Double)]
+      .collect().toMap
+    val exact = Tables(spark, sfDir, "lineitem").groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val rel = math.abs(est(k) - ex) / ex
+      assert(rel < 0.15, s"group $k: sample p50 ${est(k)} vs exact $ex")
+    }
+  }
+
   test("approx_percentile swap stays within 1% of exact quantiles") {
     // q54 documents approx_percentile as the 100 TB path; bound the
     // substitution error on real data so the swap is a measured claim
