@@ -373,6 +373,32 @@ object Curation {
       .select($"doc_id", $"w", round($"es_key", 9).as("es_key"))
   }
 
+  /** q97 — BPE pair statistics: adjacent character-pair frequencies
+    * weighted by word counts — the counting step a byte-pair-encoding
+    * tokenizer trainer iterates (the argmax pair becomes the next
+    * merge). The corpus collapses to its DISTINCT words first (Zipf:
+    * the word table is tiny vs the token stream) so pair explosion
+    * runs per unique word with the count as a weight — the same
+    * pre-aggregation trick as SimHash (q24). Top-30 by weight with a
+    * total-order tie-break. The merge-APPLY step is per-word local
+    * (no shuffle) and belongs to the driver loop of a trainer, not a
+    * corpus pass; at 100 TB each merge round re-runs only this count
+    * over the (still tiny) updated word table. */
+  val bpePairStats: Q = (s, dir) => {
+    import s.implicits._
+    val words = tokenized(s, dir)
+      .select(explode($"toks").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .filter(length($"word") >= 2)
+    words
+      .select($"n", explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy($"pair").agg(sum($"n").as("weight"))
+      .orderBy($"weight".desc, $"pair".asc)
+      .limit(30)
+  }
+
   /** q86 — curation verdict (the final keep/drop gate of the pipeline,
     * with reason codes): three independent signals — document length,
     * unigram LM surprise (q77's score), stopword fraction — each
@@ -460,6 +486,7 @@ object Curation {
     "q70_mixture_plan" -> mixturePlan,
     "q88_boilerplate_scrub" -> boilerplateScrub,
     "q95_weighted_sample_topn" -> weightedSampleTopN,
+    "q97_bpe_pair_stats" -> bpePairStats,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -710,6 +737,20 @@ object Curation {
     "q69_sample_topn_stratum" -> sqlTopN,
     "q70_mixture_plan" -> sqlMixture,
     "q88_boilerplate_scrub" -> sqlBoiler,
+    "q97_bpe_pair_stats" -> {
+      val tk = sqlTokens("text")
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS n
+         |  FROM (SELECT unnest($tk) AS word FROM documents) t
+         |  GROUP BY word HAVING length(word) >= 2),
+         |pairs AS (
+         |  SELECT substring(word, CAST(i AS INT), 2) AS pair, n
+         |  FROM words, UNNEST(range(1, length(word))) AS u(i))
+         |SELECT pair, CAST(sum(n) AS BIGINT) AS weight
+         |FROM pairs GROUP BY pair
+         |ORDER BY weight DESC, pair ASC
+         |LIMIT 30""".stripMargin
+    },
     "q95_weighted_sample_topn" -> {
       val h = sqlHash60("'wsample|' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, w, round(es_key, 9) AS es_key FROM (
