@@ -399,6 +399,20 @@ object Curation {
       .limit(30)
   }
 
+  /** q98 — BPE tokenizer training ([[graft.functions.Bpe.train]]): 8
+    * merge rounds over the corpus's distinct-word table; output is the
+    * ordered merge table (the artifact a tokenizer ships). Not
+    * SQL-expressible (the merge apply needs lookahead replacement RE2
+    * lacks), so the gate is rows-only here and the semantics gate is
+    * CurationSpec's equality against a plain-Scala reference BPE. */
+  val bpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    val words = tokenized(s, dir)
+      .select(explode($"toks").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+    graft.functions.Bpe.train(words, rounds = 8)._1
+  }
+
   /** q86 — curation verdict (the final keep/drop gate of the pipeline,
     * with reason codes): three independent signals — document length,
     * unigram LM surprise (q77's score), stopword fraction — each
@@ -487,6 +501,7 @@ object Curation {
     "q88_boilerplate_scrub" -> boilerplateScrub,
     "q95_weighted_sample_topn" -> weightedSampleTopN,
     "q97_bpe_pair_stats" -> bpePairStats,
+    "q98_bpe_train" -> bpeTrain,
   )
 
   // ---------------------------------------------------------- oracle SQL

@@ -167,6 +167,55 @@ class CurationSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("BPE trainer matches a plain-Scala reference merge-for-merge") {
+    import graft.functions.Bpe
+    // reference BPE with the trainer's exact tie-break
+    // (weight desc, then "a b" string asc)
+    def applyMerge(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    def refBpe(words0: Map[String, Long],
+        rounds: Int): (Seq[(String, String)], Map[String, List[String]]) = {
+      var ws = words0.map { case (w, n) => (w, w.map(_.toString).toList, n) }
+      val out = Seq.newBuilder[(String, String)]
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable
+          .Map[(String, String), Long]().withDefaultValue(0L)
+        ws.foreach { case (_, syms, n) =>
+          syms.zip(syms.drop(1)).foreach(p => counts(p) += n) }
+        if (counts.nonEmpty) {
+          val (a, b) = counts.toSeq
+            .minBy { case ((x, y), w) => (-w, s"$x $y") }._1
+          out += ((a, b))
+          ws = ws.map { case (w, syms, n) => (w, applyMerge(syms, a, b), n) }
+        }
+      }
+      (out.result(), ws.map { case (w, syms, _) => (w, syms) }.toMap)
+    }
+    // back-to-back merge sites ("ababab") are the regex trap the
+    // lookahead exists for; "banana" exercises overlap ("an an")
+    val fixture = Map("ababab" -> 10L, "banana" -> 7L, "abba" -> 5L,
+      "na" -> 3L, "b" -> 2L)
+    val (wantMerges, wantSyms) = refBpe(fixture, 6)
+    val df = fixture.toSeq.toDF("word", "n")
+    val (gotMergesDf, gotSymsDf) = Bpe.train(df, rounds = 6)
+    val gotMerges = gotMergesDf.orderBy($"round")
+      .select($"left", $"right").as[(String, String)].collect().toSeq
+    assert(gotMerges === wantMerges, "merge sequence diverged")
+    val gotSyms = gotSymsDf.select($"word", $"sym").as[(String, String)]
+      .collect().toMap.map { case (w, s) => (w, s.split(" ").toList) }
+    assert(gotSyms === wantSyms, "final segmentation diverged")
+    // corpus run: 8 full rounds, every merged symbol grows
+    val words = Curation.queries("q98_bpe_train")
+    val merges = words(spark, sfDir).collect()
+    assert(merges.length === 8)
+    assert(merges.forall(_.getAs[String]("merged").length >= 2))
+  }
+
   test("pii scrub finds exactly the planted identifiers") {
     val r = Curation.piiScrub(spark, sfDir)
     // exactly one planted email+phone per doc; url count is 1 except
