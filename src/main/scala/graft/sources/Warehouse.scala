@@ -118,6 +118,42 @@ object Warehouse {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Versioned snapshot table with time travel: each write lands under
+    * `v=N+1`, reads resolve latest (or a pinned version) from the
+    * directory listing. This is the minimal form of what Delta/Iceberg
+    * do with a transaction log — good enough for single-writer
+    * recompute-overwrite tables (the reference's dbt `materialized:
+    * table` rebuilds), and it makes q75's snapshot diff a pure read
+    * (`diff(readSnapshot(p, Some(n-1)), readSnapshot(p))`) instead of
+    * a side-saved copy. Multi-writer atomicity needs a log with
+    * compare-and-swap, not a listing — use a real table format there. */
+  def writeSnapshot(df: DataFrame, path: String): Long = {
+    val next = snapshotVersions(df.sparkSession, path)
+      .lastOption.getOrElse(0L) + 1L
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    next
+  }
+
+  def readSnapshot(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"no snapshots under $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  def snapshotVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .sorted
+  }
+
   /** MERGE INTO as a relational transform: one full-outer shuffle join
     * on the key produces the next snapshot — WHEN MATCHED [AND delete]
     * THEN DELETE, WHEN MATCHED THEN UPDATE (delta wins, including its

@@ -76,6 +76,27 @@ class GovernanceSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("snapshot versioning: time travel reads any pinned version") {
+    import graft.sources.Warehouse
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val path = s"$dir/tbl"
+    assert(Warehouse.snapshotVersions(spark, path).isEmpty)
+    assert(Warehouse.writeSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path) === 1L)
+    assert(Warehouse.writeSnapshot(
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), path) === 2L)
+    assert(Warehouse.snapshotVersions(spark, path) === Seq(1L, 2L))
+    assert(Warehouse.readSnapshot(spark, path).orderBy($"k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a2"), (3L, "c")), "latest must be v2")
+    assert(Warehouse.readSnapshot(spark, path, Some(1L)).orderBy($"k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")), "time travel to v1")
+    intercept[IllegalArgumentException] {
+      Warehouse.readSnapshot(spark, path, Some(9L))
+    }
+  }
+
   test("mergeUpsert: update wins including NULLs, delete drops, insert lands") {
     import graft.sources.Warehouse
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
