@@ -118,6 +118,51 @@ object Warehouse {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** File-level data skipping via a min/max stats manifest — the layer
+    * Delta/Iceberg keep in their logs. Parquet already prunes ROW
+    * GROUPS from footers, but only after every file is listed and
+    * opened; at 100 TB / millions of files the win is deciding from
+    * one small manifest which files to schedule at all. Pair with
+    * `writeZOrdered` or a range-partitioned sorted write so per-file
+    * ranges are tight — stats on randomly-laid-out data prune nothing.
+    * The manifest lives under `_manifest` (underscore-prefixed paths
+    * are invisible to Spark's file listing, so plain reads of the
+    * table are unaffected). Stats columns: numeric or string. */
+  def writeWithManifest(df: DataFrame, path: String,
+      statsCols: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(s"$path/_manifest")
+  }
+
+  /** Files whose [min, max] interval overlaps [lo, hi], plus the total
+    * file count (for skip-rate assertions/metrics). */
+  def prunedFiles(spark: SparkSession, path: String, c: String,
+      lo: Any, hi: Any): (Seq[String], Long) = {
+    val m = spark.read.json(s"$path/_manifest")
+    val sel = m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (sel, m.count())
+  }
+
+  /** Range read that only schedules manifest-surviving files; the
+    * residual filter stays because file granularity over-approximates. */
+  def readSkipping(spark: SparkSession, path: String, c: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (files, _) = prunedFiles(spark, path, c, lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.parquet(files: _*)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Versioned snapshot table with time travel: each write lands under
     * `v=N+1`, reads resolve latest (or a pinned version) from the
     * directory listing. This is the minimal form of what Delta/Iceberg

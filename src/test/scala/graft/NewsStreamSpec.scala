@@ -277,6 +277,29 @@ class NewsStreamSpec extends SparkSpec {
       s"z-order must also confine x-rows, got $zxFiles")
   }
 
+  test("manifest data skipping schedules only overlapping files, " +
+    "result-identical to the full scan") {
+    val base = Files.createTempDirectory("graft-m").toString
+    val path = s"$base/tbl"
+    val data = spark.range(100000L)
+      .select($"id", ($"id" % 1000).as("k"))
+      .repartitionByRange(16, $"id").sortWithinPartitions($"id")
+    Warehouse.writeWithManifest(data, path, Seq("id"))
+    // plain reads are unaffected by the underscore-prefixed manifest
+    assert(spark.read.parquet(path).count() === 100000L)
+    val (sel, total) = Warehouse.prunedFiles(spark, path, "id", 10000L, 19999L)
+    assert(total === 16L)
+    assert(sel.nonEmpty && sel.length <= 3,
+      s"a 10% range must hit ~2 of 16 range-sorted files, got ${sel.length}")
+    val got = Warehouse.readSkipping(spark, path, "id", 10000L, 19999L)
+    assert(got.count() === 10000L)
+    assert(got.agg(org.apache.spark.sql.functions.sum($"id")).head.getLong(0)
+      === (10000L to 19999L).sum)
+    // empty overlap short-circuits to an empty relation
+    assert(Warehouse.readSkipping(spark, path, "id", -5000L, -1L)
+      .count() === 0L)
+  }
+
   test("warehouse mart write partitions by date for pruning") {
     val base = Files.createTempDirectory("graft-wh").toString
     val df = spark.createDataFrame(
