@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Storage layer: parquet warehouse + the reference's file codecs.
   *
@@ -117,6 +117,29 @@ object Warehouse {
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** Permissive CSV ingest with corrupt-record quarantine: rows that
+    * fail the schema land in a quarantine relation (raw text preserved
+    * for replay/debugging) instead of killing the job or silently
+    * nulling out — the at-scale form of the reference's row validation
+    * gate (one bad scraped row must not fail a 3-hourly load). The
+    * parsed frame is cached because Spark's CSV reader refuses a query
+    * that selects ONLY the corrupt column; the cache also guarantees
+    * good/quarantine split from one parse. */
+  def readCsvQuarantine(spark: SparkSession, schema: StructType,
+      path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt", StringType, nullable = true))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .cache()
+    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw_record")))
+  }
 
   /** File-level data skipping via a min/max stats manifest — the layer
     * Delta/Iceberg keep in their logs. Parquet already prunes ROW

@@ -300,6 +300,46 @@ class NewsStreamSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("quarantine CSV ingest splits good rows from corrupt, keeping raw text") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-q").toString
+    val f = new java.io.PrintWriter(s"$dir/in.csv")
+    f.println("id,score")
+    f.println("1,10.5")
+    f.println("not-a-number,oops,extra")
+    f.println("2,20.0")
+    f.close()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("score", DoubleType)))
+    val (good, quarantine) =
+      Warehouse.readCsvQuarantine(spark, schema, s"$dir/in.csv")
+    assert(good.orderBy($"id").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.5), (2L, 20.0)))
+    val bad = quarantine.as[String].collect()
+    assert(bad.length === 1 && bad.head.startsWith("not-a-number"),
+      s"quarantine must keep the raw row: ${bad.toSeq}")
+  }
+
+  test("telemetry listener captures per-action row and shuffle metrics") {
+    val t = new graft.Telemetry.MetricsCapture
+    spark.listenerManager.register(t)
+    try {
+      Tables(spark, sfDir, "events")
+        .groupBy($"event_type").count().collect()
+      // listener delivery is async on the bus — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var snap = t.snapshot
+      while (snap.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); snap = t.snapshot
+      }
+      assert(snap.nonEmpty, "no capture arrived within 10 s")
+      val m = snap.last
+      assert(!m.failed && m.durationNs > 0)
+      assert(m.metrics.getOrElse("numOutputRows", 0L) > 0L,
+        s"metrics captured: ${m.metrics.keys.toSeq.sorted}")
+    } finally spark.listenerManager.unregister(t)
+  }
+
   test("warehouse mart write partitions by date for pruning") {
     val base = Files.createTempDirectory("graft-wh").toString
     val df = spark.createDataFrame(
