@@ -62,6 +62,49 @@ object ConnectedComponents {
         .select(col("id"), col("id").as("component")))
   }
 
+  /** Incremental connected components: fold a NEW batch of edges into
+    * existing (id, component) labels without touching the old edge set.
+    * Sound because a finished component is interchangeable with a
+    * clique through its min-label: new edges are mapped through the old
+    * labels (edge endpoints → their components), internal edges vanish,
+    * and the iterative part runs on the contracted DELTA graph — nodes
+    * = touched old labels + genuinely new ids, typically orders of
+    * magnitude smaller than the corpus. Composition old→delta labels
+    * preserves the global min (old labels are already component
+    * minima). This is the ingest-time shape: a 100 TB corpus's cluster
+    * state is maintained per batch at delta cost, not recomputed.
+    *
+    * @param oldLabels (id, component) from a previous run
+    * @param newNodes  one column `id`: ALL ids of the new batch
+    *                  (edge-less ones label themselves)
+    * @param newEdges  (src, dst) between any old/new ids */
+  def incremental(oldLabels: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lab = oldLabels.select(col("id"), col("component"))
+    val mapped = newEdges.select(col("src"), col("dst"))
+      .join(lab.select(col("id").as("src"), col("component").as("lsrc")),
+        Seq("src"), "left")
+      .join(lab.select(col("id").as("dst"), col("component").as("ldst")),
+        Seq("dst"), "left")
+      .select(coalesce(col("lsrc"), col("src")).as("src"),
+        coalesce(col("ldst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val deltaNodes = mapped.select(col("src").as("id"))
+      .unionByName(mapped.select(col("dst").as("id"))).distinct()
+    val delta = minLabel(deltaNodes, mapped, maxIter)
+    val relabeled = lab
+      .join(delta.select(col("id").as("component"),
+        col("component").as("newc")), Seq("component"), "left")
+      .select(col("id"), coalesce(col("newc"), col("component"))
+        .as("component"))
+    val fresh = newNodes.select(col("id"))
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .join(delta.select(col("id"), col("component").as("newc")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
+    relabeled.unionByName(fresh)
+  }
+
   /** Alternating large-star / small-star connected components
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond" — the algorithm web-scale graph systems use). Converges in

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Hashing, Multimodal, MediaRecord,
-  Similarity, StubImageDecoder, TextOps}
+import graft.functions.{ConnectedComponents, Dedup, Hashing, Multimodal,
+  MediaRecord, Similarity, StubImageDecoder, TextOps}
 import Hashing.{sqlHash60}
 import TextOps.{sqlShingles, sqlTokens}
 
@@ -198,6 +198,37 @@ object TrainingData {
         round(Dedup.jaccard(col("sh.sh_set"), col("sb.sh_set")), 6)
           .as("jaccard"))
       .filter($"jaccard" >= 0.5)
+  }
+
+  /** q99 — incremental cluster maintenance
+    * ([[ConnectedComponents.incremental]]): q55-style near-dup clusters
+    * kept current across an ingest batch WITHOUT recomputing over the
+    * history's edge set. History clusters (LSH pairs among originals)
+    * are contracted to their labels; q67's cross-corpus pairs are the
+    * only new edges, mapped through those labels, and the iterative
+    * part runs on that delta graph. Batch-internal pairs would be a
+    * third edge source in production — out of scope here so the oracle
+    * (recursive CTE over history ∪ cross pairs) states the exact same
+    * graph. */
+  val incrementalClusters: Q = (s, dir) => {
+    import s.implicits._
+    val histEdges = dedupMinhashLsh(s, dir)
+      .filter($"doc_a" < TwinOffset && $"doc_b" < TwinOffset)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val histNodes = Tables(s, dir, "documents")
+      .select($"doc_id".as("id"))
+    val oldLabels = ConnectedComponents.minLabel(histNodes, histEdges)
+    val crossEdges = incrementalNearDup(s, dir)
+      .select($"hist_id".as("src"), $"batch_id".as("dst"))
+    val batchNodes = Tables(s, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + TwinOffset).as("id"))
+    val labels = ConnectedComponents.incremental(
+      oldLabels, batchNodes, crossEdges)
+    val sizes = labels.groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select($"id".as("doc_id"), $"component", $"cluster_size")
   }
 
   /** q68 — per-label embedding centroid + outlier scoring (corpus QC):
@@ -664,6 +695,35 @@ object TrainingData {
        |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
   }
 
+  private def sqlIncrementalClusters: String =
+    s"""WITH RECURSIVE histp AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${sqlMinhashLsh}
+       |  ) p WHERE doc_a < $TwinOffset AND doc_b < $TwinOffset),
+       |crossp AS (
+       |  SELECT hist_id AS doc_a, batch_id AS doc_b FROM (
+       |${sqlIncNearDup}
+       |  ) q),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM histp
+       |  UNION SELECT doc_b, doc_a FROM histp
+       |  UNION SELECT doc_a, doc_b FROM crossp
+       |  UNION SELECT doc_b, doc_a FROM crossp),
+       |nodes AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + $TwinOffset FROM documents
+       |  WHERE doc_id % 2 = 0),
+       |reach(n, lab) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.n),
+       |comp AS (SELECT n AS doc_id, min(lab) AS component
+       |         FROM reach GROUP BY n)
+       |SELECT c.doc_id, c.component, s.cluster_size
+       |FROM comp c
+       |JOIN (SELECT component, count(*) AS cluster_size
+       |      FROM comp GROUP BY component) s USING (component)""".stripMargin
+
   private def sqlCentroidOutliers: String = {
     val cos = sqlCosCols("e.embedding", "centroid")
     s"""WITH ex AS (SELECT label, d AS dim,
@@ -812,6 +872,7 @@ object TrainingData {
     "q65_media_frames" -> mediaFrames,
     "q66_media_features" -> mediaFeatures,
     "q67_incremental_near_dup" -> incrementalNearDup,
+    "q99_incremental_clusters" -> incrementalClusters,
     "q68_centroid_outliers" -> centroidOutliers,
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
@@ -829,6 +890,7 @@ object TrainingData {
          |GROUP BY md5(text)""".stripMargin,
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
     "q67_incremental_near_dup" -> sqlIncNearDup,
+    "q99_incremental_clusters" -> sqlIncrementalClusters,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
     "q74_ann_ivf_trained" -> sqlIvfTrained,

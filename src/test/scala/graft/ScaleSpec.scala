@@ -248,6 +248,27 @@ class ScaleSpec extends SparkSpec {
     assert(a === b, "star and min-label components diverge")
   }
 
+  test("incremental CC equals full recompute on merges, bridges and singletons") {
+    // old world: components {1,2}, {5,6}, singleton {9}
+    val oldNodes = Seq(1L, 2L, 5L, 6L, 9L).toDF("id")
+    val oldEdges = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val oldLabels = ConnectedComponents.minLabel(oldNodes, oldEdges)
+    // batch: node 0 bridges into {1,2}; node 7 joins {5,6}; 8 is edge-less;
+    // and a direct old-old bridge 2-5 merges two old components
+    val newNodes = Seq(0L, 7L, 8L).toDF("id")
+    val newEdges = Seq((0L, 1L), (7L, 6L), (2L, 5L)).toDF("src", "dst")
+    val got = ConnectedComponents
+      .incremental(oldLabels, newNodes, newEdges)
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.minLabel(
+      oldNodes.unionByName(newNodes),
+      oldEdges.unionByName(newEdges))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full, s"incremental $got vs full $full")
+    assert(got(7L) === 0L, "7 joins the merged component rooted at new node 0")
+    assert(got(9L) === 9L && got(8L) === 8L, "untouched stay put")
+  }
+
   test("fixed-point pagerank: star centre dominates, leaves tie, exact values") {
     import graft.functions.PageRank
     // bidirected star 1—2, 1—3, 1—4: deg(1)=3, deg(leaf)=1
