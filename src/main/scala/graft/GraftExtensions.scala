@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.{CmsSketchAgg, CosineSimilarity, Hash60,
-  HllSketchAgg}
+  HllSketchAgg, MinKSampleAgg}
 
 /** Engine extension point: registers graft's native expressions with the
   * session so they're callable from SQL and `call_function`.
@@ -42,6 +42,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"hll_sketch_estimate expects 1 argument, got ${children.length}")
         HllSketchAgg(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mink_sample"),
+      new ExpressionInfo(classOf[MinKSampleAgg].getName, "mink_sample"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          s"mink_sample expects (key, value[, k]), got ${children.length}")
+        val k = children.drop(2).headOption.map(_.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+        }).getOrElse(64)
+        MinKSampleAgg(children.head, children(1), k).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("cms_sketch"),

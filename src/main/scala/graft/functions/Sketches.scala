@@ -100,6 +100,20 @@ object Sketches {
        |  GROUP BY g) z""".stripMargin
   }
 
+  /** The aggregate-buffer form of [[sampleQuantiles]]'s membership rule
+    * (expressions.MinKSampleAgg): ONE ≤k-pair buffer per group through
+    * the exchange — and the only form a streaming state store can hold.
+    * Returns (group, sample: array<double>). */
+  def minKSampleAgg(df: DataFrame, groupCol: String, key: Column,
+      value: Column, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.expressions.MinKSampleAgg(
+        ColumnBridge.expression(Hashing.hash60(key)),
+        ColumnBridge.expression(value), k).toAggregateExpression())
+    df.groupBy(col(groupCol)).agg(agg.as("sample"))
+  }
+
   /** Per-group quantile estimates from a deterministic min-hash sample:
     * keep the K rows with the smallest hash60 of a unique row key, take
     * exact quantiles of that sample. The min-K property is what makes

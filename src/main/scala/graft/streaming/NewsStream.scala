@@ -110,6 +110,23 @@ object NewsStream {
     graft.functions.Sketches.hllDistinctAgg(raw, "source_name",
       concat_ws("-", col("title"), col("url")))
 
+  /** Streaming grouped quantile monitoring via the min-K sample
+    * aggregate (expressions.MinKSampleAgg): per-source title-length
+    * median tracked continuously with O(sources × K) state-store
+    * footprint. Membership is hash-decided, so the streamed sample —
+    * merged across micro-batches through serialize/merge — is
+    * bit-identical to a batch run over the same rows (NewsStreamSpec),
+    * the property approx_percentile's arrival-order buffers can't give
+    * a restarted stream. */
+  def titleLengthSample(raw: DataFrame): DataFrame =
+    graft.functions.Sketches.minKSampleAgg(raw, "source_name",
+        concat_ws("-", col("title"), col("url")),
+        length(col("title")).cast("double"))
+      .withColumn("p50", expr(
+        "(element_at(array_sort(sample), cast((size(sample)+1)/2 AS INT))" +
+          " + element_at(array_sort(sample)," +
+          " cast((size(sample)+2)/2 AS INT))) / 2"))
+
   /** Sink to the warehouse raw_news table with exactly-once checkpoint
     * resume (replaces S5's temp-CSV branch, newsairflowtasks.py:107-113). */
   def toWarehouse(deduped: DataFrame, warehouseDir: String,

@@ -13,6 +13,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.forall(c => math.abs(c - 1.0) < 1e-12))
   }
 
+  test("mink_sample SQL aggregate keeps exactly the K smallest-hash values") {
+    Tables(spark, sfDir, "events").createOrReplaceTempView("ev_mink")
+    val got = spark.sql(
+      """SELECT event_type,
+        |  mink_sample(hash60(encode(CAST(event_id AS STRING), 'UTF-8')),
+        |              CAST(value AS DOUBLE), 8) AS sample
+        |FROM ev_mink GROUP BY event_type""".stripMargin)
+      .as[(String, Seq[Double])].collect().toMap
+    // expected membership via the window form over the same hash
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"hk".asc, $"v".asc)
+    val want = Tables(spark, sfDir, "events")
+      .select($"event_type",
+        graft.functions.Hashing.hash60($"event_id".cast("string")).as("hk"),
+        $"value".cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 8)
+      .groupBy($"event_type")
+      .agg(collect_list(struct($"hk", $"v")).as("s"))
+      .select($"event_type", expr("transform(array_sort(s), x -> x.v)"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got === want, "aggregate and window memberships diverge")
+    assert(got.values.forall(_.length === 8))
+  }
+
   test("ASOF JOIN SQL syntax lands on the native exec, matches the window form") {
     import org.apache.spark.sql.functions._
     import graft.functions.AsOfJoin

@@ -213,6 +213,35 @@ class NewsStreamSpec extends SparkSpec {
     assert(est > 55 && est < 85, s"estimate $est implausible for 70")
   }
 
+  test("streaming min-K sample equals the batch sample across micro-batches") {
+    val base = Files.createTempDirectory("graft-mink").toString
+    val landing = s"$base/landing"
+    writeBatch(landing, (1 to 40).map(i =>
+      mkRow(i.toLong, s"T$i", "2024-01-01 00:00:00")))
+    writeBatch(landing, (30 to 70).map(i =>
+      mkRow(i.toLong, s"T$i", "2024-01-01 01:00:00")))
+    val q = NewsStream.titleLengthSample(
+        NewsStream.landingSource(spark, landing, Schemas.rawNews,
+          maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("mink_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("mink_stream")
+      .select($"source_name", $"sample", $"p50")
+      .as[(String, Seq[Double], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = NewsStream.titleLengthSample(spark.read.parquet(landing))
+      .as[(String, Seq[Double], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === batch,
+      "streamed sample must be bit-identical to batch over the same rows")
+    // sanity: median of 'T1'..'T70' lengths (2 or 3 chars) is 3
+    assert(streamed.values.forall { case (s, p50) =>
+      s.nonEmpty && p50 >= 2.0 && p50 <= 3.0 })
+  }
+
   test("CSV staging codec round-trips the raw_news schema") {
     val base = Files.createTempDirectory("graft-csv").toString
     val df = spark.createDataFrame(
