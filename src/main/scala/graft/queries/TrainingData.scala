@@ -231,6 +231,23 @@ object TrainingData {
       .select($"id".as("doc_id"), $"component", $"cluster_size")
   }
 
+  /** q100 — product-quantization ANN ([[Similarity.pqTopK]]): 64-dim
+    * vectors compress to 4 subspace codes against trained codebooks and
+    * the whole corpus ranks from a 4×4 ADC lookup table — no full
+    * vector is touched at query time. Exact-integer training and
+    * distances (micro-unit quantization, trunc-division centroid
+    * means), so the DuckDB oracle replays the identical computation. */
+  val PqM = 8
+  val PqSubDims = Dims / PqM
+  val PqInitIds: Seq[Long] = (0 until 16).map(_ * 31L + 1L)
+  val pqAnn: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.pqTopK(
+      Tables(s, dir, "embeddings").select($"vec_id", $"embedding"),
+      queryId = 0L, topN = 10, m = PqM, subDims = PqSubDims,
+      initIds = PqInitIds)
+  }
+
   /** q68 — per-label embedding centroid + outlier scoring (corpus QC):
     * the centroid is a tiny per-group aggregate (posexplode → per-dim
     * sum → re-assembled in dimension order) that BROADCASTS back onto
@@ -695,6 +712,66 @@ object TrainingData {
        |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
   }
 
+  private def sqlPqAnn: String = {
+    val M = PqM; val SD = PqSubDims
+    val d16 = (sv: String, cv: String) =>
+      s"list_sum(list_transform(range($SD), i -> " +
+        s"($sv[i+1] - $cv[i+1]) * ($sv[i+1] - $cv[i+1])))"
+    val cidCase = PqInitIds.zipWithIndex
+      .map { case (id, j) => s"WHEN $id THEN $j" }.mkString(" ")
+    val initList = PqInitIds.mkString(", ")
+    s"""WITH qvecs AS (
+       |  SELECT vec_id, list_transform(embedding, v ->
+       |    CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(qv, m * $SD + 1, m * $SD + $SD) AS sv
+       |  FROM qvecs CROSS JOIN (SELECT unnest(range($M)) AS m) ms),
+       |cent0 AS (
+       |  SELECT m, CASE vec_id $cidCase END AS cid, sv AS cv
+       |  FROM sub WHERE vec_id IN ($initList)),
+       |a1 AS (
+       |  SELECT vec_id, m, cid, sv FROM (
+       |    SELECT sub.vec_id, sub.m, c.cid, sub.sv,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |        ORDER BY ${d16("sv", "cv")} ASC, c.cid ASC) AS rn
+       |    FROM sub JOIN cent0 c ON sub.m = c.m) t WHERE rn = 1),
+       |upd AS (
+       |  -- trunc() before the cast: DuckDB's double→BIGINT cast ROUNDS,
+       |  -- Spark's cast truncates
+       |  SELECT m, cid, i, CAST(trunc(sum(sv[i+1]) / count(*)) AS BIGINT) AS c
+       |  FROM a1 CROSS JOIN (SELECT unnest(range($SD)) AS i) ii
+       |  GROUP BY m, cid, i),
+       |cent1 AS (SELECT m, cid, list(c ORDER BY i) AS cv
+       |          FROM upd GROUP BY m, cid),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, c.cid,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |        ORDER BY ${d16("sv", "cv")} ASC, c.cid ASC) AS rn
+       |    FROM sub JOIN cent1 c ON sub.m = c.m) t WHERE rn = 1),
+       |qtab AS (
+       |  SELECT c.m, c.cid, ${d16("q.sv", "c.cv")} AS qd
+       |  FROM cent1 c JOIN sub q ON q.m = c.m AND q.vec_id = 0),
+       |short AS (
+       |  SELECT codes.vec_id, CAST(sum(qd) AS BIGINT) AS adist
+       |  FROM codes JOIN qtab ON codes.m = qtab.m AND codes.cid = qtab.cid
+       |  WHERE codes.vec_id <> 0
+       |  GROUP BY codes.vec_id
+       |  ORDER BY adist ASC, vec_id ASC
+       |  LIMIT 50)
+       |SELECT s.vec_id, s.adist,
+       |  CAST(list_sum(list_transform(range(${Dims}), i ->
+       |    (v.qv[i+1] - q.qv[i+1]) * (v.qv[i+1] - q.qv[i+1])))
+       |    AS BIGINT) AS dist
+       |FROM short s
+       |JOIN qvecs v ON v.vec_id = s.vec_id
+       |JOIN qvecs q ON q.vec_id = 0
+       |ORDER BY dist ASC, s.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   private def sqlIncrementalClusters: String =
     s"""WITH RECURSIVE histp AS (
        |  SELECT doc_a, doc_b FROM (
@@ -873,6 +950,7 @@ object TrainingData {
     "q66_media_features" -> mediaFeatures,
     "q67_incremental_near_dup" -> incrementalNearDup,
     "q99_incremental_clusters" -> incrementalClusters,
+    "q100_pq_ann" -> pqAnn,
     "q68_centroid_outliers" -> centroidOutliers,
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
@@ -891,6 +969,7 @@ object TrainingData {
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
     "q67_incremental_near_dup" -> sqlIncNearDup,
     "q99_incremental_clusters" -> sqlIncrementalClusters,
+    "q100_pq_ann" -> sqlPqAnn,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
     "q74_ann_ivf_trained" -> sqlIvfTrained,

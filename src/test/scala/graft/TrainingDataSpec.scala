@@ -62,6 +62,32 @@ class TrainingDataSpec extends SparkSpec {
       s"trained-IVF nprobe=2 recall@10 $recall below 0.8")
   }
 
+  test("PQ ADC recall@10 vs exact integer-L2 ground truth") {
+    import graft.functions.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val got = Similarity.pqTopK(emb, queryId = 0L, topN = 10,
+        m = TrainingData.PqM, subDims = TrainingData.PqSubDims,
+        initIds = TrainingData.PqInitIds)
+      .select($"vec_id").as[Long].collect().toSet
+    val exact = emb
+      .select($"vec_id", expr(
+        "transform(embedding, v -> cast(round(cast(v AS double)" +
+          " * 1000000.0) AS bigint))").as("iv"))
+    val qv = exact.filter($"vec_id" === 0L).select($"iv".as("qv"))
+    val truth = exact.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", expr(
+        "aggregate(zip_with(iv, qv, (a, b) -> (a - b) * (a - b)), 0L," +
+          " (acc, x) -> acc + x)").as("d"))
+      .orderBy($"d".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (got intersect truth).size / 10.0
+    // the deployable contract: codes-only ADC shortlists 50 of 500
+    // (10× prune), exact re-rank reads just those 50 full vectors
+    assert(recall >= 0.5, s"PQ recall@10 $recall below 0.5 (got=$got truth=$truth)")
+  }
+
   test("simhash twin hamming distance is small") {
     val maxHam = TrainingData.dedupSimhash(spark, sfDir)
       .agg(max($"twin_hamming")).as[Int].head()
