@@ -212,17 +212,46 @@ object TrainingData {
     * graph. */
   val incrementalClusters: Q = (s, dir) => {
     import s.implicits._
-    val histEdges = dedupMinhashLsh(s, dir)
-      .filter($"doc_a" < TwinOffset && $"doc_b" < TwinOffset)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val histNodes = Tables(s, dir, "documents")
-      .select($"doc_id".as("id"))
-    val oldLabels = ConnectedComponents.minLabel(histNodes, histEdges)
-    val crossEdges = incrementalNearDup(s, dir)
-      .select($"hist_id".as("src"), $"batch_id".as("dst"))
-    val batchNodes = Tables(s, dir, "documents")
-      .filter($"doc_id" % 2 === 0)
-      .select(($"doc_id" + TwinOffset).as("id"))
+    // one signature/shingle pass per corpus side, reused by BOTH the
+    // history self-join and the cross join (the naive composition of
+    // q23+q67 minhashes the same documents three times — measured 11 s
+    // vs ~4 s at sf0.1)
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val batch = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + TwinOffset).as("doc_id"),
+        concat($"text", lit(TwinSuffix)).as("text"))
+    def bands(df: DataFrame) = Dedup.lshBands(
+      Dedup.minhashSignatures(df, "doc_id", "text", NumHashes, ShingleN),
+      NumHashes, RowsPerBand).localCheckpoint()
+    def shingleSets(df: DataFrame) = df
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
+      .localCheckpoint()
+    val (bd, bb) = (bands(d), bands(batch))
+    val (shD, shB) = (shingleSets(d), shingleSets(batch))
+    def verified(cand: DataFrame, shA: DataFrame, shB: DataFrame) =
+      cand.join(shA.as("sa"), col("src") === col("sa.doc_id"))
+        .join(shB.as("sb"), col("dst") === col("sb.doc_id"))
+        .filter(round(Dedup.jaccard(col("sa.sh_set"), col("sb.sh_set")), 6)
+          >= 0.5)
+        .select(col("src"), col("dst"))
+    val histEdges = verified(
+      bd.as("a").join(bd.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct(), shD, shD)
+    val crossEdges = verified(
+      bd.as("h").join(bb.as("b"),
+          col("h.band") === col("b.band") &&
+            col("h.band_hash") === col("b.band_hash"))
+        .select(col("h.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct(), shD, shB)
+    val oldLabels = ConnectedComponents.minLabel(
+      d.select($"doc_id".as("id")), histEdges)
+    val batchNodes = batch.select($"doc_id".as("id"))
     val labels = ConnectedComponents.incremental(
       oldLabels, batchNodes, crossEdges)
     val sizes = labels.groupBy($"component")

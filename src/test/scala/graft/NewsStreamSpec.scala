@@ -242,6 +242,41 @@ class NewsStreamSpec extends SparkSpec {
       s.nonEmpty && p50 >= 2.0 && p50 <= 3.0 })
   }
 
+  test("streaming cluster state folds batches incrementally with " +
+    "time-travelable snapshots") {
+    import graft.streaming.ClusterState
+    val base = Files.createTempDirectory("graft-cc").toString
+    val landing = s"$base/edges"
+    val state = s"$base/state"
+    def writeEdges(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("src", "dst").repartition(1)
+        .write.mode("append").parquet(landing)
+    // batch 1: {1,2}, {5,6}; batch 2: bridge 2-5 + new node 0 into {1,2}.
+    // FileStreamSource orders files by modification time — space the
+    // writes so the two batches can't share an mtime tick
+    writeEdges(Seq((1L, 2L), (5L, 6L)))
+    Thread.sleep(1100)
+    writeEdges(Seq((2L, 5L), (0L, 1L)))
+    val edges = spark.readStream
+      .schema("src BIGINT, dst BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = ClusterState.sink(edges, state, s"$base/ckpt").start()
+    q.awaitTermination()
+    assert(Warehouse.snapshotVersions(spark, state) === Seq(1L, 2L))
+    val fin = Warehouse.readSnapshot(spark, state)
+      .as[(Long, Long)].collect().toMap
+    val full = graft.functions.ConnectedComponents.minLabel(
+      Seq(0L, 1L, 2L, 5L, 6L).toDF("id"),
+      Seq((1L, 2L), (5L, 6L), (2L, 5L), (0L, 1L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(fin === full, s"streamed state $fin vs full recompute $full")
+    // time travel: before the bridge, 5 led its own cluster
+    val v1 = Warehouse.readSnapshot(spark, state, Some(1L))
+      .as[(Long, Long)].collect().toMap
+    assert(v1(5L) === 5L && v1(6L) === 5L && !v1.contains(0L))
+  }
+
   test("CSV staging codec round-trips the raw_news schema") {
     val base = Files.createTempDirectory("graft-csv").toString
     val df = spark.createDataFrame(
