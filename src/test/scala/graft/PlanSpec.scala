@@ -48,6 +48,25 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size == 2, p)
   }
 
+  test("q88: boilerplate scrub join broadcasts the heavy-tail set") {
+    val p = plan("q88_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"),
+      "the boilerplate set must broadcast, not shuffle the corpus")
+  }
+
+  test("q95: weighted sample is TakeOrderedAndProject, no global Sort") {
+    val p = plan("q95_weighted_sample_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q100: PQ codebooks and ADC table broadcast; vectors never do") {
+    val p = plan("q100_pq_ann")
+    // cent0/cent1/qtab/qFull joins are all broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(0))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
   test("q18/q26: top-k is TakeOrderedAndProject, no global Sort") {
     assert(plan("q18_word_topk").contains("TakeOrderedAndProject"))
     assert(plan("q26_ann_cosine_topk").contains("TakeOrderedAndProject"))

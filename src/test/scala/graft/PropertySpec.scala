@@ -57,6 +57,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("large/small-star CC equals an in-memory union-find on random graphs") {
+    // random sparse graphs: mixed chains, cycles, multi-edges, self-loops
+    val edgeGen = Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))
+    for (round <- 0 until 6) {
+      val edges = (0 until 30).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(round * 100L + i)))
+      val nodes = (0L until 45L)
+      // union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(n => n -> {
+        // component label = min node id in the component
+        val root = find(n)
+        nodes.filter(m => find(m) == root).min
+      }).toMap
+      val got = graft.functions.ConnectedComponents.largeSmallStar(
+          nodes.toDF("id"), edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"round $round edges=$edges")
+    }
+  }
+
   test("band join equals the all-pairs reference on random timestamps, " +
     "including bucket boundaries") {
     // times quantized to whole seconds around the band width so exact
