@@ -202,11 +202,13 @@ object Similarity {
     * at a 10× prune). Hash-identical to the generated DuckDB oracle
     * (q100).
     */
-  def pqTopK(emb: DataFrame, queryId: Long, topN: Int,
-      m: Int, subDims: Int, initIds: Seq[Long],
-      shortlist: Int = 50): DataFrame = {
-    val session = emb.sparkSession
-    import session.implicits._
+  /** Shared PQ machinery: micro-unit vectors, subspace split, one-round
+    * trained codebooks, per-vector codes, query ADC table. */
+  private case class PqModel(qvecs: DataFrame, codes: DataFrame,
+      qtab: DataFrame)
+
+  private def pqTrain(emb: DataFrame, queryId: Long, m: Int, subDims: Int,
+      initIds: Seq[Long]): PqModel = {
     val qvecs = emb.select(col("vec_id"), expr(
       "transform(embedding, v -> " +
         "cast(round(cast(v AS double) * 1000000.0) AS bigint))").as("qv"))
@@ -247,21 +249,75 @@ object Similarity {
     val qtab = sub.filter(col("vec_id") === queryId)
       .join(broadcast(cent1), Seq("m"))
       .select(col("m"), col("cid"), expr(dist).as("qd"))
-    val short = codes.join(broadcast(qtab), Seq("m", "cid"))
+    PqModel(qvecs, codes, qtab)
+  }
+
+  /** ADC shortlist over `codes` + exact re-rank of the survivors. */
+  private def adcRerank(model: PqModel, codes: DataFrame, queryId: Long,
+      topN: Int, shortlist: Int): DataFrame = {
+    val short = codes.join(broadcast(model.qtab), Seq("m", "cid"))
       .groupBy(col("vec_id"))
       .agg(sum(col("qd")).as("adist"))
       .filter(col("vec_id") =!= queryId)
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(shortlist)
-    val qFull = qvecs.filter(col("vec_id") === queryId)
+    val qFull = model.qvecs.filter(col("vec_id") === queryId)
       .select(col("qv").as("qqv"))
-    short.join(qvecs, Seq("vec_id"))
+    short.join(model.qvecs, Seq("vec_id"))
       .crossJoin(broadcast(qFull))
       .select(col("vec_id"), col("adist"), expr(
         "aggregate(zip_with(qv, qqv, (a, b) -> (a - b) * (a - b)), 0L, " +
           "(acc, x) -> acc + x)").as("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(topN)
+  }
+
+  def pqTopK(emb: DataFrame, queryId: Long, topN: Int,
+      m: Int, subDims: Int, initIds: Seq[Long],
+      shortlist: Int = 50): DataFrame = {
+    val model = pqTrain(emb, queryId, m, subDims, initIds)
+    adcRerank(model, model.codes, queryId, topN, shortlist)
+  }
+
+  /** IVF + PQ — the serving composition (FAISS's IVFPQ shape): a coarse
+    * quantizer over FULL vectors routes each vector to a cell; the
+    * query probes its `nprobe` nearest cells and ADC runs only over
+    * those cells' CODES; the exact re-rank reads just the shortlist.
+    * At 100 TB the inverted file is partitioned by cell, so a query
+    * schedules nprobe partitions of byte codes — everything else is
+    * broadcast lookup tables. Coarse centroids here are fixed init
+    * vectors (the trained-quantizer story is q73/q74; this query's
+    * subject is the serving composition), and all arithmetic stays in
+    * exact integer micro-units for oracle hash-parity. */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, topN: Int,
+      m: Int, subDims: Int, initIds: Seq[Long], coarseIds: Seq[Long],
+      nprobe: Int, shortlist: Int = 50): DataFrame = {
+    val model = pqTrain(emb, queryId, m, subDims, initIds)
+    val fdist = "aggregate(zip_with(qv, ccv, (a, b) -> (a - b) * (a - b))" +
+      ", 0L, (acc, x) -> acc + x)"
+    val ccidOf = coarseIds.zipWithIndex
+      .map { case (id, j) => s"WHEN $id THEN $j" }.mkString(" ")
+    val coarse = model.qvecs.filter(col("vec_id").isInCollection(coarseIds))
+      .select(expr(s"CASE vec_id $ccidOf END").as("ccid"),
+        col("qv").as("ccv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("fd").asc, col("ccid").asc)
+    val assigned = model.qvecs.crossJoin(broadcast(coarse))
+      .withColumn("fd", expr(fdist))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid"))
+    val qCells = model.qvecs.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(coarse))
+      .select(col("ccid"), expr(fdist).as("fd"))
+      .orderBy(col("fd").asc, col("ccid").asc)
+      .limit(nprobe)
+      .select(col("ccid"))
+    val candCodes = model.codes
+      .join(assigned, Seq("vec_id"))
+      .join(broadcast(qCells), Seq("ccid"))
+      .select(col("vec_id"), col("m"), col("cid"))
+    adcRerank(model, candCodes, queryId, topN, shortlist)
   }
 
   /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing

@@ -269,12 +269,27 @@ object TrainingData {
   val PqM = 8
   val PqSubDims = Dims / PqM
   val PqInitIds: Seq[Long] = (0 until 16).map(_ * 31L + 1L)
+  val IvfCoarseIds: Seq[Long] = (0 until 8).map(_ * 61L + 2L)
+  val IvfPqNprobe = 3
   val pqAnn: Q = (s, dir) => {
     import s.implicits._
     Similarity.pqTopK(
       Tables(s, dir, "embeddings").select($"vec_id", $"embedding"),
       queryId = 0L, topN = 10, m = PqM, subDims = PqSubDims,
       initIds = PqInitIds)
+  }
+
+  /** q101 — IVF+PQ serving composition ([[Similarity.ivfPqTopK]],
+    * FAISS's IVFPQ shape): coarse cells route the query to nprobe=3 of
+    * 8 partitions, ADC runs only over those cells' codes, the exact
+    * re-rank reads only the shortlist. Same integer arithmetic, same
+    * oracle discipline as q100. */
+  val ivfPqAnn: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.ivfPqTopK(
+      Tables(s, dir, "embeddings").select($"vec_id", $"embedding"),
+      queryId = 0L, topN = 10, m = PqM, subDims = PqSubDims,
+      initIds = PqInitIds, coarseIds = IvfCoarseIds, nprobe = IvfPqNprobe)
   }
 
   /** q68 — per-label embedding centroid + outlier scoring (corpus QC):
@@ -741,7 +756,9 @@ object TrainingData {
        |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
   }
 
-  private def sqlPqAnn: String = {
+  /** Shared PQ training CTEs (mirrors Similarity.pqTrain): qvecs → sub
+    * → cent0 → a1 → upd → cent1 → codes → qtab. */
+  private def sqlPqCtes: String = {
     val M = PqM; val SD = PqSubDims
     val d16 = (sv: String, cv: String) =>
       s"list_sum(list_transform(range($SD), i -> " +
@@ -782,12 +799,17 @@ object TrainingData {
        |    FROM sub JOIN cent1 c ON sub.m = c.m) t WHERE rn = 1),
        |qtab AS (
        |  SELECT c.m, c.cid, ${d16("q.sv", "c.cv")} AS qd
-       |  FROM cent1 c JOIN sub q ON q.m = c.m AND q.vec_id = 0),
-       |short AS (
-       |  SELECT codes.vec_id, CAST(sum(qd) AS BIGINT) AS adist
-       |  FROM codes JOIN qtab ON codes.m = qtab.m AND codes.cid = qtab.cid
-       |  WHERE codes.vec_id <> 0
-       |  GROUP BY codes.vec_id
+       |  FROM cent1 c JOIN sub q ON q.m = c.m AND q.vec_id = 0)""".stripMargin
+  }
+
+  /** ADC shortlist + exact re-rank tail over a codes relation. */
+  private def sqlPqTail(codesSrc: String): String =
+    s"""short AS (
+       |  SELECT cs.vec_id, CAST(sum(qd) AS BIGINT) AS adist
+       |  FROM ($codesSrc) cs
+       |  JOIN qtab ON cs.m = qtab.m AND cs.cid = qtab.cid
+       |  WHERE cs.vec_id <> 0
+       |  GROUP BY cs.vec_id
        |  ORDER BY adist ASC, vec_id ASC
        |  LIMIT 50)
        |SELECT s.vec_id, s.adist,
@@ -799,6 +821,39 @@ object TrainingData {
        |JOIN qvecs q ON q.vec_id = 0
        |ORDER BY dist ASC, s.vec_id ASC
        |LIMIT 10""".stripMargin
+
+  private def sqlPqAnn: String =
+    s"""$sqlPqCtes,
+       |${sqlPqTail("SELECT vec_id, m, cid FROM codes")}""".stripMargin
+
+  private def sqlIvfPq: String = {
+    val fd = (a: String, b: String) =>
+      s"list_sum(list_transform(range($Dims), i -> " +
+        s"($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+    val ccidCase = IvfCoarseIds.zipWithIndex
+      .map { case (id, j) => s"WHEN $id THEN $j" }.mkString(" ")
+    val coarseList = IvfCoarseIds.mkString(", ")
+    val codesSrc =
+      """SELECT codes.vec_id, codes.m, codes.cid
+        |   FROM codes
+        |   JOIN assigned ON assigned.vec_id = codes.vec_id
+        |   JOIN qcells ON qcells.ccid = assigned.ccid""".stripMargin
+    s"""$sqlPqCtes,
+       |coarse AS (
+       |  SELECT CASE vec_id $ccidCase END AS ccid, qv AS ccv
+       |  FROM qvecs WHERE vec_id IN ($coarseList)),
+       |assigned AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT q.vec_id, c.ccid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${fd("q.qv", "c.ccv")} ASC, c.ccid ASC) AS rn
+       |    FROM qvecs q CROSS JOIN coarse c) t WHERE rn = 1),
+       |qcells AS (
+       |  SELECT ccid FROM (
+       |    SELECT c.ccid, ${fd("q.qv", "c.ccv")} AS fd
+       |    FROM qvecs q CROSS JOIN coarse c WHERE q.vec_id = 0) t
+       |  ORDER BY fd ASC, ccid ASC LIMIT $IvfPqNprobe),
+       |${sqlPqTail(codesSrc)}""".stripMargin
   }
 
   private def sqlIncrementalClusters: String =
@@ -905,7 +960,7 @@ object TrainingData {
     s"""WITH $sqlKmeansCtes,
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |qc AS (SELECT c.cid FROM cents c CROSS JOIN q
-       |  ORDER BY $qcCos DESC, c.cid LIMIT $IvfNprobe),
+       |  ORDER BY $qcCos DESC, c.cid LIMIT $IvfPqNprobe),
        |top AS (SELECT e.vec_id, e.label, $candCos AS cs
        |  FROM r2 JOIN qc USING (cid)
        |  JOIN embeddings e ON e.vec_id = r2.vec_id
@@ -980,6 +1035,7 @@ object TrainingData {
     "q67_incremental_near_dup" -> incrementalNearDup,
     "q99_incremental_clusters" -> incrementalClusters,
     "q100_pq_ann" -> pqAnn,
+    "q101_ivf_pq_ann" -> ivfPqAnn,
     "q68_centroid_outliers" -> centroidOutliers,
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
@@ -999,6 +1055,7 @@ object TrainingData {
     "q67_incremental_near_dup" -> sqlIncNearDup,
     "q99_incremental_clusters" -> sqlIncrementalClusters,
     "q100_pq_ann" -> sqlPqAnn,
+    "q101_ivf_pq_ann" -> sqlIvfPq,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
     "q74_ann_ivf_trained" -> sqlIvfTrained,

@@ -88,6 +88,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 $recall below 0.5 (got=$got truth=$truth)")
   }
 
+  test("IVF+PQ results stay within probed cells; recall holds at nprobe=3/8") {
+    import graft.functions.Similarity
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val got = TrainingData.queries("q101_ivf_pq_ann")(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.size === 10)
+    // ground truth: exact integer L2 over the full corpus
+    val exact = emb.select($"vec_id", expr(
+      "transform(embedding, v -> cast(round(cast(v AS double)" +
+        " * 1000000.0) AS bigint))").as("iv"))
+    val qv = exact.filter($"vec_id" === 0L).select($"iv".as("qv"))
+    val truth = exact.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", expr(
+        "aggregate(zip_with(iv, qv, (a, b) -> (a - b) * (a - b)), 0L," +
+          " (acc, x) -> acc + x)").as("d"))
+      .orderBy($"d".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (got intersect truth).size / 10.0
+    // pruning to 3 of 8 cells costs recall vs q100's full-corpus ADC;
+    // the claim is the cells the query probes contain most true
+    // neighbours (they cluster with the query)
+    assert(recall >= 0.4, s"IVF+PQ recall $recall (got=$got truth=$truth)")
+  }
+
   test("simhash twin hamming distance is small") {
     val maxHam = TrainingData.dedupSimhash(spark, sfDir)
       .agg(max($"twin_hamming")).as[Int].head()
