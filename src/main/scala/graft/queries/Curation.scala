@@ -485,6 +485,72 @@ object Curation {
             x => x("block_text")), " ").as("kept_text"))
   }
 
+  // ------------------------------------------------ duplicate-span scrub
+
+  /** q102 — duplicate-span detection (the exact-substring pass of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): q88's fixed 8-token blocks only catch repeated
+    * text that lands on a block boundary — a copied passage at a
+    * shifted offset slips through. Here every OVERLAPPING 8-token
+    * gram is hashed; a gram seen in ≥ 2 DISTINCT documents marks its
+    * positions as duplicated, and per document the marked positions
+    * merge (gaps-and-islands: break when the gap exceeds the gram
+    * length) into MAXIMAL duplicated spans — alignment-free exact
+    * substring detection with no suffix array.
+    *
+    * Scale: the gram table is ~n_tokens rows per doc (vs n/8 for
+    * q88) — the price of alignment freedom; it shuffles ONCE on the
+    * gram hash for the distinct-doc count. The duplicated-gram set is
+    * the heavy tail of that table (tiny vs the corpus) so the probe
+    * join BROADCASTS it, and the island merge shuffles only the
+    * matched positions on doc_id — O(duplicated positions), not
+    * O(corpus). At 100 TB the gram hashes are 8-byte longs (never the
+    * gram text), and the per-doc window state is one lag value. */
+  private val SpanGram = 8
+  val dupSpans: Q = (s, dir) => {
+    import s.implicits._
+    val tok = tokenized(s, dir)
+    val grams = tok
+      .filter(size($"toks") >= SpanGram)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), size($"toks") - (SpanGram - 1)))
+          .as("pos"))
+      .select($"doc_id", $"pos",
+        Hashing.hash60(
+          concat_ws(" ", slice($"toks", $"pos", lit(SpanGram)))).as("h"))
+    val dup = grams.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h".as("dh"))
+    val hits = grams.join(broadcast(dup), $"h" === $"dh")
+      .select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val prev = lag($"pos", 1).over(w)
+    val spans = hits
+      .withColumn("brk",
+        when(prev.isNull || $"pos" - prev > SpanGram, 1).otherwise(0))
+      .withColumn("island", sum($"brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("s"),
+        (max($"pos") + (SpanGram - 1)).as("e"),
+        count(lit(1)).as("ng"))
+    val perDoc = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"ng").as("n_dup_grams"),
+        sum($"e" - $"s" + 1).as("dup_tokens"),
+        max($"e" - $"s" + 1).cast("long").as("max_span_len"))
+    tok.select($"doc_id", size($"toks").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        coalesce($"max_span_len", lit(0L)).as("max_span_len"),
+        round(coalesce($"dup_tokens", lit(0L)).cast("double")
+          / greatest($"n_toks", lit(1)), 6).as("dup_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
@@ -499,6 +565,7 @@ object Curation {
     "q69_sample_topn_stratum" -> sampleTopNStratum,
     "q70_mixture_plan" -> mixturePlan,
     "q88_boilerplate_scrub" -> boilerplateScrub,
+    "q102_dup_spans" -> dupSpans,
     "q95_weighted_sample_topn" -> weightedSampleTopN,
     "q97_bpe_pair_stats" -> bpePairStats,
     "q98_bpe_train" -> bpeTrain,
@@ -738,6 +805,47 @@ object Curation {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  private val sqlDupSpans = {
+    val tk = sqlTokens("text")
+    val h = sqlHash60("gram_text")
+    val k = SpanGram
+    s"""WITH t AS (SELECT doc_id, $tk AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    array_to_string(toks[i:(i + ${k - 1})], ' ') AS gram_text
+       |  FROM t, UNNEST(range(1, len(toks) - ${k - 2})) AS u(i)
+       |  WHERE len(toks) >= $k),
+       |hg AS (SELECT doc_id, pos, $h AS h FROM g),
+       |dup AS (SELECT h FROM hg GROUP BY h
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |p AS (SELECT doc_id, pos FROM hg JOIN dup USING (h)),
+       |br AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |           OR pos - lag(pos) OVER w > $k THEN 1 ELSE 0 END AS brk
+       |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM br),
+       |sp AS (SELECT doc_id, island, min(pos) AS s,
+       |    max(pos) + ${k - 1} AS e, count(*) AS ng
+       |  FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(ng) AS BIGINT) AS n_dup_grams,
+       |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       |    CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+       |  FROM sp GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+       |  coalesce(a.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+       |  coalesce(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |  coalesce(a.max_span_len, CAST(0 AS BIGINT)) AS max_span_len,
+       |  round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+       |    / greatest(len(toks), 1), 6) AS dup_frac
+       |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
@@ -752,6 +860,7 @@ object Curation {
     "q69_sample_topn_stratum" -> sqlTopN,
     "q70_mixture_plan" -> sqlMixture,
     "q88_boilerplate_scrub" -> sqlBoiler,
+    "q102_dup_spans" -> sqlDupSpans,
     "q97_bpe_pair_stats" -> {
       val tk = sqlTokens("text")
       s"""WITH words AS (

@@ -225,4 +225,41 @@ class CurationSpec extends SparkSpec {
     assert(r.filter($"n_urls" =!= 1).count() === 0)
     assert(r.filter($"n_phones" =!= 1).count() === 0)
   }
+
+  test("q102: dup spans are maximal, alignment-free, and cross-doc only") {
+    val shared = "red orange yellow green blue indigo violet crimson" +
+      " amber teal navy olive" // 12 tokens, > gram length 8
+    val rep = "mono duo tri tetra penta hexa hepta octo nona deca"
+    val docs = Seq(
+      // same passage at DIFFERENT offsets (5 vs 2) — q88's aligned
+      // blocks would miss this pair entirely
+      (0L, s"alpha beta gamma delta epsilon $shared zeta eta theta"),
+      (1L, s"one two $shared three four five six"),
+      (2L, "unique words only nothing here repeats across documents" +
+        " at all whatsoever today"),
+      // 10-token passage repeated WITHIN one doc but in no other doc:
+      // self-repetition is q45's business, not a cross-doc dup span
+      (3L, s"$rep $rep filler ending"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q102")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = Curation.dupSpans(spark, dir.toString)
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    // doc 0: passage at token positions 6..17 → grams 6..10 merge into
+    // ONE maximal span of exactly the 12 shared tokens
+    assert(r(0L).getAs[Long]("n_spans") === 1L)
+    assert(r(0L).getAs[Long]("n_dup_grams") === 5L)
+    assert(r(0L).getAs[Long]("dup_tokens") === 12L)
+    assert(r(0L).getAs[Long]("max_span_len") === 12L)
+    assert(r(0L).getAs[Double]("dup_frac") === 0.6) // 12 of 20 tokens
+    // doc 1: same passage, shifted alignment — still one 12-token span
+    assert(r(1L).getAs[Long]("n_spans") === 1L)
+    assert(r(1L).getAs[Long]("dup_tokens") === 12L)
+    // doc 2: unique text, zero everything
+    assert(r(2L).getAs[Long]("n_spans") === 0L)
+    assert(r(2L).getAs[Double]("dup_frac") === 0.0)
+    // doc 3: within-doc repetition only → not a cross-doc span
+    assert(r(3L).getAs[Long]("n_spans") === 0L)
+  }
 }
