@@ -566,6 +566,71 @@ object TrainingData {
       .limit(15)
   }
 
+  /** (doc_id, term, pos) positional index rows — 1-based token
+    * positions, the raw material of q103/q104. The token expression is
+    * exploded DIRECTLY (see q58's note: a pre-projected array alias
+    * makes InferFiltersFromGenerate re-run the tokenize subtree below
+    * the repartition). */
+  private def posIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", posexplode(TextOps.tokens($"text")))
+      .select($"doc_id", $"col".as("term"), ($"pos" + 1).as("pos"))
+  }
+
+  /** q103 — positional inverted index build: the serving-side structure
+    * behind q43/q91's lexical scores and q104's phrase match. One
+    * posting row per (term, doc) — ordered position list + tf — with
+    * corpus-level df/cf joined on. Postings shard by DOCUMENT within a
+    * term, so a Zipf-head term's list never concentrates on one task;
+    * the per-term stats table is vocabulary-sized and BROADCASTS back
+    * onto the postings. One wide shuffle on (term, doc_id); the stats
+    * pass reduces map-side to O(vocab) rows per partition. */
+  val invertedIndex: Q = (s, dir) => {
+    import s.implicits._
+    val idx = posIndex(s, dir)
+    val postings = idx.groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"),
+        array_join(transform(array_sort(collect_list($"pos")),
+          _.cast("string")), ",").as("positions"))
+    val stats = idx.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"))
+    postings.join(broadcast(stats), Seq("term"))
+      .select($"term", $"doc_id", $"tf", $"positions", $"df", $"cf")
+  }
+
+  /** q104 — phrase query over the positional index: the corpus's most
+    * frequent word trigram (tie-break lexicographic) is located by the
+    * classic positional-index plan — per-word posting sets joined on
+    * (doc, pos+1, pos+2) adjacency — NOT by re-scanning text. Each
+    * posting set is ~1/vocab of the corpus; the one-row phrase
+    * BROADCASTS to prune all three sets before the equi-joins, which
+    * co-partition on doc_id. Overlapping occurrences each report. */
+  val phraseSearch: Q = (s, dir) => {
+    import s.implicits._
+    val toks = TextOps.tokens($"text")
+    val tri = Tables(s, dir, "documents")
+      .filter(size(toks) >= 3)
+      .select(explode(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))).as("g"))
+    val top = tri.groupBy($"g").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"g".asc).limit(1)
+      .select($"g".as("phrase"),
+        split($"g", " ").getItem(0).as("w1"),
+        split($"g", " ").getItem(1).as("w2"),
+        split($"g", " ").getItem(2).as("w3"))
+    val idx = posIndex(s, dir)
+    val s1 = idx.join(broadcast(top), $"term" === $"w1")
+      .select($"doc_id", $"pos", $"phrase")
+    val s2 = idx.join(broadcast(top.select($"w2")), $"term" === $"w2")
+      .select($"doc_id".as("d2"), $"pos".as("p2"))
+    val s3 = idx.join(broadcast(top.select($"w3")), $"term" === $"w3")
+      .select($"doc_id".as("d3"), $"pos".as("p3"))
+    s1.join(s2, $"d2" === $"doc_id" && $"p2" === $"pos" + 1)
+      .join(s3, $"d3" === $"doc_id" && $"p3" === $"pos" + 2)
+      .select($"doc_id", $"pos".as("match_pos"), $"phrase")
+  }
+
   /** q44 — hybrid retrieval: keyword prefilter over document text, then
     * vector re-rank by cosine to the query embedding (doc_id = vec_id).
     * The lexical filter prunes the candidate set before any vector math
@@ -1022,6 +1087,8 @@ object TrainingData {
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
+    "q103_inverted_index" -> invertedIndex,
+    "q104_phrase_search" -> phraseSearch,
     "q44_hybrid_search" -> hybridSearch,
     "q45_repetition_score" -> repetitionScore,
     "q46_quality_filter" -> qualityFilter,
@@ -1188,6 +1255,44 @@ object TrainingData {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 15""".stripMargin
     },
+    "q103_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |idx AS (SELECT doc_id, toks[CAST(i AS INT)] AS term,
+         |    CAST(i AS INT) AS pos
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |postings AS (SELECT term, doc_id,
+         |    CAST(count(*) AS BIGINT) AS tf,
+         |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+         |      AS positions
+         |  FROM idx GROUP BY term, doc_id),
+         |stats AS (SELECT term,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |    CAST(count(*) AS BIGINT) AS cf
+         |  FROM idx GROUP BY term)
+         |SELECT term, doc_id, tf, positions, df, cf
+         |FROM postings JOIN stats USING (term)""".stripMargin,
+    "q104_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |idx AS (SELECT doc_id, toks[CAST(i AS INT)] AS term,
+         |    CAST(i AS INT) AS pos
+         |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |tri AS (SELECT array_to_string(
+         |    toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+         |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |top AS (SELECT g AS phrase,
+         |    string_split(g, ' ')[1] AS w1,
+         |    string_split(g, ' ')[2] AS w2,
+         |    string_split(g, ' ')[3] AS w3
+         |  FROM (SELECT g, count(*) AS n FROM tri GROUP BY g
+         |        ORDER BY n DESC, g ASC LIMIT 1))
+         |SELECT a.doc_id, a.pos AS match_pos, top.phrase
+         |FROM idx a, idx b, idx c, top
+         |WHERE a.term = top.w1 AND b.term = top.w2 AND c.term = top.w3
+         |  AND b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  AND c.doc_id = a.doc_id AND c.pos = a.pos + 2""".stripMargin,
     "q44_hybrid_search" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
          |  WHERE vec_id = 0),

@@ -237,4 +237,35 @@ class TrainingDataSpec extends SparkSpec {
       .groupBy($"lang_pred").count().as[(String, Long)].collect().toMap
     assert(dist.getOrElse("en", 0L) > 0)
   }
+
+  test("q103/q104: postings are exact; phrase match finds overlaps") {
+    val docs = Seq(
+      // "a b" dominates; phrase "a b a" occurs at pos 1 AND 3 in doc 0
+      // (overlapping matches must BOTH report) and at pos 2 in doc 1
+      (0L, "a b a b a"),
+      (1L, "c a b a c c"),
+      (2L, "d e f"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q103")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val idx = TrainingData.invertedIndex(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val a0 = idx(("a", 0L))
+    assert(a0.getAs[Long]("tf") === 3L)
+    assert(a0.getAs[String]("positions") === "1,3,5")
+    assert(a0.getAs[Long]("df") === 2L) // docs 0 and 1
+    assert(a0.getAs[Long]("cf") === 5L) // 3 in doc 0 + 2 in doc 1
+    val c1 = idx(("c", 1L))
+    assert(c1.getAs[String]("positions") === "1,5,6")
+    assert(idx.keys.count(_._1 == "e") === 1)
+
+    val m = TrainingData.phraseSearch(spark, dir.toString)
+      .select($"doc_id", $"match_pos", $"phrase")
+      .as[(Long, Int, String)].collect().sorted
+    // top trigram: "a b a" (count 3; every other trigram ≤ 1)
+    assert(m.forall(_._3 == "a b a"))
+    assert(m.toSeq === Seq((0L, 1, "a b a"), (0L, 3, "a b a"),
+      (1L, 2, "a b a")))
+  }
 }
