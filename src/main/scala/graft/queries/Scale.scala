@@ -294,6 +294,47 @@ object Scale {
       .select($"id".as("node_id"), $"rank")
   }
 
+  /** q105 — triangle counting on the part co-purchase graph (parts
+    * sharing an order), the third classic graph kernel beside CC
+    * (q55/q87/q99) and PageRank (q89). Edges are oriented from the
+    * lower-(degree, id) endpoint to the higher (Schank–Wagner
+    * node-iterator orientation): every triangle then has exactly ONE
+    * source node, and the wedge self-join is bounded by Σ out-deg²
+    * with out-degree ≤ O(√m) — the property that keeps the join finite
+    * on power-law graphs, where naive id-ordering explodes at the hubs
+    * (a celebrity node with 10⁶ followers contributes 10¹² id-ordered
+    * wedges but only √-bounded degree-ordered ones). All joins are
+    * equi-joins on node keys; nothing is driver-side. */
+  val triangles: Q = (s, dir) => {
+    import s.implicits._
+    val io = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = io.as("x").join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+    val deg = e.select($"u".as("nid")).unionByName(e.select($"v".as("nid")))
+      .groupBy($"nid").agg(count(lit(1)).as("d"))
+    val ori = e
+      .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("b"))
+    // wedge (a; b, c) enumerated in both (b,c) orders; the closing edge
+    // exists in ori under exactly one of them, so each triangle counts once
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), $"e1.a" === $"e2.a" && $"e1.b" =!= $"e2.b")
+      .join(ori.as("e3"), $"e3.a" === $"e1.b" && $"e3.b" === $"e2.b")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nm = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    val em = e.agg(count(lit(1)).as("n_edges"))
+    nm.crossJoin(em).crossJoin(tri)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        expr("(3000000 * n_triangles) div n_wedges").as("gcc_micro"))
+  }
+
   /** q56 — deterministic stratified sampling by hash threshold: 40% of
     * the first five sources, 10% of the rest, with no count, sort, or
     * state — each row decides locally from hash60(doc_id), so the same
@@ -340,6 +381,7 @@ object Scale {
     "q55_dup_clusters" -> dupClusters,
     "q87_dup_clusters_star" -> dupClustersStar,
     "q89_pagerank" -> pagerank,
+    "q105_triangles" -> triangles,
     "q56_sample_stratified" -> sampleStratified,
     "q57_moving_avg" -> movingAvg,
   )
@@ -545,6 +587,33 @@ object Scale {
     "q55_dup_clusters" -> sqlDupClusters,
     "q87_dup_clusters_star" -> sqlDupClusters,
     "q89_pagerank" -> sqlPagerank,
+    "q105_triangles" ->
+      """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM io a JOIN io b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY x),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |         THEN u ELSE v END AS a,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |         THEN v ELSE u END AS b
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.a = e2.a AND e1.b <> e2.b
+        |  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles,
+        |  CAST((3000000 * (SELECT n_triangles FROM tri))
+        |    // (SELECT sum(d * (d - 1)) // 2 FROM deg) AS BIGINT)
+        |    AS gcc_micro""".stripMargin,
     "q56_sample_stratified" -> sqlSample,
     "q57_moving_avg" -> sqlMovingAvg,
   )

@@ -84,6 +84,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("degree-ordered triangle count equals brute force on random " +
+    "co-purchase sets") {
+    // random (order, part) bipartite memberships → co-purchase graph;
+    // hub orders create high-degree nodes, the case the orientation
+    // is for. Reference: brute-force triple scan over the edge set.
+    val rowGen = Gen.zip(Gen.choose(0L, 19L), Gen.choose(100L, 124L))
+    for (round <- 0 until 4) {
+      val io = (0 until 60).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed(round * 1000L + i)))
+        .distinct
+      val edges = (for {
+        (o1, p1) <- io; (o2, p2) <- io
+        if o1 == o2 && p1 < p2
+      } yield (p1, p2)).toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expected = (for {
+        a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+        if edges((a, b)) && edges((b, c)) && edges((a, c))
+      } yield 1).size.toLong
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-tri$round")
+      io.toDF("l_orderkey", "l_partkey").write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      val got = graft.queries.Scale.triangles(spark, dir.toString)
+        .select($"n_triangles").as[Long].head()
+      assert(got === expected, s"round $round: $got vs $expected")
+    }
+  }
+
   test("band join equals the all-pairs reference on random timestamps, " +
     "including bucket boundaries") {
     // times quantized to whole seconds around the band width so exact
