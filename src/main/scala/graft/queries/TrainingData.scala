@@ -292,6 +292,42 @@ object TrainingData {
       initIds = PqInitIds, coarseIds = IvfCoarseIds, nprobe = IvfPqNprobe)
   }
 
+  /** q106 — int8 scalar quantization of the embedding corpus (the
+    * 4×-compression step serving stacks apply BEFORE any PQ/IVF
+    * exotics): per-dimension corpus min/max (64 rows — broadcasts at
+    * any corpus size) maps each value to a 0..255 code; each vector
+    * reports its code sum plus exact reconstruction-error stats. All
+    * arithmetic is integer micro-units with truncating division, so
+    * codes and errors are bit-identical across engines and cluster
+    * sizes — this is the quantization AUDIT a pipeline runs to decide
+    * whether int8 serving is safe for its corpus. Scale: one shuffle
+    * of (dim, partial-min/max) for stats, then a map-only encode pass;
+    * vectors never shuffle. */
+  val int8Quantize: Q = (s, dir) => {
+    import s.implicits._
+    val mv = Tables(s, dir, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, v -> " +
+          "cast(round(cast(v AS double) * 1000000.0) AS bigint))").as("mv"))
+    val vals = mv.select($"vec_id",
+      posexplode($"mv").as(Seq("dim", "v")))
+    val stats = vals.groupBy($"dim")
+      .agg(min($"v").as("mn"), max($"v").as("mx"))
+      .withColumn("span", $"mx" - $"mn")
+    vals.join(broadcast(stats), Seq("dim"))
+      .withColumn("q",
+        when($"span" === 0L, 0L)
+          .otherwise(expr("(255 * (v - mn)) div span")))
+      .withColumn("r",
+        when($"span" === 0L, $"mn")
+          .otherwise($"mn" + expr("(q * span) div 255")))
+      .withColumn("err", abs($"r" - $"v"))
+      .groupBy($"vec_id")
+      .agg(sum($"q").as("q_sum"),
+        sum($"err" * $"err").as("sse_micro2"),
+        max($"err").as("max_abs_err_micro"))
+  }
+
   /** q68 — per-label embedding centroid + outlier scoring (corpus QC):
     * the centroid is a tiny per-group aggregate (posexplode → per-dim
     * sum → re-assembled in dimension order) that BROADCASTS back onto
@@ -1103,6 +1139,7 @@ object TrainingData {
     "q99_incremental_clusters" -> incrementalClusters,
     "q100_pq_ann" -> pqAnn,
     "q101_ivf_pq_ann" -> ivfPqAnn,
+    "q106_int8_quantize" -> int8Quantize,
     "q68_centroid_outliers" -> centroidOutliers,
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
@@ -1123,6 +1160,28 @@ object TrainingData {
     "q99_incremental_clusters" -> sqlIncrementalClusters,
     "q100_pq_ann" -> sqlPqAnn,
     "q101_ivf_pq_ann" -> sqlIvfPq,
+    "q106_int8_quantize" ->
+      """WITH mv AS (SELECT vec_id,
+        |    list_transform(embedding, v ->
+        |      CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |vals AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |    mv[CAST(i AS INT)] AS v
+        |  FROM mv, UNNEST(range(1, len(mv) + 1)) AS u(i)),
+        |stats AS (SELECT dim, min(v) AS mn, max(v) AS mx,
+        |    max(v) - min(v) AS span
+        |  FROM vals GROUP BY dim),
+        |enc AS (SELECT vec_id, v,
+        |    CASE WHEN span = 0 THEN 0
+        |         ELSE (255 * (v - mn)) // span END AS q,
+        |    CASE WHEN span = 0 THEN mn
+        |         ELSE mn + (((255 * (v - mn)) // span) * span) // 255
+        |    END AS r
+        |  FROM vals JOIN stats USING (dim))
+        |SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  CAST(sum((r - v) * (r - v)) AS BIGINT) AS sse_micro2,
+        |  CAST(max(abs(r - v)) AS BIGINT) AS max_abs_err_micro
+        |FROM enc GROUP BY vec_id""".stripMargin,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
     "q74_ann_ivf_trained" -> sqlIvfTrained,

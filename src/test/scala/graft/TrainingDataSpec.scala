@@ -238,6 +238,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(dist.getOrElse("en", 0L) > 0)
   }
 
+  test("q106: int8 reconstruction error is bounded by the dim span/255") {
+    val r = TrainingData.int8Quantize(spark, sfDir).cache()
+    // the worst dim's quantization step bounds EVERY vector's error
+    val maxSpan = Tables(spark, sfDir, "embeddings")
+      .select(posexplode(expr("transform(embedding, v -> " +
+        "cast(round(cast(v AS double) * 1000000.0) AS bigint))")))
+      .groupBy($"pos").agg((max($"col") - min($"col")).as("span"))
+      .agg(max($"span")).as[Long].head()
+    val step = maxSpan / 255 + 1
+    assert(r.filter($"max_abs_err_micro" > step).count() === 0,
+      s"some vector exceeds the quantization step bound $step")
+    // codes live in 0..255 over 64 dims
+    assert(r.filter($"q_sum" < 0 || $"q_sum" > 255L * 64).count() === 0)
+    assert(r.count() === Tables(spark, sfDir, "embeddings").count())
+    r.unpersist()
+  }
+
   test("q103/q104: postings are exact; phrase match finds overlaps") {
     val docs = Seq(
       // "a b" dominates; phrase "a b a" occurs at pos 1 AND 3 in doc 0
