@@ -321,12 +321,23 @@ object Scale {
           .otherwise($"v").as("a"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
           .otherwise($"u").as("b"))
-    // wedge (a; b, c) enumerated in both (b,c) orders; the closing edge
-    // exists in ori under exactly one of them, so each triangle counts once
-    val tri = ori.as("e1")
-      .join(ori.as("e2"), $"e1.a" === $"e2.a" && $"e1.b" =!= $"e2.b")
-      .join(ori.as("e3"), $"e3.a" === $"e1.b" && $"e3.b" === $"e2.b")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Edge-iterator with sorted adjacency instead of the wedge self-join:
+    // the (deg, id) orientation is a total order, so every triangle is a
+    // DAG a→b, a→c, b→c and is found exactly once — on edge (a,b) as
+    // c ∈ N⁺(a) ∩ N⁺(b). The wedge join would materialize Σ out-deg²
+    // rows through a shuffle (83 M at sf0.1, 23 s); intersecting the two
+    // ≤O(√m)-element sorted arrays per EDGE does the same comparisons
+    // inside codegen over |E| rows (measured 23.5 s → 7 s at sf0.1).
+    val adj = ori.groupBy($"a")
+      .agg(sort_array(collect_list($"b")).as("nbrs"))
+    // re-derive the edge list by exploding the adjacency itself: each
+    // edge row comes out with N⁺(a) already attached (no join), leaving
+    // ONE shuffle join to fetch N⁺(b)
+    val tri = adj
+      .select($"nbrs".as("na"), explode($"nbrs").as("b"))
+      .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
+      .select(size(array_intersect($"na", $"nb")).as("t"))
+      .agg(sum($"t").cast("long").as("n_triangles"))
     val nm = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d * (d - 1)) div 2").as("n_wedges"))
     val em = e.agg(count(lit(1)).as("n_edges"))
@@ -367,6 +378,80 @@ object Scale {
         count(lit(1)).over(w), 6).as("avg_7d"))
   }
 
+  /** q107 — multi-source BFS hop distance (bounded frontier expansion)
+    * over the supplier⇄part bipartite graph (q89's edge set): every
+    * node labeled with its hop distance (≤3) from the nation-0 supplier
+    * seed set. Each round is ONE equi-join of the frontier against the
+    * edge list plus ONE anti-join against the visited set — the Pregel
+    * step expressed relationally. Everything is keyed on node id, so on
+    * a cluster all four rounds reuse one hash partitioning of the edge
+    * list (exchange reuse); the frontier and visited sides are the only
+    * per-round shuffles, and they carry node ids alone, never payloads.
+    * Full-graph BFS at 100 TB runs this same round in a loop with a
+    * convergence check (frontier empty), exactly like q87's star
+    * contraction; the bounded unroll keeps the oracle expressible. */
+  val bfsHops: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val d0 = Tables(s, dir, "supplier").filter($"s_nationkey" === 0)
+      .select($"s_suppkey".as("node_id"))
+    def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+      edges.join(frontier.select($"node_id".as("src")), Seq("src"))
+        .select($"dst".as("node_id")).distinct()
+        .join(visited, Seq("node_id"), "left_anti")
+    val d1 = expand(d0, d0)
+    val v1 = d0.unionByName(d1)
+    val d2 = expand(d1, v1)
+    val d3 = expand(d2, v1.unionByName(d2))
+    d0.select($"node_id", lit(0).as("hops"))
+      .unionByName(d1.select($"node_id", lit(1).as("hops")))
+      .unionByName(d2.select($"node_id", lit(2).as("hops")))
+      .unionByName(d3.select($"node_id", lit(3).as("hops")))
+  }
+
+  /** q109 — k-core decomposition (bounded peel): repeatedly remove
+    * nodes of degree < k and their incident edges; what survives is the
+    * k-core, the standard "dense enough to matter" subgraph filter
+    * before community detection or graph embedding. The dense
+    * supplier⇄part incidence graph has no sub-26-degree nodes, so the
+    * peel runs on a 5% hash-sampled edge subset (the same stateless
+    * hash60 thresholding as q56 — reproducible on any cluster), where
+    * k=4 genuinely cascades: removing one round's weak nodes drags
+    * neighbors below k the next round. Output is the per-round audit
+    * (surviving nodes/edges), the shape a curation job logs. Each round
+    * = one degree aggregation + two semi-joins, all keyed on node id —
+    * partitioning reuse as in q107; fixpoint k-core at scale loops the
+    * same round until no node drops (≤ O(peel-depth) iterations). */
+  val kcorePeel: Q = (s, dir) => {
+    import s.implicits._
+    val k = 4
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("u"), (lit(100000L) + $"l_partkey").as("v"))
+      .distinct()
+      .filter(Hashing.hash60(concat(lit("kcore|"), $"u".cast("string"),
+        lit("|"), $"v".cast("string"))) % 20 === 0)
+    val und = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+    def audit(edges: DataFrame, round: Int): DataFrame =
+      edges.agg(countDistinct($"u").as("n_nodes"),
+          expr("count(1) div 2").as("n_edges"))
+        .select(lit(round).as("round"), $"n_nodes", $"n_edges")
+    def peel(edges: DataFrame): DataFrame = {
+      val keep = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"u".as("n"))
+      edges.join(keep.select($"n".as("u")), Seq("u"))
+        .join(keep.select($"n".as("v")), Seq("v"))
+        .select($"u", $"v")
+    }
+    val r1 = peel(und)
+    val r2 = peel(r1)
+    val r3 = peel(r2)
+    audit(und, 0).unionByName(audit(r1, 1))
+      .unionByName(audit(r2, 2)).unionByName(audit(r3, 3))
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
     "q81_asof_tolerance" -> asofTolerance,
@@ -382,6 +467,8 @@ object Scale {
     "q87_dup_clusters_star" -> dupClustersStar,
     "q89_pagerank" -> pagerank,
     "q105_triangles" -> triangles,
+    "q107_bfs_hops" -> bfsHops,
+    "q109_kcore_peel" -> kcorePeel,
     "q56_sample_stratified" -> sampleStratified,
     "q57_moving_avg" -> movingAvg,
   )
@@ -568,6 +655,52 @@ object Scale {
       |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING
       |             AND CURRENT ROW)""".stripMargin
 
+  private val sqlBfsHops =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey AS dst
+      |  FROM lineitem),
+      |edges AS (SELECT src, dst FROM e0
+      |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |d0 AS (SELECT s_suppkey AS node_id FROM supplier WHERE s_nationkey = 0),
+      |d1 AS (SELECT DISTINCT dst AS node_id
+      |  FROM edges JOIN d0 ON edges.src = d0.node_id
+      |  WHERE dst NOT IN (SELECT node_id FROM d0)),
+      |d2 AS (SELECT DISTINCT dst AS node_id
+      |  FROM edges JOIN d1 ON edges.src = d1.node_id
+      |  WHERE dst NOT IN (SELECT node_id FROM d0
+      |                    UNION ALL SELECT node_id FROM d1)),
+      |d3 AS (SELECT DISTINCT dst AS node_id
+      |  FROM edges JOIN d2 ON edges.src = d2.node_id
+      |  WHERE dst NOT IN (SELECT node_id FROM d0
+      |                    UNION ALL SELECT node_id FROM d1
+      |                    UNION ALL SELECT node_id FROM d2))
+      |SELECT node_id, 0 AS hops FROM d0
+      |UNION ALL SELECT node_id, 1 FROM d1
+      |UNION ALL SELECT node_id, 2 FROM d2
+      |UNION ALL SELECT node_id, 3 FROM d3""".stripMargin
+
+  private val sqlKcorePeel = {
+    val h = Hashing.sqlHash60(
+      "'kcore|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS u, 100000 + l_partkey AS v
+       |  FROM lineitem),
+       |es AS (SELECT u, v FROM e0 WHERE $h % 20 = 0),
+       |und AS (SELECT u, v FROM es UNION ALL SELECT v AS u, u AS v FROM es),
+       |k1 AS (SELECT u AS n FROM und GROUP BY u HAVING count(*) >= 4),
+       |r1 AS (SELECT und.u, und.v FROM und
+       |  JOIN k1 a ON und.u = a.n JOIN k1 b ON und.v = b.n),
+       |k2 AS (SELECT u AS n FROM r1 GROUP BY u HAVING count(*) >= 4),
+       |r2 AS (SELECT r1.u, r1.v FROM r1
+       |  JOIN k2 a ON r1.u = a.n JOIN k2 b ON r1.v = b.n),
+       |k3 AS (SELECT u AS n FROM r2 GROUP BY u HAVING count(*) >= 4),
+       |r3 AS (SELECT r2.u, r2.v FROM r2
+       |  JOIN k3 a ON r2.u = a.n JOIN k3 b ON r2.v = b.n)
+       |SELECT 0 AS round, count(DISTINCT u) AS n_nodes,
+       |  count(*) // 2 AS n_edges FROM und
+       |UNION ALL SELECT 1, count(DISTINCT u), count(*) // 2 FROM r1
+       |UNION ALL SELECT 2, count(DISTINCT u), count(*) // 2 FROM r2
+       |UNION ALL SELECT 3, count(DISTINCT u), count(*) // 2 FROM r3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_asof_join" -> sqlAsof,
     "q81_asof_tolerance" -> sqlAsofTolerance,
@@ -615,6 +748,9 @@ object Scale {
         |    // (SELECT sum(d * (d - 1)) // 2 FROM deg) AS BIGINT)
         |    AS gcc_micro""".stripMargin,
     "q56_sample_stratified" -> sqlSample,
+    "q107_bfs_hops" -> sqlBfsHops,
+    "q109_kcore_peel" -> sqlKcorePeel,
     "q57_moving_avg" -> sqlMovingAvg,
   )
+
 }
