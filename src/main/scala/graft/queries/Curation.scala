@@ -551,7 +551,51 @@ object Curation {
           / greatest($"n_toks", lit(1)), 6).as("dup_frac"))
   }
 
+  /** q108 — PMI collocation mining (pointwise mutual information of
+    * adjacent word pairs): which bigrams co-occur far above chance —
+    * the classic phrase/term extractor ("new york"-style units) run
+    * before tokenizer training or indexing. pmi = ln(p(xy)/(p(x)p(y)))
+    * computed from exact integer counts: the numerator c_xy·T² and
+    * denominator B·c_x·c_y are exact long products, so both engines
+    * take ln of the SAME rational number and the micro-unit score is
+    * reproducible. Plan shape: one bigram groupBy (map-side combined,
+    * Zipf collapses hard), unigram vocab joined on each word — vocab
+    * is corpus-sublinear (heaps' law) and AQE broadcasts it at test
+    * scale; at 100 TB both joins degrade to shuffle joins on the word
+    * key, still |vocab|-sized, never corpus-sized. Corpus totals ride
+    * as one broadcast row. Top-20 via TakeOrderedAndProject (no global
+    * sort); min-support 5 prunes the hapax tail before any join. */
+  val pmiCollocations: Q = (s, dir) => {
+    import s.implicits._
+    val tokd = tokenized(s, dir)
+    // 1-based adjacent index pairs; empty for <2-token docs (explode
+    // drops the row, mirroring the oracle's empty range())
+    val pairs = tokd.select(explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("pr"))
+      .select($"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val uni = tokd.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum($"c").as("T"))
+    val bi = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 5)
+    val btot = pairs.agg(count(lit(1)).as("B"))
+    bi
+      .join(uni.select($"tok".as("w1"), $"c".as("c1")), Seq("w1"))
+      .join(uni.select($"tok".as("w2"), $"c".as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select($"w1", $"w2", $"c".as("pair_cnt"),
+        round(log(($"c" * $"T" * $"T").cast("double") /
+          ($"B" * $"c1" * $"c2").cast("double")) * 1000000.0)
+          .cast("long").as("pmi_micro"))
+      .orderBy($"pmi_micro".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_pmi_collocations" -> pmiCollocations,
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
@@ -846,7 +890,29 @@ object Curation {
        |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  private val sqlPmi =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |pairs AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2 FROM
+       |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT),
+       |     i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr FROM t)),
+       |uni AS (SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |tot AS (SELECT sum(c)::BIGINT AS T FROM uni),
+       |bi AS (SELECT w1, w2, count(*) AS c FROM pairs
+       |  GROUP BY w1, w2 HAVING count(*) >= 5),
+       |btot AS (SELECT count(*) AS B FROM pairs)
+       |SELECT w1, w2, bi.c AS pair_cnt,
+       |  CAST(round(ln(CAST(bi.c * T * T AS DOUBLE)
+       |      / CAST(B * u1.c * u2.c AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    AS pmi_micro
+       |FROM bi JOIN uni u1 ON bi.w1 = u1.tok
+       |JOIN uni u2 ON bi.w2 = u2.tok
+       |CROSS JOIN tot CROSS JOIN btot
+       |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q108_pmi_collocations" -> sqlPmi,
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,

@@ -372,6 +372,76 @@ object TrainingData {
         $"rank")
   }
 
+  /** q110 — batch ANN serving: every 25th vector plays an incoming
+    * QUERY BATCH (the production shape — requests arrive in batches,
+    * not one at a time like q42/q74), and each query retrieves its
+    * top-3 neighbors from its own IVF cell (nprobe=1, q42's coarse
+    * quantizer). One equi-join on the cell id serves the whole batch:
+    * the query side is batch-sized → broadcast, so the corpus side
+    * NEVER shuffles — scans its cells in place, exactly how an
+    * embedding index serves lookups at 100 TB. Per-query top-3 is a
+    * rank over (q_id) — WindowGroupLimit cuts candidates to ≤3 per
+    * partition before the exchange, so the shuffle carries
+    * O(batch × k), not O(batch × cell). */
+  val annBatchServe: Q = (s, dir) => {
+    import s.implicits._
+    val assigned = Similarity.ivfAssign(
+      Tables(s, dir, "embeddings"), NumCells)
+    val qs = assigned.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"), $"cid")
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    assigned.join(broadcast(qs), Seq("cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"label",
+        Similarity.cosine($"embedding", $"qv").as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"vec_id", $"label",
+        round($"cos_sim", 6).as("cos_sim"), $"rank")
+  }
+
+  /** q111 — random-projection dimensionality reduction (Johnson–
+    * Lindenstrauss with a Rademacher ±1 matrix): 64-dim embeddings
+    * compressed to 8 dims ahead of ANN indexing/clustering — the cheap
+    * embedding-compression step between q106's int8 quantization (same
+    * width, fewer bits) and PQ (fewer dims, codebooks). The sign
+    * matrix is derived from hash60 at PLAN time (like the LSH planes:
+    * literals in the plan, no per-row hashing, no data dependence) and
+    * the projection is map-only — zero shuffles at any corpus size.
+    * Components are quantized to exact micro-unit longs BEFORE the
+    * ±-sum, so every projected coordinate is exact integer arithmetic:
+    * order-independent, bit-identical on any partitioning and any
+    * engine. The JL audit rides along: ‖p‖²/(m·‖q‖²) ≈ 1 per vector
+    * (E[p_j²] = ‖q‖² for Rademacher projections). */
+  private val JlOutDims = 8
+  private def jlSigns: Array[Array[Long]] =
+    Array.tabulate(JlOutDims, Dims)((j, i) =>
+      if (Hashing.hash60(s"jl|$j|$i") % 2 == 0) 1L else -1L)
+  val jlProject: Q = (s, dir) => {
+    import s.implicits._
+    val signs = jlSigns
+    val base = Tables(s, dir, "embeddings").select($"vec_id",
+      transform($"embedding",
+        e => round(e.cast("double") * 1000000.0).cast("long")).as("q"))
+    val projCols = (0 until JlOutDims).map { j =>
+      val sArr = array(signs(j).map(lit(_)): _*)
+      aggregate(zip_with($"q", sArr, (e, sg) => e * sg),
+        lit(0L), (a, x) => a + x).as(s"p$j")
+    }
+    val qn = aggregate(transform($"q", x => x * x),
+      lit(0L), (a, x) => a + x).as("qn")
+    val projected = base.select(($"vec_id" +: qn +: projCols): _*)
+    val pn = (0 until JlOutDims).map(j => col(s"p$j") * col(s"p$j"))
+      .reduce(_ + _)
+    projected.select(
+      ($"vec_id" +:
+        (0 until JlOutDims).map(j => col(s"p$j"))) :+
+        round(pn.cast("double") /
+          (lit(JlOutDims.toDouble) * $"qn".cast("double")) * 1000000.0)
+          .cast("long").as("norm_ratio_micro"): _*)
+  }
+
   /** q73 — distributed k-means training (2 unrolled Lloyd iterations,
     * spherical): the trained form of q42's IVF coarse quantizer. Init =
     * the first K vectors (deterministic); each iteration broadcasts the
@@ -1121,6 +1191,8 @@ object TrainingData {
     "q40_dedup_embedding" -> dedupEmbedding,
     "q27_ann_lsh_topk" -> annLshTopK,
     "q42_ann_ivf_topk" -> annIvfTopK,
+    "q110_ann_batch_serve" -> annBatchServe,
+    "q111_jl_project" -> jlProject,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
     "q103_inverted_index" -> invertedIndex,
@@ -1269,6 +1341,49 @@ object TrainingData {
          |SELECT vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10""".stripMargin,
+    "q110_ann_batch_serve" ->
+      s"""WITH centroids AS (SELECT vec_id AS cid, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < $NumCells),
+         |scored AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |    ${sqlCosCols("e.embedding", "c.cemb")} AS ccs
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |assigned AS (SELECT vec_id, label, embedding, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY ccs DESC, cid ASC) AS rn FROM scored) t
+         |  WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv, cid
+         |  FROM assigned WHERE vec_id % 25 = 0),
+         |cand AS (SELECT qs.q_id, a.vec_id, a.label,
+         |    ${sqlCosCols("a.embedding", "qv")} AS cs
+         |  FROM assigned a JOIN qs ON a.cid = qs.cid
+         |  WHERE a.vec_id <> qs.q_id),
+         |r AS (SELECT q_id, vec_id, label, cs, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+         |  FROM cand)
+         |SELECT q_id, vec_id, label, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q111_jl_project" -> {
+      val signs = jlSigns
+      val pCols = (0 until JlOutDims).map { j =>
+        val sArr = signs(j).mkString("[", ", ", "]")
+        s"CAST(list_sum(list_transform(list_zip(q, $sArr), " +
+          s"x -> x[1] * x[2])) AS BIGINT) AS p$j"
+      }.mkString(",\n  ")
+      val pn = (0 until JlOutDims).map(j => s"p$j * p$j").mkString(" + ")
+      s"""WITH qv AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    e -> CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn,
+         |  $pCols
+         |  FROM qv)
+         |SELECT vec_id, ${(0 until JlOutDims).map("p" + _).mkString(", ")},
+         |  CAST(round(CAST($pn AS DOUBLE) / ($JlOutDims.0 * CAST(qn AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS norm_ratio_micro
+         |FROM p""".stripMargin
+    },
     "q43_tfidf_rank" -> {
       val dfs = TfidfTerms.map(t =>
         s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")

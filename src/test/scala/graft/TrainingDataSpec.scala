@@ -285,4 +285,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(m.toSeq === Seq((0L, 1, "a b a"), (0L, 3, "a b a"),
       (1L, 2, "a b a")))
   }
+
+  test("q111: JL projection preserves norms within Rademacher bounds " +
+    "and is exact integer arithmetic") {
+    val r = TrainingData.jlProject(spark, sfDir)
+    // E[p_j^2] = ||q||^2 exactly, but at m=8 the per-vector ratio is
+    // chi-square-wide (observed 0.11..3.7 at sf0.01). Two-level check:
+    // every vector inside a loose outer band, and the MEDIAN near 1 —
+    // a sign/axis/rounding bug shifts the whole distribution, not the
+    // tail.
+    val bad = r.filter(col("norm_ratio_micro") < 20000L ||
+      col("norm_ratio_micro") > 20000000L).count()
+    assert(bad === 0, s"$bad vectors outside the outer JL band")
+    val med = r.stat.approxQuantile("norm_ratio_micro",
+      Array(0.5), 0.01).head
+    assert(med > 600000 && med < 1700000, s"JL ratio median $med off 1.0")
+    // map-only plan: the only Exchange is Tables' read-path round-robin
+    // repartition (single-row-group parquet); the projection itself
+    // must introduce no hash/range shuffle
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      "JL projection must not shuffle")
+  }
 }
