@@ -222,11 +222,43 @@ object Governance {
     graft.sources.Warehouse.mergeUpsert(t, delta, "o_orderkey")
   }
 
+  /** q114 — PSI distribution-drift monitor (population stability
+    * index): the event `value` distribution of the window's first half
+    * against its second half, binned on fixed width-50 edges, with the
+    * per-bin PSI contribution (p−q)·ln(p/q) — the standard "did the
+    * feature distribution move" gate between two corpus snapshots or
+    * model-input windows (PSI > 0.2 ⇒ investigate). Laplace +1
+    * smoothing keeps empty bins finite. All inputs to the float tree
+    * are exact long counts — both engines divide and ln() the same
+    * integers, so the micro-unit contribution is reproducible. One
+    * 10-bin aggregate (map-side combined) + a 1-row broadcast of the
+    * totals: O(bins) output at any event volume, the monitoring shape
+    * that runs nightly next to q71's contract checks. */
+  val psiDrift: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").select(
+      least(floor($"value" / 50).cast("int"), lit(9)).as("bin"),
+      (dayofmonth($"ts") <= 15).as("ref"))
+    val binned = e.groupBy($"bin")
+      .agg(sum(when($"ref", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"ref", 1L).otherwise(0L)).as("b"))
+    val tot = binned.agg(sum($"a").as("ta"), sum($"b").as("tb"))
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"a".as("ref_cnt"), $"b".as("cur_cnt"),
+        round(
+          (($"a" + 1).cast("double") / ($"ta" + 10).cast("double") -
+            ($"b" + 1).cast("double") / ($"tb" + 10).cast("double")) *
+          log((($"a" + 1) * ($"tb" + 10)).cast("double") /
+            (($"b" + 1) * ($"ta" + 10)).cast("double")) * 1000000.0)
+          .cast("long").as("psi_contrib_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
     "q90_merge_upsert" -> mergeUpsert,
+    "q114_psi_drift" -> psiDrift,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -315,8 +347,29 @@ object Governance {
        |WHERE NOT (o.old_md5 IS NOT NULL AND n.new_md5 IS NOT NULL
        |           AND o.old_md5 = n.new_md5)""".stripMargin
 
+  private val sqlPsi =
+    """WITH e AS (SELECT
+      |    least(CAST(floor(value / 50) AS INTEGER), 9) AS bin,
+      |    date_part('day', ts) <= 15 AS ref
+      |  FROM events),
+      |binned AS (SELECT bin,
+      |    sum(CASE WHEN ref THEN 1 ELSE 0 END)::BIGINT AS a,
+      |    sum(CASE WHEN NOT ref THEN 1 ELSE 0 END)::BIGINT AS b
+      |  FROM e GROUP BY bin),
+      |tot AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb
+      |  FROM binned)
+      |SELECT bin, a AS ref_cnt, b AS cur_cnt,
+      |  CAST(round(
+      |    (CAST(a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+      |      - CAST(b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+      |    * ln(CAST((a + 1) * (tb + 10) AS DOUBLE)
+      |         / CAST((b + 1) * (ta + 10) AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS psi_contrib_micro
+      |FROM binned CROSS JOIN tot""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q71_contract_checks" -> sqlContracts,
+    "q114_psi_drift" -> sqlPsi,
     "q72_bloom_dedup" -> sqlBloom,
     "q75_snapshot_diff" -> sqlSnapshotDiff,
     "q90_merge_upsert" ->

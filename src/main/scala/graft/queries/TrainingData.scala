@@ -705,6 +705,39 @@ object TrainingData {
       .select($"term", $"doc_id", $"tf", $"positions", $"df", $"cf")
   }
 
+  /** q112 — incremental index maintenance (the nightly index refresh):
+    * a new document batch (the twin corpus, disjoint doc ids) arrives
+    * and the term statistics are MERGED — history stats + delta stats
+    * summed per term — never recomputed from the full corpus. Valid
+    * because doc sets are disjoint: df and cf are both sums over
+    * disjoint supports, so merge ≡ rebuild — and the ORACLE proves
+    * exactly that by rebuilding from scratch over corpus ∪ batch. At
+    * 100 TB this is the difference between tokenizing the batch
+    * (hours) and tokenizing the archive (weeks); the merge itself is a
+    * vocab-sized join on the term key, and batch posting rows append
+    * into the doc-sharded posting file without touching history.
+    * Output: post-merge df/cf for every term the batch touched. */
+  val indexMaintain: Q = (s, dir) => {
+    import s.implicits._
+    def stats(df: DataFrame) = df
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"))
+    val hist = stats(Tables(s, dir, "documents")
+      .select($"doc_id", $"text"))
+    val delta = stats(Tables(s, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + TwinOffset).as("doc_id"),
+        concat($"text", lit(TwinSuffix)).as("text")))
+    hist.join(
+        delta.select($"term", $"df".as("ddf"), $"cf".as("dcf")),
+        Seq("term"), "right")
+      .select($"term",
+        (coalesce($"df", lit(0L)) + $"ddf").as("df"),
+        (coalesce($"cf", lit(0L)) + $"dcf").as("cf"),
+        $"ddf".as("delta_df"))
+  }
+
   /** q104 — phrase query over the positional index: the corpus's most
     * frequent word trigram (tie-break lexicographic) is located by the
     * classic positional-index plan — per-word posting sets joined on
@@ -1196,6 +1229,7 @@ object TrainingData {
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
     "q103_inverted_index" -> invertedIndex,
+    "q112_index_maintain" -> indexMaintain,
     "q104_phrase_search" -> phraseSearch,
     "q44_hybrid_search" -> hybridSearch,
     "q45_repetition_score" -> repetitionScore,
@@ -1429,6 +1463,26 @@ object TrainingData {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 15""".stripMargin
     },
+    "q112_index_maintain" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $TwinOffset AS doc_id,
+         |    text || '$TwinSuffix' AS text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM corpus),
+         |full_stats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         |    count(*)::BIGINT AS cf
+         |  FROM tk GROUP BY term),
+         |btk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM (SELECT doc_id + $TwinOffset AS doc_id,
+         |      text || '$TwinSuffix' AS text
+         |    FROM documents WHERE doc_id % 2 = 0)),
+         |delta AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS delta_df
+         |  FROM btk GROUP BY term)
+         |SELECT f.term, f.df, f.cf, d.delta_df
+         |FROM full_stats f JOIN delta d USING (term)""".stripMargin,
     "q103_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
          |  FROM documents),
