@@ -413,6 +413,34 @@ object Curation {
     graft.functions.Bpe.train(words, rounds = 8)._1
   }
 
+  /** q113 — corpus ENCODING under q98's trained merges (the apply half
+    * of the tokenizer story): per-document subword piece count and
+    * fertility (pieces per word — the metric tokenizer teams track per
+    * language/domain). The corpus is never re-segmented per token:
+    * encoding rides the DISTINCT-word table — `Bpe.train`'s second
+    * output already holds each word's final symbolization, its piece
+    * count joins back onto the exploded corpus by word (vocab-sized →
+    * broadcast). A 100 TB corpus encodes against its ~100M-word vocab,
+    * and the heavy merge loop ran once at training. Oracle: rows-only
+    * (greedy BPE needs the lookahead regex RE2 lacks — q98 precedent);
+    * encode-equality vs a plain-Scala reference is spec-asserted. */
+  val bpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    val words = tokenized(s, dir)
+      .select(explode($"toks").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+    val vocab = graft.functions.Bpe.train(words, rounds = 8)._2
+      .select($"word",
+        size(split($"sym", " ")).cast("long").as("pieces"))
+    tokenized(s, dir)
+      .select($"doc_id", explode($"toks").as("word"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"pieces").as("n_pieces"))
+      .select($"doc_id", $"n_words", $"n_pieces",
+        expr("(1000000 * n_pieces) div n_words").as("fertility_micro"))
+  }
+
   /** q86 — curation verdict (the final keep/drop gate of the pipeline,
     * with reason codes): three independent signals — document length,
     * unigram LM surprise (q77's score), stopword fraction — each
@@ -613,6 +641,7 @@ object Curation {
     "q95_weighted_sample_topn" -> weightedSampleTopN,
     "q97_bpe_pair_stats" -> bpePairStats,
     "q98_bpe_train" -> bpeTrain,
+    "q113_bpe_encode" -> bpeEncode,
   )
 
   // ---------------------------------------------------------- oracle SQL

@@ -253,12 +253,39 @@ object Governance {
           .cast("long").as("psi_contrib_micro"))
   }
 
+  /** q117 — scan-coalescing / compaction planner: assign small files
+    * to fixed-byte read groups by running byte offset — the same
+    * packing rule Spark's FilePartition applies under
+    * `files.maxPartitionBytes`, and the planning step of a small-file
+    * compaction job (the 100 TB lakehouse's chronic disease: a 3-hourly
+    * ingest like the reference's writes ~2900 files/year per table).
+    * Documents stand in for the file listing (source = table partition,
+    * n_chars = bytes). The running offset is one window sum per
+    * partition — the listing is metadata-sized, never data-sized — and
+    * the group id is exact integer division of the offset, so the plan
+    * is deterministic on any cluster and re-runnable (idempotent
+    * compaction). */
+  val compactionPlan: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("offset",
+        coalesce(sum($"n_chars").over(w), lit(0L)))
+      .select($"source", $"doc_id", $"n_chars",
+        expr("offset div 4096").as("group_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
     "q90_merge_upsert" -> mergeUpsert,
     "q114_psi_drift" -> psiDrift,
+    "q117_compaction_plan" -> compactionPlan,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -367,9 +394,17 @@ object Governance {
       |    * 1000000.0) AS BIGINT) AS psi_contrib_micro
       |FROM binned CROSS JOIN tot""".stripMargin
 
+  private val sqlCompaction =
+    """SELECT source, doc_id, n_chars,
+      |  COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+      |    AS group_id
+      |FROM documents""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
+    "q117_compaction_plan" -> sqlCompaction,
     "q72_bloom_dedup" -> sqlBloom,
     "q75_snapshot_diff" -> sqlSnapshotDiff,
     "q90_merge_upsert" ->

@@ -378,10 +378,41 @@ object Scale {
         count(lit(1)).over(w), 6).as("avg_7d"))
   }
 
+  /** q116 — trailing z-score anomaly detection: each day's revenue
+    * scored against the mean/σ of the 7 PRECEDING days (RANGE frame
+    * excluding the current row — the monitored value must not pollute
+    * its own baseline). Mean and variance come from exact long sums
+    * (whole-dollar dailies): n, S=Σx, Q=Σx² per frame, then ONE float
+    * tree (n·Q−S² etc.) whose inputs are exact integers — both engines
+    * produce the identical micro-unit z, any partitioning. Like q57
+    * the window runs on the POST-aggregate daily frame (one row per
+    * day at any SF); days with fewer than 2 predecessors or zero
+    * variance yield NULL rather than a fake score. */
+  val zscoreAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice")).cast("long").as("x"))
+      .withColumn("day_num",
+        datediff($"day", lit("1995-01-01").cast("date")))
+    val w = Window.orderBy($"day_num").rangeBetween(-7, -1)
+    val st = daily.select($"day", $"x",
+      count(lit(1)).over(w).as("n"),
+      sum($"x").over(w).as("s"),
+      sum($"x" * $"x").over(w).as("q"))
+    st.select($"day", $"x",
+      when($"n" >= 2 && $"n" * $"q" - $"s" * $"s" > 0,
+        round(($"x" * $"n" - $"s").cast("double") /
+          sqrt(($"n" * $"q" - $"s" * $"s").cast("double")) *
+          1000000.0).cast("long"))
+        .as("z_micro"))
+  }
+
   /** q107 — multi-source BFS hop distance (bounded frontier expansion)
     * over the supplier⇄part bipartite graph (q89's edge set): every
-    * node labeled with its hop distance (≤3) from the nation-0 supplier
-    * seed set. Each round is ONE equi-join of the frontier against the
+    * node labeled with its hop distance (≤3) from a two-supplier seed
+    * set (the two lowest supplier keys — present at every SF; a
+    * nation-keyed seed is empty at sf0.001's 10-supplier table). Each round is ONE equi-join of the frontier against the
     * edge list plus ONE anti-join against the visited set — the Pregel
     * step expressed relationally. Everything is keyed on node id, so on
     * a cluster all four rounds reuse one hash partitioning of the edge
@@ -396,7 +427,7 @@ object Scale {
       .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
       .distinct()
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-    val d0 = Tables(s, dir, "supplier").filter($"s_nationkey" === 0)
+    val d0 = Tables(s, dir, "supplier").filter($"s_suppkey" <= 2)
       .select($"s_suppkey".as("node_id"))
     def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
       edges.join(frontier.select($"node_id".as("src")), Seq("src"))
@@ -471,6 +502,7 @@ object Scale {
     "q109_kcore_peel" -> kcorePeel,
     "q56_sample_stratified" -> sampleStratified,
     "q57_moving_avg" -> movingAvg,
+    "q116_zscore_anomaly" -> zscoreAnomaly,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -660,7 +692,7 @@ object Scale {
       |  FROM lineitem),
       |edges AS (SELECT src, dst FROM e0
       |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
-      |d0 AS (SELECT s_suppkey AS node_id FROM supplier WHERE s_nationkey = 0),
+      |d0 AS (SELECT s_suppkey AS node_id FROM supplier WHERE s_suppkey <= 2),
       |d1 AS (SELECT DISTINCT dst AS node_id
       |  FROM edges JOIN d0 ON edges.src = d0.node_id
       |  WHERE dst NOT IN (SELECT node_id FROM d0)),
@@ -701,7 +733,27 @@ object Scale {
        |UNION ALL SELECT 3, count(DISTINCT u), count(*) // 2 FROM r3""".stripMargin
   }
 
+  private val sqlZscore =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(sum(o_totalprice)) AS BIGINT) AS x,
+      |    date_diff('day', DATE '1995-01-01',
+      |      CAST(o_orderdate AS DATE)) AS day_num
+      |  FROM orders GROUP BY 1, 3),
+      |st AS (SELECT day, x,
+      |    count(*) OVER w AS n,
+      |    sum(x) OVER w AS s,
+      |    sum(x * x) OVER w AS q
+      |  FROM daily WINDOW w AS (ORDER BY day_num
+      |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, x,
+      |  CASE WHEN n >= 2 AND n * q - s * s > 0 THEN
+      |    CAST(round(CAST(x * n - s AS DOUBLE)
+      |      / sqrt(CAST(n * q - s * s AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |  END AS z_micro
+      |FROM st""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q116_zscore_anomaly" -> sqlZscore,
     "q50_asof_join" -> sqlAsof,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,

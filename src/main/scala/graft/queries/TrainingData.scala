@@ -604,6 +604,34 @@ object TrainingData {
 
   /** q31 — document fingerprint: min over rolling character-8-gram
     * hashes (winnowing-style content signature). */
+  /** q115 — character-entropy quality signal: per-document Shannon
+    * entropy of the [a-z] character distribution — the cheap gibberish
+    * / mojibake / base64-blob detector (natural language sits ~2.5-3.2
+    * nats; key-smash and encoded blobs drift toward uniform ~3.26,
+    * repeated-char spam toward 0). H = ln n − Σ c·ln c / n computed
+    * entirely from exact longs: ln(c) is quantized per (doc, char)
+    * GROUP (≤26 rows per doc), weighted by the exact count, summed as
+    * longs, and divided by integer division — order-independent and
+    * engine-exact, same discipline as q77/q89. Shuffle: (doc, char)
+    * pairs — ≤26× docs rows, map-side combined. */
+  val charEntropy: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .select($"doc_id", explode(split(
+        regexp_replace(lower($"text"), "[^a-z]", ""), "")).as("ch"))
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    counts
+      .select($"doc_id", $"c",
+        ($"c" * round(log($"c".cast("double")) * 1000000.0).cast("long"))
+          .as("wlnc_u"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars_az"), sum($"wlnc_u").as("s_u"))
+      .select($"doc_id", $"n_chars_az",
+        (round(log($"n_chars_az".cast("double")) * 1000000.0).cast("long")
+          - expr("s_u div n_chars_az")).as("entropy_micro"))
+  }
+
   val fingerprint: Q = (s, dir) => {
     import s.implicits._
     val nGrams = greatest(length($"text") - 7, lit(1))
@@ -1238,6 +1266,7 @@ object TrainingData {
     "q29_quality_score" -> qualityScore,
     "q30_token_count" -> tokenCount,
     "q31_fingerprint" -> fingerprint,
+    "q115_char_entropy" -> charEntropy,
     "q32_multimodal_meta" -> multimodalMeta,
     "q65_media_frames" -> mediaFrames,
     "q66_media_features" -> mediaFeatures,
@@ -1463,6 +1492,21 @@ object TrainingData {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 15""".stripMargin
     },
+    "q115_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(string_split_regex(
+        |      regexp_replace(lower(text), '[^a-z]', '', 'g'), '')) AS ch
+        |  FROM documents),
+        |counts AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+        |  FROM ch WHERE ch <> '' GROUP BY doc_id, ch),
+        |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_chars_az,
+        |    sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0)
+        |        AS BIGINT))::BIGINT AS s_u
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id, n_chars_az,
+        |  CAST(round(ln(CAST(n_chars_az AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - s_u // n_chars_az AS entropy_micro
+        |FROM agg""".stripMargin,
     "q112_index_maintain" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

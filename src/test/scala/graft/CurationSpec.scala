@@ -262,4 +262,40 @@ class CurationSpec extends SparkSpec {
     // doc 3: within-doc repetition only → not a cross-doc span
     assert(r(3L).getAs[Long]("n_spans") === 0L)
   }
+
+  test("q113: corpus encoding equals plain-Scala greedy BPE apply") {
+    import graft.functions.{Bpe, TextOps}
+    // re-derive the same word table + merges the query uses, then
+    // encode each document in plain Scala and compare piece sums
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val wordCounts = toks.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => (w, g.length.toLong) }
+    val merges = Bpe.train(
+        wordCounts.toSeq.toDF("word", "n"), rounds = 8)._1
+      .orderBy($"round").select($"left", $"right")
+      .as[(String, String)].collect()
+    def applyMerge(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    val pieceCount = scala.collection.mutable.Map[String, Long]()
+    def pieces(w: String): Long = pieceCount.getOrElseUpdate(w, {
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+      syms.length.toLong
+    })
+    val want = toks.filter(_._2.nonEmpty).map { case (id, ws) =>
+      id -> (ws.length.toLong, ws.map(pieces).sum)
+    }.toMap
+    val got = Curation.bpeEncode(spark, sfDir)
+      .select($"doc_id", $"n_words", $"n_pieces")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nw, np) => id -> (nw, np) }.toMap
+    assert(got === want, "per-doc (n_words, n_pieces) diverged")
+  }
 }
