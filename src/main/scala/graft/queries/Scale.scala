@@ -378,6 +378,66 @@ object Scale {
         count(lit(1)).over(w), 6).as("avg_7d"))
   }
 
+  /** q118 — label-propagation community detection (2 semi-synchronous
+    * rounds over the supplier⇄part graph): every node adopts the MODE
+    * of its neighbors' labels, ties to the smallest label — the
+    * O(m)-per-round community algorithm that needs no modularity
+    * matrix. Fully deterministic (unlike classic async LPA): all nodes
+    * update from the previous round's labels with a fixed tie-break.
+    * Per round: one edge⋈labels equi-join on the neighbor key + one
+    * (node, label) count + one WindowGroupLimit argmax — all keyed on
+    * node id, so the label partitioning is reused round over round;
+    * labels are one long per node. Fixpoint LPA at scale loops the
+    * round until labels stop changing (typically <10 rounds). */
+  val lpaCommunities: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    val l0 = edges.select($"src".as("node_id")).distinct()
+      .withColumn("lbl", $"node_id")
+    def round(labels: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"node_id")
+        .orderBy($"c".desc, $"lbl".asc)
+      edges.join(labels.select($"node_id".as("dst"), $"lbl"), Seq("dst"))
+        .groupBy($"src".as("node_id"), $"lbl")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"node_id", $"lbl")
+    }
+    round(round(l0)).select($"node_id", $"lbl".as("community"))
+  }
+
+  /** q119 — 2-D Pareto front (skyline): the parts no other part beats
+    * on BOTH price (lower) and size (larger) — strict dominance. The
+    * naive plan is a self-join (quadratic, and Spark would nested-loop
+    * the inequality pair); this is the sort-based skyline instead:
+    * collapse to one max-size row per DISTINCT price, running-max over
+    * prices ordered ascending (rows frame, excluding current) gives
+    * "best size strictly cheaper", and a part is on the front iff its
+    * size is not beaten. The global window runs on the distinct-price
+    * frame — orders of magnitude below row count; at 100 TB, range-
+    * partition by price and carry each partition's running max as one
+    * scalar into the next (the same pattern as q64's pack offsets).
+    * The ORACLE is the independent NOT EXISTS anti-join formulation. */
+  val paretoFront: Q = (s, dir) => {
+    import s.implicits._
+    val p = Tables(s, dir, "part")
+      .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
+    val byPrice = p.groupBy($"p_retailprice")
+      .agg(max($"p_size").as("gmax"))
+    val w = Window.orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val strictMax = byPrice.select($"p_retailprice",
+      max($"gmax").over(w).as("smax"))
+    p.join(strictMax, Seq("p_retailprice"))
+      .filter($"smax".isNull || $"p_size" >= $"smax")
+      .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
+  }
+
   /** q116 — trailing z-score anomaly detection: each day's revenue
     * scored against the mean/σ of the 7 PRECEDING days (RANGE frame
     * excluding the current row — the monitored value must not pollute
@@ -503,6 +563,8 @@ object Scale {
     "q56_sample_stratified" -> sampleStratified,
     "q57_moving_avg" -> movingAvg,
     "q116_zscore_anomaly" -> zscoreAnomaly,
+    "q118_lpa_communities" -> lpaCommunities,
+    "q119_pareto_front" -> paretoFront,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -752,8 +814,34 @@ object Scale {
       |  END AS z_micro
       |FROM st""".stripMargin
 
+  private val sqlLpa =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, 100000 + l_partkey AS dst
+      |  FROM lineitem),
+      |edges AS (SELECT src, dst FROM e0
+      |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM edges),
+      |n1 AS (SELECT e.src AS node_id, l.lbl, count(*) AS c
+      |  FROM edges e JOIN l0 l ON e.dst = l.node_id GROUP BY 1, 2),
+      |l1 AS (SELECT node_id, lbl FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY node_id
+      |     ORDER BY c DESC, lbl ASC) AS rn FROM n1) t WHERE rn = 1),
+      |n2 AS (SELECT e.src AS node_id, l.lbl, count(*) AS c
+      |  FROM edges e JOIN l1 l ON e.dst = l.node_id GROUP BY 1, 2),
+      |l2 AS (SELECT node_id, lbl FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY node_id
+      |     ORDER BY c DESC, lbl ASC) AS rn FROM n2) t WHERE rn = 1)
+      |SELECT node_id, lbl AS community FROM l2""".stripMargin
+
+  private val sqlPareto =
+    """SELECT p_partkey, p_name, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q
+      |  WHERE q.p_retailprice < p.p_retailprice
+      |    AND q.p_size > p.p_size)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q116_zscore_anomaly" -> sqlZscore,
+    "q118_lpa_communities" -> sqlLpa,
+    "q119_pareto_front" -> sqlPareto,
     "q50_asof_join" -> sqlAsof,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
