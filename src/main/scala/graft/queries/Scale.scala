@@ -257,6 +257,40 @@ object Scale {
       .select($"id".as("doc_id"), $"component", $"cluster_size")
   }
 
+  /** q120 — canonical-representative selection over q55's near-dup
+    * clusters: dedup that KEEPS THE BEST copy, not an arbitrary one.
+    * Production pipelines pick the cluster survivor by a quality
+    * signal (q85's min-id rule keeps whichever arrived first); here
+    * each cluster's argmax by type-token ratio (distinct-token
+    * fraction, an exact-integer lexical-diversity score) survives,
+    * ties to the lowest doc_id. One quality map pass over the corpus,
+    * one join onto the labels, one WindowGroupLimit argmax per
+    * component — the rank cuts to ≤1 row per cluster before the
+    * exchange. Output keeps every row with its keep verdict, the
+    * auditable form (dropped docs stay visible with their losing
+    * scores). */
+  val clusterRepresentative: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+    val corpus = d.unionByName(d.select(
+      ($"doc_id" + TrainingData.TwinOffset).as("doc_id"),
+      concat($"text", lit(TrainingData.TwinSuffix)).as("text")))
+    val toks = graft.functions.TextOps.tokens($"text")
+    val quality = corpus
+      .select($"doc_id",
+        (lit(1000000L) * size(array_distinct(toks)).cast("long"))
+          .as("num"),
+        size(toks).cast("long").as("den"))
+      .filter($"den" > 0)
+      .select($"doc_id", expr("num div den").as("q_micro"))
+    val w = Window.partitionBy($"component")
+      .orderBy($"q_micro".desc, $"doc_id".asc)
+    dupClusters(s, dir).join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select($"doc_id", $"component", $"cluster_size", $"q_micro",
+        $"keep")
+  }
+
   /** q87 — q55's near-dup clusters computed by the alternating
     * large-star/small-star contraction instead of min-label rounds:
     * the billion-node path (O(log² n) rounds regardless of component
@@ -555,6 +589,7 @@ object Scale {
     "q54_quantiles" -> quantiles,
     "q96_sample_quantiles" -> sampleQuantiles,
     "q55_dup_clusters" -> dupClusters,
+    "q120_cluster_representative" -> clusterRepresentative,
     "q87_dup_clusters_star" -> dupClustersStar,
     "q89_pagerank" -> pagerank,
     "q105_triangles" -> triangles,
@@ -697,6 +732,24 @@ object Scale {
          |FROM comp c
          |JOIN (SELECT component, count(*) AS cluster_size
          |      FROM comp GROUP BY component) s USING (component)""".stripMargin
+
+  private def sqlClusterRep: String = {
+    val tk = graft.functions.TextOps.sqlTokens("text")
+    s"""WITH q AS (SELECT doc_id,
+       |    CAST(1000000 * len(list_distinct(toks)) AS BIGINT)
+       |      // CAST(len(toks) AS BIGINT) AS q_micro
+       |  FROM (SELECT doc_id, $tk AS toks FROM
+       |    (SELECT doc_id, text FROM documents
+       |     UNION ALL
+       |     SELECT doc_id + ${TrainingData.TwinOffset} AS doc_id,
+       |       text || '${TrainingData.TwinSuffix}' AS text
+       |     FROM documents)) t
+       |  WHERE len(toks) > 0)
+       |SELECT cl.doc_id, cl.component, cl.cluster_size, q.q_micro,
+       |  row_number() OVER (PARTITION BY cl.component
+       |    ORDER BY q.q_micro DESC, cl.doc_id ASC) = 1 AS keep
+       |FROM ($sqlDupClusters) cl JOIN q USING (doc_id)""".stripMargin
+  }
 
   private val sqlPagerank = {
     // identical fixed-point arithmetic, unrolled; DuckDB `//` on
@@ -858,6 +911,7 @@ object Scale {
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,
     "q55_dup_clusters" -> sqlDupClusters,
+    "q120_cluster_representative" -> sqlClusterRep,
     "q87_dup_clusters_star" -> sqlDupClusters,
     "q89_pagerank" -> sqlPagerank,
     "q105_triangles" ->

@@ -24,7 +24,7 @@ import TextOps.{sqlShingles, sqlTokens}
 object TrainingData {
 
   private[queries] val TwinOffset = 100000L
-  private val TwinSuffix = " graft dedup probe"
+  private[queries] val TwinSuffix = " graft dedup probe"
   private val NumHashes = 64
   private val RowsPerBand = 4
   private val ShingleN = 3
