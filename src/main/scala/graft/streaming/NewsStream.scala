@@ -110,6 +110,28 @@ object NewsStream {
     graft.functions.Sketches.hllDistinctAgg(raw, "source_name",
       concat_ws("-", col("title"), col("url")))
 
+  /** Streaming heavy-hitter sketch: the count-min matrix
+    * (expressions.CmsSketchAgg) as streaming state — per-source title
+    * token frequencies tracked continuously in ONE 2 KB buffer per
+    * source (element-wise-add merge), the third mergeable sketch in the
+    * streaming tier beside HLL distinct and the min-K sample. Exact
+    * long addition is order- and batching-independent, so the streamed
+    * matrix is cell-for-cell identical to a batch aggregation over the
+    * same rows (NewsStreamSpec); any constant probe key's estimate
+    * reads `min_l sketch[l·64 + bucket_l]` with plan-time buckets, and
+    * CMS's one-sided error (estimate ≥ true count) survives streaming
+    * because merge is addition. */
+  def titleTokenSketch(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.expressions.CmsSketchAgg(
+        ColumnBridge.expression(col("tok")),
+        ColumnBridge.expression(lit(1L))).toAggregateExpression())
+    raw.select(col("source_name"),
+        explode(graft.functions.TextOps.tokens(col("title"))).as("tok"))
+      .groupBy(col("source_name")).agg(agg.as("cms"))
+  }
+
   /** Streaming grouped quantile monitoring via the min-K sample
     * aggregate (expressions.MinKSampleAgg): per-source title-length
     * median tracked continuously with O(sources × K) state-store

@@ -420,4 +420,39 @@ class NewsStreamSpec extends SparkSpec {
       .filter($"part_date" === "2024-01-01")
     assert(pruned.count() == 1)
   }
+
+  test("streaming CMS token sketch is cell-identical to batch and " +
+    "keeps one-sided error") {
+    val base = Files.createTempDirectory("graft-cms").toString
+    val landing = s"$base/landing"
+    // "alpha" planted 25x across two micro-batches; filler varies
+    writeBatch(landing, (1 to 40).map(i =>
+      mkRow(i.toLong, if (i <= 15) s"alpha w$i" else s"beta w$i",
+        "2024-01-01 00:00:00")))
+    writeBatch(landing, (41 to 70).map(i =>
+      mkRow(i.toLong, if (i <= 50) s"alpha w$i" else s"gamma w$i",
+        "2024-01-01 01:00:00")))
+    val q = NewsStream.titleTokenSketch(
+        NewsStream.landingSource(spark, landing, Schemas.rawNews,
+          maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_stream")
+      .as[(String, Seq[Long])].collect().toMap
+    val batch = NewsStream.titleTokenSketch(spark.read.parquet(landing))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(streamed === batch,
+      "streamed CMS must be cell-for-cell identical to batch")
+    // one-sided error on the planted token: estimate >= 25
+    val sk = streamed("globalnews")
+    val est = (0 until 4).map { l =>
+      val h = graft.functions.Hashing.hash60("alpha") & 0x7fffffffL
+      val b = graft.expressions.CmsSketchAgg.bucket(h, l)
+      sk(l * 64 + b)
+    }.min
+    assert(est >= 25, s"CMS estimate $est below true count 25")
+  }
 }
