@@ -59,6 +59,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q110: batch ANN serve broadcasts the query batch and " +
+    "rank-limits per query") {
+    val p = plan("q110_ann_batch_serve")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // ≤k candidates per query survive each partition pre-shuffle (the
+    // cell-assignment argmaxes inside ivfAssign carry their own
+    // WindowGroupLimit pairs, so ≥2 covers the serve-side rank)
+    assert("\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q108: PMI top-20 is TakeOrderedAndProject, no global Sort") {
+    val p = plan("q108_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q119: skyline plans as window + equi-join — no nested-loop, " +
+    "no cartesian") {
+    val p = plan("q119_pareto_front")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q100: PQ codebooks and ADC table broadcast; vectors never do") {
     val p = plan("q100_pq_ann")
     // cent0/cent1/qtab/qFull joins are all broadcasts
