@@ -45,6 +45,25 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Signatures from an already-materialized shingle-set column —
+    * hash-identical to `minhashSignatures`, for callers that also need
+    * the sets themselves (Jaccard verify): one tokenize+shingle pass
+    * feeds both instead of re-deriving per consumer (q99: the naive
+    * composition shingles each corpus side twice). Only pass a
+    * MATERIALIZED (checkpointed) column: exploding a live projected
+    * array expression re-inlines it below the repartition
+    * (InferFiltersFromGenerate — see the q58 note in BASELINE.md). */
+  def minhashFromShingleSets(df: DataFrame, idCol: String,
+      shCol: String, numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc_id"), explode(col(shCol)).as("sh"))
+      .select(col("doc_id"),
+        hash60(col("sh")).bitwiseAND(lit(Mask31)).as("h31"))
+    val aggs = (0 until numHashes)
+      .map(i => min(lane(col("h31"), i)).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH banding: signature → (band, bandHash) rows. Docs sharing any
     * band bucket become candidate pairs. */
   def lshBands(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {

@@ -220,16 +220,19 @@ object TrainingData {
     val batch = d.filter($"doc_id" % 2 === 0)
       .select(($"doc_id" + TwinOffset).as("doc_id"),
         concat($"text", lit(TwinSuffix)).as("text"))
-    def bands(df: DataFrame) = Dedup.lshBands(
-      Dedup.minhashSignatures(df, "doc_id", "text", NumHashes, ShingleN),
-      NumHashes, RowsPerBand).localCheckpoint()
     def shingleSets(df: DataFrame) = df
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id",
         TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
       .localCheckpoint()
-    val (bd, bb) = (bands(d), bands(batch))
+    // both the band signatures AND the Jaccard sets derive from ONE
+    // materialized shingle pass per corpus side (the naive composition
+    // tokenizes+shingles each side twice)
+    def bands(sets: DataFrame) = Dedup.lshBands(
+      Dedup.minhashFromShingleSets(sets, "doc_id", "sh_set", NumHashes),
+      NumHashes, RowsPerBand).localCheckpoint()
     val (shD, shB) = (shingleSets(d), shingleSets(batch))
+    val (bd, bb) = (bands(shD), bands(shB))
     def verified(cand: DataFrame, shA: DataFrame, shB: DataFrame) =
       cand.join(shA.as("sa"), col("src") === col("sa.doc_id"))
         .join(shB.as("sb"), col("dst") === col("sb.doc_id"))
