@@ -325,6 +325,38 @@ object Curation {
         round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
   }
 
+  /** q121 — bigram-LM surprise (the conditional upgrade of q77): each
+    * document scored by the mean −ln p(w₂|w₁) of its adjacent pairs
+    * under the corpus's own bigram model — catches scrambled or
+    * stitched text that unigram surprise can't (every word common, no
+    * pair plausible). p(w₂|w₁) = c(w₁w₂)/c₁(w₁) with c₁ the PAIR-LEFT
+    * marginal (Σ_w c(w₁,w)), so probabilities sum to exactly 1 per
+    * context and no smoothing is needed (every doc's pairs are in the
+    * corpus by construction). Same exactness discipline as q77: ln of
+    * a ratio of exact longs, micro-quantized per PAIR TYPE, summed as
+    * longs per doc. The pair table is Zipf-collapsed and joins back
+    * broadcast-sized; the per-doc aggregation is the only corpus-sized
+    * exchange. */
+  val bigramSurprise: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = tokenized(s, dir).select($"doc_id", explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("pr"))
+      .select($"doc_id", $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val bi = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val left = bi.groupBy($"w1").agg(sum($"c").as("c1"))
+    val scored = bi.join(left, Seq("w1")).select($"w1", $"w2",
+      round(-log($"c".cast("double") / $"c1".cast("double")) * 1000000.0)
+        .cast("long").as("nlp_u"))
+    pairs.join(broadcast(scored), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum($"nlp_u").as("s_u"))
+      .select($"doc_id", $"n_pairs",
+        round($"s_u" / 1000000.0 / $"n_pairs", 6).as("mean_surprise"))
+  }
+
   /** q80 — quality-weighted (importance) sampling: each document's keep
     * probability is its quality score (stopword fraction as the cheap
     * in-plan proxy — natural prose carries function words; keyword spam
@@ -624,6 +656,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "q108_pmi_collocations" -> pmiCollocations,
+    "q121_bigram_surprise" -> bigramSurprise,
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
@@ -940,8 +973,26 @@ object Curation {
        |CROSS JOIN tot CROSS JOIN btot
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
 
+  private val sqlBigramSurprise =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |pairs AS (SELECT doc_id, pr['w1'] AS w1, pr['w2'] AS w2 FROM
+       |  (SELECT doc_id, unnest(list_transform(range(1, len(toks)::BIGINT),
+       |     i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr FROM t)),
+       |bi AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2),
+       |lft AS (SELECT w1, sum(c)::BIGINT AS c1 FROM bi GROUP BY w1),
+       |scored AS (SELECT bi.w1, bi.w2,
+       |    CAST(round(-ln(CAST(bi.c AS DOUBLE) / CAST(c1 AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS nlp_u
+       |  FROM bi JOIN lft USING (w1))
+       |SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+       |  round(sum(s.nlp_u) / 1000000.0 / count(*), 6) AS mean_surprise
+       |FROM pairs p JOIN scored s USING (w1, w2)
+       |GROUP BY p.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q108_pmi_collocations" -> sqlPmi,
+    "q121_bigram_surprise" -> sqlBigramSurprise,
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,

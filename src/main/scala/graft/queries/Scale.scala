@@ -412,6 +412,30 @@ object Scale {
         count(lit(1)).over(w), 6).as("avg_7d"))
   }
 
+  /** q122 — time-decayed aggregation (recency-weighted customer value):
+    * each order contributes its cents halved once per 180 days of age —
+    * an exponential half-life score computed ENTIRELY in integers:
+    * contribution = cents >> (age_days div 180), summed as longs. The
+    * usual exp(-λ·age) double weights make the score depend on
+    * summation order (irreproducible across partitionings); the shift
+    * form is exact, order-independent, and monotone in the same way.
+    * One map pass + one customer-keyed aggregation, map-side combined;
+    * the anchor date is a literal so the score is a pure function of
+    * the row. */
+  val decayedRevenue: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        datediff(lit("1998-12-31").cast("date"),
+          to_date($"o_orderdate")).as("age_days"))
+      .select($"o_custkey",
+        expr("shiftright(cents, cast(age_days div 180 as int))")
+          .as("dc"))
+      .groupBy($"o_custkey")
+      .agg(sum($"dc").as("decayed_cents"), count(lit(1)).as("n_orders"))
+  }
+
   /** q118 — label-propagation community detection (2 semi-synchronous
     * rounds over the supplier⇄part graph): every node adopts the MODE
     * of its neighbors' labels, ties to the smallest label — the
@@ -600,6 +624,7 @@ object Scale {
     "q116_zscore_anomaly" -> zscoreAnomaly,
     "q118_lpa_communities" -> lpaCommunities,
     "q119_pareto_front" -> paretoFront,
+    "q122_decayed_revenue" -> decayedRevenue,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -895,6 +920,14 @@ object Scale {
     "q116_zscore_anomaly" -> sqlZscore,
     "q118_lpa_communities" -> sqlLpa,
     "q119_pareto_front" -> sqlPareto,
+    "q122_decayed_revenue" ->
+      """SELECT o_custkey,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    >> CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |         DATE '1998-12-31') // 180 AS INTEGER))::BIGINT
+        |    AS decayed_cents,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q50_asof_join" -> sqlAsof,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
