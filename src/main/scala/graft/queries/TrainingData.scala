@@ -78,6 +78,40 @@ object TrainingData {
       .filter($"jaccard" >= 0.5)
   }
 
+  /** q123 — containment dedup (asymmetric Jaccard): over the SAME LSH
+    * candidate pairs as q23, score |A∩B|/|A| and |A∩B|/|B| instead of
+    * the symmetric ratio — the signal that catches a page QUOTING or
+    * WRAPPING another (aggregators, boilerplate-framed reposts), where
+    * symmetric Jaccard dilutes below threshold as the superset grows.
+    * Exact integer micro-scores (1e6·inter div |set|); pairs where
+    * either direction ≥ 0.8 report. Shingle sets are guaranteed
+    * non-empty for every candidate (docs with no shingles never reach
+    * a band bucket). Same scale posture as q23: all work is confined
+    * to band-bucket collisions, never all-pairs. */
+  val containmentDedup: Q = (s, dir) => {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val sigs = Dedup.minhashSignatures(c, "doc_id", "text",
+      NumHashes, ShingleN)
+    val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
+      RowsPerBand))
+    val shs = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
+    cand.join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect(col("sa.sh_set"), col("sb.sh_set")))
+          .cast("long").as("inter"),
+        size(col("sa.sh_set")).cast("long").as("na"),
+        size(col("sb.sh_set")).cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        expr("(1000000 * inter) div na").as("contain_a_micro"),
+        expr("(1000000 * inter) div nb").as("contain_b_micro"))
+      .filter(greatest($"contain_a_micro", $"contain_b_micro")
+        >= 800000L)
+  }
+
   /** q24 — SimHash fingerprints + hamming distance to each doc's
     * perturbed twin (small by construction). */
   val dedupSimhash: Q = (s, dir) => {
@@ -921,7 +955,9 @@ object TrainingData {
        | (CAST(len($a) + len($b) AS DOUBLE)
        |  - CAST(len(list_intersect($a, $b)) AS DOUBLE)), 6)""".stripMargin
 
-  private def sqlMinhashLsh: String = {
+  /** Shared CTE prefix of the q23/q123 oracles: corpus shingles,
+    * 64-lane signatures, band buckets, candidate pairs. */
+  private def sqlLshCandCtes: String = {
     val lanes = (0 until NumHashes)
       .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
       .mkString(",\n  ")
@@ -944,14 +980,33 @@ object TrainingData {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.band_hash = b.band_hash
-       |          AND a.doc_id < b.doc_id)
+       |          AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def sqlMinhashLsh: String =
+    s"""$sqlLshCandCtes
        |SELECT doc_a, doc_b,
        |  ${sqlJaccard("sa.sh_set", "sb.sh_set")} AS jaccard
        |FROM cand
        |JOIN sh sa ON cand.doc_a = sa.doc_id
        |JOIN sh sb ON cand.doc_b = sb.doc_id
        |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
-  }
+
+  private def sqlContainment: String =
+    s"""$sqlLshCandCtes,
+       |sc AS (SELECT doc_a, doc_b,
+       |    CAST(1000000 * len(list_intersect(sa.sh_set, sb.sh_set))
+       |      AS BIGINT) // CAST(len(sa.sh_set) AS BIGINT)
+       |      AS contain_a_micro,
+       |    CAST(1000000 * len(list_intersect(sa.sh_set, sb.sh_set))
+       |      AS BIGINT) // CAST(len(sb.sh_set) AS BIGINT)
+       |      AS contain_b_micro
+       |  FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, contain_a_micro, contain_b_micro
+       |FROM sc
+       |WHERE greatest(contain_a_micro, contain_b_micro) >= 800000""".stripMargin
 
   /** q67 oracle: same sig/band generator as q23's, over history ∪ batch,
     * with the candidate join restricted to cross-corpus pairs. */
@@ -1249,6 +1304,7 @@ object TrainingData {
   val queries: Map[String, Q] = Map(
     "q22_dedup_exact" -> dedupExact,
     "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "q123_containment_dedup" -> containmentDedup,
     "q24_dedup_simhash" -> dedupSimhash,
     "q25_ngram_jaccard" -> ngramJaccard,
     "q26_ann_cosine_topk" -> annCosineTopK,
@@ -1294,6 +1350,7 @@ object TrainingData {
          |      SELECT doc_id + $TwinOffset, text FROM documents) t
          |GROUP BY md5(text)""".stripMargin,
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
+    "q123_containment_dedup" -> sqlContainment,
     "q67_incremental_near_dup" -> sqlIncNearDup,
     "q99_incremental_clusters" -> sqlIncrementalClusters,
     "q100_pq_ann" -> sqlPqAnn,
