@@ -438,6 +438,39 @@ object TrainingData {
         round($"cos_sim", 6).as("cos_sim"), $"rank")
   }
 
+  /** q124 — bitext mining (cross-lingual nearest pairing): every
+    * non-English document is paired with its closest English document
+    * by embedding cosine — the alignment step that harvests parallel
+    * training pairs from a multilingual crawl (LASER/CCMatrix shape).
+    * Candidates come from the SAME LSH hyperplane buckets as q27 (a
+    * query only meets English vectors in its own bucket — never the
+    * all-pairs cross join), and the per-query argmax is a
+    * WindowGroupLimit-cut rank. Queries missing an English neighbor in
+    * their bucket drop — the standard recall/nprobe trade, measured by
+    * the row count. Lang rides in from the documents table on the
+    * shared id space. */
+  val bitextPairs: Q = (s, dir) => {
+    import s.implicits._
+    val lang = Tables(s, dir, "documents")
+      .select($"doc_id".as("vec_id"), $"lang")
+    val e = Tables(s, dir, "embeddings").join(lang, Seq("vec_id"))
+      .withColumn("bucket",
+        Similarity.lshBucket($"embedding", NumPlanes, Dims))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos_sim".desc, $"vec_id".asc)
+    e.filter($"lang" =!= "en")
+      .select($"vec_id".as("q_id"), $"lang", $"embedding".as("qv"),
+        $"bucket")
+      .join(e.filter($"lang" === "en")
+        .select($"vec_id", $"embedding", $"bucket"), Seq("bucket"))
+      .select($"q_id", $"lang", $"vec_id",
+        Similarity.cosine($"embedding", $"qv").as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select($"q_id", $"lang", $"vec_id".as("en_vec_id"),
+        round($"cos_sim", 6).as("cos_sim"))
+  }
+
   /** q111 — random-projection dimensionality reduction (Johnson–
     * Lindenstrauss with a Rademacher ±1 matrix): 64-dim embeddings
     * compressed to 8 dims ahead of ANN indexing/clustering — the cheap
@@ -1313,6 +1346,7 @@ object TrainingData {
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q110_ann_batch_serve" -> annBatchServe,
     "q111_jl_project" -> jlProject,
+    "q124_bitext_pairs" -> bitextPairs,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
     "q103_inverted_index" -> invertedIndex,
@@ -1486,6 +1520,21 @@ object TrainingData {
          |SELECT q_id, vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q124_bitext_pairs" ->
+      s"""WITH e AS (SELECT emb.vec_id, emb.embedding, d.lang,
+         |    $sqlBucket AS bucket
+         |  FROM embeddings emb
+         |  JOIN documents d ON emb.vec_id = d.doc_id),
+         |cand AS (SELECT q.vec_id AS q_id, q.lang, t.vec_id,
+         |    ${sqlCosCols("t.embedding", "q.embedding")} AS cs
+         |  FROM e q JOIN e t
+         |    ON q.bucket = t.bucket
+         |  WHERE q.lang <> 'en' AND t.lang = 'en'),
+         |r AS (SELECT q_id, lang, vec_id, cs, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cs DESC, vec_id ASC) AS rank
+         |  FROM cand)
+         |SELECT q_id, lang, vec_id AS en_vec_id, round(cs, 6) AS cos_sim
+         |FROM r WHERE rank = 1""".stripMargin,
     "q111_jl_project" -> {
       val signs = jlSigns
       val pCols = (0 until JlOutDims).map { j =>
