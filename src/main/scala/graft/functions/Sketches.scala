@@ -48,11 +48,21 @@ object Sketches {
     * (double, rounded to 4 decimals — the register sum is a dyadic
     * rational with < 52 significant bits here, so it is order-exact and
     * the estimate is bit-identical cross-engine). */
-  def hllDistinct(df: DataFrame, groupCol: String, key: Column): DataFrame = {
+  /** Fine-grain register table (group, b, r) — the sketch in its
+    * MERGEABLE form: registers max-merge to any coarser grain, and the
+    * estimate over merged registers is identical to sketching at that
+    * grain directly (max over per-day maxes = max). This is the table a
+    * sketch cube materializes nightly; rollups never re-touch raw
+    * data (q125). */
+  def hllRegisters(df: DataFrame, groupCol: String,
+      key: Column): DataFrame = {
     val h = Hashing.hash60(key)
-    val regs = df
-      .select(col(groupCol), hllBucket(h).as("b"), hllRho(h).as("rho"))
+    df.select(col(groupCol), hllBucket(h).as("b"), hllRho(h).as("rho"))
       .groupBy(col(groupCol), col("b")).agg(max("rho").as("r"))
+  }
+
+  /** The estimate step over a (group, b, r) register table. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("nb"), sum(pow(lit(0.5), col("r"))).as("sp"))
       .select(col(groupCol), {
@@ -63,7 +73,9 @@ object Sketches {
         round(when(raw <= 2.5 * HllM && v > 0, linear).otherwise(raw), 4)
           .as("hll_est")
       })
-  }
+
+  def hllDistinct(df: DataFrame, groupCol: String, key: Column): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, key), groupCol)
 
   /** Buffer-based form of the same estimate: one TypedImperativeAggregate
     * buffer (1024 bytes) per group instead of ≤1024 register rows — the

@@ -412,6 +412,31 @@ object Scale {
         count(lit(1)).over(w), 6).as("avg_7d"))
   }
 
+  /** q125 — sketch-cube rollup: DAILY distinct-user HLL register
+    * tables max-merged into WEEKLY estimates — the pre-aggregation
+    * serving pattern where rollups never re-touch raw data. Register
+    * max-merge commutes with grain coarsening (max of per-day maxes =
+    * max at week grain), so the merged estimate is IDENTICAL to
+    * sketching the week directly — which is exactly what the oracle
+    * does, proving mergeability end-to-end. At 100 TB the daily
+    * register table (≤1024 rows/day) is what lands in the warehouse;
+    * weekly/monthly/any rollup is an O(registers) re-aggregation. The
+    * exact count rides along as the audit column (q52's pattern). */
+  val hllRollup: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").select(
+      expr("datediff(to_date(ts), date '2024-01-01')").as("day"),
+      $"user_id")
+    val daily = Sketches.hllRegisters(e, "day",
+      $"user_id".cast("string"))
+    val weekly = daily.groupBy(expr("day div 7").as("week"), $"b")
+      .agg(max($"r").as("r"))
+    val est = Sketches.hllEstimate(weekly, "week")
+    val exact = e.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(est, Seq("week"))
+  }
+
   /** q122 — time-decayed aggregation (recency-weighted customer value):
     * each order contributes its cents halved once per 180 days of age —
     * an exponential half-life score computed ENTIRELY in integers:
@@ -625,6 +650,7 @@ object Scale {
     "q118_lpa_communities" -> lpaCommunities,
     "q119_pareto_front" -> paretoFront,
     "q122_decayed_revenue" -> decayedRevenue,
+    "q125_hll_rollup" -> hllRollup,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -684,6 +710,17 @@ object Scale {
       "JOIN (" + Sketches.sqlHllDistinct("events", "event_type",
         "event_type", "CAST(user_id AS VARCHAR)") +
       ") h USING (event_type)"
+
+  private def sqlHllRollup: String =
+    "SELECT x.week, x.exact_users, h.hll_est\n" +
+      "FROM (SELECT date_diff('day', DATE '2024-01-01'," +
+      " CAST(ts AS DATE)) // 7 AS week," +
+      " count(DISTINCT user_id)::BIGINT AS exact_users\n" +
+      "      FROM events GROUP BY 1) x\n" +
+      "JOIN (" + Sketches.sqlHllDistinct("events",
+        "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7",
+        "week", "CAST(user_id AS VARCHAR)") +
+      ") h USING (week)"
 
   private val sqlScd2 =
     """WITH ord AS (
@@ -940,6 +977,7 @@ object Scale {
         |GROUP BY 1""".stripMargin,
     "q51_range_join" -> sqlRange,
     "q52_hll_distinct" -> sqlHll,
+    "q125_hll_rollup" -> sqlHllRollup,
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,
