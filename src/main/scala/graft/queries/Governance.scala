@@ -279,6 +279,49 @@ object Governance {
         expr("offset div 4096").as("group_id"))
   }
 
+  /** q126 — retractable top-k (materialized-view maintenance): the
+    * current top-10 spenders computed from a CHANGELOG of +1/−1 deltas
+    * rather than a clean table — every order row is an insert, orders
+    * with status 'F' ALSO emit a retraction (simulating cancellations
+    * flowing through CDC). Net value per customer = exact long sum of
+    * signed cents (order-independent — a changelog replays in any
+    * partition order), then TakeOrderedAndProject top-k. This is how an
+    * incrementally-maintained leaderboard view works at 100 TB: state
+    * is the per-key net aggregate, never the changelog. */
+  val retractableTopK: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    val cents = round($"o_totalprice" * 100).cast("long")
+    val changelog = o.select($"o_custkey", cents.as("delta"))
+      .unionByName(o.filter($"o_orderstatus" === "F")
+        .select($"o_custkey", (-cents).as("delta")))
+    changelog.groupBy($"o_custkey")
+      .agg(sum($"delta").as("net_cents"), count(lit(1)).as("n_events"))
+      .orderBy($"net_cents".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  /** q127 — functional-dependency violation mining (data-quality
+    * profiling): does `p_brand → p_type` hold? For each candidate
+    * left-hand side report the distinct right-hand-side count and the
+    * rows outside the majority mapping — the exception report an FD
+    * profiler emits before anyone declares a constraint. One
+    * (lhs, rhs) count + one per-lhs argmax (WindowGroupLimit) + one
+    * aggregate; all map-side combined, output O(distinct lhs). */
+  val fdViolations: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = Tables(s, dir, "part")
+      .groupBy($"p_brand", $"p_type").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_brand").orderBy($"c".desc, $"p_type".asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_types"),
+        sum($"c").as("n_rows"),
+        sum(when($"rn" =!= 1, $"c").otherwise(0L)).as("violating_rows"))
+      .filter($"n_types" > 1)
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
@@ -286,6 +329,8 @@ object Governance {
     "q90_merge_upsert" -> mergeUpsert,
     "q114_psi_drift" -> psiDrift,
     "q117_compaction_plan" -> compactionPlan,
+    "q126_retractable_topk" -> retractableTopK,
+    "q127_fd_violations" -> fdViolations,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -401,10 +446,38 @@ object Governance {
       |    AS group_id
       |FROM documents""".stripMargin
 
+  private val sqlRetractableTopK =
+    """WITH ch AS (
+      |  SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS delta
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey,
+      |    -CAST(round(o_totalprice * 100) AS BIGINT) AS delta
+      |  FROM orders WHERE o_orderstatus = 'F')
+      |SELECT o_custkey, sum(delta)::BIGINT AS net_cents,
+      |  count(*)::BIGINT AS n_events
+      |FROM ch GROUP BY o_custkey
+      |ORDER BY net_cents DESC, o_custkey ASC LIMIT 10""".stripMargin
+
+  private val sqlFdViolations =
+    """WITH pairs AS (SELECT p_brand, p_type, count(*)::BIGINT AS c
+      |  FROM part GROUP BY p_brand, p_type),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+      |    ORDER BY c DESC, p_type ASC) AS rn FROM pairs)
+      |SELECT p_brand, count(*)::BIGINT AS n_types,
+      |  sum(c)::BIGINT AS n_rows,
+      |  sum(CASE WHEN rn <> 1 THEN c ELSE 0 END)::BIGINT
+      |    AS violating_rows
+      |FROM ranked GROUP BY p_brand
+      |HAVING count(*) > 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
     "q117_compaction_plan" -> sqlCompaction,
+    "q126_retractable_topk" -> sqlRetractableTopK,
+    "q127_fd_violations" -> sqlFdViolations,
     "q72_bloom_dedup" -> sqlBloom,
     "q75_snapshot_diff" -> sqlSnapshotDiff,
     "q90_merge_upsert" ->

@@ -187,6 +187,30 @@ object Shaping {
       ntile(10).over(Window.orderBy($"q_score", $"doc_id")).as("decile"))
   }
 
+  /** q128 — rank-based feature normalization (quantile transform):
+    * each document's quality score mapped to its within-SOURCE
+    * percent_rank and cume_dist — the scale-free normalization that
+    * makes scores comparable across heterogeneous sources before
+    * mixing (a raw length score means different things on src0 vs
+    * src9). Both functions are rank ratios — exact rationals of the
+    * group's row count — quantized to micro-units, so the transform is
+    * engine- and partitioning-exact. Per-source windows partition by
+    * the group key (no global sort, unlike q94's corpus-wide ntile);
+    * at 100 TB each source sorts independently — embarrassingly
+    * parallel across the mixture. */
+  val rankNormalize: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"q_score", $"doc_id")
+    val scored = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (size(TextOps.tokens($"text")) % 100).as("q_score"))
+    scored.select($"doc_id", $"source", $"q_score",
+      round(percent_rank().over(w) * 1000000.0).cast("long")
+        .as("pct_rank_micro"),
+      round(cume_dist().over(w) * 1000000.0).cast("long")
+        .as("cume_dist_micro"))
+  }
+
   /** q48 — INTERSECT / EXCEPT set semantics: users who both clicked and
     * purchased, and users who clicked but never purchased, as one
     * labeled union. */
@@ -295,6 +319,7 @@ object Shaping {
     "q47_rollup_summary" -> rollupSummary,
     "q93_cube_summary" -> cubeSummary,
     "q94_quality_deciles" -> qualityDeciles,
+    "q128_rank_normalize" -> rankNormalize,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
     "q09_backfill_window" -> backfillWindow,
@@ -313,6 +338,17 @@ object Shaping {
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q128_rank_normalize" -> {
+      val tk = graft.functions.TextOps.sqlTokens("text")
+      s"""SELECT doc_id, source, q_score,
+         | CAST(round(percent_rank() OVER w * 1000000.0) AS BIGINT)
+         |   AS pct_rank_micro,
+         | CAST(round(cume_dist() OVER w * 1000000.0) AS BIGINT)
+         |   AS cume_dist_micro
+         |FROM (SELECT doc_id, source, len($tk) % 100 AS q_score
+         |      FROM documents) t
+         |WINDOW w AS (PARTITION BY source ORDER BY q_score, doc_id)""".stripMargin
+    },
     "q94_quality_deciles" -> {
       val tk = graft.functions.TextOps.sqlTokens("text")
       s"""SELECT doc_id, source, q_score,
