@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.{CmsSketchAgg, CosineSimilarity, Hash60,
-  HllSketchAgg, MinKSampleAgg}
+  HllSketchAgg, MinKSampleAgg, SortedIntersectCount}
 
 /** Engine extension point: registers graft's native expressions with the
   * session so they're callable from SQL and `call_function`.
@@ -54,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case l: Long => l.toInt
         }).getOrElse(64)
         MinKSampleAgg(children.head, children(1), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sorted_intersect_count expects 2 arguments, " +
+            s"got ${children.length}")
+        SortedIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("cms_sketch"),

@@ -361,16 +361,27 @@ object Scale {
     // c ∈ N⁺(a) ∩ N⁺(b). The wedge join would materialize Σ out-deg²
     // rows through a shuffle (83 M at sf0.1, 23 s); intersecting the two
     // ≤O(√m)-element sorted arrays per EDGE does the same comparisons
-    // inside codegen over |E| rows (measured 23.5 s → 7 s at sf0.1).
+    // inside codegen over |E| rows (23.5 s → 3.8 s at sf0.1 with the
+    // native intersect below).
     val adj = ori.groupBy($"a")
       .agg(sort_array(collect_list($"b")).as("nbrs"))
     // re-derive the edge list by exploding the adjacency itself: each
     // edge row comes out with N⁺(a) already attached (no join), leaving
     // ONE shuffle join to fetch N⁺(b)
+    // native two-pointer merge (expressions.SortedIntersectCount): the
+    // built-in size(array_intersect) hashes one side and allocates the
+    // intersection per row; the arrays are sorted, so the merge needs
+    // neither (parity with the built-in is spec-asserted)
+    val isect = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression($"na"),
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression($"nb")))
     val tri = adj
       .select($"nbrs".as("na"), explode($"nbrs").as("b"))
       .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
-      .select(size(array_intersect($"na", $"nb")).as("t"))
+      .select(isect.as("t"))
       .agg(sum($"t").cast("long").as("n_triangles"))
     val nm = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d * (d - 1)) div 2").as("n_wedges"))

@@ -215,4 +215,41 @@ class PropertySpec extends SparkSpec {
       sorted.init.foreach(r => assert(r.getSeq[String](3).length === 32))
     }
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on random " +
+    "sorted distinct arrays, codegen and interpreted") {
+    val gen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    val rows = (0 until 200).map { i =>
+      val a = gen(Gen.Parameters.default, Seed(i * 2)).get
+        .distinct.sorted
+      val b = gen(Gen.Parameters.default, Seed(i * 2 + 1)).get
+        .distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val native = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression($"a"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression($"b")))
+    val got = df.select(native.as("n"),
+        size(array_intersect($"a", $"b")).as("want"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (n, want) => assert(n === want) }
+    // interpreted path (no codegen) must agree too
+    val expr = graft.expressions.SortedIntersectCount(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression($"a"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression($"b"))
+    rows.take(50).foreach { case (a, b) =>
+      val r = expr.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
+      assert(r === a.toSet.intersect(b.toSet).size)
+    }
+    // SQL registration round-trips
+    df.limit(5).createOrReplaceTempView("sic_probe")
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect_count(a, b) = size(array_intersect(a, b))" +
+        " AS ok FROM sic_probe").as[Boolean].collect()
+    assert(viaSql.forall(identity))
+  }
 }
