@@ -323,6 +323,30 @@ object Similarity {
   /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
     * the query's bucket. Recall < 1 by construction; the candidate scan
     * is |bucket| instead of |table|. */
+  /** Multi-probe LSH (Lv et al. 2007, single-bit probing): the query
+    * searches its own bucket PLUS every single-hyperplane-flip
+    * neighbor — numPlanes+1 buckets instead of 1. Near-misses (a
+    * vector on the other side of exactly one hyperplane) are recovered
+    * without growing the table or re-hashing the corpus: the probe set
+    * is query-side only, exploded to numPlanes+1 broadcast rows. Each
+    * corpus vector lives in exactly one bucket and probe buckets are
+    * distinct, so candidates never duplicate. */
+  def lshMultiProbeTopK(emb: DataFrame, queryId: Long, k: Int,
+      numPlanes: Int, dims: Int): DataFrame = {
+    val withBucket = emb.withColumn("bucket",
+      lshBucket(col("embedding"), numPlanes, dims))
+    val probeCols = col("bucket") +: (0 until numPlanes)
+      .map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val probes = withBucket.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"),
+        explode(array(probeCols: _*)).as("qbucket"))
+    withBucket.join(broadcast(probes), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def lshTopK(emb: DataFrame, queryId: Long, k: Int,
       numPlanes: Int, dims: Int): DataFrame = {
     val withBucket = emb.withColumn("bucket",

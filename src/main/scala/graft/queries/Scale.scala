@@ -505,6 +505,43 @@ object Scale {
     round(round(l0)).select($"node_id", $"lbl".as("community"))
   }
 
+  /** q130 — modularity audit of q118's communities: per-community
+    * Newman modularity contribution in_c/m − (deg_c/2m)² — the quality
+    * number that tells you whether a partition is real structure or
+    * noise (Q > 0.3 ⇒ meaningful). Everything derives from exact long
+    * counts (edge totals, within-community edge counts, degree sums)
+    * with integer micro-division, so the audit is engine- and
+    * partitioning-exact. Plan: the edge list joins the label table on
+    * each endpoint (node-keyed, the partitioning q118 already
+    * produced), one community aggregate, totals as a broadcast row —
+    * O(communities) output at any graph size. */
+  val modularityAudit: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("u"), (lit(100000L) + $"l_partkey").as("v"))
+      .distinct()
+    val labels = lpaCommunities(s, dir)
+    val mTot = e0.agg(count(lit(1)).as("m"))
+    val lu = labels.select($"node_id".as("u"), $"community".as("cu"))
+    val lv = labels.select($"node_id".as("v"), $"community".as("cv"))
+    val inC = e0.join(lu, Seq("u")).join(lv, Seq("v"))
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(count(lit(1)).as("in_edges"))
+    val deg = e0.select($"u".as("node_id"))
+      .unionByName(e0.select($"v".as("node_id")))
+      .groupBy($"node_id").agg(count(lit(1)).as("d"))
+    val degC = labels.join(deg, Seq("node_id"))
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("deg_sum"))
+    degC.join(inC, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
+      .select($"community", $"n_nodes",
+        coalesce($"in_edges", lit(0L)).as("in_edges"), $"deg_sum",
+        (expr("(1000000 * coalesce(in_edges, 0)) div m") -
+          expr("(1000000 * deg_sum * deg_sum) div (4 * m * m)"))
+          .as("contrib_micro"))
+  }
+
   /** q119 — 2-D Pareto front (skyline): the parts no other part beats
     * on BOTH price (lower) and size (larger) — strict dominance. The
     * naive plan is a self-join (quadratic, and Spark would nested-loop
@@ -662,6 +699,7 @@ object Scale {
     "q119_pareto_front" -> paretoFront,
     "q122_decayed_revenue" -> decayedRevenue,
     "q125_hll_rollup" -> hllRollup,
+    "q130_modularity" -> modularityAudit,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -958,6 +996,30 @@ object Scale {
       |     ORDER BY c DESC, lbl ASC) AS rn FROM n2) t WHERE rn = 1)
       |SELECT node_id, lbl AS community FROM l2""".stripMargin
 
+  private def sqlModularity: String =
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS u, 100000 + l_partkey AS v
+       |  FROM lineitem),
+       |lab AS (SELECT * FROM ($sqlLpa) l),
+       |mt AS (SELECT count(*)::BIGINT AS m FROM e0),
+       |inc AS (SELECT lu.community, count(*)::BIGINT AS in_edges
+       |  FROM e0
+       |  JOIN lab lu ON e0.u = lu.node_id
+       |  JOIN lab lv ON e0.v = lv.node_id
+       |  WHERE lu.community = lv.community
+       |  GROUP BY lu.community),
+       |deg AS (SELECT x AS node_id, count(*)::BIGINT AS d
+       |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+       |  GROUP BY x),
+       |degc AS (SELECT lab.community, count(*)::BIGINT AS n_nodes,
+       |    sum(deg.d)::BIGINT AS deg_sum
+       |  FROM lab JOIN deg USING (node_id) GROUP BY lab.community)
+       |SELECT degc.community, degc.n_nodes,
+       |  coalesce(inc.in_edges, 0)::BIGINT AS in_edges, degc.deg_sum,
+       |  ((1000000 * coalesce(inc.in_edges, 0)) // m
+       |    - (1000000 * degc.deg_sum * degc.deg_sum) // (4 * m * m))
+       |    ::BIGINT AS contrib_micro
+       |FROM degc LEFT JOIN inc USING (community) CROSS JOIN mt""".stripMargin
+
   private val sqlPareto =
     """SELECT p_partkey, p_name, p_retailprice, p_size FROM part p
       |WHERE NOT EXISTS (SELECT 1 FROM part q
@@ -967,6 +1029,7 @@ object Scale {
   val oracles: Map[String, String] = Map(
     "q116_zscore_anomaly" -> sqlZscore,
     "q118_lpa_communities" -> sqlLpa,
+    "q130_modularity" -> sqlModularity,
     "q119_pareto_front" -> sqlPareto,
     "q122_decayed_revenue" ->
       """SELECT o_custkey,

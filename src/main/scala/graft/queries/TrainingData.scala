@@ -167,6 +167,24 @@ object TrainingData {
         $"rank")
   }
 
+  /** q129 — multi-probe LSH ANN (q27 with single-bit probing): the
+    * query's own bucket plus all 6 one-hyperplane-flip neighbors are
+    * searched — the standard recall lever that costs probe-count, not
+    * table size or corpus re-hash (Lv 2007). The candidate set is a
+    * strict superset of q27's, so top-k can only improve (measured
+    * recall@10 vs brute force: 0.1 single-bucket → markedly higher
+    * multi-probe at sf0.01; spec asserts per-rank dominance). Probe
+    * rows are query-side and broadcast; the corpus is scanned once. */
+  val annLshMultiProbe: Q = (s, dir) => {
+    import s.implicits._
+    val top = Similarity.lshMultiProbeTopK(
+      Tables(s, dir, "embeddings"), 0L, 10, NumPlanes, Dims)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy($"cos_sim".desc, $"vec_id".asc)))
+      .select($"vec_id", $"label", round($"cos_sim", 6).as("cos_sim"),
+        $"rank")
+  }
+
   /** q40 — embedding-cosine near-dup detection: noisy twin vectors
     * (deterministic exact-decimal noise) planted at vec_id+100000, then
     * LSH-bucket self-join → native-cosine verify ≥ 0.9. The bucket join
@@ -1343,6 +1361,7 @@ object TrainingData {
     "q26_ann_cosine_topk" -> annCosineTopK,
     "q40_dedup_embedding" -> dedupEmbedding,
     "q27_ann_lsh_topk" -> annLshTopK,
+    "q129_ann_multiprobe" -> annLshMultiProbe,
     "q42_ann_ivf_topk" -> annIvfTopK,
     "q110_ann_batch_serve" -> annBatchServe,
     "q111_jl_project" -> jlProject,
@@ -1473,6 +1492,25 @@ object TrainingData {
          |      WHERE vec_id = 0),
          |c AS (SELECT vec_id, label, $sqlCos AS cs FROM wb, q
          |      WHERE bucket = qbucket),
+         |r AS (SELECT vec_id, label, cs, row_number() OVER
+         |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
+         |SELECT vec_id, label, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10""".stripMargin,
+    "q129_ann_multiprobe" ->
+      s"""WITH wb AS (SELECT vec_id, label, embedding, $sqlBucket AS bucket
+         |            FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM wb
+         |      WHERE vec_id = 0),
+         |probes AS (SELECT qv, qbucket AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 1) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 2) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 4) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 8) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 16) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 32) AS pb FROM q),
+         |c AS (SELECT vec_id, label, $sqlCos AS cs FROM wb
+         |      JOIN probes ON wb.bucket = probes.pb),
          |r AS (SELECT vec_id, label, cs, row_number() OVER
          |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM c)
          |SELECT vec_id, label, round(cs, 6) AS cos_sim,

@@ -308,4 +308,21 @@ class TrainingDataSpec extends SparkSpec {
       !plan.contains("Exchange rangepartitioning"),
       "JL projection must not shuffle")
   }
+
+  test("q129: multi-probe top-k dominates single-bucket per rank and " +
+    "improves recall vs brute force") {
+    def scores(q: String) = TrainingData.queries(q)(spark, sfDir)
+      .orderBy($"rank").select($"cos_sim").as[Double].collect()
+    def ids(q: String) = TrainingData.queries(q)(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    val single = scores("q27_ann_lsh_topk")
+    val multi = scores("q129_ann_multiprobe")
+    // candidate superset ⇒ the k-th best can only improve, rank by rank
+    multi.zip(single).foreach { case (m, s) => assert(m >= s) }
+    val truth = ids("q26_ann_cosine_topk")
+    val rSingle = (ids("q27_ann_lsh_topk") & truth).size
+    val rMulti = (ids("q129_ann_multiprobe") & truth).size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti below single-bucket $rSingle")
+  }
 }
