@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank in fixed-point integer arithmetic — the graph-centrality
@@ -28,6 +28,39 @@ import org.apache.spark.sql.functions._
   * is not redistributed.
   */
 object PageRank {
+
+  /** Personalized PageRank: teleport mass restarts ONLY at the seed
+    * set (isSeed over the node id column) — rank becomes "relevance to
+    * these seeds", the recommender / related-items primitive, instead
+    * of global authority. Same integer fixed-point discipline as
+    * [[ranks]]; identical per-iteration plan. Non-seed nodes start at
+    * 0 and receive mass only through edges. */
+  def personalizedRanks(edges: DataFrame, isSeed: Column,
+      iters: Int = 2, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").localCheckpoint()
+    val nodes = ed.select(col("src").as("id"))
+      .unionByName(ed.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("seed", isSeed)
+      .localCheckpoint()
+    val nSeeds = nodes.filter(col("seed")).count()
+    val base = (15L * scale / 100L) / nSeeds
+    var r = nodes.select(col("id"), col("seed"),
+      when(col("seed"), lit(scale / nSeeds)).otherwise(0L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst").as("id"),
+          expr("rank div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("seed"),
+          (when(col("seed"), lit(base)).otherwise(0L) +
+            expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+    }
+    r.select(col("id"), col("rank"))
+  }
 
   /** @param edges directed (src, dst), duplicates allowed (distinct'd).
     * @return (id, rank) — rank in integer micro-units of `scale`. */

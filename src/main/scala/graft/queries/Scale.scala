@@ -328,6 +328,58 @@ object Scale {
       .select($"id".as("node_id"), $"rank")
   }
 
+  /** q132 — two-hop neighborhood feature aggregation (the GraphSAGE /
+    * message-passing data-prep layer as relational ops): part features
+    * (price, size) mean-pooled onto suppliers, supplier summaries
+    * mean-pooled back onto parts — h2(part) = mean over its suppliers
+    * of mean over their parts. This is how GNN features are
+    * materialized from a 100 TB graph before training: each hop is one
+    * edge join + one node-keyed aggregate (map-side combined), and hop
+    * k+1 reuses hop k's partitioning. Means are exact integer
+    * divisions of long sums (cents/size), so the features are
+    * bit-stable across runs — training data must not depend on
+    * partition order. */
+  val graphSage: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("supp"), $"l_partkey".as("part"))
+      .distinct()
+    val pf = Tables(s, dir, "part").select($"p_partkey".as("part"),
+      round($"p_retailprice" * 100).cast("long").as("price_c"),
+      $"p_size".cast("long").as("psize"))
+    val h1 = e0.join(pf, Seq("part"))
+      .groupBy($"supp")
+      .agg(count(lit(1)).as("n_parts"), sum($"price_c").as("sp"),
+        sum($"psize").as("ss"))
+      .select($"supp", expr("sp div n_parts").as("h1_price"),
+        expr("ss div n_parts").as("h1_size"))
+    e0.join(h1, Seq("supp"))
+      .groupBy($"part")
+      .agg(count(lit(1)).as("n_supps"), sum($"h1_price").as("sp2"),
+        sum($"h1_size").as("ss2"))
+      .select($"part".as("p_partkey"), $"n_supps",
+        expr("sp2 div n_supps").as("h2_price"),
+        expr("ss2 div n_supps").as("h2_size"))
+  }
+
+  /** q131 — personalized PageRank from the q107 seed suppliers: rank
+    * is "relevance to suppliers 1-2" (the related-items / recommender
+    * primitive — which parts and suppliers sit closest to these seeds
+    * in random-walk reach) rather than q89's global authority.
+    * Teleport mass restarts only at the seeds; everything else is
+    * q89's integer fixed-point machinery with the same bit-exactness
+    * guarantee, unrolled for the same 2 iterations. Nodes unreachable
+    * in ≤2 hops hold rank 0 — compare q107's hop labels. */
+  val personalizedPagerank: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    PageRank.personalizedRanks(edges, col("id") <= 2L, iters = 2)
+      .select($"id".as("node_id"), $"rank")
+  }
+
   /** q105 — triangle counting on the part co-purchase graph (parts
     * sharing an order), the third classic graph kernel beside CC
     * (q55/q87/q99) and PageRank (q89). Edges are oriented from the
@@ -689,6 +741,8 @@ object Scale {
     "q120_cluster_representative" -> clusterRepresentative,
     "q87_dup_clusters_star" -> dupClustersStar,
     "q89_pagerank" -> pagerank,
+    "q131_personalized_pagerank" -> personalizedPagerank,
+    "q132_graph_sage" -> graphSage,
     "q105_triangles" -> triangles,
     "q107_bfs_hops" -> bfsHops,
     "q109_kcore_peel" -> kcorePeel,
@@ -890,6 +944,35 @@ object Scale {
        |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank FROM r2""".stripMargin
   }
 
+  private val sqlPpr = {
+    val S = 1000000000000L
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+       |    100000 + l_partkey AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |sn AS (SELECT count(*) AS ns FROM nodes WHERE id <= 2),
+       |r0 AS (SELECT id, CASE WHEN id <= 2
+       |    THEN $S // (SELECT ns FROM sn) ELSE 0 END AS rank FROM nodes),
+       |c1 AS (SELECT e.dst AS id, sum(r0.rank // deg.outdeg) AS s
+       |       FROM e JOIN deg ON e.src = deg.src
+       |       JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+       |r1 AS (SELECT nodes.id,
+       |    CASE WHEN nodes.id <= 2
+       |      THEN (15 * $S // 100) // (SELECT ns FROM sn) ELSE 0 END
+       |      + (85 * coalesce(c1.s, 0)) // 100 AS rank
+       |    FROM nodes LEFT JOIN c1 USING (id)),
+       |c2 AS (SELECT e.dst AS id, sum(r1.rank // deg.outdeg) AS s
+       |       FROM e JOIN deg ON e.src = deg.src
+       |       JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+       |r2 AS (SELECT nodes.id,
+       |    CASE WHEN nodes.id <= 2
+       |      THEN (15 * $S // 100) // (SELECT ns FROM sn) ELSE 0 END
+       |      + (85 * coalesce(c2.s, 0)) // 100 AS rank
+       |    FROM nodes LEFT JOIN c2 USING (id))
+       |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank FROM r2""".stripMargin
+  }
+
   private val sqlSample = {
     val h = Hashing.sqlHash60("'sample|' || CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id, source FROM documents
@@ -1059,6 +1142,22 @@ object Scale {
     "q120_cluster_representative" -> sqlClusterRep,
     "q87_dup_clusters_star" -> sqlDupClusters,
     "q89_pagerank" -> sqlPagerank,
+    "q131_personalized_pagerank" -> sqlPpr,
+    "q132_graph_sage" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+        |  FROM lineitem),
+        |pf AS (SELECT p_partkey AS part,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |    CAST(p_size AS BIGINT) AS psize
+        |  FROM part),
+        |h1 AS (SELECT supp,
+        |    sum(price_c) // count(*) AS h1_price,
+        |    sum(psize) // count(*) AS h1_size
+        |  FROM e0 JOIN pf USING (part) GROUP BY supp)
+        |SELECT part AS p_partkey, count(*)::BIGINT AS n_supps,
+        |  sum(h1_price) // count(*) AS h2_price,
+        |  sum(h1_size) // count(*) AS h2_size
+        |FROM e0 JOIN h1 USING (supp) GROUP BY part""".stripMargin,
     "q105_triangles" ->
       """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

@@ -187,6 +187,34 @@ object Shaping {
       ntile(10).over(Window.orderBy($"q_score", $"doc_id")).as("decile"))
   }
 
+  /** q133 — event-transition matrix (first-order Markov model of user
+    * behavior): per-user event sequences yield (current → next) type
+    * pairs via one lead window, counted and row-normalized into
+    * transition probabilities — the behavioral model behind "what
+    * usually follows a click" and the input to next-event prediction
+    * baselines. Ordering is total (second-truncated ts, event_id) so
+    * the sequence — and therefore the matrix — is deterministic.
+    * Probabilities are exact-count rationals micro-quantized with
+    * integer division. One user-keyed window + one (from, to)
+    * aggregate; matrix size is |types|², independent of volume. */
+  val markovTransitions: Q = (s, dir) => {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    val pairs = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      .withColumn("next_type", lead($"event_type", 1).over(order))
+      .filter($"next_type".isNotNull)
+    val counts = pairs.groupBy($"event_type".as("from_type"),
+      $"next_type".as("to_type")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"from_type")
+      .agg(sum($"n").as("row_total"))
+    counts.join(totals, Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        expr("(1000000 * n) div row_total").as("p_micro"))
+  }
+
   /** q128 — rank-based feature normalization (quantile transform):
     * each document's quality score mapped to its within-SOURCE
     * percent_rank and cume_dist — the scale-free normalization that
@@ -320,6 +348,7 @@ object Shaping {
     "q93_cube_summary" -> cubeSummary,
     "q94_quality_deciles" -> qualityDeciles,
     "q128_rank_normalize" -> rankNormalize,
+    "q133_markov_transitions" -> markovTransitions,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
     "q09_backfill_window" -> backfillWindow,
@@ -338,6 +367,22 @@ object Shaping {
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q133_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |pairs AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY sec ASC, event_id ASC) AS to_type
+        |  FROM seq),
+        |counts AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM pairs WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS row_total
+        |  FROM counts GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |  (1000000 * n) // row_total AS p_micro
+        |FROM counts JOIN tot USING (from_type)""".stripMargin,
     "q128_rank_normalize" -> {
       val tk = graft.functions.TextOps.sqlTokens("text")
       s"""SELECT doc_id, source, q_score,
