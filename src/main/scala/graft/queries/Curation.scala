@@ -325,6 +325,40 @@ object Curation {
         round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
   }
 
+  /** q135 — batch novelty scoring (data-value estimation): what
+    * fraction of each incoming document's distinct word 3-grams has
+    * the archive never seen — the cheap "is this crawl worth keeping"
+    * number (near-zero novelty ⇒ the batch re-treads the corpus;
+    * q62/q67 then decide dedup, this decides ACQUISITION). The twin
+    * corpus plays the batch: novelty should sit near zero except for
+    * suffix-spanning grams, which is exactly what the score reports.
+    * History grams reduce to DISTINCT 60-bit hashes (8 bytes per gram,
+    * never text) and the batch LEFT-joins them on the uniform hash key
+    * — corpus-sized but skew-free; per-doc novelty is exact integer
+    * micro-division. */
+  val ngramNovelty: Q = (s, dir) => {
+    import s.implicits._
+    val hist = Tables(s, dir, "documents")
+      .select(explode(TextOps.shinglesFromTokens(
+        TextOps.tokens($"text"), ShingleN)).as("g"))
+      .select(Hashing.hash60($"g").as("gh")).distinct()
+      .withColumn("seen", lit(1L))
+    val batch = Tables(s, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + TrainingData.TwinOffset).as("doc_id"),
+        concat($"text", lit(TrainingData.TwinSuffix)).as("text"))
+      .select($"doc_id", explode(TextOps.shinglesFromTokens(
+        TextOps.tokens($"text"), ShingleN)).as("g"))
+      .select($"doc_id", Hashing.hash60($"g").as("gh"))
+    batch.join(hist, Seq("gh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"seen", lit(0L))).as("n_seen"))
+      .select($"doc_id", $"n_grams",
+        expr("(1000000 * (n_grams - n_seen)) div n_grams")
+          .as("novelty_micro"))
+  }
+
   /** q121 — bigram-LM surprise (the conditional upgrade of q77): each
     * document scored by the mean −ln p(w₂|w₁) of its adjacent pairs
     * under the corpus's own bigram model — catches scrambled or
@@ -657,6 +691,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "q108_pmi_collocations" -> pmiCollocations,
     "q121_bigram_surprise" -> bigramSurprise,
+    "q135_ngram_novelty" -> ngramNovelty,
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
@@ -973,6 +1008,23 @@ object Curation {
        |CROSS JOIN tot CROSS JOIN btot
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
 
+  private val sqlNovelty = {
+    val sh = sqlShingles("text", ShingleN)
+    val off = TrainingData.TwinOffset
+    val suf = TrainingData.TwinSuffix
+    s"""WITH hist AS (SELECT DISTINCT ${sqlHash60("g")} AS gh
+       |  FROM (SELECT unnest($sh) AS g FROM documents)),
+       |bt AS (SELECT doc_id + $off AS doc_id, text || '$suf' AS text
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |bh AS (SELECT doc_id, ${sqlHash60("g")} AS gh
+       |  FROM (SELECT doc_id, unnest($sh) AS g FROM bt))
+       |SELECT bh.doc_id, count(*)::BIGINT AS n_grams,
+       |  (1000000 * (count(*) - count(hist.gh))) // count(*)
+       |    AS novelty_micro
+       |FROM bh LEFT JOIN hist ON bh.gh = hist.gh
+       |GROUP BY bh.doc_id""".stripMargin
+  }
+
   private val sqlBigramSurprise =
     s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
        |  FROM documents),
@@ -993,6 +1045,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
+    "q135_ngram_novelty" -> sqlNovelty,
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,

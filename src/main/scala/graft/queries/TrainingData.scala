@@ -456,6 +456,54 @@ object TrainingData {
         round($"cos_sim", 6).as("cos_sim"), $"rank")
   }
 
+  /** q134 — stratified train/val/test split: every document assigned
+    * 80/10/10 by the stateless hash threshold WITHIN its source
+    * stratum (the salt includes the source, so one pathological source
+    * cannot skew another's split) — the canonical corpus split that
+    * must be reproducible forever: membership is a pure function of
+    * (source, doc_id), no RNG state, no count, no sort, identical on
+    * any cluster. Output keeps the assignment per doc plus per-stratum
+    * realized counts for the split audit. */
+  val stratifiedSplit: Q = (s, dir) => {
+    import s.implicits._
+    val h = Hashing.hash60(concat(lit("split|"), $"source", lit("|"),
+      $"doc_id".cast("string"))) % 100
+    val assigned = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
+    val sizes = assigned.groupBy($"source", $"split")
+      .agg(count(lit(1)).as("stratum_n"))
+    assigned.join(sizes, Seq("source", "split"))
+      .select($"doc_id", $"source", $"split", $"stratum_n")
+  }
+
+  /** q136 — label-noise detection by neighborhood voting (confident-
+    * learning-lite): a vector whose own label disagrees with the
+    * majority label of its LSH bucket is flagged as suspect — the
+    * cheap first pass before anyone re-annotates. Bucket majority is
+    * one (bucket, label) count + a WindowGroupLimit argmax (ties to
+    * the smaller label); vectors join their bucket's verdict back by
+    * bucket id. Everything is bucket-keyed — no all-pairs kNN, and the
+    * bucket table is corpus-sized/2^planes. */
+  val labelNoise: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("bucket",
+        Similarity.lshBucket($"embedding", NumPlanes, Dims))
+    val w = Window.partitionBy($"bucket")
+      .orderBy($"n".desc, $"label".asc)
+    val majority = e.groupBy($"bucket", $"label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"bucket", $"label".as("majority_label"),
+        $"n".as("majority_n"))
+    e.join(majority, Seq("bucket"))
+      .select($"vec_id", $"label", $"bucket", $"majority_label",
+        ($"label" =!= $"majority_label").as("suspect"))
+  }
+
   /** q124 — bitext mining (cross-lingual nearest pairing): every
     * non-English document is paired with its closest English document
     * by embedding cosine — the alignment step that harvests parallel
@@ -1366,6 +1414,8 @@ object TrainingData {
     "q110_ann_batch_serve" -> annBatchServe,
     "q111_jl_project" -> jlProject,
     "q124_bitext_pairs" -> bitextPairs,
+    "q134_stratified_split" -> stratifiedSplit,
+    "q136_label_noise" -> labelNoise,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
     "q103_inverted_index" -> invertedIndex,
@@ -1558,6 +1608,30 @@ object TrainingData {
          |SELECT q_id, vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q134_stratified_split" -> {
+      val h = sqlHash60("'split|' || source || '|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (SELECT doc_id, source,
+         |    CASE WHEN $h % 100 < 80 THEN 'train'
+         |         WHEN $h % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |sz AS (SELECT source, split, count(*)::BIGINT AS stratum_n
+         |  FROM a GROUP BY source, split)
+         |SELECT doc_id, a.source, a.split, stratum_n
+         |FROM a JOIN sz USING (source, split)""".stripMargin
+    },
+    "q136_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, label, $sqlBucket AS bucket
+         |  FROM embeddings),
+         |cnt AS (SELECT bucket, label, count(*)::BIGINT AS n
+         |  FROM e GROUP BY bucket, label),
+         |maj AS (SELECT bucket, label AS majority_label FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY bucket
+         |     ORDER BY n DESC, label ASC) AS rn FROM cnt) t
+         |  WHERE rn = 1)
+         |SELECT e.vec_id, e.label, e.bucket, maj.majority_label,
+         |  e.label <> maj.majority_label AS suspect
+         |FROM e JOIN maj USING (bucket)""".stripMargin,
     "q124_bitext_pairs" ->
       s"""WITH e AS (SELECT emb.vec_id, emb.embedding, d.lang,
          |    $sqlBucket AS bucket
