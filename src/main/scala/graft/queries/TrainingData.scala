@@ -456,6 +456,47 @@ object TrainingData {
         round($"cos_sim", 6).as("cos_sim"), $"rank")
   }
 
+  /** q137 — farthest-point (k-center greedy) diversity sampling, 3
+    * unrolled rounds: start from vector 0, repeatedly add the vector
+    * farthest (min-cosine, i.e. most dissimilar) from the selected
+    * set — the coreset primitive behind diverse-subset selection for
+    * annotation budgets and eval-set construction. Each round is ONE
+    * corpus scan: min-over-selected cosine per vector (the selected
+    * set is ≤k rows, broadcast), then a deterministic argmin
+    * (min cos, tie → lowest vec_id) via TakeOrderedAndProject. k
+    * rounds = k scans — the standard 2-approximation, embarrassingly
+    * parallel per round; nothing is driver-side except the k-row
+    * selected set. */
+  val farthestPointSample: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding").localCheckpoint()
+    def farthest(selected: DataFrame): DataFrame =
+      e.join(broadcast(selected.select($"vec_id")), Seq("vec_id"),
+          "left_anti")
+        .crossJoin(broadcast(selected.select($"embedding".as("sv"))))
+        .groupBy($"vec_id")
+        .agg(min(Similarity.cosine($"embedding", $"sv")).as("min_cos"))
+        .orderBy($"min_cos".asc, $"vec_id".asc).limit(1)
+        .select($"vec_id", $"min_cos")
+    val s0 = e.filter($"vec_id" === 0L)
+    val f1 = farthest(s0)
+    val s1 = s0.unionByName(
+      e.join(f1.select($"vec_id"), Seq("vec_id")))
+    val f2 = farthest(s1)
+    val s2 = s1.unionByName(
+      e.join(f2.select($"vec_id"), Seq("vec_id")))
+    val f3 = farthest(s2)
+    s0.select($"vec_id", lit(0).as("round"),
+        lit(null).cast("double").as("min_cos"))
+      .unionByName(f1.select($"vec_id", lit(1).as("round"),
+        round($"min_cos", 6).as("min_cos")))
+      .unionByName(f2.select($"vec_id", lit(2).as("round"),
+        round($"min_cos", 6).as("min_cos")))
+      .unionByName(f3.select($"vec_id", lit(3).as("round"),
+        round($"min_cos", 6).as("min_cos")))
+  }
+
   /** q134 — stratified train/val/test split: every document assigned
     * 80/10/10 by the stateless hash threshold WITHIN its source
     * stratum (the salt includes the source, so one pathological source
@@ -1416,6 +1457,7 @@ object TrainingData {
     "q124_bitext_pairs" -> bitextPairs,
     "q134_stratified_split" -> stratifiedSplit,
     "q136_label_noise" -> labelNoise,
+    "q137_farthest_point" -> farthestPointSample,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
     "q103_inverted_index" -> invertedIndex,
@@ -1608,6 +1650,38 @@ object TrainingData {
          |SELECT q_id, vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q137_farthest_point" -> {
+      val cos = sqlCosCols("t.embedding", "s.embedding")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |s0 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+         |c1 AS (SELECT t.vec_id, min($cos) AS mc
+         |  FROM e t CROSS JOIN s0 s
+         |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s0)
+         |  GROUP BY t.vec_id),
+         |f1 AS (SELECT vec_id, mc FROM c1
+         |  ORDER BY mc ASC, vec_id ASC LIMIT 1),
+         |s1 AS (SELECT * FROM s0 UNION ALL
+         |  SELECT e.vec_id, e.embedding FROM e JOIN f1 USING (vec_id)),
+         |c2 AS (SELECT t.vec_id, min($cos) AS mc
+         |  FROM e t CROSS JOIN s1 s
+         |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s1)
+         |  GROUP BY t.vec_id),
+         |f2 AS (SELECT vec_id, mc FROM c2
+         |  ORDER BY mc ASC, vec_id ASC LIMIT 1),
+         |s2 AS (SELECT * FROM s1 UNION ALL
+         |  SELECT e.vec_id, e.embedding FROM e JOIN f2 USING (vec_id)),
+         |c3 AS (SELECT t.vec_id, min($cos) AS mc
+         |  FROM e t CROSS JOIN s2 s
+         |  WHERE t.vec_id NOT IN (SELECT vec_id FROM s2)
+         |  GROUP BY t.vec_id),
+         |f3 AS (SELECT vec_id, mc FROM c3
+         |  ORDER BY mc ASC, vec_id ASC LIMIT 1)
+         |SELECT vec_id, 0 AS round, CAST(NULL AS DOUBLE) AS min_cos
+         |  FROM s0
+         |UNION ALL SELECT vec_id, 1, round(mc, 6) FROM f1
+         |UNION ALL SELECT vec_id, 2, round(mc, 6) FROM f2
+         |UNION ALL SELECT vec_id, 3, round(mc, 6) FROM f3""".stripMargin
+    },
     "q134_stratified_split" -> {
       val h = sqlHash60("'split|' || source || '|' || CAST(doc_id AS VARCHAR)")
       s"""WITH a AS (SELECT doc_id, source,
