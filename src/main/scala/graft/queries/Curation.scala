@@ -325,6 +325,43 @@ object Curation {
         round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
   }
 
+  /** q140 — Neyman-allocation stratified sampling (survey-statistics
+    * optimal design): a fixed budget of 100 documents split across
+    * sources ∝ N_h·σ_h — variable strata get more of the budget than
+    * uniform or proportional allocation would give them, minimizing
+    * the variance of the corpus-level estimate. σ_h comes from exact
+    * long sums (n, Σx, Σx² of n_chars) through one sqrt; the
+    * allocation is integer division of exact products; membership is
+    * the per-stratum smallest-hash rank (q69's shape) — so the whole
+    * design is a pure function of the data, reproducible anywhere.
+    * Output: the sampled rows with their stratum's allocation and
+    * σ audit. */
+  val neymanSample: Q = (s, dir) => {
+    import s.implicits._
+    val stats = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sq"))
+      .select($"source", $"n",
+        round(sqrt(($"n" * $"sq" - $"sx" * $"sx").cast("double")) /
+          $"n".cast("double") * 1000000.0).cast("long")
+          .as("sigma_micro"))
+      .select($"source", $"n", $"sigma_micro",
+        ($"n" * $"sigma_micro").as("score"))
+    val tot = stats.agg(sum($"score").as("tot_score"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .select($"source", $"sigma_micro",
+        expr("(100 * score) div tot_score").as("alloc"))
+    val w = Window.partitionBy($"source")
+      .orderBy(Hashing.hash60(concat(lit("neyman|"),
+        $"doc_id".cast("string"))).asc, $"doc_id".asc)
+    Tables(s, dir, "documents").select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(alloc), Seq("source"))
+      .filter($"rk" <= $"alloc")
+      .select($"doc_id", $"source", $"alloc", $"sigma_micro")
+  }
+
   /** q135 — batch novelty scoring (data-value estimation): what
     * fraction of each incoming document's distinct word 3-grams has
     * the archive never seen — the cheap "is this crawl worth keeping"
@@ -692,6 +729,7 @@ object Curation {
     "q108_pmi_collocations" -> pmiCollocations,
     "q121_bigram_surprise" -> bigramSurprise,
     "q135_ngram_novelty" -> ngramNovelty,
+    "q140_neyman_sample" -> neymanSample,
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
@@ -821,7 +859,7 @@ object Curation {
        |    $n AS n_toks
        |  FROM documents)
        |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
-       |  sum(n_toks) AS sum_toks,
+       |  sum(n_toks)::BIGINT AS sum_toks,
        |  round(1.0 - CAST(sum(n_toks) AS DOUBLE)
        |    / (count(*) * bucket), 6) AS pad_waste_frac
        |FROM b GROUP BY bucket""".stripMargin
@@ -1008,6 +1046,28 @@ object Curation {
        |CROSS JOIN tot CROSS JOIN btot
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
 
+  private val sqlNeyman = {
+    val h = sqlHash60("'neyman|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH stats AS (SELECT source, count(*)::BIGINT AS n,
+       |    sum(n_chars)::BIGINT AS sx,
+       |    sum(n_chars * n_chars)::BIGINT AS sq
+       |  FROM documents GROUP BY source),
+       |sig AS (SELECT source, n,
+       |    CAST(round(sqrt(CAST(n * sq - sx * sx AS DOUBLE))
+       |      / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS sigma_micro
+       |  FROM stats),
+       |tot AS (SELECT sum(n * sigma_micro)::BIGINT AS ts FROM sig),
+       |alloc AS (SELECT source, sigma_micro,
+       |    (100 * n * sigma_micro) // ts AS alloc
+       |  FROM sig CROSS JOIN tot),
+       |rk AS (SELECT doc_id, source, row_number() OVER
+       |    (PARTITION BY source ORDER BY $h ASC, doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT doc_id, rk.source, alloc, sigma_micro
+       |FROM rk JOIN alloc USING (source)
+       |WHERE rk <= alloc""".stripMargin
+  }
+
   private val sqlNovelty = {
     val sh = sqlShingles("text", ShingleN)
     val off = TrainingData.TwinOffset
@@ -1046,6 +1106,7 @@ object Curation {
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
     "q135_ngram_novelty" -> sqlNovelty,
+    "q140_neyman_sample" -> sqlNeyman,
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,

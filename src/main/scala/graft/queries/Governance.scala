@@ -430,7 +430,7 @@ object Governance {
       |  FROM e GROUP BY bin),
       |tot AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb
       |  FROM binned)
-      |SELECT bin, a AS ref_cnt, b AS cur_cnt,
+      |SELECT CAST(bin AS INTEGER) AS bin, a AS ref_cnt, b AS cur_cnt,
       |  CAST(round(
       |    (CAST(a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
       |      - CAST(b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
@@ -441,9 +441,10 @@ object Governance {
 
   private val sqlCompaction =
     """SELECT source, doc_id, n_chars,
-      |  COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |  CAST(COALESCE(sum(n_chars) OVER (PARTITION BY source
+      |    ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
-      |    AS group_id
+      |    AS BIGINT) AS group_id
       |FROM documents""".stripMargin
 
   private val sqlRetractableTopK =

@@ -531,6 +531,40 @@ object Scale {
       .filter($"edit_dist" <= 3)
   }
 
+  /** q141 — Poisson bootstrap (the one-pass scalable bootstrap): 32
+    * resample replicates of mean order value computed WITHOUT
+    * resampling — each row gets a deterministic pseudo-Poisson(1)
+    * weight per replicate (inverse-CDF over u = hash60/2⁶⁰, thresholds
+    * are plan-time literals), and each replicate is a weighted
+    * aggregate. The spread across replicate means IS the sampling
+    * distribution — confidence intervals from one scan, no shuffling
+    * of resampled copies, the only way to bootstrap 100 TB. Hash-
+    * derived weights make every replicate a pure function of the row:
+    * the same CI on any cluster, any run. All sums are exact longs. */
+  val poissonBootstrap: Q = (s, dir) => {
+    import s.implicits._
+    val reps = 32
+    val e = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .select($"o_orderkey", $"cents",
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+    val u = Hashing.hash60(concat(lit("boot|"), $"rep".cast("string"),
+      lit("|"), $"o_orderkey".cast("string"))).cast("double") /
+      lit(1152921504606846976L).cast("double")
+    val wgt = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    e.select($"rep", $"cents", wgt.as("w"))
+      .groupBy($"rep")
+      .agg(sum($"w").as("n_eff"), sum($"w" * $"cents").as("wsum"))
+      .select($"rep", $"n_eff",
+        expr("wsum div n_eff").as("mean_cents"))
+  }
+
   /** q138 — join-cardinality estimation by sketch (the optimizer-stats
     * primitive): how many join keys do two relations SHARE, answered
     * without joining them — est(A) + est(B) − est(A∪B) by
@@ -821,6 +855,7 @@ object Scale {
     "q125_hll_rollup" -> hllRollup,
     "q138_join_overlap_sketch" -> joinOverlapSketch,
     "q139_fuzzy_name_join" -> fuzzyNameJoin,
+    "q141_poisson_bootstrap" -> poissonBootstrap,
     "q130_modularity" -> modularityAudit,
   )
 
@@ -892,6 +927,28 @@ object Scale {
         "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7",
         "week", "CAST(user_id AS VARCHAR)") +
       ") h USING (week)"
+
+  private def sqlBootstrap: String = {
+    val h = Hashing.sqlHash60(
+      "'boot|' || CAST(rep AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH e AS (SELECT o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    unnest(range(0, 32)) AS rep
+       |  FROM orders),
+       |wt AS (SELECT rep, cents,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0
+       |         WHEN u < 0.7357588823428847 THEN 1
+       |         WHEN u < 0.9196986029286058 THEN 2
+       |         WHEN u < 0.9810118431238462 THEN 3
+       |         WHEN u < 0.9963401531726563 THEN 4
+       |         ELSE 5 END::BIGINT AS w
+       |  FROM (SELECT rep, cents,
+       |      CAST($h AS DOUBLE) / 1152921504606846976.0 AS u
+       |    FROM e) t)
+       |SELECT CAST(rep AS INTEGER) AS rep, sum(w)::BIGINT AS n_eff,
+       |  sum(w * cents)::BIGINT // sum(w)::BIGINT AS mean_cents
+       |FROM wt GROUP BY rep""".stripMargin
+  }
 
   private def sqlJoinOverlap: String = {
     val ta = "(SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k" +
@@ -1222,6 +1279,7 @@ object Scale {
     "q52_hll_distinct" -> sqlHll,
     "q125_hll_rollup" -> sqlHllRollup,
     "q138_join_overlap_sketch" -> sqlJoinOverlap,
+    "q141_poisson_bootstrap" -> sqlBootstrap,
     "q139_fuzzy_name_join" ->
       """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
         |g AS (SELECT DISTINCT nm,
@@ -1255,8 +1313,8 @@ object Scale {
         |    sum(psize) // count(*) AS h1_size
         |  FROM e0 JOIN pf USING (part) GROUP BY supp)
         |SELECT part AS p_partkey, count(*)::BIGINT AS n_supps,
-        |  sum(h1_price) // count(*) AS h2_price,
-        |  sum(h1_size) // count(*) AS h2_size
+        |  CAST(sum(h1_price) // count(*) AS BIGINT) AS h2_price,
+        |  CAST(sum(h1_size) // count(*) AS BIGINT) AS h2_size
         |FROM e0 JOIN h1 USING (supp) GROUP BY part""".stripMargin,
     "q105_triangles" ->
       """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

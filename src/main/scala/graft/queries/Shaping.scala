@@ -390,15 +390,18 @@ object Shaping {
          |   AS pct_rank_micro,
          | CAST(round(cume_dist() OVER w * 1000000.0) AS BIGINT)
          |   AS cume_dist_micro
-         |FROM (SELECT doc_id, source, len($tk) % 100 AS q_score
+         |FROM (SELECT doc_id, source,
+         |      CAST(len($tk) % 100 AS INTEGER) AS q_score
          |      FROM documents) t
          |WINDOW w AS (PARTITION BY source ORDER BY q_score, doc_id)""".stripMargin
     },
     "q94_quality_deciles" -> {
       val tk = graft.functions.TextOps.sqlTokens("text")
       s"""SELECT doc_id, source, q_score,
-         | ntile(10) OVER (ORDER BY q_score, doc_id) AS decile
-         |FROM (SELECT doc_id, source, len($tk) % 100 AS q_score
+         | CAST(ntile(10) OVER (ORDER BY q_score, doc_id) AS INTEGER)
+         |   AS decile
+         |FROM (SELECT doc_id, source,
+         |      CAST(len($tk) % 100 AS INTEGER) AS q_score
          |      FROM documents) t""".stripMargin
     },
     "q47_rollup_summary" ->
