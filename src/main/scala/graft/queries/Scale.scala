@@ -531,6 +531,60 @@ object Scale {
       .filter($"edit_dist" <= 3)
   }
 
+  /** q143 — class-centroid similarity matrix (the dataset similarity
+    * map): pairwise cosine between per-label embedding centroids —
+    * which classes are confusable, which sources/domains overlap —
+    * the 10-minute diagnostic before training on a mixture. Centroids
+    * are UN-DIVIDED exact long sums per dimension (cosine is
+    * scale-invariant, q73's trick — no float division, fully
+    * order-independent); the pairwise stage is a self-join of K
+    * centroid rows, trivial at any corpus size because the corpus
+    * collapses to K×dims longs first. */
+  val labelSimilarity: Q = (s, dir) => {
+    import s.implicits._
+    val cent = Tables(s, dir, "embeddings")
+      .select($"label", posexplode(transform($"embedding",
+        e => round(e.cast("double") * 1000000.0).cast("long")))
+        .as(Seq("dim", "v")))
+      .groupBy($"label", $"dim").agg(sum($"v").as("sv"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"sv"))),
+        x => x.getField("sv")).as("cv"))
+    cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"),
+        col("b.label").as("label_b"),
+        round(graft.functions.Similarity.cosineFold(
+          col("a.cv"), col("b.cv")), 6).as("cos_sim"))
+  }
+
+  /** q142 — grouped OLS trend (least-squares slope per key): is each
+    * event type's value drifting over the month? Slope and intercept
+    * come from the closed form over exact long sums — n, Σx, Σy, Σxy,
+    * Σx² (x = day number, y = value in cents) — so the whole
+    * regression is ONE map-side-combined aggregate per group and a
+    * final float tree over exact integers: identical on both engines,
+    * any partitioning. This is the trend-detection shape that runs
+    * per-metric per-segment at warehouse scale: no window, no sort,
+    * O(groups) output. */
+  val groupedTrend: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").select($"event_type",
+      datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"),
+      round($"value" * 100).cast("long").as("y"))
+    e.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double") * 1000000.0)
+          .cast("long").as("slope_micro"),
+        round(($"sy" * $"sxx" - $"sx" * $"sxy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+          .cast("long").as("intercept_cents"))
+  }
+
   /** q141 — Poisson bootstrap (the one-pass scalable bootstrap): 32
     * resample replicates of mean order value computed WITHOUT
     * resampling — each row gets a deterministic pseudo-Poisson(1)
@@ -856,6 +910,8 @@ object Scale {
     "q138_join_overlap_sketch" -> joinOverlapSketch,
     "q139_fuzzy_name_join" -> fuzzyNameJoin,
     "q141_poisson_bootstrap" -> poissonBootstrap,
+    "q142_grouped_trend" -> groupedTrend,
+    "q143_label_similarity" -> labelSimilarity,
     "q130_modularity" -> modularityAudit,
   )
 
@@ -1280,6 +1336,45 @@ object Scale {
     "q125_hll_rollup" -> sqlHllRollup,
     "q138_join_overlap_sketch" -> sqlJoinOverlap,
     "q141_poisson_bootstrap" -> sqlBootstrap,
+    "q143_label_similarity" ->
+      """WITH ex AS (SELECT label,
+        |    unnest(list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)))
+        |      AS v,
+        |    unnest(range(1, len(embedding)::BIGINT + 1)) AS dim
+        |  FROM embeddings),
+        |cs AS (SELECT label, dim, sum(v)::BIGINT AS sv
+        |  FROM ex GROUP BY label, dim),
+        |cv AS (SELECT label, list(sv ORDER BY dim) AS cv
+        |  FROM cs GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(
+        |    list_sum(list_transform(list_zip(a.cv, b.cv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.cv,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.cv,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |    AS cos_sim
+        |FROM cv a JOIN cv b ON a.label < b.label""".stripMargin,
+    "q142_grouped_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+        |      AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+        |    AS intercept_cents
+        |FROM s""".stripMargin,
     "q139_fuzzy_name_join" ->
       """WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
         |g AS (SELECT DISTINCT nm,
