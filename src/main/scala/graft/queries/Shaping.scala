@@ -215,6 +215,31 @@ object Shaping {
         expr("(1000000 * n) div row_total").as("p_micro"))
   }
 
+  /** q144 — frequent path mining (3-step behavioral sequences): the
+    * top event-type paths users actually walk, counted from per-user
+    * ordered triples (two stacked leads over one window — no
+    * self-joins). The classic product-analytics "what do people do
+    * after X then Y" query; the path space is |types|³ regardless of
+    * volume, and the top-10 plans as TakeOrderedAndProject. Total
+    * order (second-truncated ts, event_id) keeps every path count
+    * deterministic. */
+  val pathMining: Q = (s, dir) => {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      .withColumn("t2", lead($"event_type", 1).over(order))
+      .withColumn("t3", lead($"event_type", 2).over(order))
+      .filter($"t3".isNotNull)
+      .groupBy($"event_type".as("step1"), $"t2".as("step2"),
+        $"t3".as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"step1", $"step2", $"step3")
+      .limit(10)
+  }
+
   /** q128 — rank-based feature normalization (quantile transform):
     * each document's quality score mapped to its within-SOURCE
     * percent_rank and cume_dist — the scale-free normalization that
@@ -349,6 +374,7 @@ object Shaping {
     "q94_quality_deciles" -> qualityDeciles,
     "q128_rank_normalize" -> rankNormalize,
     "q133_markov_transitions" -> markovTransitions,
+    "q144_path_mining" -> pathMining,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
     "q09_backfill_window" -> backfillWindow,
@@ -367,6 +393,19 @@ object Shaping {
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q144_path_mining" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |tri AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM seq WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY sec ASC, event_id ASC))
+        |SELECT step1, step2, step3, count(*)::BIGINT AS n
+        |FROM tri WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
     "q133_markov_transitions" ->
       """WITH seq AS (SELECT user_id, event_id, event_type,
         |    epoch(date_trunc('second', ts))::BIGINT AS sec

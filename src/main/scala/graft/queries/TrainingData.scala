@@ -456,6 +456,35 @@ object TrainingData {
         round($"cos_sim", 6).as("cos_sim"), $"rank")
   }
 
+  /** q145 — syndication detection (cross-source duplicate attribution):
+    * which source pairs publish byte-identical content — the dedup
+    * signal that drives source-level dedup policy (keep the
+    * originator, drop the wire mirror) rather than per-document
+    * decisions. A 'wire' feed is planted (every 5th doc re-attributed,
+    * the twin-corpus pattern) since the synthetic corpus has no
+    * natural syndication. Pairs form per content hash: hashes collapse
+    * first (uniform md5 key, skew-free), sources per hash collect into
+    * a sorted set, pairs explode from sets (bounded by sources², never
+    * corpus²), then one count per pair. */
+  val syndicationReport: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"source", $"text")
+    val corpus = d.unionByName(
+      Tables(s, dir, "documents").filter($"doc_id" % 5 === 0)
+        .select(lit("wire").as("source"), $"text"))
+    val perHash = corpus.select(md5($"text").as("h"), $"source")
+      .distinct()
+      .groupBy($"h")
+      .agg(array_sort(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+    perHash
+      .select($"h", explode($"srcs").as("source_a"), $"srcs")
+      .select($"h", $"source_a", explode($"srcs").as("source_b"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared_docs"))
+  }
+
   /** q137 — farthest-point (k-center greedy) diversity sampling, 3
     * unrolled rounds: start from vector 0, repeatedly add the vector
     * farthest (min-cosine, i.e. most dissimilar) from the selected
@@ -1458,6 +1487,7 @@ object TrainingData {
     "q134_stratified_split" -> stratifiedSplit,
     "q136_label_noise" -> labelNoise,
     "q137_farthest_point" -> farthestPointSample,
+    "q145_syndication" -> syndicationReport,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
     "q103_inverted_index" -> invertedIndex,
@@ -1650,6 +1680,21 @@ object TrainingData {
          |SELECT q_id, vec_id, label, round(cs, 6) AS cos_sim,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q145_syndication" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'wire' AS source, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |ph AS (SELECT md5(text) AS h, source FROM corpus
+        |  GROUP BY md5(text), source),
+        |sets AS (SELECT h, list_sort(list(DISTINCT source)) AS srcs
+        |  FROM ph GROUP BY h HAVING count(DISTINCT source) >= 2),
+        |pairs AS (SELECT h, a AS source_a, b AS source_b
+        |  FROM sets, unnest(srcs) u1(a), unnest(srcs) u2(b)
+        |  WHERE a < b)
+        |SELECT source_a, source_b, count(*)::BIGINT AS n_shared_docs
+        |FROM pairs GROUP BY source_a, source_b""".stripMargin,
     "q137_farthest_point" -> {
       val cos = sqlCosCols("t.embedding", "s.embedding")
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
