@@ -15,6 +15,7 @@ import graft.expressions.{CmsSketchAgg, CosineSimilarity, Hash60,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
     ext.injectFunction((

@@ -420,20 +420,16 @@ object Scale {
     // re-derive the edge list by exploding the adjacency itself: each
     // edge row comes out with N⁺(a) already attached (no join), leaving
     // ONE shuffle join to fetch N⁺(b)
-    // native two-pointer merge (expressions.SortedIntersectCount): the
-    // built-in size(array_intersect) hashes one side and allocates the
-    // intersection per row; the arrays are sorted, so the merge needs
-    // neither (parity with the built-in is spec-asserted)
-    val isect = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.expressions.SortedIntersectCount(
-        org.apache.spark.sql.graftbridge.ColumnBridge
-          .expression($"na"),
-        org.apache.spark.sql.graftbridge.ColumnBridge
-          .expression($"nb")))
+    // stated DECLARATIVELY as size(array_intersect(...)) — the injected
+    // optimizer rule (plans.IntersectCountRewrite) swaps in the native
+    // two-pointer SortedIntersectCount because both sides are
+    // sort_array over non-null longs (PlanSpec asserts the rewrite
+    // fired); the built-in would hash one side and allocate the
+    // intersection per row just to take its length
     val tri = adj
       .select($"nbrs".as("na"), explode($"nbrs").as("b"))
       .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
-      .select(isect.as("t"))
+      .select(size(array_intersect($"na", $"nb")).as("t"))
       .agg(sum($"t").cast("long").as("n_triangles"))
     val nm = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d * (d - 1)) div 2").as("n_wedges"))

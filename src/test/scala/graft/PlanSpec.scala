@@ -74,6 +74,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q105: the injected optimizer rule swaps size(array_intersect) " +
+    "for the native sorted merge") {
+    val p = plan("q105_triangles")
+    assert(p.contains("sorted_intersect_count"),
+      "IntersectCountRewrite did not fire")
+    assert(!p.contains("array_intersect"), p)
+  }
+
   test("q119: skyline plans as window + equi-join — no nested-loop, " +
     "no cartesian") {
     val p = plan("q119_pareto_front")

@@ -219,11 +219,12 @@ class PropertySpec extends SparkSpec {
   test("sorted_intersect_count equals size(array_intersect) on random " +
     "sorted distinct arrays, codegen and interpreted") {
     val gen = Gen.listOf(Gen.chooseNum(-1000L, 1000L))
+    // duplicates deliberately KEPT: the merge must skip runs so its
+    // count stays set-semantic like array_intersect (the property the
+    // optimizer rewrite relies on)
     val rows = (0 until 200).map { i =>
-      val a = gen(Gen.Parameters.default, Seed(i * 2)).get
-        .distinct.sorted
-      val b = gen(Gen.Parameters.default, Seed(i * 2 + 1)).get
-        .distinct.sorted
+      val a = gen(Gen.Parameters.default, Seed(i * 2)).get.sorted
+      val b = gen(Gen.Parameters.default, Seed(i * 2 + 1)).get.sorted
       (a, b)
     }
     val df = rows.toDF("a", "b")
