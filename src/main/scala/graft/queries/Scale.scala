@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -527,6 +527,51 @@ object Scale {
       .filter($"edit_dist" <= 3)
   }
 
+  /** q146 — time-series similarity search (the EDBT/ICDE distributed
+    * subsequence-matching shape, matrix-profile-lite): which past
+    * 7-day revenue windows moved like the LAST one — z-normalized
+    * euclidean distance so shape matches regardless of level/scale.
+    * Windows materialize as arrays via one ROWS-frame collect over the
+    * post-aggregate daily frame (rows = days, q57's trick); each
+    * window z-normalizes from its own exact long sums; the query
+    * window (the latest) broadcasts and every candidate scores in one
+    * map — at 100 TB of raw events the daily frame is still tiny, and
+    * for second-granularity series the same plan shards the series by
+    * range. Top-5 via TakeOrderedAndProject, self excluded. */
+  val tsSimilarity: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice")).cast("long").as("x"))
+      .withColumn("day_num",
+        datediff($"day", lit("1995-01-01").cast("date")))
+    val w = Window.orderBy($"day_num").rowsBetween(-6, 0)
+    val wins = daily
+      .withColumn("arr", collect_list($"x").over(w))
+      .filter(size($"arr") === 7)
+      .select($"day", $"arr")
+    def znorm(arr: Column): Column = {
+      val n = lit(7.0)
+      val mean = aggregate(arr, lit(0L), (a, x) => a + x)
+        .cast("double") / n
+      val sq = aggregate(transform(arr, x => x * x), lit(0L),
+        (a, x) => a + x).cast("double")
+      val sd = sqrt(sq / n - mean * mean)
+      transform(arr, x => (x.cast("double") - mean) / sd)
+    }
+    val scored = wins.select($"day", znorm($"arr").as("z"))
+    val q = scored.orderBy($"day".desc).limit(1)
+      .select($"day".as("q_day"), $"z".as("qz"))
+    scored.crossJoin(broadcast(q))
+      .filter($"day" =!= $"q_day")
+      .select($"day",
+        round(aggregate(zip_with($"z", $"qz",
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v),
+          6).as("dist2"))
+      .orderBy($"dist2".asc, $"day".asc)
+      .limit(5)
+  }
+
   /** q143 — class-centroid similarity matrix (the dataset similarity
     * map): pairwise cosine between per-label embedding centroids —
     * which classes are confusable, which sources/domains overlap —
@@ -908,6 +953,7 @@ object Scale {
     "q141_poisson_bootstrap" -> poissonBootstrap,
     "q142_grouped_trend" -> groupedTrend,
     "q143_label_similarity" -> labelSimilarity,
+    "q146_ts_similarity" -> tsSimilarity,
     "q130_modularity" -> modularityAudit,
   )
 
@@ -1332,6 +1378,35 @@ object Scale {
     "q125_hll_rollup" -> sqlHllRollup,
     "q138_join_overlap_sketch" -> sqlJoinOverlap,
     "q141_poisson_bootstrap" -> sqlBootstrap,
+    "q146_ts_similarity" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(sum(o_totalprice)) AS BIGINT) AS x,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day_num
+        |  FROM orders GROUP BY 1, 3),
+        |wins AS (SELECT day, list(x) OVER (ORDER BY day_num
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM daily),
+        |fullw AS (SELECT day, arr,
+        |    CAST(list_sum(arr) AS DOUBLE) / 7.0 AS mean,
+        |    sqrt(CAST(list_sum(list_transform(arr, x -> x * x))
+        |        AS DOUBLE) / 7.0
+        |      - (CAST(list_sum(arr) AS DOUBLE) / 7.0)
+        |        * (CAST(list_sum(arr) AS DOUBLE) / 7.0)) AS sd
+        |  FROM wins WHERE len(arr) = 7),
+        |z AS (SELECT day,
+        |    list_transform(arr, x -> (CAST(x AS DOUBLE) - mean) / sd)
+        |      AS z
+        |  FROM fullw),
+        |q AS (SELECT day AS q_day, z AS qz FROM z
+        |  ORDER BY day DESC LIMIT 1)
+        |SELECT z.day,
+        |  round(list_sum(list_transform(list_zip(z.z, qz),
+        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+        |    AS dist2
+        |FROM z CROSS JOIN q WHERE z.day <> q.q_day
+        |ORDER BY dist2 ASC, day ASC LIMIT 5""".stripMargin,
     "q143_label_similarity" ->
       """WITH ex AS (SELECT label,
         |    unnest(list_transform(embedding,
