@@ -322,7 +322,39 @@ object Governance {
       .filter($"n_types" > 1)
   }
 
+  /** q147 — incremental aggregate-view maintenance (q112's idea for
+    * AGGREGATES): the stored pricing summary absorbs a new lineitem
+    * batch by summing per-group partials — base + delta per
+    * (returnflag, linestatus) — never rescanning history. Sums and
+    * counts are exactly mergeable (the same property every map-side
+    * combine relies on); averages re-derive from merged sums, NEVER
+    * merge directly. The ORACLE recomputes the summary from scratch
+    * over history ∪ batch, proving merge ≡ rebuild. The batch is the
+    * shipdate-1998 slice replayed with flipped flags (so merged groups
+    * genuinely change). At 100 TB this is the difference between a
+    * 3-hourly summary refresh reading the delta vs the archive. */
+  val incrementalAggView: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+    def summary(df: DataFrame) = df
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+    val base = summary(li)
+    val delta = summary(
+      li.filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp"))
+        .withColumn("l_returnflag",
+          when($"l_returnflag" === "N", "R").otherwise("N")))
+    base.unionByName(delta)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"sum_qty"), 2).as("sum_qty"),
+        sum($"n_rows").as("n_rows"))
+      .select($"l_returnflag", $"l_linestatus", $"sum_qty", $"n_rows",
+        round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_incremental_agg_view" -> incrementalAggView,
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
@@ -473,7 +505,23 @@ object Governance {
       |FROM ranked GROUP BY p_brand
       |HAVING count(*) > 1""".stripMargin
 
+  private val sqlIncAggView =
+    """WITH corpus AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+      |  UNION ALL
+      |  SELECT CASE WHEN l_returnflag = 'N' THEN 'R' ELSE 'N' END
+      |      AS l_returnflag,
+      |    l_linestatus, l_quantity
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+      |SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*)::BIGINT AS n_rows,
+      |  round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty
+      |FROM corpus GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q147_incremental_agg_view" -> sqlIncAggView,
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
     "q117_compaction_plan" -> sqlCompaction,

@@ -215,6 +215,66 @@ object Shaping {
         expr("(1000000 * n) div row_total").as("p_micro"))
   }
 
+  /** q148 — diversified top-k (per-group quota ranking): the global
+    * top-10 documents by quality, but at most 2 per source — the
+    * serving constraint every feed/search ranker carries so one
+    * prolific source can't monopolize the page. Two ranks: the
+    * per-source quota cut (WindowGroupLimit — ≤2 rows per source
+    * survive each partition before any exchange), then the global
+    * top-10 as TakeOrderedAndProject over the ≤2·|sources| survivors.
+    * Never a global sort of the corpus. */
+  val diversifiedTopK: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (size(TextOps.tokens($"text")) % 100).as("q_score"))
+    val wq = Window.partitionBy($"source")
+      .orderBy($"q_score".desc, $"doc_id".asc)
+    scored.withColumn("src_rank", row_number().over(wq))
+      .filter($"src_rank" <= 2)
+      .orderBy($"q_score".desc, $"doc_id".asc)
+      .limit(10)
+  }
+
+  /** q149 — score calibration against a reference split: every
+    * val-split document's quality score mapped to its PERCENTILE in
+    * the train-split distribution (q134's hash split) — the
+    * calibration that makes "0.7" mean the same thing across
+    * retrained scorers. The reference collapses to its distinct-score
+    * histogram + running counts (O(distinct scores) rows, broadcast),
+    * so val rows map by ONE join against score buckets — no
+    * corpus-sized sort, no per-row subquery. Percentile = exact
+    * integer micro-division of cumulative counts. */
+  val scoreCalibration: Q = (s, dir) => {
+    import s.implicits._
+    val h = graft.functions.Hashing.hash60(concat(lit("split|"),
+      $"source", lit("|"), $"doc_id".cast("string"))) % 100
+    val scored = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        (size(TextOps.tokens($"text")) % 100).as("q_score"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
+    // dense score spine: a val score absent from train still maps to
+    // the cumulative count below it (left-joining sparse buckets would
+    // wrongly give 0)
+    val counts = scored.filter($"split" === "train")
+      .groupBy($"q_score").agg(count(lit(1)).as("cnt"))
+    val hist = Tables(s, dir, "documents").sparkSession
+      .range(0, 100).select($"id".cast("int").as("q_score"))
+      .join(counts, Seq("q_score"), "left")
+      .withColumn("n", coalesce($"cnt", lit(0L)))
+      .withColumn("cum_n", sum($"n").over(Window.orderBy($"q_score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum($"n").as("train_total"))
+    scored.filter($"split" === "val")
+      .join(broadcast(hist.select($"q_score", $"cum_n")), Seq("q_score"),
+        "left")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"q_score",
+        expr("(1000000 * coalesce(cum_n, 0)) div train_total")
+          .as("pctile_micro"))
+  }
+
   /** q144 — frequent path mining (3-step behavioral sequences): the
     * top event-type paths users actually walk, counted from per-user
     * ordered triples (two stacked leads over one window — no
@@ -375,6 +435,8 @@ object Shaping {
     "q128_rank_normalize" -> rankNormalize,
     "q133_markov_transitions" -> markovTransitions,
     "q144_path_mining" -> pathMining,
+    "q148_diversified_topk" -> diversifiedTopK,
+    "q149_score_calibration" -> scoreCalibration,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
     "q09_backfill_window" -> backfillWindow,
@@ -393,6 +455,45 @@ object Shaping {
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q148_diversified_topk" -> {
+      val tk = graft.functions.TextOps.sqlTokens("text")
+      s"""WITH scored AS (SELECT doc_id, source,
+         |    CAST(len($tk) % 100 AS INTEGER) AS q_score
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY q_score DESC, doc_id ASC) AS src_rank
+         |  FROM scored)
+         |SELECT doc_id, source, q_score, CAST(src_rank AS INTEGER)
+         |    AS src_rank
+         |FROM r WHERE src_rank <= 2
+         |ORDER BY q_score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "q149_score_calibration" -> {
+      val tk = graft.functions.TextOps.sqlTokens("text")
+      val h = graft.functions.Hashing.sqlHash60(
+        "'split|' || source || '|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH scored AS (SELECT doc_id, source,
+         |    CAST(len($tk) % 100 AS INTEGER) AS q_score,
+         |    CASE WHEN $h % 100 < 80 THEN 'train'
+         |         WHEN $h % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |counts AS (SELECT q_score, count(*)::BIGINT AS cnt
+         |  FROM scored WHERE split = 'train' GROUP BY q_score),
+         |hist AS (SELECT s.q_score, coalesce(cnt, 0)::BIGINT AS n
+         |  FROM (SELECT CAST(unnest(range(0, 100)) AS INTEGER)
+         |          AS q_score) s
+         |  LEFT JOIN counts USING (q_score)),
+         |cum AS (SELECT q_score, sum(n) OVER (ORDER BY q_score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS cum_n
+         |  FROM hist),
+         |tot AS (SELECT sum(n)::BIGINT AS train_total FROM hist)
+         |SELECT doc_id, q_score,
+         |  (1000000 * cum_n) // train_total AS pctile_micro
+         |FROM scored JOIN cum USING (q_score) CROSS JOIN tot
+         |WHERE split = 'val'""".stripMargin
+    },
     "q144_path_mining" ->
       """WITH seq AS (SELECT user_id, event_id, event_type,
         |    epoch(date_trunc('second', ts))::BIGINT AS sec
