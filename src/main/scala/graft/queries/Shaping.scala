@@ -215,6 +215,36 @@ object Shaping {
         expr("(1000000 * n) div row_total").as("p_micro"))
   }
 
+  /** q150 — aggregate navigation (serving slices FROM the cube): the
+    * classic OLAP contract that a materialized CUBE subsumes every
+    * coarser rollup — per-status totals, per-priority totals and the
+    * grand total are all answered by selecting grouping-id slices of
+    * ONE cube pass, never re-scanning orders. The ORACLE computes each
+    * slice directly from the base table, proving slice ≡ direct
+    * aggregate. grouping() disambiguates real NULL keys from subtotal
+    * rows — the correctness trap naive cube consumers hit. At 100 TB
+    * the cube is the nightly artifact; every dashboard reads
+    * O(groups) rows from it. */
+  val cubeServing: Q = (s, dir) => {
+    import s.implicits._
+    val cube = Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping($"o_orderstatus").as("g_s"),
+        grouping($"o_orderpriority").as("g_p"))
+    val byStatus = cube.filter($"g_s" === 0 && $"g_p" === 1)
+      .select(lit("by_status").as("slice"),
+        $"o_orderstatus".as("key"), $"revenue", $"n_orders")
+    val byPriority = cube.filter($"g_s" === 1 && $"g_p" === 0)
+      .select(lit("by_priority").as("slice"),
+        $"o_orderpriority".as("key"), $"revenue", $"n_orders")
+    val grand = cube.filter($"g_s" === 1 && $"g_p" === 1)
+      .select(lit("grand").as("slice"), lit("ALL").as("key"),
+        $"revenue", $"n_orders")
+    byStatus.unionByName(byPriority).unionByName(grand)
+  }
+
   /** q148 — diversified top-k (per-group quota ranking): the global
     * top-10 documents by quality, but at most 2 per source — the
     * serving constraint every feed/search ranker carries so one
@@ -436,6 +466,7 @@ object Shaping {
     "q133_markov_transitions" -> markovTransitions,
     "q144_path_mining" -> pathMining,
     "q148_diversified_topk" -> diversifiedTopK,
+    "q150_cube_serving" -> cubeServing,
     "q149_score_calibration" -> scoreCalibration,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
@@ -455,6 +486,19 @@ object Shaping {
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q150_cube_serving" ->
+      """SELECT 'by_status' AS slice, o_orderstatus AS key,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'by_priority', o_orderpriority,
+        |  round(sum(o_totalprice), 2), count(*)::BIGINT
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'grand', 'ALL', round(sum(o_totalprice), 2),
+        |  count(*)::BIGINT
+        |FROM orders""".stripMargin,
     "q148_diversified_topk" -> {
       val tk = graft.functions.TextOps.sqlTokens("text")
       s"""WITH scored AS (SELECT doc_id, source,
