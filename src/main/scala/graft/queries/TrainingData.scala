@@ -1089,6 +1089,62 @@ object TrainingData {
     Multimodal.decodeMeta(media, StubImageDecoder).toDF()
   }
 
+  /** q151 — modality mixture report (the multimodal budget planner):
+    * per (source, media_type) item counts, byte totals, and each
+    * modality's byte share of its source — the numbers a multimodal
+    * training mix is balanced on (token-equivalent budgeting across
+    * image/audio/video happens per byte long before any decode).
+    * Media type derives deterministically from doc_id; payload bytes
+    * are the opaque binary column. One aggregate + a source-total
+    * broadcast join; shares are exact integer micro-division. */
+  val modalityMixture: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        when($"doc_id" % 3 === 0, "image")
+          .when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        length($"text".cast("binary")).cast("long").as("n_bytes"))
+    val agg = media.groupBy($"source", $"media_type")
+      .agg(count(lit(1)).as("n_items"), sum($"n_bytes").as("total_bytes"))
+    val tot = agg.groupBy($"source")
+      .agg(sum($"total_bytes").as("src_bytes"))
+    agg.join(tot, Seq("source"))
+      .select($"source", $"media_type", $"n_items", $"total_bytes",
+        expr("(1000000 * total_bytes) div src_bytes")
+          .as("byte_share_micro"))
+  }
+
+  /** q152 — container-invariant media dedup: the same payload wrapped
+    * in different container headers is still the same asset — raw-byte
+    * hashing misses it, hashing the NORMALIZED payload (container
+    * header stripped) finds it. Every 4th doc's payload is re-wrapped
+    * under an alternate 8-byte header (the planted re-encode);
+    * fingerprints group on the uniform md5 key, and each group reports
+    * how many raw-byte variants it collapsed — the measure of what
+    * naive hashing would have missed. The normalize-then-hash map is
+    * the only per-item work; at 100 TB the real normalizer is a
+    * decode stub behind the same seam (Multimodal.MediaDecoder). */
+  val mediaDedup: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+    val wrapped = d.select($"doc_id",
+        concat(lit("CONTAIN1"), $"text").as("payload"))
+      .unionByName(d.filter($"doc_id" % 4 === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat(lit("CONTAIN2"), $"text").as("payload")))
+    wrapped
+      .select($"doc_id",
+        md5($"payload".cast("binary")).as("raw_md5"),
+        md5(expr("substring(payload, 9)").cast("binary"))
+          .as("content_md5"))
+      .groupBy($"content_md5")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct($"raw_md5").as("n_raw_variants"),
+        min($"doc_id").as("keep_doc"))
+      .filter($"n_items" >= 2)
+  }
+
   private def mediaOf(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables(s, dir, "documents")
@@ -1502,6 +1558,8 @@ object TrainingData {
     "q31_fingerprint" -> fingerprint,
     "q115_char_entropy" -> charEntropy,
     "q32_multimodal_meta" -> multimodalMeta,
+    "q151_modality_mixture" -> modalityMixture,
+    "q152_media_dedup" -> mediaDedup,
     "q65_media_frames" -> mediaFrames,
     "q66_media_features" -> mediaFeatures,
     "q67_incremental_near_dup" -> incrementalNearDup,
@@ -2016,6 +2074,34 @@ object TrainingData {
          |   i -> ${sqlHash60("substr(text, i, 8)")})) AS fingerprint,
          | CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
          |FROM documents""".stripMargin,
+    "q151_modality_mixture" ->
+      """WITH media AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |agg AS (SELECT source, media_type, count(*)::BIGINT AS n_items,
+        |    sum(n_bytes)::BIGINT AS total_bytes
+        |  FROM media GROUP BY source, media_type),
+        |tot AS (SELECT source, sum(total_bytes)::BIGINT AS src_bytes
+        |  FROM agg GROUP BY source)
+        |SELECT agg.source, media_type, n_items, total_bytes,
+        |  (1000000 * total_bytes) // src_bytes AS byte_share_micro
+        |FROM agg JOIN tot USING (source)""".stripMargin,
+    "q152_media_dedup" ->
+      """WITH wrapped AS (
+        |  SELECT doc_id, 'CONTAIN1' || text AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, 'CONTAIN2' || text AS payload
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fp AS (SELECT doc_id, md5(payload) AS raw_md5,
+        |    md5(substring(payload, 9)) AS content_md5
+        |  FROM wrapped)
+        |SELECT content_md5, count(*)::BIGINT AS n_items,
+        |  count(DISTINCT raw_md5)::BIGINT AS n_raw_variants,
+        |  min(doc_id) AS keep_doc
+        |FROM fp GROUP BY content_md5 HAVING count(*) >= 2""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id, 'image/fake' AS media_type,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
