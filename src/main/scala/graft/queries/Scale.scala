@@ -598,6 +598,27 @@ object Scale {
           col("a.cv"), col("b.cv")), 6).as("cos_sim"))
   }
 
+  /** q155 — supplier-concentration HHI per part (Herfindahl–Hirschman
+    * index): how concentrated is each part's supply across suppliers —
+    * Σ share² of line counts, the market-concentration / single-point-
+    * of-failure metric a supply-chain (or data-source-dependency)
+    * dashboard tracks. Shares are exact integer micro-divisions and
+    * HHI sums their squares back to micro scale — fully engine- and
+    * partitioning-exact. Two aggregates on the (part, supplier) key
+    * chain, both map-side combined; output O(parts). */
+  val supplierHhi: Q = (s, dir) => {
+    import s.implicits._
+    val ps = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey").agg(count(lit(1)).as("c"))
+    val tot = ps.groupBy($"l_partkey")
+      .agg(sum($"c").as("tot"), count(lit(1)).as("n_suppliers"))
+    ps.join(tot, Seq("l_partkey"))
+      .select($"l_partkey", $"n_suppliers",
+        expr("(1000000 * c) div tot").as("sh"))
+      .groupBy($"l_partkey", $"n_suppliers")
+      .agg(expr("sum(sh * sh) div 1000000").as("hhi_micro"))
+  }
+
   /** q142 — grouped OLS trend (least-squares slope per key): is each
     * event type's value drifting over the month? Slope and intercept
     * come from the closed form over exact long sums — n, Σx, Σy, Σxy,
@@ -954,6 +975,7 @@ object Scale {
     "q142_grouped_trend" -> groupedTrend,
     "q143_label_similarity" -> labelSimilarity,
     "q146_ts_similarity" -> tsSimilarity,
+    "q155_supplier_hhi" -> supplierHhi,
     "q130_modularity" -> modularityAudit,
   )
 
@@ -1378,6 +1400,18 @@ object Scale {
     "q125_hll_rollup" -> sqlHllRollup,
     "q138_join_overlap_sketch" -> sqlJoinOverlap,
     "q141_poisson_bootstrap" -> sqlBootstrap,
+    "q155_supplier_hhi" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |tot AS (SELECT l_partkey, sum(c)::BIGINT AS tot,
+        |    count(*)::BIGINT AS n_suppliers
+        |  FROM ps GROUP BY l_partkey),
+        |sh AS (SELECT ps.l_partkey, n_suppliers,
+        |    (1000000 * c) // tot AS sh
+        |  FROM ps JOIN tot USING (l_partkey))
+        |SELECT l_partkey, n_suppliers,
+        |  CAST(sum(sh * sh) // 1000000 AS BIGINT) AS hhi_micro
+        |FROM sh GROUP BY l_partkey, n_suppliers""".stripMargin,
     "q146_ts_similarity" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(round(sum(o_totalprice)) AS BIGINT) AS x,

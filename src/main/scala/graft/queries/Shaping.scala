@@ -215,6 +215,57 @@ object Shaping {
         expr("(1000000 * n) div row_total").as("p_micro"))
   }
 
+  /** q153 — transition dwell-time percentiles: for each (from → to)
+    * event transition, how long users linger — p50/p90 of the gap in
+    * seconds — the timing layer over q133's transition counts ("click
+    * → purchase happens, but how fast?"). Gaps are exact integer
+    * seconds from the same total order as q133; per-transition
+    * percentiles use the exact array percentile (q54's form) over the
+    * (from,to)-grouped gaps — |types|² groups, so the buffers are
+    * bounded by transition cardinality, not volume. */
+  val dwellPercentiles: Q = (s, dir) => {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    val gaps = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      .withColumn("next_type", lead($"event_type", 1).over(order))
+      .withColumn("gap_s", lead($"sec", 1).over(order) - $"sec")
+      .filter($"next_type".isNotNull)
+    gaps.groupBy($"event_type".as("from_type"),
+        $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(gap_s, 0.5)").as("p50_s"),
+        expr("percentile(gap_s, 0.9)").as("p90_s"))
+      .select($"from_type", $"to_type", $"n",
+        round($"p50_s", 2).as("p50_s"), round($"p90_s", 2).as("p90_s"))
+  }
+
+  /** q154 — RFM segmentation (recency / frequency / monetary quartile
+    * codes): every customer scored 1-4 on each axis by ntile over the
+    * customer-level aggregate — the classic CRM segmentation, built
+    * entirely on the POST-aggregate frame (rows = customers, not
+    * orders). Deterministic total orders (metric, then custkey) keep
+    * quartile edges engine-exact, q94's discipline. */
+  val rfmSegments: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("freq"),
+        round(sum($"o_totalprice") * 100).cast("long").as("monetary_c"))
+      .withColumn("recency",
+        datediff(lit("1998-12-31").cast("date"), $"last_day"))
+    cust.select($"o_custkey", $"recency", $"freq", $"monetary_c",
+      ntile(4).over(Window.orderBy($"recency".asc, $"o_custkey"))
+        .as("r_quartile"),
+      ntile(4).over(Window.orderBy($"freq".desc, $"o_custkey"))
+        .as("f_quartile"),
+      ntile(4).over(Window.orderBy($"monetary_c".desc, $"o_custkey"))
+        .as("m_quartile"))
+  }
+
   /** q150 — aggregate navigation (serving slices FROM the cube): the
     * classic OLAP contract that a materialized CUBE subsumes every
     * coarser rollup — per-status totals, per-priority totals and the
@@ -467,6 +518,8 @@ object Shaping {
     "q144_path_mining" -> pathMining,
     "q148_diversified_topk" -> diversifiedTopK,
     "q150_cube_serving" -> cubeServing,
+    "q153_dwell_percentiles" -> dwellPercentiles,
+    "q154_rfm_segments" -> rfmSegments,
     "q149_score_calibration" -> scoreCalibration,
     "q48_set_ops" -> setOps,
     "q49_pivot_counts" -> pivotCounts,
@@ -486,6 +539,36 @@ object Shaping {
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q153_dwell_percentiles" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS sec
+        |  FROM events),
+        |gaps AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(sec) OVER w - sec AS gap_s
+        |  FROM seq WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY sec ASC, event_id ASC))
+        |SELECT from_type, to_type, count(*)::BIGINT AS n,
+        |  round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+        |  round(quantile_cont(gap_s, 0.9), 2) AS p90_s
+        |FROM gaps WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
+    "q154_rfm_segments" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      DATE '1998-12-31') AS recency,
+        |    count(*)::BIGINT AS freq,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_c
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(recency AS INTEGER) AS recency, freq,
+        |  monetary_c,
+        |  CAST(ntile(4) OVER (ORDER BY recency ASC, o_custkey)
+        |    AS INTEGER) AS r_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey)
+        |    AS INTEGER) AS f_quartile,
+        |  CAST(ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey)
+        |    AS INTEGER) AS m_quartile
+        |FROM cust""".stripMargin,
     "q150_cube_serving" ->
       """SELECT 'by_status' AS slice, o_orderstatus AS key,
         |  round(sum(o_totalprice), 2) AS revenue,
