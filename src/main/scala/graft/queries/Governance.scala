@@ -353,7 +353,34 @@ object Governance {
         round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
   }
 
+  /** q157 — join fan-out diagnosis (the skew post-mortem as a query):
+    * before running orders⋈lineitem at scale, which keys explode? Per
+    * key the output contribution is n_left·n_right; the top offenders
+    * and their share of the total join size tell you whether AQE
+    * skew-split will cope or the key needs salting (q83's rewrite).
+    * Two map-side-combined counts + one key join + TakeOrdered top-20;
+    * the total rides as a broadcast row so shares are exact micro
+    * fractions. This is the query a platform team runs from table
+    * stats INSTEAD of discovering skew from a dead executor. */
+  val joinFanout: Q = (s, dir) => {
+    import s.implicits._
+    val l = Tables(s, dir, "orders").groupBy($"o_orderkey".as("k"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = Tables(s, dir, "lineitem").groupBy($"l_orderkey".as("k"))
+      .agg(count(lit(1)).as("n_right"))
+    val per = l.join(r, Seq("k"))
+      .select($"k", $"n_left", $"n_right",
+        ($"n_left" * $"n_right").as("fanout"))
+    val tot = per.agg(sum($"fanout").as("total_rows"))
+    per.crossJoin(broadcast(tot))
+      .select($"k", $"n_left", $"n_right", $"fanout",
+        expr("(1000000 * fanout) div total_rows").as("share_micro"))
+      .orderBy($"fanout".desc, $"k".asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q157_join_fanout" -> joinFanout,
     "q147_incremental_agg_view" -> incrementalAggView,
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
@@ -520,7 +547,22 @@ object Governance {
       |  round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty
       |FROM corpus GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  private val sqlJoinFanout =
+    """WITH l AS (SELECT o_orderkey AS k, count(*)::BIGINT AS n_left
+      |  FROM orders GROUP BY o_orderkey),
+      |r AS (SELECT l_orderkey AS k, count(*)::BIGINT AS n_right
+      |  FROM lineitem GROUP BY l_orderkey),
+      |per AS (SELECT k, n_left, n_right,
+      |    (n_left * n_right)::BIGINT AS fanout
+      |  FROM l JOIN r USING (k)),
+      |tot AS (SELECT sum(fanout)::BIGINT AS total_rows FROM per)
+      |SELECT k, n_left, n_right, fanout,
+      |  (1000000 * fanout) // total_rows AS share_micro
+      |FROM per CROSS JOIN tot
+      |ORDER BY fanout DESC, k ASC LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q157_join_fanout" -> sqlJoinFanout,
     "q147_incremental_agg_view" -> sqlIncAggView,
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,

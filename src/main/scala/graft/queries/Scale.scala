@@ -598,6 +598,48 @@ object Scale {
           col("a.cv"), col("b.cv")), 6).as("cos_sim"))
   }
 
+  /** q156 — trailing-window distinct users (sliding-window
+    * cardinality): distinct users over each day's trailing week,
+    * WITHOUT re-scanning seven days of raw events per day — the
+    * sketch-mergeability showcase in window form: daily HLL registers
+    * (q125's warehouse artifact) max-merge across a 7-day ROWS frame
+    * per register bucket, then each day estimates from its merged
+    * registers. Raw events are touched once; the window runs on the
+    * register table (≤1024 rows/day). The oracle computes the same
+    * windowed-register algorithm — and exactness of the register merge
+    * means this equals sketching each window directly. */
+  val windowedDistinct: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").select(
+      expr("datediff(to_date(ts), date '2024-01-01')").as("day"),
+      $"user_id")
+    val daily = Sketches.hllRegisters(e, "day", $"user_id".cast("string"))
+    val wf = Window.partitionBy($"b").orderBy($"day")
+      .rowsBetween(-6, 0)
+    // per (bucket, day): max register over the trailing frame — but a
+    // bucket absent on some days must still carry its older value, so
+    // the frame runs on the dense (day × bucket) spine
+    val days = daily.select($"day").distinct()
+    val buckets = daily.select($"b").distinct()
+    val spine = days.crossJoin(buckets)
+    val dense = spine.join(daily, Seq("day", "b"), "left")
+      .select($"day", $"b", coalesce($"r", lit(0)).as("r"))
+    val merged = dense
+      .withColumn("rw", max($"r").over(wf))
+      .filter($"rw" > 0)
+      .select($"day", $"b", $"rw".as("r"))
+    // exact windowed audit: each (day, user) pair covers the 7 days
+    // whose trailing window contains it
+    val wexact = e.distinct()
+      .select(explode(sequence($"day", $"day" + 6)).as("day"),
+        $"user_id")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    Sketches.hllEstimate(merged, "day")
+      .join(wexact, Seq("day"))
+      .select($"day", $"exact_users", $"hll_est")
+  }
+
   /** q155 — supplier-concentration HHI per part (Herfindahl–Hirschman
     * index): how concentrated is each part's supply across suppliers —
     * Σ share² of line counts, the market-concentration / single-point-
@@ -976,6 +1018,7 @@ object Scale {
     "q143_label_similarity" -> labelSimilarity,
     "q146_ts_similarity" -> tsSimilarity,
     "q155_supplier_hhi" -> supplierHhi,
+    "q156_windowed_distinct" -> windowedDistinct,
     "q130_modularity" -> modularityAudit,
   )
 
@@ -1400,6 +1443,43 @@ object Scale {
     "q125_hll_rollup" -> sqlHllRollup,
     "q138_join_overlap_sketch" -> sqlJoinOverlap,
     "q141_poisson_bootstrap" -> sqlBootstrap,
+    "q156_windowed_distinct" -> {
+      val h = Hashing.sqlHash60("CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT date_diff('day', DATE '2024-01-01',
+         |      CAST(ts AS DATE)) AS day, user_id
+         |  FROM events),
+         |regs AS (SELECT day, b, max(rho) AS r FROM (
+         |    SELECT day, ($h >> 50) AS b,
+         |      CAST(51 - length(ltrim(bin($h & 1125899906842623), '0'))
+         |        AS INTEGER) AS rho
+         |    FROM e) x
+         |  GROUP BY day, b),
+         |spine AS (SELECT d.day, bu.b FROM
+         |  (SELECT DISTINCT day FROM regs) d
+         |  CROSS JOIN (SELECT DISTINCT b FROM regs) bu),
+         |dense AS (SELECT spine.day, spine.b, coalesce(r, 0) AS r
+         |  FROM spine LEFT JOIN regs USING (day, b)),
+         |merged AS (SELECT day, b, rw AS r FROM (
+         |    SELECT day, b, max(r) OVER (PARTITION BY b ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rw
+         |    FROM dense) m
+         |  WHERE rw > 0),
+         |est AS (SELECT day, round(CASE
+         |    WHEN raw <= 2560.0 AND v > 0
+         |    THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 4) AS hll_est
+         |  FROM (SELECT day, (1024 - count(*)) AS v,
+         |      (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+         |        / (sum(power(0.5, r)) + (1024 - count(*))) AS raw
+         |    FROM merged GROUP BY day) z),
+         |wex AS (SELECT day2 AS day,
+         |    count(DISTINCT user_id)::BIGINT AS exact_users
+         |  FROM (SELECT DISTINCT day, user_id FROM e) p,
+         |    unnest(range(p.day, p.day + 7)) u(day2)
+         |  GROUP BY day2)
+         |SELECT CAST(est.day AS INTEGER) AS day, wex.exact_users,
+         |  est.hll_est
+         |FROM est JOIN wex ON est.day = wex.day""".stripMargin
+    },
     "q155_supplier_hhi" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey, count(*)::BIGINT AS c
         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
