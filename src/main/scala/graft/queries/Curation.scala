@@ -325,6 +325,43 @@ object Curation {
         round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
   }
 
+  /** q160 — Zipf-exponent fit of the word-frequency distribution: OLS
+    * slope of ln(count) against ln(rank) over the top-500 vocabulary
+    * ranks — natural language sits near −1; a corpus drifting far off
+    * signals template spam (too flat) or vocabulary collapse (too
+    * steep), making the exponent a one-number corpus-health metric.
+    * Ranks come from a deterministic vocab-sized sort; both logs are
+    * micro-quantized per RANK ROW before the regression sums, so every
+    * sum is exact long arithmetic and the closed-form slope (q142's
+    * machinery) is engine-exact. */
+  val zipfExponent: Q = (s, dir) => {
+    import s.implicits._
+    val ranked = tokenized(s, dir)
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"tok".asc)))
+      .filter($"rank" <= 500)
+      .select(
+        // milli (not micro) quantization: n·Σxy must stay inside a
+        // long at 500 ranks; the slope is invariant to the shared scale
+        round(log($"rank".cast("double")) * 1000.0).cast("long")
+          .as("x"),
+        round(log($"cnt".cast("double")) * 1000.0).cast("long")
+          .as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double") * 1000000.0)
+          .cast("long").as("slope_micro"),
+        round(($"sy" * $"sxx" - $"sx" * $"sxy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+          .cast("long").as("intercept_u"))
+  }
+
   /** q140 — Neyman-allocation stratified sampling (survey-statistics
     * optimal design): a fixed budget of 100 documents split across
     * sources ∝ N_h·σ_h — variable strata get more of the budget than
@@ -730,6 +767,7 @@ object Curation {
     "q121_bigram_surprise" -> bigramSurprise,
     "q135_ngram_novelty" -> ngramNovelty,
     "q140_neyman_sample" -> neymanSample,
+    "q160_zipf_exponent" -> zipfExponent,
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
@@ -1046,6 +1084,33 @@ object Curation {
        |CROSS JOIN tot CROSS JOIN btot
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
 
+  private val sqlZipf = {
+    val tk = sqlTokens("text")
+    s"""WITH ranked AS (SELECT
+       |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT)
+       |      AS x,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT)
+       |      AS y
+       |  FROM (SELECT cnt, row_number() OVER
+       |      (ORDER BY cnt DESC, tok ASC) AS rank
+       |    FROM (SELECT tok, count(*)::BIGINT AS cnt FROM
+       |      (SELECT unnest($tk) AS tok FROM documents) u
+       |      GROUP BY tok) c) r
+       |  WHERE rank <= 500),
+       |s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+       |    sum(x * x)::BIGINT AS sxx
+       |  FROM ranked)
+       |SELECT n,
+       |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    AS slope_micro,
+       |  CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+       |    AS intercept_u
+       |FROM s""".stripMargin
+  }
+
   private val sqlNeyman = {
     val h = sqlHash60("'neyman|' || CAST(doc_id AS VARCHAR)")
     s"""WITH stats AS (SELECT source, count(*)::BIGINT AS n,
@@ -1107,6 +1172,7 @@ object Curation {
     "q121_bigram_surprise" -> sqlBigramSurprise,
     "q135_ngram_novelty" -> sqlNovelty,
     "q140_neyman_sample" -> sqlNeyman,
+    "q160_zipf_exponent" -> sqlZipf,
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,

@@ -379,7 +379,50 @@ object Governance {
       .limit(20)
   }
 
+  /** q158 — Benford first-digit audit (the classic fabricated-numbers
+    * detector): the leading-digit distribution of order totals against
+    * Benford's log10(1+1/d) expectation, per digit with exact
+    * micro-share observed vs expected (expected shares are plan-time
+    * literals). Natural multi-scale amounts follow the law; uniform
+    * synthetic generators (like this one) visibly break it — which is
+    * exactly what the audit shows. One 9-group aggregate. */
+  val benfordAudit: Q = (s, dir) => {
+    import s.implicits._
+    val expected = (1 to 9).map(d =>
+      (d, math.round(math.log10(1.0 + 1.0 / d) * 1000000.0)))
+    val expDf = expected.toDF("digit", "exp_micro")
+    val obs = Tables(s, dir, "orders")
+      .select(substring($"o_totalprice".cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum($"n").as("t"))
+    obs.crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        expr("(1000000 * n) div t").as("obs_micro"))
+      .join(broadcast(expDf), Seq("digit"))
+      .select($"digit", $"n", $"obs_micro", $"exp_micro",
+        abs($"obs_micro" - $"exp_micro").as("abs_dev_micro"))
+  }
+
+  /** q159 — k-anonymity audit (privacy governance): group sizes over
+    * the quasi-identifier tuple (nation, market segment) — any group
+    * smaller than k=5 re-identifies its members and must be suppressed
+    * or generalized before release. The report lists every
+    * quasi-identifier class with its size and verdict, plus the exact
+    * row count at risk — the table a privacy review signs off on. One
+    * aggregate over the QI key; output O(QI classes). */
+  val kAnonymity: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "customer")
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        ($"class_size" < 5).as("violates_k5"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q158_benford_audit" -> benfordAudit,
+    "q159_k_anonymity" -> kAnonymity,
     "q157_join_fanout" -> joinFanout,
     "q147_incremental_agg_view" -> incrementalAggView,
     "q71_contract_checks" -> contractChecks,
@@ -547,6 +590,35 @@ object Governance {
       |  round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty
       |FROM corpus GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  private val sqlBenford = {
+    val expRows = Seq(
+      "(1, 301030)",
+      "(2, 176091)",
+      "(3, 124939)",
+      "(4, 96910)",
+      "(5, 79181)",
+      "(6, 66947)",
+      "(7, 57992)",
+      "(8, 51153)",
+      "(9, 45757)"
+    ).mkString(", ")
+    s"""WITH expd(digit, exp_micro) AS (VALUES $expRows),
+       |obs AS (SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1)
+       |      AS INTEGER) AS digit,
+       |    count(*)::BIGINT AS n
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT sum(n)::BIGINT AS t FROM obs)
+       |SELECT obs.digit, n, (1000000 * n) // t AS obs_micro,
+       |  CAST(exp_micro AS BIGINT) AS exp_micro,
+       |  abs((1000000 * n) // t - exp_micro)::BIGINT AS abs_dev_micro
+       |FROM obs CROSS JOIN tot JOIN expd ON obs.digit = expd.digit""".stripMargin
+  }
+
+  private val sqlKAnon =
+    """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_size,
+      |  count(*) < 5 AS violates_k5
+      |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin
+
   private val sqlJoinFanout =
     """WITH l AS (SELECT o_orderkey AS k, count(*)::BIGINT AS n_left
       |  FROM orders GROUP BY o_orderkey),
@@ -562,6 +634,8 @@ object Governance {
       |ORDER BY fanout DESC, k ASC LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q158_benford_audit" -> sqlBenford,
+    "q159_k_anonymity" -> sqlKAnon,
     "q157_join_fanout" -> sqlJoinFanout,
     "q147_incremental_agg_view" -> sqlIncAggView,
     "q71_contract_checks" -> sqlContracts,
