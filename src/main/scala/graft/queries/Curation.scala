@@ -325,6 +325,30 @@ object Curation {
         round($"sum_u" / 1000000.0 / $"n_toks", 6).as("mean_surprise"))
   }
 
+  /** q162 — vocabulary growth curve (Heaps' law audit): distinct words
+    * seen vs tokens processed at doc-count checkpoints — the curve
+    * that predicts how much NEW vocabulary (hence tokenizer pressure
+    * and index growth) the next billion tokens will bring. The corpus
+    * reduces first: each word to its FIRST-occurrence doc (one vocab-
+    * sized aggregate), token totals to per-doc counts — so the
+    * checkpoint inequality joins run against vocab- and doc-sized
+    * tables with a broadcast 6-row checkpoint list, never against raw
+    * tokens. */
+  val heapsGrowth: Q = (s, dir) => {
+    import s.implicits._
+    val toks = tokenized(s, dir)
+      .select($"doc_id", explode($"toks").as("tok"))
+    val firstDoc = toks.groupBy($"tok").agg(min($"doc_id").as("fd"))
+    val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val cps = Seq(50L, 100L, 200L, 300L, 400L, 499L).toDF("checkpoint")
+    val vocab = broadcast(cps).join(firstDoc, $"fd" <= $"checkpoint")
+      .groupBy($"checkpoint").agg(count(lit(1)).as("vocab_size"))
+    val tokens = broadcast(cps).join(perDoc, $"doc_id" <= $"checkpoint")
+      .groupBy($"checkpoint").agg(sum($"n").as("n_tokens"))
+    tokens.join(vocab, Seq("checkpoint"))
+      .select($"checkpoint", $"n_tokens", $"vocab_size")
+  }
+
   /** q160 — Zipf-exponent fit of the word-frequency distribution: OLS
     * slope of ln(count) against ln(rank) over the top-500 vocabulary
     * ranks — natural language sits near −1; a corpus drifting far off
@@ -768,6 +792,7 @@ object Curation {
     "q135_ngram_novelty" -> ngramNovelty,
     "q140_neyman_sample" -> neymanSample,
     "q160_zipf_exponent" -> zipfExponent,
+    "q162_heaps_growth" -> heapsGrowth,
     "q58_decontaminate" -> decontaminate,
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
@@ -1084,6 +1109,25 @@ object Curation {
        |CROSS JOIN tot CROSS JOIN btot
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin
 
+  private val sqlHeaps = {
+    val tk = sqlTokens("text")
+    s"""WITH toks AS (SELECT doc_id, unnest($tk) AS tok FROM documents),
+       |fd AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks
+       |  GROUP BY doc_id),
+       |cps(checkpoint) AS (VALUES (50), (100), (200), (300), (400),
+       |  (499)),
+       |vocab AS (SELECT checkpoint, count(*)::BIGINT AS vocab_size
+       |  FROM cps JOIN fd ON fd.fd <= cps.checkpoint
+       |  GROUP BY checkpoint),
+       |tk2 AS (SELECT checkpoint, sum(n)::BIGINT AS n_tokens
+       |  FROM cps JOIN pd ON pd.doc_id <= cps.checkpoint
+       |  GROUP BY checkpoint)
+       |SELECT CAST(tk2.checkpoint AS BIGINT) AS checkpoint, n_tokens,
+       |  vocab_size
+       |FROM tk2 JOIN vocab USING (checkpoint)""".stripMargin
+  }
+
   private val sqlZipf = {
     val tk = sqlTokens("text")
     s"""WITH ranked AS (SELECT
@@ -1173,6 +1217,7 @@ object Curation {
     "q135_ngram_novelty" -> sqlNovelty,
     "q140_neyman_sample" -> sqlNeyman,
     "q160_zipf_exponent" -> sqlZipf,
+    "q162_heaps_growth" -> sqlHeaps,
     "q58_decontaminate" -> sqlDecon,
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,

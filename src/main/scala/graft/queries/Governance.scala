@@ -420,7 +420,33 @@ object Governance {
         ($"class_size" < 5).as("violates_k5"))
   }
 
+  /** q161 — ledger reconciliation audit: does each order's header
+    * total match the sum of its line amounts? The classic two-table
+    * consistency check every finance/ETL pipeline runs nightly —
+    * header vs detail in exact integer cents, with the mismatch count
+    * and the worst absolute deviations reported (the synthetic
+    * generator draws totals independently, so the audit demonstrably
+    * fires — a reconciliation report that can't show red is
+    * decorative). One detail-side aggregate + one header join on the
+    * order key; top offenders via TakeOrderedAndProject. */
+  val reconciliation: Q = (s, dir) => {
+    import s.implicits._
+    val lines = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey".as("o_orderkey"))
+      .agg(sum(round($"l_extendedprice" * 100).cast("long"))
+        .as("lines_cents"), count(lit(1)).as("n_lines"))
+    Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("header_cents"))
+      .join(lines, Seq("o_orderkey"))
+      .select($"o_orderkey", $"header_cents", $"lines_cents", $"n_lines",
+        abs($"header_cents" - $"lines_cents").as("abs_diff_cents"))
+      .orderBy($"abs_diff_cents".desc, $"o_orderkey".asc)
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q161_reconciliation" -> reconciliation,
     "q158_benford_audit" -> benfordAudit,
     "q159_k_anonymity" -> kAnonymity,
     "q157_join_fanout" -> joinFanout,
@@ -633,7 +659,22 @@ object Governance {
       |FROM per CROSS JOIN tot
       |ORDER BY fanout DESC, k ASC LIMIT 20""".stripMargin
 
+  private val sqlReconciliation =
+    """WITH lines AS (SELECT l_orderkey AS o_orderkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+      |      AS lines_cents,
+      |    count(*)::BIGINT AS n_lines
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o.o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents,
+      |  lines_cents, n_lines,
+      |  abs(CAST(round(o_totalprice * 100) AS BIGINT) - lines_cents)
+      |    AS abs_diff_cents
+      |FROM orders o JOIN lines USING (o_orderkey)
+      |ORDER BY abs_diff_cents DESC, o.o_orderkey ASC LIMIT 25""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q161_reconciliation" -> sqlReconciliation,
     "q158_benford_audit" -> sqlBenford,
     "q159_k_anonymity" -> sqlKAnon,
     "q157_join_fanout" -> sqlJoinFanout,

@@ -296,6 +296,24 @@ object Shaping {
     byStatus.unionByName(byPriority).unionByName(grand)
   }
 
+  /** q163 — daily bounce rate: the fraction of sessions (q41's
+    * gaps-and-islands sessions) that contain exactly one event, rolled
+    * up by session start day — the engagement-health number every
+    * product dashboard opens with. Builds directly on the session
+    * frame (rows = sessions, not events); the rate is an exact integer
+    * micro-division. */
+  val bounceRate: Q = (s, dir) => {
+    import s.implicits._
+    sessionize(s, dir)
+      .select(to_date(timestamp_seconds($"start_sec")).as("day"),
+        ($"n_events" === 1).as("b"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"b", 1L).otherwise(0L)).as("n_bounces"))
+      .select($"day", $"n_sessions", $"n_bounces",
+        expr("(1000000 * n_bounces) div n_sessions").as("bounce_micro"))
+  }
+
   /** q148 — diversified top-k (per-group quota ranking): the global
     * top-10 documents by quality, but at most 2 per source — the
     * serving constraint every feed/search ranker carries so one
@@ -507,6 +525,7 @@ object Shaping {
 
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
+    "q163_bounce_rate" -> bounceRate,
     "q76_unpivot_counts" -> unpivotCounts,
     "q78_funnel" -> funnel,
     "q79_retention_cohorts" -> retentionCohorts,
@@ -756,6 +775,30 @@ object Shaping {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY c.cohort_day, e.day - c.cohort_day""".stripMargin,
+    "q163_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      AS BIGINT) AS sec
+        |  FROM events),
+        |l AS (SELECT *, lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) AS prev
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_seq FROM f),
+        |sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    min(sec) AS start_sec
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT CAST(to_timestamp(start_sec) AS DATE) AS day,
+        |  count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_bounces,
+        |  (1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+        |    // count(*) AS bounce_micro
+        |FROM sess GROUP BY 1""".stripMargin,
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
