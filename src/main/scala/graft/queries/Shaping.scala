@@ -296,6 +296,81 @@ object Shaping {
     byStatus.unionByName(byPriority).unionByName(grand)
   }
 
+  /** q164 — lifecycle / churn-risk report: users bucketed by days
+    * since their last event against the observation anchor (active <2,
+    * cooling <3, churned otherwise — thresholds sit inside the
+    * synthetic activity spread so every bucket genuinely fires) with
+    * per-bucket counts and exact
+    * micro shares — the retention dashboard's opening table. One
+    * max-per-user aggregate + one bucket rollup. */
+  val churnBuckets: Q = (s, dir) => {
+    import s.implicits._
+    val last = Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(to_date($"ts")).as("last_day"))
+      .select($"user_id",
+        datediff(lit("2024-01-31").cast("date"), $"last_day")
+          .as("days_idle"))
+    val bucketed = last.select(
+      when($"days_idle" < 2, "active")
+        .when($"days_idle" < 3, "cooling")
+        .otherwise("churned").as("bucket"))
+    val counts = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_users"))
+    val tot = counts.agg(sum($"n_users").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select($"bucket", $"n_users",
+        expr("(1000000 * n_users) div t").as("share_micro"))
+  }
+
+  /** q165 — session-basket lift matrix (market-basket analysis at
+    * session granularity): for every event-type pair, lift =
+    * P(A∧B) / (P(A)·P(B)) over sessions — which behaviors co-occur
+    * beyond chance ("users who error in a session also purchase?").
+    * Sessions reduce to their DISTINCT type sets first (≤|types| rows
+    * per session), the pair join runs within session ids only, and
+    * lift is an exact integer micro-ratio of counts — the
+    * recommender/diagnosis primitive, never an all-pairs user join. */
+  val sessionLift: Q = (s, dir) => {
+    import s.implicits._
+    val st = sessionTypes(s, dir)
+    val ns = st.agg(countDistinct($"sid").as("n_sessions"))
+    val typeCounts = st.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+    val pairs = st.as("a").join(st.as("b"), Seq("sid"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(typeCounts.select($"event_type".as("type_a"),
+        $"n".as("n_a")), Seq("type_a"))
+      .join(typeCounts.select($"event_type".as("type_b"),
+        $"n".as("n_b")), Seq("type_b"))
+      .crossJoin(broadcast(ns))
+      .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b",
+        expr("(1000000 * n_ab * n_sessions) div (n_a * n_b)")
+          .as("lift_micro"))
+  }
+
+  /** Distinct event types per q41 session — shared by q165. */
+  private val sessionTypes: Q = (s, dir) => {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"))
+      .withColumn("prev", lag($"sec", 1).over(order))
+      .withColumn("brk",
+        when($"prev".isNull || $"sec" - $"prev" > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum($"brk").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(concat($"user_id", lit("#"), $"session_seq").as("sid"),
+        $"event_type")
+      .distinct()
+  }
+
   /** q163 — daily bounce rate: the fraction of sessions (q41's
     * gaps-and-islands sessions) that contain exactly one event, rolled
     * up by session start day — the engagement-health number every
@@ -526,6 +601,8 @@ object Shaping {
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
+    "q164_churn_buckets" -> churnBuckets,
+    "q165_session_lift" -> sessionLift,
     "q76_unpivot_counts" -> unpivotCounts,
     "q78_funnel" -> funnel,
     "q79_retention_cohorts" -> retentionCohorts,
@@ -775,6 +852,52 @@ object Shaping {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY c.cohort_day, e.day - c.cohort_day""".stripMargin,
+    "q164_churn_buckets" ->
+      """WITH last AS (SELECT user_id,
+        |    date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-31')
+        |      AS days_idle
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT CASE WHEN days_idle < 2 THEN 'active'
+        |    WHEN days_idle < 3 THEN 'cooling'
+        |    ELSE 'churned' END AS bucket FROM last),
+        |c AS (SELECT bucket, count(*)::BIGINT AS n_users FROM b
+        |  GROUP BY bucket),
+        |t AS (SELECT sum(n_users)::BIGINT AS t FROM c)
+        |SELECT bucket, n_users, (1000000 * n_users) // t AS share_micro
+        |FROM c CROSS JOIN t""".stripMargin,
+    "q165_session_lift" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      AS BIGINT) AS sec
+        |  FROM events),
+        |l AS (SELECT *, lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) AS prev
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+        |    THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY sec ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_seq FROM f),
+        |st AS (SELECT DISTINCT
+        |    CAST(user_id AS VARCHAR) || '#' ||
+        |      CAST(session_seq AS VARCHAR) AS sid,
+        |    event_type
+        |  FROM s),
+        |ns AS (SELECT count(DISTINCT sid)::BIGINT AS n_sessions FROM st),
+        |tc AS (SELECT event_type, count(*)::BIGINT AS n FROM st
+        |  GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM st a JOIN st b ON a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT type_a, type_b, n_ab, ta.n AS n_a, tb.n AS n_b,
+        |  (1000000 * n_ab * n_sessions) // (ta.n * tb.n) AS lift_micro
+        |FROM pairs
+        |JOIN tc ta ON pairs.type_a = ta.event_type
+        |JOIN tc tb ON pairs.type_b = tb.event_type
+        |CROSS JOIN ns""".stripMargin,
     "q163_bounce_rate" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
