@@ -919,8 +919,8 @@ object Shaping {
         |  count(*)::BIGINT AS n_sessions,
         |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_bounces,
-        |  (1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
-        |    // count(*) AS bounce_micro
+        |  CAST((1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS bounce_micro
         |FROM sess GROUP BY 1""".stripMargin,
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
