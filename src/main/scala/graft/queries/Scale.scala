@@ -640,6 +640,38 @@ object Scale {
       .select($"day", $"exact_users", $"hll_est")
   }
 
+  /** q166 — seasonality profile per region: each region's monthly
+    * revenue share across the calendar year (aggregated over all
+    * years) plus its peak month — the demand-planning profile behind
+    * inventory and capacity decisions. Two aggregates on (region,
+    * month) and one WindowGroupLimit argmax; shares are exact integer
+    * micro-fractions of exact cent sums, so the profile reproduces on
+    * any partitioning. Calendar extraction is date-function exact on
+    * both engines. */
+  val seasonality: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select($"n_nationkey", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_regionkey".as("region"),
+        month(to_date($"o_orderdate")).as("mon"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val rm = o.groupBy($"region", $"mon")
+      .agg(sum($"cents").as("mon_cents"))
+    val rt = rm.groupBy($"region").agg(sum($"mon_cents").as("tot_cents"))
+    val w = Window.partitionBy($"region")
+      .orderBy($"mon_cents".desc, $"mon".asc)
+    rm.join(rt, Seq("region"))
+      .withColumn("rn", row_number().over(w))
+      .select($"region", $"mon", $"mon_cents",
+        expr("(1000000 * mon_cents) div tot_cents").as("share_micro"),
+        ($"rn" === 1).as("is_peak"))
+  }
+
   /** q155 — supplier-concentration HHI per part (Herfindahl–Hirschman
     * index): how concentrated is each part's supply across suppliers —
     * Σ share² of line counts, the market-concentration / single-point-
@@ -1018,6 +1050,7 @@ object Scale {
     "q143_label_similarity" -> labelSimilarity,
     "q146_ts_similarity" -> tsSimilarity,
     "q155_supplier_hhi" -> supplierHhi,
+    "q166_seasonality" -> seasonality,
     "q156_windowed_distinct" -> windowedDistinct,
     "q130_modularity" -> modularityAudit,
   )
@@ -1480,6 +1513,24 @@ object Scale {
          |  est.hll_est
          |FROM est JOIN wex ON est.day = wex.day""".stripMargin
     },
+    "q166_seasonality" ->
+      """WITH o AS (SELECT n_regionkey AS region,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS mon,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |rm AS (SELECT region, mon, sum(cents)::BIGINT AS mon_cents
+        |  FROM o GROUP BY region, mon),
+        |rt AS (SELECT region, sum(mon_cents)::BIGINT AS tot_cents
+        |  FROM rm GROUP BY region),
+        |r AS (SELECT rm.region, mon, mon_cents,
+        |    (1000000 * mon_cents) // tot_cents AS share_micro,
+        |    row_number() OVER (PARTITION BY rm.region
+        |      ORDER BY mon_cents DESC, mon ASC) AS rn
+        |  FROM rm JOIN rt ON rm.region = rt.region)
+        |SELECT region, mon, mon_cents, share_micro, rn = 1 AS is_peak
+        |FROM r""".stripMargin,
     "q155_supplier_hhi" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey, count(*)::BIGINT AS c
         |  FROM lineitem GROUP BY l_partkey, l_suppkey),
