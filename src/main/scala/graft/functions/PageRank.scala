@@ -34,7 +34,9 @@ object PageRank {
     * these seeds", the recommender / related-items primitive, instead
     * of global authority. Same integer fixed-point discipline as
     * [[ranks]]; identical per-iteration plan. Non-seed nodes start at
-    * 0 and receive mass only through edges. */
+    * 0 and receive mass only through edges. NOT a pure plan builder:
+    * it runs one eager count() action (the seed count becomes a
+    * literal) and throws if the seed predicate matches no node. */
   def personalizedRanks(edges: DataFrame, isSeed: Column,
       iters: Int = 2, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
@@ -45,7 +47,10 @@ object PageRank {
       .distinct()
       .withColumn("seed", isSeed)
       .localCheckpoint()
+    // NOTE: this count() is an eager action inside the plan builder
+    // (the seed count is needed as a literal in the teleport term)
     val nSeeds = nodes.filter(col("seed")).count()
+    require(nSeeds > 0, "personalizedRanks: empty seed set")
     val base = (15L * scale / 100L) / nSeeds
     var r = nodes.select(col("id"), col("seed"),
       when(col("seed"), lit(scale / nSeeds)).otherwise(0L).as("rank"))

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe replacements for unpartitioned (global-order) window
+  * plans. A plain `ntile(k).over(Window.orderBy(...))` moves the WHOLE
+  * frame to one task (Spark logs `WindowExec: No Partition Defined`);
+  * correct at test SF, a single-partition sort of the corpus at 100 TB.
+  *
+  * [[rangeNtile]] reproduces ntile's exact bucket arithmetic from a
+  * range-partitioned parallel sort plus a per-partition offset carry:
+  *
+  *   1. `repartitionByRange(P, keys)` — Spark's sampled range exchange
+  *      gives P ordered, non-overlapping partitions (the same machinery
+  *      a distributed sort uses; P scales with the cluster).
+  *   2. per-partition row counts (P rows) → running offsets via a
+  *      broadcast triangular join on the P-row frame — O(P²) on ≤ a few
+  *      thousand rows, NO global window anywhere in the plan.
+  *   3. `row_number` partitioned by range-partition id (parallel, each
+  *      task sorts only its own range) + offset = the row's exact
+  *      0-based global position.
+  *   4. the SQL-standard ntile formula from (position, total): with
+  *      q = total div k and r = total mod k, the first r buckets hold
+  *      q+1 rows, the rest q — bit-identical to `ntile(k)` in Spark
+  *      and DuckDB for any total order.
+  *
+  * Determinism: callers must pass a TOTAL order (tie-broken to a unique
+  * key) — then bucket values are independent of where the sampled range
+  * boundaries land, so AQE/sampling variance cannot change results.
+  * The explicit partition count keeps AQE from re-coalescing the
+  * exchange between its two consumers.
+  */
+object ScaleWindows {
+
+  /** Exact `ntile(k)` over the global order `keys` without a
+    * single-partition sort. `keys` must be a total order (unique
+    * tie-break). Adds column `out` (int, 1..k). */
+  def rangeNtile(df: DataFrame, k: Int, keys: Seq[Column], out: String,
+                 parts: Int = 32): DataFrame = {
+    require(k > 0, s"rangeNtile: k must be positive, got $k")
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+    // offsets without a window: triangular sum over the P-row frame
+    val rhs = counts.select(col("__pid").as("__pid2"),
+      col("__cnt").as("__cnt2"))
+    val offs = counts.crossJoin(broadcast(rhs))
+      .groupBy(col("__pid"))
+      .agg(sum(when(col("__pid2") < col("__pid"), col("__cnt2"))
+          .otherwise(lit(0L))).as("__off"),
+        sum(col("__cnt2")).as("__total"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    ranged
+      .withColumn("__rn", row_number().over(wp))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn("__i", col("__off") + col("__rn") - 1)
+      .withColumn("__q", expr(s"__total div ${k}L"))
+      .withColumn("__r", col("__total") % k)
+      .withColumn(out,
+        when(col("__i") < col("__r") * (col("__q") + 1),
+          expr("__i div (__q + 1)") + 1)
+          .otherwise(col("__r") + expr("(__i - __r * (__q + 1)) div __q")
+            + 1)
+          .cast("int"))
+      .drop("__pid", "__rn", "__off", "__total", "__i", "__q", "__r")
+  }
+}

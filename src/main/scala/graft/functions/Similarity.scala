@@ -320,9 +320,6 @@ object Similarity {
     adcRerank(model, candCodes, queryId, topN, shortlist)
   }
 
-  /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
-    * the query's bucket. Recall < 1 by construction; the candidate scan
-    * is |bucket| instead of |table|. */
   /** Multi-probe LSH (Lv et al. 2007, single-bit probing): the query
     * searches its own bucket PLUS every single-hyperplane-flip
     * neighbor — numPlanes+1 buckets instead of 1. Near-misses (a
@@ -347,6 +344,9 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN via LSH bucket pruning: top-k by cosine among vectors sharing
+    * the query's bucket. Recall < 1 by construction; the candidate scan
+    * is |bucket| instead of |table|. */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int,
       numPlanes: Int, dims: Int): DataFrame = {
     val withBucket = emb.withColumn("bucket",

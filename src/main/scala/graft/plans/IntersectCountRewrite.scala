@@ -49,7 +49,10 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), _) if eligible(a) && eligible(b) =>
+      // legacySizeOfNull must be false: with the legacy flag,
+      // size(null) is -1 while the native merge returns NULL — the
+      // rule is session-wide, so never rewrite under legacy semantics
+      case Size(ArrayIntersect(a, b), false) if eligible(a) && eligible(b) =>
         SortedIntersectCount(sorted(a), sorted(b))
     }
 }

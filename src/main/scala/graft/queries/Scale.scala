@@ -602,8 +602,8 @@ object Scale {
     * cardinality): distinct users over each day's trailing week,
     * WITHOUT re-scanning seven days of raw events per day — the
     * sketch-mergeability showcase in window form: daily HLL registers
-    * (q125's warehouse artifact) max-merge across a 7-day ROWS frame
-    * per register bucket, then each day estimates from its merged
+    * (q125's warehouse artifact) max-merge across a 7-calendar-day
+    * RANGE frame per register bucket, then each day estimates from its merged
     * registers. Raw events are touched once; the window runs on the
     * register table (≤1024 rows/day). The oracle computes the same
     * windowed-register algorithm — and exactness of the register merge
@@ -614,8 +614,12 @@ object Scale {
       expr("datediff(to_date(ts), date '2024-01-01')").as("day"),
       $"user_id")
     val daily = Sketches.hllRegisters(e, "day", $"user_id".cast("string"))
+    // RANGE (value-based on day), not ROWS: on a day gap in the
+    // events data a ROWS frame would span 7 *observed* days while the
+    // exact_users audit spans 7 *calendar* days — the range frame
+    // keeps both columns measuring the same window on any data
     val wf = Window.partitionBy($"b").orderBy($"day")
-      .rowsBetween(-6, 0)
+      .rangeBetween(-6, 0)
     // per (bucket, day): max register over the trailing frame — but a
     // bucket absent on some days must still carry its older value, so
     // the frame runs on the dense (day × bucket) spine
@@ -879,8 +883,14 @@ object Scale {
       .crossJoin(broadcast(mTot))
       .select($"community", $"n_nodes",
         coalesce($"in_edges", lit(0L)).as("in_edges"), $"deg_sum",
-        (expr("(1000000 * coalesce(in_edges, 0)) div m") -
-          expr("(1000000 * deg_sum * deg_sum) div (4 * m * m)"))
+        // decimal(38,0) intermediates: 1e6·deg_sum² overflows a long
+        // once deg_sum > ~3e6 (Spark wraps silently); the 38-digit
+        // grid is exact to deg_sum ≈ 4e15 — beyond any real graph —
+        // and `div` on decimals is still exact integral division
+        (expr("(1000000 * cast(coalesce(in_edges, 0) as decimal(38,0)))" +
+          " div m") -
+          expr("(1000000 * cast(deg_sum as decimal(38,0)) * deg_sum)" +
+            " div (4 * cast(m as decimal(38,0)) * m)"))
           .as("contrib_micro"))
   }
 
@@ -1437,8 +1447,9 @@ object Scale {
        |  FROM lab JOIN deg USING (node_id) GROUP BY lab.community)
        |SELECT degc.community, degc.n_nodes,
        |  coalesce(inc.in_edges, 0)::BIGINT AS in_edges, degc.deg_sum,
-       |  ((1000000 * coalesce(inc.in_edges, 0)) // m
-       |    - (1000000 * degc.deg_sum * degc.deg_sum) // (4 * m * m))
+       |  ((1000000 * coalesce(inc.in_edges, 0)::HUGEINT) // m
+       |    - (1000000 * degc.deg_sum::HUGEINT * degc.deg_sum)
+       |      // (4 * m::HUGEINT * m))
        |    ::BIGINT AS contrib_micro
        |FROM degc LEFT JOIN inc USING (community) CROSS JOIN mt""".stripMargin
 
@@ -1494,7 +1505,7 @@ object Scale {
          |  FROM spine LEFT JOIN regs USING (day, b)),
          |merged AS (SELECT day, b, rw AS r FROM (
          |    SELECT day, b, max(r) OVER (PARTITION BY b ORDER BY day
-         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rw
+         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rw
          |    FROM dense) m
          |  WHERE rw > 0),
          |est AS (SELECT day, round(CASE

@@ -174,17 +174,20 @@ object Shaping {
   /** q94 — decile bucketing of a per-document quality score (curriculum
     * /mixture assignment: sample rates per quality band). ntile needs a
     * TOTAL order — ties broken by doc_id — or bucket boundaries are
-    * nondeterministic across engines and runs. Global sort at 100 TB:
-    * ntile is a range-partitioned sort (Spark's SortExec + a single
-    * pass), or swap to percent_rank over pre-aggregated score
-    * histograms when even that sort is too hot. */
+    * nondeterministic across engines and runs. The naive
+    * `ntile(10).over(Window.orderBy(...))` is a single-partition sort
+    * of the corpus; [[graft.functions.ScaleWindows.rangeNtile]] keeps
+    * the exact same bucket values from a range-partitioned parallel
+    * sort + per-partition offset carry — no unpartitioned window in
+    * the plan. */
   val qualityDeciles: Q = (s, dir) => {
     import s.implicits._
     val scored = Tables(s, dir, "documents")
       .select($"doc_id", $"source",
         (size(TextOps.tokens($"text")) % 100).as("q_score"))
-    scored.select($"doc_id", $"source", $"q_score",
-      ntile(10).over(Window.orderBy($"q_score", $"doc_id")).as("decile"))
+    graft.functions.ScaleWindows.rangeNtile(scored, 10,
+      Seq($"q_score".asc, $"doc_id".asc), "decile")
+      .select($"doc_id", $"source", $"q_score", $"decile")
   }
 
   /** q133 — event-transition matrix (first-order Markov model of user
@@ -247,9 +250,14 @@ object Shaping {
     * customer-level aggregate — the classic CRM segmentation, built
     * entirely on the POST-aggregate frame (rows = customers, not
     * orders). Deterministic total orders (metric, then custkey) keep
-    * quartile edges engine-exact, q94's discipline. */
+    * quartile edges engine-exact, q94's discipline. Each axis is a
+    * [[graft.functions.ScaleWindows.rangeNtile]] (range-partitioned
+    * parallel sort + offset carry), NOT a global-order window — three
+    * unpartitioned ntile sorts of the O(customers) frame would each be
+    * single-task at 100×. */
   val rfmSegments: Q = (s, dir) => {
     import s.implicits._
+    import graft.functions.ScaleWindows.rangeNtile
     val cust = Tables(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(max(to_date($"o_orderdate")).as("last_day"),
@@ -257,13 +265,15 @@ object Shaping {
         round(sum($"o_totalprice") * 100).cast("long").as("monetary_c"))
       .withColumn("recency",
         datediff(lit("1998-12-31").cast("date"), $"last_day"))
-    cust.select($"o_custkey", $"recency", $"freq", $"monetary_c",
-      ntile(4).over(Window.orderBy($"recency".asc, $"o_custkey"))
-        .as("r_quartile"),
-      ntile(4).over(Window.orderBy($"freq".desc, $"o_custkey"))
-        .as("f_quartile"),
-      ntile(4).over(Window.orderBy($"monetary_c".desc, $"o_custkey"))
-        .as("m_quartile"))
+      .select($"o_custkey", $"recency", $"freq", $"monetary_c")
+    val r = rangeNtile(cust, 4,
+      Seq($"recency".asc, $"o_custkey".asc), "r_quartile")
+    val rf = rangeNtile(r, 4,
+      Seq($"freq".desc, $"o_custkey".asc), "f_quartile")
+    rangeNtile(rf, 4,
+      Seq($"monetary_c".desc, $"o_custkey".asc), "m_quartile")
+      .select($"o_custkey", $"recency", $"freq", $"monetary_c",
+        $"r_quartile", $"f_quartile", $"m_quartile")
   }
 
   /** q150 — aggregate navigation (serving slices FROM the cube): the

@@ -23,6 +23,33 @@ class ShapingSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("rangeNtile is bit-identical to ntile for every k and skewed " +
+    "inputs, with no unpartitioned window in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed values (many ties) + unique tiebreak id, uneven total
+    val n = 1237
+    val df = spark.range(n).toDF("id")
+      .withColumn("v", (col("id") * col("id") % 17).cast("int"))
+      .cache()
+    for (k <- Seq(1, 3, 4, 10, 64)) {
+      val expected = df.select(col("id"),
+        ntile(k).over(Window.orderBy(col("v"), col("id"))).as("b"))
+      val got = graft.functions.ScaleWindows
+        .rangeNtile(df, k, Seq(col("v").asc, col("id").asc), "b")
+        .select(col("id"), col("b"))
+      assert(got.except(expected).count() === 0 &&
+        expected.except(got).count() === 0, s"mismatch at k=$k")
+    }
+    // plan hygiene: the scale form must not contain a global-order
+    // window (the single-partition sort the naive ntile plan ships)
+    val plan = graft.functions.ScaleWindows
+      .rangeNtile(df, 10, Seq(col("v").asc, col("id").asc), "b")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [ntile"),
+      "rangeNtile plan must not fall back to a global ntile window")
+    df.unpersist()
+  }
+
   test("retention cohorts: offsets non-negative, day-0 equals cohort " +
     "size, users conserved") {
     val m = Shaping.retentionCohorts(spark, sfDir).cache()
