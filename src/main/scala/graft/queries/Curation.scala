@@ -565,10 +565,11 @@ object Curation {
 
   /** q98 — BPE tokenizer training ([[graft.functions.Bpe.train]]): 8
     * merge rounds over the corpus's distinct-word table; output is the
-    * ordered merge table (the artifact a tokenizer ships). Not
-    * SQL-expressible (the merge apply needs lookahead replacement RE2
-    * lacks), so the gate is rows-only here and the semantics gate is
-    * CurationSpec's equality against a plain-Scala reference BPE. */
+    * ordered merge table (the artifact a tokenizer ships). Oracle:
+    * full training replayed in SQL ([[sqlBpeRounds]] — the greedy
+    * apply in lookahead-free island/alternation form); the semantics
+    * gate is additionally CurationSpec's equality against a
+    * plain-Scala reference BPE. */
   val bpeTrain: Q = (s, dir) => {
     import s.implicits._
     val words = tokenized(s, dir)
@@ -585,9 +586,9 @@ object Curation {
     * output already holds each word's final symbolization, its piece
     * count joins back onto the exploded corpus by word (vocab-sized →
     * broadcast). A 100 TB corpus encodes against its ~100M-word vocab,
-    * and the heavy merge loop ran once at training. Oracle: rows-only
-    * (greedy BPE needs the lookahead regex RE2 lacks — q98 precedent);
-    * encode-equality vs a plain-Scala reference is spec-asserted. */
+    * and the heavy merge loop ran once at training. Oracle: the full
+    * trained-vocab replay of [[sqlBpeRounds]]; encode-equality vs a
+    * plain-Scala reference is additionally spec-asserted. */
   val bpeEncode: Q = (s, dir) => {
     import s.implicits._
     val words = tokenized(s, dir)
@@ -1211,6 +1212,90 @@ object Curation {
        |FROM pairs p JOIN scored s USING (w1, w2)
        |GROUP BY p.doc_id""".stripMargin
 
+  /** q98/q113 oracle: the full 8-round BPE training unrolled as chained
+    * CTEs. The greedy left-to-right merge apply — previously declared
+    * SQL-inexpressible because RE2 lacks the lookahead the Spark regex
+    * uses — is expressed lookahead-free with the island/alternation
+    * identity: a merge site is s[i]=a ∧ s[i+1]=b; two sites can only be
+    * adjacent when a=b, and the greedy scan takes every other site
+    * within each maximal run of consecutive sites (offsets 0,2,4…),
+    * which one window over (word, run-island) states exactly. A kept
+    * site emits a||b and consumes position i+1 (the lag(keep) filter).
+    * CTEs are MATERIALIZED so each round evaluates once (chained
+    * inlining would re-run earlier rounds exponentially). Assumes every
+    * round finds a pair (holds whenever some word still has ≥2 symbols;
+    * CurationSpec asserts 8 full rounds on this corpus). */
+  private def sqlBpeRounds(rounds: Int): String = {
+    val toks = sqlTokens("text")
+    val base =
+      s"""w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest($toks) AS word FROM documents)
+         |  GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, n,
+         |    array_to_string(list_transform(range(1, length(word) + 1),
+         |      i -> substr(word, CAST(i AS INT), 1)), ' ') AS sym
+         |  FROM w)""".stripMargin
+    val stages = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT split_part(pair, ' ', 1) AS a,
+         |         split_part(pair, ' ', 2) AS b
+         |  FROM (SELECT list_extract(t.s, u.i) || ' ' ||
+         |          list_extract(t.s, u.i + 1) AS pair,
+         |        sum(t.n) AS wgt
+         |      FROM (SELECT n, string_split(sym, ' ') AS s FROM s$r) t,
+         |        unnest(range(1, len(t.s))) u(i)
+         |      GROUP BY 1)
+         |  ORDER BY wgt DESC, pair ASC LIMIT 1),
+         |x$r AS MATERIALIZED (
+         |  SELECT t.word, t.n, u.i, list_extract(t.s, u.i) AS tok,
+         |    CASE WHEN list_extract(t.s, u.i) = (SELECT a FROM p$r)
+         |          AND list_extract(t.s, u.i + 1) = (SELECT b FROM p$r)
+         |      THEN 1 ELSE 0 END AS cand
+         |  FROM (SELECT word, n, string_split(sym, ' ') AS s FROM s$r) t,
+         |    unnest(range(1, len(t.s) + 1)) u(i)),
+         |k$r AS (
+         |  SELECT word, n, i, tok, CASE WHEN cand = 1
+         |      AND (i - min(i) OVER (PARTITION BY word, cand, isl)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS keep
+         |  FROM (SELECT *, i - row_number()
+         |      OVER (PARTITION BY word, cand ORDER BY i) AS isl
+         |    FROM x$r)),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT word, n, string_agg(ot, ' ' ORDER BY i) AS sym
+         |  FROM (SELECT word, n, i,
+         |      CASE WHEN keep = 1 THEN (SELECT a || b FROM p$r)
+         |        ELSE tok END AS ot,
+         |      lag(keep, 1, 0) OVER (PARTITION BY word ORDER BY i) AS pk
+         |    FROM k$r)
+         |  WHERE pk = 0
+         |  GROUP BY word, n)""".stripMargin
+    }
+    (base +: stages).mkString(",\n")
+  }
+
+  private val sqlBpeTrain = {
+    val rounds = 8
+    val merges = (0 until rounds).map { r =>
+      s"""SELECT $r AS round, a AS "left", b AS "right",
+         |  a || b AS merged FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${sqlBpeRounds(rounds)}\n$merges"
+  }
+
+  private val sqlBpeEncode = {
+    val toks = sqlTokens("text")
+    s"""WITH ${sqlBpeRounds(8)},
+       |pieces AS (SELECT word,
+       |    len(string_split(sym, ' '))::BIGINT AS pieces FROM s8),
+       |corpus AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+       |SELECT c.doc_id, count(*)::BIGINT AS n_words,
+       |  sum(p.pieces)::BIGINT AS n_pieces,
+       |  ((1000000 * sum(p.pieces)::BIGINT) // count(*))::BIGINT
+       |    AS fertility_micro
+       |FROM corpus c JOIN pieces p USING (word)
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
@@ -1246,6 +1331,8 @@ object Curation {
          |ORDER BY weight DESC, pair ASC
          |LIMIT 30""".stripMargin
     },
+    "q98_bpe_train" -> sqlBpeTrain,
+    "q113_bpe_encode" -> sqlBpeEncode,
     "q95_weighted_sample_topn" -> {
       val h = sqlHash60("'wsample|' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, w, round(es_key, 9) AS es_key FROM (
