@@ -111,6 +111,56 @@ object Warehouse {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JDBC bulk-load sink — the engine-native form of the reference's
+    * Postgres COPY load (S6: airflow_news/dags/news/newsairflowtasks.py:73-95).
+    * Append-mode batched INSERTs through Spark's JDBC writer. Scale
+    * posture: every task holds one connection, so the frame is
+    * coalesced to a bounded connection count (NOT repartitioned — no
+    * shuffle for a sink), and `batchsize` bounds round-trips. The
+    * optional `columnTypes` overrides dialect defaults at CREATE time
+    * (e.g. VARCHAR widths instead of CLOB, which many DBs can't
+    * filter/compare on). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      connections: Int = 8, columnTypes: Option[String] = None): Unit = {
+    val base = df.coalesce(connections).write.mode(SaveMode.Append)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", "1000")
+    columnTypes.fold(base)(ct =>
+      base.option("createTableColumnTypes", ct)).save()
+  }
+
+  /** JDBC query source (S8: the reference's parameterized
+    * `pd.read_sql(... WHERE publishedat >= %s ...)` reads,
+    * sentiment_batch_job_tasks.py:46-60). One connection, one
+    * partition — for dimension-sized tables; predicates on the
+    * returned frame push into the remote WHERE clause (asserted in
+    * JdbcRoundTripSpec). */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .load()
+
+  /** Parallel JDBC source for big tables: `numPartitions` concurrent
+    * range-bounded readers on `partitionCol` — the 100 TB form of S8
+    * (a single-connection read of a large table serializes the whole
+    * extract through one executor). Bounds are inclusive stride
+    * endpoints; rows outside them still load (first/last partition
+    * predicates are open-ended). */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionCol: String, lower: Long, upper: Long,
+      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lower.toString)
+      .option("upperBound", upper.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+
   /** JSONL sink (S9 request files): one JSON object per line. */
   def writeJsonl(df: DataFrame, jsonCol: String, path: String): Unit =
     df.select(col(jsonCol)).write.mode(SaveMode.Overwrite).text(path)
