@@ -82,31 +82,57 @@ object ArticleSources {
   /** S3/UD4 — parse title / authors / date / text out of a fetched body
     * with the same regex-pinned approach as the cleaning layer. Authors
     * fan out one row per author (ref get_news.py:258-293 → explode). */
-  def parseArticles(fetched: DataFrame): DataFrame = {
-    val title = regexp_extract(col("body"),
-      "(?s)<title>\\s*(.*?)\\s*</title>", 1)
-    val authorsCsv = regexp_extract(col("body"),
-      "(?s)<meta name=\"author\" content=\"([^\"]*)\"", 1)
-    val published = regexp_extract(col("body"),
-      "(?s)<meta name=\"date\" content=\"([^\"]*)\"", 1)
-    val text = regexp_replace(
-      regexp_extract(col("body"), "(?s)<article>(.*?)</article>", 1),
-      "<[^>]+>", " ")
-    fetchedWithCols(fetched, title, authorsCsv, published, text)
+  def parseArticles(fetched: DataFrame): DataFrame =
+    parseArticlesConfigured(fetched, Map.empty)
+
+  /** Per-outlet extraction config as DATA, not code — the engine form
+    * of the reference's manual-scraper selector config
+    * (get_news_manual.py:354-424, driven by
+    * config/manual_scraping_config.json, where each outlet declares
+    * its own title/text/date selectors). An outlet listed here
+    * overrides any extraction regex / date format; unlisted outlets
+    * use the defaults. */
+  final case class OutletParseConfig(
+    titleRe: String = "(?s)<title>\\s*(.*?)\\s*</title>",
+    authorsRe: String = "(?s)<meta name=\"author\" content=\"([^\"]*)\"",
+    publishedRe: String = "(?s)<meta name=\"date\" content=\"([^\"]*)\"",
+    publishedFmt: String = "yyyy-MM-dd HH:mm:ss",
+    textRe: String = "(?s)<article>(.*?)</article>")
+
+  /** S3/UD4 with per-outlet configs: the config map compiles into
+    * CASE WHEN chains keyed on source_name, so per-outlet parsing
+    * stays fully codegen'd column logic — adding an outlet changes
+    * literals in the plan, never its shape, and the fan-out stays one
+    * pass over the fetched frame. */
+  def parseArticlesConfigured(fetched: DataFrame,
+      configs: Map[String, OutletParseConfig]): DataFrame = {
+    val default = OutletParseConfig()
+    def per(f: OutletParseConfig => org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      configs.foldLeft(f(default)) { case (acc, (src, cfg)) =>
+        when(col("source_name") === src, f(cfg)).otherwise(acc)
+      }
+    val title = per(c => regexp_extract(col("body"), c.titleRe, 1))
+    val authorsCsv = per(c => regexp_extract(col("body"), c.authorsRe, 1))
+    // try_: ANSI mode makes to_timestamp throw on malformed input;
+    // the reference drops invalid rows instead (get_news.py:288-292)
+    val publishedTs = per(c => try_to_timestamp(
+      regexp_extract(col("body"), c.publishedRe, 1), lit(c.publishedFmt)))
+    val text = per(c => regexp_replace(
+      regexp_extract(col("body"), c.textRe, 1), "<[^>]+>", " "))
+    fetchedWithCols(fetched, title, authorsCsv, publishedTs, text)
   }
 
   private def fetchedWithCols(fetched: DataFrame,
       title: org.apache.spark.sql.Column,
       authorsCsv: org.apache.spark.sql.Column,
-      published: org.apache.spark.sql.Column,
+      publishedTs: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): DataFrame =
     fetched
       .withColumn("title", title)
-      // try_: ANSI mode makes to_timestamp throw on malformed input;
-      // the reference drops invalid rows instead (get_news.py:288-292),
-      // and validation (F8) filters NULL publishedat downstream
-      .withColumn("publishedat",
-        try_to_timestamp(published, lit("yyyy-MM-dd HH:mm:ss")))
+      // NULL publishedat (malformed/missing date) is kept here;
+      // validation (F8) filters it downstream
+      .withColumn("publishedat", publishedTs)
       .withColumn("article_content", trim(regexp_replace(text, "\\s+", " ")))
       // explode_outer: an author-less page keeps its article row with a
       // NULL author (raw_news.author is nullable; F1/validation decide

@@ -151,6 +151,84 @@ class ArticleSourcesSpec extends SparkSpec {
     assert(rows.head.getString(3) == "2024-01-02 10:30:00")
   }
 
+  test("robots.txt gate: disallowed links are dropped before fetch, " +
+    "first-match-wins, unknown outlets pass") {
+    import graft.news.RobotsGate
+    val robots =
+      """# politeness rules
+        |User-agent: evilbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Allow: /news/open/
+        |Disallow: /news/
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |""".stripMargin
+    val bodies = Seq(("outlet_a", robots)).toDF("source_name", "robots_body")
+    val links = Seq(
+      ("outlet_a", "https://a.com/news/open/story1"), // Allow beats later Disallow
+      ("outlet_a", "https://a.com/news/paywalled/story2"), // Disallow /news/
+      ("outlet_a", "https://a.com/private/x"), // Disallow /private/
+      ("outlet_a", "https://a.com/sports/story3"), // no rule → allowed
+      ("outlet_b", "https://b.com/private/y") // no robots for outlet → allowed
+    ).toDF("source_name", "link")
+    // graftbot group governs (longest agent substring match)
+    val got = RobotsGate.filterAllowed(links, bodies, "Mozilla/5.0 graftbot/1.0")
+      .select($"link").as[String].collect().toSet
+    assert(got === Set("https://a.com/news/open/story1",
+      "https://a.com/sports/story3", "https://b.com/private/y"))
+    // the wildcard group governs an unknown agent: only /private/ blocked
+    val wild = RobotsGate.filterAllowed(links, bodies, "randombot")
+      .select($"link").as[String].collect().toSet
+    assert(wild === Set("https://a.com/news/open/story1",
+      "https://a.com/news/paywalled/story2",
+      "https://a.com/sports/story3", "https://b.com/private/y"))
+  }
+
+  test("per-outlet selector config: two outlets parse with different " +
+    "rules, unlisted outlet falls back to defaults") {
+    import graft.news.ArticleSources.OutletParseConfig
+    // outlet_np marks titles with h1 and dates as 'Jan 02, 2024'
+    // (get_news_manual.py national_post shapes); outlet_ts uses the
+    // default meta tags; outlet_x is not configured at all
+    val npBody = """<html><h1 id="articleTitle">NP Story</h1>
+      |<meta name="author" content="Ann NP">
+      |<div class="published">Published Jan 02, 2024</div>
+      |<section class="story-content"><p>np text here</p></section></html>"""
+      .stripMargin
+    val defBody = """<html><title>Default Story</title>
+      |<meta name="author" content="Bob Def">
+      |<meta name="date" content="2024-03-04 09:00:00">
+      |<article><p>default text</p></article></html>""".stripMargin
+    val fetched = Seq(
+      ("outlet_np", "u1", npBody),
+      ("outlet_ts", "u2", defBody),
+      ("outlet_x", "u3", defBody)).toDF("source_name", "url", "body")
+    val cfg = Map(
+      "outlet_np" -> OutletParseConfig(
+        titleRe = "(?s)<h1 id=\"articleTitle\">\\s*(.*?)\\s*</h1>",
+        publishedRe = "(?s)Published\\s+([A-Z][a-z]{2} \\d{2}, \\d{4})",
+        publishedFmt = "MMM dd, yyyy",
+        textRe = "(?s)<section class=\"story-content\">(.*?)</section>"),
+      "outlet_ts" -> OutletParseConfig()) // explicit defaults
+    val parsed = ArticleSources.parseArticlesConfigured(fetched, cfg)
+      .select($"source_name", $"title", $"author", $"article_content",
+        date_format($"publishedat", "yyyy-MM-dd").as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(parsed("outlet_np") ===
+      (("NP Story", "Ann NP", "np text here", "2024-01-02")))
+    assert(parsed("outlet_ts") ===
+      (("Default Story", "Bob Def", "default text", "2024-03-04")))
+    assert(parsed("outlet_x") ===
+      (("Default Story", "Bob Def", "default text", "2024-03-04")))
+  }
+
   test("S4: author email lookup de-prefers editor addresses") {
     val df = Seq(authorPage).toDF("body")
       .select(ArticleSources.extractAuthorEmail($"body").as("email"))
