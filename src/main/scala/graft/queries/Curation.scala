@@ -646,9 +646,31 @@ object Curation {
     * Scale: the block table shuffles once on hash60 for the two-phase
     * distinct-doc count; the resulting boilerplate set is the heavy
     * tail of that frequency table — tiny versus the corpus — so the
-    * scrub join BROADCASTS it and the only corpus-sized shuffle is the
+    * scrub join broadcasts it when it fits ([[dupSetJoin]]; shuffled
+    * hash join past the cap) and the only corpus-sized shuffle is the
     * doc_id regroup for reassembly. The sub-8-token tail of each doc
     * carries no shareable block and is out of scope by construction. */
+  /** Probe-side join of a corpus-sized gram/block table against the
+    * duplicated-set S (the ≥2-doc heavy tail). S is template chrome —
+    * normally tiny — so it BROADCASTS when it fits the configured cap
+    * (`graft.scrub.maxBroadcastRows`, default 5M rows of 8-byte
+    * hashes); on a boilerplate-heavy crawl where S outgrows the
+    * broadcast budget the probe degrades to a shuffled hash join on
+    * the hash key — same rows out, one extra corpus shuffle, no
+    * driver/executor OOM. S is localCheckpoint'd first so the
+    * branch's count() never re-runs the corpus aggregation that built
+    * it (and the join reuses the materialized blocks). Both branches
+    * are spec-asserted result-equal with the cap toggled. */
+  private def dupSetJoin(grams: DataFrame, dupSet: DataFrame,
+      cond: org.apache.spark.sql.Column, joinType: String): DataFrame = {
+    val spark = grams.sparkSession
+    val cap = spark.conf.get("graft.scrub.maxBroadcastRows",
+      "5000000").toLong
+    val s = dupSet.localCheckpoint()
+    if (s.count() <= cap) grams.join(broadcast(s), cond, joinType)
+    else grams.join(s.hint("shuffle_hash"), cond, joinType)
+  }
+
   private val BlockLen = 8
   private val BoilerMinDocs = 2
   val boilerplateScrub: Q = (s, dir) => {
@@ -667,7 +689,7 @@ object Curation {
       .agg(countDistinct($"doc_id").as("n_docs"))
       .filter($"n_docs" >= BoilerMinDocs)
       .select($"h".as("bh"))
-    blocks.join(broadcast(boiler), $"h" === $"bh", "left")
+    dupSetJoin(blocks, boiler, $"h" === $"bh", "left")
       .withColumn("boil", $"bh".isNotNull)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_blocks"),
@@ -695,7 +717,8 @@ object Curation {
     * q88) — the price of alignment freedom; it shuffles ONCE on the
     * gram hash for the distinct-doc count. The duplicated-gram set is
     * the heavy tail of that table (tiny vs the corpus) so the probe
-    * join BROADCASTS it, and the island merge shuffles only the
+    * join broadcasts it when it fits ([[dupSetJoin]], overflow-guarded),
+    * and the island merge shuffles only the
     * matched positions on doc_id — O(duplicated positions), not
     * O(corpus). At 100 TB the gram hashes are 8-byte longs (never the
     * gram text), and the per-doc window state is one lag value. */
@@ -715,7 +738,7 @@ object Curation {
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
       .select($"h".as("dh"))
-    val hits = grams.join(broadcast(dup), $"h" === $"dh")
+    val hits = dupSetJoin(grams, dup, $"h" === $"dh", "inner")
       .select($"doc_id", $"pos")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val prev = lag($"pos", 1).over(w)

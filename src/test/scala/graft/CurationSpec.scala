@@ -216,6 +216,27 @@ class CurationSpec extends SparkSpec {
     assert(merges.forall(_.getAs[String]("merged").length >= 2))
   }
 
+  test("q88/q102 broadcast-overflow branch: shuffled probe equals " +
+    "broadcast probe, and each plan uses its join") {
+    def plans(q: String): (Array[org.apache.spark.sql.Row], String) = {
+      val df = Curation.queries(q)(spark, sfDir)
+      (df.orderBy($"doc_id").collect(), df.queryExecution.executedPlan.toString)
+    }
+    for (q <- Seq("q88_boilerplate_scrub", "q102_dup_spans")) {
+      spark.conf.unset("graft.scrub.maxBroadcastRows")
+      val (bRows, bPlan) = plans(q)
+      assert(bPlan.contains("BroadcastHashJoin"),
+        s"$q default path should broadcast the dup set")
+      spark.conf.set("graft.scrub.maxBroadcastRows", "0")
+      try {
+        val (sRows, sPlan) = plans(q)
+        assert(sPlan.contains("ShuffledHashJoin"),
+          s"$q overflow path should shuffle the probe:\n$sPlan")
+        assert(sRows === bRows, s"$q rows diverged across join branches")
+      } finally spark.conf.unset("graft.scrub.maxBroadcastRows")
+    }
+  }
+
   test("pii scrub finds exactly the planted identifiers") {
     val r = Curation.piiScrub(spark, sfDir)
     // exactly one planted email+phone per doc; url count is 1 except
