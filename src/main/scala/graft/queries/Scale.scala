@@ -827,8 +827,9 @@ object Scale {
     * Per round: one edge⋈labels equi-join on the neighbor key + one
     * (node, label) count + one WindowGroupLimit argmax — all keyed on
     * node id, so the label partitioning is reused round over round;
-    * labels are one long per node. Fixpoint LPA at scale loops the
-    * round until labels stop changing (typically <10 rounds). */
+    * labels are one long per node. Fixpoint LPA at scale is
+    * [[graft.functions.GraphKernels.lpa]] — this same round looped
+    * with a signature early-exit, spec-asserted equal when capped. */
   val lpaCommunities: Q = (s, dir) => {
     import s.implicits._
     val e0 = Tables(s, dir, "lineitem")
@@ -962,8 +963,10 @@ object Scale {
     * list (exchange reuse); the frontier and visited sides are the only
     * per-round shuffles, and they carry node ids alone, never payloads.
     * Full-graph BFS at 100 TB runs this same round in a loop with a
-    * convergence check (frontier empty), exactly like q87's star
-    * contraction; the bounded unroll keeps the oracle expressible. */
+    * convergence check (frontier empty) —
+    * [[graft.functions.GraphKernels.bfsHops]], spec-asserted equal to
+    * this unroll when capped; the bounded unroll keeps the oracle
+    * expressible. */
   val bfsHops: Q = (s, dir) => {
     import s.implicits._
     val e0 = Tables(s, dir, "lineitem")
@@ -997,8 +1000,9 @@ object Scale {
     * neighbors below k the next round. Output is the per-round audit
     * (surviving nodes/edges), the shape a curation job logs. Each round
     * = one degree aggregation + two semi-joins, all keyed on node id —
-    * partitioning reuse as in q107; fixpoint k-core at scale loops the
-    * same round until no node drops (≤ O(peel-depth) iterations). */
+    * partitioning reuse as in q107; fixpoint k-core at scale is
+    * [[graft.functions.GraphKernels.kcore]] — the same round looped to
+    * a count fixpoint, spec-asserted equal when capped. */
   val kcorePeel: Q = (s, dir) => {
     import s.implicits._
     val k = 4

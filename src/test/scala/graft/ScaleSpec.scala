@@ -12,6 +12,58 @@ class ScaleSpec extends SparkSpec {
 
   private def ts(sec: Long) = timestamp_seconds(lit(sec))
 
+  // ------------------------------------------- fixpoint graph kernels
+
+  test("fixpoint loops equal the unrolled kernels (q107 BFS, q109 " +
+    "k-core, q118 LPA) and converge with the checksum early-exit") {
+    import graft.functions.GraphKernels
+    val e0 = graft.Tables(spark, sfDir, "lineitem")
+      .select($"l_suppkey".as("src"),
+        (lit(100000L) + $"l_partkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select($"dst".as("src"), $"src".as("dst"))).localCheckpoint()
+
+    // BFS: loop capped at 3 hops == the q107 unroll, row for row
+    val seeds = graft.Tables(spark, sfDir, "supplier")
+      .filter($"s_suppkey" <= 2).select($"s_suppkey".as("node_id"))
+    val loopBfs = GraphKernels.bfsHops(edges, seeds, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val unrolledBfs = Scale.queries("q107_bfs_hops")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(loopBfs === unrolledBfs, "BFS loop diverged from unroll")
+
+    // LPA: loop capped at 2 rounds == the q118 unroll (early-exit can
+    // only fire if round 2 is a no-op, in which case they still agree)
+    val loopLpa = GraphKernels.lpa(edges, maxRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unrolledLpa = Scale.queries("q118_lpa_communities")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loopLpa === unrolledLpa, "LPA loop diverged from unroll")
+
+    // k-core on a crafted graph with a known peel cascade: a 4-clique
+    // (the 3-core) with a pendant path hanging off it peels down to
+    // exactly the clique, and the fixpoint is stable
+    val cliqueEdges = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val pathEdges = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L))
+    val g = (cliqueEdges ++ pathEdges).toDF("u", "v")
+    val core = GraphKernels.kcore(g, k = 3)
+    assert(core.select($"u").distinct().as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L), "3-core must be exactly the 4-clique")
+    // one more peel changes nothing (true fixpoint)
+    assert(GraphKernels.kcore(core, k = 3, maxIter = 1).count() ===
+      core.count())
+    // capped loop equals the bounded unroll: one loop iteration is
+    // exactly one peel round of q109's `peel` — deg(5)=2 and deg(6)=1
+    // drop immediately, leaving the clique after round 1
+    val onePeel = GraphKernels.kcore(g, k = 3, maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onePeel === cliqueEdges.toSet,
+      "one capped iteration must equal one unrolled peel round")
+  }
+
   // ------------------------------------------------------------- as-of
 
   test("as-of join: inclusive bound, tie-break, unmatched probes") {
