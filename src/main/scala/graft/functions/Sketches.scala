@@ -112,6 +112,47 @@ object Sketches {
        |  GROUP BY g) z""".stripMargin
   }
 
+  // ------------------------------------------------------------- bloom
+
+  /** Bloom filter as a relational artifact: `mBits` bits packed into
+    * 63-bit words as (word_idx, bits) rows — one groupBy bit_or over
+    * `kLanes` seeded hash60 positions per key. Mergeable across
+    * batches by word-wise OR (the HLL-registers discipline), and
+    * O(mBits/63) rows — broadcast-sized at any corpus scale.
+    * 63-bit words (shift 0..62) keep the mask arithmetic identical in
+    * Spark and DuckDB (DuckDB raises on `1::BIGINT << 63`). */
+  def bloomWords(keys: DataFrame, key: Column, prefix: String,
+      mBits: Int, kLanes: Int): DataFrame =
+    keys
+      .select(key.cast("string").as("__k"),
+        explode(sequence(lit(0), lit(kLanes - 1))).as("__lane"))
+      .select((Hashing.hash60(concat_ws("|", lit(prefix), col("__lane"),
+        col("__k"))) % mBits).as("__pos"))
+      .select(expr("__pos div 63").as("word_idx"),
+        expr("shiftleft(1L, cast(__pos % 63 as int))").as("__m"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(__m)").as("bits"))
+
+  /** Probe a [[bloomWords]] artifact: (key, bloom_hit) where hit ⇔
+    * every lane's bit is set. A miss is a CERTAIN non-member (no false
+    * negatives — oracle/spec-audited); hits carry the classic false-
+    * positive rate. The filter broadcast-joins the probe side, so a
+    * bloom semi-join reduction prunes a big probe frame before an
+    * expensive join WITHOUT shuffling it. */
+  def bloomProbe(probeKeys: DataFrame, key: Column, bloom: DataFrame,
+      prefix: String, mBits: Int, kLanes: Int): DataFrame =
+    probeKeys
+      .select(key.cast("string").as("__k"),
+        explode(sequence(lit(0), lit(kLanes - 1))).as("__lane"))
+      .withColumn("__pos", Hashing.hash60(concat_ws("|", lit(prefix),
+        col("__lane"), col("__k"))) % mBits)
+      .withColumn("word_idx", expr("__pos div 63"))
+      .withColumn("__m", expr("shiftleft(1L, cast(__pos % 63 as int))"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .groupBy(col("__k").as("key"))
+      .agg(min(coalesce(col("bits"), lit(0L)).bitwiseAND(col("__m")) =!= 0)
+        .as("bloom_hit"))
+
   /** The aggregate-buffer form of [[sampleQuantiles]]'s membership rule
     * (expressions.MinKSampleAgg): ONE ≤k-pair buffer per group through
     * the exchange — and the only form a streaming state store can hold.

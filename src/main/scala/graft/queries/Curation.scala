@@ -294,6 +294,67 @@ object Curation {
         ($"weight" * MixTargetTokens) / $"avail_tokens" > 1.0)
   }
 
+  /** q168 — temperature-smoothed source mixture (the multilingual /
+    * multi-source alpha-sampling rule, α = 1/2: sampling weight ∝
+    * (token share)^α — upsamples small sources, flattens the head)
+    * next to q70's explicit-weight plan. Portability discipline:
+    * sqrt of an exact long is deterministic IEEE, micro-rounded to a
+    * long per source; the natural and smoothed rates then derive from
+    * LONG sums with integer division (decimal(38,0) intermediates so
+    * the 1e6 products never wrap) — the whole profile is engine-exact
+    * with no order-dependent double sum anywhere. O(sources) output;
+    * the one corpus pass is the token count. */
+  val temperatureMixture: Q = (s, dir) => {
+    import s.implicits._
+    val per = Tables(s, dir, "documents")
+      .select($"source", size(TextOps.tokens($"text")).as("n"))
+      .groupBy($"source").agg(sum($"n").cast("long").as("avail_tokens"))
+    val tot = per.agg(sum($"avail_tokens").as("T"))
+    val sq = per.withColumn("sqrt_micro",
+      round(sqrt($"avail_tokens".cast("double")) * 1000000.0)
+        .cast("long"))
+    val sqTot = sq.agg(sum($"sqrt_micro").as("S"))
+    sq.crossJoin(broadcast(tot)).crossJoin(broadcast(sqTot))
+      .select($"source", $"avail_tokens", $"sqrt_micro",
+        expr("(1000000 * cast(avail_tokens as decimal(38,0))) div T")
+          .as("nat_micro"),
+        expr("(1000000 * cast(sqrt_micro as decimal(38,0))) div S")
+          .as("mix_micro"))
+      .withColumn("boost_milli",
+        expr("(1000 * cast(mix_micro as decimal(38,0)))" +
+          " div greatest(nat_micro, 1L)"))
+  }
+
+  /** q169 — corpus snapshot diff (the CDC audit between two dataset
+    * versions a curation pipeline publishes): v1 and v2 are
+    * deterministic membership/content variants of the documents table
+    * (v1 drops doc_id≡3 mod 11; v2 drops doc_id≡5 mod 13 and edits
+    * doc_id≡0 mod 7), each doc carries a content hash, and a full
+    * outer join on doc_id classifies added / removed / changed /
+    * unchanged per source. Scale: hashes are computed scan-side so the
+    * full-outer equi-join shuffles only (doc_id, source, hash60)
+    * triples — never text; output is O(sources × 4). */
+  val snapshotDiff: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val v1 = docs.filter($"doc_id" % 11 =!= 3)
+      .select($"doc_id", $"source".as("src1"),
+        Hashing.hash60($"text").as("h1"))
+    val v2 = docs.filter($"doc_id" % 13 =!= 5)
+      .select($"doc_id", $"source".as("src2"),
+        Hashing.hash60(when($"doc_id" % 7 === 0,
+          concat($"text", lit(" [edited]"))).otherwise($"text")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce($"src1", $"src2").as("source"),
+        when($"h1".isNull, "added")
+          .when($"h2".isNull, "removed")
+          .when($"h1" =!= $"h2", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** q77 — unigram LM surprise (perplexity-proxy quality score): each
     * document scored by the mean negative log-probability of its tokens
     * under the corpus's own unigram distribution — the cheap stand-in
@@ -835,6 +896,8 @@ object Curation {
     "q97_bpe_pair_stats" -> bpePairStats,
     "q98_bpe_train" -> bpeTrain,
     "q113_bpe_encode" -> bpeEncode,
+    "q168_temperature_mixture" -> temperatureMixture,
+    "q169_snapshot_diff" -> snapshotDiff,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1356,6 +1419,42 @@ object Curation {
     },
     "q98_bpe_train" -> sqlBpeTrain,
     "q113_bpe_encode" -> sqlBpeEncode,
+    "q168_temperature_mixture" -> {
+      val toks = sqlTokens("text")
+      s"""WITH per AS (SELECT source,
+         |    sum(len($toks))::BIGINT AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT sum(avail_tokens)::BIGINT AS T FROM per),
+         |sq AS (SELECT source, avail_tokens,
+         |    CAST(round(sqrt(avail_tokens) * 1000000.0) AS BIGINT)
+         |      AS sqrt_micro
+         |  FROM per),
+         |st AS (SELECT sum(sqrt_micro)::BIGINT AS S FROM sq)
+         |SELECT source, avail_tokens, sqrt_micro,
+         |  ((1000000 * avail_tokens::HUGEINT) // T)::BIGINT AS nat_micro,
+         |  ((1000000 * sqrt_micro::HUGEINT) // S)::BIGINT AS mix_micro,
+         |  ((1000 * ((1000000 * sqrt_micro::HUGEINT) // S))
+         |    // greatest(((1000000 * avail_tokens::HUGEINT) // T), 1))
+         |    ::BIGINT AS boost_milli
+         |FROM sq CROSS JOIN t CROSS JOIN st""".stripMargin
+    },
+    "q169_snapshot_diff" -> {
+      val h1 = Hashing.sqlHash60("text")
+      val h2 = Hashing.sqlHash60(
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END")
+      s"""WITH v1 AS (SELECT doc_id, source AS src1, $h1 AS h1
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |v2 AS (SELECT doc_id, source AS src2, $h2 AS h2
+         |  FROM documents WHERE doc_id % 13 <> 5)
+         |SELECT coalesce(src1, src2) AS source,
+         |  CASE WHEN h1 IS NULL THEN 'added'
+         |       WHEN h2 IS NULL THEN 'removed'
+         |       WHEN h1 <> h2 THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  count(*)::BIGINT AS n_docs
+         |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
     "q95_weighted_sample_topn" -> {
       val h = sqlHash60("'wsample|' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, w, round(es_key, 9) AS es_key FROM (

@@ -644,6 +644,38 @@ object Scale {
       .select($"day", $"exact_users", $"hll_est")
   }
 
+  /** q167 — Bloom-filter semi-join reduction with false-positive
+    * audit ([[graft.functions.Sketches.bloomWords]]): the BUILDING-
+    * segment customer keys build a 1024-bit / 4-lane Bloom filter (a
+    * 17-row artifact), every distinct order customer probes it, and
+    * the output cross-tabs true membership × bloom verdict — the
+    * (true, false) cell must be absent (no false negatives) and the
+    * (false, true) cell is the measured FP rate. This is the join-
+    * pruning pattern at 100 TB: the filter is O(bits) and broadcasts,
+    * so a probe-side scan drops most non-matching rows BEFORE the real
+    * join's shuffle — the relational form of Spark's own runtime
+    * bloom-pruning (spark.sql.optimizer.runtime.bloomFilter), but
+    * engine-exact and mergeable across batches by word-wise OR. */
+  val bloomJoinAudit: Q = (s, dir) => {
+    import s.implicits._
+    val members = Tables(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val bloom = Sketches.bloomWords(members, $"c_custkey", "bloom",
+      mBits = 1024, kLanes = 4)
+    val probes = Tables(s, dir, "orders").select($"o_custkey").distinct()
+    val probed = Sketches.bloomProbe(probes, $"o_custkey", bloom,
+      "bloom", mBits = 1024, kLanes = 4)
+      .select($"key".cast("long").as("custkey"), $"bloom_hit")
+    val truth = members
+      .select($"c_custkey".as("custkey"), lit(true).as("is_member"))
+    probed.join(truth, Seq("custkey"), "left")
+      .select(coalesce($"is_member", lit(false)).as("is_member"),
+        $"bloom_hit")
+      .groupBy($"is_member", $"bloom_hit")
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** q166 — seasonality profile per region: each region's monthly
     * revenue share across the calendar year (aggregated over all
     * years) plus its peak month — the demand-planning profile behind
@@ -1067,6 +1099,7 @@ object Scale {
     "q166_seasonality" -> seasonality,
     "q156_windowed_distinct" -> windowedDistinct,
     "q130_modularity" -> modularityAudit,
+    "q167_bloom_join_audit" -> bloomJoinAudit,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1693,6 +1726,34 @@ object Scale {
     "q107_bfs_hops" -> sqlBfsHops,
     "q109_kcore_peel" -> sqlKcorePeel,
     "q57_moving_avg" -> sqlMovingAvg,
+    "q167_bloom_join_audit" -> {
+      val hb = Hashing.sqlHash60(
+        "'bloom' || '|' || CAST(lane AS VARCHAR) || '|' ||" +
+          " CAST(c_custkey AS VARCHAR)")
+      val hp = Hashing.sqlHash60(
+        "'bloom' || '|' || CAST(lane AS VARCHAR) || '|' ||" +
+          " CAST(custkey AS VARCHAR)")
+      s"""WITH members AS (SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |bloom AS (SELECT pos // 63 AS word_idx,
+         |    bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+         |  FROM (SELECT $hb % 1024 AS pos
+         |    FROM members, unnest(range(0, 4)) u(lane))
+         |  GROUP BY 1),
+         |probes AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+         |lanes AS (SELECT custkey, $hp % 1024 AS pos
+         |  FROM probes, unnest(range(0, 4)) u(lane)),
+         |hits AS (SELECT custkey,
+         |    bool_and((coalesce(bits, 0)
+         |      & (1::BIGINT << CAST(pos % 63 AS INT))) <> 0) AS bloom_hit
+         |  FROM lanes LEFT JOIN bloom ON lanes.pos // 63 = bloom.word_idx
+         |  GROUP BY custkey)
+         |SELECT coalesce(m.is_member, false) AS is_member, h.bloom_hit,
+         |  count(*)::BIGINT AS n_keys
+         |FROM hits h LEFT JOIN (SELECT c_custkey AS custkey,
+         |    true AS is_member FROM members) m USING (custkey)
+         |GROUP BY 1, 2""".stripMargin
+    },
   )
 
 }

@@ -132,6 +132,20 @@ object NewsStream {
       .groupBy(col("source_name")).agg(agg.as("cms"))
   }
 
+  /** Streaming Bloom membership filter: the (word_idx, bits) register
+    * form of [[graft.functions.Sketches.bloomWords]] as a streaming
+    * aggregation — bit_or is idempotent, commutative and associative,
+    * so the streamed words are bit-identical to a batch build over the
+    * same rows (NewsStreamSpec) and a probe against the streamed
+    * filter keeps the no-false-negative guarantee across restarts.
+    * State: O(mBits/63) rows total — the cheapest continuously-
+    * maintained "have we ever seen this key" structure there is
+    * (vs one state row per key for exact dedup). */
+  def seenUrlBloom(raw: DataFrame, mBits: Int = 1024,
+      kLanes: Int = 4): DataFrame =
+    graft.functions.Sketches.bloomWords(raw, col("url"), "seen-url",
+      mBits, kLanes)
+
   /** Streaming grouped quantile monitoring via the min-K sample
     * aggregate (expressions.MinKSampleAgg): per-source title-length
     * median tracked continuously with O(sources × K) state-store

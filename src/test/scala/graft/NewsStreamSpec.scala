@@ -455,4 +455,35 @@ class NewsStreamSpec extends SparkSpec {
     }.min
     assert(est >= 25, s"CMS estimate $est below true count 25")
   }
+
+  test("streaming Bloom words are bit-identical to batch and keep " +
+    "no-false-negatives across micro-batches") {
+    val base = Files.createTempDirectory("graft-bloom").toString
+    val landing = s"$base/landing"
+    writeBatch(landing, (1 to 30).map(i =>
+      mkRow(i.toLong, s"t$i", "2024-01-01 00:00:00")))
+    writeBatch(landing, (31 to 60).map(i =>
+      mkRow(i.toLong, s"t$i", "2024-01-01 01:00:00")))
+    val q = NewsStream.seenUrlBloom(
+        NewsStream.landingSource(spark, landing, Schemas.rawNews,
+          maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("bloom_stream")
+      .as[(Long, Long)].collect().toMap
+    val all = spark.read.parquet(landing)
+    val batch = NewsStream.seenUrlBloom(all)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch,
+      "streamed Bloom words must equal the batch build")
+    // no false negatives: every ingested url probes as a hit
+    val bloom = spark.table("bloom_stream")
+    val probed = graft.functions.Sketches.bloomProbe(
+      all.select($"url"), $"url", bloom, "seen-url", 1024, 4)
+    assert(probed.filter(!$"bloom_hit").count() === 0,
+      "a seen key must never probe as a miss")
+  }
 }
