@@ -51,6 +51,11 @@ object ScaleUp {
           keys.foldLeft(df.crossJoin(broadcast(c))) { (d, k) =>
             d.withColumn(k, col(k) + col("__copy") * Stride)
           }.drop("__copy")
+            // the single-row-group input × broadcast copies would write
+            // 1-2 giant files — a single-partition scan for every
+            // consumer. A real dataset at this scale is many files;
+            // match that so reads parallelize.
+            .repartition(32)
         }
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name -> $outDir/$name.parquet")

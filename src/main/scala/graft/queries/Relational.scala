@@ -141,6 +141,39 @@ object Relational {
       .select($"c_custkey", $"c_name")
   }
 
+  /** q170 — lone-late-supplier audit (the TPC-H Q21 shape: one EXISTS
+    * and one NOT EXISTS against OTHER lineitems of the same order):
+    * suppliers who were the ONLY late shipper in a multi-supplier
+    * order, counted per supplier. The declarative-rewrite story: both
+    * correlated subqueries collapse into ONE per-(order, supplier)
+    * late flag plus ONE per-order aggregate (n_supps, n_late) — the
+    * qualifying predicate becomes `late ∧ n_supps > 1 ∧ n_late = 1` —
+    * so lineitem is never self-joined per predicate. Plan: the
+    * lineitem⋈orders equi-join and both aggregates all key on
+    * orderkey (one shuffle, partitioning reused), then one
+    * supplier-keyed count. The ORACLE is the independent textbook
+    * EXISTS / NOT EXISTS formulation, proving the rewrite. "Late" =
+    * shipped > 60 days after the order date. */
+  val loneLateSupplier: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", to_date($"l_shipdate").as("sd"))
+    val ord = Tables(s, dir, "orders")
+      .select($"o_orderkey".as("l_orderkey"),
+        to_date($"o_orderdate").as("od"))
+    val perSupp = li.join(ord, Seq("l_orderkey"))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when(datediff($"sd", $"od") > 60, 1).otherwise(0))
+        .as("late"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supps"), sum($"late").as("n_late"))
+    perSupp.filter($"late" === 1)
+      .join(perOrder, Seq("l_orderkey"))
+      .filter($"n_supps" > 1 && $"n_late" === 1)
+      .groupBy($"l_suppkey".as("supp"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> pricingSummary,
     "q02_typed_projection" -> typedProjection,
@@ -150,6 +183,7 @@ object Relational {
     "q06_latest_event_per_user" -> latestEventPerUser,
     "q07_first_order_per_cust_status" -> firstOrderPerCustStatus,
     "q08_customers_no_big_order" -> customersNoBigOrder,
+    "q170_lone_late_supplier" -> loneLateSupplier,
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,5 +246,22 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q170_lone_late_supplier" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+        |o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+        |  FROM orders),
+        |late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+        |  WHERE sd > od + 60)
+        |SELECT l1.l_suppkey AS supp, count(*)::BIGINT AS numwait
+        |FROM late l1
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1""".stripMargin,
   )
 }

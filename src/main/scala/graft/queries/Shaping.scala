@@ -608,6 +608,114 @@ object Shaping {
       .agg(countDistinct($"user_id").as("n_users"))
   }
 
+  /** q171 — Gini coefficient of customer revenue per region (the
+    * inequality number behind "do 20% of customers carry 80% of
+    * revenue?"): G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over customers
+    * ranked ascending by revenue within their region. Everything is
+    * exact: revenue in cents, ranks from a PER-REGION window (ordered
+    * by cents then custkey — a total order, q94's discipline; never a
+    * global sort), the final ratio in integer micro-units with
+    * decimal(38,0) intermediates (Σ i·xᵢ reaches rank×cents products
+    * a long can wrap on at scale). O(regions) output. */
+  val giniRevenue: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+    val reg = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("o_custkey"), $"n_regionkey".as("region"))
+    val w = Window.partitionBy($"region")
+      .orderBy($"cents".asc, $"o_custkey".asc)
+    rev.join(reg, Seq("o_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy($"region")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("sx"),
+        sum($"rk" * $"cents").as("six"))
+      .select($"region", $"n_customers", $"sx".as("total_cents"),
+        expr("(1000000 * (2 * cast(six as decimal(38,0))" +
+          " - (n_customers + 1) * cast(sx as decimal(38,0))))" +
+          " div (n_customers * cast(sx as decimal(38,0)))")
+          .as("gini_micro"))
+  }
+
+  /** q172 — ABC inventory/revenue classification per region: customers
+    * ranked by revenue DESC, classified by cumulative revenue share —
+    * A carries the first 70%, B to 90%, C the tail (share thresholds
+    * on exact integer micro-shares, so class edges are engine-exact).
+    * The running sum is a per-region window (partitioned — parallel),
+    * and the output is the O(regions × 3) class audit a planner
+    * consumes, not the ranked list. */
+  val abcClasses: Q = (s, dir) => {
+    import s.implicits._
+    val rev = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+    val reg = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey".as("o_custkey"), $"n_regionkey".as("region"))
+    val w = Window.partitionBy($"region")
+      .orderBy($"cents".desc, $"o_custkey".asc)
+    rev.join(reg, Seq("o_custkey"))
+      .withColumn("cum",
+        sum($"cents").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("tot", sum($"cents").over(Window.partitionBy($"region")))
+      .withColumn("cum_micro",
+        expr("(1000000 * cast(cum as decimal(38,0))) div tot"))
+      .withColumn("abc_class",
+        when($"cum_micro" <= 700000, "A")
+          .when($"cum_micro" <= 900000, "B")
+          .otherwise("C"))
+      .groupBy($"region", $"abc_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("class_cents"))
+  }
+
+  /** q173 — association rules over behavioural baskets (market-basket
+    * support / confidence / lift): a basket is the SET of event types
+    * a user fires in a day; every ordered type pair (a→b) scores
+    * support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)).
+    * All three are exact integer micro-ratios of basket counts
+    * (decimal(38,0) guards the N·n_ab product), so the rule table is
+    * engine-exact. Plan: baskets = one distinct over (user, day,
+    * type); the pair join keys on (user, day) with fan-out bounded by
+    * types-per-basket (≤|event types|², not corpus²); the type-level
+    * support table is O(types) and broadcasts; N rides as one
+    * broadcast row. min-support 5 prunes noise rules. */
+  val associationRules: Q = (s, dir) => {
+    import s.implicits._
+    val b = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .distinct()
+    val nb = b.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("N"))
+    val supp = b.groupBy($"event_type").agg(count(lit(1)).as("supp"))
+    val pairs = b.as("x").join(b.as("y"), Seq("user_id", "day"))
+      .filter(col("x.event_type") =!= col("y.event_type"))
+      .groupBy(col("x.event_type").as("ante"),
+        col("y.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    pairs
+      .join(broadcast(supp.select($"event_type".as("ante"),
+        $"supp".as("supp_a"))), Seq("ante"))
+      .join(broadcast(supp.select($"event_type".as("cons"),
+        $"supp".as("supp_b"))), Seq("cons"))
+      .crossJoin(broadcast(nb))
+      .select($"ante", $"cons", $"n_ab",
+        expr("(1000000 * cast(n_ab as decimal(38,0))) div N")
+          .as("support_micro"),
+        expr("(1000000 * cast(n_ab as decimal(38,0))) div supp_a")
+          .as("confidence_micro"),
+        expr("(1000000 * cast(N as decimal(38,0)) * n_ab)" +
+          " div (supp_a * cast(supp_b as decimal(38,0)))")
+          .as("lift_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -636,6 +744,9 @@ object Shaping {
     "q13_daily_resample" -> dailyResample,
     "q14_grouped_stats" -> groupedStats,
     "q15_event_type_counts" -> eventTypeCounts,
+    "q171_gini_revenue" -> giniRevenue,
+    "q172_abc_classes" -> abcClasses,
+    "q173_association_rules" -> associationRules,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1002,5 +1113,63 @@ object Shaping {
     "q15_event_type_counts" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+    "q171_gini_revenue" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |reg AS (SELECT c_custkey AS o_custkey, n_regionkey AS region
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |rk AS (SELECT region, cents,
+        |    row_number() OVER (PARTITION BY region
+        |      ORDER BY cents, o_custkey) AS rk
+        |  FROM rev JOIN reg USING (o_custkey))
+        |SELECT region, count(*)::BIGINT AS n_customers,
+        |  sum(cents)::BIGINT AS total_cents,
+        |  ((1000000 * (2 * sum(rk * cents)::HUGEINT
+        |    - (count(*) + 1) * sum(cents)::HUGEINT))
+        |    // (count(*) * sum(cents)::HUGEINT))::BIGINT AS gini_micro
+        |FROM rk GROUP BY region""".stripMargin,
+    "q172_abc_classes" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |reg AS (SELECT c_custkey AS o_custkey, n_regionkey AS region
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |c AS (SELECT region, cents,
+        |    sum(cents) OVER (PARTITION BY region
+        |      ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER (PARTITION BY region) AS tot
+        |  FROM rev JOIN reg USING (o_custkey))
+        |SELECT region,
+        |  CASE WHEN (1000000 * cum::HUGEINT) // tot <= 700000 THEN 'A'
+        |       WHEN (1000000 * cum::HUGEINT) // tot <= 900000 THEN 'B'
+        |       ELSE 'C' END AS abc_class,
+        |  count(*)::BIGINT AS n_customers,
+        |  sum(cents)::BIGINT AS class_cents
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q173_association_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) AS day, event_type FROM events),
+        |nb AS (SELECT count(*)::BIGINT AS N
+        |  FROM (SELECT DISTINCT user_id, day FROM b)),
+        |supp AS (SELECT event_type, count(*)::BIGINT AS supp
+        |  FROM b GROUP BY event_type),
+        |pairs AS (SELECT x.event_type AS ante, y.event_type AS cons,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM b x JOIN b y
+        |    ON x.user_id = y.user_id AND x.day = y.day
+        |   AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT ante, cons, n_ab,
+        |  ((1000000 * n_ab::HUGEINT) // N)::BIGINT AS support_micro,
+        |  ((1000000 * n_ab::HUGEINT) // sa.supp)::BIGINT
+        |    AS confidence_micro,
+        |  ((1000000 * N::HUGEINT * n_ab) // (sa.supp * sb.supp::HUGEINT))
+        |    ::BIGINT AS lift_micro
+        |FROM pairs
+        |JOIN supp sa ON sa.event_type = ante
+        |JOIN supp sb ON sb.event_type = cons
+        |CROSS JOIN nb""".stripMargin,
   )
 }
