@@ -716,6 +716,40 @@ object Shaping {
           .as("lift_micro"))
   }
 
+  /** q174 — winsorized statistics per group (robust mean with tail
+    * clipping at p05/p95): the outlier-resistant summary a metrics
+    * pipeline publishes when raw means are hostage to a few extreme
+    * rows. Quantile edges come from exact interpolated percentiles of
+    * the CENTS values (q54's cross-engine precedent), immediately
+    * quantized to LONGS in 10⁻⁴-cent units — from there every clip,
+    * sum and mean is exact integer arithmetic (a double sum of
+    * clipped values would be partial-sum-order dependent and could
+    * flap the hash at scale). Two grouped passes over the fact
+    * (edges, then clip+sum), both map-side combined; O(groups)
+    * output. */
+  val winsorizedStats: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val edges = o.groupBy($"priority")
+      .agg(round(percentile($"cents", lit(0.05)) * 10000).cast("long")
+          .as("p05_c4"),
+        round(percentile($"cents", lit(0.95)) * 10000).cast("long")
+          .as("p95_c4"))
+    o.join(broadcast(edges), Seq("priority"))
+      .select($"priority", $"p05_c4", $"p95_c4",
+        greatest(least($"cents" * 10000, $"p95_c4"), $"p05_c4")
+          .as("clipped_c4"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"p05_c4").as("p05_c4"),
+        min($"p95_c4").as("p95_c4"),
+        sum($"clipped_c4").as("clipped_sum_c4"))
+      .withColumn("winsorized_mean_c4",
+        expr("clipped_sum_c4 div n_orders"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -747,6 +781,7 @@ object Shaping {
     "q171_gini_revenue" -> giniRevenue,
     "q172_abc_classes" -> abcClasses,
     "q173_association_rules" -> associationRules,
+    "q174_winsorized_stats" -> winsorizedStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1171,5 +1206,24 @@ object Shaping {
         |JOIN supp sa ON sa.event_type = ante
         |JOIN supp sb ON sb.event_type = cons
         |CROSS JOIN nb""".stripMargin,
+    "q174_winsorized_stats" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |e AS (SELECT priority,
+        |    CAST(round(quantile_cont(cents, 0.05) * 10000) AS BIGINT)
+        |      AS p05_c4,
+        |    CAST(round(quantile_cont(cents, 0.95) * 10000) AS BIGINT)
+        |      AS p95_c4
+        |  FROM o GROUP BY priority)
+        |SELECT priority, count(*)::BIGINT AS n_orders,
+        |  min(p05_c4)::BIGINT AS p05_c4,
+        |  min(p95_c4)::BIGINT AS p95_c4,
+        |  sum(greatest(least(cents * 10000, p95_c4), p05_c4))::BIGINT
+        |    AS clipped_sum_c4,
+        |  (sum(greatest(least(cents * 10000, p95_c4), p05_c4))
+        |    // count(*))::BIGINT AS winsorized_mean_c4
+        |FROM o JOIN e USING (priority)
+        |GROUP BY priority""".stripMargin,
   )
 }
