@@ -750,6 +750,48 @@ object Shaping {
         expr("clipped_sum_c4 div n_orders"))
   }
 
+  /** q175 — gap-fill by LINEAR INTERPOLATION (q13 fills empty days
+    * with zeros; a metric that persists between observations — a
+    * price, a level, a balance — interpolates instead): each missing
+    * day takes prev + (next − prev)·Δ/gap between its surrounding
+    * observed days. prev/next come from running last/first
+    * (ignoreNulls) frames over the DAY spine — the post-aggregate
+    * O(days) frame, q116's discipline, never the event table — and
+    * the interpolation is exact integer micro-arithmetic (cents,
+    * day offsets, integer div), so the filled series is engine-exact.
+    * Spine is bounded by observed min/max, so prev/next always
+    * exist. */
+  val interpolateGaps: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .filter($"event_type" === "signup" && $"value" > 150.0)
+    val daily = e
+      .groupBy(to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(round(sum($"value") * 100).cast("long").as("cents"))
+    val spine = e
+      .agg(min(to_date(date_trunc("day", $"ts"))).as("d0"),
+        max(to_date(date_trunc("day", $"ts"))).as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    val wb = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("pv", last($"cents", ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when($"cents".isNotNull, $"day"),
+        ignoreNulls = true).over(wb))
+      .withColumn("nv", first($"cents", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when($"cents".isNotNull, $"day"),
+        ignoreNulls = true).over(wf))
+      .select($"day", $"cents".as("observed_cents"),
+        (lit(1000000L) * $"pv" +
+          when(datediff($"nd", $"pd") > 0,
+            expr("((nv - pv) * 1000000L * datediff(day, pd))" +
+              " div datediff(nd, pd)"))
+            .otherwise(lit(0L)))
+          .as("interp_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -782,6 +824,7 @@ object Shaping {
     "q172_abc_classes" -> abcClasses,
     "q173_association_rules" -> associationRules,
     "q174_winsorized_stats" -> winsorizedStats,
+    "q175_interpolate_gaps" -> interpolateGaps,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1225,5 +1268,39 @@ object Shaping {
         |    // count(*))::BIGINT AS winsorized_mean_c4
         |FROM o JOIN e USING (priority)
         |GROUP BY priority""".stripMargin,
+    "q175_interpolate_gaps" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    value
+        |  FROM events WHERE event_type = 'signup' AND value > 150.0),
+        |daily AS (SELECT day,
+        |    CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        |  FROM e GROUP BY day),
+        |spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily),
+        |    (SELECT max(day) FROM daily), INTERVAL 1 DAY))::DATE AS day),
+        |j AS (SELECT spine.day, daily.cents FROM spine
+        |  LEFT JOIN daily USING (day)),
+        |f AS (SELECT day, cents,
+        |    last_value(cents IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS pd,
+        |    first_value(cents IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT day, cents AS observed_cents,
+        |  (1000000 * pv + CASE WHEN date_diff('day', pd, nd) > 0
+        |    THEN ((nv - pv) * 1000000 * date_diff('day', pd, day))
+        |      // date_diff('day', pd, nd)
+        |    ELSE 0 END)::BIGINT AS interp_micro
+        |FROM f""".stripMargin,
   )
 }
