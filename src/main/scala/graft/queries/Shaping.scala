@@ -792,6 +792,36 @@ object Shaping {
           .as("interp_micro"))
   }
 
+  /** q176 — capped running balance per user (running sum FLOORED at
+    * zero — inventory that can't go negative, prepaid credit that
+    * can't be overdrawn): s_i = max(0, s_{i−1} + x_i). The floor makes
+    * it a genuine FOLD — no window/prefix-sum trick expresses it
+    * (max(0,·) doesn't distribute over addition) — so it runs as a
+    * higher-order `aggregate` over each user's time-ordered deltas:
+    * per-user sequences are bounded, the fold is codegen'd, and the
+    * only shuffle is the user groupBy (same scale shape as
+    * sessionize). The oracle is DuckDB's list_reduce with a prepended
+    * zero (its fold seeds from the first element; prepending the
+    * initial accumulator makes the two folds identical — probed).
+    * Deltas are signed exact cents; order is the (ts, event_id) total
+    * order. */
+  val cappedBalance: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .filter($"value".isNotNull)
+      .select($"user_id", $"ts", $"event_id",
+        round(($"value" - 150.0) * 100).cast("long").as("c"))
+    e.groupBy($"user_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"c"))),
+        x => x.getField("c")).as("cs"))
+      .select($"user_id", size($"cs").cast("long").as("n_events"),
+        expr("aggregate(cs, 0L, (acc, x) -> acc + x)")
+          .as("uncapped_balance"),
+        expr("aggregate(cs, 0L, (acc, x) -> greatest(acc + x, 0L))")
+          .as("capped_balance"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -825,6 +855,7 @@ object Shaping {
     "q173_association_rules" -> associationRules,
     "q174_winsorized_stats" -> winsorizedStats,
     "q175_interpolate_gaps" -> interpolateGaps,
+    "q176_capped_balance" -> cappedBalance,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1302,5 +1333,17 @@ object Shaping {
         |      // date_diff('day', pd, nd)
         |    ELSE 0 END)::BIGINT AS interp_micro
         |FROM f""".stripMargin,
+    "q176_capped_balance" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round((value - 150.0) * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, list(c ORDER BY ts, event_id) AS cs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, len(cs)::BIGINT AS n_events,
+        |  list_reduce(list_prepend(0::BIGINT, cs),
+        |    (acc, x) -> acc + x)::BIGINT AS uncapped_balance,
+        |  list_reduce(list_prepend(0::BIGINT, cs),
+        |    (acc, x) -> greatest(acc + x, 0))::BIGINT AS capped_balance
+        |FROM s""".stripMargin,
   )
 }
