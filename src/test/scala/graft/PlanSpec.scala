@@ -188,6 +188,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-3 operators keep their scale plan shapes") {
+    // q167: the 17-word bloom artifact must broadcast onto the probe
+    // side — the whole point of bloom semi-join reduction
+    val bloomPlan = graft.queries.Scale.queries("q167_bloom_join_audit")(
+      spark, sfDir).queryExecution.executedPlan.toString
+    assert(bloomPlan.contains("BroadcastHashJoin"),
+      "bloom probe must broadcast the word table")
+    // q170: the Q21 decorrelation must stay pure equi-join — a
+    // correlated-subquery plan would nested-loop lineitem per predicate
+    val latePlan = graft.queries.Relational.queries(
+      "q170_lone_late_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!latePlan.contains("CartesianProduct") &&
+      !latePlan.contains("BroadcastNestedLoopJoin"),
+      s"q170 must not plan a non-equi join:\n$latePlan")
+    // q173: support tables broadcast; the basket pair join stays equi
+    val rulesPlan = graft.queries.Shaping.queries(
+      "q173_association_rules")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(rulesPlan.contains("BroadcastHashJoin") &&
+      !rulesPlan.contains("CartesianProduct"),
+      "q173 must broadcast supports and keep the pair join equi")
+  }
+
   test("salted join equals plain join; salted count equals plain count") {
     val orders = Tables(spark, sfDir, "orders")
     val customer = Tables(spark, sfDir, "customer")
