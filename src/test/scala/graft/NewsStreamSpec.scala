@@ -456,6 +456,61 @@ class NewsStreamSpec extends SparkSpec {
     assert(est >= 25, s"CMS estimate $est below true count 25")
   }
 
+  test("transformWithState capped balance equals the batch fold " +
+    "across micro-batches") {
+    import graft.streaming.CappedBalance
+    import graft.streaming.CappedBalance.{Balance, Delta}
+    val base = Files.createTempDirectory("graft-twstate").toString
+    val landing = s"$base/landing"
+    // two chronological batches; deltas oscillate so the zero floor
+    // genuinely engages (user 2 dips negative mid-stream)
+    val b1 = Seq(
+      Delta(1L, 1000L, 1L, 500L), Delta(1L, 2000L, 2L, -200L),
+      Delta(2L, 1500L, 3L, 100L), Delta(2L, 2500L, 4L, -400L))
+    val b2 = Seq(
+      Delta(1L, 3000L, 5L, -250L), Delta(2L, 3500L, 6L, 300L),
+      Delta(3L, 4000L, 7L, -50L))
+    b1.toDS().coalesce(1).write.mode("append").parquet(landing)
+    b2.toDS().coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Delta]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing).as[Delta]
+    // transformWithState needs the RocksDB provider (multiple column
+    // families); scope it to this query and restore the default after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = CappedBalance.run(stream)
+        .writeStream.format("memory").queryName("tws_balance")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // latest row per user = the one with the highest event count
+    val streamed = spark.table("tws_balance").as[Balance]
+      .collect().groupBy(_.userId)
+      .map { case (u, rs) => u -> rs.maxBy(_.nEvents).cappedBalance }
+    val want = (b1 ++ b2).groupBy(_.userId).map { case (u, ds) =>
+      u -> ds.sortBy(d => (d.tsMicros, d.eventId))
+        .foldLeft(0L)((acc, d) => math.max(0L, acc + d.cents))
+    }
+    assert(streamed === want,
+      "streamed capped balances must equal the batch fold")
+    // floor engaged: user 2 would be -300+300=0+300 without history,
+    // with floor: 100-400→0, then +300→300
+    assert(streamed(2L) === 300L)
+    assert(streamed(1L) === 50L) // 500-200=300, 300-250=50
+  }
+
   test("streaming Bloom words are bit-identical to batch and keep " +
     "no-false-negatives across micro-batches") {
     val base = Files.createTempDirectory("graft-bloom").toString
