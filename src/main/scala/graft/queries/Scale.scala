@@ -676,6 +676,33 @@ object Scale {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** q177 — Theil–Sen robust trend estimate of daily revenue (median
+    * of all pairwise slopes — the outlier-proof alternative to q142's
+    * OLS, breakdown point 29%): slopes are exact integer micro-units
+    * ((1e6·Δcents) div Δdays — both engines truncate toward zero),
+    * and the median interpolates the two middle slopes (q54's
+    * cross-engine percentile precedent, rounded to 4dp). The pair
+    * join runs on the POST-AGGREGATE daily frame — O(days²) pairs of
+    * an O(days) frame, bounded at any corpus scale (a year is ~66k
+    * pairs) — which is the documented justification for letting the
+    * inequality self-join plan as a broadcast nested loop HERE and
+    * nowhere corpus-sized. */
+  val theilSen: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .select(datediff($"day", lit("1995-01-01").cast("date"))
+        .as("d"), $"cents")
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.d") < col("b.d"))
+      .select(expr("(1000000 * (b.cents - a.cents)) div (b.d - a.d)")
+        .as("slope_micro"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      round(percentile($"slope_micro", lit(0.5)), 4)
+        .as("median_slope_micro"))
+  }
+
   /** q166 — seasonality profile per region: each region's monthly
     * revenue share across the calendar year (aggregated over all
     * years) plus its peak month — the demand-planning profile behind
@@ -1100,6 +1127,7 @@ object Scale {
     "q156_windowed_distinct" -> windowedDistinct,
     "q130_modularity" -> modularityAudit,
     "q167_bloom_join_audit" -> bloomJoinAudit,
+    "q177_theil_sen" -> theilSen,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1754,6 +1782,20 @@ object Scale {
          |    true AS is_member FROM members) m USING (custkey)
          |GROUP BY 1, 2""".stripMargin
     },
+    "q177_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |pairs AS (SELECT
+        |    (1000000 * (b.cents - a.cents)) // (b.d - a.d)
+        |      AS slope_micro
+        |  FROM daily a JOIN daily b ON a.d < b.d)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  round(quantile_cont(slope_micro, 0.5), 4)
+        |    AS median_slope_micro
+        |FROM pairs""".stripMargin,
   )
 
 }
