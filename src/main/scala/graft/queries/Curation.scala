@@ -355,6 +355,43 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q178 — dataset card (the per-source summary a training-data team
+    * publishes with a corpus release): document and token volumes,
+    * exact-duplicate rate, mean document length, and language-mix
+    * entropy, one row per source. Composition discipline: every
+    * number is an exact integer or a per-term micro-quantized ln
+    * summed as longs (q77's rule — double SUMS are order-dependent,
+    * double TERMS of exact-integer ratios are not). One corpus pass
+    * for tokens+hashes, one (source, lang) count pass; O(sources)
+    * output. */
+  val datasetCard: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"source", $"lang",
+        size(TextOps.tokens($"text")).cast("long").as("n_toks"),
+        Hashing.hash60($"text").as("h"))
+    val base = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"h").as("n_unique"),
+        sum($"n_toks").as("total_tokens"))
+    val langEnt = d.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(sum(round(lit(-1000000.0) *
+        ($"c".cast("double") / $"n".cast("double")) *
+        log($"c".cast("double") / $"n".cast("double"))).cast("long"))
+        .as("lang_entropy_micro"))
+    base.join(langEnt, Seq("source"))
+      .select($"source", $"n_docs", $"n_unique",
+        expr("(1000000 * n_unique) div n_docs").as("uniq_micro"),
+        $"total_tokens",
+        expr("(1000000 * cast(total_tokens as decimal(38,0)))" +
+          " div n_docs").as("mean_tokens_micro"),
+        $"lang_entropy_micro")
+  }
+
   /** q77 — unigram LM surprise (perplexity-proxy quality score): each
     * document scored by the mean negative log-probability of its tokens
     * under the corpus's own unigram distribution — the cheap stand-in
@@ -898,6 +935,7 @@ object Curation {
     "q113_bpe_encode" -> bpeEncode,
     "q168_temperature_mixture" -> temperatureMixture,
     "q169_snapshot_diff" -> snapshotDiff,
+    "q178_dataset_card" -> datasetCard,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1419,6 +1457,33 @@ object Curation {
     },
     "q98_bpe_train" -> sqlBpeTrain,
     "q113_bpe_encode" -> sqlBpeEncode,
+    "q178_dataset_card" -> {
+      val toks = sqlTokens("text")
+      val h = Hashing.sqlHash60("text")
+      s"""WITH d AS (SELECT source, lang,
+         |    len($toks)::BIGINT AS n_toks, $h AS h
+         |  FROM documents),
+         |base AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    count(DISTINCT h)::BIGINT AS n_unique,
+         |    sum(n_toks)::BIGINT AS total_tokens
+         |  FROM d GROUP BY source),
+         |lc AS (SELECT source, lang, count(*)::BIGINT AS c
+         |  FROM d GROUP BY source, lang),
+         |ln_ AS (SELECT source, lang, c,
+         |    sum(c) OVER (PARTITION BY source) AS n FROM lc),
+         |ent AS (SELECT source,
+         |    sum(CAST(round(-1000000.0 * (c::DOUBLE / n::DOUBLE)
+         |      * ln(c::DOUBLE / n::DOUBLE)) AS BIGINT))::BIGINT
+         |      AS lang_entropy_micro
+         |  FROM ln_ GROUP BY source)
+         |SELECT source, n_docs, n_unique,
+         |  ((1000000 * n_unique) // n_docs)::BIGINT AS uniq_micro,
+         |  total_tokens,
+         |  ((1000000 * total_tokens::HUGEINT) // n_docs)::BIGINT
+         |    AS mean_tokens_micro,
+         |  lang_entropy_micro
+         |FROM base JOIN ent USING (source)""".stripMargin
+    },
     "q168_temperature_mixture" -> {
       val toks = sqlTokens("text")
       s"""WITH per AS (SELECT source,
