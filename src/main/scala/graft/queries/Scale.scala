@@ -1089,6 +1089,118 @@ object Scale {
       .unionByName(audit(r2, 2)).unionByName(audit(r3, 3))
   }
 
+  /** q181 — autocorrelation function of daily revenue at lags 1–7
+    * (does yesterday predict today? is there a weekly cycle?) — the
+    * stationarity probe run before any forecasting model. The series
+    * is the POST-AGGREGATE daily frame (O(days), q177's discipline);
+    * each lag pairs it with itself via one equi-join on day+lag after
+    * a ×7 broadcast lag fan-out — bounded at any corpus size. Pearson
+    * r per lag comes from the q142 closed form over EXACT sums; sums
+    * of squared cents overflow a long (9e18) once daily revenue
+    * passes ~3e9 cents, so the moment sums are decimal(38,0) on the
+    * Spark side and HUGEINT in the oracle — exact to 1e38, beyond any
+    * corpus — and only the final r is a float tree over those exact
+    * integers, rounded to 6dp. */
+  val acf: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).as("d"))
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+    val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("b.d") === col("a.d") + $"lag")
+      .select($"lag", col("a.cents").as("x"), col("b.cents").as("y"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+        sum(dec($"x") * dec($"y")).as("sxy"),
+        sum(dec($"x") * dec($"x")).as("sxx"),
+        sum(dec($"y") * dec($"y")).as("syy"))
+      .select($"lag", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) /
+          sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6)
+          .as("acf"))
+  }
+
+  /** q183 — CUSUM changepoint score per region (has this region's
+    * daily revenue drifted from its own mean, and when?): the
+    * classic alarm statistic s_k = max(0, s_{k−1} + dev_k). The
+    * recurrence looks like a fold (q176), but the zero floor has a
+    * prefix-sum closed form — s_k = P_k − min(0, min_{j≤k} P_j) — so
+    * it runs as two stacked running windows (sum, then min) PER
+    * REGION, parallel across regions with no fold and no collect.
+    * Deviations are mean-centered without division: dev = n·cents −
+    * total (exact longs; |dev| ≤ n·daily-cents ~ 1e15 at 100 TB,
+    * inside long range with the margin documented here). Output is
+    * the O(regions×days) scored series. */
+  val cusumChangepoint: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select($"n_nationkey", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey".as("region"),
+        to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+    val tot = daily.groupBy($"region")
+      .agg(sum($"cents").as("tot"), count(lit(1)).as("n_days"))
+    val wc = Window.partitionBy($"region").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(tot), Seq("region"))
+      .withColumn("dev", $"n_days" * $"cents" - $"tot")
+      .withColumn("p", sum($"dev").over(wc))
+      .withColumn("m", least(min($"p").over(wc), lit(0L)))
+      .select($"region", $"day", $"dev".as("dev_scaled"),
+        ($"p" - $"m").as("cusum_scaled"))
+  }
+
+  /** q184 — item-to-item co-occurrence affinity over (user, day)
+    * baskets: for every pair of event types, how often do they land
+    * in the same basket vs. their independent rates — the
+    * "customers who did X also did Y" kernel. The pair join keys on
+    * the basket id, so fan-out is |item types|² per basket (bounded,
+    * q173's shape), the item-count table is O(types) and broadcasts,
+    * and the basket total rides as one broadcast row. Affinity is
+    * exact: cosine² in micro² units and lift in micro units, both
+    * integer cross-products in decimal(38,0) (n_ij² · 1e12 overflows
+    * a long at ~9e4 baskets shared) with integral division — engine-
+    * and partitioning-exact at any scale. */
+  val cooccurrence: Q = (s, dir) => {
+    import s.implicits._
+    val items = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .distinct()
+    val counts = items.groupBy($"event_type").agg(count(lit(1)).as("ni"))
+    val nb = items.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = items.as("a")
+      .join(items.as("b"), Seq("user_id", "day"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("nij"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    pairs
+      .join(broadcast(counts.select($"event_type".as("type_a"),
+        $"ni".as("na"))), Seq("type_a"))
+      .join(broadcast(counts.select($"event_type".as("type_b"),
+        $"ni".as("nb"))), Seq("type_b"))
+      .crossJoin(broadcast(nb))
+      .select($"type_a", $"type_b", $"na", $"nb", $"nij",
+        expr("CAST(CAST(1000000000000 AS DECIMAL(38,0)) * nij * nij" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+          .as("cos2_micro2"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * nij * n_baskets" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
     "q81_asof_tolerance" -> asofTolerance,
@@ -1128,6 +1240,9 @@ object Scale {
     "q130_modularity" -> modularityAudit,
     "q167_bloom_join_audit" -> bloomJoinAudit,
     "q177_theil_sen" -> theilSen,
+    "q181_acf" -> acf,
+    "q183_cusum_changepoint" -> cusumChangepoint,
+    "q184_cooccurrence" -> cooccurrence,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1796,6 +1911,71 @@ object Scale {
         |  round(quantile_cont(slope_micro, 0.5), 4)
         |    AS median_slope_micro
         |FROM pairs""".stripMargin,
+    "q181_acf" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT l.lag AS lag, a.cents::HUGEINT AS x,
+        |    b.cents::HUGEINT AS y
+        |  FROM (SELECT unnest(range(1, 8))::INTEGER AS lag) l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.d = a.d + l.lag),
+        |s AS (SELECT lag, count(*)::BIGINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+        |FROM s""".stripMargin,
+    "q183_cusum_changepoint" ->
+      """WITH daily AS (SELECT n_regionkey AS region,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT region, sum(cents)::BIGINT AS tot,
+        |    count(*)::BIGINT AS n_days
+        |  FROM daily GROUP BY region),
+        |d AS (SELECT region, day, n_days * cents - tot AS dev
+        |  FROM daily JOIN tot USING (region)),
+        |pp AS (SELECT region, day, dev,
+        |    sum(dev) OVER (PARTITION BY region ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM d)
+        |SELECT region, day, dev AS dev_scaled,
+        |  p - least(min(p) OVER (PARTITION BY region ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS cusum_scaled
+        |FROM pp""".stripMargin,
+    "q184_cooccurrence" ->
+      """WITH items AS (SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |counts AS (SELECT event_type, count(*)::BIGINT AS ni
+        |  FROM items GROUP BY event_type),
+        |nb AS (SELECT count(*)::BIGINT AS n_baskets
+        |  FROM (SELECT DISTINCT user_id, day FROM items)),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS nij
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ca.ni AS na, cb.ni AS nb, nij,
+        |  CAST(1000000000000::HUGEINT * nij * nij
+        |    // (ca.ni::HUGEINT * cb.ni) AS BIGINT) AS cos2_micro2,
+        |  CAST(1000000::HUGEINT * nij * n_baskets
+        |    // (ca.ni::HUGEINT * cb.ni) AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN counts ca ON ca.event_type = type_a
+        |JOIN counts cb ON cb.event_type = type_b
+        |CROSS JOIN nb""".stripMargin,
   )
 
 }

@@ -822,6 +822,72 @@ object Shaping {
           .as("capped_balance"))
   }
 
+  /** q179 — multi-touch conversion attribution (first-touch /
+    * last-touch / linear) — which upstream channel gets credit for
+    * each purchase, the marketing-analytics primitive behind spend
+    * allocation. Conversions join their user's preceding 7 days of
+    * touches on the USER key (co-partitioned equi-join; the range
+    * predicate only bounds fan-out, it is not the join key), then one
+    * window per conversion ranks touches in (ts, event_id) order:
+    * rank 1 takes the first-touch credit, rank n the last-touch, and
+    * every touch takes an exact 1e6 div n linear micro-share. State
+    * per conversion is bounded by the 7-day window, partitions are
+    * per-user — nothing global at any corpus size. */
+  val attribution: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val conv = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("conv_id"), $"ts".as("conv_ts"))
+    val touch = e.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_id".as("touch_id"),
+        $"ts".as("touch_ts"), $"event_type")
+    val j = conv.join(touch, Seq("user_id"))
+      .filter($"touch_ts" < $"conv_ts" &&
+        $"touch_ts" >= $"conv_ts" - expr("INTERVAL 7 DAYS"))
+    val wOrd = Window.partitionBy($"conv_id")
+      .orderBy($"touch_ts", $"touch_id")
+    val wAll = Window.partitionBy($"conv_id")
+    j.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy($"event_type")
+      .agg(sum(when($"rn" === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when($"rn" === $"n", 1L).otherwise(0L)).as("last_touch"),
+        sum(expr("1000000L div n")).as("linear_micro"),
+        count(lit(1)).as("n_touches"))
+  }
+
+  /** q180 — robust outlier detection by MEDIAN/MAD (the
+    * outlier-resistant alternative to q116's mean/stddev z-score —
+    * one corrupted batch can't move the fence): flag x where
+    * |x − med| > 3.5·1.4826·MAD. Everything stays in exact integers:
+    * values are milli-quantized once, the interpolated median is
+    * doubled into an exact integer (2·median of ints lands on the
+    * 0.5 grid), deviations are |2v − med2|, 4·MAD likewise, and the
+    * fence test is the cross-multiplied 20000·dev2 > 51891·mad4
+    * (3.5·1.4826 = 5.18910 exactly). Exact `percentile` state is a
+    * value→count map, so after milli-quantization its size is
+    * bounded by the VALUE GRID (q174's discipline), not the row
+    * count — the one condition under which an exact grouped median
+    * scales. Two grouped passes + one counting pass, all map-side
+    * combined; med/mad frames are O(groups) broadcasts. */
+  val madOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").filter($"value".isNotNull)
+      .select($"event_type", round($"value" * 1000).cast("long").as("v"))
+    val med = e.groupBy($"event_type")
+      .agg((percentile($"v", lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs($"v" * 2 - $"med2"))
+    val mad = dev.groupBy($"event_type")
+      .agg((percentile($"dev2", lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type", $"med2", $"mad4")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"dev2" * 20000 > $"mad4" * 51891, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select($"event_type", $"n", $"med2", $"mad4", $"n_outliers")
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -856,6 +922,8 @@ object Shaping {
     "q174_winsorized_stats" -> winsorizedStats,
     "q175_interpolate_gaps" -> interpolateGaps,
     "q176_capped_balance" -> cappedBalance,
+    "q179_attribution" -> attribution,
+    "q180_mad_outliers" -> madOutliers,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1345,5 +1413,43 @@ object Shaping {
         |  list_reduce(list_prepend(0::BIGINT, cs),
         |    (acc, x) -> greatest(acc + x, 0))::BIGINT AS capped_balance
         |FROM s""".stripMargin,
+    "q179_attribution" ->
+      """WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |    FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+        |    event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT c.conv_id, t.event_type, t.touch_ts, t.touch_id
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |    AND t.touch_ts < c.conv_ts
+        |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |r AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY touch_ts, touch_id) AS rn,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM j)
+        |SELECT event_type,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+        |  sum(CASE WHEN rn = n THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+        |  sum(1000000 // n)::BIGINT AS linear_micro,
+        |  count(*)::BIGINT AS n_touches
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q180_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+        |  FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_type, med2, abs(2 * v - med2) AS dev2
+        |  FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*)::BIGINT AS n, med2, mad4,
+        |  sum(CASE WHEN dev2 * 20000 > mad4 * 51891 THEN 1 ELSE 0
+        |    END)::BIGINT AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type, med2, mad4""".stripMargin,
   )
 }
