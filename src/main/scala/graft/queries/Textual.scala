@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -90,6 +91,44 @@ object Textual {
         $"event_type".as("method"))).as("request"))
   }
 
+  /** q185 — distinctive terms per source (keyness): which words does
+    * each source over-use relative to the whole corpus — the
+    * source-profiling / contamination-triage view of a crawl. Lift is
+    * the exact integer cross-product (1e6·tf_s·tot_c) div
+    * (tot_s·tf_c) in decimal(38,0) (the product overflows a long once
+    * per-source token counts pass ~1e9 — the q130 discipline), so the
+    * ranking is engine- and partitioning-exact. Both count passes are
+    * map-side-combined explode→groupBy; the per-source top-10 is a
+    * rank window over the VOCAB-sized (source, term) frame —
+    * partitioned by source, and Spark 4 turns the rn≤10 filter into a
+    * WindowGroupLimit partial top-k before the shuffle. min-support
+    * tf_s ≥ 20 keeps hapax noise out of the lift tail. */
+  val distinctiveTerms: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"source",
+        explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+    val bySrc = toks.groupBy($"source", $"term")
+      .agg(count(lit(1)).as("tf_s"))
+    val srcTot = toks.groupBy($"source").agg(count(lit(1)).as("tot_s"))
+    val byCorpus = toks.groupBy($"term").agg(count(lit(1)).as("tf_c"))
+    val corpusTot = toks.agg(count(lit(1)).as("tot_c"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"lift_micro".desc, $"term".asc)
+    bySrc.filter($"tf_s" >= 20)
+      .join(broadcast(srcTot), Seq("source"))
+      .join(byCorpus, Seq("term"))
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("lift_micro",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * tf_s * tot_c" +
+          " div (CAST(tot_s AS DECIMAL(38,0)) * tf_c) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"source", $"term", $"tf_s", $"tf_c", $"lift_micro",
+        $"rn".cast("long").as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q16_surrogate_keys" -> surrogateKeys,
     "q17_string_clean" -> stringClean,
@@ -97,6 +136,7 @@ object Textual {
     "q19_ilike_filter" -> ilikeFilter,
     "q20_json_extract" -> jsonExtract,
     "q21_jsonl_request" -> jsonlRequest,
+    "q185_distinctive_terms" -> distinctiveTerms,
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,5 +183,28 @@ object Textual {
         | CAST(to_json(struct_pack(custom_id := event_id,
         |   method := event_type)) AS VARCHAR) AS request
         |FROM events""".stripMargin,
+    "q185_distinctive_terms" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |t AS (SELECT source, term FROM toks WHERE term <> ''),
+        |by_src AS (SELECT source, term, count(*)::BIGINT AS tf_s
+        |  FROM t GROUP BY source, term),
+        |src_tot AS (SELECT source, count(*)::BIGINT AS tot_s
+        |  FROM t GROUP BY source),
+        |by_corpus AS (SELECT term, count(*)::BIGINT AS tf_c
+        |  FROM t GROUP BY term),
+        |corpus_tot AS (SELECT count(*)::BIGINT AS tot_c FROM t),
+        |lifted AS (SELECT source, term, tf_s, tf_c,
+        |    CAST(1000000::HUGEINT * tf_s * tot_c
+        |      // (tot_s::HUGEINT * tf_c) AS BIGINT) AS lift_micro
+        |  FROM by_src JOIN src_tot USING (source)
+        |  JOIN by_corpus USING (term) CROSS JOIN corpus_tot
+        |  WHERE tf_s >= 20),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift_micro DESC, term ASC) AS rn
+        |  FROM lifted)
+        |SELECT source, term, tf_s, tf_c, lift_micro, rn::BIGINT AS rank
+        |FROM r WHERE rn <= 10""".stripMargin,
   )
 }

@@ -1526,12 +1526,65 @@ object TrainingData {
     s"CAST($bits AS BIGINT)"
   }
 
+  /** q182 — prefix-filtered set-similarity self-join (the AllPairs/
+    * PPJoin candidate-pruning family): find every doc pair whose
+    * 3-token-SHINGLE-set Jaccard ≥ 0.5 WITHOUT an all-pairs pass and
+    * WITHOUT hash approximation (the exact complement to q23's
+    * MinHash — same sets, same threshold, zero false negatives BY
+    * CONSTRUCTION rather than with banding probability). Shingles —
+    * not words: on a small shared vocab every word is common, but
+    * shingles are near-unique per doc, so rarity-ordered prefixes
+    * genuinely bucket. Each shingle gets a global rarity rank
+    * (ascending document frequency — one vocab-sized aggregate,
+    * shuffled once); each doc keeps only its |x| − ⌈θ|x|⌉ + 1 RAREST
+    * shingles as its prefix, and two docs become a candidate pair
+    * only if their prefixes share one — the classic guarantee that
+    * any pair at Jaccard ≥ θ must collide on a prefix element. The
+    * candidate join keys on those rare shingles, then one (doc_b,
+    * tok) equi-join counts exact intersections for candidates only.
+    * ⌈0.5·sz⌉ is the integer form (sz+1) div 2 — no float ceil on
+    * either engine. The oracle is the brute-force all-pairs
+    * list_intersect — feasible at gate SF, which is exactly why the
+    * prefix filter exists at corpus SF. */
+  val prefixJaccardJoin: Q = (s, dir) => {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val toks = c
+      .select($"doc_id", TextOps.tokens($"text").as("ws"))
+      .select($"doc_id",
+        explode(TextOps.shinglesFromTokens($"ws", ShingleN)).as("tok"))
+    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
+    val prefix = toks.join(freq, Seq("tok"))
+      .withColumn("rn", row_number().over(wRank))
+      .join(sizes, Seq("doc_id"))
+      .filter($"rn" <= $"sz" - expr("(sz + 1) div 2") + 1)
+      .select($"doc_id", $"tok")
+    val cand = prefix.as("pa").join(prefix.as("pb"), Seq("tok"))
+      .filter(col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select($"doc_id".as("doc_a"), $"tok"), Seq("doc_a"))
+      .join(toks.select($"doc_id".as("doc_b"), $"tok"), Seq("doc_b", "tok"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sa")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sb")), Seq("doc_b"))
+      .withColumn("jac_micro",
+        expr("(1000000 * inter) div (sa + sb - inter)"))
+      .filter($"jac_micro" >= 500000L)
+      .select($"doc_a", $"doc_b", $"inter", $"sa", $"sb", $"jac_micro")
+  }
+
   val queries: Map[String, Q] = Map(
     "q22_dedup_exact" -> dedupExact,
     "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
     "q123_containment_dedup" -> containmentDedup,
     "q24_dedup_simhash" -> dedupSimhash,
     "q25_ngram_jaccard" -> ngramJaccard,
+    "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
     "q40_dedup_embedding" -> dedupEmbedding,
     "q27_ann_lsh_topk" -> annLshTopK,
@@ -1647,6 +1700,19 @@ object TrainingData {
     },
     "q40_dedup_embedding" -> sqlDedupEmbedding,
     "q24_dedup_simhash" -> sqlSimhash,
+    "q182_prefix_jaccard_join" ->
+      s"""WITH corpus AS $sqlCorpus,
+         |tk AS (SELECT doc_id,
+         |    ${sqlShingles("text", ShingleN)} AS toks
+         |  FROM corpus),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+         |    len(a.toks)::BIGINT AS sa, len(b.toks)::BIGINT AS sb
+         |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, sa, sb,
+         |  (1000000 * inter) // (sa + sb - inter) AS jac_micro
+         |FROM p
+         |WHERE (1000000 * inter) // (sa + sb - inter) >= 500000""".stripMargin,
     "q25_ngram_jaccard" ->
       s"""WITH corpus AS $sqlCorpus,
          |sh AS (SELECT doc_id, ${sqlShingles("text", ShingleN)} AS sh_set
