@@ -212,6 +212,51 @@ class PlanSpec extends SparkSpec {
       "q173 must broadcast supports and keep the pair join equi")
   }
 
+  test("round-3 batch-2 operators keep their scale plan shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // every Window in these plans must be partitioned — an empty
+    // partitionSpec is the single-partition global sort that killed
+    // q94/q154 in round 2
+    for (q <- Seq("q179_attribution", "q183_cusum_changepoint",
+        "q185_distinctive_terms", "q182_prefix_jaccard_join")) {
+      val unpart = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(unpart.isEmpty, s"$q has an unpartitioned window")
+    }
+    // q179: conversions⋈touches must stay a user-keyed equi-join —
+    // the range predicate bounds fan-out but must not drive the join
+    val attr = SparkEntry.queries("q179_attribution")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!attr.contains("CartesianProduct") &&
+      !attr.contains("BroadcastNestedLoopJoin"),
+      s"q179 must not plan a non-equi join:\n$attr")
+    // q180: the O(groups) med/mad frames broadcast onto the event scan
+    val mad = SparkEntry.queries("q180_mad_outliers")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(mad).size >= 2,
+      "q180 med/mad frames must broadcast")
+    // q181: the only non-equi join is the deliberate ×7 broadcast lag
+    // fan-out; the daily⋈daily lag pair join must stay equi
+    val acfP = SparkEntry.queries("q181_acf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!acfP.contains("CartesianProduct"), acfP)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(acfP).size <= 1,
+      s"only the lag fan-out may nested-loop:\n$acfP")
+    // q184: item-count tables broadcast; basket pair join stays equi
+    val cooc = SparkEntry.queries("q184_cooccurrence")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cooc.contains("BroadcastHashJoin") &&
+      !cooc.contains("CartesianProduct"),
+      "q184 must broadcast item counts and keep the pair join equi")
+    // q185: the per-source top-10 rank gets partial+final group limits
+    val dist = SparkEntry.queries("q185_distinctive_terms")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(dist.contains("WindowGroupLimit"),
+      "q185 rank<=10 must push into WindowGroupLimit")
+  }
+
   test("salted join equals plain join; salted count equals plain count") {
     val orders = Tables(spark, sfDir, "orders")
     val customer = Tables(spark, sfDir, "customer")
