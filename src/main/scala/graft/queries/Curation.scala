@@ -908,7 +908,42 @@ object Curation {
       .limit(20)
   }
 
+  /** q188 — leave-one-out target encoding (the feature-engineering
+    * step that turns a categorical column into its target mean
+    * WITHOUT leaking each row's own label into its own feature): for
+    * row i in category c, enc_i = (Σ_c y − y_i)/(n_c − 1); singleton
+    * categories fall back to the global mean. One O(categories)
+    * aggregate broadcast back onto the fact scan plus a one-row
+    * global frame — no window, no self-join, the encode itself is a
+    * map-side expression. Arithmetic is decimal(38,0) cross-products
+    * of exact cent sums with integral division (Σ_c·1e6 overflows a
+    * long once a category's target sum passes ~9e12 cents), so every
+    * encoded value is engine- and partitioning-exact. */
+  val targetEncode: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment".as("segment"),
+        round($"o_totalprice" * 100).cast("long").as("y"))
+    val seg = o.groupBy($"segment")
+      .agg(sum($"y").as("s"), count(lit(1)).as("n"))
+    val glob = o.agg(sum($"y").as("gs"), count(lit(1)).as("gn"))
+    o.join(broadcast(seg), Seq("segment"))
+      .crossJoin(broadcast(glob))
+      .select($"o_orderkey", $"segment", $"n".as("n_cat"),
+        when($"n" > 1,
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (s - y)" +
+            " div CAST(n - 1 AS DECIMAL(38,0)) AS BIGINT)"))
+          .otherwise(
+            expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * gs" +
+              " div CAST(gn AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("loo_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_target_encode" -> targetEncode,
     "q108_pmi_collocations" -> pmiCollocations,
     "q121_bigram_surprise" -> bigramSurprise,
     "q135_ngram_novelty" -> ngramNovelty,
@@ -1421,6 +1456,22 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q188_target_encode" ->
+      """WITH o AS (SELECT o_orderkey, c_mktsegment AS segment,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |seg AS (SELECT segment, sum(y)::HUGEINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM o GROUP BY segment),
+        |gtot AS (SELECT sum(y)::HUGEINT AS gs, count(*)::BIGINT AS gn
+        |  FROM o)
+        |SELECT o_orderkey, segment, n AS n_cat,
+        |  CASE WHEN n > 1
+        |    THEN CAST(1000000::HUGEINT * (s - y)
+        |      // (n - 1)::HUGEINT AS BIGINT)
+        |    ELSE CAST(1000000::HUGEINT * gs // gn::HUGEINT AS BIGINT)
+        |  END AS loo_micro
+        |FROM o JOIN seg USING (segment) CROSS JOIN gtot""".stripMargin,
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
     "q135_ngram_novelty" -> sqlNovelty,

@@ -1201,6 +1201,35 @@ object Scale {
           .as("lift_micro"))
   }
 
+  /** q187 — seasonally-adjusted anomaly flags: a Sunday is only
+    * anomalous relative to OTHER SUNDAYS (q116's plain z-score flags
+    * every weekend of a weekday-heavy metric). Daily revenue is
+    * compared within its day-of-week group, and the 2σ fence is
+    * evaluated entirely in exact integers: with resid = n·x − Σx
+    * (the mean-centered residual scaled by group size, q183's trick),
+    * (x−μ)² > 4σ² cross-multiplies to resid² > 4(n·Σx² − (Σx)²) —
+    * both sides decimal(38,0) products of exact cent sums, no float
+    * anywhere, so the flag set is bit-stable under any partitioning
+    * and identical in both engines. One daily aggregate, one O(7)
+    * broadcast of the per-dow moments, no windows at all. */
+  val dowAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("dow", weekday($"day").cast("int"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = daily.groupBy($"dow")
+      .agg(count(lit(1)).as("n"), sum(dec($"cents")).as("sx"),
+        sum(dec($"cents") * dec($"cents")).as("sxx"))
+    daily.join(broadcast(moments), Seq("dow"))
+      .withColumn("resid", dec($"n") * dec($"cents") - $"sx")
+      .select($"day", $"dow", $"cents",
+        $"resid".cast("long").as("resid_scaled"),
+        ($"resid" * $"resid" >
+          lit(4) * ($"n" * $"sxx" - $"sx" * $"sx")).as("is_anomaly"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
     "q81_asof_tolerance" -> asofTolerance,
@@ -1243,6 +1272,7 @@ object Scale {
     "q181_acf" -> acf,
     "q183_cusum_changepoint" -> cusumChangepoint,
     "q184_cooccurrence" -> cooccurrence,
+    "q187_dow_anomaly" -> dowAnomaly,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1976,6 +2006,21 @@ object Scale {
         |JOIN counts ca ON ca.event_type = type_a
         |JOIN counts cb ON cb.event_type = type_b
         |CROSS JOIN nb""".stripMargin,
+    "q187_dow_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, (isodow(day) - 1)::INTEGER AS dow, cents
+        |  FROM daily),
+        |m AS (SELECT dow, count(*)::BIGINT AS n,
+        |    sum(cents::HUGEINT) AS sx,
+        |    sum(cents::HUGEINT * cents) AS sxx
+        |  FROM d2 GROUP BY dow)
+        |SELECT day, dow, cents,
+        |  CAST(n * cents::HUGEINT - sx AS BIGINT) AS resid_scaled,
+        |  (n * cents::HUGEINT - sx) * (n * cents::HUGEINT - sx)
+        |    > 4 * (n * sxx - sx * sx) AS is_anomaly
+        |FROM d2 JOIN m USING (dow)""".stripMargin,
   )
 
 }

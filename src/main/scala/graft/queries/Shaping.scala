@@ -888,6 +888,51 @@ object Shaping {
       .select($"event_type", $"n", $"med2", $"mad4", $"n_outliers")
   }
 
+  /** q186 — gains/lift table for a score (model evaluation: if we act
+    * on the top decile, what share of positives do we capture?). The
+    * decile cut reuses [[graft.functions.ScaleWindows.rangeNtile]] —
+    * the q94 range-partitioned sort, no unpartitioned window — over
+    * the (score desc, key) total order; positives come from one
+    * distinct-key semi-join. The cumulative capture/lift columns are
+    * computed on the O(10) decile frame by the same triangular
+    * broadcast join rangeNtile itself uses for offsets — a 10-row
+    * cross product, NOT a global running window — and the ratios are
+    * integral decimal(38,0) cross-products (cum·tot products overflow
+    * a long at ~1e9 rows), so the table is engine-exact at any
+    * scale. */
+  val gainsTable: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey",
+        round($"c_acctbal" * 100).cast("long").as("score_cents"))
+    val pos = Tables(s, dir, "orders").select($"o_custkey").distinct()
+      .withColumn("label", lit(1L))
+    val scored = cust.join(pos, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"score_cents",
+        coalesce($"label", lit(0L)).as("label"))
+    val dec = graft.functions.ScaleWindows.rangeNtile(scored, 10,
+      Seq($"score_cents".desc, $"c_custkey".asc), "decile")
+    val per = dec.groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"label").as("positives"))
+    val rhs = per.select($"decile".as("d2"), $"n".as("n2"),
+      $"positives".as("p2"))
+    val tot = per.agg(sum($"positives").as("tot_pos"),
+      sum($"n").as("tot_n"))
+    per.crossJoin(broadcast(rhs))
+      .groupBy($"decile", $"n", $"positives")
+      .agg(sum(when($"d2" <= $"decile", $"p2").otherwise(0L))
+          .as("cum_pos"),
+        sum(when($"d2" <= $"decile", $"n2").otherwise(0L)).as("cum_n"))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n", $"positives",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_pos" +
+          " div CAST(tot_pos AS DECIMAL(38,0)) AS BIGINT)")
+          .as("capture_micro"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_pos * tot_n" +
+          " div (CAST(cum_n AS DECIMAL(38,0)) * tot_pos) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -924,6 +969,7 @@ object Shaping {
     "q176_capped_balance" -> cappedBalance,
     "q179_attribution" -> attribution,
     "q180_mad_outliers" -> madOutliers,
+    "q186_gains_table" -> gainsTable,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1451,5 +1497,33 @@ object Shaping {
         |    END)::BIGINT AS n_outliers
         |FROM dev d JOIN mad USING (event_type)
         |GROUP BY d.event_type, med2, mad4""".stripMargin,
+    "q186_gains_table" ->
+      """WITH scored AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS score_cents,
+        |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM customer),
+        |dec AS (SELECT *, ntile(10) OVER
+        |    (ORDER BY score_cents DESC, c_custkey ASC) AS decile
+        |  FROM scored),
+        |per AS (SELECT decile, count(*)::BIGINT AS n,
+        |    sum(label)::BIGINT AS positives
+        |  FROM dec GROUP BY decile),
+        |cum AS (SELECT decile, n, positives,
+        |    sum(positives) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS cum_pos,
+        |    sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS cum_n,
+        |    sum(positives) OVER ()::BIGINT AS tot_pos,
+        |    sum(n) OVER ()::BIGINT AS tot_n
+        |  FROM per)
+        |SELECT decile, n, positives,
+        |  CAST(1000000::HUGEINT * cum_pos // tot_pos::HUGEINT
+        |    AS BIGINT) AS capture_micro,
+        |  CAST(1000000::HUGEINT * cum_pos * tot_n
+        |    // (cum_n::HUGEINT * tot_pos) AS BIGINT) AS lift_micro
+        |FROM cum""".stripMargin,
   )
 }
