@@ -942,8 +942,43 @@ object Curation {
           .as("loo_micro"))
   }
 
+  /** q190 — mutual-information cell table between two categorical
+    * columns (source × lang): the feature-selection / redundancy
+    * probe — how much does knowing the source tell you about the
+    * language? Per-cell PMI follows the q108 rule: ln of the exact
+    * rational (c_sl·N)/(c_s·c_l) — decimal(38,0) products so the
+    * argument is the same number on both engines — micro-quantized
+    * per cell BEFORE any summation (q77's rule: a float Σ p·ln(...)
+    * would be partial-sum-order dependent; integer contributions sum
+    * exactly on any partitioning). MI is recoverable as
+    * Σ mi_contrib_micro div 1; the output keeps the per-cell
+    * decomposition a dataset card wants. Three grouped counts —
+    * marginals are O(categories) broadcasts — and one map-side
+    * expression; no window, no join wider than the cell table. */
+  val mutualInfo: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"source", $"lang")
+    val cell = d.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("c_sl"))
+    val ms = d.groupBy($"source").agg(count(lit(1)).as("c_s"))
+    val ml = d.groupBy($"lang").agg(count(lit(1)).as("c_l"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    cell.join(broadcast(ms), Seq("source"))
+      .join(broadcast(ml), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select($"source", $"lang", $"c_sl", $"c_s", $"c_l", $"n",
+        round(log((expr("CAST(c_sl AS DECIMAL(38,0)) * n"))
+          .cast("double") /
+          expr("CAST(c_s AS DECIMAL(38,0)) * c_l").cast("double"))
+          * 1000000.0).cast("long").as("pmi_micro"))
+      .withColumn("mi_contrib_micro",
+        expr("CAST(CAST(c_sl AS DECIMAL(38,0)) * pmi_micro" +
+          " div CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q188_target_encode" -> targetEncode,
+    "q190_mutual_info" -> mutualInfo,
     "q108_pmi_collocations" -> pmiCollocations,
     "q121_bigram_surprise" -> bigramSurprise,
     "q135_ngram_novelty" -> ngramNovelty,
@@ -1472,6 +1507,24 @@ object Curation {
         |    ELSE CAST(1000000::HUGEINT * gs // gn::HUGEINT AS BIGINT)
         |  END AS loo_micro
         |FROM o JOIN seg USING (segment) CROSS JOIN gtot""".stripMargin,
+    "q190_mutual_info" ->
+      """WITH cell AS (SELECT source, lang, count(*)::BIGINT AS c_sl
+        |  FROM documents GROUP BY source, lang),
+        |ms AS (SELECT source, count(*)::BIGINT AS c_s
+        |  FROM documents GROUP BY source),
+        |ml AS (SELECT lang, count(*)::BIGINT AS c_l
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |p AS (SELECT source, lang, c_sl, c_s, c_l, n,
+        |    CAST(round(ln(CAST(c_sl::HUGEINT * n AS DOUBLE)
+        |      / CAST(c_s::HUGEINT * c_l AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS pmi_micro
+        |  FROM cell JOIN ms USING (source) JOIN ml USING (lang)
+        |  CROSS JOIN tot)
+        |SELECT source, lang, c_sl, c_s, c_l, n, pmi_micro,
+        |  CAST(c_sl::HUGEINT * pmi_micro // n::HUGEINT AS BIGINT)
+        |    AS mi_contrib_micro
+        |FROM p""".stripMargin,
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
     "q135_ngram_novelty" -> sqlNovelty,

@@ -1230,6 +1230,64 @@ object Scale {
           lit(4) * ($"n" * $"sxx" - $"sx" * $"sx")).as("is_anomaly"))
   }
 
+  /** q189 — A/B test read-out per metric (Welch two-sample z at
+    * |z| > 2): users hash-split into arms by the q134 rule (pure
+    * function of user_id — reproducible forever, no RNG state), then
+    * ONE conditional-aggregation pass computes both arms' exact
+    * moment sums per event type — no join, no window, map-side
+    * combined. The significance fence is the cross-multiplied form of
+    * (m_a−m_b)² > 4(v_a/n_a + v_b/n_b): diff²(n_a−1)(n_b−1) >
+    * 4[(n_a·sxx_a − sx_a²)n_b²(n_b−1) + (n_b·sxx_b − sx_b²)n_a²(n_a−1)]
+    * with diff = sx_a·n_b − sx_b·n_a. diff and both variance
+    * numerators are EXACT decimal(38,0) (each under ~1e31 at any real
+    * scale); the OUTER products would need ~76 digits, so the final
+    * comparison runs in double — same operation tree over the same
+    * exact integers on both engines, hence deterministic (the
+    * approximation is ULP-level and could flip only hairline z≈2
+    * cases). Mean diff is reported in exact micro-cents via integral
+    * division. */
+  val abTest: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e = Tables(s, dir, "events").filter($"value".isNotNull)
+      .select($"event_type",
+        (Hashing.hash60(concat(lit("ab|"), $"user_id".cast("string")))
+          % 2).as("arm"),
+        round($"value" * 100).cast("long").as("y"))
+    def armAgg(a: Int, nm: String) = Seq(
+      sum(when($"arm" === a, 1L).otherwise(0L)).as(s"n_$nm"),
+      sum(when($"arm" === a, dec($"y")).otherwise(dec(lit(0))))
+        .as(s"sx_$nm"),
+      sum(when($"arm" === a, dec($"y") * dec($"y"))
+        .otherwise(dec(lit(0)))).as(s"sxx_$nm"))
+    val aggs = armAgg(0, "a") ++ armAgg(1, "b")
+    e.groupBy($"event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"event_type", $"n_a", $"n_b",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0))" +
+          " * (sx_a * n_b - sx_b * n_a)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("mean_diff_micro"),
+        welchFence($"sx_a", $"sx_b", $"n_a", $"n_b", $"sxx_a", $"sxx_b")
+          .as("significant"))
+  }
+
+  /** The cross-multiplied Welch fence. diff and the variance
+    * numerators are exact decimals; the outer products run in double
+    * (their exact forms need ~76 digits) with a fixed operation tree
+    * mirrored verbatim in the oracle SQL. */
+  private def welchFence(sxA: Column, sxB: Column, nA: Column,
+      nB: Column, sxxA: Column, sxxB: Column): Column = {
+    val d = (c: Column) => c.cast("double")
+    val diff = d(sxA * nB - sxB * nA)
+    val va = d(nA * sxxA - sxA * sxA)
+    val vb = d(nB * sxxB - sxB * sxB)
+    val lhs = diff * diff * d(nA - 1) * d(nB - 1)
+    val rhs = (va * d(nB) * d(nB) * d(nB - 1) +
+      vb * d(nA) * d(nA) * d(nA - 1)) * 4.0d
+    lhs > rhs
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
     "q81_asof_tolerance" -> asofTolerance,
@@ -1273,6 +1331,7 @@ object Scale {
     "q183_cusum_changepoint" -> cusumChangepoint,
     "q184_cooccurrence" -> cooccurrence,
     "q187_dow_anomaly" -> dowAnomaly,
+    "q189_ab_test" -> abTest,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2021,6 +2080,36 @@ object Scale {
         |  (n * cents::HUGEINT - sx) * (n * cents::HUGEINT - sx)
         |    > 4 * (n * sxx - sx * sx) AS is_anomaly
         |FROM d2 JOIN m USING (dow)""".stripMargin,
+    "q189_ab_test" -> {
+      val arm = graft.functions.Hashing.sqlHash60(
+        "'ab|' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT event_type, $arm % 2 AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 0 THEN y::HUGEINT ELSE 0 END) AS sx_a,
+         |    sum(CASE WHEN arm = 1 THEN y::HUGEINT ELSE 0 END) AS sx_b,
+         |    sum(CASE WHEN arm = 0 THEN y::HUGEINT * y ELSE 0 END)
+         |      AS sxx_a,
+         |    sum(CASE WHEN arm = 1 THEN y::HUGEINT * y ELSE 0 END)
+         |      AS sxx_b
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, n_a, n_b,
+         |  CAST(1000000::HUGEINT * (sx_a * n_b - sx_b * n_a)
+         |    // (n_a::HUGEINT * n_b) AS BIGINT) AS mean_diff_micro,
+         |  CAST(sx_a * n_b - sx_b * n_a AS DOUBLE)
+         |    * CAST(sx_a * n_b - sx_b * n_a AS DOUBLE)
+         |    * CAST(n_a - 1 AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)
+         |  > (CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+         |      * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+         |      * CAST(n_b - 1 AS DOUBLE)
+         |    + CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+         |      * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+         |      * CAST(n_a - 1 AS DOUBLE)) * 4.0 AS significant
+         |FROM s""".stripMargin
+    },
   )
 
 }
