@@ -1549,29 +1549,47 @@ object TrainingData {
   val prefixJaccardJoin: Q = (s, dir) => {
     import s.implicits._
     val c = corpus(s, dir)
-    val toks = c
+    // ONE materialized shingle-SET pass (q99's rule): the arrays feed
+    // the exploded df-rank chain AND both verify lookups. Verifying
+    // against the per-doc ARRAYS (one row per candidate, array
+    // intersect in the expression layer) matters as much as the prefix
+    // filter itself: verifying through the exploded table would fan
+    // out candidates × shingles — measured 14.4 s at sf0.1 vs 8.9 s
+    // for this form (this synthetic corpus is template-heavy, so the
+    // candidate set is inherently large; on a natural corpus the
+    // prefix filter prunes far harder).
+    val shs = c
       .select($"doc_id", TextOps.tokens($"text").as("ws"))
       .select($"doc_id",
-        explode(TextOps.shinglesFromTokens($"ws", ShingleN)).as("tok"))
-    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+        TextOps.shinglesFromTokens($"ws", ShingleN).as("sh_set"))
+      .localCheckpoint()
+    val toks = shs.select($"doc_id", explode($"sh_set").as("tok"))
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
     val prefix = toks.join(freq, Seq("tok"))
       .withColumn("rn", row_number().over(wRank))
-      .join(sizes, Seq("doc_id"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"rn" <= $"sz" - expr("(sz + 1) div 2") + 1)
-      .select($"doc_id", $"tok")
+      .select($"doc_id", $"tok", $"sz")
+    // candidate pruning layer 2 — the AllPairs length filter: J ≥ θ
+    // forces θ·|x| ≤ |y| ≤ |x|/θ (J ≤ min/max of the sizes), so
+    // size-incompatible collisions never become candidates
     val cand = prefix.as("pa").join(prefix.as("pb"), Seq("tok"))
-      .filter(col("pa.doc_id") < col("pb.doc_id"))
+      .filter(col("pa.doc_id") < col("pb.doc_id") &&
+        col("pb.sz") * 2 >= col("pa.sz") &&
+        col("pb.sz") <= col("pa.sz") * 2)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(toks.select($"doc_id".as("doc_a"), $"tok"), Seq("doc_a"))
-      .join(toks.select($"doc_id".as("doc_b"), $"tok"), Seq("doc_b", "tok"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sa")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sb")), Seq("doc_b"))
+    cand
+      .join(shs.select($"doc_id".as("doc_a"), $"sh_set".as("sa_set")),
+        Seq("doc_a"))
+      .join(shs.select($"doc_id".as("doc_b"), $"sh_set".as("sb_set")),
+        Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa_set", $"sb_set")).cast("long")
+          .as("inter"),
+        size($"sa_set").cast("long").as("sa"),
+        size($"sb_set").cast("long").as("sb"))
       .withColumn("jac_micro",
         expr("(1000000 * inter) div (sa + sb - inter)"))
       .filter($"jac_micro" >= 500000L)
