@@ -67,4 +67,31 @@ object ScaleWindows {
           .cast("int"))
       .drop("__pid", "__rn", "__off", "__total", "__i", "__q", "__r")
   }
+
+  /** Exact EXCLUSIVE prefix sum of `value` over the global order
+    * `keys` (sum of strictly-preceding rows; 0 for the first) without
+    * a single-partition sort: range exchange → per-partition totals →
+    * broadcast triangular offsets over the P-row frame → partition-
+    * local running sum + carried offset. Same determinism contract as
+    * [[rangeNtile]]: `keys` must be a total order. Adds `out` (long). */
+  def rangeCumSum(df: DataFrame, keys: Seq[Column], value: Column,
+                  out: String, parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val sums = ranged.groupBy(col("__pid"))
+      .agg(sum(value).as("__psum"))
+    val rhs = sums.select(col("__pid").as("__pid2"),
+      col("__psum").as("__psum2"))
+    val offs = sums.crossJoin(broadcast(rhs))
+      .groupBy(col("__pid"))
+      .agg(sum(when(col("__pid2") < col("__pid"), col("__psum2"))
+          .otherwise(lit(0L))).as("__off"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__local", coalesce(sum(value).over(wp), lit(0L)))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
 }

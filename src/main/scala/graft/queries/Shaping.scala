@@ -933,6 +933,44 @@ object Shaping {
           .as("lift_micro"))
   }
 
+  /** q191 — exact AUC (rank-probability that a random positive
+    * outscores a random negative, ties at half credit) WITHOUT a
+    * global rank: the corpus collapses to a SCORE HISTOGRAM
+    * (n_pos, n_neg per distinct score — one map-side-combined
+    * aggregate), and AUC = Σ_s [2·n_pos(s)·cumneg_<s +
+    * n_pos(s)·n_neg(s)] / (2·P·N) needs only a prefix sum over the
+    * O(score-grid) frame, done scale-safe via ScaleWindows.rangeCumSum
+    * (range exchange + offset carry — no unpartitioned window even on
+    * the bounded histogram). All products are
+    * decimal(38,0) exact; the single output row is the integral
+    * micro-division. The companion of q186 (same acctbal score), with
+    * a discriminating label — "ever placed a >450k order" — because
+    * the synthetic orders table covers every customer, so q186's
+    * has-any-order label is one-class and AUC would be undefined. */
+  val aucExact: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("score"),
+        coalesce($"label", lit(0L)).as("label"))
+    val hist = scored.groupBy($"score")
+      .agg(sum($"label").as("np"),
+        sum(lit(1L) - $"label").as("nn"))
+    graft.functions.ScaleWindows
+      .rangeCumSum(hist, Seq($"score".asc), $"nn", "cum_neg")
+      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum(expr("CAST(2 AS DECIMAL(38,0)) * np * cum_neg") +
+          expr("CAST(np AS DECIMAL(38,0)) * nn")).as("num"))
+      .select($"n_pos", $"n_neg",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * num" +
+          " div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)")
+          .as("auc_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -970,6 +1008,7 @@ object Shaping {
     "q179_attribution" -> attribution,
     "q180_mad_outliers" -> madOutliers,
     "q186_gains_table" -> gainsTable,
+    "q191_auc_exact" -> aucExact,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1524,6 +1563,26 @@ object Shaping {
         |    AS BIGINT) AS capture_micro,
         |  CAST(1000000::HUGEINT * cum_pos * tot_n
         |    // (cum_n::HUGEINT * tot_pos) AS BIGINT) AS lift_micro
+        |FROM cum""".stripMargin,
+    "q191_auc_exact" ->
+      """WITH scored AS (SELECT
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+        |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |      WHERE o_totalprice > 450000)
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM customer),
+        |hist AS (SELECT score, sum(label)::BIGINT AS np,
+        |    sum(1 - label)::BIGINT AS nn
+        |  FROM scored GROUP BY score),
+        |cum AS (SELECT score, np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS cum_neg
+        |  FROM hist)
+        |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+        |  CAST(1000000::HUGEINT *
+        |    sum(2::HUGEINT * np * cum_neg + np::HUGEINT * nn)
+        |    // (2::HUGEINT * sum(np) * sum(nn)) AS BIGINT) AS auc_micro
         |FROM cum""".stripMargin,
   )
 }
