@@ -75,23 +75,34 @@ object ScaleWindows {
     * local running sum + carried offset. Same determinism contract as
     * [[rangeNtile]]: `keys` must be a total order. Adds `out` (long). */
   def rangeCumSum(df: DataFrame, keys: Seq[Column], value: Column,
-                  out: String, parts: Int = 32): DataFrame = {
+                  out: String, parts: Int = 32): DataFrame =
+    rangeCumSums(df, keys, Seq(value -> out), parts)
+
+  /** Multi-value form of [[rangeCumSum]]: N exclusive prefix sums over
+    * ONE range exchange and one partition-local WindowExec (all sums
+    * share the frame). `values` maps each summed column to its output
+    * column name. */
+  def rangeCumSums(df: DataFrame, keys: Seq[Column],
+                   values: Seq[(Column, String)],
+                   parts: Int = 32): DataFrame = {
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
-    val sums = ranged.groupBy(col("__pid"))
-      .agg(sum(value).as("__psum"))
-    val rhs = sums.select(col("__pid").as("__pid2"),
-      col("__psum").as("__psum2"))
+    val psums = values.map { case (v, o) => sum(v).as(s"__psum_$o") }
+    val sums = ranged.groupBy(col("__pid")).agg(psums.head, psums.tail: _*)
+    val rhs = sums.select(col("__pid").as("__pid2") +:
+      values.map { case (_, o) => col(s"__psum_$o").as(s"__psum2_$o") }: _*)
+    val offAggs = values.map { case (_, o) =>
+      sum(when(col("__pid2") < col("__pid"), col(s"__psum2_$o"))
+        .otherwise(lit(0L))).as(s"__off_$o")
+    }
     val offs = sums.crossJoin(broadcast(rhs))
-      .groupBy(col("__pid"))
-      .agg(sum(when(col("__pid2") < col("__pid"), col("__psum2"))
-          .otherwise(lit(0L))).as("__off"))
+      .groupBy(col("__pid")).agg(offAggs.head, offAggs.tail: _*)
     val wp = Window.partitionBy(col("__pid")).orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("__local", coalesce(sum(value).over(wp), lit(0L)))
-      .join(broadcast(offs), Seq("__pid"))
-      .withColumn(out, col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+    val joined = ranged.join(broadcast(offs), Seq("__pid"))
+    val withOut = values.foldLeft(joined) { case (d, (v, o)) =>
+      d.withColumn(o, coalesce(sum(v).over(wp), lit(0L)) + col(s"__off_$o"))
+    }
+    withOut.drop("__pid" +: values.map { case (_, o) => s"__off_$o" }: _*)
   }
 }

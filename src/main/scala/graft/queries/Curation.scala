@@ -976,9 +976,48 @@ object Curation {
           " div CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
   }
 
+  /** q194 — chi-squared test of independence over the SAME source ×
+    * lang contingency table as q190 (MI says how much structure; χ²
+    * says whether it clears chance). Unlike q190 the statistic needs
+    * the EMPTY cells too ((0−e)²/e = e per unobserved combo), so the
+    * cell frame is the full marginal cross product — an O(cats²)
+    * broadcast cross join, tiny at any corpus size — left-joined to
+    * the observed counts. Per cell, χ² = (o·n − r·c)²/(n·r·c): the
+    * inner diff o·n − r·c is exact decimal(38,0) (≤ ~1e24), its
+    * square would need ~48 digits so the outer ratio runs in double
+    * over the same exact integers with a fixed operation tree
+    * mirrored in the oracle (q189's rule), micro-quantized per cell
+    * BEFORE summation (q77's order-independence rule). Expected
+    * counts are exact integral micros. */
+  val chiSquared: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents").select($"source", $"lang")
+    val cell = d.groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+    val ms = d.groupBy($"source").agg(count(lit(1)).as("r"))
+    val ml = d.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    ms.crossJoin(broadcast(ml))
+      .join(cell, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"lang", coalesce($"o", lit(0L)).as("o"),
+        $"r", $"c", $"n")
+      .withColumn("e_micro",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * r * c" +
+          " div CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("__diff",
+        expr("CAST(CAST(o AS DECIMAL(38,0)) * n" +
+          " - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)"))
+      .withColumn("chi2_contrib_micro",
+        round($"__diff" * $"__diff" /
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE)")
+          * 1000000.0).cast("long"))
+      .drop("__diff")
+  }
+
   val queries: Map[String, Q] = Map(
     "q188_target_encode" -> targetEncode,
     "q190_mutual_info" -> mutualInfo,
+    "q194_chi_squared" -> chiSquared,
     "q108_pmi_collocations" -> pmiCollocations,
     "q121_bigram_surprise" -> bigramSurprise,
     "q135_ngram_novelty" -> ngramNovelty,
@@ -1525,6 +1564,29 @@ object Curation {
         |  CAST(c_sl::HUGEINT * pmi_micro // n::HUGEINT AS BIGINT)
         |    AS mi_contrib_micro
         |FROM p""".stripMargin,
+    "q194_chi_squared" ->
+      """WITH cell AS (SELECT source, lang, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY source, lang),
+        |ms AS (SELECT source, count(*)::BIGINT AS r
+        |  FROM documents GROUP BY source),
+        |ml AS (SELECT lang, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |grid AS (SELECT ms.source, ml.lang, r, c, n,
+        |    coalesce(o, 0)::BIGINT AS o
+        |  FROM ms CROSS JOIN ml CROSS JOIN tot
+        |  LEFT JOIN cell ON cell.source = ms.source
+        |    AND cell.lang = ml.lang),
+        |d AS (SELECT source, lang, o, r, c, n,
+        |    CAST(o::HUGEINT * n - r::HUGEINT * c AS DOUBLE) AS diff
+        |  FROM grid)
+        |SELECT source, lang, o, r, c, n,
+        |  CAST(1000000::HUGEINT * r * c // n::HUGEINT AS BIGINT)
+        |    AS e_micro,
+        |  CAST(round(diff * diff
+        |    / CAST(n::HUGEINT * r * c AS DOUBLE) * 1000000.0)
+        |    AS BIGINT) AS chi2_contrib_micro
+        |FROM d""".stripMargin,
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
     "q135_ngram_novelty" -> sqlNovelty,

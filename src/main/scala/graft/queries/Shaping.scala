@@ -971,6 +971,96 @@ object Shaping {
           .as("auc_micro"))
   }
 
+  /** q192 — two-sample Kolmogorov–Smirnov distance between the A/B
+    * arms' spend distributions (the distribution-level companion of
+    * q189's mean-level Welch read-out; same hash-split arm rule).
+    * Rank-free like q191: both arms collapse to ONE shared value
+    * histogram (n_a, n_b per distinct cent value — map-side combined),
+    * both inclusive CDFs come from a single
+    * ScaleWindows.rangeCumSums pass (one range exchange, one
+    * partitioned WindowExec), and D = max |F_a−F_b| is the max over
+    * the O(value-grid) frame of the EXACT integer cross-product
+    * |cum_a·N_b − cum_b·N_a| (≤ ~1e24 at any real scale —
+    * decimal(38,0) exact). Arm totals are read off the cum frame
+    * (max of an inclusive CDF), so the corpus is scanned once.
+    * Output: arm sizes, the KS distance in exact integral micros, and
+    * the smallest value where the max gap is attained. */
+  val ksTest: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").filter($"value".isNotNull)
+      .select(
+        (graft.functions.Hashing.hash60(
+          concat(lit("ab|"), $"user_id".cast("string"))) % 2).as("arm"),
+        round($"value" * 100).cast("long").as("y"))
+    val hist = e.groupBy($"y")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("nb"))
+    val cum = graft.functions.ScaleWindows
+      .rangeCumSums(hist, Seq($"y".asc), Seq($"na" -> "ca", $"nb" -> "cb"))
+      .select($"y", ($"ca" + $"na").as("ca"), ($"cb" + $"nb").as("cb"))
+    val tot = cum.agg(max($"ca").as("ta"), max($"cb").as("tb"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .select($"y", $"ta", $"tb",
+        abs(expr("CAST(ca AS DECIMAL(38,0)) * tb" +
+          " - CAST(cb AS DECIMAL(38,0)) * ta")).as("gap"))
+    val mx = gaps.agg(max($"gap").as("gmax"))
+    gaps.crossJoin(broadcast(mx))
+      .filter($"gap" === $"gmax")
+      .groupBy($"ta", $"tb", $"gmax")
+      .agg(min($"y").as("at_y"))
+      .select($"ta".as("n_a"), $"tb".as("n_b"), $"at_y",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * gmax" +
+          " div (CAST(ta AS DECIMAL(38,0)) * tb) AS BIGINT)")
+          .as("ks_micro"))
+  }
+
+  /** q193 — Spearman rank correlation between a customer's account
+    * balance and their lifetime spend, with exact average-rank tie
+    * handling and NO global rank of the row frame: each variable's
+    * average rank comes from its value HISTOGRAM (avg rank of value v
+    * = excl_cum(v) + (n_v+1)/2, doubled to the integer 2·rank), the
+    * exclusive cums via ScaleWindows.rangeCumSum; the row frame
+    * collapses to the (x,y) CELL table so the moment pass is one
+    * map-side-combined aggregate over O(distinct pairs) rows. All six
+    * moments are decimal(38,0)-exact (the ×2 rank doubling cancels in
+    * the ratio); bounds: n·Σ(cnt·r2x·r2y) ≈ 4n⁴ stays inside
+    * decimal(38,0) through n ≈ 1e9 rows — past that the outer
+    * products must drop to double (q189's documented rule). The final
+    * ratio needs sqrt, so it runs in double over the SAME exact
+    * integers with a fixed operation tree mirrored verbatim in the
+    * oracle — ULP-level, deterministic. */
+  val spearman: Q = (s, dir) => {
+    import s.implicits._
+    val spend = Tables(s, dir, "orders").groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val pts = Tables(s, dir, "customer")
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("x"),
+        coalesce($"y", lit(0L)).as("y"))
+    def rank2(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val h = df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      graft.functions.ScaleWindows
+        .rangeCumSum(h, Seq(col(key).asc), col("__cnt"), "__cum")
+        .select(col(key),
+          (lit(2L) * col("__cum") + col("__cnt") + 1L).as(s"r2$key"))
+    }
+    val cells = pts.groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    cells.join(rank2(pts.select($"x"), "x"), Seq("x"))
+      .join(rank2(pts.select($"y"), "y"), Seq("y"))
+      .agg(sum($"cnt").as("n"),
+        sum(dec($"cnt") * $"r2x").as("sx"),
+        sum(dec($"cnt") * $"r2y").as("sy"),
+        sum(dec($"cnt") * $"r2x" * $"r2x").as("sxx"),
+        sum(dec($"cnt") * $"r2y" * $"r2y").as("syy"),
+        sum(dec($"cnt") * $"r2x" * $"r2y").as("sxy"))
+      .select($"n",
+        round(expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+            sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)"))) * 1000000.0)
+          .cast("long").as("rho_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1009,6 +1099,8 @@ object Shaping {
     "q180_mad_outliers" -> madOutliers,
     "q186_gains_table" -> gainsTable,
     "q191_auc_exact" -> aucExact,
+    "q192_ks_test" -> ksTest,
+    "q193_spearman" -> spearman,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1584,5 +1676,63 @@ object Shaping {
         |    sum(2::HUGEINT * np * cum_neg + np::HUGEINT * nn)
         |    // (2::HUGEINT * sum(np) * sum(nn)) AS BIGINT) AS auc_micro
         |FROM cum""".stripMargin,
+    "q192_ks_test" -> {
+      val h = graft.functions.Hashing.sqlHash60(
+        "'ab|' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT $h % 2 AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |hist AS (SELECT y,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+         |  FROM e GROUP BY y),
+         |cum AS (SELECT y,
+         |    sum(na) OVER (ORDER BY y)::BIGINT AS ca,
+         |    sum(nb) OVER (ORDER BY y)::BIGINT AS cb
+         |  FROM hist),
+         |tot AS (SELECT max(ca)::BIGINT AS ta, max(cb)::BIGINT AS tb
+         |  FROM cum),
+         |gaps AS (SELECT y, ta, tb,
+         |    abs(ca::HUGEINT * tb - cb::HUGEINT * ta) AS gap
+         |  FROM cum CROSS JOIN tot),
+         |mx AS (SELECT max(gap) AS gmax FROM gaps)
+         |SELECT ta AS n_a, tb AS n_b, min(y) AS at_y,
+         |  CAST(1000000::HUGEINT * gmax
+         |    // (ta::HUGEINT * tb) AS BIGINT) AS ks_micro
+         |FROM gaps CROSS JOIN mx WHERE gap = gmax
+         |GROUP BY ta, tb, gmax""".stripMargin
+    },
+    "q193_spearman" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+        |    coalesce(y, 0)::BIGINT AS y
+        |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+        |hx AS (SELECT x, count(*)::BIGINT AS c FROM pts GROUP BY x),
+        |rx AS (SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS r2x
+        |  FROM hx),
+        |hy AS (SELECT y, count(*)::BIGINT AS c FROM pts GROUP BY y),
+        |ry AS (SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS r2y
+        |  FROM hy),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS cnt
+        |  FROM pts GROUP BY x, y),
+        |m AS (SELECT sum(cnt)::BIGINT AS n,
+        |    sum(cnt::HUGEINT * r2x) AS sx,
+        |    sum(cnt::HUGEINT * r2y) AS sy,
+        |    sum(cnt::HUGEINT * r2x * r2x) AS sxx,
+        |    sum(cnt::HUGEINT * r2y * r2y) AS syy,
+        |    sum(cnt::HUGEINT * r2x * r2y) AS sxy
+        |  FROM cells JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n,
+        |  CAST(round((n * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((n * sxx - sx * sx)::DOUBLE) *
+        |      sqrt((n * syy - sy * sy)::DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS rho_micro
+        |FROM m""".stripMargin,
   )
 }

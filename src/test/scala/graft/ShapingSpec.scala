@@ -50,6 +50,32 @@ class ShapingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rangeCumSums matches the global-window prefix sum exactly and " +
+    "keeps the window partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(997).toDF("id")
+      .withColumn("k", (col("id") * 7 % 101).cast("long"))
+      .withColumn("a", col("id") % 5)
+      .withColumn("b", col("id") % 3)
+      .groupBy("k").agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+      .cache()
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.select(col("k"),
+      coalesce(sum(col("a")).over(w), lit(0L)).as("ca"),
+      coalesce(sum(col("b")).over(w), lit(0L)).as("cb"))
+    val got = graft.functions.ScaleWindows
+      .rangeCumSums(df, Seq(col("k").asc),
+        Seq(col("a") -> "ca", col("b") -> "cb"), parts = 7)
+      .select(col("k"), col("ca"), col("cb"))
+    assert(got.except(expected).count() === 0 &&
+      expected.except(got).count() === 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      "cumsum window must be partitioned by the range-partition id")
+    df.unpersist()
+  }
+
   test("retention cohorts: offsets non-negative, day-0 equals cohort " +
     "size, users conserved") {
     val m = Shaping.retentionCohorts(spark, sfDir).cache()
