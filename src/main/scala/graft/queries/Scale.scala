@@ -328,6 +328,24 @@ object Scale {
       .select($"id".as("node_id"), $"rank")
   }
 
+  /** q196 — HITS hubs & authorities over the DIRECTED supplier→part
+    * bipartite graph (same node encoding as q89): suppliers are hubs
+    * (they "point at" the parts they stock), parts are authorities.
+    * Two fixed-point iterations of functions.Hits — per half-round
+    * one co-partitioned join + partial-aggregated long sum, then an
+    * L1 re-scale by a one-row decimal(38,0) broadcast (integral
+    * division; L2's sqrt would put a float inside the loop). Scores
+    * are bit-identical under any partitioning, which is what lets
+    * this distributed run hash-match the unrolled single-threaded
+    * oracle. */
+  val hits: Q = (s, dir) => {
+    import s.implicits._
+    val edges = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("src"),
+        (lit(100000L) + $"l_partkey").as("dst"))
+    graft.functions.Hits.scores(edges, iters = 2)
+  }
+
   /** q132 — two-hop neighborhood feature aggregation (the GraphSAGE /
     * message-passing data-prep layer as relational ops): part features
     * (price, size) mean-pooled onto suppliers, supplier summaries
@@ -1303,6 +1321,7 @@ object Scale {
     "q120_cluster_representative" -> clusterRepresentative,
     "q87_dup_clusters_star" -> dupClustersStar,
     "q89_pagerank" -> pagerank,
+    "q196_hits" -> hits,
     "q131_personalized_pagerank" -> personalizedPagerank,
     "q132_graph_sage" -> graphSage,
     "q105_triangles" -> triangles,
@@ -1560,6 +1579,44 @@ object Scale {
        |      + (85 * coalesce(c2.s, 0)) // 100 AS rank
        |    FROM nodes LEFT JOIN c2 USING (id))
        |SELECT id AS node_id, CAST(rank AS BIGINT) AS rank FROM r2""".stripMargin
+  }
+
+  private val sqlHits = {
+    // identical fixed-point half-rounds, unrolled; `//` = Spark `div`
+    // on the all-positive scores
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+       |    100000 + l_partkey AS dst FROM lineitem),
+       |srcs AS (SELECT DISTINCT src AS id FROM e),
+       |dsts AS (SELECT DISTINCT dst AS id FROM e),
+       |h0 AS (SELECT id, 1000000::HUGEINT AS hub FROM srcs),
+       |a1r AS (SELECT dst AS id, sum(hub)::HUGEINT AS raw
+       |  FROM e JOIN h0 ON e.src = h0.id GROUP BY dst),
+       |a1t AS (SELECT sum(raw)::HUGEINT AS tot FROM a1r),
+       |a1 AS (SELECT dsts.id, coalesce(raw, 0)::HUGEINT * 1000000
+       |    // (SELECT tot FROM a1t) AS auth
+       |  FROM dsts LEFT JOIN a1r USING (id)),
+       |h1r AS (SELECT src AS id, sum(auth)::HUGEINT AS raw
+       |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY src),
+       |h1t AS (SELECT sum(raw)::HUGEINT AS tot FROM h1r),
+       |h1 AS (SELECT srcs.id, coalesce(raw, 0)::HUGEINT * 1000000
+       |    // (SELECT tot FROM h1t) AS hub
+       |  FROM srcs LEFT JOIN h1r USING (id)),
+       |a2r AS (SELECT dst AS id, sum(hub)::HUGEINT AS raw
+       |  FROM e JOIN h1 ON e.src = h1.id GROUP BY dst),
+       |a2t AS (SELECT sum(raw)::HUGEINT AS tot FROM a2r),
+       |a2 AS (SELECT dsts.id, coalesce(raw, 0)::HUGEINT * 1000000
+       |    // (SELECT tot FROM a2t) AS auth
+       |  FROM dsts LEFT JOIN a2r USING (id)),
+       |h2r AS (SELECT src AS id, sum(auth)::HUGEINT AS raw
+       |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY src),
+       |h2t AS (SELECT sum(raw)::HUGEINT AS tot FROM h2r),
+       |h2 AS (SELECT srcs.id, coalesce(raw, 0)::HUGEINT * 1000000
+       |    // (SELECT tot FROM h2t) AS hub
+       |  FROM srcs LEFT JOIN h2r USING (id))
+       |SELECT id, 'hub' AS role, CAST(hub AS BIGINT) AS score FROM h2
+       |UNION ALL
+       |SELECT id, 'authority' AS role, CAST(auth AS BIGINT) AS score
+       |FROM a2""".stripMargin
   }
 
   private val sqlPpr = {
@@ -1911,6 +1968,7 @@ object Scale {
     "q120_cluster_representative" -> sqlClusterRep,
     "q87_dup_clusters_star" -> sqlDupClusters,
     "q89_pagerank" -> sqlPagerank,
+    "q196_hits" -> sqlHits,
     "q131_personalized_pagerank" -> sqlPpr,
     "q132_graph_sage" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey AS supp, l_partkey AS part

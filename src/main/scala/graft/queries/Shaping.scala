@@ -593,6 +593,55 @@ object Shaping {
           .otherwise(0).as("funnel_stage"))
   }
 
+  /** q195 — time-constrained window funnel (the windowFunnel shape of
+    * event-analytics engines): click → view within 1 h of THAT click →
+    * purchase within 24 h of THAT view, with EXISTS-chain semantics —
+    * any qualifying chain counts, not just one grown greedily from the
+    * earliest click (greedy-from-min, q78's shape, misses conversions
+    * whose first click went nowhere). Each stage is an equi-join on
+    * user_id with the interval predicate as a post-join filter, so
+    * every exchange is user-keyed and co-partitioned; fan-out is
+    * bounded by per-user activity inside the window (interval-bounded,
+    * never all-pairs). The reported chain per depth is the
+    * lexicographically earliest (min over a struct — deterministic
+    * under any partitioning); strict > on both hops so same-second
+    * events never self-satisfy a hop. */
+  val windowFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 1000000").as("tsec"))
+    val users = e.select($"user_id").distinct()
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", $"tsec".as("tc"))
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id".as("uv"), $"tsec".as("tv"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("up"), $"tsec".as("tp"))
+    val cv = c.join(v, $"user_id" === $"uv" &&
+        $"tv" > $"tc" && $"tv" <= $"tc" + 3600L)
+      .select($"user_id", $"tc", $"tv")
+    val cvp = cv.join(p, $"user_id" === $"up" &&
+        $"tp" > $"tv" && $"tp" <= $"tv" + 86400L)
+      .select($"user_id", $"tc", $"tv", $"tp")
+    val b1 = c.groupBy($"user_id").agg(min($"tc").as("b1"))
+    val b2 = cv.groupBy($"user_id")
+      .agg(min(struct($"tc", $"tv")).as("b2"))
+    val b3 = cvp.groupBy($"user_id")
+      .agg(min(struct($"tc", $"tv", $"tp")).as("b3"))
+    users.join(b1, Seq("user_id"), "left")
+      .join(b2, Seq("user_id"), "left")
+      .join(b3, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"b3".isNotNull, 3).when($"b2".isNotNull, 2)
+          .when($"b1".isNotNull, 1).otherwise(0).as("depth"),
+        when($"b3".isNotNull, $"b3.tc").when($"b2".isNotNull, $"b2.tc")
+          .otherwise($"b1").as("t_click"),
+        when($"b3".isNotNull, $"b3.tv").when($"b2".isNotNull, $"b2.tv")
+          .as("t_view"),
+        $"b3.tp".as("t_purchase"))
+  }
+
   /** q79 — retention cohort matrix: users grouped by first-activity day
     * (their cohort), activity counted per (cohort, day-offset) cell as
     * distinct users. Two user_id-keyed aggregates + one distinct — the
@@ -1101,6 +1150,7 @@ object Shaping {
     "q191_auc_exact" -> aucExact,
     "q192_ks_test" -> ksTest,
     "q193_spearman" -> spearman,
+    "q195_window_funnel" -> windowFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1734,5 +1784,40 @@ object Shaping {
         |      sqrt((n * syy - sy * sy)::DOUBLE)) * 1000000.0)
         |    AS BIGINT) AS rho_micro
         |FROM m""".stripMargin,
+    "q195_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      AS BIGINT) AS tsec
+        |  FROM events),
+        |c AS (SELECT user_id, tsec AS tc FROM e
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT user_id, tsec AS tv FROM e
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, tsec AS tp FROM e
+        |  WHERE event_type = 'purchase'),
+        |cv AS (SELECT c.user_id, tc, tv FROM c JOIN v
+        |  ON c.user_id = v.user_id AND tv > tc AND tv <= tc + 3600),
+        |cvp AS (SELECT cv.user_id, tc, tv, tp FROM cv JOIN p
+        |  ON cv.user_id = p.user_id AND tp > tv AND tp <= tv + 86400),
+        |b1 AS (SELECT user_id, min(tc) AS b1 FROM c GROUP BY 1),
+        |b2 AS (SELECT DISTINCT ON (user_id) user_id,
+        |    tc AS tc2, tv AS tv2
+        |  FROM cv ORDER BY user_id, tc, tv),
+        |b3 AS (SELECT DISTINCT ON (user_id) user_id,
+        |    tc AS tc3, tv AS tv3, tp AS tp3
+        |  FROM cvp ORDER BY user_id, tc, tv, tp),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN tp3 IS NOT NULL THEN 3
+        |    WHEN tv2 IS NOT NULL THEN 2
+        |    WHEN b1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS depth,
+        |  CASE WHEN tp3 IS NOT NULL THEN tc3
+        |    WHEN tv2 IS NOT NULL THEN tc2 ELSE b1 END AS t_click,
+        |  CASE WHEN tp3 IS NOT NULL THEN tv3
+        |    WHEN tv2 IS NOT NULL THEN tv2 END AS t_view,
+        |  tp3 AS t_purchase
+        |FROM u LEFT JOIN b1 USING (user_id)
+        |  LEFT JOIN b2 USING (user_id)
+        |  LEFT JOIN b3 USING (user_id)""".stripMargin,
   )
 }
