@@ -1110,6 +1110,105 @@ object Shaping {
           .cast("long").as("rho_micro"))
   }
 
+  /** q197 — best binary split by Gini impurity (the inner loop of
+    * decision-tree / GBDT training, as a relational op): over the
+    * same (acctbal-cents score, >450k-order label) frame as q191,
+    * find the threshold minimizing weighted child impurity. The
+    * corpus collapses to the score histogram; both class counts'
+    * inclusive CDFs come from one ScaleWindows.rangeCumSums pass; for
+    * each candidate threshold the split quality is the EXACT rational
+    * [(lp²+ln²)·R + (rp²+rn²)·L] / (L·R) (maximizing it minimizes
+    * weighted Gini), micro-quantized per candidate by decimal(38,0)
+    * integral division (numerator ≤ L·R·n ≈ n³/4 — inside decimal38
+    * through n ≈ 1e12) so the argmax is partition-order independent;
+    * ties break to the smallest threshold. The right-empty last
+    * threshold is excluded (its child ratio is 0/0). */
+  val bestSplit: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("score"),
+        coalesce($"label", lit(0L)).as("label"))
+    val hist = scored.groupBy($"score")
+      .agg(sum($"label").as("np"),
+        sum(lit(1L) - $"label").as("nn"))
+    val cum = graft.functions.ScaleWindows
+      .rangeCumSums(hist, Seq($"score".asc),
+        Seq($"np" -> "cp", $"nn" -> "cn"))
+      .select($"score", ($"cp" + $"np").as("lp"), ($"cn" + $"nn").as("ln"))
+    val tot = cum.agg(max($"lp").as("tp"), max($"ln").as("tn"))
+    val q = cum.crossJoin(broadcast(tot))
+      .select($"score", $"lp", $"ln",
+        ($"tp" - $"lp").as("rp"), ($"tn" - $"ln").as("rn"))
+      .withColumn("l", $"lp" + $"ln")
+      .withColumn("r", $"rp" + $"rn")
+      .filter($"r" > 0)
+      .withColumn("purity_micro",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) *" +
+          " ((CAST(lp AS DECIMAL(38,0)) * lp + CAST(ln AS DECIMAL(38,0)) * ln) * r" +
+          "  + (CAST(rp AS DECIMAL(38,0)) * rp + CAST(rn AS DECIMAL(38,0)) * rn) * l)" +
+          // greatest(...,1): constraint inference pushes an
+          // isnotnull(purity) predicate below the r>0 filter, so the
+          // expression must be total even on the r=0 last row
+          " div greatest(CAST(l AS DECIMAL(38,0)) * r," +
+          " CAST(1 AS DECIMAL(38,0))) AS BIGINT)"))
+    val best = q.agg(max($"purity_micro").as("best"))
+    q.crossJoin(broadcast(best))
+      .filter($"purity_micro" === $"best")
+      .agg(min(struct($"score", $"l", $"r", $"purity_micro")).as("b"))
+      .select($"b.score".as("split_at"), $"b.l".as("n_left"),
+        $"b.r".as("n_right"), $"b.purity_micro".as("purity_micro"))
+  }
+
+  /** q198 — Kaplan–Meier survival curve for time-to-first-purchase
+    * (right-censored at last observed activity): the churn/conversion
+    * analysis primitive. Subjects collapse to the (t, death/censor)
+    * day-offset HISTOGRAM in one user-keyed aggregate; the risk set
+    * n_t = N − Σ_{u<t}(d_u + c_u) comes from one
+    * ScaleWindows.rangeCumSums pass (censorings tied to a death day
+    * stay at risk for it — the standard convention); the output keeps
+    * the curve in LOG space: per death-day factor ln((n−d)/n) is an
+    * exact-rational → double → micro-int quantization (q190's ln
+    * rule — per-day, so the later SUM of factors is integer-exact and
+    * partition-order independent, unlike a float product), and the
+    * cumulative log-survival is a second rangeCumSum over the
+    * O(day-grid) death frame. S(t)=0 (n=d on the last death day)
+    * has no finite log — reported NULL by convention. */
+  val kaplanMeier: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+    val perUser = e.groupBy($"user_id").agg(
+      min($"day").as("d0"), max($"day").as("dlast"),
+      min(when($"event_type" === "purchase", $"day")).as("dp"))
+    val subj = perUser.select(
+      when($"dp".isNotNull, datediff($"dp", $"d0"))
+        .otherwise(datediff($"dlast", $"d0")).as("t"),
+      when($"dp".isNotNull, 1L).otherwise(0L).as("death"))
+    val hist = subj.groupBy($"t")
+      .agg(sum($"death").as("d"), sum(lit(1L) - $"death").as("c"))
+    val tot = hist.agg((sum($"d") + sum($"c")).as("n0"))
+    val risk = graft.functions.ScaleWindows
+      .rangeCumSums(hist, Seq($"t".asc), Seq($"d" -> "cd", $"c" -> "cc"))
+      .crossJoin(broadcast(tot))
+      .select($"t", $"d", ($"n0" - $"cd" - $"cc").as("n"))
+      .filter($"d" > 0)
+      .withColumn("lnf_micro",
+        when($"n" > $"d",
+          round(log(($"n" - $"d").cast("double") / $"n".cast("double"))
+            * 1000000.0).cast("long")))
+    graft.functions.ScaleWindows
+      .rangeCumSum(risk, Seq($"t".asc), $"lnf_micro", "cls")
+      .select($"t", $"n".as("n_risk"), $"d".as("deaths"),
+        $"lnf_micro",
+        when($"lnf_micro".isNotNull, $"cls" + $"lnf_micro")
+          .as("log_surv_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1151,6 +1250,8 @@ object Shaping {
     "q192_ks_test" -> ksTest,
     "q193_spearman" -> spearman,
     "q195_window_funnel" -> windowFunnel,
+    "q197_best_split" -> bestSplit,
+    "q198_kaplan_meier" -> kaplanMeier,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1819,5 +1920,67 @@ object Shaping {
         |FROM u LEFT JOIN b1 USING (user_id)
         |  LEFT JOIN b2 USING (user_id)
         |  LEFT JOIN b3 USING (user_id)""".stripMargin,
+    "q197_best_split" ->
+      """WITH scored AS (SELECT
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+        |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |      WHERE o_totalprice > 450000)
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM customer),
+        |hist AS (SELECT score, sum(label)::BIGINT AS np,
+        |    sum(1 - label)::BIGINT AS nn
+        |  FROM scored GROUP BY score),
+        |cum AS (SELECT score,
+        |    sum(np) OVER (ORDER BY score)::BIGINT AS lp,
+        |    sum(nn) OVER (ORDER BY score)::BIGINT AS ln
+        |  FROM hist),
+        |tot AS (SELECT max(lp)::BIGINT AS tp, max(ln)::BIGINT AS tn
+        |  FROM cum),
+        |q AS (SELECT score, lp, ln, tp - lp AS rp, tn - ln AS rn,
+        |    lp + ln AS l, (tp - lp) + (tn - ln) AS r
+        |  FROM cum CROSS JOIN tot),
+        |p AS (SELECT score, l, r,
+        |    CAST(1000000::HUGEINT *
+        |      ((lp::HUGEINT * lp + ln::HUGEINT * ln) * r
+        |        + (rp::HUGEINT * rp + rn::HUGEINT * rn) * l)
+        |      // (l::HUGEINT * r) AS BIGINT) AS purity_micro
+        |  FROM q WHERE r > 0),
+        |mx AS (SELECT max(purity_micro) AS best FROM p)
+        |SELECT min(score) AS split_at,
+        |  arg_min(l, score) AS n_left, arg_min(r, score) AS n_right,
+        |  best AS purity_micro
+        |FROM p CROSS JOIN mx WHERE purity_micro = best
+        |GROUP BY best""".stripMargin,
+    "q198_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events),
+        |pu AS (SELECT user_id, min(day) AS d0, max(day) AS dlast,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+        |  FROM e GROUP BY 1),
+        |subj AS (SELECT CASE WHEN dp IS NOT NULL
+        |      THEN CAST(dp - d0 AS INTEGER)
+        |      ELSE CAST(dlast - d0 AS INTEGER) END AS t,
+        |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM pu),
+        |hist AS (SELECT t, sum(death)::BIGINT AS d,
+        |    sum(1 - death)::BIGINT AS c
+        |  FROM subj GROUP BY t),
+        |tot AS (SELECT (sum(d) + sum(c))::BIGINT AS n0 FROM hist),
+        |risk AS (SELECT t, d,
+        |    (n0 - coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      )::BIGINT AS n
+        |  FROM hist CROSS JOIN tot),
+        |f AS (SELECT t, d, n,
+        |    CASE WHEN n > d THEN CAST(round(ln(
+        |        CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) END AS lnf_micro
+        |  FROM risk WHERE d > 0)
+        |SELECT t, n AS n_risk, d AS deaths, lnf_micro,
+        |  CAST(CASE WHEN lnf_micro IS NOT NULL THEN
+        |    coalesce(sum(lnf_micro) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + lnf_micro END AS BIGINT) AS log_surv_micro
+        |FROM f""".stripMargin,
   )
 }
