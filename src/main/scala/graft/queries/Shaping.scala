@@ -1209,6 +1209,47 @@ object Shaping {
           .as("log_surv_micro"))
   }
 
+  /** q199 — Mann–Whitney U rank-sum test between the A/B arms (the
+    * nonparametric member of the read-out family: q189 compares
+    * means, q192 distributions, this one ranks). Same shared value
+    * histogram + one rangeCumSums pass as q192; the doubled statistic
+    * 2U_A = Σ_y n_a(y)·(2·cumB_<y + n_b(y)) is decimal(38,0)-exact
+    * with ties at half credit (q191's arithmetic). Significance is
+    * the tie-CORRECTED normal approximation at |z| > 2: the tie term
+    * Σ(t³−t) and K = (n+1)n(n−1) − Σ(t³−t) are exact decimals
+    * (K ≈ n³ — inside decimal38 through n ≈ 1e12); the final
+    * cross-multiplied fence d²·12·n·(n−1) > 16·n_a·n_b·K would need
+    * ~70 digits, so it runs in double over the exact integers with
+    * the operation tree mirrored in the oracle (q189's rule). */
+  val mannWhitney: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").filter($"value".isNotNull)
+      .select(
+        (graft.functions.Hashing.hash60(
+          concat(lit("ab|"), $"user_id".cast("string"))) % 2).as("arm"),
+        round($"value" * 100).cast("long").as("y"))
+    val hist = e.groupBy($"y")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("nb"))
+    val cum = graft.functions.ScaleWindows
+      .rangeCumSum(hist, Seq($"y".asc), $"nb", "cb")
+    val m = cum.agg(sum($"na").as("ta"), sum($"nb").as("tb"),
+      sum(expr("CAST(2 AS DECIMAL(38,0)) * na * cb") +
+        expr("CAST(na AS DECIMAL(38,0)) * nb")).as("u2"),
+      sum(expr("CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb)" +
+        " - CAST(na + nb AS DECIMAL(38,0))")).as("tc"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    m.withColumn("n", $"ta" + $"tb")
+      .withColumn("diff", expr("u2 - CAST(ta AS DECIMAL(38,0)) * tb"))
+      .withColumn("k",
+        expr("CAST(n + 1 AS DECIMAL(38,0)) * n * (n - 1) - tc"))
+      .select($"ta".as("n_a"), $"tb".as("n_b"),
+        $"u2".cast("long").as("u2_a"),
+        $"tc".cast("long").as("tie_term"),
+        (d($"diff") * d($"diff") * 12.0d * d($"n") * d($"n" - 1) >
+          d($"ta") * d($"tb") * d($"k") * 16.0d).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1252,6 +1293,7 @@ object Shaping {
     "q195_window_funnel" -> windowFunnel,
     "q197_best_split" -> bestSplit,
     "q198_kaplan_meier" -> kaplanMeier,
+    "q199_mann_whitney" -> mannWhitney,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1982,5 +2024,39 @@ object Shaping {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    + lnf_micro END AS BIGINT) AS log_surv_micro
         |FROM f""".stripMargin,
+    "q199_mann_whitney" -> {
+      val h = graft.functions.Hashing.sqlHash60(
+        "'ab|' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT $h % 2 AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |hist AS (SELECT y,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb
+         |  FROM e GROUP BY y),
+         |cum AS (SELECT y, na, nb,
+         |    coalesce(sum(nb) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS cb
+         |  FROM hist),
+         |m AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb,
+         |    sum(2::HUGEINT * na * cb + na::HUGEINT * nb) AS u2,
+         |    sum((na + nb)::HUGEINT * (na + nb) * (na + nb)
+         |      - (na + nb)::HUGEINT) AS tc
+         |  FROM cum),
+         |x AS (SELECT ta, tb, u2, tc, (ta + tb)::BIGINT AS n,
+         |    u2 - ta::HUGEINT * tb AS diff
+         |  FROM m),
+         |x2 AS (SELECT *,
+         |    (n + 1)::HUGEINT * n * (n - 1) - tc AS k
+         |  FROM x)
+         |SELECT ta AS n_a, tb AS n_b, CAST(u2 AS BIGINT) AS u2_a,
+         |  CAST(tc AS BIGINT) AS tie_term,
+         |  (diff::DOUBLE * diff::DOUBLE * 12.0 * n::DOUBLE
+         |      * (n - 1)::DOUBLE) >
+         |    (ta::DOUBLE * tb::DOUBLE * k::DOUBLE * 16.0)
+         |    AS significant
+         |FROM x2""".stripMargin
+    },
   )
 }
