@@ -1014,8 +1014,62 @@ object Curation {
       .drop("__diff")
   }
 
+  /** q200 — pairwise Jensen–Shannon divergence between the per-source
+    * word distributions (the bounded, symmetric corpus-similarity
+    * measure a mixture/dataset card wants next to q190's MI): for each
+    * source pair, JS = Σ_w ½p₁ln(p₁/m) + ½p₂ln(p₂/m), m = (p₁+p₂)/2.
+    * Decomposed scale-first: the corpus collapses to the (source,
+    * word) count table once; SHARED words pair up via one word-keyed
+    * self-join (fan-out ≤ #sources per word, never doc-level);
+    * each side's log-ratio is ln of an EXACT decimal(38,0) rational
+    * (2·c₁·t₂ / (c₁·t₂+c₂·t₁)) micro-quantized per (pair, word)
+    * BEFORE summation (q190's rule), weighted by the exact rational
+    * c/(2t) via integral division. Words present in only one source
+    * contribute ½p·ln2 in closed form — the aggregated one-sided
+    * masses (t−sh) ride the same integral-division grid with the
+    * ln2-micro literal 693147 mirrored in the oracle, so NO outer
+    * join materializes the disjoint vocab. Truncation bias ≤ 1 micro
+    * per summed term, identically on both engines. */
+  val jsDivergence: Q = (s, dir) => {
+    import s.implicits._
+    val ws = Tables(s, dir, "documents")
+      .select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val ts = ws.groupBy($"source").agg(sum($"c").as("t"))
+    val wst = ws.join(ts, Seq("source"))
+    val a = wst.select($"source".as("s1"), $"w",
+      $"c".as("c1"), $"t".as("t1"))
+    val b = wst.select($"source".as("s2"), $"w",
+      $"c".as("c2"), $"t".as("t2"))
+    val shared = a.join(b, Seq("w")).filter($"s1" < $"s2")
+      .withColumn("den", expr("CAST(c1 AS DECIMAL(38,0)) * t2" +
+        " + CAST(c2 AS DECIMAL(38,0)) * t1"))
+      .withColumn("lnr1",
+        round(log(expr("CAST(2 AS DECIMAL(38,0)) * c1 * t2")
+          .cast("double") / $"den".cast("double")) * 1000000.0)
+          .cast("long"))
+      .withColumn("lnr2",
+        round(log(expr("CAST(2 AS DECIMAL(38,0)) * c2 * t1")
+          .cast("double") / $"den".cast("double")) * 1000000.0)
+          .cast("long"))
+    shared.groupBy($"s1", $"s2", $"t1", $"t2")
+      .agg(
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * lnr1" +
+          " div (CAST(2 AS DECIMAL(38,0)) * t1)")).as("sj1"),
+        sum(expr("CAST(c2 AS DECIMAL(38,0)) * lnr2" +
+          " div (CAST(2 AS DECIMAL(38,0)) * t2)")).as("sj2"),
+        sum($"c1").as("sh1"), sum($"c2").as("sh2"))
+      .select($"s1", $"s2",
+        ($"sj1" + $"sj2" +
+          expr("CAST(t1 - sh1 AS DECIMAL(38,0)) * 693147" +
+            " div (CAST(2 AS DECIMAL(38,0)) * t1)") +
+          expr("CAST(t2 - sh2 AS DECIMAL(38,0)) * 693147" +
+            " div (CAST(2 AS DECIMAL(38,0)) * t2)")).as("js_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q188_target_encode" -> targetEncode,
+    "q200_js_divergence" -> jsDivergence,
     "q190_mutual_info" -> mutualInfo,
     "q194_chi_squared" -> chiSquared,
     "q108_pmi_collocations" -> pmiCollocations,
@@ -1587,6 +1641,38 @@ object Curation {
         |    / CAST(n::HUGEINT * r * c AS DOUBLE) * 1000000.0)
         |    AS BIGINT) AS chi2_contrib_micro
         |FROM d""".stripMargin,
+    "q200_js_divergence" -> {
+      val tk = sqlTokens("text")
+      s"""WITH ws0 AS (SELECT source, unnest($tk) AS w FROM documents),
+         |ws AS (SELECT source, w, count(*)::BIGINT AS c
+         |  FROM ws0 GROUP BY 1, 2),
+         |ts AS (SELECT source, sum(c)::BIGINT AS t FROM ws GROUP BY 1),
+         |wst AS (SELECT ws.source, w, c, t FROM ws JOIN ts
+         |  USING (source)),
+         |sh AS (SELECT a.w, a.source AS s1, b.source AS s2,
+         |    a.c AS c1, a.t AS t1, b.c AS c2, b.t AS t2,
+         |    a.c::HUGEINT * b.t + b.c::HUGEINT * a.t AS den
+         |  FROM wst a JOIN wst b ON a.w = b.w AND a.source < b.source),
+         |l AS (SELECT s1, s2, t1, t2, c1, c2,
+         |    CAST(round(ln(CAST(2::HUGEINT * c1 * t2 AS DOUBLE)
+         |      / CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnr1,
+         |    CAST(round(ln(CAST(2::HUGEINT * c2 * t1 AS DOUBLE)
+         |      / CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnr2
+         |  FROM sh),
+         |g AS (SELECT s1, s2, t1, t2,
+         |    sum(c1::HUGEINT * lnr1 // (2::HUGEINT * t1))::BIGINT
+         |      AS sj1,
+         |    sum(c2::HUGEINT * lnr2 // (2::HUGEINT * t2))::BIGINT
+         |      AS sj2,
+         |    sum(c1)::BIGINT AS sh1, sum(c2)::BIGINT AS sh2
+         |  FROM l GROUP BY 1, 2, 3, 4)
+         |SELECT s1, s2,
+         |  CAST(sj1 + sj2
+         |    + (t1 - sh1)::HUGEINT * 693147 // (2::HUGEINT * t1)
+         |    + (t2 - sh2)::HUGEINT * 693147 // (2::HUGEINT * t2)
+         |    AS BIGINT) AS js_micro
+         |FROM g""".stripMargin
+    },
     "q108_pmi_collocations" -> sqlPmi,
     "q121_bigram_surprise" -> sqlBigramSurprise,
     "q135_ngram_novelty" -> sqlNovelty,

@@ -1250,6 +1250,48 @@ object Shaping {
           d($"ta") * d($"tb") * d($"k") * 16.0d).as("significant"))
   }
 
+  /** q201 — Pearson correlation MATRIX over four customer features
+    * (acctbal, order count, lifetime spend, max order value) in ONE
+    * aggregate pass: all 14 moment sums (n, 4 firsts, 10 seconds) are
+    * decimal(38,0)-exact conditional aggregations over a single fact
+    * scan — no per-pair passes, no corr() UDAF whose float partial
+    * sums are partition-order dependent. The 6 upper-triangle cells
+    * materialize from the one-row moment frame via inline
+    * explode(array(struct...)) — zero re-scans. Each cell's final
+    * ratio (n·s_ij−s_i·s_j)/√(..)√(..) runs in double over the exact
+    * integers with the operation tree mirrored in the oracle (q193's
+    * rule; exact while n·Σxᵢxⱼ stays inside decimal38 — cents-scale
+    * features to ~1e12 rows). */
+  val corrMatrix: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("spend"),
+        max(round($"o_totalprice" * 100).cast("long")).as("maxp"))
+    val feat = Tables(s, dir, "customer")
+      .join(o, $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("x1"),
+        coalesce($"cnt", lit(0L)).as("x2"),
+        coalesce($"spend", lit(0L)).as("x3"),
+        coalesce($"maxp", lit(0L)).as("x4"))
+    val names = Map(1 -> "acctbal", 2 -> "n_orders", 3 -> "spend",
+      4 -> "max_order")
+    val firsts = (1 to 4).map(i =>
+      sum(expr(s"CAST(x$i AS DECIMAL(38,0))")).as(s"s$i"))
+    val seconds = for (i <- 1 to 4; j <- i to 4) yield
+      sum(expr(s"CAST(x$i AS DECIMAL(38,0)) * x$j")).as(s"s${i}${j}")
+    val aggs = count(lit(1)).as("n") +: (firsts ++ seconds)
+    val m = feat.agg(aggs.head, aggs.tail: _*)
+    val cells = for (i <- 1 to 4; j <- i + 1 to 4) yield
+      struct(lit(names(i)).as("f1"), lit(names(j)).as("f2"),
+        round(expr(s"CAST(n * s${i}${j} - s$i * s$j AS DOUBLE)") /
+          (sqrt(expr(s"CAST(n * s${i}${i} - s$i * s$i AS DOUBLE)")) *
+            sqrt(expr(s"CAST(n * s${j}${j} - s$j * s$j AS DOUBLE)")))
+          * 1000000.0).cast("long").as("corr_micro"))
+    m.select(explode(array(cells: _*)).as("c"))
+      .select($"c.f1", $"c.f2", $"c.corr_micro")
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1294,6 +1336,7 @@ object Shaping {
     "q197_best_split" -> bestSplit,
     "q198_kaplan_meier" -> kaplanMeier,
     "q199_mann_whitney" -> mannWhitney,
+    "q201_corr_matrix" -> corrMatrix,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2057,6 +2100,35 @@ object Shaping {
          |    (ta::DOUBLE * tb::DOUBLE * k::DOUBLE * 16.0)
          |    AS significant
          |FROM x2""".stripMargin
+    },
+    "q201_corr_matrix" -> {
+      val names = Map(1 -> "acctbal", 2 -> "n_orders", 3 -> "spend",
+        4 -> "max_order")
+      val firsts = (1 to 4)
+        .map(i => s"sum(x$i::HUGEINT) AS s$i").mkString(", ")
+      val seconds = (for (i <- 1 to 4; j <- i to 4)
+        yield s"sum(x$i::HUGEINT * x$j) AS s$i$j").mkString(", ")
+      val cells = (for (i <- 1 to 4; j <- i + 1 to 4) yield
+        s"""SELECT '${names(i)}' AS f1, '${names(j)}' AS f2,
+           |  CAST(round((n * s$i$j - s$i * s$j)::DOUBLE
+           |    / (sqrt((n * s$i$i - s$i * s$i)::DOUBLE)
+           |      * sqrt((n * s$j$j - s$j * s$j)::DOUBLE)) * 1000000.0)
+           |    AS BIGINT) AS corr_micro FROM m""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH o AS (SELECT o_custkey, count(*)::BIGINT AS cnt,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         |      AS spend,
+         |    max(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         |      AS maxp
+         |  FROM orders GROUP BY 1),
+         |feat AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+         |    coalesce(cnt, 0)::BIGINT AS x2,
+         |    coalesce(spend, 0)::BIGINT AS x3,
+         |    coalesce(maxp, 0)::BIGINT AS x4
+         |  FROM customer LEFT JOIN o ON o_custkey = c_custkey),
+         |m AS (SELECT count(*)::BIGINT AS n, $firsts, $seconds
+         |  FROM feat)
+         |$cells""".stripMargin
     },
   )
 }
