@@ -105,4 +105,44 @@ object ScaleWindows {
     }
     withOut.drop("__pid" +: values.map { case (_, o) => s"__off_$o" }: _*)
   }
+
+  /** Scale-safe LOCF (last-observation-carried-forward) over a global
+    * order: for each row, the most recent non-null `value` at or
+    * before it in `keys` order — the step-function/as-of primitive
+    * (gap fill, inverse-CDF lookup, snapshot carry) without a
+    * single-partition sort. Same machinery as [[rangeCumSum]]: range
+    * exchange → per-partition LAST non-null (a struct-max over the
+    * key tuple, so `keys` must be plain ASCENDING columns — negate a
+    * column to descend) → nearest-preceding-partition carry via the
+    * broadcast triangular join → partition-local
+    * `last(ignoreNulls)` window + carry fallback. Adds `out`, typed
+    * as `value`. */
+  def rangeLastCarry(df: DataFrame, keys: Seq[Column], value: Column,
+                     out: String, parts: Int = 32): DataFrame = {
+    val tagged = df.withColumn("__v", value)
+      .repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val keyStruct = struct(
+      keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } :+
+        col("__v").as("__vv"): _*)
+    val lasts = tagged.groupBy(col("__pid"))
+      .agg(max(when(col("__v").isNotNull, keyStruct)).as("__last"))
+      .select(col("__pid"), col("__last").getField("__vv").as("__lastv"))
+    val rhs = lasts.select(col("__pid").as("__pid2"),
+      col("__lastv").as("__lastv2"))
+    val offs = lasts.crossJoin(broadcast(rhs))
+      .groupBy(col("__pid"))
+      .agg(max(when(col("__pid2") < col("__pid") &&
+          col("__lastv2").isNotNull,
+        struct(col("__pid2").as("__p"), col("__lastv2").as("__cv"))))
+        .as("__carry"))
+      .select(col("__pid"), col("__carry").getField("__cv").as("__carryv"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out,
+        coalesce(last(col("__v"), ignoreNulls = true).over(wp),
+          col("__carryv")))
+      .drop("__pid", "__v", "__carryv")
+  }
 }

@@ -1292,6 +1292,59 @@ object Shaping {
       .select($"c.f1", $"c.f2", $"c.corr_micro")
   }
 
+  /** q202 — quantile normalization across sources (map every source's
+    * quality-score distribution onto the POOLED distribution — the
+    * cross-source comparability transform of expression arrays /
+    * score recalibration): per (source, score) cell, its within-
+    * source inclusive-CDF percentile; the normalized score is the
+    * pooled inverse CDF at that percentile (min pooled score with
+    * cdf ≥ pct). The inverse-CDF lookup is a STEP-FUNCTION JOIN done
+    * scale-safe with ScaleWindows.rangeLastCarry: pooled-CDF rows and
+    * query percentiles union into one O(sources·grid) frame keyed by
+    * (−threshold, tag) — pooled rows sort before queries at equal
+    * threshold so cdf == pct matches — and the carried value IS the
+    * answer; no global window, no per-row subquery, no range
+    * explosion. Per-source CDFs come from a source-PARTITIONED window
+    * over the cell frame (bounded by the value grid). All
+    * percentiles are exact integral micros. */
+  val quantileNormalize: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"source",
+        (size(TextOps.tokens($"text")) % 100).as("score"))
+    val cell = d.groupBy($"source", $"score")
+      .agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy($"source").orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val src = cell
+      .withColumn("cum", sum($"cnt").over(wSrc))
+      .withColumn("t", sum($"cnt").over(Window.partitionBy($"source")))
+      .withColumn("pct_micro", expr("(1000000 * cum) div t"))
+    val ph = cell.groupBy($"score").agg(sum($"cnt").as("pc"))
+    val ptot = ph.agg(sum($"pc").as("tt"))
+    val pooled = graft.functions.ScaleWindows
+      .rangeCumSum(ph, Seq($"score".asc), $"pc", "pcum")
+      .crossJoin(broadcast(ptot))
+      .select($"score",
+        expr("(1000000 * (pcum + pc)) div tt").as("cdf_micro"))
+    val queryPts = src.select($"pct_micro".as("k"), lit(1).as("tag"),
+      lit(null).cast("long").as("pv"), $"source", $"score", $"cnt")
+    val poolPts = pooled.select($"cdf_micro".as("k"), lit(0).as("tag"),
+      $"score".cast("long").as("pv"),
+      lit(null).cast("string").as("source"),
+      lit(null).cast("int").as("score"), lit(null).cast("long").as("cnt"))
+    // keys: −threshold (desc processing → carried value = MIN pooled
+    // score with cdf ≥ pct), pooled-before-query at equal threshold,
+    // −pv so equal-cdf pooled rows resolve to the smaller score
+    graft.functions.ScaleWindows
+      .rangeLastCarry(queryPts.unionByName(poolPts),
+        Seq((-$"k").as("nk"), $"tag", (-$"pv").as("npv")),
+        $"pv", "norm_score")
+      .filter($"tag" === 1)
+      .select($"source", $"score", $"cnt".as("n"),
+        $"k".as("pct_micro"), $"norm_score")
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1337,6 +1390,7 @@ object Shaping {
     "q198_kaplan_meier" -> kaplanMeier,
     "q199_mann_whitney" -> mannWhitney,
     "q201_corr_matrix" -> corrMatrix,
+    "q202_quantile_normalize" -> quantileNormalize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2129,6 +2183,38 @@ object Shaping {
          |m AS (SELECT count(*)::BIGINT AS n, $firsts, $seconds
          |  FROM feat)
          |$cells""".stripMargin
+    },
+    "q202_quantile_normalize" -> {
+      val tk = graft.functions.TextOps.sqlTokens("text")
+      s"""WITH d AS (SELECT source,
+         |    CAST(len($tk) % 100 AS INTEGER) AS score FROM documents),
+         |cell AS (SELECT source, score, count(*)::BIGINT AS cnt
+         |  FROM d GROUP BY 1, 2),
+         |src AS (SELECT source, score, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |      )::BIGINT AS cum,
+         |    sum(cnt) OVER (PARTITION BY source)::BIGINT AS t
+         |  FROM cell),
+         |srcp AS (SELECT source, score, cnt,
+         |    CAST((1000000 * cum) // t AS BIGINT) AS pct_micro
+         |  FROM src),
+         |ph AS (SELECT score, sum(cnt)::BIGINT AS pc
+         |  FROM cell GROUP BY 1),
+         |pooled AS (SELECT score,
+         |    sum(pc) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         |      )::BIGINT AS pcum
+         |  FROM ph),
+         |ptot AS (SELECT sum(pc)::BIGINT AS tt FROM ph),
+         |pp AS (SELECT score,
+         |    CAST((1000000 * pcum) // tt AS BIGINT) AS cdf_micro
+         |  FROM pooled CROSS JOIN ptot)
+         |SELECT source, score, cnt AS n, pct_micro,
+         |  (SELECT min(pp.score) FROM pp
+         |    WHERE pp.cdf_micro >= srcp.pct_micro)::BIGINT
+         |    AS norm_score
+         |FROM srcp""".stripMargin
     },
   )
 }

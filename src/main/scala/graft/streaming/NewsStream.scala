@@ -56,6 +56,22 @@ object NewsStream {
       .select(col("window.start").as("day"), col("source_name"),
         col("n_articles"))
 
+  /** Session-window aggregation: per-source ingestion SESSIONS (bursts
+    * of arrivals separated by ≥ `gap` of silence) — the streaming form
+    * of the batch sessionize (q41), via the native session_window
+    * state merge instead of a per-key sort + lag scan: windows extend
+    * and MERGE as rows arrive (out of order within the watermark), and
+    * closed sessions evict by watermark, so state is O(open sessions),
+    * not O(events seen). At 100 TB/day this is the burst/scrape-run
+    * detector over the firehose. */
+  def ingestSessions(raw: DataFrame, gap: String = "5 minutes"): DataFrame =
+    raw.withWatermark("ingest_ts", "1 day")
+      .groupBy(session_window(col("ingest_ts"), gap), col("source_name"))
+      .agg(count(lit(1)).as("n_articles"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("source_name"), col("n_articles"))
+
   /** Stream-static join: each micro-batch of the articles stream is
     * enriched with a warehouse dimension (the outlet→bias/country dim
     * the reference keeps in `config/outletinfo.json`). The static side

@@ -80,6 +80,34 @@ class NewsStreamSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_articles") == 3)
   }
 
+  test("streaming session windows merge bursts and split on the gap") {
+    val base = Files.createTempDirectory("graft-sess").toString
+    val landing = s"$base/landing"
+    // burst of 3 inside 5-min gaps, then 10 min of silence, then 1 more
+    writeBatch(landing, Seq(
+      mkRow(1, "T1", "2024-01-01 00:00:00"),
+      mkRow(2, "T2", "2024-01-01 00:04:00"),
+      mkRow(3, "T3", "2024-01-01 00:08:00"),
+      mkRow(4, "T4", "2024-01-01 00:18:30")))
+    val q = NewsStream.ingestSessions(
+        NewsStream.landingSource(spark, landing, Schemas.rawNews))
+      .writeStream.format("memory").queryName("ingest_sessions")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("ingest_sessions")
+      .orderBy($"session_start").collect()
+    assert(out.length == 2, s"expected 2 sessions, got ${out.length}")
+    assert(out(0).getAs[Long]("n_articles") == 3)
+    // session end = last event + gap (the merge extended the window)
+    assert(out(0).getAs[Timestamp]("session_end")
+      == ts("2024-01-01 00:13:00"))
+    assert(out(1).getAs[Long]("n_articles") == 1)
+    assert(out(1).getAs[Timestamp]("session_start")
+      == ts("2024-01-01 00:18:30"))
+  }
+
   test("incremental mart refresh: latest re-ingest wins across batches") {
     val base = Files.createTempDirectory("graft-inc").toString
     val landing = s"$base/landing"

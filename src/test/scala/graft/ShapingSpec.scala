@@ -76,6 +76,22 @@ class ShapingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rangeLastCarry equals the global last-ignoreNulls window, " +
+    "including leading nulls and cross-partition carries") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", when(col("id") % 97 === 5, col("id")))
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = df.select(col("id"),
+      last(col("v"), ignoreNulls = true).over(w).as("lv"))
+    val got = graft.functions.ScaleWindows
+      .rangeLastCarry(df, Seq(col("id")), col("v"), "lv", parts = 9)
+      .select(col("id"), col("lv"))
+    assert(got.except(expected).count() === 0 &&
+      expected.except(got).count() === 0)
+  }
+
   test("retention cohorts: offsets non-negative, day-0 equals cohort " +
     "size, users conserved") {
     val m = Shaping.retentionCohorts(spark, sfDir).cache()
