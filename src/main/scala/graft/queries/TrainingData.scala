@@ -775,6 +775,73 @@ object TrainingData {
           .otherwise("unknown"))
   }
 
+  /** q203 — classifier evaluation card: per-class precision / recall /
+    * F1 for the q28 language-ID heuristic against the stored label.
+    * The corpus collapses to the confusion MATRIX (one map-side-
+    * combined count over (truth, prediction) — O(classes²) rows);
+    * marginals give support (tp+fn) and predicted volume (tp+fp);
+    * classes = full outer of the two marginals so never-predicted and
+    * never-true classes both get a row. Every metric is an exact
+    * integral micro-division; F1 composes the micro values
+    * (2·p·r div (p+r)) so it is integer-deterministic too. NULL where
+    * undefined (no predictions / no support / p+r = 0), with
+    * greatest(..,1) guards because constraint inference can evaluate
+    * the division before the when-guard (see q197). */
+  val classifierEval: Q = (s, dir) => {
+    import s.implicits._
+    val conf = langId(s, dir).select($"lang", $"lang_pred")
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+    val byTrue = conf.groupBy($"lang").agg(sum($"n").as("n_true"))
+      .select($"lang".as("cls"), $"n_true")
+    val byPred = conf.groupBy($"lang_pred").agg(sum($"n").as("n_pred"))
+      .select($"lang_pred".as("cls"), $"n_pred")
+    val diag = conf.filter($"lang" === $"lang_pred")
+      .select($"lang".as("cls"), $"n".as("tp"))
+    byTrue.join(byPred, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select($"cls", coalesce($"tp", lit(0L)).as("tp"),
+        coalesce($"n_true", lit(0L)).as("support"),
+        coalesce($"n_pred", lit(0L)).as("predicted"))
+      .withColumn("prec_micro", when($"predicted" > 0,
+        expr("(1000000 * tp) div greatest(predicted, 1L)")))
+      .withColumn("rec_micro", when($"support" > 0,
+        expr("(1000000 * tp) div greatest(support, 1L)")))
+      .withColumn("f1_micro",
+        when($"prec_micro".isNotNull && $"rec_micro".isNotNull &&
+          $"prec_micro" + $"rec_micro" > 0,
+          expr("(2 * prec_micro * rec_micro)" +
+            " div greatest(prec_micro + rec_micro, 1L)")))
+  }
+
+  /** q204 — Cohen's kappa for the same heuristic-vs-label pair:
+    * chance-corrected agreement, FULLY integer — κ = (N·Σdiag − Σrᵢcᵢ)
+    * / (N² − Σrᵢcᵢ) as one decimal(38,0) integral micro-division
+    * (observed and expected agreement reported on the same grid). The
+    * expected term joins the two O(classes) marginals on class —
+    * nothing bigger than the confusion matrix ever materializes. */
+  val cohensKappa: Q = (s, dir) => {
+    import s.implicits._
+    val conf = langId(s, dir).select($"lang", $"lang_pred")
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+    val byTrue = conf.groupBy($"lang").agg(sum($"n").as("n_true"))
+    val byPred = conf.groupBy($"lang_pred").agg(sum($"n").as("n_pred"))
+    val pe = byTrue.join(byPred, $"lang" === $"lang_pred")
+      .agg(sum(expr("CAST(n_true AS DECIMAL(38,0)) * n_pred")).as("pe_num"))
+    val agg = conf.agg(sum($"n").as("nn"),
+      sum(when($"lang" === $"lang_pred", $"n").otherwise(0L)).as("diag"))
+    agg.crossJoin(broadcast(pe))
+      .select($"nn".as("n"), $"diag",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * diag" +
+          " div CAST(nn AS DECIMAL(38,0)) AS BIGINT)").as("po_micro"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * pe_num" +
+          " div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)")
+          .as("pe_micro"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0))" +
+          " * (CAST(nn AS DECIMAL(38,0)) * diag - pe_num)" +
+          " div (CAST(nn AS DECIMAL(38,0)) * nn - pe_num) AS BIGINT)")
+          .as("kappa_micro"))
+  }
+
   /** q29 — document quality scoring: length/stopword-ratio features. */
   val qualityScore: Q = (s, dir) => {
     import s.implicits._
@@ -1624,6 +1691,8 @@ object TrainingData {
     "q45_repetition_score" -> repetitionScore,
     "q46_quality_filter" -> qualityFilter,
     "q28_lang_id" -> langId,
+    "q203_classifier_eval" -> classifierEval,
+    "q204_cohens_kappa" -> cohensKappa,
     "q29_quality_score" -> qualityScore,
     "q30_token_count" -> tokenCount,
     "q31_fingerprint" -> fingerprint,
@@ -1644,6 +1713,28 @@ object TrainingData {
     "q84_knn_graph" -> knnGraph,
     "q85_semantic_dedup" -> semanticDedup,
   )
+
+  /** The q28 prediction as reusable oracle SQL (q203/q204 evaluate
+    * it against the stored label). Keep in lockstep with langId and
+    * the q28 oracle. */
+  private def sqlLangPred: String = {
+    def in(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(${sqlTokens("text")}, t -> t IN (${in(ws)})))"
+    s"""SELECT lang, CASE
+       |  WHEN ${hits(EnWords)} >= ${hits(FrWords)}
+       |   AND ${hits(EnWords)} >= ${hits(DeWords)}
+       |   AND ${hits(EnWords)} >= ${hits(EsWords)}
+       |   AND ${hits(EnWords)} > 0 THEN 'en'
+       |  WHEN ${hits(FrWords)} >= ${hits(DeWords)}
+       |   AND ${hits(FrWords)} >= ${hits(EsWords)}
+       |   AND ${hits(FrWords)} > 0 THEN 'fr'
+       |  WHEN ${hits(DeWords)} >= ${hits(EsWords)}
+       |   AND ${hits(DeWords)} > 0 THEN 'de'
+       |  WHEN ${hits(EsWords)} > 0 THEN 'es'
+       |  ELSE 'unknown' END AS lang_pred
+       |FROM documents""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
@@ -2123,6 +2214,55 @@ object TrainingData {
          |  ELSE 'unknown' END AS lang_pred
          |FROM documents""".stripMargin
     },
+    "q203_classifier_eval" ->
+      s"""WITH pred AS ($sqlLangPred),
+         |conf AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+         |  FROM pred GROUP BY 1, 2),
+         |bt AS (SELECT lang AS cls, sum(n)::BIGINT AS n_true
+         |  FROM conf GROUP BY 1),
+         |bp AS (SELECT lang_pred AS cls, sum(n)::BIGINT AS n_pred
+         |  FROM conf GROUP BY 1),
+         |dg AS (SELECT lang AS cls, n AS tp FROM conf
+         |  WHERE lang = lang_pred),
+         |base AS (SELECT cls, coalesce(tp, 0)::BIGINT AS tp,
+         |    coalesce(n_true, 0)::BIGINT AS support,
+         |    coalesce(n_pred, 0)::BIGINT AS predicted
+         |  FROM bt FULL OUTER JOIN bp USING (cls)
+         |  LEFT JOIN dg USING (cls)),
+         |x AS (SELECT cls, tp, support, predicted,
+         |    CASE WHEN predicted > 0
+         |      THEN (1000000 * tp) // predicted END AS prec_micro,
+         |    CASE WHEN support > 0
+         |      THEN (1000000 * tp) // support END AS rec_micro
+         |  FROM base)
+         |SELECT cls, tp, support, predicted, prec_micro, rec_micro,
+         |  CASE WHEN prec_micro IS NOT NULL AND rec_micro IS NOT NULL
+         |    AND prec_micro + rec_micro > 0
+         |    THEN (2 * prec_micro * rec_micro)
+         |      // (prec_micro + rec_micro) END AS f1_micro
+         |FROM x""".stripMargin,
+    "q204_cohens_kappa" ->
+      s"""WITH pred AS ($sqlLangPred),
+         |conf AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+         |  FROM pred GROUP BY 1, 2),
+         |bt AS (SELECT lang, sum(n)::BIGINT AS n_true
+         |  FROM conf GROUP BY 1),
+         |bp AS (SELECT lang_pred, sum(n)::BIGINT AS n_pred
+         |  FROM conf GROUP BY 1),
+         |pe AS (SELECT sum(n_true::HUGEINT * n_pred) AS pe_num
+         |  FROM bt JOIN bp ON lang = lang_pred),
+         |ag AS (SELECT sum(n)::BIGINT AS nn,
+         |    sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)::BIGINT
+         |      AS diag
+         |  FROM conf)
+         |SELECT nn AS n, diag,
+         |  CAST(1000000::HUGEINT * diag // nn::HUGEINT AS BIGINT)
+         |    AS po_micro,
+         |  CAST(1000000::HUGEINT * pe_num // (nn::HUGEINT * nn)
+         |    AS BIGINT) AS pe_micro,
+         |  CAST(1000000::HUGEINT * (nn::HUGEINT * diag - pe_num)
+         |    // (nn::HUGEINT * nn - pe_num) AS BIGINT) AS kappa_micro
+         |FROM ag CROSS JOIN pe""".stripMargin,
     "q29_quality_score" -> {
       val nWords = s"len(${sqlTokens("text")})"
       val enHits =
