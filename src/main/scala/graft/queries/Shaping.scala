@@ -1345,6 +1345,67 @@ object Shaping {
         $"k".as("pct_micro"), $"norm_score")
   }
 
+  /** q205 — time-weighted average value per user (TWAP — the metric
+    * for irregularly-sampled series where a plain mean over-weights
+    * bursts): each observation holds until the next one (step
+    * interpolation), so TWAP = Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δt from a lead()
+    * window PARTITIONED by user (per-key history, never global); the
+    * last observation has no holding interval and drops from both
+    * sums (the standard convention). Products are decimal(38,0)
+    * (cents × seconds overflows a long at ~3e9 cent-seconds); TWAP is
+    * an exact integral micro-division; users with a single
+    * observation report NULL. */
+  val twap: Q = (s, dir) => {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    val e = Tables(s, dir, "events").filter($"value".isNotNull)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        round($"value" * 100).cast("long").as("v"))
+      .withColumn("dt", lead($"sec", 1).over(ord) - $"sec")
+    e.filter($"dt".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dt").as("span_s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * dt")).as("vw"))
+      .select($"user_id", $"n_intervals", $"span_s",
+        when($"span_s" > 0,
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * vw" +
+            " div greatest(CAST(span_s AS DECIMAL(38,0)), 1)" +
+            " AS BIGINT)")).as("twap_micro"))
+  }
+
+  /** q206 — daily OHLC + VWAP bars over lineitem (the resample-to-
+    * candles shape of market/metrics pipelines): one map-side-combined
+    * aggregate per ship-day — open/close via min_by/max_by on the
+    * deterministic within-day sequence l_orderkey·10 + l_linenumber
+    * (TPC-H linenumber ≤ 7, so the key is collision-free), high/low
+    * plain min/max, VWAP an exact decimal(38,0) integral division of
+    * the cent·centiqty cross products. No window anywhere — candles
+    * are pure aggregation. */
+  val ohlcBars: Q = (s, dir) => {
+    import s.implicits._
+    val l = Tables(s, dir, "lineitem")
+      .select(to_date($"l_shipdate").as("day"),
+        ($"l_orderkey" * 10 + $"l_linenumber").as("seq"),
+        round($"l_extendedprice" * 100).cast("long").as("price_c"),
+        round($"l_quantity" * 100).cast("long").as("qty_c"))
+    l.groupBy($"day")
+      .agg(count(lit(1)).as("n_fills"),
+        min_by($"price_c", $"seq").as("open_c"),
+        max($"price_c").as("high_c"),
+        min($"price_c").as("low_c"),
+        max_by($"price_c", $"seq").as("close_c"),
+        sum($"qty_c").as("vol_centi"),
+        sum(expr("CAST(price_c AS DECIMAL(38,0)) * qty_c")).as("pv"))
+      .select($"day", $"n_fills", $"open_c", $"high_c", $"low_c",
+        $"close_c", $"vol_centi",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * pv" +
+          " div greatest(CAST(vol_centi AS DECIMAL(38,0)), 1)" +
+          " AS BIGINT)").as("vwap_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1391,6 +1452,8 @@ object Shaping {
     "q199_mann_whitney" -> mannWhitney,
     "q201_corr_matrix" -> corrMatrix,
     "q202_quantile_normalize" -> quantileNormalize,
+    "q205_twap" -> twap,
+    "q206_ohlc_bars" -> ohlcBars,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2216,5 +2279,39 @@ object Shaping {
          |    AS norm_score
          |FROM srcp""".stripMargin
     },
+    "q205_twap" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+        |      AS BIGINT) AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, v,
+        |    lead(sec) OVER (PARTITION BY user_id
+        |      ORDER BY sec ASC, event_id ASC) - sec AS dt
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |  sum(dt)::BIGINT AS span_s,
+        |  CASE WHEN sum(dt) > 0 THEN
+        |    CAST(1000000::HUGEINT * sum(v::HUGEINT * dt)
+        |      // greatest(sum(dt)::HUGEINT, 1) AS BIGINT)
+        |  END AS twap_micro
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+    "q206_ohlc_bars" ->
+      """WITH l AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    l_orderkey * 10 + l_linenumber AS seq,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+        |  FROM lineitem)
+        |SELECT day, count(*)::BIGINT AS n_fills,
+        |  arg_min(price_c, seq)::BIGINT AS open_c,
+        |  max(price_c)::BIGINT AS high_c,
+        |  min(price_c)::BIGINT AS low_c,
+        |  arg_max(price_c, seq)::BIGINT AS close_c,
+        |  sum(qty_c)::BIGINT AS vol_centi,
+        |  CAST(1000000::HUGEINT * sum(price_c::HUGEINT * qty_c)
+        |    // greatest(sum(qty_c)::HUGEINT, 1) AS BIGINT)
+        |    AS vwap_micro
+        |FROM l GROUP BY day""".stripMargin,
   )
 }
