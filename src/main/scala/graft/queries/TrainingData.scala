@@ -1090,6 +1090,51 @@ object TrainingData {
       .limit(10)
   }
 
+  /** q208 — ANN recall@10 evaluation: the approximate rankers (q27
+    * single-bucket LSH, q129 multi-probe) scored against the q26
+    * brute-force ground truth — the measurement that turns "LSH is
+    * probably fine" into a number a curation pipeline can gate on
+    * (q129's scaladoc cites this recall; here it is first-class and
+    * oracle-checked). All three top-k lists are O(k) frames, so the
+    * overlap joins and the recall division are free; recall_micro is
+    * an exact integral division by k. */
+  val annRecallEval: Q = (s, dir) => {
+    import s.implicits._
+    val brute = annCosineTopK(s, dir).select($"vec_id")
+    def overlap(approx: org.apache.spark.sql.DataFrame, nm: String) =
+      approx.select($"vec_id").join(brute, Seq("vec_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .select(lit(nm).as("method"), $"overlap",
+          expr("(1000000 * overlap) div 10").as("recall_micro"))
+    overlap(annLshTopK(s, dir), "lsh")
+      .unionByName(overlap(annLshMultiProbe(s, dir), "multiprobe"))
+  }
+
+  /** q207 — reciprocal rank fusion (k = 60, the standard constant) of
+    * the lexical and semantic rankers: q91's BM25 top-15 and q26's
+    * cosine top-10 fuse by RRF(d) = Σ 1/(60 + rank_r(d)) over the
+    * rankers that returned d — the score-free hybrid-search combiner
+    * (ranks compose across incomparable score scales, which is why
+    * retrieval stacks deploy RRF over score mixing). Both rank lists
+    * are O(k) frames — the row_number windows run on ≤15 rows
+    * (TakeOrderedAndProject upstream does the real work) — and the
+    * fusion is one full-outer join on doc_id. 1e6 div (60+rank) keeps
+    * the fused score integral and engine-exact. */
+  val rrfFusion: Q = (s, dir) => {
+    import s.implicits._
+    val lex = bm25Rank(s, dir)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id".asc)))
+      .select($"doc_id", $"r_lex")
+    val sem = annCosineTopK(s, dir)
+      .select($"vec_id".as("doc_id"), $"rank".as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_lex", $"r_sem",
+        (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_sem)"), lit(0L)))
+          .as("rrf_micro"))
+  }
+
   /** q45 — repetition scoring (Gopher/C4-style quality signal): the
     * fraction of duplicated word 2-grams and the share of the single
     * most-repeated 2-gram, per document. Ratios are int/int → the
@@ -1684,6 +1729,8 @@ object TrainingData {
     "q145_syndication" -> syndicationReport,
     "q43_tfidf_rank" -> tfidfRank,
     "q91_bm25_rank" -> bm25Rank,
+    "q207_rrf_fusion" -> rrfFusion,
+    "q208_ann_recall_eval" -> annRecallEval,
     "q103_inverted_index" -> invertedIndex,
     "q112_index_maintain" -> indexMaintain,
     "q104_phrase_search" -> phraseSearch,
@@ -2065,6 +2112,86 @@ object TrainingData {
          |ORDER BY bm25 DESC, doc_id ASC
          |LIMIT 15""".stripMargin
     },
+    "q207_rrf_fusion" -> {
+      val dfs = TfidfTerms.map(t =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(", ")
+      val tfs = TfidfTerms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf_$t")
+        .mkString(",\n  ")
+      val score = TfidfTerms.map(t =>
+        s"(tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))" +
+          s" * ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |  FROM documents),
+         |stats AS (SELECT count(*)::BIGINT AS n,
+         |  sum(len(toks)) / count(*) AS avgdl, $dfs FROM tk),
+         |tf AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |  $tfs
+         |  FROM tk),
+         |lexb AS (SELECT doc_id, round($score, 6) AS bm25
+         |  FROM tf, stats WHERE round($score, 6) > 0.0
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 15),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS r_lex
+         |  FROM lexb),
+         |q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |c AS (SELECT vec_id, $sqlCos AS cs FROM embeddings, q),
+         |r AS (SELECT vec_id, cs, row_number() OVER
+         |    (ORDER BY cs DESC, vec_id ASC) AS rank FROM c),
+         |sem AS (SELECT vec_id AS doc_id,
+         |    CAST(rank AS INTEGER) AS r_sem
+         |  FROM r WHERE rank <= 10),
+         |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    r_lex, r_sem
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, r_lex, r_sem,
+         |  (coalesce(1000000 // (60 + r_lex), 0)
+         |    + coalesce(1000000 // (60 + r_sem), 0))::BIGINT
+         |    AS rrf_micro
+         |FROM f""".stripMargin
+    },
+    "q208_ann_recall_eval" ->
+      s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
+         |            FROM embeddings),
+         |bq AS (SELECT embedding AS qv FROM embeddings
+         |       WHERE vec_id = 0),
+         |bc AS (SELECT vec_id, $sqlCos AS cs FROM embeddings, bq),
+         |bt AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER
+         |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM bc) t
+         |       WHERE rank <= 10),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM wb
+         |      WHERE vec_id = 0),
+         |lc AS (SELECT vec_id, $sqlCos AS cs FROM wb
+         |      CROSS JOIN q WHERE bucket = qbucket),
+         |lt AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER
+         |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM lc) t
+         |       WHERE rank <= 10),
+         |probes AS (SELECT qv, qbucket AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 1) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 2) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 4) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 8) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 16) AS pb FROM q
+         |      UNION ALL SELECT qv, xor(qbucket, 32) AS pb FROM q),
+         |mc AS (SELECT vec_id, $sqlCos AS cs FROM wb
+         |      JOIN probes ON wb.bucket = probes.pb),
+         |mt AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER
+         |        (ORDER BY cs DESC, vec_id ASC) AS rank FROM mc) t
+         |       WHERE rank <= 10)
+         |SELECT 'lsh' AS method,
+         |  (SELECT count(*) FROM lt JOIN bt USING (vec_id))::BIGINT
+         |    AS overlap,
+         |  ((1000000 * (SELECT count(*) FROM lt JOIN bt
+         |    USING (vec_id))) // 10)::BIGINT AS recall_micro
+         |UNION ALL
+         |SELECT 'multiprobe' AS method,
+         |  (SELECT count(*) FROM mt JOIN bt USING (vec_id))::BIGINT
+         |    AS overlap,
+         |  ((1000000 * (SELECT count(*) FROM mt JOIN bt
+         |    USING (vec_id))) // 10)::BIGINT AS recall_micro""".stripMargin,
     "q115_char_entropy" ->
       """WITH ch AS (SELECT doc_id,
         |    unnest(string_split_regex(
