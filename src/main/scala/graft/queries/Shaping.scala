@@ -1406,6 +1406,33 @@ object Shaping {
           " AS BIGINT)").as("vwap_micro"))
   }
 
+  /** q209 — isotonic (PAV) calibration of the acctbal→high-value-order
+    * rate: the monotone least-squares fit over $100 balance buckets,
+    * via functions.Isotonic — GCM convex hull distributed as
+    * per-range-partition monotone chains + one O(hull)-task merge
+    * (see Isotonic.scala for why hulls distribute), assignment back to
+    * buckets through the rangeLastCarry step join. The oracle checks
+    * the same numbers from the cubic minimax characterization
+    * max_{j≤i} min_{k≥i} avg(y on (j,k]) — feasible at the O(grid)
+    * bucket count, which is exactly why the hull form exists for the
+    * corpus-scale path. Slopes are exact-rational micro quantities;
+    * quantization commutes with min/max, so hull and minimax agree
+    * integer-for-integer. */
+  val isotonicCalibration: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("cents"),
+        coalesce($"label", lit(0L)).as("label"))
+    val buckets = scored.groupBy(expr("cents div 10000").as("x"))
+      .agg(count(lit(1)).as("n"), sum($"label").as("sy"))
+    graft.functions.Isotonic.fit(buckets)
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1454,6 +1481,7 @@ object Shaping {
     "q202_quantile_normalize" -> quantileNormalize,
     "q205_twap" -> twap,
     "q206_ohlc_bars" -> ohlcBars,
+    "q209_isotonic_calibration" -> isotonicCalibration,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2313,5 +2341,30 @@ object Shaping {
         |    // greatest(sum(qty_c)::HUGEINT, 1) AS BIGINT)
         |    AS vwap_micro
         |FROM l GROUP BY day""".stripMargin,
+    "q209_isotonic_calibration" ->
+      """WITH scored AS (SELECT
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+        |      WHERE o_totalprice > 450000)
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM customer),
+        |b AS (SELECT cents // 10000 AS x, count(*)::BIGINT AS n,
+        |    sum(label)::BIGINT AS sy
+        |  FROM scored GROUP BY 1),
+        |c AS (SELECT x, n, sy,
+        |    sum(n) OVER (ORDER BY x)::BIGINT AS cn,
+        |    sum(sy) OVER (ORDER BY x)::BIGINT AS cy
+        |  FROM b),
+        |pts AS (SELECT 0::BIGINT AS pcn, 0::BIGINT AS pcy
+        |  UNION ALL SELECT cn, cy FROM c),
+        |mins AS (SELECT i.x, p.pcn,
+        |    min(1000000::HUGEINT * (k.cy - p.pcy)
+        |      // (k.cn - p.pcn)) AS mn
+        |  FROM c i JOIN pts p ON p.pcn < i.cn
+        |  JOIN c k ON k.cn >= i.cn
+        |  GROUP BY i.x, p.pcn)
+        |SELECT c.x, c.n, c.sy, CAST(f.fitted AS BIGINT) AS fitted_micro
+        |FROM c JOIN (SELECT x, max(mn) AS fitted FROM mins
+        |  GROUP BY x) f USING (x)""".stripMargin,
   )
 }

@@ -92,6 +92,34 @@ class ShapingSpec extends SparkSpec {
       expected.except(got).count() === 0)
   }
 
+  test("distributed GCM isotonic fit equals the sequential PAV loop") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 60).map(i =>
+      (i.toLong, 1L + rnd.nextInt(5).toLong, rnd.nextInt(5).toLong))
+    // reference: the textbook pool-adjacent-violators merge loop
+    def pav(b: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+      case class Pool(var n: Long, var sy: Long,
+        xs: scala.collection.mutable.ArrayBuffer[Long])
+      val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+      for ((x, n, sy) <- b) {
+        pools += Pool(n, sy, scala.collection.mutable.ArrayBuffer(x))
+        while (pools.size >= 2 && {
+          val a = pools(pools.size - 2); val c = pools.last
+          a.sy * c.n >= c.sy * a.n // prev avg >= next avg: violator
+        }) {
+          val c = pools.remove(pools.size - 1); val a = pools.last
+          a.n += c.n; a.sy += c.sy; a.xs ++= c.xs
+        }
+      }
+      pools.flatMap(p =>
+        p.xs.map(x => x -> (1000000L * p.sy / p.n))).toMap
+    }
+    val df = data.toDF("x", "n", "sy")
+    val got = graft.functions.Isotonic.fit(df, parts = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === pav(data))
+  }
+
   test("retention cohorts: offsets non-negative, day-0 equals cohort " +
     "size, users conserved") {
     val m = Shaping.retentionCohorts(spark, sfDir).cache()
