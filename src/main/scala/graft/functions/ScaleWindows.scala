@@ -75,18 +75,29 @@ object ScaleWindows {
     * local running sum + carried offset. Same determinism contract as
     * [[rangeNtile]]: `keys` must be a total order. Adds `out` (long). */
   def rangeCumSum(df: DataFrame, keys: Seq[Column], value: Column,
-                  out: String, parts: Int = 32): DataFrame =
-    rangeCumSums(df, keys, Seq(value -> out), parts)
+                  out: String, parts: Int = 32,
+                  checkpoint: Boolean = false): DataFrame =
+    rangeCumSums(df, keys, Seq(value -> out), parts, checkpoint)
 
   /** Multi-value form of [[rangeCumSum]]: N exclusive prefix sums over
     * ONE range exchange and one partition-local WindowExec (all sums
     * share the frame). `values` maps each summed column to its output
-    * column name. */
+    * column name.
+    *
+    * `checkpoint` (default off): the ranged frame feeds BOTH the
+    * per-partition-totals branch and the window branch, and a sampled
+    * range exchange is non-deterministic so Spark cannot reuse it —
+    * the input evaluates twice. For the usual value-grid-sized frames
+    * that is noise; for a million-row+ input pass `checkpoint = true`
+    * to materialize the exchange once (an EAGER localCheckpoint —
+    * runs a job at plan-build time, the PageRank precedent). */
   def rangeCumSums(df: DataFrame, keys: Seq[Column],
                    values: Seq[(Column, String)],
-                   parts: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(parts, keys: _*)
+                   parts: Int = 32,
+                   checkpoint: Boolean = false): DataFrame = {
+    val ranged0 = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
+    val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
     val psums = values.map { case (v, o) => sum(v).as(s"__psum_$o") }
     val sums = ranged.groupBy(col("__pid")).agg(psums.head, psums.tail: _*)
     val rhs = sums.select(col("__pid").as("__pid2") +:

@@ -707,18 +707,48 @@ object Scale {
     * nowhere corpus-sized. */
   val theilSen: Q = (s, dir) => {
     import s.implicits._
+    // localCheckpoint: the tiny daily frame feeds both join sides (one
+    // aggregation instead of two). repartition(32) on the probe side:
+    // post-aggregate the frame is a handful of KB, so AQE coalesces it
+    // to ONE partition and the O(days²) nested-loop pair expansion runs
+    // single-threaded (measured 10.7 s; spread across 32 tasks it is
+    // ~1 s). The explicit partition count is deliberate — this is a
+    // compute-expansion join, not a data join, so partitions must
+    // follow cores, not bytes.
     val daily = Tables(s, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
       .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
       .select(datediff($"day", lit("1995-01-01").cast("date"))
         .as("d"), $"cents")
-    val pairs = daily.as("a").join(daily.as("b"),
-        col("a.d") < col("b.d"))
+      .localCheckpoint()
+    val pairs = daily.repartition(32).as("a")
+      .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
       .select(expr("(1000000 * (b.cents - a.cents)) div (b.d - a.d)")
         .as("slope_micro"))
-    pairs.agg(count(lit(1)).as("n_pairs"),
-      round(percentile($"slope_micro", lit(0.5)), 4)
-        .as("median_slope_micro"))
+    // median WITHOUT the percentile UDAF: its value→count map over
+    // ~3M distinct slopes merges single-threaded (measured 12 s for
+    // the aggregate alone). The two middle order statistics come from
+    // the slope histogram + rangeCumSum instead — parallel all the
+    // way — and since they are integers, a + 0.5·(b−a) is EXACT in
+    // double (integer deltas < 2^53, ×0.5 a power of two), so the
+    // interpolated median is bit-identical on both engines.
+    val hist = pairs.groupBy($"slope_micro").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = graft.functions.ScaleWindows
+      .rangeCumSum(hist, Seq($"slope_micro".asc), $"c", "cs",
+        checkpoint = true)
+    val nAgg = hist.agg(sum($"c").as("n"))
+    val withN = cum.crossJoin(broadcast(nAgg))
+    val lo = withN.filter($"cs" <= expr("(n - 1) div 2") &&
+        expr("(n - 1) div 2") < $"cs" + $"c")
+      .select($"slope_micro".as("av"))
+    val hi = withN.filter($"cs" <= expr("(n - 1) - (n - 1) div 2") &&
+        expr("(n - 1) - (n - 1) div 2") < $"cs" + $"c")
+      .select($"slope_micro".as("bv"))
+    lo.crossJoin(hi).crossJoin(broadcast(nAgg))
+      .select($"n".as("n_pairs"),
+        round($"av" + ($"bv" - $"av") * 0.5, 4)
+          .as("median_slope_micro"))
   }
 
   /** q166 — seasonality profile per region: each region's monthly
@@ -2053,11 +2083,23 @@ object Scale {
         |pairs AS (SELECT
         |    (1000000 * (b.cents - a.cents)) // (b.d - a.d)
         |      AS slope_micro
-        |  FROM daily a JOIN daily b ON a.d < b.d)
-        |SELECT count(*)::BIGINT AS n_pairs,
-        |  round(quantile_cont(slope_micro, 0.5), 4)
-        |    AS median_slope_micro
-        |FROM pairs""".stripMargin,
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |h AS (SELECT slope_micro, count(*)::BIGINT AS c
+        |  FROM pairs GROUP BY 1),
+        |cum AS (SELECT slope_micro, c,
+        |    coalesce(sum(c) OVER (ORDER BY slope_micro
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS cs
+        |  FROM h),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM h),
+        |lo AS (SELECT slope_micro AS av FROM cum CROSS JOIN nn
+        |  WHERE cs <= (n - 1) // 2 AND (n - 1) // 2 < cs + c),
+        |hi AS (SELECT slope_micro AS bv FROM cum CROSS JOIN nn
+        |  WHERE cs <= (n - 1) - (n - 1) // 2
+        |    AND (n - 1) - (n - 1) // 2 < cs + c)
+        |SELECT n AS n_pairs,
+        |  round(av + (bv - av) * 0.5, 4) AS median_slope_micro
+        |FROM lo CROSS JOIN hi CROSS JOIN nn""".stripMargin,
     "q181_acf" ->
       """WITH daily AS (SELECT
         |    date_diff('day', DATE '1995-01-01',
