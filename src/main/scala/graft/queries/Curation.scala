@@ -1067,9 +1067,31 @@ object Curation {
             " div (CAST(2 AS DECIMAL(38,0)) * t2)")).as("js_micro"))
   }
 
+  /** q210 — Cramér's V: q194's chi² normalized to the [0,1] effect
+    * size a dataset card can compare across tables of different
+    * shape — V = √(χ²/(N·min(r−1,c−1))). One aggregate over the
+    * O(cats²) q194 grid; χ² totals as exact integer micro sums
+    * (q194's per-cell quantization makes the Σ order-independent);
+    * only the final sqrt runs in double, tree-mirrored in the
+    * oracle. */
+  val cramersV: Q = (s, dir) => {
+    import s.implicits._
+    chiSquared(s, dir).agg(
+        max($"n").as("n"),
+        countDistinct($"source").as("n_src"),
+        countDistinct($"lang").as("n_lang"),
+        sum($"chi2_contrib_micro").as("chi2_micro"))
+      .select($"n", $"n_src", $"n_lang", $"chi2_micro",
+        round(sqrt($"chi2_micro".cast("double") / 1000000.0 /
+          ($"n".cast("double") *
+            least($"n_src" - 1, $"n_lang" - 1).cast("double")))
+          * 1000000.0).cast("long").as("v_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q188_target_encode" -> targetEncode,
     "q200_js_divergence" -> jsDivergence,
+    "q210_cramers_v" -> cramersV,
     "q190_mutual_info" -> mutualInfo,
     "q194_chi_squared" -> chiSquared,
     "q108_pmi_collocations" -> pmiCollocations,
@@ -1641,6 +1663,37 @@ object Curation {
         |    / CAST(n::HUGEINT * r * c AS DOUBLE) * 1000000.0)
         |    AS BIGINT) AS chi2_contrib_micro
         |FROM d""".stripMargin,
+    "q210_cramers_v" ->
+      """WITH cell AS (SELECT source, lang, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY source, lang),
+        |ms AS (SELECT source, count(*)::BIGINT AS r
+        |  FROM documents GROUP BY source),
+        |ml AS (SELECT lang, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |grid AS (SELECT ms.source, ml.lang, r, c, n,
+        |    coalesce(o, 0)::BIGINT AS o
+        |  FROM ms CROSS JOIN ml CROSS JOIN tot
+        |  LEFT JOIN cell ON cell.source = ms.source
+        |    AND cell.lang = ml.lang),
+        |d AS (SELECT source, lang, o, r, c, n,
+        |    CAST(o::HUGEINT * n - r::HUGEINT * c AS DOUBLE) AS diff
+        |  FROM grid),
+        |g AS (SELECT source, lang, n,
+        |    CAST(round(diff * diff
+        |      / CAST(n::HUGEINT * r * c AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS contrib
+        |  FROM d)
+        |SELECT max(n)::BIGINT AS n,
+        |  count(DISTINCT source)::BIGINT AS n_src,
+        |  count(DISTINCT lang)::BIGINT AS n_lang,
+        |  sum(contrib)::BIGINT AS chi2_micro,
+        |  CAST(round(sqrt(sum(contrib)::DOUBLE / 1000000.0
+        |    / (max(n)::DOUBLE
+        |      * least(count(DISTINCT source) - 1,
+        |          count(DISTINCT lang) - 1)::DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS v_micro
+        |FROM g""".stripMargin,
     "q200_js_divergence" -> {
       val tk = sqlTokens("text")
       s"""WITH ws0 AS (SELECT source, unnest($tk) AS w FROM documents),
