@@ -1433,6 +1433,166 @@ object Shaping {
     graft.functions.Isotonic.fit(buckets)
   }
 
+  // ---- q211 OLS: shared Spark/DuckDB expression texts ----------------
+  // The moment sums are exact decimal(38,0)/HUGEINT; everything after is
+  // double over those exact integers with the operation tree written ONCE
+  // and parsed by both engines (q189/q193's rule), so the coefficients
+  // are bit-identical despite different summation orders upstream.
+  private val olsDbl: Seq[String] =
+    Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+      .map(c => s"CAST($c AS DOUBLE) AS ${c}d")
+  private val olsDetA =
+    "(nd*(s11d*s22d - s12d*s12d) - s1d*(s1d*s22d - s12d*s2d)" +
+      " + s2d*(s1d*s12d - s11d*s2d))"
+  private val olsDet0 =
+    "(syd*(s11d*s22d - s12d*s12d) - s1d*(s1yd*s22d - s12d*s2yd)" +
+      " + s2d*(s1yd*s12d - s11d*s2yd))"
+  private val olsDet1 =
+    "(nd*(s1yd*s22d - s12d*s2yd) - syd*(s1d*s22d - s12d*s2d)" +
+      " + s2d*(s1d*s2yd - s1yd*s2d))"
+  private val olsDet2 =
+    "(nd*(s11d*s2yd - s1yd*s12d) - s1d*(s1d*s2yd - s1yd*s2d)" +
+      " + syd*(s1d*s12d - s11d*s2d))"
+  private val olsBetas = Seq(
+    s"($olsDet0) / ($olsDetA) AS b0d",
+    s"($olsDet1) / ($olsDetA) AS b1d",
+    s"($olsDet2) / ($olsDetA) AS b2d")
+  private val olsOut = Seq(
+    "CAST(n AS BIGINT) AS n",
+    "CAST(round(b0d * 1000000.0) AS BIGINT) AS intercept_micro",
+    "CAST(round(b1d * 1000000.0) AS BIGINT) AS beta_acctbal_micro",
+    "CAST(round(b2d * 1000000.0) AS BIGINT) AS beta_norders_micro",
+    "CAST(round((1.0 - (syyd - b0d*syd - b1d*s1yd - b2d*s2yd)" +
+      " / (syyd - syd*syd/nd)) * 1000000.0) AS BIGINT) AS r2_micro")
+
+  /** q211 — multi-feature OLS via the NORMAL EQUATIONS (the closed-form
+    * regression every feature-importance / trend readout wants once
+    * there is more than one regressor — q142 is the 1-feature case):
+    * lifetime spend ~ intercept + acctbal + order count, solved by
+    * Cramer's rule on the 3×3 Gram matrix. ONE map-side-combined
+    * aggregate pass collects the 10 exact decimal(38,0) moment sums
+    * (cents-scale features stay inside decimal38 to ~1e12 rows); the
+    * 3×3 determinants and R² then run in double ON THE ONE-ROW frame
+    * with the operand tree shared token-for-token with the oracle — no
+    * second scan, no per-feature passes, nothing iterative. Scale
+    * posture: identical to q201 (corr matrix) — the corpus is touched
+    * exactly once. */
+  val olsNormal: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("spend"))
+    val feat = Tables(s, dir, "customer")
+      .join(o, $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("x1"),
+        coalesce($"cnt", lit(0L)).as("x2"),
+        coalesce($"spend", lit(0L)).as("y"))
+    val m = feat.agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(x1 AS DECIMAL(38,0))")).as("s1"),
+      sum(expr("CAST(x2 AS DECIMAL(38,0))")).as("s2"),
+      sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+      sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+      sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("s1y"),
+      sum(expr("CAST(x2 AS DECIMAL(38,0)) * y")).as("s2y"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    m.selectExpr("n" +: olsDbl: _*)
+      .selectExpr(Seq("n", "nd", "syd", "s1yd", "s2yd", "syyd") ++
+        olsBetas: _*)
+      .selectExpr(olsOut: _*)
+  }
+
+  // ---- q212 PCA power iteration: shared expression texts -------------
+  // One template generates both engines' round stages; the ONLY textual
+  // difference is the integer-division operator (`div` vs `//`, both
+  // truncate toward zero — q177's precedent), so every round's integer
+  // state is identical by construction.
+  private val pcaFeatures =
+    Seq(1 -> "acctbal", 2 -> "n_orders", 3 -> "spend", 4 -> "max_order")
+  private def pcaCorrCells: Seq[String] =
+    (for (i <- 1 to 4; j <- 1 to 4) yield {
+      if (i == j) s"CAST(1000000 AS BIGINT) AS c$i$j"
+      else {
+        val (a, b) = if (i < j) (i, j) else (j, i)
+        s"CAST(round(CAST(n * s$a$b - s$a * s$b AS DOUBLE)" +
+          s" / (sqrt(CAST(n * s$a$a - s$a * s$a AS DOUBLE))" +
+          s" * sqrt(CAST(n * s$b$b - s$b * s$b AS DOUBLE)))" +
+          s" * 1000000.0) AS BIGINT) AS c$i$j"
+      }
+    })
+  private val pcaCarryC =
+    for (i <- 1 to 4; j <- 1 to 4) yield s"c$i$j"
+  private def pcaUStage: Seq[String] =
+    (1 to 4).map(i =>
+      s"c${i}1*v1 + c${i}2*v2 + c${i}3*v3 + c${i}4*v4 AS u$i")
+  private val pcaSStage =
+    "CASE WHEN abs(u1) >= abs(u2) AND abs(u1) >= abs(u3)" +
+      " AND abs(u1) >= abs(u4) THEN u1" +
+      " WHEN abs(u2) >= abs(u3) AND abs(u2) >= abs(u4) THEN u2" +
+      " WHEN abs(u3) >= abs(u4) THEN u3 ELSE u4 END AS sca"
+  private def pcaVStage(divOp: String): Seq[String] =
+    (1 to 4).map(i => s"(u$i * 1000000) $divOp sca AS v$i")
+
+  /** q212 — top principal component by POWER ITERATION over the 4×4
+    * micro-quantized correlation matrix of q201's customer features.
+    * The distributed work is exactly one moment-sum pass (the same 14
+    * exact decimal(38,0) sums as q201); the 4×4 matrix then lives on a
+    * ONE-ROW frame and the 10 iteration rounds are chained projections
+    * over it — O(1) data, no driver collect, no loop over the corpus.
+    * Each round is EXACT integer arithmetic: u = C·v stays ≤4·10¹²
+    * (long-safe), and the L∞ re-normalization divides by the SIGNED
+    * max-magnitude component with truncating integer division (shared
+    * `div`/`//` semantics), which also pins the dominant loading to
+    * exactly +1e6 — fully deterministic on any partitioning and
+    * bit-identical across engines regardless of convergence state.
+    * sca of the final round estimates the top eigenvalue in micro
+    * (∈[1e6, 4e6] for a 4×4 correlation matrix; spec-asserted). */
+  /** The one-row c11..c44 micro correlation-matrix frame q212
+    * iterates over (also the spec's reference input). */
+  private[graft] def pcaMat(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("spend"),
+        max(round($"o_totalprice" * 100).cast("long")).as("maxp"))
+    val feat = Tables(s, dir, "customer")
+      .join(o, $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("x1"),
+        coalesce($"cnt", lit(0L)).as("x2"),
+        coalesce($"spend", lit(0L)).as("x3"),
+        coalesce($"maxp", lit(0L)).as("x4"))
+    val firsts = (1 to 4).map(i =>
+      sum(expr(s"CAST(x$i AS DECIMAL(38,0))")).as(s"s$i"))
+    val seconds = for (i <- 1 to 4; j <- i to 4) yield
+      sum(expr(s"CAST(x$i AS DECIMAL(38,0)) * x$j")).as(s"s$i$j")
+    val aggs = count(lit(1)).as("n") +: (firsts ++ seconds)
+    feat.agg(aggs.head, aggs.tail: _*).selectExpr(pcaCorrCells: _*)
+  }
+
+  val pcaPower: Q = (s, dir) => {
+    import s.implicits._
+    val mat = pcaMat(s, dir)
+    val v0 = mat.selectExpr(pcaCarryC ++
+      (1 to 4).map(i => s"CAST(1000000 AS BIGINT) AS v$i"): _*)
+    val iterated = (1 to 10).foldLeft(v0) { (df, _) =>
+      df.selectExpr(pcaCarryC ++ pcaUStage: _*)
+        .selectExpr(pcaCarryC ++ (1 to 4).map(i => s"u$i") :+
+          pcaSStage: _*)
+        .selectExpr(pcaCarryC ++ pcaVStage("div") :+ "sca": _*)
+    }
+    val cells = pcaFeatures.map { case (i, nm) =>
+      struct(lit(nm).as("feature"), col(s"v$i").as("loading_micro"))
+    }
+    // sca = max|C_micro·v_micro| ≈ λ·1e12 (both factors micro-scaled);
+    // one more truncating divide lands λ in plain micro units
+    iterated.select(explode(array(cells: _*)).as("c"),
+      expr("sca div 1000000").as("lambda_micro"))
+      .select($"c.feature", $"c.loading_micro", $"lambda_micro")
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1482,9 +1642,77 @@ object Shaping {
     "q205_twap" -> twap,
     "q206_ohlc_bars" -> ohlcBars,
     "q209_isotonic_calibration" -> isotonicCalibration,
+    "q211_ols_normal" -> olsNormal,
+    "q212_pca_power" -> pcaPower,
   )
 
+  /** q211 oracle — same moment CTE, then the SHARED double-stage texts. */
+  private def sqlOlsNormal: String =
+    s"""WITH o AS (SELECT o_custkey, count(*)::BIGINT AS cnt,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+       |      AS spend
+       |  FROM orders GROUP BY 1),
+       |feat AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+       |    coalesce(cnt, 0)::BIGINT AS x2,
+       |    coalesce(spend, 0)::BIGINT AS y
+       |  FROM customer LEFT JOIN o ON o_custkey = c_custkey),
+       |m AS (SELECT count(*)::BIGINT AS n,
+       |    sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2,
+       |    sum(x1::HUGEINT * x1) AS s11, sum(x1::HUGEINT * x2) AS s12,
+       |    sum(x2::HUGEINT * x2) AS s22, sum(y::HUGEINT) AS sy,
+       |    sum(x1::HUGEINT * y) AS s1y, sum(x2::HUGEINT * y) AS s2y,
+       |    sum(y::HUGEINT * y) AS syy
+       |  FROM feat),
+       |dbl AS (SELECT n, ${olsDbl.mkString(", ")} FROM m),
+       |bet AS (SELECT n, nd, syd, s1yd, s2yd, syyd,
+       |  ${olsBetas.mkString(", ")} FROM dbl)
+       |SELECT ${olsOut.mkString(", ")} FROM bet""".stripMargin
+
+  /** q212 oracle — q201's moment CTE, the shared correlation-cell
+    * texts, then the 10 power rounds as chained CTEs generated from
+    * the SAME templates as the Spark plan (only `div`→`//`). */
+  private def sqlPcaPower: String = {
+    val firsts = (1 to 4).map(i => s"sum(x$i::HUGEINT) AS s$i")
+    val seconds = for (i <- 1 to 4; j <- i to 4)
+      yield s"sum(x$i::HUGEINT * x$j) AS s$i$j"
+    val carry = pcaCarryC.mkString(", ")
+    val rounds = (1 to 10).map { r =>
+      val prev = if (r == 1) "r0" else s"r${r - 1}v"
+      s"""r${r}u AS (SELECT $carry, ${pcaUStage.mkString(", ")}
+         |  FROM $prev),
+         |r${r}s AS (SELECT $carry, u1, u2, u3, u4, $pcaSStage
+         |  FROM r${r}u),
+         |r${r}v AS (SELECT $carry, ${pcaVStage("//").mkString(", ")},
+         |  sca FROM r${r}s)""".stripMargin
+    }.mkString(",\n")
+    val finalRows = pcaFeatures.map { case (i, nm) =>
+      s"SELECT '$nm' AS feature, v$i AS loading_micro," +
+        s" sca // 1000000 AS lambda_micro FROM r10v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (SELECT o_custkey, count(*)::BIGINT AS cnt,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+       |      AS spend,
+       |    max(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+       |      AS maxp
+       |  FROM orders GROUP BY 1),
+       |feat AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+       |    coalesce(cnt, 0)::BIGINT AS x2,
+       |    coalesce(spend, 0)::BIGINT AS x3,
+       |    coalesce(maxp, 0)::BIGINT AS x4
+       |  FROM customer LEFT JOIN o ON o_custkey = c_custkey),
+       |m AS (SELECT count(*)::BIGINT AS n, ${firsts.mkString(", ")},
+       |  ${seconds.mkString(", ")} FROM feat),
+       |mat AS (SELECT ${pcaCorrCells.mkString(", ")} FROM m),
+       |r0 AS (SELECT $carry,
+       |  ${(1 to 4).map(i => s"CAST(1000000 AS BIGINT) AS v$i")
+           .mkString(", ")} FROM mat),
+       |$rounds
+       |$finalRows""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q211_ols_normal" -> sqlOlsNormal,
+    "q212_pca_power" -> sqlPcaPower,
     "q93_cube_summary" ->
       """SELECT o_orderstatus, o_orderpriority,
         | round(sum(o_totalprice), 2) AS revenue,

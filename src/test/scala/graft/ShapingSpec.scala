@@ -120,6 +120,86 @@ class ShapingSpec extends SparkSpec {
     assert(got === pav(data))
   }
 
+  test("q211 OLS normal equations agree with a plain-Scala solve") {
+    val feat = {
+      val o = graft.Tables(spark, sfDir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("spend"))
+      graft.Tables(spark, sfDir, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left")
+        .select(round($"c_acctbal" * 100).cast("long").as("x1"),
+          coalesce($"cnt", lit(0L)).as("x2"),
+          coalesce($"spend", lit(0L)).as("y"))
+        .collect().map(r => (r.getLong(0).toDouble,
+          r.getLong(1).toDouble, r.getLong(2).toDouble))
+    }
+    // reference solve: gaussian elimination on the normal equations
+    val n = feat.length.toDouble
+    val s1 = feat.map(_._1).sum; val s2 = feat.map(_._2).sum
+    val s11 = feat.map(t => t._1 * t._1).sum
+    val s12 = feat.map(t => t._1 * t._2).sum
+    val s22 = feat.map(t => t._2 * t._2).sum
+    val sy = feat.map(_._3).sum
+    val s1y = feat.map(t => t._1 * t._3).sum
+    val s2y = feat.map(t => t._2 * t._3).sum
+    val a = Array(Array(n, s1, s2, sy), Array(s1, s11, s12, s1y),
+      Array(s2, s12, s22, s2y))
+    for (i <- 0 until 3) {
+      val p = (i until 3).maxBy(r => math.abs(a(r)(i)))
+      val t = a(i); a(i) = a(p); a(p) = t
+      for (r <- i + 1 until 3) {
+        val f = a(r)(i) / a(i)(i)
+        for (c <- i to 3) a(r)(c) -= f * a(i)(c)
+      }
+    }
+    val beta = new Array[Double](3)
+    for (i <- 2 to 0 by -1)
+      beta(i) = (a(i)(3) - (i + 1 until 3)
+        .map(j => a(i)(j) * beta(j)).sum) / a(i)(i)
+    val row = Shaping.olsNormal(spark, sfDir).collect().head
+    val got = Seq(row.getLong(1), row.getLong(2), row.getLong(3))
+      .map(_ / 1e6)
+    for ((g, e) <- got.zip(beta))
+      assert(math.abs(g - e) <= math.abs(e) * 1e-6 + 1e-4,
+        s"coefficient $g vs reference $e")
+    val r2 = row.getLong(4)
+    assert(r2 >= 0L && r2 <= 1000000L, s"R^2 micro out of range: $r2")
+  }
+
+  test("q212 power iteration converges to the dominant eigenvector " +
+    "of the micro correlation matrix") {
+    val rows = Shaping.pcaPower(spark, sfDir).collect()
+    val load = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lambda = rows.head.getLong(2)
+    // dominant loading pinned to exactly +1e6 by the signed L-inf norm
+    assert(load.values.map(math.abs).max === 1000000L)
+    assert(lambda >= 1000000L && lambda <= 4000000L,
+      s"top eigenvalue of a 4x4 correlation matrix must be in [1,4]: " +
+        s"$lambda")
+    // reference: double power iteration on the same micro matrix
+    val matRow = graft.queries.Shaping.pcaMat(spark, sfDir)
+      .collect().head
+    val corr = Array.tabulate(4, 4)((i, j) =>
+      matRow.getLong(i * 4 + j).toDouble)
+    var v = Array(1.0, 1.0, 1.0, 1.0)
+    for (_ <- 1 to 60) {
+      val u = Array.tabulate(4)(i =>
+        (0 until 4).map(j => corr(i)(j) * v(j)).sum)
+      val m = u.map(math.abs).max
+      v = u.map(_ / m)
+    }
+    val got = Array("acctbal", "n_orders", "spend", "max_order")
+      .map(f => load(f) / 1e6)
+    // compare directions via cosine (sign already aligned: both pin
+    // the max-|.| component positive... the reference may differ in
+    // sign, so compare |cosine|)
+    val dot = got.zip(v).map { case (x, y) => x * y }.sum
+    val cos = math.abs(dot) / (math.sqrt(got.map(x => x * x).sum) *
+      math.sqrt(v.map(x => x * x).sum))
+    assert(cos > 0.9999, s"direction mismatch: |cos|=$cos")
+  }
+
   test("retention cohorts: offsets non-negative, day-0 equals cohort " +
     "size, users conserved") {
     val m = Shaping.retentionCohorts(spark, sfDir).cache()
