@@ -1088,7 +1088,43 @@ object Curation {
           * 1000000.0).cast("long").as("v_micro"))
   }
 
+  /** q214 — Good–Turing frequency re-estimation (the smoothing every
+    * n-gram language model applies to its count table before it can
+    * score unseen text): from the BIGRAM count table (the unigram
+    * vocabulary of this corpus has no rare tail — min count 26 — so
+    * the smoothing target is the bigram model, as in practice), the
+    * count-of-counts N_r, the re-estimated count r* = (r+1)·N_{r+1}/N_r
+    * for r ≤ 10, and the unseen-mass estimate P₀ = N₁/N. The corpus
+    * collapses to the O(bigram-vocab) count table in one explode+count
+    * pass (map-side combined), then to the O(max r) count-of-counts
+    * table; N_{r+1} arrives by equi-JOIN on r+1 (no window at all —
+    * the r spine needs no ordering primitive), and every ratio is
+    * truncating integer micro division, exact in both engines to
+    * ~10¹¹ vocabulary. */
+  val goodTuring: Q = (s, dir) => {
+    import s.implicits._
+    val words = tokenized(s, dir).select(explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", element_at($"toks", i),
+          element_at($"toks", i + 1)))).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("r"))
+    val nr = words.groupBy($"r").agg(count(lit(1)).as("n_r"))
+    val tot = words.agg(sum($"r").as("n_tokens"),
+      sum(when($"r" === 1, 1L).otherwise(0L)).as("n1"))
+    nr.as("a")
+      .join(nr.select(($"r" - 1).as("r"), $"n_r".as("n_r1")).as("b"),
+        Seq("r"), "left")
+      .filter($"r" <= 10)
+      .crossJoin(broadcast(tot))
+      .select($"r", $"n_r",
+        expr("(r + 1) * 1000000 * coalesce(n_r1, 0) div n_r")
+          .as("r_star_micro"),
+        expr("1000000 * n1 div n_tokens").as("p0_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_good_turing" -> goodTuring,
     "q188_target_encode" -> targetEncode,
     "q200_js_divergence" -> jsDivergence,
     "q210_cramers_v" -> cramersV,
@@ -1606,6 +1642,23 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q214_good_turing" ->
+      s"""WITH t AS (SELECT ${sqlTokens("text")} AS toks
+         |    FROM documents),
+         |words AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS tok FROM t),
+         |wc AS (SELECT tok, count(*)::BIGINT AS r FROM words
+         |  GROUP BY tok),
+         |nr AS (SELECT r, count(*)::BIGINT AS n_r FROM wc GROUP BY r),
+         |tot AS (SELECT sum(r)::BIGINT AS n_tokens,
+         |    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+         |  FROM wc)
+         |SELECT a.r, a.n_r,
+         |  (a.r + 1) * 1000000 * coalesce(b.n_r, 0) // a.n_r
+         |    AS r_star_micro,
+         |  1000000 * n1 // n_tokens AS p0_micro
+         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+         |CROSS JOIN tot WHERE a.r <= 10""".stripMargin,
     "q188_target_encode" ->
       """WITH o AS (SELECT o_orderkey, c_mktsegment AS segment,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS y

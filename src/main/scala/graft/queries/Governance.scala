@@ -445,7 +445,31 @@ object Governance {
       .limit(25)
   }
 
+  /** q213 — l-diversity audit (k-anonymity's necessary complement —
+    * q159 checks class SIZE, but a k-large class whose members all
+    * share one sensitive value still leaks it): per quasi-identifier
+    * class (nation, market segment), the number of DISTINCT sensitive
+    * values (account-balance $1000 bucket) and the l=3 verdict.
+    * Distinctness via two-level group-by — first on (QI, sensitive)
+    * with map-side combine, then on QI — never a count_distinct
+    * shuffle of raw rows; output O(QI classes). */
+  val lDiversity: Q = (s, dir) => {
+    import s.implicits._
+    val cell = Tables(s, dir, "customer")
+      .groupBy($"c_nationkey", $"c_mktsegment",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000")
+          .as("bal_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    cell.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(sum($"cnt").as("class_size"),
+        count(lit(1)).as("distinct_sensitive"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        $"distinct_sensitive",
+        ($"distinct_sensitive" < 3).as("violates_l3"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_l_diversity" -> lDiversity,
     "q161_reconciliation" -> reconciliation,
     "q158_benford_audit" -> benfordAudit,
     "q159_k_anonymity" -> kAnonymity,
@@ -674,6 +698,17 @@ object Governance {
       |ORDER BY abs_diff_cents DESC, o.o_orderkey ASC LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q213_l_diversity" ->
+      """WITH cell AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+        |      AS bal_bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment,
+        |  sum(cnt)::BIGINT AS class_size,
+        |  count(*)::BIGINT AS distinct_sensitive,
+        |  count(*) < 3 AS violates_l3
+        |FROM cell GROUP BY 1, 2""".stripMargin,
     "q161_reconciliation" -> sqlReconciliation,
     "q158_benford_audit" -> sqlBenford,
     "q159_k_anonymity" -> sqlKAnon,

@@ -319,4 +319,27 @@ class CurationSpec extends SparkSpec {
       .map { case (id, nw, np) => id -> (nw, np) }.toMap
     assert(got === want, "per-doc (n_words, n_pieces) diverged")
   }
+
+  test("q214 Good-Turing matches a plain-Scala count-of-counts " +
+    "re-estimate") {
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.TextOps.tokens($"text")
+        .as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val counts = toks.flatMap { case (_, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }.groupBy(identity).map(_._2.length.toLong)
+    val nr = counts.groupBy(identity)
+      .map { case (r, v) => r -> v.size.toLong }
+    val nTokens = counts.sum
+    val n1 = counts.count(_ == 1L).toLong
+    val want = nr.filter(_._1 <= 10).map { case (r, cnt) =>
+      r -> ((r + 1) * 1000000L * nr.getOrElse(r + 1, 0L) / cnt,
+        1000000L * n1 / nTokens)
+    }
+    val got = Curation.goodTuring(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (r, _, rs, p0) => r -> (rs, p0) }.toMap
+    assert(got === want, "count-of-counts re-estimate diverged")
+  }
 }

@@ -97,6 +97,20 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q213 l-diversity: members conserved, diversity bounded by " +
+    "class size, verdict consistent") {
+    val d = graft.queries.Governance.lDiversity(spark, sfDir).cache()
+    val total = d.agg(sum($"class_size")).as[Long].head()
+    val nCust = graft.Tables(spark, sfDir, "customer").count()
+    assert(total === nCust,
+      s"QI classes must partition the $nCust customers, got $total")
+    assert(d.filter($"distinct_sensitive" > $"class_size").count() === 0)
+    assert(d.filter($"distinct_sensitive" < 1).count() === 0)
+    assert(d.filter($"violates_l3" =!=
+      ($"distinct_sensitive" < 3)).count() === 0)
+    d.unpersist()
+  }
+
   test("mergeUpsert: update wins including NULLs, delete drops, insert lands") {
     import graft.sources.Warehouse
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
