@@ -457,6 +457,48 @@ object Scale {
         expr("(3000000 * n_triangles) div n_wedges").as("gcc_micro"))
   }
 
+  /** q215 — Adamic–Adar link prediction over the co-order part graph
+    * (q105's projection): for part pairs NOT currently connected, the
+    * classic common-neighbor score Σ_w 1/ln(deg w) — the first-line
+    * recommender / graph-completion baseline. Unlike the triangle
+    * count, the candidate set IS the wedge set, so the wedge expansion
+    * can't be avoided — it is BOUNDED instead: wedges route only
+    * through nodes with deg ∈ [2, 64], which is lossy-by-design in
+    * exactly the right way (a hub's 1/ln(deg) contribution is the
+    * smallest, and hub wedges are the Σdeg² blow-up term; the cap
+    * makes the expansion ≤ 64·|E| at any corpus scale — the standard
+    * degree-capped formulation). Per-node weights are micro-quantized
+    * BEFORE pair aggregation, so scores are exact long sums —
+    * partition-order independent; existing edges leave via equi
+    * anti-join; top-20 via TakeOrderedAndProject (no global sort). */
+  val adamicAdar: Q = (s, dir) => {
+    import s.implicits._
+    val io = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = io.as("x")
+      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+      .localCheckpoint() // feeds und (twice), the anti-join probe
+    val und = e.select($"u".as("w"), $"v".as("n"))
+      .unionByName(e.select($"v".as("w"), $"u".as("n")))
+    val wt = und.groupBy($"w").agg(count(lit(1)).as("d"))
+      .filter($"d" >= 2 && $"d" <= 64)
+      .select($"w",
+        round(lit(1000000.0) / log($"d".cast("double"))).cast("long")
+          .as("aa_micro"))
+    val capped = und.join(wt, Seq("w"))
+    val sc = capped.as("a")
+      .join(capped.as("b"), $"a.w" === $"b.w" && $"a.n" < $"b.n")
+      .select($"a.n".as("n1"), $"b.n".as("n2"),
+        $"a.aa_micro".as("aa_micro"))
+      .groupBy($"n1", $"n2")
+      .agg(count(lit(1)).as("n_common"),
+        sum($"aa_micro").as("aa_score_micro"))
+    sc.join(e, sc("n1") === e("u") && sc("n2") === e("v"), "left_anti")
+      .orderBy($"aa_score_micro".desc, $"n1".asc, $"n2".asc)
+      .limit(20)
+  }
+
   /** q56 — deterministic stratified sampling by hash threshold: 40% of
     * the first five sources, 10% of the rest, with no count, sort, or
     * state — each row decides locally from hash60(doc_id), so the same
@@ -1355,6 +1397,7 @@ object Scale {
     "q131_personalized_pagerank" -> personalizedPagerank,
     "q132_graph_sage" -> graphSage,
     "q105_triangles" -> triangles,
+    "q215_adamic_adar" -> adamicAdar,
     "q107_bfs_hops" -> bfsHops,
     "q109_kcore_peel" -> kcorePeel,
     "q56_sample_stratified" -> sampleStratified,
@@ -2015,6 +2058,30 @@ object Scale {
         |  CAST(sum(h1_price) // count(*) AS BIGINT) AS h2_price,
         |  CAST(sum(h1_size) // count(*) AS BIGINT) AS h2_size
         |FROM e0 JOIN h1 USING (supp) GROUP BY part""".stripMargin,
+    "q215_adamic_adar" ->
+      """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+        |und AS (SELECT u AS w, v AS n FROM e
+        |  UNION ALL SELECT v AS w, u AS n FROM e),
+        |wt AS (SELECT w,
+        |    CAST(round(1000000.0 / ln(count(*)::DOUBLE)) AS BIGINT)
+        |      AS aa_micro
+        |  FROM und GROUP BY w
+        |  HAVING count(*) >= 2 AND count(*) <= 64),
+        |capped AS (SELECT und.w, und.n, wt.aa_micro
+        |  FROM und JOIN wt USING (w)),
+        |sc AS (SELECT a.n AS n1, b.n AS n2,
+        |    count(*)::BIGINT AS n_common,
+        |    sum(a.aa_micro)::BIGINT AS aa_score_micro
+        |  FROM capped a JOIN capped b ON a.w = b.w AND a.n < b.n
+        |  GROUP BY 1, 2)
+        |SELECT n1, n2, n_common, aa_score_micro FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.u = sc.n1 AND e.v = sc.n2)
+        |ORDER BY aa_score_micro DESC, n1 ASC, n2 ASC
+        |LIMIT 20""".stripMargin,
     "q105_triangles" ->
       """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

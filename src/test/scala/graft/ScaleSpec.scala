@@ -422,6 +422,38 @@ class ScaleSpec extends SparkSpec {
 
   // --------------------------------------------------------- moving avg
 
+  test("q215 Adamic-Adar equals a plain-Scala degree-capped rebuild") {
+    import graft.queries.Scale
+    val e = {
+      val io = graft.Tables(spark, sfDir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      io.as("x").join(io.as("y"),
+          $"x.o" === $"y.o" && $"x.p" < $"y.p")
+        .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val nbrs = e.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (w, l) => w -> l.map(_._2).toSet }
+    val wt = nbrs.collect { case (w, ns)
+        if ns.size >= 2 && ns.size <= 64 =>
+      w -> math.round(1e6 / math.log(ns.size.toDouble))
+    }
+    val scores = collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)]
+    for ((w, micro) <- wt; ns = nbrs(w).toSeq.sorted;
+         i <- ns.indices; j <- i + 1 until ns.length) {
+      val k = (ns(i), ns(j))
+      val (c, sc0) = scores.getOrElse(k, (0L, 0L))
+      scores(k) = (c + 1, sc0 + micro)
+    }
+    val want = scores.toSeq.collect {
+      case ((a, b), (c, sc0)) if !e.contains((a, b)) => (a, b, c, sc0)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = Scale.adamicAdar(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want, "degree-capped AA top-20 diverged")
+  }
+
   test("7-day RANGE window equals the join formulation (gap days widen)") {
     val got = Scale.movingAvg(spark, sfDir)
     val daily = Tables(spark, sfDir, "orders")
