@@ -1110,6 +1110,37 @@ object TrainingData {
       .unionByName(overlap(annLshMultiProbe(s, dir), "multiprobe"))
   }
 
+  /** q216 — nDCG@10 of the brute-force cosine ranking against
+    * label-match relevance (the metric that, unlike q208's recall,
+    * rewards putting the relevant hits EARLY — the standard ranking
+    * read-out for any retrieval stack): rel(d) = [label(d) = label(q)],
+    * DCG = Σ rel·g(rank) with the per-rank gain g = 1/log₂(rank+1)
+    * micro-quantized PER RANK ROW, so both DCG and the ideal DCG
+    * (first min(|relevant|, 10) ranks, spine via sequence/range) are
+    * exact long sums; nDCG is one truncating micro division. All
+    * frames beyond the q26 top-k scan are O(k). */
+  val ndcgEval: Q = (s, dir) => {
+    import s.implicits._
+    val gainExpr = "CAST(round(1000000.0 / (ln(CAST(rank + 1 AS " +
+      "DOUBLE)) / ln(2.0))) AS BIGINT)"
+    val qlab = Tables(s, dir, "embeddings").filter($"vec_id" === 0L)
+      .select($"label".as("qlab"))
+    val dcg = annCosineTopK(s, dir).crossJoin(broadcast(qlab))
+      .select($"rank",
+        when($"label" === $"qlab", 1L).otherwise(0L).as("rel"))
+      .select($"rel", expr(gainExpr).as("g"))
+      .agg(sum($"rel" * $"g").as("dcg_micro"), sum($"rel").as("n_rel"))
+    val ideal = Tables(s, dir, "embeddings")
+      .join(broadcast(qlab), $"label" === $"qlab")
+      .agg(least(count(lit(1)), lit(10L)).as("m"))
+      .select(explode(sequence(lit(1L), $"m")).as("rank"))
+      .select(expr(gainExpr).as("g"))
+      .agg(sum($"g").as("idcg_micro"))
+    dcg.crossJoin(ideal)
+      .select(lit(10).as("k"), $"n_rel", $"dcg_micro", $"idcg_micro",
+        expr("1000000 * dcg_micro div idcg_micro").as("ndcg_micro"))
+  }
+
   /** q207 — reciprocal rank fusion (k = 60, the standard constant) of
     * the lexical and semantic rankers: q91's BM25 top-15 and q26's
     * cosine top-10 fuse by RRF(d) = Σ 1/(60 + rank_r(d)) over the
@@ -1731,6 +1762,7 @@ object TrainingData {
     "q91_bm25_rank" -> bm25Rank,
     "q207_rrf_fusion" -> rrfFusion,
     "q208_ann_recall_eval" -> annRecallEval,
+    "q216_ndcg_eval" -> ndcgEval,
     "q103_inverted_index" -> invertedIndex,
     "q112_index_maintain" -> indexMaintain,
     "q104_phrase_search" -> phraseSearch,
@@ -2152,6 +2184,29 @@ object TrainingData {
          |    + coalesce(1000000 // (60 + r_sem), 0))::BIGINT
          |    AS rrf_micro
          |FROM f""".stripMargin
+    },
+    "q216_ndcg_eval" -> {
+      val gain = "CAST(round(1000000.0 / (ln(CAST(rank + 1 AS " +
+        "DOUBLE)) / ln(2.0))) AS BIGINT)"
+      s"""WITH q AS (SELECT embedding AS qv, label AS qlab
+         |  FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, label, $sqlCos AS cs
+         |  FROM embeddings, q),
+         |r AS (SELECT label, row_number() OVER
+         |    (ORDER BY cs DESC, vec_id ASC) AS rank FROM c),
+         |g AS (SELECT CASE WHEN label = (SELECT qlab FROM q)
+         |      THEN 1 ELSE 0 END AS rel, $gain AS g
+         |  FROM r WHERE rank <= 10),
+         |dcg AS (SELECT sum(rel * g)::BIGINT AS dcg_micro,
+         |    sum(rel)::BIGINT AS n_rel FROM g),
+         |m AS (SELECT least(count(*), 10)::BIGINT AS m
+         |  FROM embeddings, q WHERE label = qlab),
+         |spine AS (SELECT unnest(range(1, m + 1)) AS rank FROM m),
+         |ideal AS (SELECT sum($gain)::BIGINT AS idcg_micro
+         |  FROM spine)
+         |SELECT 10 AS k, n_rel, dcg_micro, idcg_micro,
+         |  1000000 * dcg_micro // idcg_micro AS ndcg_micro
+         |FROM dcg, ideal""".stripMargin
     },
     "q208_ann_recall_eval" ->
       s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket

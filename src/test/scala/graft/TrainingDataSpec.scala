@@ -325,4 +325,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(rMulti >= rSingle,
       s"multi-probe recall $rMulti below single-bucket $rSingle")
   }
+
+  test("q216 nDCG matches a plain-Scala recompute from the q26 top-k") {
+    import graft.queries.TrainingData
+    def gain(rank: Long): Long =
+      math.round(1e6 / (math.log(rank + 1.0) / math.log(2.0)))
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label").as[(Long, String)].collect().toMap
+    val qlab = emb(0L)
+    val top = TrainingData.annCosineTopK(spark, sfDir)
+      .select($"vec_id", $"rank".cast("long")).as[(Long, Long)]
+      .collect()
+    val dcg = top.map { case (id, r) =>
+      if (emb(id) == qlab) gain(r) else 0L
+    }.sum
+    val m = math.min(emb.valuesIterator.count(_ == qlab), 10)
+    val idcg = (1 to m).map(r => gain(r.toLong)).sum
+    val row = TrainingData.ndcgEval(spark, sfDir).collect().head
+    assert(row.getLong(2) === dcg && row.getLong(3) === idcg)
+    assert(row.getLong(4) === 1000000L * dcg / idcg)
+    assert(row.getLong(4) > 0L && row.getLong(4) <= 1000000L)
+  }
 }
