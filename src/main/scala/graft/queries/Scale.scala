@@ -168,6 +168,41 @@ object Scale {
       .select($"event_type", $"exact_users", $"hll_est", $"hll_agg_est")
   }
 
+  /** q217 — HLL set-INTERSECTION estimate (audience overlap — "how
+    * many users both click and purchase" without ever shuffling a
+    * distinct-user set): inclusion–exclusion over three sketches,
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is
+    * NOT a re-scan — registers max-MERGE (the q125 rollup property),
+    * so A∪B costs one groupBy over the ≤2·1024 register rows. This is
+    * the operation sketch stores exist for: any pairwise overlap in a
+    * segment cube from O(m) state per segment. Exact intersection
+    * rides along as the audit column (feasible at test SF). */
+  val hllIntersection: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"user_id")
+    val regs = Sketches.hllRegisters(e, "event_type",
+      $"user_id".cast("string")).localCheckpoint()
+    val regsU = regs.groupBy($"b").agg(max($"r").as("r"))
+      .select(lit("union").as("event_type"), $"b", $"r")
+    val est = Sketches.hllEstimate(regs.unionByName(regsU),
+      "event_type")
+    val a = est.filter($"event_type" === "click")
+      .select($"hll_est".as("est_a"))
+    val b = est.filter($"event_type" === "purchase")
+      .select($"hll_est".as("est_b"))
+    val u = est.filter($"event_type" === "union")
+      .select($"hll_est".as("est_union"))
+    val exact = e.groupBy($"user_id")
+      .agg(countDistinct($"event_type").as("nt")).filter($"nt" === 2)
+      .agg(count(lit(1)).as("exact_inter"))
+    a.crossJoin(b).crossJoin(u).crossJoin(exact)
+      .select($"est_a", $"est_b", $"est_union",
+        round($"est_a" + $"est_b" - $"est_union", 4).as("inter_est"),
+        $"exact_inter")
+  }
+
   /** q53 — SCD type-2 history build: collapse each user's event stream
     * into status runs with [valid_from, valid_to) intervals and an
     * is_current flag — the warehouse dimension-maintenance pattern,
@@ -1386,6 +1421,7 @@ object Scale {
     "q83_salted_agg" -> saltedAgg,
     "q51_range_join" -> rangeJoin,
     "q52_hll_distinct" -> hllDistinct,
+    "q217_hll_intersection" -> hllIntersection,
     "q53_scd2_history" -> scd2History,
     "q54_quantiles" -> quantiles,
     "q96_sample_quantiles" -> sampleQuantiles,
@@ -1483,6 +1519,35 @@ object Scale {
       "JOIN (" + Sketches.sqlHllDistinct("events", "event_type",
         "event_type", "CAST(user_id AS VARCHAR)") +
       ") h USING (event_type)"
+
+  private def sqlHllIntersection: String = {
+    val h = Hashing.sqlHash60("CAST(user_id AS VARCHAR)")
+    s"""WITH ev AS (SELECT event_type, user_id FROM events
+       |  WHERE event_type IN ('click', 'purchase')),
+       |rg AS (SELECT g, b, max(rho) AS r FROM (
+       |    SELECT event_type AS g, ($h >> 50) AS b,
+       |      CAST(51 - length(ltrim(bin($h & 1125899906842623), '0'))
+       |        AS INTEGER) AS rho
+       |    FROM ev) x GROUP BY g, b),
+       |rgu AS (SELECT 'union' AS g, b, max(r) AS r FROM rg GROUP BY b),
+       |allr AS (SELECT * FROM rg UNION ALL SELECT * FROM rgu),
+       |est AS (SELECT g, round(CASE WHEN raw <= 2560.0 AND v > 0
+       |      THEN 1024.0 * ln(1024.0 / v) ELSE raw END, 4) AS hll_est
+       |  FROM (SELECT g, (1024 - count(*)) AS v,
+       |      (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+       |        / (sum(power(0.5, r)) + (1024 - count(*))) AS raw
+       |    FROM allr GROUP BY g) z),
+       |exact AS (SELECT count(*)::BIGINT AS exact_inter FROM (
+       |    SELECT user_id FROM ev GROUP BY user_id
+       |    HAVING count(DISTINCT event_type) = 2) t)
+       |SELECT a.hll_est AS est_a, b.hll_est AS est_b,
+       |  u.hll_est AS est_union,
+       |  round(a.hll_est + b.hll_est - u.hll_est, 4) AS inter_est,
+       |  exact_inter
+       |FROM (SELECT hll_est FROM est WHERE g = 'click') a,
+       |     (SELECT hll_est FROM est WHERE g = 'purchase') b,
+       |     (SELECT hll_est FROM est WHERE g = 'union') u, exact""".stripMargin
+  }
 
   private def sqlHllRollup: String =
     "SELECT x.week, x.exact_users, h.hll_est\n" +
@@ -1883,6 +1948,7 @@ object Scale {
         |GROUP BY 1""".stripMargin,
     "q51_range_join" -> sqlRange,
     "q52_hll_distinct" -> sqlHll,
+    "q217_hll_intersection" -> sqlHllIntersection,
     "q125_hll_rollup" -> sqlHllRollup,
     "q138_join_overlap_sketch" -> sqlJoinOverlap,
     "q141_poisson_bootstrap" -> sqlBootstrap,

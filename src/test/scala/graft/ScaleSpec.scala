@@ -422,6 +422,19 @@ class ScaleSpec extends SparkSpec {
 
   // --------------------------------------------------------- moving avg
 
+  test("q217 HLL intersection estimate lands near the exact overlap") {
+    val r = graft.queries.Scale.hllIntersection(spark, sfDir)
+      .collect().head
+    val (ea, eb, eu) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val inter = r.getDouble(3); val exact = r.getLong(4)
+    // union sketch max-merges, so est(A∪B) can't exceed est(A)+est(B)
+    assert(eu <= ea + eb + 1e-9)
+    assert(math.abs(inter - (ea + eb - eu)) < 1e-6)
+    // three compounded 1024-register estimates: generous 20% + slack
+    assert(math.abs(inter - exact) <= exact * 0.2 + 20.0,
+      s"inclusion-exclusion estimate $inter too far from exact $exact")
+  }
+
   test("q215 Adamic-Adar equals a plain-Scala degree-capped rebuild") {
     import graft.queries.Scale
     val e = {
