@@ -1123,7 +1123,35 @@ object Curation {
         expr("1000000 * n1 div n_tokens").as("p0_micro"))
   }
 
+  /** q218 — TextRank keyword extraction: PageRank over the word
+    * co-occurrence graph (adjacent-token edges, bidirected, self-loops
+    * dropped) — the unsupervised keyword/keyphrase baseline (Mihalcea
+    * & Tarau 2004), here as pure composition: the q121 bigram edge
+    * derivation feeding functions.PageRank's integer fixed-point
+    * kernel (bit-identical on any partitioning; the same unrolled
+    * arithmetic in the oracle). The graph is vocabulary-sized — tiny
+    * relative to the corpus that produced it — so the two rank
+    * iterations run on O(vocab) frames; top-20 via
+    * TakeOrderedAndProject. */
+  val textrankKeywords: Q = (s, dir) => {
+    import s.implicits._
+    val pr = tokenized(s, dir).select(explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at($"toks", i).as("src"),
+          element_at($"toks", i + 1).as("dst")))).as("pr"))
+      .select($"pr.src".as("src"), $"pr.dst".as("dst"))
+      .filter($"src" =!= $"dst")
+    val edges = pr.unionByName(
+      pr.select($"dst".as("src"), $"src".as("dst")))
+    graft.functions.PageRank.ranks(edges, iters = 2)
+      .orderBy($"rank".desc, $"id".asc)
+      .limit(20)
+      .select($"id".as("word"), $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_textrank_keywords" -> textrankKeywords,
     "q214_good_turing" -> goodTuring,
     "q188_target_encode" -> targetEncode,
     "q200_js_divergence" -> jsDivergence,
@@ -1642,6 +1670,39 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q218_textrank_keywords" -> {
+      // identical fixed-point arithmetic to functions.PageRank,
+      // unrolled; `//` = Spark `div` on the all-positive ranks
+      val S = 1000000000000L
+      s"""WITH t AS (SELECT ${sqlTokens("text")} AS toks
+         |    FROM documents),
+         |bgi AS (SELECT toks, unnest(range(1, len(toks))) AS i
+         |  FROM t),
+         |e0 AS (SELECT DISTINCT toks[i] AS src, toks[i + 1] AS dst
+         |  FROM bgi WHERE toks[i] <> toks[i + 1]),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, $S // (SELECT n FROM nn) AS rank
+         |  FROM nodes),
+         |c1 AS (SELECT e.dst AS id, sum(r0.rank // deg.outdeg) AS s
+         |       FROM e JOIN deg ON e.src = deg.src
+         |       JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+         |r1 AS (SELECT nodes.id,
+         |    (15 * $S // 100) // (SELECT n FROM nn)
+         |      + (85 * coalesce(c1.s, 0)) // 100 AS rank
+         |    FROM nodes LEFT JOIN c1 USING (id)),
+         |c2 AS (SELECT e.dst AS id, sum(r1.rank // deg.outdeg) AS s
+         |       FROM e JOIN deg ON e.src = deg.src
+         |       JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+         |r2 AS (SELECT nodes.id,
+         |    (15 * $S // 100) // (SELECT n FROM nn)
+         |      + (85 * coalesce(c2.s, 0)) // 100 AS rank
+         |    FROM nodes LEFT JOIN c2 USING (id))
+         |SELECT id AS word, CAST(rank AS BIGINT) AS rank FROM r2
+         |ORDER BY rank DESC, word ASC LIMIT 20""".stripMargin
+    },
     "q214_good_turing" ->
       s"""WITH t AS (SELECT ${sqlTokens("text")} AS toks
          |    FROM documents),

@@ -342,4 +342,31 @@ class CurationSpec extends SparkSpec {
       .map { case (r, _, rs, p0) => r -> (rs, p0) }.toMap
     assert(got === want, "count-of-counts re-estimate diverged")
   }
+
+  test("q218 TextRank equals a plain-Scala integer PageRank rebuild") {
+    val toks = graft.Tables(spark, sfDir, "documents")
+      .select(graft.functions.TextOps.tokens($"text"))
+      .as[Seq[String]].collect()
+    val e0 = toks.flatMap(ws => ws.sliding(2).collect {
+      case Seq(a, b) if a != b => (a, b)
+    }).toSet
+    val e = e0 ++ e0.map(_.swap)
+    val outdeg = e.groupBy(_._1).map { case (w, l) => w -> l.size.toLong }
+    val nodes = e.map(_._1).toSeq.sorted
+    val n = nodes.size
+    val S = 1000000000000L
+    val base = (15L * S / 100L) / n
+    var rank = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 2) {
+      val contrib = collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((s0, d) <- e)
+        contrib(d) += rank(s0) / outdeg(s0)
+      rank = nodes.map(w => w -> (base + 85L * contrib(w) / 100L)).toMap
+    }
+    val want = rank.toSeq.sortBy(t => (-t._2, t._1)).take(20)
+    val got = Curation.textrankKeywords(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === want, "integer TextRank diverged from rebuild")
+  }
 }
