@@ -1150,8 +1150,55 @@ object Curation {
       .select($"id".as("word"), $"rank")
   }
 
+  /** q220 — rendezvous (highest-random-weight) shard assignment: each
+    * document goes to argmax over shards of hash60("rv|shard|doc") —
+    * the stateless, coordination-free placement scheme whose defining
+    * property is MINIMAL RESHUFFLE: adding/removing a shard only moves
+    * the documents whose argmax was that shard (~1/n of data), unlike
+    * mod-n which moves almost everything. Pure per-row compute (8
+    * hashes + a struct-greatest, no shuffle at all until the audit
+    * count); same rows land on same shards on any cluster. Output is
+    * the per-shard census a placement review reads. */
+  val rendezvousShards: Q = (s, dir) => {
+    import s.implicits._
+    val structs = (0 until 8).map(i =>
+      struct(Hashing.hash60(concat(lit(s"rv|$i|"),
+        $"doc_id".cast("string"))).as("h"), lit(i).as("shard")))
+    Tables(s, dir, "documents")
+      .select($"doc_id", greatest(structs: _*).getField("shard")
+        .as("shard"))
+      .groupBy($"shard").agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+  }
+
+  /** q221 — cross-source vocabulary overlap matrix: pairwise Jaccard
+    * of the per-source word sets — the corpus-composition diagnostic
+    * that catches near-identical feeds (syndication at the vocabulary
+    * level) and outlier sources before mixing weights are chosen. The
+    * join is on WORD (vocab-sharded, the scale dimension); the
+    * O(sources²) result frame is tiny. Jaccard as exact integral
+    * micro division. */
+  val sourceVocabOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val sw = Tables(s, dir, "documents")
+      .select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .distinct()
+    val sizes = sw.groupBy($"source").agg(count(lit(1)).as("v"))
+    val inter = sw.as("a")
+      .join(sw.as("b"), $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(sizes.select($"source".as("s1"), $"v".as("v1")), Seq("s1"))
+      .join(sizes.select($"source".as("s2"), $"v".as("v2")), Seq("s2"))
+      .select($"s1", $"s2", $"v1", $"v2", $"inter",
+        expr("1000000 * inter div (v1 + v2 - inter)")
+          .as("jaccard_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q218_textrank_keywords" -> textrankKeywords,
+    "q220_rendezvous_shards" -> rendezvousShards,
+    "q221_source_vocab_overlap" -> sourceVocabOverlap,
     "q214_good_turing" -> goodTuring,
     "q188_target_encode" -> targetEncode,
     "q200_js_divergence" -> jsDivergence,
@@ -1670,6 +1717,35 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q220_rendezvous_shards" -> {
+      // DuckDB greatest() has no struct overload — encode (h, shard)
+      // as a fixed-width string: 19 digits cover the 60-bit hash, the
+      // trailing shard digit reproduces Spark's lexicographic
+      // struct tie-break exactly
+      val keys = (0 until 8).map { i =>
+        val h = Hashing.sqlHash60(s"'rv|$i|' || CAST(doc_id AS VARCHAR)")
+        s"printf('%019d', $h) || '$i'"
+      }.mkString(",\n      ")
+      s"""SELECT shard, count(*)::BIGINT AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM (SELECT doc_id, CAST(right(greatest(
+         |      $keys), 1) AS INTEGER) AS shard
+         |  FROM documents) t
+         |GROUP BY shard""".stripMargin
+    },
+    "q221_source_vocab_overlap" ->
+      s"""WITH sw AS (SELECT DISTINCT source,
+         |    unnest(${sqlTokens("text")}) AS w FROM documents),
+         |sizes AS (SELECT source, count(*)::BIGINT AS v FROM sw
+         |  GROUP BY source),
+         |inter AS (SELECT a.source AS s1, b.source AS s2,
+         |    count(*)::BIGINT AS inter
+         |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, x.v AS v1, y.v AS v2, inter,
+         |  1000000 * inter // (x.v + y.v - inter) AS jaccard_micro
+         |FROM inter JOIN sizes x ON x.source = s1
+         |JOIN sizes y ON y.source = s2""".stripMargin,
     "q218_textrank_keywords" -> {
       // identical fixed-point arithmetic to functions.PageRank,
       // unrolled; `//` = Spark `div` on the all-positive ranks

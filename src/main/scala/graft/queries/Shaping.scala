@@ -1433,6 +1433,42 @@ object Shaping {
     graft.functions.Isotonic.fit(buckets)
   }
 
+  // q219's lag weights α(1-α)^j, α=0.25, micro-quantized ONCE in Scala —
+  // both engines consume the same literals, so no float crosses the gate
+  private val EwmaW: Seq[Long] = (0 until 8).map(j =>
+    math.round(1000000.0 * 0.25 * math.pow(0.75, j)))
+
+  /** q219 — per-user EWMA smoothing, WINDOWED form: the infinite
+    * exponential recurrence y_t = αx_t + (1-α)y_{t-1} is inherently
+    * sequential (a running product no partial aggregation expresses
+    * exactly), so the scale-safe deployment truncates it at 8 lags —
+    * weight α(1-α)⁷ ≈ 3% of mass — making each row a FIXED dot product
+    * over a user-PARTITIONED ROWS window: embarrassingly parallel,
+    * no cross-partition state, exact integer arithmetic (the weights
+    * are micro literals quantized once in Scala). Missing lags (series
+    * head, NULL values) renormalize by the present-weight sum, so the
+    * smoother is well-defined from the first row. */
+  val ewmaSmooth: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    val base = Tables(s, dir, "events").select($"event_id", $"user_id",
+      unix_timestamp(date_trunc("second", $"ts")).as("sec"),
+      round($"value" * 100).cast("long").as("cents"))
+    val withLags = EwmaW.indices.foldLeft(base) { (df, j) =>
+      df.withColumn(s"l$j", lag($"cents", j).over(w))
+    }
+    val num = EwmaW.zipWithIndex.map { case (wt, j) =>
+      coalesce(col(s"l$j"), lit(0L)) * lit(wt) }.reduce(_ + _)
+    val den = EwmaW.zipWithIndex.map { case (wt, j) =>
+      when(col(s"l$j").isNotNull, lit(wt)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    withLags
+      .withColumn("num", num).withColumn("den", greatest(den, lit(1L)))
+      .selectExpr("event_id", "user_id",
+        "1000 * num div den AS ewma_milli")
+  }
+
   // ---- q211 OLS: shared Spark/DuckDB expression texts ----------------
   // The moment sums are exact decimal(38,0)/HUGEINT; everything after is
   // double over those exact integers with the operation tree written ONCE
@@ -1644,6 +1680,7 @@ object Shaping {
     "q209_isotonic_calibration" -> isotonicCalibration,
     "q211_ols_normal" -> olsNormal,
     "q212_pca_power" -> pcaPower,
+    "q219_ewma_smooth" -> ewmaSmooth,
   )
 
   /** q211 oracle — same moment CTE, then the SHARED double-stage texts. */
@@ -1710,7 +1747,30 @@ object Shaping {
        |$finalRows""".stripMargin
   }
 
+  private def sqlEwma: String = {
+    val lags = EwmaW.indices
+      .map(j => s"lag(cents, $j) OVER w AS l$j").mkString(",\n    ")
+    val num = EwmaW.zipWithIndex
+      .map { case (wt, j) => s"coalesce(l$j, 0) * $wt" }
+      .mkString(" + ")
+    val den = EwmaW.zipWithIndex
+      .map { case (wt, j) =>
+        s"CASE WHEN l$j IS NOT NULL THEN $wt ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH b AS (SELECT event_id, user_id,
+       |    epoch(date_trunc('second', ts))::BIGINT AS sec,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |l AS (SELECT event_id, user_id,
+       |    $lags
+       |  FROM b WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY sec ASC, event_id ASC))
+       |SELECT event_id, user_id,
+       |  1000 * ($num) // greatest($den, 1) AS ewma_milli
+       |FROM l""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q219_ewma_smooth" -> sqlEwma,
     "q211_ols_normal" -> sqlOlsNormal,
     "q212_pca_power" -> sqlPcaPower,
     "q93_cube_summary" ->

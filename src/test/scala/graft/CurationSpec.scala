@@ -343,6 +343,41 @@ class CurationSpec extends SparkSpec {
     assert(got === want, "count-of-counts re-estimate diverged")
   }
 
+  test("q220 rendezvous shards partition the corpus and rebalance " +
+    "minimally when a shard is removed") {
+    def assign(nShards: Int): Map[Long, Int] = {
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select($"doc_id").as[Long].collect()
+      docs.map { id =>
+        id -> (0 until nShards).maxBy(i =>
+          (graft.functions.Hashing.hash60(s"rv|$i|$id"), i))
+      }.toMap
+    }
+    val a8 = assign(8)
+    val got = Curation.rendezvousShards(spark, sfDir)
+      .select($"shard", $"n_docs").as[(Int, Long)].collect().toMap
+    val want = a8.values.groupBy(identity)
+      .map { case (s0, v) => s0 -> v.size.toLong }
+    assert(got === want, "shard census diverged from Scala rebuild")
+    // defining property: dropping shard 7 moves ONLY shard-7 docs
+    val a7 = assign(7)
+    val moved = a8.collect {
+      case (id, s0) if s0 != 7 && a7(id) != s0 => id
+    }
+    assert(moved.isEmpty,
+      s"non-shard-7 docs moved on shrink: ${moved.take(5)}")
+  }
+
+  test("q221 vocab overlap: jaccard bounded, intersection bounded by " +
+    "both vocabularies") {
+    val d = Curation.sourceVocabOverlap(spark, sfDir).cache()
+    assert(d.filter($"jaccard_micro" < 0 ||
+      $"jaccard_micro" > 1000000).count() === 0)
+    assert(d.filter($"inter" > $"v1" || $"inter" > $"v2").count() === 0)
+    assert(d.filter($"s1" >= $"s2").count() === 0, "pairs not ordered")
+    d.unpersist()
+  }
+
   test("q218 TextRank equals a plain-Scala integer PageRank rebuild") {
     val toks = graft.Tables(spark, sfDir, "documents")
       .select(graft.functions.TextOps.tokens($"text"))

@@ -120,6 +120,29 @@ class ShapingSpec extends SparkSpec {
     assert(got === pav(data))
   }
 
+  test("q219 EWMA: head rows pass through, smoothed values stay " +
+    "inside the trailing window's range") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Shaping.ewmaSmooth(spark, sfDir)
+    val base = graft.Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"),
+        round($"value" * 100).cast("long").as("cents"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    val bounds = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lo", min($"cents").over(w.rowsBetween(-7, 0)))
+      .withColumn("hi", max($"cents").over(w.rowsBetween(-7, 0)))
+    val j = got.join(bounds, Seq("event_id", "user_id"))
+    // each row's smoother is a convex combination of the trailing 8
+    assert(j.filter($"ewma_milli" < $"lo" * 1000 - 1000 ||
+      $"ewma_milli" > $"hi" * 1000 + 1000).count() === 0)
+    // a user's first event has only lag-0 present: exact pass-through
+    assert(j.filter($"rn" === 1 && $"cents".isNotNull &&
+      $"ewma_milli" =!= $"cents" * 1000).count() === 0)
+  }
+
   test("q211 OLS normal equations agree with a plain-Scala solve") {
     val feat = {
       val o = graft.Tables(spark, sfDir, "orders")
