@@ -1629,7 +1629,114 @@ object Shaping {
       .select($"c.feature", $"c.loading_micro", $"lambda_micro")
   }
 
+  // ---- q223 Markov attribution: shared expression texts --------------
+  // Same one-row-matrix-iteration template as q212: the corpus reduces
+  // to a 5×6 transition-count matrix; the five absorption chains (base
+  // + one per removed channel) iterate in exact integer micro
+  // arithmetic with `div`/`//` the only engine-text difference.
+  private val MkChannels = Seq("view" -> "vw", "click" -> "ck",
+    "signup" -> "su", "error" -> "er")
+  private val MkFroms = Seq("start" -> "st") ++ MkChannels
+  private val MkTargets = MkChannels :+ ("conv" -> "cv")
+  private def mkPStage(divOp: String): Seq[String] =
+    for ((_, f) <- MkFroms; (_, t) <- MkTargets) yield
+      s"1000000 * c_${f}_$t $divOp greatest(rs_$f, 1) AS p_${f}_$t"
+  private def mkCarryP: Seq[String] =
+    for ((_, f) <- MkFroms; (_, t) <- MkTargets) yield s"p_${f}_$t"
+  private val MkVariants: Seq[(String, Option[String])] =
+    ("base", Option.empty[String]) +:
+      MkChannels.map { case (_, c) => (s"rm_$c", Some(c)) }
+  private def mkCarryA: Seq[String] =
+    for ((v, _) <- MkVariants; (_, f) <- MkFroms) yield s"a_${v}_$f"
+  private def mkInit: Seq[String] =
+    mkCarryA.map(a => s"CAST(0 AS BIGINT) AS $a")
+  private def mkRound(divOp: String): Seq[String] =
+    for ((v, removed) <- MkVariants; (_, f) <- MkFroms) yield {
+      val terms = MkChannels.map(_._2).filterNot(removed.contains)
+        .map(j => s"p_${f}_$j * a_${v}_$j").mkString(" + ")
+      s"($terms) $divOp 1000000 + p_${f}_cv AS a_${v}_$f"
+    }
+  private def mkRe(divOp: String): Seq[String] =
+    MkChannels.map { case (_, c) =>
+      s"1000000 * (a_base_st - a_rm_${c}_st) $divOp " +
+        s"greatest(a_base_st, 1) AS re_$c"
+    }
+
+  /** q223 — Markov removal-effect attribution (the data-driven upgrade
+    * of q179's positional rules — Anderl et al.'s absorbing-chain
+    * model): user journeys become a first-order Markov chain over
+    * {start, view, click, signup, error} with absorbing {conversion,
+    * drop}; a channel's credit is its REMOVAL EFFECT — how much the
+    * start→conversion absorption probability falls when all edges into
+    * that channel are cut. The corpus collapses to the 5×6
+    * transition-count matrix in one pass (a lag window per user + a
+    * per-user terminal row); the five absorption fixed-points (base +
+    * 4 removals) then iterate 15 rounds on the ONE-ROW frame in exact
+    * integer micro arithmetic — q212's small-model-over-big-data
+    * template, deterministic on any partitioning and bit-identical
+    * across engines regardless of convergence state. Journeys truncate
+    * at the FIRST purchase (standard first-conversion model). */
+  val markovAttribution: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"user_id", $"event_id",
+      $"event_type", unix_timestamp(date_trunc("second", $"ts"))
+        .as("sec"))
+    val fp = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min(struct($"sec", $"event_id")).as("pk"))
+    val pre = ev.filter($"event_type" =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter($"pk".isNull || struct($"sec", $"event_id") < $"pk")
+    val wU = Window.partitionBy($"user_id")
+      .orderBy($"sec".asc, $"event_id".asc)
+    val mid = pre.select($"user_id",
+      coalesce(lag($"event_type", 1).over(wU), lit("start")).as("f"),
+      $"event_type".as("t"))
+    val lastPre = pre.groupBy($"user_id")
+      .agg(max(struct($"sec", $"event_id", $"event_type")).as("lk"))
+      .select($"user_id", $"lk.event_type".as("lastt"))
+    val term = ev.select($"user_id").distinct()
+      .join(lastPre, Seq("user_id"), "left")
+      .join(fp, Seq("user_id"), "left")
+      .select($"user_id", coalesce($"lastt", lit("start")).as("f"),
+        when($"pk".isNotNull, lit("conv")).otherwise(lit("null"))
+          .as("t"))
+    val trans = mid.unionByName(term).select($"f", $"t")
+    val aggs = MkFroms.flatMap { case (fn, fc) =>
+      sum(when($"f" === fn, 1L).otherwise(0L)).as(s"rs_$fc") +:
+        MkTargets.map { case (tn, tc) =>
+          sum(when($"f" === fn && $"t" === tn, 1L).otherwise(0L))
+            .as(s"c_${fc}_$tc")
+        }
+    }
+    val m = trans.agg(aggs.head, aggs.tail: _*)
+    val p0 = m.selectExpr(mkPStage("div"): _*)
+    val init = p0.selectExpr(mkCarryP ++ mkInit: _*)
+    val iterated = (1 to 15).foldLeft(init) { (df, _) =>
+      df.selectExpr(mkCarryP ++ mkRound("div"): _*)
+    }
+    val withRe = iterated.selectExpr(
+      Seq("a_base_st") ++
+        MkChannels.map { case (_, c) => s"a_rm_${c}_st" } ++
+        mkRe("div"): _*)
+    val reSum = MkChannels.map { case (_, c) => col(s"re_$c") }
+      .reduce(_ + _)
+    val cells = MkChannels.map { case (nm, c) =>
+      struct(lit(nm).as("channel"),
+        col(s"a_rm_${c}_st").as("conv_removed_micro"),
+        col(s"re_$c").as("removal_effect_micro"))
+    }
+    withRe.withColumn("re_sum", greatest(reSum, lit(1L)))
+      .select($"a_base_st".as("conv_base_micro"), $"re_sum",
+        explode(array(cells: _*)).as("cell"))
+      .selectExpr("cell.channel AS channel", "conv_base_micro",
+        "cell.conv_removed_micro AS conv_removed_micro",
+        "cell.removal_effect_micro AS removal_effect_micro",
+        "1000000 * cell.removal_effect_micro div re_sum" +
+          " AS attribution_micro")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_markov_attribution" -> markovAttribution,
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
     "q164_churn_buckets" -> churnBuckets,
@@ -1769,7 +1876,71 @@ object Shaping {
        |FROM l""".stripMargin
   }
 
+  /** q223 oracle — the same transition extraction relationally, then
+    * the SAME generated iteration texts with `//`. */
+  private def sqlMarkov: String = {
+    val counts = MkFroms.flatMap { case (fn, fc) =>
+      s"sum(CASE WHEN f = '$fn' THEN 1 ELSE 0 END) AS rs_$fc" +:
+        MkTargets.map { case (tn, tc) =>
+          s"sum(CASE WHEN f = '$fn' AND t = '$tn' THEN 1 ELSE 0 END)" +
+            s" AS c_${fc}_$tc"
+        }
+    }.mkString(",\n    ")
+    val carryP = mkCarryP.mkString(", ")
+    val rounds = (1 to 15).map { r =>
+      val prev = if (r == 1) "i0" else s"i${r - 1}"
+      s"""i$r AS (SELECT $carryP,
+         |  ${mkRound("//").mkString(",\n  ")}
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val rmCols = MkChannels.map { case (_, c) => s"a_rm_${c}_st" }
+      .mkString(", ")
+    val reSum = MkChannels.map { case (_, c) => s"re_$c" }
+      .mkString(" + ")
+    val finalRows = MkChannels.map { case (nm, c) =>
+      s"""SELECT '$nm' AS channel, a_base_st AS conv_base_micro,
+         |  a_rm_${c}_st AS conv_removed_micro,
+         |  re_$c AS removal_effect_micro,
+         |  1000000 * re_$c // re_sum AS attribution_micro
+         |FROM fin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+       |    epoch(date_trunc('second', ts))::BIGINT AS sec FROM events),
+       |fp AS (SELECT user_id, sec AS psec, event_id AS pid FROM (
+       |    SELECT user_id, sec, event_id, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY sec, event_id) AS rn
+       |    FROM ev WHERE event_type = 'purchase') x WHERE rn = 1),
+       |pre AS (SELECT ev.user_id, ev.event_id, ev.event_type, ev.sec
+       |  FROM ev LEFT JOIN fp USING (user_id)
+       |  WHERE ev.event_type <> 'purchase'
+       |    AND (fp.user_id IS NULL OR (sec, event_id) < (psec, pid))),
+       |mid AS (SELECT coalesce(lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY sec, event_id), 'start')
+       |      AS f,
+       |    event_type AS t FROM pre),
+       |lastpre AS (SELECT user_id, event_type AS lastt FROM (
+       |    SELECT user_id, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY sec DESC, event_id DESC)
+       |      AS rn
+       |    FROM pre) x WHERE rn = 1),
+       |term AS (SELECT coalesce(lastt, 'start') AS f,
+       |    CASE WHEN fp.user_id IS NOT NULL THEN 'conv' ELSE 'null'
+       |      END AS t
+       |  FROM (SELECT DISTINCT user_id FROM ev) u
+       |  LEFT JOIN lastpre USING (user_id) LEFT JOIN fp USING (user_id)),
+       |trans AS (SELECT f, t FROM mid UNION ALL SELECT f, t FROM term),
+       |m AS (SELECT $counts FROM trans),
+       |p AS (SELECT ${mkPStage("//").mkString(",\n  ")} FROM m),
+       |i0 AS (SELECT $carryP, ${mkInit.mkString(", ")} FROM p),
+       |$rounds,
+       |fin0 AS (SELECT a_base_st, $rmCols,
+       |  ${mkRe("//").mkString(",\n  ")} FROM i15),
+       |fin AS (SELECT *, greatest($reSum, 1) AS re_sum FROM fin0)
+       |$finalRows""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q223_markov_attribution" -> sqlMarkov,
     "q219_ewma_smooth" -> sqlEwma,
     "q211_ols_normal" -> sqlOlsNormal,
     "q212_pca_power" -> sqlPcaPower,

@@ -1110,6 +1110,41 @@ object TrainingData {
       .unionByName(overlap(annLshMultiProbe(s, dir), "multiprobe"))
   }
 
+  /** q222 — hard-negative mining for contrastive training (the data
+    * prep every embedding-model fine-tune runs): for each anchor (a
+    * deterministic 1-in-50 subsample), the 3 MOST-SIMILAR
+    * different-label candidates — "hard" because random negatives are
+    * trivially separable and teach nothing. The candidate pool is the
+    * anchor's LSH BUCKET, not the corpus (q27's pruning reused as a
+    * mining tool): at 100 TB the bucket join is the difference between
+    * an anchors×corpus blow-up and one co-partitioned equi-join whose
+    * fan-out is bucket-bounded. Per-anchor top-3 via a rank window on
+    * the bucket-bounded candidate frame (WindowGroupLimit prunes
+    * pre-exchange); ranking mirrors q26's (cs DESC, id ASC) contract
+    * so the float ordering is engine-identical. */
+  val hardNegatives: Q = (s, dir) => {
+    import s.implicits._
+    val withB = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding",
+        Similarity.lshBucket($"embedding", NumPlanes, Dims)
+          .as("bucket"))
+    val anchors = withB.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("anchor_id"), $"label".as("alabel"),
+        $"embedding".as("aemb"), $"bucket")
+    val cand = withB.select($"vec_id".as("cand_id"),
+      $"label".as("clabel"), $"embedding".as("cemb"), $"bucket")
+    val scored = anchors.join(cand, Seq("bucket"))
+      .filter($"clabel" =!= $"alabel")
+      .select($"anchor_id", $"cand_id",
+        Similarity.cosine($"aemb", $"cemb").as("cs"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"cs".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"anchor_id", $"cand_id", round($"cs", 6).as("cos_sim"),
+        $"rank")
+  }
+
   /** q216 — nDCG@10 of the brute-force cosine ranking against
     * label-match relevance (the metric that, unlike q208's recall,
     * rewards putting the relevant hits EARLY — the standard ranking
@@ -1763,6 +1798,7 @@ object TrainingData {
     "q207_rrf_fusion" -> rrfFusion,
     "q208_ann_recall_eval" -> annRecallEval,
     "q216_ndcg_eval" -> ndcgEval,
+    "q222_hard_negatives" -> hardNegatives,
     "q103_inverted_index" -> invertedIndex,
     "q112_index_maintain" -> indexMaintain,
     "q104_phrase_search" -> phraseSearch,
@@ -2184,6 +2220,22 @@ object TrainingData {
          |    + coalesce(1000000 // (60 + r_sem), 0))::BIGINT
          |    AS rrf_micro
          |FROM f""".stripMargin
+    },
+    "q222_hard_negatives" -> {
+      val cos = sqlCosCols("a.embedding", "c.embedding")
+      s"""WITH wb AS (SELECT vec_id, label, embedding,
+         |    $sqlBucket AS bucket FROM embeddings),
+         |sc AS (SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+         |    $cos AS cs
+         |  FROM wb a JOIN wb c ON a.bucket = c.bucket
+         |    AND c.label <> a.label
+         |  WHERE a.vec_id % 50 = 0),
+         |r AS (SELECT anchor_id, cand_id, cs, row_number() OVER
+         |    (PARTITION BY anchor_id ORDER BY cs DESC, cand_id ASC)
+         |      AS rank FROM sc)
+         |SELECT anchor_id, cand_id, round(cs, 6) AS cos_sim,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin
     },
     "q216_ndcg_eval" -> {
       val gain = "CAST(round(1000000.0 / (ln(CAST(rank + 1 AS " +

@@ -143,6 +143,23 @@ class ShapingSpec extends SparkSpec {
       $"ewma_milli" =!= $"cents" * 1000).count() === 0)
   }
 
+  test("q223 Markov attribution: removal never helps, credit " +
+    "normalizes, conversion probability is a probability") {
+    val d = Shaping.markovAttribution(spark, sfDir).cache()
+    assert(d.count() === 4)
+    val base = d.select($"conv_base_micro").as[Long].head()
+    assert(base > 0L && base <= 1000000L, s"conv prob out of range $base")
+    // cutting a channel can only remove paths to conversion
+    assert(d.filter($"conv_removed_micro" > $"conv_base_micro")
+      .count() === 0)
+    assert(d.filter($"removal_effect_micro" < 0).count() === 0)
+    // attribution shares sum to 1e6 up to one truncation unit per cell
+    val att = d.agg(sum($"attribution_micro")).as[Long].head()
+    assert(att >= 1000000L - 4 && att <= 1000000L,
+      s"attribution shares sum to $att")
+    d.unpersist()
+  }
+
   test("q211 OLS normal equations agree with a plain-Scala solve") {
     val feat = {
       val o = graft.Tables(spark, sfDir, "orders")

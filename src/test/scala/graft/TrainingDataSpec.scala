@@ -326,6 +326,33 @@ class TrainingDataSpec extends SparkSpec {
       s"multi-probe recall $rMulti below single-bucket $rSingle")
   }
 
+  test("q222 hard negatives: different labels, in-bucket, ranked by " +
+    "descending similarity") {
+    import graft.queries.TrainingData
+    import graft.functions.Similarity
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label",
+        Similarity.lshBucket($"embedding", 6, 64).as("bucket"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val got = TrainingData.hardNegatives(spark, sfDir)
+      .select($"anchor_id", $"cand_id", $"cos_sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    for ((a, c, _, _) <- got) {
+      assert(emb(a)._1 != emb(c)._1, s"same-label negative $a->$c")
+      assert(emb(a)._2 == emb(c)._2, s"cross-bucket candidate $a->$c")
+    }
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to rows.length),
+        s"ranks not contiguous for $a")
+      assert(byRank.map(_._3).toSeq ===
+        byRank.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"similarity not descending for $a")
+    }
+  }
+
   test("q216 nDCG matches a plain-Scala recompute from the q26 top-k") {
     import graft.queries.TrainingData
     def gain(rank: Long): Long =
