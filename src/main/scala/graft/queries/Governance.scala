@@ -468,7 +468,30 @@ object Governance {
         ($"distinct_sensitive" < 3).as("violates_l3"))
   }
 
+  /** q226 — corpus content fingerprint (the Merkle-style audit every
+    * reproducible-data claim needs: "is this the same corpus you
+    * trained on?"): per source, the XOR-fold of per-document content
+    * hashes — ORDER-INDEPENDENT by construction (xor commutes), so
+    * the digest is identical on any partitioning/cluster, and two
+    * corpora differ iff some source digest differs (up to hash
+    * collision). A '__all' root row xor-folds the source digests so
+    * a single value gates the whole corpus. One map-side-combined
+    * aggregate; output O(sources). */
+  val contentFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    val perSrc = Tables(s, dir, "documents")
+      .select($"source", graft.functions.Hashing.hash60(
+        concat($"doc_id".cast("string"), lit("|"), $"text")).as("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("fp_xor"))
+    val root = perSrc.agg(sum($"n_docs").as("n_docs"),
+        expr("bit_xor(fp_xor)").as("fp_xor"))
+      .select(lit("__all").as("source"), $"n_docs", $"fp_xor")
+    perSrc.unionByName(root)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q226_content_fingerprint" -> contentFingerprint,
     "q213_l_diversity" -> lDiversity,
     "q161_reconciliation" -> reconciliation,
     "q158_benford_audit" -> benfordAudit,
@@ -698,6 +721,18 @@ object Governance {
       |ORDER BY abs_diff_cents DESC, o.o_orderkey ASC LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q226_content_fingerprint" -> {
+      val h = graft.functions.Hashing.sqlHash60(
+        "CAST(doc_id AS VARCHAR) || '|' || text")
+      s"""WITH d AS (SELECT source, $h AS h FROM documents),
+         |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    bit_xor(h) AS fp_xor
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs, fp_xor FROM per
+         |UNION ALL
+         |SELECT '__all', sum(n_docs)::BIGINT, bit_xor(fp_xor)
+         |FROM per""".stripMargin
+    },
     "q213_l_diversity" ->
       """WITH cell AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000

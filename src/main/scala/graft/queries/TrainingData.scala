@@ -1110,6 +1110,78 @@ object TrainingData {
       .unionByName(overlap(annLshMultiProbe(s, dir), "multiprobe"))
   }
 
+  /** q224 — expected calibration error (ECE, the reliability-diagram
+    * number every deployed classifier reports next to accuracy): the
+    * min-max-scaled account balance plays the model's confidence for
+    * the has-high-value-order label; confidences bin into 10
+    * equal-width buckets; per bin the |accuracy − mean confidence| gap;
+    * ECE is the count-weighted mean gap. One aggregate for the min/max
+    * scaling bounds (broadcast one-row), one map-side-combined bin
+    * aggregate, then O(10) arithmetic — all gaps and the final ECE are
+    * truncating integer micro divisions, engine-exact. Complements
+    * q149 (percentile remap) and q209 (the isotonic FIX for what this
+    * query MEASURES). */
+  val calibrationError: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("cents"),
+        coalesce($"label", lit(0L)).as("label"))
+    val bounds = scored.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val conf = scored.crossJoin(broadcast(bounds))
+      .select($"label",
+        expr("1000000 * (cents - lo) div greatest(hi - lo, 1)")
+          .as("conf_micro"))
+    val bins = conf
+      .groupBy(expr("least(conf_micro div 100000, 9)").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"label").as("pos"),
+        sum($"conf_micro").as("sconf"))
+      .select($"bin", $"n",
+        expr("sconf div n").as("avg_conf_micro"),
+        expr("1000000 * pos div n").as("acc_micro"))
+      .withColumn("gap_micro", abs($"acc_micro" - $"avg_conf_micro"))
+    val ece = bins.agg(
+      expr("sum(n * gap_micro) div greatest(sum(n), 1)").as("ece_micro"))
+    bins.crossJoin(broadcast(ece))
+      .select($"bin", $"n", $"avg_conf_micro", $"acc_micro",
+        $"gap_micro", $"ece_micro")
+  }
+
+  /** q225 — expanding-window time-series cross-validation folds (the
+    * split design that never trains on the future — q134's stratified
+    * splits leak for temporal data): the order-date range divides into
+    * 6 equal spans; fold f trains on days ≤ f·span and validates on
+    * the following span. Membership is pure per-row day arithmetic
+    * against broadcast bounds — no sort, no shuffle beyond the O(folds
+    * × splits) census — and reproducible on any cluster. Output: per
+    * (fold, split) the row count and date coverage a leakage audit
+    * signs off on. */
+  val timeCvFolds: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select(to_date($"o_orderdate").as("day"))
+    val bounds = o.agg(min($"day").as("dmin"), max($"day").as("dmax"))
+      .select($"dmin", datediff($"dmax", $"dmin").as("range_d"))
+    val withFold = o.crossJoin(broadcast(bounds))
+      .select($"day", $"dmin",
+        datediff($"day", $"dmin").as("d"),
+        expr("greatest(range_d div 6, 1)").as("span"))
+      .select($"day", $"dmin", $"d", $"span",
+        explode(sequence(lit(1), lit(4))).as("fold"))
+      .select($"fold", $"day",
+        when($"d" <= $"fold" * $"span", "train")
+          .when($"d" <= ($"fold" + 1) * $"span", "val")
+          .as("split"))
+      .filter($"split".isNotNull)
+    withFold.groupBy($"fold", $"split")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"day").as("first_day"), max($"day").as("last_day"))
+  }
+
   /** q222 — hard-negative mining for contrastive training (the data
     * prep every embedding-model fine-tune runs): for each anchor (a
     * deterministic 1-in-50 subsample), the 3 MOST-SIMILAR
@@ -1799,6 +1871,8 @@ object TrainingData {
     "q208_ann_recall_eval" -> annRecallEval,
     "q216_ndcg_eval" -> ndcgEval,
     "q222_hard_negatives" -> hardNegatives,
+    "q224_calibration_error" -> calibrationError,
+    "q225_time_cv_folds" -> timeCvFolds,
     "q103_inverted_index" -> invertedIndex,
     "q112_index_maintain" -> indexMaintain,
     "q104_phrase_search" -> phraseSearch,
@@ -2221,6 +2295,50 @@ object TrainingData {
          |    AS rrf_micro
          |FROM f""".stripMargin
     },
+    "q224_calibration_error" ->
+      """WITH scored AS (SELECT
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    CASE WHEN EXISTS (SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |      THEN 1 ELSE 0 END AS label
+        |  FROM customer),
+        |bounds AS (SELECT min(cents) AS lo, max(cents) AS hi
+        |  FROM scored),
+        |conf AS (SELECT label,
+        |    1000000 * (cents - lo) // greatest(hi - lo, 1)
+        |      AS conf_micro
+        |  FROM scored, bounds),
+        |bins AS (SELECT least(conf_micro // 100000, 9) AS bin,
+        |    count(*)::BIGINT AS n, sum(label)::BIGINT AS pos,
+        |    sum(conf_micro)::BIGINT AS sconf
+        |  FROM conf GROUP BY 1),
+        |b2 AS (SELECT bin, n, sconf // n AS avg_conf_micro,
+        |    1000000 * pos // n AS acc_micro
+        |  FROM bins),
+        |b3 AS (SELECT bin, n, avg_conf_micro, acc_micro,
+        |    abs(acc_micro - avg_conf_micro) AS gap_micro FROM b2),
+        |ece AS (SELECT sum(n * gap_micro) // greatest(sum(n), 1)
+        |    AS ece_micro FROM b3)
+        |SELECT bin, n, avg_conf_micro, acc_micro, gap_micro, ece_micro
+        |FROM b3, ece""".stripMargin,
+    "q225_time_cv_folds" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |bounds AS (SELECT min(day) AS dmin,
+        |    date_diff('day', min(day), max(day))::BIGINT AS range_d
+        |  FROM o),
+        |folds AS (SELECT unnest(range(1, 5)) AS fold),
+        |x AS (SELECT day, date_diff('day', dmin, day)::BIGINT AS d,
+        |    greatest(range_d // 6, 1) AS span
+        |  FROM o, bounds),
+        |wf AS (SELECT fold, day,
+        |    CASE WHEN d <= fold * span THEN 'train'
+        |         WHEN d <= (fold + 1) * span THEN 'val' END AS split
+        |  FROM x, folds)
+        |SELECT CAST(fold AS INTEGER) AS fold, split,
+        |  count(*)::BIGINT AS n_orders,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM wf WHERE split IS NOT NULL GROUP BY fold, split""".stripMargin,
     "q222_hard_negatives" -> {
       val cos = sqlCosCols("a.embedding", "c.embedding")
       s"""WITH wb AS (SELECT vec_id, label, embedding,

@@ -97,6 +97,26 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q226 fingerprint: root folds the source digests, digest " +
+    "matches a plain-Scala xor, any edit changes it") {
+    val d = graft.queries.Governance.contentFingerprint(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val (root, srcs) = d.partition(_._1 == "__all")
+    assert(root.length === 1)
+    assert(root.head._3 === srcs.map(_._3).reduce(_ ^ _))
+    assert(root.head._2 === srcs.map(_._2).sum)
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    val s0 = srcs.head._1
+    val want = docs.filter(_._1 == s0)
+      .map(t => graft.functions.Hashing.hash60(s"${t._2}|${t._3}"))
+      .reduce(_ ^ _)
+    assert(srcs.find(_._1 == s0).get._3 === want)
+    // sensitivity: flipping one doc's hash flips the digest
+    assert((want ^ 12345L) !== want)
+  }
+
   test("q213 l-diversity: members conserved, diversity bounded by " +
     "class size, verdict consistent") {
     val d = graft.queries.Governance.lDiversity(spark, sfDir).cache()

@@ -353,6 +353,42 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("q224 ECE: bins partition the population, gaps consistent, " +
+    "ECE is the weighted mean gap") {
+    import graft.queries.TrainingData
+    val d = TrainingData.calibrationError(spark, sfDir).cache()
+    val nCust = graft.Tables(spark, sfDir, "customer").count()
+    assert(d.agg(sum($"n")).as[Long].head() === nCust)
+    assert(d.filter($"bin" < 0 || $"bin" > 9).count() === 0)
+    assert(d.filter($"gap_micro" =!=
+      abs($"acc_micro" - $"avg_conf_micro")).count() === 0)
+    val rows = d.select($"n", $"gap_micro", $"ece_micro")
+      .as[(Long, Long, Long)].collect()
+    val want = rows.map(r => r._1 * r._2).sum / rows.map(_._1).sum
+    assert(rows.forall(_._3 == want), "ECE not the weighted mean gap")
+    d.unpersist()
+  }
+
+  test("q225 time CV folds never leak the future into training") {
+    import graft.queries.TrainingData
+    val d = TrainingData.timeCvFolds(spark, sfDir)
+      .select($"fold", $"split", $"n_orders",
+        $"first_day".cast("string"), $"last_day".cast("string"))
+      .as[(Int, String, Long, String, String)].collect()
+    val byFold = d.groupBy(_._1)
+    byFold.foreach { case (f, rows) =>
+      val train = rows.find(_._2 == "train").get
+      rows.find(_._2 == "val").foreach { v =>
+        assert(train._5 < v._4,
+          s"fold $f: train up to ${train._5} overlaps val from ${v._4}")
+      }
+    }
+    // expanding window: each fold's train set grows
+    val sizes = byFold.toSeq.sortBy(_._1)
+      .map(_._2.find(_._2 == "train").get._3)
+    assert(sizes === sizes.sorted, s"train sizes not expanding: $sizes")
+  }
+
   test("q216 nDCG matches a plain-Scala recompute from the q26 top-k") {
     import graft.queries.TrainingData
     def gain(rank: Long): Long =
