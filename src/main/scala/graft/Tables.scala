@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
@@ -25,15 +25,21 @@ object Tables {
   private val CpuHeavy = Set("documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    // outright; read it as a nanos long and truncate to a µs timestamp —
-    // the same truncation DuckDB applies when casting ns → timestamp.
+    // events.ts has shipped under two physical encodings across testdata
+    // generations: INT64 TIMESTAMP(NANOS) (Spark 4 rejects it outright
+    // without the legacy conf; read as nanos long, truncate to µs — the
+    // same truncation DuckDB applies casting ns → timestamp) and plain
+    // timestamp[us] (Spark reads TIMESTAMP_NTZ). Normalize both to
+    // session-TZ TimestampType; the session TZ is pinned UTC, so the
+    // NTZ→TZ cast is lossless and micros agree with DuckDB.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    val ts = df.schema.fields
-      .find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    val ts = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
     if (CpuHeavy(name)) ts.repartition(spark.sparkContext.defaultParallelism)
     else ts

@@ -55,10 +55,16 @@ object Bpe {
       else {
         val Array(a, b) = top.head._1.split(" ", 2)
         merges += ((round, a, b, a + b))
+        val prev = syms
         syms = syms.withColumn("sym",
           trim(regexp_replace(concat(lit(" "), $"sym", lit(" ")),
             lit(s" $a $b(?= )"), lit(s" $a$b"))))
           .localCheckpoint()
+        // The new checkpoint is materialized; drop the previous round's
+        // blocks so R-round training holds one word-table copy in
+        // memory, not R of them (a 30k-merge vocab run would otherwise
+        // accumulate 30k cached copies).
+        prev.unpersist(blocking = false)
         round += 1
       }
     }

@@ -117,6 +117,36 @@ object ScaleWindows {
     withOut.drop("__pid" +: values.map { case (_, o) => s"__off_$o" }: _*)
   }
 
+  /** Exact EXCLUSIVE prefix max of `value` over the global order
+    * `keys` (max of strictly-preceding rows; NULL for the first row)
+    * without a single-partition sort — the skyline/running-record
+    * primitive. Same machinery and determinism contract as
+    * [[rangeCumSum]]: range exchange → per-partition maxima →
+    * broadcast triangular exclusive-max carry over the P-row frame →
+    * partition-local exclusive running max `greatest`-merged with the
+    * carry (Spark's `greatest` skips NULLs, so a first-partition row
+    * with no carry still sees its local predecessors and the global
+    * first row stays NULL). Adds `out`, typed as `value`. */
+  def rangeCumMax(df: DataFrame, keys: Seq[Column], value: Column,
+                  out: String, parts: Int = 32): DataFrame = {
+    val ranged = df.withColumn("__v", value)
+      .repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val maxes = ranged.groupBy(col("__pid"))
+      .agg(max(col("__v")).as("__pmax"))
+    val rhs = maxes.select(col("__pid").as("__pid2"),
+      col("__pmax").as("__pmax2"))
+    val offs = maxes.crossJoin(broadcast(rhs))
+      .groupBy(col("__pid"))
+      .agg(max(when(col("__pid2") < col("__pid"), col("__pmax2")))
+        .as("__carry"))
+    val wp = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, greatest(max(col("__v")).over(wp), col("__carry")))
+      .drop("__pid", "__v", "__carry")
+  }
+
   /** Scale-safe LOCF (last-observation-carried-forward) over a global
     * order: for each row, the most recent non-null `value` at or
     * before it in `keys` order — the step-function/as-of primitive

@@ -794,7 +794,7 @@ object Scale {
     // follow cores, not bytes.
     val daily = Tables(s, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
       .select(datediff($"day", lit("1995-01-01").cast("date"))
         .as("d"), $"cents")
       .localCheckpoint()
@@ -1086,10 +1086,11 @@ object Scale {
     * collapse to one max-size row per DISTINCT price, running-max over
     * prices ordered ascending (rows frame, excluding current) gives
     * "best size strictly cheaper", and a part is on the front iff its
-    * size is not beaten. The global window runs on the distinct-price
-    * frame — orders of magnitude below row count; at 100 TB, range-
-    * partition by price and carry each partition's running max as one
-    * scalar into the next (the same pattern as q64's pack offsets).
+    * size is not beaten. The running max is
+    * [[graft.functions.ScaleWindows.rangeCumMax]] — range exchange +
+    * per-partition carry, so even the distinct-price frame (already
+    * orders of magnitude below row count) never funnels through a
+    * single-partition WindowExec at 100 TB.
     * The ORACLE is the independent NOT EXISTS anti-join formulation. */
   val paretoFront: Q = (s, dir) => {
     import s.implicits._
@@ -1097,10 +1098,9 @@ object Scale {
       .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
     val byPrice = p.groupBy($"p_retailprice")
       .agg(max($"p_size").as("gmax"))
-    val w = Window.orderBy($"p_retailprice")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val strictMax = byPrice.select($"p_retailprice",
-      max($"gmax").over(w).as("smax"))
+    val strictMax = graft.functions.ScaleWindows.rangeCumMax(
+        byPrice, Seq($"p_retailprice"), $"gmax", "smax")
+      .select($"p_retailprice", $"smax")
     p.join(strictMax, Seq("p_retailprice"))
       .filter($"smax".isNull || $"p_size" >= $"smax")
       .select($"p_partkey", $"p_name", $"p_retailprice", $"p_size")
@@ -1231,7 +1231,7 @@ object Scale {
     val daily = Tables(s, dir, "orders")
       .groupBy(datediff(to_date($"o_orderdate"),
         lit("1995-01-01").cast("date")).as("d"))
-      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
     val lags = s.range(1, 8).select($"id".cast("int").as("lag"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     daily.as("a").crossJoin(broadcast(lags))
@@ -1272,7 +1272,7 @@ object Scale {
         $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_regionkey".as("region"),
         to_date($"o_orderdate").as("day"))
-      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
     val tot = daily.groupBy($"region")
       .agg(sum($"cents").as("tot"), count(lit(1)).as("n_days"))
     val wc = Window.partitionBy($"region").orderBy($"day")
@@ -1341,7 +1341,7 @@ object Scale {
     import s.implicits._
     val daily = Tables(s, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
-      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
       .withColumn("dow", weekday($"day").cast("int"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val moments = daily.groupBy($"dow")
@@ -2211,7 +2211,7 @@ object Scale {
       """WITH daily AS (SELECT
         |    date_diff('day', DATE '1995-01-01',
         |      CAST(o_orderdate AS DATE)) AS d,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
         |pairs AS (SELECT
         |    (1000000 * (b.cents - a.cents)) // (b.d - a.d)
@@ -2237,7 +2237,7 @@ object Scale {
       """WITH daily AS (SELECT
         |    date_diff('day', DATE '1995-01-01',
         |      CAST(o_orderdate AS DATE)) AS d,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
         |p AS (SELECT l.lag AS lag, a.cents::HUGEINT AS x,
         |    b.cents::HUGEINT AS y
@@ -2256,7 +2256,7 @@ object Scale {
     "q183_cusum_changepoint" ->
       """WITH daily AS (SELECT n_regionkey AS region,
         |    CAST(o_orderdate AS DATE) AS day,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
@@ -2271,9 +2271,9 @@ object Scale {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
         |  FROM d)
         |SELECT region, day, dev AS dev_scaled,
-        |  p - least(min(p) OVER (PARTITION BY region ORDER BY day
+        |  CAST(p - least(min(p) OVER (PARTITION BY region ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-        |    AS cusum_scaled
+        |    AS BIGINT) AS cusum_scaled
         |FROM pp""".stripMargin,
     "q184_cooccurrence" ->
       """WITH items AS (SELECT DISTINCT user_id,
@@ -2300,7 +2300,7 @@ object Scale {
         |CROSS JOIN nb""".stripMargin,
     "q187_dow_anomaly" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
         |d2 AS (SELECT day, (isodow(day) - 1)::INTEGER AS dow, cents
         |  FROM daily),

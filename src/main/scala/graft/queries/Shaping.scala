@@ -262,7 +262,7 @@ object Shaping {
       .groupBy($"o_custkey")
       .agg(max(to_date($"o_orderdate")).as("last_day"),
         count(lit(1)).as("freq"),
-        round(sum($"o_totalprice") * 100).cast("long").as("monetary_c"))
+        sum(round($"o_totalprice" * 100).cast("long")).as("monetary_c"))
       .withColumn("recency",
         datediff(lit("1998-12-31").cast("date"), $"last_day"))
       .select($"o_custkey", $"recency", $"freq", $"monetary_c")
@@ -670,7 +670,7 @@ object Shaping {
     import s.implicits._
     val rev = Tables(s, dir, "orders")
       .groupBy($"o_custkey")
-      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
     val reg = Tables(s, dir, "customer")
       .join(broadcast(Tables(s, dir, "nation")),
         $"c_nationkey" === $"n_nationkey")
@@ -701,7 +701,7 @@ object Shaping {
     import s.implicits._
     val rev = Tables(s, dir, "orders")
       .groupBy($"o_custkey")
-      .agg(round(sum($"o_totalprice") * 100).cast("long").as("cents"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
     val reg = Tables(s, dir, "customer")
       .join(broadcast(Tables(s, dir, "nation")),
         $"c_nationkey" === $"n_nationkey")
@@ -1656,9 +1656,14 @@ object Shaping {
         .map(j => s"p_${f}_$j * a_${v}_$j").mkString(" + ")
       s"($terms) $divOp 1000000 + p_${f}_cv AS a_${v}_$f"
     }
+  // Removal effects floor at 0: a removal can only lower absorption, so
+  // a negative difference is an integer-rounding artifact. The clamp is
+  // BEFORE the division — Spark `div` truncates toward zero while DuckDB
+  // `//` floors, and they only disagree on negative operands, so keeping
+  // every dividend non-negative makes the two engines bit-identical.
   private def mkRe(divOp: String): Seq[String] =
     MkChannels.map { case (_, c) =>
-      s"1000000 * (a_base_st - a_rm_${c}_st) $divOp " +
+      s"1000000 * greatest(a_base_st - a_rm_${c}_st, 0) $divOp " +
         s"greatest(a_base_st, 1) AS re_$c"
     }
 
@@ -1879,11 +1884,15 @@ object Shaping {
   /** q223 oracle — the same transition extraction relationally, then
     * the SAME generated iteration texts with `//`. */
   private def sqlMarkov: String = {
+    // ::BIGINT on every sum: DuckDB's sum(BIGINT) yields HUGEINT, which
+    // Arrow surfaces as decimal128 — value-equal to the Spark longs but
+    // type-distinct under the driver's hash compare. Keeping the counts
+    // BIGINT keeps every downstream //-expression BIGINT.
     val counts = MkFroms.flatMap { case (fn, fc) =>
-      s"sum(CASE WHEN f = '$fn' THEN 1 ELSE 0 END) AS rs_$fc" +:
+      s"sum(CASE WHEN f = '$fn' THEN 1 ELSE 0 END)::BIGINT AS rs_$fc" +:
         MkTargets.map { case (tn, tc) =>
           s"sum(CASE WHEN f = '$fn' AND t = '$tn' THEN 1 ELSE 0 END)" +
-            s" AS c_${fc}_$tc"
+            s"::BIGINT AS c_${fc}_$tc"
         }
     }.mkString(",\n    ")
     val carryP = mkCarryP.mkString(", ")
@@ -1969,7 +1978,7 @@ object Shaping {
         |    date_diff('day', max(CAST(o_orderdate AS DATE)),
         |      DATE '1998-12-31') AS recency,
         |    count(*)::BIGINT AS freq,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS monetary_c
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, CAST(recency AS INTEGER) AS recency, freq,
         |  monetary_c,
@@ -2309,7 +2318,7 @@ object Shaping {
         |FROM events GROUP BY event_type""".stripMargin,
     "q171_gini_revenue" ->
       """WITH rev AS (SELECT o_custkey,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY o_custkey),
         |reg AS (SELECT c_custkey AS o_custkey, n_regionkey AS region
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
@@ -2325,7 +2334,7 @@ object Shaping {
         |FROM rk GROUP BY region""".stripMargin,
     "q172_abc_classes" ->
       """WITH rev AS (SELECT o_custkey,
-        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders GROUP BY o_custkey),
         |reg AS (SELECT c_custkey AS o_custkey, n_regionkey AS region
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),

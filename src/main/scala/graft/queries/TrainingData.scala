@@ -2317,8 +2317,8 @@ object TrainingData {
         |  FROM bins),
         |b3 AS (SELECT bin, n, avg_conf_micro, acc_micro,
         |    abs(acc_micro - avg_conf_micro) AS gap_micro FROM b2),
-        |ece AS (SELECT sum(n * gap_micro) // greatest(sum(n), 1)
-        |    AS ece_micro FROM b3)
+        |ece AS (SELECT CAST(sum(n * gap_micro) // greatest(sum(n), 1)
+        |    AS BIGINT) AS ece_micro FROM b3)
         |SELECT bin, n, avg_conf_micro, acc_micro, gap_micro, ece_micro
         |FROM b3, ece""".stripMargin,
     "q225_time_cv_folds" ->

@@ -216,6 +216,23 @@ class CurationSpec extends SparkSpec {
     assert(merges.forall(_.getAs[String]("merged").length >= 2))
   }
 
+  test("BPE trainer holds memory flat across many rounds " +
+    "(per-round checkpoint unpersisted)") {
+    import graft.functions.Bpe
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = Seq(("abcdefghijklmnop", 10L), ("ababababab", 7L),
+      ("qrstuvwxyz", 5L), ("mnopqrst", 3L)).toDF("word", "n")
+    val (merges, syms) = Bpe.train(df, rounds = 20)
+    assert(merges.count() > 10, "fixture must survive many rounds")
+    syms.count()
+    // one live checkpoint (the final syms) is expected; 20 would mean
+    // the per-round unpersist regressed
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"cached RDDs grew by ${after - before}; per-round checkpoints leak")
+    syms.unpersist()
+  }
+
   test("q88/q102 broadcast-overflow branch: shuffled probe equals " +
     "broadcast probe, and each plan uses its join") {
     def plans(q: String): (Array[org.apache.spark.sql.Row], String) = {

@@ -82,11 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("array_intersect"), p)
   }
 
-  test("q119: skyline plans as window + equi-join — no nested-loop, " +
-    "no cartesian") {
+  test("q119: skyline plans as partition-carried window + equi-join — " +
+    "no cartesian, only the P-row triangular carry may nested-loop") {
     val p = plan("q119_pareto_front")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // rangeCumMax's carry is a broadcast triangular join over the
+    // O(parts)-row per-partition-max frame — the one permitted
+    // nested-loop (same stance as rangeNtile/q94)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
     assert(p.contains("Window"), p)
   }
 
@@ -210,6 +213,18 @@ class PlanSpec extends SparkSpec {
     assert(rulesPlan.contains("BroadcastHashJoin") &&
       !rulesPlan.contains("CartesianProduct"),
       "q173 must broadcast supports and keep the pair join equi")
+  }
+
+  test("q119 pareto front: partition-carry deployed, no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q119_pareto_front")(spark, sfDir)
+      .queryExecution
+    val unpart = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty,
+      "q119 must run its skyline max through rangeCumMax, not a " +
+        "single-partition WindowExec")
   }
 
   test("round-3 batch-2 operators keep their scale plan shapes") {

@@ -76,6 +76,27 @@ class ShapingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rangeCumMax matches the global-window exclusive running max, " +
+    "NULL first row included") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(997).toDF("id")
+      .withColumn("k", (col("id") * 7 % 101).cast("long"))
+      .groupBy("k").agg(max(col("id") % 13).as("v"))
+      .cache()
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.select(col("k"), max(col("v")).over(w).as("m"))
+    val got = graft.functions.ScaleWindows
+      .rangeCumMax(df, Seq(col("k").asc), col("v"), "m", parts = 7)
+      .select(col("k"), col("m"))
+    assert(got.except(expected).count() === 0 &&
+      expected.except(got).count() === 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      "cummax window must be partitioned by the range-partition id")
+    df.unpersist()
+  }
+
   test("rangeLastCarry equals the global last-ignoreNulls window, " +
     "including leading nulls and cross-partition carries") {
     import org.apache.spark.sql.expressions.Window

@@ -56,6 +56,18 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns exp={ecols} got={gcols}")
                 n_fail += 1
                 continue
+            # Type-level compare: the driver's hash is type-sensitive
+            # (DuckDB HUGEINT -> arrow decimal128 hash-mismatches a Spark
+            # int64 even when every value is equal — the exact r3 q183/
+            # q223/q224 failure). Python == hides that, so check schemas.
+            tdiff = {c: (str(exp.schema.field(c).type),
+                         str(got.schema.field(c).type))
+                     for c in ecols
+                     if exp.schema.field(c).type != got.schema.field(c).type}
+            if tdiff:
+                print(f"FAIL {name}: arrow types differ {tdiff}")
+                n_fail += 1
+                continue
             def rows(tbl, cols):
                 return sorted(
                     (tuple(norm(d[c]) for c in cols) for d in tbl.to_pylist()),
