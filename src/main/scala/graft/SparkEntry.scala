@@ -20,6 +20,7 @@ object SparkEntry {
       (gq.NewsPipeline.queries, gq.NewsPipeline.oracles),
       (gq.Scale.queries, gq.Scale.oracles),
       (gq.Curation.queries, gq.Curation.oracles),
+      (gq.Corpus.queries, gq.Corpus.oracles),
       (gq.Governance.queries, gq.Governance.oracles),
     )
 

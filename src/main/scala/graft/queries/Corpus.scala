@@ -1,0 +1,445 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Dedup, Hashing, ScaleWindows, TextOps}
+import Hashing.sqlHash60
+import TextOps.sqlTokens
+
+/** Round-4 corpus-scale curation batch: the measurement-and-layout
+  * operators a training-data pipeline runs AFTER the cleaning passes —
+  * held-out LM scoring, dedup-recall evaluation, epoch shuffling, the
+  * published Gopher quality rules, token-balanced sharding and the
+  * corpus-level duplicated-n-gram rate (Lee et al. 2022).
+  *
+  * Exactness discipline as everywhere in this engine: every ratio is an
+  * integer micro division of exact longs; the only doubles are `ln` of
+  * ratios of exact longs, micro-quantized per VALUE TYPE (not per row)
+  * before any aggregation, so partial-aggregation order can never move
+  * a result (the q77/q121 pattern).
+  */
+object Corpus {
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+  }
+
+  // ---------------------------------------------------- q227 LM scoring
+
+  /** q227 — held-out bigram-LM cross-entropy (the CCNet/KenLM quality
+    * signal, here self-contained): train an add-one-smoothed bigram LM
+    * on the even-id half of the corpus, score every odd-id document by
+    * its mean −ln p(w₂|w₁) in micro-nats. Unlike q121 (which scores the
+    * corpus under itself and needs no smoothing), the held-out split
+    * hits unseen pairs and unseen contexts — Laplace p = (c+1)/(c₁+V)
+    * handles both, which is what makes the number usable as a filter
+    * threshold on NEW data. Scale: the pair/context/vocab model frames
+    * are vocab-bounded (Zipf-collapsed); scoring joins key on the pair,
+    * so the shuffle dimension is distinct-pair count, and the per-doc
+    * aggregation is the only corpus-sized exchange. The mean is an
+    * exact integral division of micro-nat longs. */
+  val heldoutCrossEntropy: Q = (s, dir) => {
+    import s.implicits._
+    def pairs(df: DataFrame) = df.select($"doc_id", explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("pr"))
+      .select($"doc_id", $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val tok = tokenized(s, dir)
+    val train = tok.filter($"doc_id" % 2 === 0)
+    val held = tok.filter($"doc_id" % 2 =!= 0)
+    val bi = pairs(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val lft = bi.groupBy($"w1").agg(sum($"c").as("c1"))
+    val vocab = train.select(explode($"toks").as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val hp = pairs(held)
+    val scored = hp.select($"w1", $"w2").distinct()
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(lft, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"w1", $"w2",
+        round(-log((coalesce($"c", lit(0L)) + 1).cast("double") /
+            (coalesce($"c1", lit(0L)) + $"v").cast("double")) * 1000000.0)
+          .cast("long").as("nlp_u"))
+    hp.join(scored, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum($"nlp_u").as("s_u"))
+      .select($"doc_id", $"n_pairs",
+        expr("s_u div n_pairs").as("mean_nll_micro"))
+  }
+
+  // ------------------------------------------------ q228 dedup eval
+
+  /** q228 — LSH dedup recall/precision evaluation: q23's banded-MinHash
+    * CANDIDATE pairs scored against the exact ground truth (3-gram
+    * Jaccard ≥ 0.5) over the same twin corpus — the measurement that
+    * turns "16 bands of 4 is probably enough" into a number (the ANN
+    * analogue is q208). Ground truth without an all-pairs join: any
+    * pair at Jaccard ≥ 0.5 shares ≥1 shingle, so candidates come from
+    * the shingle inverted index, ROUTED ONLY THROUGH RARE SHINGLES
+    * (df ≤ 64, q215's wedge-cap stance): Σ_g df(g)² ≤ 64·Σ_g df(g) =
+    * O(gram instances), linear in the corpus. A J ≥ 0.5 pair whose
+    * every shared shingle is hotter than df 64 is vanishingly rare
+    * (half of each document would have to be corpus-wide boilerplate —
+    * which q232/q88 remove upstream); the cap is part of the operator's
+    * declared contract and the oracle applies the same cap. TP/FP/FN
+    * are exact longs; precision/recall are integral micro divisions. */
+  val lshDedupEval: Q = (s, dir) => {
+    import s.implicits._
+    val c = TrainingData.corpus(s, dir)
+    val sigs = Dedup.minhashSignatures(c, "doc_id", "text",
+      TrainingData.NumHashes, 3)
+    val cand = Dedup.lshCandidates(Dedup.lshBands(sigs,
+      TrainingData.NumHashes, TrainingData.RowsPerBand))
+    val tok = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val shs = tok.select($"doc_id",
+      TextOps.shinglesFromTokens($"toks", 3).as("sh_set"))
+    // inverted-index ground-truth candidates: pairs sharing a RARE
+    // shingle (df ≤ 64 — see the contract above)
+    val allGrams = tok.select($"doc_id",
+      explode(TextOps.shinglesFromTokens($"toks", 3)).as("g"))
+    val rare = allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
+      .filter($"gdf" <= 64).select($"g")
+    val grams = allGrams.join(rare, Seq("g"))
+    val share = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = share
+      .join(shs.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(shs.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .filter(Dedup.jaccard(col("sa.sh_set"), col("sb.sh_set")) >= 0.5)
+      .select($"doc_a", $"doc_b")
+    truth.withColumn("t", lit(1L))
+      .join(cand.withColumn("cd", lit(1L)), Seq("doc_a", "doc_b"),
+        "full_outer")
+      .agg(
+        sum(when($"t".isNotNull && $"cd".isNotNull, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when($"t".isNull && $"cd".isNotNull, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when($"t".isNotNull && $"cd".isNull, 1L).otherwise(0L))
+          .as("fn"))
+      .select($"tp", $"fp", $"fn",
+        expr("1000000 * tp div greatest(tp + fp, 1)")
+          .as("precision_micro"),
+        expr("1000000 * tp div greatest(tp + fn, 1)")
+          .as("recall_micro"))
+  }
+
+  // ---------------------------------------------- q229 epoch shuffle
+
+  /** q229 — deterministic epoch shuffle + micro-batch layout: training
+    * order for an epoch is the hash order hash60("epoch0|"+doc_id) —
+    * a full-corpus permutation with NO RNG state, reproducible on any
+    * cluster and re-derivable per epoch by changing the salt. The
+    * global position comes from [[ScaleWindows.rangeCumSum]] (range
+    * exchange + partition carry — no single-partition sort at any
+    * scale); batches are fixed 64-doc cuts of that order. Output is
+    * the per-batch census a data-loader manifest needs: size, token
+    * mass, position span. */
+  val epochShuffle: Q = (s, dir) => {
+    import s.implicits._
+    val docs = tokenized(s, dir)
+      .select($"doc_id", size($"toks").cast("long").as("n_toks"))
+      .withColumn("hkey",
+        Hashing.hash60(concat(lit("epoch0|"), $"doc_id".cast("string"))))
+    ScaleWindows.rangeCumSum(docs,
+        Seq($"hkey".asc, $"doc_id".asc), lit(1L), "pos")
+      .withColumn("batch_id", expr("pos div 64"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("batch_tokens"),
+        min($"pos").as("first_pos"), max($"pos").as("last_pos"))
+  }
+
+  // ------------------------------------------------ q230 Gopher rules
+
+  private val GopherStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** q230 — the published Gopher quality rules (Rae et al. 2021 §A1.1,
+    * adapted to this corpus's scale) as a per-rule drop census: word
+    * count outside [50, 100k], mean word length outside [3, 10],
+    * '#'/'...' symbol-to-word ratio > 0.1, alpha-bearing raw-word
+    * fraction < 0.8, fewer than 2 distinct stopwords. One pass over the
+    * corpus computes all five flags per document (no per-rule rescans);
+    * the census is an explode over the fixed 6-row rule axis + one
+    * map-side-combined aggregate. Every ratio is an exact integer
+    * micro comparison — no doubles anywhere. */
+  val gopherRules: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables(s, dir, "documents").select($"doc_id", $"text",
+      TextOps.tokens($"text").as("toks"),
+      filter(split($"text", "\\s+"), w => w =!= "").as("rawWords"))
+    val n = size($"toks").cast("long")
+    val nw = size($"rawWords").cast("long")
+    val chars = aggregate($"toks", lit(0L), (acc, w) => acc + length(w))
+    val nHash = ((length($"text") -
+      length(regexp_replace($"text", "#", ""))).cast("long"))
+    val nEllip = ((length($"text") -
+      length(regexp_replace($"text", "\\.\\.\\.", ""))) / 3).cast("long")
+    val nAlpha = size(filter($"rawWords", w => w.rlike("[a-zA-Z]")))
+      .cast("long")
+    val nStop = size(array_intersect(
+      array_distinct($"toks"),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    val flagged = raw.select($"doc_id",
+      (n < 50 || n > 100000L).cast("long").as("r_word_count"),
+      (lit(1000000L) * chars > n * 10000000L ||
+        lit(1000000L) * chars < n * 3000000L).cast("long")
+        .as("r_mean_word_len"),
+      (lit(1000000L) * (nHash + nEllip) > lit(100000L) * greatest(nw,
+        lit(1L))).cast("long").as("r_symbol_ratio"),
+      (lit(1000000L) * nAlpha < lit(800000L) * nw).cast("long")
+        .as("r_alpha_words"),
+      (nStop < 2).cast("long").as("r_stopwords"))
+    val rules = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_alpha_words", "r_stopwords")
+    val anyFail = rules.map(col).reduce(_ + _) > 0
+    flagged
+      .withColumn("r_any", anyFail.cast("long"))
+      .select($"doc_id", explode(array(
+        (rules :+ "r_any").map(r =>
+          struct(lit(r).as("rule"), col(r).as("fail"))): _*)).as("rf"))
+      .groupBy($"rf.rule".as("rule"))
+      .agg(count(lit(1)).as("n_docs"), sum($"rf.fail").as("n_fail"))
+      .select($"rule", $"n_fail",
+        expr("1000000 * n_fail div n_docs").as("fail_micro"))
+  }
+
+  // ------------------------------------------- q231 token shard cuts
+
+  /** q231 — token-balanced shard layout: documents in stable doc_id
+    * order fill contiguous shards of a 20k-token budget; a document
+    * lands in the shard its EXCLUSIVE cumulative token count points at
+    * (cum div budget), so shard boundaries are a pure function of the
+    * corpus — no packer state, identical on any cluster. The prefix
+    * sum is [[ScaleWindows.rangeCumSum]] (q64 packs WITHIN docs; this
+    * is the corpus-level layout above it). Census per shard: docs,
+    * token mass, id span — what a training job's shard manifest
+    * records. Over-budget docs spill into the next shard (contiguous-
+    * fill; the deterministic choice every epoch reader can replay). */
+  val tokenShardCuts: Q = (s, dir) => {
+    import s.implicits._
+    val docs = tokenized(s, dir)
+      .select($"doc_id", size($"toks").cast("long").as("n_toks"))
+    ScaleWindows.rangeCumSum(docs, Seq($"doc_id".asc), $"n_toks", "cum")
+      .withColumn("shard_id", expr("cum div 20000"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("shard_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
+  // ---------------------------------------------- q232 dup n-gram rate
+
+  /** q232 — corpus-level duplicated-8-gram rate per document (Lee et
+    * al. 2022's substring-duplication measurement, the n-gram
+    * approximation of their suffix-array statistic): the fraction of a
+    * document's 8-gram INSTANCES whose gram also appears in some other
+    * document. q45 measures repetition WITHIN a doc; q102 removes
+    * KNOWN spans; this measures cross-document boilerplate pressure
+    * corpus-wide. Two shuffles, both Zipf-bounded: (doc, gram) counts
+    * keyed on doc_id+gram, gram document-frequency keyed on gram; the
+    * join back is gram-keyed. At 100 TB the gram key would be hash60
+    * of the gram (same distribution, 8 bytes); the raw string key here
+    * keeps the oracle exact. */
+  val dupNgramRate: Q = (s, dir) => {
+    import s.implicits._
+    val g = tokenized(s, dir).select($"doc_id", explode(transform(
+        when(size($"toks") >= 8, sequence(lit(1), size($"toks") - 7))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice($"toks", i, lit(8))))).as("g"))
+    val perDoc = g.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    val df = perDoc.groupBy($"g").agg(count(lit(1)).as("n_docs"))
+    perDoc.join(df, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        sum(when($"n_docs" >= 2, $"cnt").otherwise(0L)).as("dup_grams"))
+      .select($"doc_id", $"n_grams", $"dup_grams",
+        expr("1000000 * dup_grams div n_grams").as("dup_micro"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q227_heldout_cross_entropy" -> heldoutCrossEntropy,
+    "q228_lsh_dedup_eval" -> lshDedupEval,
+    "q229_epoch_shuffle" -> epochShuffle,
+    "q230_gopher_rules" -> gopherRules,
+    "q231_token_shard_cuts" -> tokenShardCuts,
+    "q232_dup_ngram_rate" -> dupNgramRate,
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val sqlHeldoutCrossEntropy =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |trainp AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2 FROM
+       |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT),
+       |     i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr
+       |   FROM t WHERE doc_id % 2 = 0)),
+       |heldp AS (SELECT doc_id, pr['w1'] AS w1, pr['w2'] AS w2 FROM
+       |  (SELECT doc_id,
+       |     unnest(list_transform(range(1, len(toks)::BIGINT),
+       |       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr
+       |   FROM t WHERE doc_id % 2 <> 0)),
+       |bi AS (SELECT w1, w2, count(*)::BIGINT AS c FROM trainp
+       |  GROUP BY w1, w2),
+       |lft AS (SELECT w1, sum(c)::BIGINT AS c1 FROM bi GROUP BY w1),
+       |vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM
+       |  (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)),
+       |scored AS (SELECT hp.w1, hp.w2,
+       |    CAST(round(-ln(CAST(coalesce(bi.c, 0) + 1 AS DOUBLE) /
+       |      CAST(coalesce(lft.c1, 0) + v AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT) AS nlp_u
+       |  FROM (SELECT DISTINCT w1, w2 FROM heldp) hp
+       |  LEFT JOIN bi ON hp.w1 = bi.w1 AND hp.w2 = bi.w2
+       |  LEFT JOIN lft ON hp.w1 = lft.w1
+       |  CROSS JOIN vocab)
+       |SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+       |  (sum(s.nlp_u)::BIGINT // count(*)::BIGINT) AS mean_nll_micro
+       |FROM heldp p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+       |GROUP BY p.doc_id""".stripMargin
+
+  private def sqlLshDedupEval: String = {
+    val jac =
+      """(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) /
+        | (CAST(len(sa.sh_set) + len(sb.sh_set) AS DOUBLE)
+        |  - CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)))"""
+        .stripMargin
+    s"""${TrainingData.sqlLshCandCtes},
+       |g0 AS (SELECT doc_id, unnest(sh_set) AS g FROM sh),
+       |rare AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 64),
+       |g AS (SELECT doc_id, g0.g FROM g0 JOIN rare USING (g)),
+       |share AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |truth AS (SELECT doc_a, doc_b FROM share
+       |  JOIN sh sa ON share.doc_a = sa.doc_id
+       |  JOIN sh sb ON share.doc_b = sb.doc_id
+       |  WHERE $jac >= 0.5),
+       |m AS (SELECT
+       |    sum(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN t.doc_a IS NULL AND c.doc_a IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS fn
+       |  FROM truth t FULL OUTER JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT tp, fp, fn,
+       |  (1000000 * tp // greatest(tp + fp, 1))::BIGINT
+       |    AS precision_micro,
+       |  (1000000 * tp // greatest(tp + fn, 1))::BIGINT AS recall_micro
+       |FROM m""".stripMargin
+  }
+
+  private val sqlEpochShuffle =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_toks,
+       |    ${sqlHash60("'epoch0|' || CAST(doc_id AS VARCHAR)")} AS hkey
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_toks,
+       |    CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
+       |      AS pos
+       |  FROM d)
+       |SELECT pos // 64 AS batch_id, count(*)::BIGINT AS n_docs,
+       |  sum(n_toks)::BIGINT AS batch_tokens,
+       |  min(pos) AS first_pos, max(pos) AS last_pos
+       |FROM p GROUP BY 1""".stripMargin
+
+  private val sqlGopherRules = {
+    val toks = sqlTokens("text")
+    val rawWords =
+      "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+    val stop = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n,
+       |    CAST(len($rawWords) AS BIGINT) AS nw,
+       |    CAST(list_sum(list_transform($toks, w -> length(w)))
+       |      AS BIGINT) AS chars,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      AS BIGINT) AS nhash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS nellip,
+       |    CAST(len(list_filter($rawWords,
+       |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS nalpha,
+       |    CAST(len(list_intersect(list_distinct($toks), $stop))
+       |      AS BIGINT) AS nstop
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END
+       |      AS r_word_count,
+       |    CASE WHEN 1000000 * coalesce(chars, 0) > n * 10000000
+       |       OR 1000000 * coalesce(chars, 0) < n * 3000000
+       |      THEN 1 ELSE 0 END AS r_mean_word_len,
+       |    CASE WHEN 1000000 * (nhash + nellip) > 100000 * greatest(nw, 1)
+       |      THEN 1 ELSE 0 END AS r_symbol_ratio,
+       |    CASE WHEN 1000000 * nalpha < 800000 * nw THEN 1 ELSE 0 END
+       |      AS r_alpha_words,
+       |    CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS r_stopwords
+       |  FROM d),
+       |x AS (SELECT doc_id, rf.rule AS rule, rf.fail AS fail FROM
+       |  (SELECT doc_id, unnest([
+       |     {'rule': 'r_word_count', 'fail': r_word_count},
+       |     {'rule': 'r_mean_word_len', 'fail': r_mean_word_len},
+       |     {'rule': 'r_symbol_ratio', 'fail': r_symbol_ratio},
+       |     {'rule': 'r_alpha_words', 'fail': r_alpha_words},
+       |     {'rule': 'r_stopwords', 'fail': r_stopwords},
+       |     {'rule': 'r_any', 'fail': CASE WHEN r_word_count
+       |        + r_mean_word_len + r_symbol_ratio + r_alpha_words
+       |        + r_stopwords > 0 THEN 1 ELSE 0 END}]) AS rf
+       |   FROM f))
+       |SELECT rule, sum(fail)::BIGINT AS n_fail,
+       |  (1000000 * sum(fail)::BIGINT // count(*)::BIGINT)
+       |    AS fail_micro
+       |FROM x GROUP BY rule""".stripMargin
+  }
+
+  private val sqlTokenShardCuts =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT cum // 20000 AS shard_id, count(*)::BIGINT AS n_docs,
+       |  sum(n_toks)::BIGINT AS shard_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  private val sqlDupNgramRate = {
+    val toks = sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+       |    THEN list_transform(range(1, len(toks)::BIGINT - 6),
+       |      i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+       |    ELSE [] END) AS g
+       |  FROM t),
+       |pd AS (SELECT doc_id, g, count(*)::BIGINT AS cnt
+       |  FROM g GROUP BY doc_id, g),
+       |df AS (SELECT g, count(*)::BIGINT AS n_docs FROM pd GROUP BY g)
+       |SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+       |  sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)::BIGINT
+       |    AS dup_grams,
+       |  (1000000 * sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)::BIGINT
+       |    // sum(cnt)::BIGINT) AS dup_micro
+       |FROM pd JOIN df USING (g)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q227_heldout_cross_entropy" -> sqlHeldoutCrossEntropy,
+    "q228_lsh_dedup_eval" -> sqlLshDedupEval,
+    "q229_epoch_shuffle" -> sqlEpochShuffle,
+    "q230_gopher_rules" -> sqlGopherRules,
+    "q231_token_shard_cuts" -> sqlTokenShardCuts,
+    "q232_dup_ngram_rate" -> sqlDupNgramRate,
+  )
+}

@@ -25,21 +25,21 @@ object TrainingData {
 
   private[queries] val TwinOffset = 100000L
   private[queries] val TwinSuffix = " graft dedup probe"
-  private val NumHashes = 64
-  private val RowsPerBand = 4
+  private[queries] val NumHashes = 64
+  private[queries] val RowsPerBand = 4
   private val ShingleN = 3
   private val SimhashBits = 60
   private val NumPlanes = 6
   private val Dims = 64
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables(s, dir, "documents").select($"doc_id", $"text")
     d.unionByName(d.select(($"doc_id" + TwinOffset).as("doc_id"),
       concat($"text", lit(TwinSuffix)).as("text")))
   }
 
-  private val sqlCorpus =
+  private[queries] val sqlCorpus =
     s"""(SELECT doc_id, text FROM documents
        | UNION ALL
        | SELECT doc_id + $TwinOffset AS doc_id,
@@ -1432,7 +1432,7 @@ object TrainingData {
 
   /** Shared CTE prefix of the q23/q123 oracles: corpus shingles,
     * 64-lane signatures, band buckets, candidate pairs. */
-  private def sqlLshCandCtes: String = {
+  private[queries] def sqlLshCandCtes: String = {
     val lanes = (0 until NumHashes)
       .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
       .mkString(",\n  ")
