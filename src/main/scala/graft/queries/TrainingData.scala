@@ -1795,24 +1795,42 @@ object TrainingData {
     * ⌈0.5·sz⌉ is the integer form (sz+1) div 2 — no float ceil on
     * either engine. The oracle is the brute-force all-pairs
     * list_intersect — feasible at gate SF, which is exactly why the
-    * prefix filter exists at corpus SF. */
+    * prefix filter exists at corpus SF.
+    *
+    * EXACT-DUP COLLAPSE FIRST (the production near-dedup order): a
+    * re-ingested corpus carries many byte-identical texts, and every
+    * copy-group of size g would otherwise multiply the candidate set
+    * by g² — the similarity join's cost must scale with DISTINCT
+    * texts, not raw rows. Identical shingle sets group to ONE
+    * representative before the prefix pipeline (the prefix guarantee
+    * holds for any consistent global token order, so rarity ranks
+    * computed on representatives stay lossless); member lists expand
+    * the surviving pairs back at the end — cross-group pairs inherit
+    * the representatives' verdict, within-group pairs are J = 1 by
+    * identity, no re-verification of either. On a 10×-replicated
+    * corpus this is a ~100× candidate-set cut (measured at the 10×
+    * bench: 132 s → the pre-replication profile). */
   val prefixJaccardJoin: Q = (s, dir) => {
     import s.implicits._
     val c = corpus(s, dir)
-    // ONE materialized shingle-SET pass (q99's rule): the arrays feed
-    // the exploded df-rank chain AND both verify lookups. Verifying
-    // against the per-doc ARRAYS (one row per candidate, array
-    // intersect in the expression layer) matters as much as the prefix
-    // filter itself: verifying through the exploded table would fan
-    // out candidates × shingles — measured 14.4 s at sf0.1 vs 8.9 s
-    // for this form (this synthetic corpus is template-heavy, so the
-    // candidate set is inherently large; on a natural corpus the
-    // prefix filter prunes far harder).
-    val shs = c
+    // ONE materialized pass (q99's rule): the grouped frame feeds the
+    // exploded df-rank chain, both verify lookups AND both member
+    // expansions. Verifying against the per-doc ARRAYS (one row per
+    // candidate, array intersect in the expression layer) matters as
+    // much as the prefix filter itself: verifying through the exploded
+    // table would fan out candidates × shingles — measured 14.4 s at
+    // sf0.1 vs 8.9 s for this form (this synthetic corpus is
+    // template-heavy, so the candidate set is inherently large; on a
+    // natural corpus the prefix filter prunes far harder).
+    val groups = c
       .select($"doc_id", TextOps.tokens($"text").as("ws"))
       .select($"doc_id",
         TextOps.shinglesFromTokens($"ws", ShingleN).as("sh_set"))
+      .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
+      .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
+        collect_list($"doc_id").as("ids"), count(lit(1)).as("gn"))
       .localCheckpoint()
+    val shs = groups.select($"rep_id".as("doc_id"), $"sh_set")
     val toks = shs.select($"doc_id", explode($"sh_set").as("tok"))
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
@@ -1830,7 +1848,7 @@ object TrainingData {
         col("pb.sz") <= col("pa.sz") * 2)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(shs.select($"doc_id".as("doc_a"), $"sh_set".as("sa_set")),
         Seq("doc_a"))
       .join(shs.select($"doc_id".as("doc_b"), $"sh_set".as("sb_set")),
@@ -1843,6 +1861,27 @@ object TrainingData {
       .withColumn("jac_micro",
         expr("(1000000 * inter) div (sa + sb - inter)"))
       .filter($"jac_micro" >= 500000L)
+    // expand back to member pairs: cross-group (swap sa/sb when the
+    // member order flips) + within-group identity pairs
+    val members = groups.select($"rep_id", explode($"ids").as("m"))
+    val cross = repPairs
+      .join(members.select($"rep_id".as("doc_a"), $"m".as("ma")),
+        Seq("doc_a"))
+      .join(members.select($"rep_id".as("doc_b"), $"m".as("mb")),
+        Seq("doc_b"))
+      .select(least($"ma", $"mb").as("doc_a"),
+        greatest($"ma", $"mb").as("doc_b"), $"inter",
+        when($"ma" < $"mb", $"sa").otherwise($"sb").as("sa"),
+        when($"ma" < $"mb", $"sb").otherwise($"sa").as("sb"),
+        $"jac_micro")
+    val within = groups.filter($"gn" >= 2)
+      .select(size($"sh_set").cast("long").as("sz"), $"ids")
+      .select($"sz", explode($"ids").as("a"), $"ids")
+      .select($"sz", $"a", explode($"ids").as("b"))
+      .filter($"a" < $"b")
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"sz".as("inter"),
+        $"sz".as("sa"), $"sz".as("sb"), lit(1000000L).as("jac_micro"))
+    cross.unionByName(within)
       .select($"doc_a", $"doc_b", $"inter", $"sa", $"sb", $"jac_micro")
   }
 
