@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Dedup, Hashing, ScaleWindows, TextOps}
@@ -91,17 +92,19 @@ object Corpus {
   val lshDedupEval: Q = (s, dir) => {
     import s.implicits._
     val c = TrainingData.corpus(s, dir)
-    val sigs = Dedup.minhashSignatures(c, "doc_id", "text",
-      TrainingData.NumHashes, 3)
+    // ONE materialized shingle pass (q99's rule) feeds the signature
+    // chain, the inverted index and both exact-Jaccard lookups
+    val shs = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.shinglesFromTokens($"toks", 3).as("sh_set"))
+      .localCheckpoint()
+    val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
+      TrainingData.NumHashes)
     val cand = Dedup.lshCandidates(Dedup.lshBands(sigs,
       TrainingData.NumHashes, TrainingData.RowsPerBand))
-    val tok = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
-    val shs = tok.select($"doc_id",
-      TextOps.shinglesFromTokens($"toks", 3).as("sh_set"))
     // inverted-index ground-truth candidates: pairs sharing a RARE
     // shingle (df ≤ 64 — see the contract above)
-    val allGrams = tok.select($"doc_id",
-      explode(TextOps.shinglesFromTokens($"toks", 3)).as("g"))
+    val allGrams = shs.select($"doc_id", explode($"sh_set").as("g"))
     val rare = allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
       .filter($"gdf" <= 64).select($"g")
     val grams = allGrams.join(rare, Seq("g"))
@@ -265,6 +268,179 @@ object Corpus {
         expr("1000000 * dup_grams div n_grams").as("dup_micro"))
   }
 
+  // ------------------------------------------ q233 source n-gram overlap
+
+  /** q233 — cross-source content contamination: for every source pair,
+    * the overlap of their distinct-8-gram sets — Jaccard plus BOTH
+    * containment directions, because syndication is asymmetric (a small
+    * outlet reprinting a wire service shows high containment of the
+    * small side at negligible Jaccard). q221 compares VOCABULARIES
+    * (style); 8-grams detect copied PASSAGES. The shuffle dimension is
+    * the distinct gram (Zipf/Heaps-bounded); fan-out per gram ≤
+    * #sources, so the pair expansion is bounded exactly like q221's.
+    * All scores are integral micro divisions of exact longs. */
+  val sourceNgramOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val sg = Tables(s, dir, "documents")
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(transform(
+        when(size($"toks") >= 8, sequence(lit(1), size($"toks") - 7))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice($"toks", i, lit(8))))).as("g"))
+      .distinct()
+    val szs = sg.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = sg.as("a")
+      .join(sg.as("b"), col("a.g") === col("b.g") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(szs.select($"source".as("source_a"),
+        $"n".as("na"))), Seq("source_a"))
+      .join(broadcast(szs.select($"source".as("source_b"),
+        $"n".as("nb"))), Seq("source_b"))
+      .select($"source_a", $"source_b", $"n_shared", $"na", $"nb",
+        expr("1000000 * n_shared div (na + nb - n_shared)")
+          .as("jac_micro"),
+        expr("1000000 * n_shared div na").as("contain_a_micro"),
+        expr("1000000 * n_shared div nb").as("contain_b_micro"))
+  }
+
+  // -------------------------------------------- q234 source interleave
+
+  /** q234 — source-stratified epoch interleave: training order that
+    * maximizes spacing between same-source documents (the curriculum
+    * fix for source-burst overfitting that a plain q229 shuffle only
+    * gets in expectation): each doc ranks within its source by salted
+    * hash (a parallel per-source window), and the global order is
+    * (intra_rank, source) lexicographic — round-robin across sources
+    * by construction. Global positions via [[ScaleWindows.rangeCumSum]]
+    * on that order; no single-partition sort anywhere. Output is the
+    * per-doc manifest (source, intra-rank, global position). */
+  val sourceInterleave: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("hkey",
+        Hashing.hash60(concat(lit("il|"), $"doc_id".cast("string"))))
+    val wS = Window.partitionBy($"source")
+      .orderBy($"hkey".asc, $"doc_id".asc)
+    val ranked = docs
+      .withColumn("intra_rank", row_number().over(wS).cast("long"))
+    ScaleWindows.rangeCumSum(ranked,
+        Seq($"intra_rank".asc, $"source".asc, $"doc_id".asc),
+        lit(1L), "global_pos")
+      .select($"doc_id", $"source", $"intra_rank", $"global_pos")
+  }
+
+  // --------------------------------------------------- q235 winnowing
+
+  /** q235 — winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): per document, hash every 4-gram, slide a window of 5
+    * consecutive gram hashes, select each window's minimum (rightmost
+    * on ties — the paper's robust choice), and the distinct selected
+    * hashes are the fingerprint. Guarantees: any shared run of
+    * w+k−1 = 8 tokens yields a shared fingerprint (no false-negative
+    * window), expected density 2/(w+1). Per-doc census: gram count,
+    * fingerprint count, density in micros and the XOR digest (the
+    * exact-set check, q226's trick). The tie-break packs (hash, pos)
+    * into one long — hash div 1024 (50 bits) · 8192 + (8191 − pos) —
+    * so the window min IS the winnowing choice; docs beyond 8192 grams
+    * chunk upstream (q59), matching the documented pack bound. The
+    * only exchange is the per-doc window (doc-partitioned, parallel)
+    * and the final census aggregate. */
+  val winnowing: Q = (s, dir) => {
+    import s.implicits._
+    val W = 5
+    val g = tokenized(s, dir).select($"doc_id", posexplode(transform(
+        when(size($"toks") >= 4, sequence(lit(1), size($"toks") - 3))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice($"toks", i, lit(4))))))
+      .select($"doc_id", $"pos", Hashing.hash60($"col").as("h"))
+    val key = (expr("h div 1024") * 8192L + (lit(8191L) - $"pos"))
+    val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(W - 1), 0)
+    val selected = g.withColumn("k", key)
+      .withColumn("wmin", min($"k").over(wWin))
+      .filter($"pos" >= W - 1)
+      .select($"doc_id", $"wmin").distinct()
+    val census = selected.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        expr("bit_xor(wmin)").as("fp_xor"))
+    g.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(census, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_fp", lit(0L)).as("n_fp"),
+        expr("1000000 * coalesce(n_fp, 0) div n_grams")
+          .as("density_micro"),
+        coalesce($"fp_xor", lit(0L)).as("fp_xor"))
+  }
+
+  // ------------------------------------------- q236 stupid backoff LM
+
+  /** q236 — stupid-backoff trigram scoring (Brants et al. 2007 — the
+    * web-scale LM that dropped normalization exactly so it would
+    * distribute): S(w₃|w₁w₂) = t/b₁₂ if the trigram was seen, else
+    * 0.4·b₂₃/u₂ if the bigram was, else 0.16·(u₃+1)/(N+V) (add-one at
+    * the unigram floor so out-of-vocabulary words score finitely —
+    * the held-out split guarantees OOV). Same split and exactness
+    * discipline as q227; the trigram table is the largest model frame
+    * and still Zipf-collapsed, scoring joins key on the gram tuple,
+    * −ln S micro-quantized per distinct trigram TYPE before the
+    * per-doc long sum. Together with q227 this brackets the LM-quality
+    * family: smoothed-exact (dev-set calibration) vs backoff-cheap
+    * (corpus-scale scoring). */
+  val stupidBackoff: Q = (s, dir) => {
+    import s.implicits._
+    def grams(df: DataFrame, n: Int) = df.select($"doc_id",
+      explode(transform(
+        when(size($"toks") >= n, sequence(lit(1), size($"toks") - (n - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice($"toks", i, lit(n))))).as("g"))
+    val tok = tokenized(s, dir)
+    val train = tok.filter($"doc_id" % 2 === 0)
+    val held = tok.filter($"doc_id" % 2 =!= 0)
+    val tri = grams(train, 3).groupBy($"g").agg(count(lit(1)).as("t"))
+      .select(split_part($"g", lit(" "), lit(1)).as("w1"),
+        split_part($"g", lit(" "), lit(2)).as("w2"),
+        split_part($"g", lit(" "), lit(3)).as("w3"), $"t")
+    val bi = grams(train, 2).groupBy($"g").agg(count(lit(1)).as("b"))
+      .select(split_part($"g", lit(" "), lit(1)).as("wa"),
+        split_part($"g", lit(" "), lit(2)).as("wb"), $"b")
+    val uni = train.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("u"))
+    val nv = uni.agg(sum($"u").as("nn"), count(lit(1)).as("v"))
+    val hp = grams(held, 3)
+      .select($"doc_id", split_part($"g", lit(" "), lit(1)).as("w1"),
+        split_part($"g", lit(" "), lit(2)).as("w2"),
+        split_part($"g", lit(" "), lit(3)).as("w3"))
+    val scored = hp.select($"w1", $"w2", $"w3").distinct()
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select($"wa".as("w1"), $"wb".as("w2"), $"b".as("b12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select($"wa".as("w2"), $"wb".as("w3"), $"b".as("b23")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select($"w".as("w2"), $"u".as("u2")), Seq("w2"), "left")
+      .join(uni.select($"w".as("w3"), $"u".as("u3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select($"w1", $"w2", $"w3",
+        round(-log(
+          when($"t".isNotNull,
+            $"t".cast("double") / $"b12".cast("double"))
+            .when($"b23".isNotNull,
+              lit(0.4) * $"b23".cast("double") / $"u2".cast("double"))
+            .otherwise(lit(0.16) *
+              (coalesce($"u3", lit(0L)) + 1).cast("double") /
+              ($"nn" + $"v").cast("double"))) * 1000000.0)
+          .cast("long").as("nlp_u"))
+    hp.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tris"), sum($"nlp_u").as("s_u"))
+      .select($"doc_id", $"n_tris",
+        expr("s_u div n_tris").as("mean_nll_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q227_heldout_cross_entropy" -> heldoutCrossEntropy,
     "q228_lsh_dedup_eval" -> lshDedupEval,
@@ -272,6 +448,10 @@ object Corpus {
     "q230_gopher_rules" -> gopherRules,
     "q231_token_shard_cuts" -> tokenShardCuts,
     "q232_dup_ngram_rate" -> dupNgramRate,
+    "q233_source_ngram_overlap" -> sourceNgramOverlap,
+    "q234_source_interleave" -> sourceInterleave,
+    "q235_winnowing" -> winnowing,
+    "q236_stupid_backoff" -> stupidBackoff,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -434,6 +614,125 @@ object Corpus {
        |GROUP BY doc_id""".stripMargin
   }
 
+  private val sqlSourceNgramOverlap = {
+    val toks = sqlTokens("text")
+    s"""WITH sg AS (SELECT DISTINCT source, g FROM
+       |  (SELECT source, unnest(CASE WHEN len(toks) >= 8
+       |     THEN list_transform(range(1, len(toks)::BIGINT - 6),
+       |       i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+       |     ELSE [] END) AS g
+       |   FROM (SELECT source, $toks AS toks FROM documents))),
+       |szs AS (SELECT source, count(*)::BIGINT AS n FROM sg
+       |  GROUP BY source),
+       |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*)::BIGINT AS n_shared
+       |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared, sa.n AS na, sb.n AS nb,
+       |  (1000000 * n_shared // (sa.n + sb.n - n_shared))::BIGINT
+       |    AS jac_micro,
+       |  (1000000 * n_shared // sa.n)::BIGINT AS contain_a_micro,
+       |  (1000000 * n_shared // sb.n)::BIGINT AS contain_b_micro
+       |FROM shared
+       |JOIN szs sa ON shared.source_a = sa.source
+       |JOIN szs sb ON shared.source_b = sb.source""".stripMargin
+  }
+
+  private val sqlSourceInterleave =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    ${sqlHash60("'il|' || CAST(doc_id AS VARCHAR)")} AS hkey
+       |  FROM documents),
+       |r AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY hkey, doc_id) AS BIGINT) AS intra_rank
+       |  FROM d)
+       |SELECT doc_id, source, intra_rank,
+       |  CAST(row_number() OVER (ORDER BY intra_rank, source, doc_id) - 1
+       |    AS BIGINT) AS global_pos
+       |FROM r""".stripMargin
+
+  private val sqlWinnowing = {
+    val toks = sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (SELECT doc_id, pr['pos'] AS pos,
+       |    ${sqlHash60("pr['g']")} AS h FROM
+       |  (SELECT doc_id, unnest(CASE WHEN len(toks) >= 4
+       |     THEN list_transform(range(1, len(toks)::BIGINT - 2),
+       |       i -> {'pos': i - 1,
+       |             'g': array_to_string(list_slice(toks, i, i + 3), ' ')})
+       |     ELSE [] END) AS pr
+       |   FROM t)),
+       |k AS (SELECT doc_id, pos,
+       |    (h // 1024) * 8192 + (8191 - pos) AS k FROM g),
+       |wm AS (SELECT doc_id, pos, min(k) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |    AS wmin
+       |  FROM k),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos >= 4),
+       |census AS (SELECT doc_id, count(*)::BIGINT AS n_fp,
+       |    bit_xor(wmin)::BIGINT AS fp_xor FROM sel GROUP BY doc_id),
+       |ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g
+       |  GROUP BY doc_id)
+       |SELECT ng.doc_id, n_grams,
+       |  coalesce(n_fp, 0)::BIGINT AS n_fp,
+       |  (1000000 * coalesce(n_fp, 0) // n_grams)::BIGINT
+       |    AS density_micro,
+       |  coalesce(fp_xor, 0)::BIGINT AS fp_xor
+       |FROM ng LEFT JOIN census USING (doc_id)""".stripMargin
+  }
+
+  private val sqlStupidBackoff = {
+    val toks = sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tri AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2, pr['w3'] AS w3,
+       |    count(*)::BIGINT AS t FROM
+       |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT - 1),
+       |     i -> {'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}))
+       |     AS pr
+       |   FROM t WHERE doc_id % 2 = 0)
+       |  GROUP BY 1, 2, 3),
+       |bi AS (SELECT pr['wa'] AS wa, pr['wb'] AS wb,
+       |    count(*)::BIGINT AS b FROM
+       |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT),
+       |     i -> {'wa': toks[i], 'wb': toks[i + 1]})) AS pr
+       |   FROM t WHERE doc_id % 2 = 0)
+       |  GROUP BY 1, 2),
+       |uni AS (SELECT w, count(*)::BIGINT AS u FROM
+       |  (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)
+       |  GROUP BY w),
+       |nv AS (SELECT sum(u)::BIGINT AS nn, count(*)::BIGINT AS v
+       |  FROM uni),
+       |hp AS (SELECT doc_id, pr['w1'] AS w1, pr['w2'] AS w2,
+       |    pr['w3'] AS w3 FROM
+       |  (SELECT doc_id,
+       |     unnest(list_transform(range(1, len(toks)::BIGINT - 1),
+       |       i -> {'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}))
+       |       AS pr
+       |   FROM t WHERE doc_id % 2 <> 0)),
+       |scored AS (SELECT d.w1, d.w2, d.w3,
+       |    CAST(round(-ln(CASE
+       |      WHEN tri.t IS NOT NULL
+       |        THEN CAST(tri.t AS DOUBLE) / CAST(b12.b AS DOUBLE)
+       |      WHEN b23.b IS NOT NULL
+       |        THEN 0.4 * CAST(b23.b AS DOUBLE) / CAST(u2.u AS DOUBLE)
+       |      ELSE 0.16 * CAST(coalesce(u3.u, 0) + 1 AS DOUBLE)
+       |        / CAST(nn + v AS DOUBLE) END) * 1000000.0) AS BIGINT)
+       |      AS nlp_u
+       |  FROM (SELECT DISTINCT w1, w2, w3 FROM hp) d
+       |  LEFT JOIN tri ON d.w1 = tri.w1 AND d.w2 = tri.w2
+       |    AND d.w3 = tri.w3
+       |  LEFT JOIN bi b12 ON d.w1 = b12.wa AND d.w2 = b12.wb
+       |  LEFT JOIN bi b23 ON d.w2 = b23.wa AND d.w3 = b23.wb
+       |  LEFT JOIN uni u2 ON d.w2 = u2.w
+       |  LEFT JOIN uni u3 ON d.w3 = u3.w
+       |  CROSS JOIN nv)
+       |SELECT hp.doc_id, count(*)::BIGINT AS n_tris,
+       |  (sum(s.nlp_u)::BIGINT // count(*)::BIGINT) AS mean_nll_micro
+       |FROM hp JOIN scored s
+       |  ON hp.w1 = s.w1 AND hp.w2 = s.w2 AND hp.w3 = s.w3
+       |GROUP BY hp.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q227_heldout_cross_entropy" -> sqlHeldoutCrossEntropy,
     "q228_lsh_dedup_eval" -> sqlLshDedupEval,
@@ -441,5 +740,9 @@ object Corpus {
     "q230_gopher_rules" -> sqlGopherRules,
     "q231_token_shard_cuts" -> sqlTokenShardCuts,
     "q232_dup_ngram_rate" -> sqlDupNgramRate,
+    "q233_source_ngram_overlap" -> sqlSourceNgramOverlap,
+    "q234_source_interleave" -> sqlSourceInterleave,
+    "q235_winnowing" -> sqlWinnowing,
+    "q236_stupid_backoff" -> sqlStupidBackoff,
   )
 }
