@@ -2231,7 +2231,8 @@ object Scale {
         |  WHERE cs <= (n - 1) - (n - 1) // 2
         |    AND (n - 1) - (n - 1) // 2 < cs + c)
         |SELECT n AS n_pairs,
-        |  round(av + (bv - av) * 0.5, 4) AS median_slope_micro
+        |  CAST(round(av + (bv - av) * 0.5, 4) AS DOUBLE)
+        |    AS median_slope_micro
         |FROM lo CROSS JOIN hi CROSS JOIN nn""".stripMargin,
     "q181_acf" ->
       """WITH daily AS (SELECT

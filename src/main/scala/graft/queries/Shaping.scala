@@ -2499,7 +2499,7 @@ object Shaping {
         |    sum(positives) OVER ()::BIGINT AS tot_pos,
         |    sum(n) OVER ()::BIGINT AS tot_n
         |  FROM per)
-        |SELECT decile, n, positives,
+        |SELECT decile::INTEGER AS decile, n, positives,
         |  CAST(1000000::HUGEINT * cum_pos // tot_pos::HUGEINT
         |    AS BIGINT) AS capture_micro,
         |  CAST(1000000::HUGEINT * cum_pos * tot_n
