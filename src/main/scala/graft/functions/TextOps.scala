@@ -17,14 +17,27 @@ object TextOps {
     s"list_filter(string_split_regex(lower($expr), '[^a-z]+'), w -> w <> '')"
 
   /** Distinct word n-gram shingles from an already-materialized token
-    * array column. Take a column reference, not the tokens() expression:
-    * higher-order functions re-evaluate argument expressions per element,
-    * so inlining tokens() here would re-split the text once per shingle. */
+    * array column — the native one-pass [[graft.expressions.WordNgrams]]
+    * (codegen'd; the composed transform/slice/concat_ws chain is
+    * CodegenFallback per window). Output is bit-identical to
+    * `array_distinct(transform(sequence(1, greatest(size-(n-1), 1)),
+    * i -> concat_ws(' ', slice(toks, i, n))))` — parity
+    * property-asserted in CosineExpressionSpec. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WordNgrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks),
+        n, distinct = true, padShort = true))
+
+  /** Strict sliding n-grams WITH multiplicity: [] when the input has
+    * fewer than n tokens, else exactly size-n+1 full windows — the
+    * native form of `transform(when(size >= n, sequence(1, size-n+1))
+    * .otherwise(array()), i -> concat_ws(' ', slice(toks, i, n)))`. */
+  def slidingNgrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WordNgrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks),
+        n, distinct = false, padShort = false))
 
   /** Convenience form over raw text — only for frames where the row
     * count is small or a tokens column can't be projected first. */

@@ -254,10 +254,8 @@ object Corpus {
     * keeps the oracle exact. */
   val dupNgramRate: Q = (s, dir) => {
     import s.implicits._
-    val g = tokenized(s, dir).select($"doc_id", explode(transform(
-        when(size($"toks") >= 8, sequence(lit(1), size($"toks") - 7))
-          .otherwise(array().cast("array<int>")),
-        i => concat_ws(" ", slice($"toks", i, lit(8))))).as("g"))
+    val g = tokenized(s, dir).select($"doc_id",
+      explode(TextOps.slidingNgrams($"toks", 8)).as("g"))
     val perDoc = g.groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
     val df = perDoc.groupBy($"g").agg(count(lit(1)).as("n_docs"))
     perDoc.join(df, Seq("g"))
@@ -283,10 +281,8 @@ object Corpus {
     import s.implicits._
     val sg = Tables(s, dir, "documents")
       .select($"source", TextOps.tokens($"text").as("toks"))
-      .select($"source", explode(transform(
-        when(size($"toks") >= 8, sequence(lit(1), size($"toks") - 7))
-          .otherwise(array().cast("array<int>")),
-        i => concat_ws(" ", slice($"toks", i, lit(8))))).as("g"))
+      .select($"source", explode(TextOps.slidingNgrams($"toks", 8))
+        .as("g"))
       .distinct()
     val szs = sg.groupBy($"source").agg(count(lit(1)).as("n"))
     val shared = sg.as("a")
@@ -394,10 +390,7 @@ object Corpus {
   val stupidBackoff: Q = (s, dir) => {
     import s.implicits._
     def grams(df: DataFrame, n: Int) = df.select($"doc_id",
-      explode(transform(
-        when(size($"toks") >= n, sequence(lit(1), size($"toks") - (n - 1)))
-          .otherwise(array().cast("array<int>")),
-        i => concat_ws(" ", slice($"toks", i, lit(n))))).as("g"))
+      explode(TextOps.slidingNgrams($"toks", n)).as("g"))
     val tok = tokenized(s, dir)
     val train = tok.filter($"doc_id" % 2 === 0)
     val held = tok.filter($"doc_id" % 2 =!= 0)

@@ -139,6 +139,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WordNgrams (both modes) is bit-identical to the composed " +
+    "HOF forms across random token arrays, all codegen paths") {
+    import graft.functions.TextOps
+    // random token arrays incl. empty, shorter-than-n, duplicates and
+    // null elements (concat_ws skips nulls; distinct is first-occurrence)
+    val tokGen: Gen[Seq[String]] = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "ab", "xyz", "q", "zz")))
+    val rows = samples(tokGen, 60).map(s => Tuple1(s)) :+
+      Tuple1(Seq.empty[String])
+    val df = rows.toDF("toks")
+      // plant nulls deterministically in some arrays
+      .withColumn("toks", transform($"toks",
+        w => when(w === "zz", lit(null)).otherwise(w)))
+      .cache()
+    for (n <- Seq(1, 2, 3, 8)) {
+      val composedSet = array_distinct(transform(
+        sequence(lit(1), greatest(size($"toks") - (n - 1), lit(1))),
+        i => concat_ws(" ", slice($"toks", i, lit(n)))))
+      val composedStrict = transform(
+        when(size($"toks") >= n, sequence(lit(1), size($"toks") - (n - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice($"toks", i, lit(n))))
+      val diff = df.select(
+        TextOps.shinglesFromTokens($"toks", n).as("nat_set"),
+        composedSet.as("ref_set"),
+        TextOps.slidingNgrams($"toks", n).as("nat_strict"),
+        composedStrict.as("ref_strict"))
+        .filter($"nat_set" =!= $"ref_set" ||
+          $"nat_strict" =!= $"ref_strict")
+      assert(diff.count() === 0, s"n=$n diverged")
+      // interpreted path (eval) must agree with the codegen'd column:
+      val interp = df.collect().map { r =>
+        val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Option(r.getSeq[String](0)).getOrElse(Seq.empty).map(s =>
+            if (s == null) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(s))
+            .toArray[Any])
+        graft.expressions.WordNgrams(
+          org.apache.spark.sql.catalyst.expressions.Literal(a,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)),
+          n, distinct = true, padShort = true)
+          .eval(null).asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      }
+      val viaDf = df.select(TextOps.shinglesFromTokens($"toks", n))
+        .collect().map(_.getSeq[String](0))
+      assert(interp.zip(viaDf).forall { case (x, y) => x == y },
+        s"n=$n eval/codegen diverged")
+    }
+    df.unpersist()
+  }
+
   test("surrogate key matches the dbt_utils recipe for arbitrary inputs") {
     val pairs = samples(Gen.zip(asciiText, asciiText), 40)
     val df = pairs.flatMap { case (a, b) =>
