@@ -277,15 +277,31 @@ object Scale {
     * propagation, sized per cluster — LSH finds PAIRS; keep-one-per-
     * cluster dedup needs their transitive closure. Oracle: recursive
     * CTE over the identical pair set. */
+  /** Shared by q55/q87: the near-dup graph in COLLAPSED form — verified
+    * rep-level pairs plus a member→rep star per duplicate group. Same
+    * connectivity as the full expanded pair list (copies reach their
+    * rep directly, rep pairs carry the cross-group reachability), at
+    * O(distinct-texts) edges instead of O(copies²). */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = TrainingData.nearDupGroups(s, dir)
+    val repPairs = TrainingData.repCandidates(groups)
+      .filter(round(graft.functions.Dedup.jaccard($"sa_set", $"sb_set"),
+        6) >= 0.5)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val star = groups.select($"rep_id", explode($"ids").as("m"))
+      .filter($"m" =!= $"rep_id")
+      .select($"rep_id".as("src"), $"m".as("dst"))
+    repPairs.unionByName(star)
+  }
+
   val dupClusters: Q = (s, dir) => {
     import s.implicits._
     val d = Tables(s, dir, "documents").select($"doc_id")
     val nodes = d.unionByName(
         d.select(($"doc_id" + TrainingData.TwinOffset).as("doc_id")))
       .select($"doc_id".as("id"))
-    val edges = TrainingData.dedupMinhashLsh(s, dir)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val labels = ConnectedComponents.minLabel(nodes, edges)
+    val labels = ConnectedComponents.minLabel(nodes, dupEdges(s, dir))
     val sizes = labels.groupBy($"component")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("component"))
@@ -338,9 +354,8 @@ object Scale {
     val nodes = d.unionByName(
         d.select(($"doc_id" + TrainingData.TwinOffset).as("doc_id")))
       .select($"doc_id".as("id"))
-    val edges = TrainingData.dedupMinhashLsh(s, dir)
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-    val labels = ConnectedComponents.largeSmallStar(nodes, edges)
+    val labels = ConnectedComponents.largeSmallStar(nodes,
+      dupEdges(s, dir))
     val sizes = labels.groupBy($"component")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("component"))

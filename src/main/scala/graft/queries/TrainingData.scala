@@ -57,25 +57,97 @@ object TrainingData {
     Dedup.exactDedup(reingested, "doc_id", "text")
   }
 
-  /** q23 — MinHash+LSH near-dup detection: shingle → 64-lane minhash →
-    * 16 banded buckets → candidate self-join → Jaccard verify ≥ 0.5.
-    * Candidate generation cost is O(docs×bands), never all-pairs. */
-  val dedupMinhashLsh: Q = (s, dir) => {
-    import s.implicits._
-    val c = corpus(s, dir)
-    val sigs = Dedup.minhashSignatures(c, "doc_id", "text",
-      NumHashes, ShingleN)
+  /** Exact-duplicate collapse shared by the whole near-dup family
+    * (q23/q123 pair emission, q55/q87/q120 clustering): identical
+    * shingle SETS group to one representative BEFORE any
+    * signature/banding work — q182's production ordering (exact dedup,
+    * then near-dedup). A re-ingested corpus with copy-groups of size g
+    * would otherwise pay g× the minhash work and g² the bucket
+    * collisions and Jaccard verifies; the collapsed chain scales with
+    * DISTINCT texts and the member lists expand results back
+    * losslessly. Materialized once per (session, dir) — in a real
+    * pipeline the signature/group table is a persisted artifact, the
+    * same §4 boundary as the news trunk. */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+  private[queries] def nearDupGroups(s: SparkSession,
+      dir: String): DataFrame =
+    groupCache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
+      corpus(s, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
+        .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
+        .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
+          collect_list($"doc_id").as("ids"), count(lit(1)).as("gn"))
+        .localCheckpoint()
+    })
+
+  /** Representative-level LSH candidate pairs (doc_a < doc_b, both
+    * rep ids) with both shingle sets attached for verification. */
+  private[queries] def repCandidates(groups: DataFrame): DataFrame = {
+    val shs = groups.select(col("rep_id").as("doc_id"), col("sh_set"))
+    val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
+      NumHashes)
     val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
       RowsPerBand))
-    val shs = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id",
-        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
-    cand.join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+    cand
+      .join(shs.select(col("doc_id").as("doc_a"),
+        col("sh_set").as("sa_set")), Seq("doc_a"))
+      .join(shs.select(col("doc_id").as("doc_b"),
+        col("sh_set").as("sb_set")), Seq("doc_b"))
+  }
+
+  /** Member expansion of a rep-level pair verdict: cross-group pairs
+    * inherit the payload (columns listed in `sym` are symmetric;
+    * (`aCol`,`bCol`) pairs swap when the member order flips). */
+  private[queries] def expandMemberPairs(repPairs: DataFrame,
+      groups: DataFrame, sym: Seq[String],
+      swapped: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least, when}
+    val members = groups.select(col("rep_id"),
+      explode(col("ids")).as("m"))
+    val flip = col("ma") > col("mb")
+    val payload =
+      sym.map(col) ++
+        swapped.flatMap { case (a, b) => Seq(
+          when(flip, col(b)).otherwise(col(a)).as(a),
+          when(flip, col(a)).otherwise(col(b)).as(b)) }
+    repPairs
+      .join(members.select(col("rep_id").as("doc_a"), col("m").as("ma")),
+        Seq("doc_a"))
+      .join(members.select(col("rep_id").as("doc_b"), col("m").as("mb")),
+        Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a") +:
+        greatest(col("ma"), col("mb")).as("doc_b") +: payload: _*)
+  }
+
+  /** Within-group member pairs (a < b) with a constant payload. */
+  private[queries] def withinGroupPairs(groups: DataFrame,
+      payload: Seq[org.apache.spark.sql.Column]): DataFrame =
+    groups.filter(col("gn") >= 2)
+      .select(col("ids"), explode(col("ids")).as("a"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a") +: col("b").as("doc_b") +: payload: _*)
+
+  /** q23 — MinHash+LSH near-dup detection: shingle → 64-lane minhash →
+    * 16 banded buckets → candidate self-join → Jaccard verify ≥ 0.5.
+    * Candidate generation cost is O(distinct-docs×bands), never
+    * all-pairs — and never per COPY, via the [[nearDupGroups]]
+    * collapse (identical docs pair at J = 1 by identity). */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val groups = nearDupGroups(s, dir)
+    val repPairs = repCandidates(groups)
       .select($"doc_a", $"doc_b",
-        round(Dedup.jaccard(col("sa.sh_set"), col("sb.sh_set")), 6)
-          .as("jaccard"))
+        round(Dedup.jaccard($"sa_set", $"sb_set"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.5)
+    expandMemberPairs(repPairs, groups, Seq("jaccard"), Seq.empty)
+      .unionByName(withinGroupPairs(groups,
+        Seq(lit(1.0).as("jaccard"))))
   }
 
   /** q123 — containment dedup (asymmetric Jaccard): over the SAME LSH
@@ -90,26 +162,26 @@ object TrainingData {
     * to band-bucket collisions, never all-pairs. */
   val containmentDedup: Q = (s, dir) => {
     import s.implicits._
-    val c = corpus(s, dir)
-    val sigs = Dedup.minhashSignatures(c, "doc_id", "text",
-      NumHashes, ShingleN)
-    val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
-      RowsPerBand))
-    val shs = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id",
-        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
-    cand.join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+    val groups = nearDupGroups(s, dir)
+    val repPairs = repCandidates(groups)
       .select($"doc_a", $"doc_b",
-        size(array_intersect(col("sa.sh_set"), col("sb.sh_set")))
+        size(array_intersect($"sa_set", $"sb_set"))
           .cast("long").as("inter"),
-        size(col("sa.sh_set")).cast("long").as("na"),
-        size(col("sb.sh_set")).cast("long").as("nb"))
+        size($"sa_set").cast("long").as("na"),
+        size($"sb_set").cast("long").as("nb"))
       .select($"doc_a", $"doc_b",
         expr("(1000000 * inter) div na").as("contain_a_micro"),
         expr("(1000000 * inter) div nb").as("contain_b_micro"))
       .filter(greatest($"contain_a_micro", $"contain_b_micro")
         >= 800000L)
+    // containment is directional: the a/b scores swap when member
+    // expansion flips the pair order; identical copies contain each
+    // other fully
+    expandMemberPairs(repPairs, groups, Seq.empty,
+        Seq(("contain_a_micro", "contain_b_micro")))
+      .unionByName(withinGroupPairs(groups,
+        Seq(lit(1000000L).as("contain_a_micro"),
+          lit(1000000L).as("contain_b_micro"))))
   }
 
   /** q24 — SimHash fingerprints + hamming distance to each doc's

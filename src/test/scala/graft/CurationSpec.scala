@@ -226,10 +226,14 @@ class CurationSpec extends SparkSpec {
     assert(merges.count() > 10, "fixture must survive many rounds")
     syms.count()
     // one live checkpoint (the final syms) is expected; 20 would mean
-    // the per-round unpersist regressed
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= 2,
-      s"cached RDDs grew by ${after - before}; per-round checkpoints leak")
+    // the per-round unpersist regressed. unpersist(blocking = false)
+    // is asynchronous, so poll until the block manager settles.
+    def grown() = spark.sparkContext.getPersistentRDDs.size - before
+    val deadline = System.currentTimeMillis + 15000
+    while (grown() > 2 && System.currentTimeMillis < deadline)
+      Thread.sleep(200)
+    assert(grown() <= 2,
+      s"cached RDDs grew by ${grown()}; per-round checkpoints leak")
     syms.unpersist()
   }
 
