@@ -339,24 +339,33 @@ object TrainingData {
     // one signature/shingle pass per corpus side, reused by BOTH the
     // history self-join and the cross join (the naive composition of
     // q23+q67 minhashes the same documents three times — measured 11 s
-    // vs ~4 s at sf0.1)
+    // vs ~4 s at sf0.1), PLUS the exact-dup collapse per side
+    // (nearDupGroups' trick, applied to each corpus half): the
+    // bucket-collision and verify work scales with distinct texts;
+    // member→rep star edges restore the full connectivity for CC.
     val d = Tables(s, dir, "documents").select($"doc_id", $"text")
     val batch = d.filter($"doc_id" % 2 === 0)
       .select(($"doc_id" + TwinOffset).as("doc_id"),
         concat($"text", lit(TwinSuffix)).as("text"))
-    def shingleSets(df: DataFrame) = df
+    def collapse(df: DataFrame) = df
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id",
         TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
+      .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
+      .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
+        collect_list($"doc_id").as("ids"))
       .localCheckpoint()
-    // both the band signatures AND the Jaccard sets derive from ONE
-    // materialized shingle pass per corpus side (the naive composition
-    // tokenizes+shingles each side twice)
-    def bands(sets: DataFrame) = Dedup.lshBands(
-      Dedup.minhashFromShingleSets(sets, "doc_id", "sh_set", NumHashes),
+    def repShs(g: DataFrame) =
+      g.select($"rep_id".as("doc_id"), $"sh_set")
+    def bands(g: DataFrame) = Dedup.lshBands(
+      Dedup.minhashFromShingleSets(repShs(g), "doc_id", "sh_set",
+        NumHashes),
       NumHashes, RowsPerBand).localCheckpoint()
-    val (shD, shB) = (shingleSets(d), shingleSets(batch))
-    val (bd, bb) = (bands(shD), bands(shB))
+    def star(g: DataFrame) = g
+      .select($"rep_id".as("src"), explode($"ids").as("dst"))
+      .filter($"src" =!= $"dst")
+    val (gD, gB) = (collapse(d), collapse(batch))
+    val (bd, bb) = (bands(gD), bands(gB))
     def verified(cand: DataFrame, shA: DataFrame, shB: DataFrame) =
       cand.join(shA.as("sa"), col("src") === col("sa.doc_id"))
         .join(shB.as("sb"), col("dst") === col("sb.doc_id"))
@@ -369,13 +378,15 @@ object TrainingData {
             col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct(), shD, shD)
+        .distinct(), repShs(gD), repShs(gD))
+      .unionByName(star(gD))
     val crossEdges = verified(
       bd.as("h").join(bb.as("b"),
           col("h.band") === col("b.band") &&
             col("h.band_hash") === col("b.band_hash"))
         .select(col("h.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct(), shD, shB)
+        .distinct(), repShs(gD), repShs(gB))
+      .unionByName(star(gB))
     val oldLabels = ConnectedComponents.minLabel(
       d.select($"doc_id".as("id")), histEdges)
     val batchNodes = batch.select($"doc_id".as("id"))
