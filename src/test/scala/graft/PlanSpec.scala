@@ -215,6 +215,35 @@ class PlanSpec extends SparkSpec {
       "q173 must broadcast supports and keep the pair join equi")
   }
 
+  test("suite-wide: unpartitioned windows only on the documented " +
+    "small-frame whitelist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // Every entry here is a deliberate global window over a frame that
+    // is orders of magnitude below corpus row count by construction:
+    // ANN rank frames are candidate/top-k sized (WindowGroupLimit
+    // prunes pre-exchange), q57/q116/q146/q175 run on the per-day
+    // aggregate series, q149 on the percentile grid, q160 on the
+    // Zipf-collapsed vocabulary, q207/q216 on retrieval top-k lists.
+    // A NEW query showing up in this set is a scale regression: fix it
+    // (rangeCumSum/rangeNtile/rangeCumMax) or justify it here.
+    val whitelist = Set(
+      "q26_ann_cosine_topk", "q27_ann_lsh_topk", "q42_ann_ivf_topk",
+      "q74_ann_ivf_trained", "q129_ann_multiprobe",
+      "q57_moving_avg", "q116_zscore_anomaly", "q146_ts_similarity",
+      "q175_interpolate_gaps", "q149_score_calibration",
+      "q160_zipf_exponent", "q207_rrf_fusion", "q216_ndcg_eval")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(name) else None
+    }.toSet
+    val unexpected = offenders -- whitelist
+    assert(unexpected.isEmpty,
+      s"new unpartitioned windows (scale cliff at 100 TB): $unexpected")
+  }
+
   test("q119 pareto front: partition-carry deployed, no global window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("q119_pareto_front")(spark, sfDir)
