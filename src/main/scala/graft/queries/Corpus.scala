@@ -434,7 +434,103 @@ object Corpus {
         expr("s_u div n_tris").as("mean_nll_micro"))
   }
 
+  // ------------------------------------------------ q237 OOV by source
+
+  /** q237 — out-of-vocabulary rate per source under the q227/q236
+    * train split (even-id docs): the first diagnostic run before
+    * trusting any LM-based quality score on a new slice — a source
+    * whose tokens the reference vocabulary hasn't seen gets garbage
+    * perplexities, and this census says so BEFORE the scores ship.
+    * The vocabulary is a Zipf-bounded frame joined on the token; the
+    * per-source rollup is one map-side-combined aggregate; the rate
+    * is an integral micro division. */
+  val oovRateBySource: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+    val vocab = d.filter($"doc_id" % 2 === 0)
+      .select(explode($"toks").as("w")).distinct()
+      .withColumn("known", lit(1L))
+    d.filter($"doc_id" % 2 =!= 0)
+      .select($"source", explode($"toks").as("w"))
+      .join(vocab, Seq("w"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"source", $"n_tokens", $"n_oov",
+        expr("1000000 * n_oov div n_tokens").as("oov_micro"))
+  }
+
+  // --------------------------------------------- q238 cluster purity
+
+  /** q238 — source purity of the q55 near-dup clusters: per cluster
+    * the member count, distinct sources and the source-distribution
+    * entropy — the audit that distinguishes WITHIN-source boilerplate
+    * (entropy 0: one outlet's template) from CROSS-source syndication
+    * (high entropy: the same passage everywhere), which call for
+    * different scrub policies (q88's removal vs q145's attribution).
+    * Twin docs inherit their original's source (the twin offset is a
+    * synthetic re-ingest). Entropy terms quantize per (cnt, n) ratio
+    * BEFORE the weighted sum — exact longs, any partitioning; the
+    * whole computation runs on the O(clusters × sources) frame. */
+  val clusterPurity: Q = (s, dir) => {
+    import s.implicits._
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val labels = Scale.queries("q55_dup_clusters")(s, dir)
+      .select($"doc_id", $"component")
+      .withColumn("orig_id",
+        when($"doc_id" >= TrainingData.TwinOffset,
+          $"doc_id" - TrainingData.TwinOffset).otherwise($"doc_id"))
+    val bySrc = labels
+      .join(src.select($"doc_id".as("orig_id"), $"source"),
+        Seq("orig_id"))
+      .groupBy($"component", $"source").agg(count(lit(1)).as("cnt"))
+    val byComp = bySrc.groupBy($"component")
+      .agg(sum($"cnt").as("n"), count(lit(1)).as("n_sources"))
+    bySrc.join(byComp, Seq("component"))
+      .withColumn("term",
+        round(-log($"cnt".cast("double") / $"n".cast("double"))
+          * 1000000.0).cast("long") * $"cnt")
+      .groupBy($"component")
+      .agg(first($"n").as("n_docs"), first($"n_sources").as("n_sources"),
+        expr("sum(term) div first(n)").as("entropy_micro"))
+  }
+
+  // ---------------------------------------- q239 transitivity audit
+
+  /** q239 — transitive-closure audit of the near-dup graph: clustering
+    * by connected components (q55) silently merges A and C whenever
+    * A~B~C, even if A and C are NOT similar — this census measures how
+    * often (open wedges vs closed triangles in the verified pair
+    * graph) so the "cluster diameter" risk is a number, not a vibe.
+    * Runs at the REPRESENTATIVE level (exact copies add bulk, not
+    * structure), so the frame is distinct-text-sized; the wedge join
+    * is bounded by per-node pair degree (tiny after verification —
+    * genuinely similar neighborhoods). closure_micro = closed wedges /
+    * all wedges, exact longs. */
+  val transitivityAudit: Q = (s, dir) => {
+    import s.implicits._
+    val groups = TrainingData.nearDupGroups(s, dir)
+    val e = TrainingData.repCandidates(groups)
+      .filter(round(Dedup.jaccard($"sa_set", $"sb_set"), 6) >= 0.5)
+      .select($"doc_a".as("u"), $"doc_b".as("v"))
+    val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    val wedges = sym.as("x").join(sym.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("c"))
+    val closed = wedges.join(e.select($"u".as("a"), $"v".as("c")),
+        Seq("a", "c"), "left_semi")
+    wedges.agg(count(lit(1)).as("n_wedges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .select($"n_wedges", $"n_closed",
+        expr("1000000 * n_closed div greatest(n_wedges, 1)")
+          .as("closure_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q237_oov_rate_by_source" -> oovRateBySource,
+    "q238_cluster_purity" -> clusterPurity,
+    "q239_transitivity_audit" -> transitivityAudit,
     "q227_heldout_cross_entropy" -> heldoutCrossEntropy,
     "q228_lsh_dedup_eval" -> lshDedupEval,
     "q229_epoch_shuffle" -> epochShuffle,
@@ -726,7 +822,72 @@ object Corpus {
        |GROUP BY hp.doc_id""".stripMargin
   }
 
+  private val sqlOovRateBySource = {
+    val toks = sqlTokens("text")
+    s"""WITH d AS (SELECT doc_id, source, $toks AS toks FROM documents),
+       |vocab AS (SELECT DISTINCT w FROM
+       |  (SELECT unnest(toks) AS w FROM d WHERE doc_id % 2 = 0)),
+       |held AS (SELECT source, w FROM
+       |  (SELECT source, unnest(toks) AS w FROM d WHERE doc_id % 2 <> 0))
+       |SELECT source, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_oov,
+       |  (1000000 * sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+       |    ::BIGINT // count(*)::BIGINT) AS oov_micro
+       |FROM held LEFT JOIN vocab ON held.w = vocab.w
+       |GROUP BY source""".stripMargin
+  }
+
+  private def sqlClusterPurity =
+    s"""WITH labels AS (SELECT doc_id, component FROM
+       |  (${Scale.oracles("q55_dup_clusters")}) l),
+       |bysrc AS (SELECT component, d.source, count(*)::BIGINT AS cnt
+       |  FROM labels JOIN documents d
+       |    ON (CASE WHEN labels.doc_id >= ${TrainingData.TwinOffset}
+       |        THEN labels.doc_id - ${TrainingData.TwinOffset}
+       |        ELSE labels.doc_id END) = d.doc_id
+       |  GROUP BY 1, 2),
+       |bycomp AS (SELECT component, sum(cnt)::BIGINT AS n,
+       |    count(*)::BIGINT AS n_sources
+       |  FROM bysrc GROUP BY component)
+       |SELECT component, n AS n_docs, n_sources,
+       |  (sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) * cnt)::BIGINT // n)
+       |    AS entropy_micro
+       |FROM bysrc JOIN bycomp USING (component)
+       |GROUP BY component, n, n_sources""".stripMargin
+
+  private def sqlTransitivityAudit =
+    s"""${TrainingData.sqlLshCandCtes},
+       |reps AS (SELECT min(doc_id) AS rep_id FROM sh
+       |  GROUP BY md5(array_to_string(sh_set, chr(1)))),
+       |ee AS (SELECT doc_a AS u, doc_b AS v FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE cand.doc_a IN (SELECT rep_id FROM reps)
+       |    AND cand.doc_b IN (SELECT rep_id FROM reps)
+       |    AND round(CAST(len(list_intersect(sa.sh_set, sb.sh_set))
+       |        AS DOUBLE) /
+       |      (CAST(len(sa.sh_set) + len(sb.sh_set) AS DOUBLE)
+       |       - CAST(len(list_intersect(sa.sh_set, sb.sh_set))
+       |         AS DOUBLE)), 6) >= 0.5),
+       |sym AS (SELECT u, v FROM ee UNION ALL SELECT v AS u, u AS v
+       |  FROM ee),
+       |w AS (SELECT x.v AS a, y.v AS c FROM sym x JOIN sym y
+       |  ON x.u = y.u AND x.v < y.v),
+       |cl AS (SELECT count(*)::BIGINT AS n_closed FROM w
+       |  WHERE EXISTS (SELECT 1 FROM ee
+       |    WHERE ee.u = w.a AND ee.v = w.c)),
+       |wc AS (SELECT count(*)::BIGINT AS n_wedges FROM w)
+       |SELECT n_wedges, n_closed,
+       |  (1000000 * n_closed // greatest(n_wedges, 1))::BIGINT
+       |    AS closure_micro
+       |FROM wc CROSS JOIN cl""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q237_oov_rate_by_source" -> sqlOovRateBySource,
+    "q238_cluster_purity" -> sqlClusterPurity,
+    "q239_transitivity_audit" -> sqlTransitivityAudit,
     "q227_heldout_cross_entropy" -> sqlHeldoutCrossEntropy,
     "q228_lsh_dedup_eval" -> sqlLshDedupEval,
     "q229_epoch_shuffle" -> sqlEpochShuffle,
