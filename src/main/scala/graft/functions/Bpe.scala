@@ -63,8 +63,15 @@ object Bpe {
         // The new checkpoint is materialized; drop the previous round's
         // blocks so R-round training holds one word-table copy in
         // memory, not R of them (a 30k-merge vocab run would otherwise
-        // accumulate 30k cached copies).
-        prev.unpersist(blocking = false)
+        // accumulate 30k cached copies). Dataset.unpersist only clears
+        // CacheManager entries — checkpoint blocks are RDD storage, so
+        // unpersist the LogicalRDD's RDD directly (waiting for the
+        // ContextCleaner to GC them is unbounded).
+        prev.queryExecution.logical match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => prev.unpersist(blocking = false)
+        }
         round += 1
       }
     }
