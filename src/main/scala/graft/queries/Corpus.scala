@@ -527,7 +527,93 @@ object Corpus {
           .as("closure_micro"))
   }
 
+  // -------------------------------------------- q240 split leakage
+
+  /** q240 — NEAR-dup leakage across the train/held split: q58 catches
+    * exact n-gram contamination against a benchmark; this catches the
+    * subtler eval-integrity failure where a held-out document's
+    * near-duplicate sits in training (memorization reads as
+    * generalization). Pairs come from the verified rep-level graph
+    * (collapse machinery), expanded only enough to classify each
+    * GROUP: a duplicate group containing both train and held members
+    * leaks by identity; a cross-split rep pair leaks by similarity.
+    * Output is the per-kind census plus total affected held docs —
+    * O(groups + rep pairs) work beyond the shared trunk. */
+  val splitLeakage: Q = (s, dir) => {
+    import s.implicits._
+    // thirds-based demo split (doc_id % 3 == 0 trains): the twin offset
+    // is ≡1 mod 3, so re-ingested twins genuinely straddle the split —
+    // a %2 split would keep every twin on its original's side and the
+    // operator would never fire on this corpus
+    val groups = TrainingData.nearDupGroups(s, dir)
+    val gSplit = groups.select($"rep_id", $"gn",
+      size(filter($"ids", d => d % 3 === 0)).cast("long").as("n_train"),
+      size(filter($"ids", d => d % 3 =!= 0)).cast("long").as("n_held"))
+    val identity = gSplit.filter($"n_train" >= 1 && $"n_held" >= 1)
+      .agg(count(lit(1)).as("n_cases"),
+        sum($"n_held").as("n_held_docs"))
+      .select(lit("identity").as("kind"), $"n_cases", $"n_held_docs")
+    val repPairs = TrainingData.repCandidates(groups)
+      .filter(round(Dedup.jaccard($"sa_set", $"sb_set"), 6) >= 0.5)
+      .select($"doc_a", $"doc_b")
+    val cross = repPairs
+      .join(gSplit.select($"rep_id".as("doc_a"),
+        $"n_train".as("ta"), $"n_held".as("ha")), Seq("doc_a"))
+      .join(gSplit.select($"rep_id".as("doc_b"),
+        $"n_train".as("tb"), $"n_held".as("hb")), Seq("doc_b"))
+      .filter(($"ta" >= 1 && $"hb" >= 1) || ($"tb" >= 1 && $"ha" >= 1))
+      .agg(count(lit(1)).as("n_cases"),
+        sum(when($"ta" >= 1, $"hb").otherwise(0L) +
+          when($"tb" >= 1, $"ha").otherwise(0L)).as("n_held_docs"))
+      .select(lit("similarity").as("kind"), $"n_cases", $"n_held_docs")
+    identity.unionByName(cross)
+  }
+
+  // -------------------------------------- q241 dedup savings report
+
+  /** q241 — dedup return-on-investment at three Jaccard thresholds
+    * (0.5 / 0.7 / 0.9): for each, cluster the near-dup graph and
+    * report how many documents and tokens a keep-one-per-cluster
+    * policy removes — the number that decides whether the aggressive
+    * threshold is worth its false-positive risk. All three clusterings
+    * run connected components on the SAME rep-level verified pair
+    * frame (filtered per threshold) plus the member stars — the
+    * expensive chain is shared via [[TrainingData.nearDupGroups]],
+    * and each CC is O(log n) rounds on the collapsed graph. Token
+    * counts ride the group frame (one corpus pass). */
+  val dedupSavings: Q = (s, dir) => {
+    import s.implicits._
+    val groups = TrainingData.nearDupGroups(s, dir)
+    val toks = TrainingData.corpus(s, dir)
+      .select($"doc_id", size(TextOps.tokens($"text")).cast("long")
+        .as("n_toks"))
+    val nodes = groups.select(explode($"ids").as("id"))
+    val star = groups.select($"rep_id".as("src"), explode($"ids").as("dst"))
+      .filter($"src" =!= $"dst")
+    val scored = TrainingData.repCandidates(groups)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"),
+        round(Dedup.jaccard($"sa_set", $"sb_set"), 6).as("j"))
+      .localCheckpoint()
+    val perThreshold = Seq(0.5, 0.7, 0.9).map { t =>
+      val edges = scored.filter($"j" >= t).select($"src", $"dst")
+        .unionByName(star)
+      val labels = graft.functions.ConnectedComponents
+        .minLabel(nodes, edges)
+      labels.join(toks, labels("id") === toks("doc_id"))
+        .withColumn("keep", $"id" === $"component")
+        .agg(countDistinct($"component").as("n_clusters"),
+          sum(when(!$"keep", 1L).otherwise(0L)).as("docs_removed"),
+          sum(when(!$"keep", $"n_toks").otherwise(0L))
+            .as("tokens_removed"))
+        .select(lit((t * 10).toInt).as("threshold_decil"),
+          $"n_clusters", $"docs_removed", $"tokens_removed")
+    }
+    perThreshold.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q240_split_leakage" -> splitLeakage,
+    "q241_dedup_savings" -> dedupSavings,
     "q237_oov_rate_by_source" -> oovRateBySource,
     "q238_cluster_purity" -> clusterPurity,
     "q239_transitivity_audit" -> transitivityAudit,
@@ -884,7 +970,60 @@ object Corpus {
        |    AS closure_micro
        |FROM wc CROSS JOIN cl""".stripMargin
 
+  private def sqlSplitLeakage =
+    s"""${TrainingData.sqlLshCandCtes},
+       |gs AS (SELECT min(doc_id) AS rep_id, count(*)::BIGINT AS gn,
+       |    sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_train,
+       |    sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_held
+       |  FROM sh GROUP BY md5(array_to_string(sh_set, chr(1)))),
+       |ee AS (SELECT doc_a, doc_b FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE cand.doc_a IN (SELECT rep_id FROM gs)
+       |    AND cand.doc_b IN (SELECT rep_id FROM gs)
+       |    AND round(CAST(len(list_intersect(sa.sh_set, sb.sh_set))
+       |        AS DOUBLE) /
+       |      (CAST(len(sa.sh_set) + len(sb.sh_set) AS DOUBLE)
+       |       - CAST(len(list_intersect(sa.sh_set, sb.sh_set))
+       |         AS DOUBLE)), 6) >= 0.5)
+       |SELECT 'identity' AS kind, count(*)::BIGINT AS n_cases,
+       |  sum(n_held)::BIGINT AS n_held_docs
+       |FROM gs WHERE n_train >= 1 AND n_held >= 1
+       |UNION ALL
+       |SELECT 'similarity', count(*)::BIGINT,
+       |  sum(CASE WHEN a.n_train >= 1 THEN b.n_held ELSE 0 END
+       |    + CASE WHEN b.n_train >= 1 THEN a.n_held ELSE 0 END)::BIGINT
+       |FROM ee JOIN gs a ON ee.doc_a = a.rep_id
+       |JOIN gs b ON ee.doc_b = b.rep_id
+       |WHERE (a.n_train >= 1 AND b.n_held >= 1)
+       |   OR (b.n_train >= 1 AND a.n_held >= 1)""".stripMargin
+
+  private def sqlDedupSavings = {
+    val toks = sqlTokens("text")
+    def leg(t: String, decil: Int) = {
+      val labels = Scale.oracles("q55_dup_clusters")
+        .replace(">= 0.5", s">= $t")
+      s"""SELECT CAST($decil AS INTEGER) AS threshold_decil,
+         |  count(DISTINCT component)::BIGINT AS n_clusters,
+         |  sum(CASE WHEN l.doc_id <> component THEN 1 ELSE 0 END)
+         |    ::BIGINT AS docs_removed,
+         |  sum(CASE WHEN l.doc_id <> component THEN tk.n_toks ELSE 0
+         |    END)::BIGINT AS tokens_removed
+         |FROM ($labels) l
+         |JOIN (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_toks
+         |      FROM ${TrainingData.sqlCorpus} c) tk
+         |  ON l.doc_id = tk.doc_id""".stripMargin
+    }
+    Seq(("0.5", 5), ("0.7", 7), ("0.9", 9))
+      .map { case (t, d) => leg(t, d) }
+      .mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q240_split_leakage" -> sqlSplitLeakage,
+    "q241_dedup_savings" -> sqlDedupSavings,
     "q237_oov_rate_by_source" -> sqlOovRateBySource,
     "q238_cluster_purity" -> sqlClusterPurity,
     "q239_transitivity_audit" -> sqlTransitivityAudit,
