@@ -25,6 +25,85 @@ class TrainingDataSpec extends SparkSpec {
     assert(recall >= 0.99, s"twin recall $recall below 0.99")
   }
 
+  test("exact-dup collapse machinery: q23/q123/q55 on a crafted " +
+    "duplicate-laden corpus equal the brute-force references") {
+    // The sf0.01 gate corpus has NO byte-identical texts, so the
+    // within-group expansion and payload-swap paths only run at the
+    // replicated bench scale where there is no oracle. This corpus
+    // plants real copy-groups: 3 distinct templates × copies with
+    // NON-MONOTONE ids (so member order flips exercise the swap), a
+    // near-dup variant per template, and singletons.
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet green forest before dawn breaks"
+    val texts: Seq[(Long, String)] = Seq(
+      (0L, base + " alpha"), (7L, base + " alpha"),
+      (3L, base + " alpha"),                                  // group A
+      (1L, base + " beta"), (9L, base + " beta"),             // group B
+      (2L, base + " alpha near miss"),                        // near A
+      (4L, "completely different text with nothing shared at all " +
+        "whatsoever in any shingle of it window pane"),
+      (5L, base + " gamma"))
+    val dir = java.nio.file.Files.createTempDirectory("collapse").toString
+    texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // brute-force reference over the SAME twin corpus the queries use
+    val d0 = graft.Tables(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val c = d0.unionByName(d0.select(($"doc_id" + 100000L).as("doc_id"),
+      concat($"text", lit(" graft dedup probe")).as("text")))
+    val shs = c.select($"doc_id",
+      graft.functions.TextOps.shinglesFromTokens(
+        graft.functions.TextOps.tokens($"text"), 3).as("sh"))
+    val ref = shs.as("a").join(shs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(graft.functions.Dedup.jaccard(col("a.sh"), col("b.sh")), 6)
+          .as("jaccard"),
+        size(col("a.sh")).cast("long").as("na"),
+        size(col("b.sh")).cast("long").as("nb"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+          .as("inter"))
+    val refPairs = ref.filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val gotPairs = TrainingData.dedupMinhashLsh(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // LSH candidates ⊆ brute force always; on copy-groups equality is
+    // guaranteed (identical signatures collide), near-dups at J≥0.5
+    // here are also J≥0.8 so banding can't miss them
+    assert(gotPairs === refPairs,
+      s"q23 mismatch: extra=${gotPairs -- refPairs} " +
+        s"missing=${refPairs -- gotPairs}")
+    val refContain = ref
+      .select($"doc_a", $"doc_b",
+        expr("(1000000 * inter) div na").as("ca"),
+        expr("(1000000 * inter) div nb").as("cb"))
+      .filter(greatest($"ca", $"cb") >= 800000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gotContain = TrainingData.containmentDedup(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotContain === refContain,
+      s"q123 mismatch: extra=${gotContain -- refContain} " +
+        s"missing=${refContain -- gotContain}")
+    // clusters: in-test union-find over the reference pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val allIds = c.select($"doc_id").as[Long].collect()
+    refPairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = allIds.map(id => (id, find(id))).toMap
+    val got = graft.queries.Scale.queries("q55_dup_clusters")(spark, dir)
+      .select($"doc_id", $"component").as[(Long, Long)].collect().toMap
+    assert(got === want, "q55 component labels diverged from union-find")
+  }
+
   test("k-means Lloyd step is the argmax: no vector prefers its old " +
     "cell under the updated centroids") {
     import graft.functions.Similarity
