@@ -278,15 +278,46 @@ object TrainingData {
       transform(zip_with($"embedding", nz,
           (x, w) => x.cast("double") + w),
         v => v.cast("float")).as("embedding"))
-    val wb = e.unionByName(twins).withColumn("bucket",
-      Similarity.lshBucket($"embedding", NumPlanes, Dims))
-    wb.as("a").join(wb.as("b"),
+    // exact-dup collapse on the VECTOR itself (the embedding-side twin
+    // of nearDupGroups): byte-identical embeddings land in the same
+    // bucket with cosine ≈ 1 by construction, so a copy-group of size
+    // g would pay g² bucket collisions and cosine verifies for pairs
+    // whose verdict is known by identity. Group-by the float array,
+    // bucket/verify representatives only, expand members back (cosine
+    // is symmetric — no payload swap; within-group pairs carry the
+    // self-cosine computed by the SAME float expression the pairwise
+    // path would have used, so rounding artifacts stay identical).
+    val groups = e.unionByName(twins)
+      .groupBy($"embedding")
+      .agg(min($"vec_id").as("rep_id"),
+        collect_list($"vec_id").as("ids"), count(lit(1)).as("gn"))
+      .localCheckpoint()
+    val wb = groups
+      .select($"rep_id".as("vec_id"), $"embedding")
+      .withColumn("bucket",
+        Similarity.lshBucket($"embedding", NumPlanes, Dims))
+    val repPairs = wb.as("a").join(wb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
           .as("cos_sim"))
       .filter($"cos_sim" >= 0.9)
+    val members = groups.select($"rep_id", explode($"ids").as("m"))
+    val cross = repPairs
+      .join(members.select($"rep_id".as("vec_a"), $"m".as("ma")),
+        Seq("vec_a"))
+      .join(members.select($"rep_id".as("vec_b"), $"m".as("mb")),
+        Seq("vec_b"))
+      .select(least($"ma", $"mb").as("vec_a"),
+        greatest($"ma", $"mb").as("vec_b"), $"cos_sim")
+    val within = groups.filter($"gn" >= 2)
+      .select(round(Similarity.cosine($"embedding", $"embedding"), 6)
+        .as("cos_sim"), explode($"ids").as("a"), $"ids")
+      .select($"cos_sim", $"a", explode($"ids").as("b"))
+      .filter($"a" < $"b")
+      .select($"a".as("vec_a"), $"b".as("vec_b"), $"cos_sim")
+    cross.unionByName(within)
   }
 
   /** q67 — incremental cross-corpus near-dup dedup: an arriving batch
