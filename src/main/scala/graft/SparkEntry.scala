@@ -21,6 +21,7 @@ object SparkEntry {
       (gq.Scale.queries, gq.Scale.oracles),
       (gq.Curation.queries, gq.Curation.oracles),
       (gq.Corpus.queries, gq.Corpus.oracles),
+      (gq.Insights.queries, gq.Insights.oracles),
       (gq.Governance.queries, gq.Governance.oracles),
     )
 

@@ -1,0 +1,754 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Hashing, Similarity, TextOps}
+import Hashing.sqlHash60
+import TextOps.sqlTokens
+
+/** Round-4 second batch: the data-selection and measurement operators
+  * that sit between a cleaned corpus and a training run — DSIR hashed
+  * n-gram importance weighting, sub-document (chunk-level) dedup,
+  * matryoshka-truncation retrieval eval, kNN label accuracy, embedding
+  * centroid drift — plus the classical-statistics backfill (McNemar,
+  * Kendall tau-b, Wilson intervals, permutation test, Hill tail index)
+  * and a from-first-principles distributed logistic regression.
+  *
+  * Exactness discipline (the q77/q121/q227 convention): ratios are
+  * integral micro divisions of exact longs; `ln`/`exp`/`sqrt` of
+  * exact-long ratios are quantized per VALUE (never per partial
+  * aggregate), so partial-aggregation order can never move a result.
+  * Where a SIGNED quantity meets integer division (q247's w·x terms,
+  * q250's centroid means), both engines truncate toward zero — Spark
+  * `div`, DuckDB `//`, and Java `/` all share that semantic (verified
+  * against this container's DuckDB: -7 // 2 = -3), so the mirrored
+  * expressions are value-identical without any floor shimming.
+  */
+object Insights {
+
+  // DuckDB cosine fragments (kept in lockstep with Similarity.cosine:
+  // double multiply-adds in index order, so both engines produce
+  // bit-identical doubles).
+  private def sqlDotCols(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def sqlNorm(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private def sqlCosCols(a: String, b: String) =
+    s"${sqlDotCols(a, b)} / (sqrt(${sqlNorm(a)}) * sqrt(${sqlNorm(b)}))"
+
+  // ------------------------------------------------- q242 DSIR weights
+
+  /** q242 — DSIR hashed-bigram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every out-of-target document by how target-like its hashed
+    * bigram distribution is. Bigrams hash into 512 buckets (portable
+    * hash60); per-bucket weight is the Laplace-smoothed log-ratio
+    * ln p̂_target(b) − ln p̂_raw(b), micro-quantized PER BUCKET (512
+    * distinct values — one `ln` per bucket, not per row); a document's
+    * score is the exact long sum of its bigram instances' bucket
+    * weights. Scale: the weight table is 512 rows (broadcast); bucket
+    * counting is map-side combined on 512 keys; the only corpus-sized
+    * shuffle is the per-doc score aggregation. At 100 TB the target
+    * sample is whatever high-quality slice the curator names — here
+    * lang='en' plays that role. */
+  val dsirWeights: Q = (s, dir) => {
+    import s.implicits._
+    val B = 512
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", TextOps.tokens($"text").as("toks"))
+    def buckets(df: DataFrame) = df.select($"doc_id",
+        explode(when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>"))).as("i"), $"toks")
+      .select($"doc_id", (Hashing.hash60(concat_ws(" ",
+        element_at($"toks", $"i"), element_at($"toks", $"i" + 1)))
+        % B).as("b"))
+    val tgt = buckets(tok.filter($"lang" === "en"))
+    val raw = buckets(tok.filter($"lang" =!= "en"))
+    val ct = tgt.groupBy($"b").agg(count(lit(1)).as("ct"))
+    val cr = raw.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tT = tgt.agg(count(lit(1)).as("t_tot"))
+    val tR = raw.agg(count(lit(1)).as("r_tot"))
+    val w = ct.join(cr, Seq("b"), "full_outer")
+      .crossJoin(broadcast(tT)).crossJoin(broadcast(tR))
+      .select($"b",
+        round(lit(1000000.0) *
+          (log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+             ($"t_tot" + B).cast("double")) -
+           log((coalesce($"cr", lit(0L)) + 1).cast("double") /
+             ($"r_tot" + B).cast("double")))).cast("long").as("w_micro"))
+    raw.join(broadcast(w), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"w_micro").as("dsir_score_micro"))
+  }
+
+  // ------------------------------------------------ q243 chunk dedup
+
+  /** q243 — sub-document dedup at 8-token chunk granularity (the
+    * C4/RefinedWeb line-dedup design, re-expressed for a corpus with
+    * no newlines): documents split into consecutive 8-token chunks;
+    * the first occurrence of each distinct chunk (by (doc_id,
+    * chunk_idx)) is canonical and every other instance is a duplicate
+    * to scrub. Finer-grained than q22 (whole-doc) and q102 (dup spans
+    * vs a known boilerplate set): this one needs no prior knowledge of
+    * WHAT repeats. Scale: the window is keyed BY CHUNK (uniform text
+    * key — no hot partition); everything else is one per-doc
+    * aggregation. Retained fraction is an exact integral micro
+    * division. */
+  val chunkDedup: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", size($"toks").cast("long").as("n_toks"), $"toks")
+    val ch = t.select($"doc_id", $"n_toks", posexplode(expr(
+        "transform(sequence(0, (size(toks) + 7) div 8 - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))")))
+      .select($"doc_id", $"n_toks", $"pos".cast("long").as("chunk_idx"),
+        $"col".as("chunk"),
+        least(lit(8L), $"n_toks" - $"pos" * 8).as("clen"))
+    val rn = ch.withColumn("rn", row_number().over(
+      Window.partitionBy($"chunk").orderBy($"doc_id", $"chunk_idx")))
+    rn.groupBy($"doc_id", $"n_toks")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"rn" > 1, $"clen").otherwise(0L)).as("toks_removed"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks", $"toks_removed",
+        expr("1000000 * (n_toks - toks_removed) div n_toks")
+          .as("retained_micro"))
+  }
+
+  // ---------------------------------------------------- q244 McNemar
+
+  /** q244 — McNemar's paired test: do the "price above mean" and
+    * "priority urgent/high" classifiers disagree symmetrically on the
+    * same orders? Only the discordant cells matter (b = A-only, c =
+    * B-only); the statistic (b−c)²/(b+c) and its continuity-corrected
+    * form are integral micro divisions of exact counts. One broadcast
+    * one-row mean, one map-side-combined count pass — no shuffle wider
+    * than two longs. (Long bound: (b−c)²·10⁶ stays under 2⁶³ through
+    * sf ≈ 50; the decimal upgrade path is the q189 pattern.) */
+  val mcnemar: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderpriority")
+    val m = o.agg(expr("sum(cents) div count(1)").as("mean_cents"))
+    o.crossJoin(broadcast(m))
+      .select(($"cents" > $"mean_cents").as("a"),
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH").as("b"))
+      .agg(sum(when($"a" && !$"b", 1L).otherwise(0L)).as("b_cnt"),
+        sum(when(!$"a" && $"b", 1L).otherwise(0L)).as("c_cnt"))
+      .select($"b_cnt", $"c_cnt",
+        expr("(b_cnt - c_cnt) * (b_cnt - c_cnt) * 1000000" +
+          " div greatest(b_cnt + c_cnt, 1)").as("mcnemar_micro"),
+        expr("(abs(b_cnt - c_cnt) - 1) * (abs(b_cnt - c_cnt) - 1)" +
+          " * 1000000 div greatest(b_cnt + c_cnt, 1)")
+          .as("mcnemar_cc_micro"))
+  }
+
+  // ------------------------------------------- q245 matryoshka eval
+
+  /** q245 — matryoshka-truncation retrieval eval (Kusupati et al.
+    * 2022): recall@10 of 16-dim-prefix cosine against the full 64-dim
+    * ground truth, per query — the measurement that licenses serving
+    * truncated embeddings at a quarter of the memory. Both rankings
+    * use the brute-force scan (the eval BASELINE must be exact; the
+    * approximate serving paths are q27/q42/q100 and are themselves
+    * evaluated by q208). Scale: the query sample is broadcast, the
+    * corpus is scanned once per ranking, and the per-query windows are
+    * keyed by q_id (WindowGroupLimit prunes to top-10 pre-exchange). */
+  val matryoshkaEval: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val qs = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    def topk(sim: Column) = emb.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", sim.as("cs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cs".desc, $"vec_id".asc)))
+      .filter($"rank" <= 10).select($"q_id", $"vec_id")
+    val full = topk(Similarity.cosine($"embedding", $"qv"))
+    val trunc = topk(Similarity.cosine(
+      slice($"embedding", 1, 16), slice($"qv", 1, 16)))
+    val ov = full.join(trunc, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("ov"))
+    qs.select($"q_id").join(ov, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"ov", lit(0L)).as("n_overlap"),
+        expr("1000000 * coalesce(ov, 0) div 10").as("recall_micro"))
+  }
+
+  // ------------------------------------------------ q246 Kendall tau
+
+  /** q246 — Kendall tau-b rank correlation between daily revenue and
+    * daily order count. Concordant/discordant/tied pair counts are
+    * exact longs from the O(days²) self-join on the bounded calendar
+    * frame (the q177 Theil-Sen stance: ~2.4k days → ~3M pairs,
+    * scale-independent by construction); tau-b applies the tie
+    * correction in one single-row double expression over exact longs. */
+  val kendallTau: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val p = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+      .select(
+        when((col("a.rev") > col("b.rev") && col("a.cnt") > col("b.cnt"))
+          || (col("a.rev") < col("b.rev") && col("a.cnt") < col("b.cnt")),
+          1L).otherwise(0L).as("conc"),
+        when((col("a.rev") > col("b.rev") && col("a.cnt") < col("b.cnt"))
+          || (col("a.rev") < col("b.rev") && col("a.cnt") > col("b.cnt")),
+          1L).otherwise(0L).as("disc"),
+        when(col("a.rev") === col("b.rev") && col("a.cnt") =!= col("b.cnt"),
+          1L).otherwise(0L).as("tx"),
+        when(col("a.cnt") === col("b.cnt") && col("a.rev") =!= col("b.rev"),
+          1L).otherwise(0L).as("ty"),
+        when(col("a.rev") === col("b.rev") && col("a.cnt") === col("b.cnt"),
+          1L).otherwise(0L).as("tb"))
+      .agg(sum($"conc").as("c"), sum($"disc").as("d"),
+        sum($"tx").as("tx"), sum($"ty").as("ty"), sum($"tb").as("tb"))
+    val n = d.agg(count(lit(1)).as("n"))
+    p.crossJoin(broadcast(n))
+      .select($"n".as("n_days"), $"c".as("concordant"),
+        $"d".as("discordant"), $"tx".as("ties_x"), $"ty".as("ties_y"),
+        expr("CAST(round(1000000.0 * CAST(c - d AS DOUBLE) / " +
+          "sqrt(CAST(n * (n - 1) div 2 - (tx + tb) AS DOUBLE) * " +
+          "CAST(n * (n - 1) div 2 - (ty + tb) AS DOUBLE))) AS BIGINT)")
+          .as("tau_b_micro"))
+  }
+
+  // -------------------------------------------- q247 logistic GD
+
+  /** q247 — distributed logistic regression by full-batch gradient
+    * descent, from first principles: predict `l_returnflag = 'R'` from
+    * scaled quantity and discount. The canonical Spark ML pattern —
+    * weights live on the driver (3 longs), each of the 3 unrolled
+    * iterations is ONE map-side-combined aggregate over the data (the
+    * per-round 1-row collect is the q98 BPE-argmax seam), and the
+    * update runs in exact integer micro space. Per-row: z in micro via
+    * truncating division (Spark `div` ≡ DuckDB `//` on the signed w·x
+    * products), σ(z) micro-quantized per distinct z; gradients are
+    * exact long sums of err·x products (|err·x| ≤ 1.2·10¹², safe
+    * through sf ≈ 5; decimal upgrade is mechanical). Driver updates
+    * use Java `/` — the same truncation semantic. */
+  val logregGd: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "lineitem").select(
+      when($"l_returnflag" === "R", 1000000L).otherwise(0L).as("y"),
+      round($"l_quantity" / 50.0 * 1000000.0).cast("long").as("x1"),
+      round($"l_discount" * 10000000.0).cast("long").as("x2"))
+    var w0 = 0L; var w1 = 0L; var w2 = 0L; var n = 0L
+    for (_ <- 1 to 3) {
+      val z = s"$w0 + (x1 * $w1) div 1000000 + (x2 * $w2) div 1000000"
+      val g = base.select(
+          (expr(s"CAST(round(1000000.0 / (1.0 + " +
+            s"exp(-(CAST($z AS DOUBLE)) / 1000000.0))) AS BIGINT)")
+            - $"y").as("err"), $"x1", $"x2")
+        .agg(count(lit(1)).as("n"), sum($"err").as("s0"),
+          sum($"err" * $"x1").as("s1"), sum($"err" * $"x2").as("s2"))
+        .collect()(0)
+      n = g.getLong(0)
+      val (s0, s1, s2) = (g.getLong(1), g.getLong(2), g.getLong(3))
+      // Java `/` truncates toward zero — same semantic as DuckDB `//`
+      w0 -= (500000L * (s0 / n)) / 1000000L
+      w1 -= (500000L * (s1 / (n * 1000000L))) / 1000000L
+      w2 -= (500000L * (s2 / (n * 1000000L))) / 1000000L
+    }
+    Seq((n, w0, w1, w2)).toDF("n", "w0_micro", "w1_micro", "w2_micro")
+  }
+
+  // ---------------------------------------------- q248 Wilson CI
+
+  /** q248 — Wilson 95% score intervals for per-source short-document
+    * rates (n_chars < 200): the interval that stays inside [0,1] and
+    * behaves at small n, i.e. the right way to rank sources by defect
+    * rate when their sizes differ 100×. Counts are exact; the interval
+    * arithmetic is one fixed double expression per source row (z=1.96
+    * constants folded to literals so both engines evaluate the same
+    * tree), micro-quantized at the end. One map-side-combined count
+    * pass; O(sources) everything else. */
+  val wilsonCi: Q = (s, dir) => {
+    import s.implicits._
+    val agg = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_chars" < 200, 1L).otherwise(0L)).as("n_defect"))
+    def side(sign: String) =
+      "(CAST(n_defect AS DOUBLE) / CAST(n_docs AS DOUBLE)" +
+        " + 1.9208 / CAST(n_docs AS DOUBLE) " + sign +
+        " 1.96 * sqrt(CAST(n_defect AS DOUBLE) / CAST(n_docs AS DOUBLE)" +
+        " * (1.0 - CAST(n_defect AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+        " / CAST(n_docs AS DOUBLE)" +
+        " + 0.9604 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))" +
+        " / (1.0 + 3.8416 / CAST(n_docs AS DOUBLE))"
+    agg.select($"source", $"n_docs", $"n_defect",
+      expr("1000000 * n_defect div n_docs").as("p_micro"),
+      expr(s"CAST(round(1000000.0 * ${side("-")}) AS BIGINT)")
+        .as("lo_micro"),
+      expr(s"CAST(round(1000000.0 * ${side("+")}) AS BIGINT)")
+        .as("hi_micro"))
+  }
+
+  // ----------------------------------------- q249 permutation test
+
+  /** q249 — two-sample permutation test on purchase values between the
+    * q189 A/B arms, with HASH-DERIVED Rademacher reassignments instead
+    * of RNG (b ∈ 0..255, arm_b(user) = hash60("perm|b|user") mod 2) —
+    * fully deterministic, cluster-order-independent, and re-runnable.
+    * Scale: per-user totals collapse the event stream first (users ≪
+    * events), the 256-way explode rides on that collapsed frame, and
+    * the permutation aggregate map-side-combines into 256 groups. Arm
+    * means are integral micro divisions of exact cent longs; the
+    * p-value uses the standard (1 + #extreme)/(1 + B) estimator. */
+  val permutationTest: Q = (s, dir) => {
+    import s.implicits._
+    val u = Tables(s, dir, "events")
+      .filter($"event_type" === "purchase" && $"value" > 0)
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("su"))
+    def armDiff(df: DataFrame, arm: Column, grp: Seq[Column]) = {
+      val a = df.select(grp :+ arm.as("arm") :+ col("su"): _*)
+      val aggd = a.groupBy(grp: _*)
+        .agg(sum(when($"arm" === 0, $"su").otherwise(0L)).as("s0"),
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when($"arm" === 1, $"su").otherwise(0L)).as("s1"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+      aggd.withColumn("diff_micro",
+        expr("1000000 * s0 div greatest(n0, 1)" +
+          " - 1000000 * s1 div greatest(n1, 1)"))
+    }
+    val obs = armDiff(u,
+      Hashing.hash60(concat(lit("ab|"), $"user_id".cast("string"))) % 2,
+      Seq.empty)
+      .select($"diff_micro".as("diff_obs"))
+    val perms = armDiff(
+      u.select($"user_id", $"su",
+        explode(expr("sequence(0, 255)")).as("b")),
+      Hashing.hash60(concat(lit("perm|"), $"b".cast("string"),
+        lit("|"), $"user_id".cast("string"))) % 2,
+      Seq(col("b")))
+    perms.crossJoin(broadcast(obs))
+      .agg(sum(when(abs($"diff_micro") >= abs($"diff_obs"), 1L)
+        .otherwise(0L)).as("n_extreme"),
+        first($"diff_obs").as("obs_diff_micro"))
+      .select($"obs_diff_micro", $"n_extreme",
+        expr("(1 + n_extreme) * 1000000 div 257").as("p_micro"))
+  }
+
+  // --------------------------------------------- q250 centroid drift
+
+  /** q250 — per-label embedding centroid drift between the even/odd
+    * vec_id halves (the snapshot-pair proxy): components micro-quantize
+    * PER ROW into exact longs, per-(label, half, dim) sums are exact,
+    * centroids are truncating integer divisions, and the cosine between the two
+    * 64-dim centroid vectors is one double expression per label row.
+    * The drift monitor a retrained-encoder pipeline gates on. Shuffle
+    * dimension: labels × 2 × dims = O(1280) groups, map-side combined. */
+  val centroidDrift: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val cent = e.select($"label", ($"vec_id" % 2).as("half"),
+        posexplode($"embedding"))
+      .select($"label", $"half", $"pos",
+        round($"col".cast("double") * 1000000.0).cast("long").as("v"))
+      .groupBy($"label", $"half", $"pos")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("nv"))
+      .select($"label", $"half", $"pos",
+        expr("sv div nv").as("c"))
+    val j = cent.filter($"half" === 0).as("a")
+      .join(cent.filter($"half" === 1).as("b"),
+        col("a.label") === col("b.label") && col("a.pos") === col("b.pos"))
+      .select(col("a.label").as("label"),
+        (col("a.c") * col("b.c")).as("dot"),
+        (col("a.c") * col("a.c")).as("sq0"),
+        (col("b.c") * col("b.c")).as("sq1"))
+      .groupBy($"label")
+      .agg(sum($"dot").as("dot"), sum($"sq0").as("n0"),
+        sum($"sq1").as("n1"))
+    val cnt = e.groupBy($"label")
+      .agg(sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_odd"))
+    j.join(cnt, Seq("label"))
+      .select($"label", $"n_even", $"n_odd",
+        expr("CAST(round(1000000.0 * (1.0 - CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE))))) " +
+          "AS BIGINT)").as("drift_micro"))
+  }
+
+  // ------------------------------------------------ q251 Hill tail
+
+  /** q251 — Hill estimator of the revenue tail index over the top-100
+    * order statistics: α̂ = 1 / mean(ln(x_i/x_k)) — the heavy-tail
+    * diagnostic that says whether means and variances of spend are even
+    * finite. Top-k is TakeOrderedAndProject on VALUES ONLY (boundary
+    * ties carry equal values, so the multiset — and therefore the
+    * estimate — is engine-independent); each ln quantizes per row from
+    * exact cent ratios; the mean and the reciprocal are integral micro
+    * divisions. O(k) everything after the scan. */
+  val hillTail: Q = (s, dir) => {
+    import s.implicits._
+    val top = Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"))
+      .orderBy($"cents".desc).limit(100)
+    val xk = top.agg(min($"cents").as("xk_cents"))
+    top.crossJoin(broadcast(xk))
+      .select($"xk_cents",
+        expr("CAST(round(1000000.0 * ln(CAST(cents AS DOUBLE) / " +
+          "CAST(xk_cents AS DOUBLE))) AS BIGINT)").as("lm"))
+      .groupBy($"xk_cents").agg(sum($"lm").as("sl"))
+      .select(lit(100L).as("k"), $"xk_cents",
+        expr("sl div 99").as("mean_ln_micro"),
+        expr("1000000000000 div greatest(sl div 99, 1)")
+          .as("alpha_micro"))
+  }
+
+  // ------------------------------------------- q252 kNN label accuracy
+
+  /** q252 — leave-one-out 5-NN label accuracy over the embeddings (the
+    * embedding-quality probe reported next to q208's recall and q216's
+    * nDCG: do nearest neighbors share labels?). Deterministic majority
+    * vote: neighbors by (cosine desc, vec_id), vote winner by (votes
+    * desc, label asc). Scale: eval sample broadcast, one corpus scan,
+    * per-query windows keyed by q_id (WindowGroupLimit prunes to k
+    * before the exchange), vote resolution on an O(eval × labels)
+    * frame. */
+  val knnLabelAcc: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("true_label"))
+    val nn = e.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"true_label", $"vec_id", $"label",
+        Similarity.cosine($"embedding", $"qv").as("cs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cs".desc, $"vec_id".asc)))
+      .filter($"rank" <= 5)
+    val pred = nn.groupBy($"q_id", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"votes".desc, $"label".asc)))
+      .filter($"rn" === 1)
+      .select($"q_id", $"true_label", $"label".as("pred_label"))
+    pred.groupBy($"true_label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"pred_label" === $"true_label", 1L).otherwise(0L))
+          .as("n_correct"))
+      .select($"true_label", $"n_eval", $"n_correct",
+        expr("1000000 * n_correct div n_eval").as("acc_micro"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q242_dsir_weights" -> dsirWeights,
+    "q243_chunk_dedup" -> chunkDedup,
+    "q244_mcnemar" -> mcnemar,
+    "q245_matryoshka_eval" -> matryoshkaEval,
+    "q246_kendall_tau" -> kendallTau,
+    "q247_logreg_gd" -> logregGd,
+    "q248_wilson_ci" -> wilsonCi,
+    "q249_permutation_test" -> permutationTest,
+    "q250_centroid_drift" -> centroidDrift,
+    "q251_hill_tail" -> hillTail,
+    "q252_knn_label_acc" -> knnLabelAcc,
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val sqlDsir = {
+    val h = sqlHash60("toks[i] || ' ' || toks[i + 1]")
+    s"""WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |bg AS (SELECT doc_id, lang, ($h % 512) AS b
+       |  FROM (SELECT doc_id, lang, toks,
+       |          CAST(unnest(range(1, len(toks)::BIGINT)) AS INT) AS i
+       |        FROM t)),
+       |ct AS (SELECT b, count(*)::BIGINT AS c FROM bg
+       |  WHERE lang = 'en' GROUP BY b),
+       |cr AS (SELECT b, count(*)::BIGINT AS c FROM bg
+       |  WHERE lang <> 'en' GROUP BY b),
+       |tot AS (SELECT
+       |  (SELECT count(*)::BIGINT FROM bg WHERE lang = 'en') AS t_tot,
+       |  (SELECT count(*)::BIGINT FROM bg WHERE lang <> 'en') AS r_tot),
+       |w AS (SELECT coalesce(ct.b, cr.b) AS b,
+       |    CAST(round(1000000.0 *
+       |      (ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) /
+       |         CAST(t_tot + 512 AS DOUBLE)) -
+       |       ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE) /
+       |         CAST(r_tot + 512 AS DOUBLE)))) AS BIGINT) AS w_micro
+       |  FROM ct FULL JOIN cr ON ct.b = cr.b CROSS JOIN tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  sum(w_micro)::BIGINT AS dsir_score_micro
+       |FROM bg JOIN w USING (b) WHERE lang <> 'en'
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  private val sqlChunkDedup =
+    s"""WITH t AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_toks
+       |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |        FROM documents)
+       |  WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, n_toks, CAST(u.i AS BIGINT) AS chunk_idx,
+       |    array_to_string(toks[CAST(u.i * 8 + 1 AS INT):
+       |      CAST(u.i * 8 + 8 AS INT)], ' ') AS chunk,
+       |    least(8, n_toks - u.i * 8)::BIGINT AS clen
+       |  FROM t, UNNEST(range(0, (n_toks + 7) // 8)) AS u(i)),
+       |r AS (SELECT doc_id, n_toks, clen,
+       |    row_number() OVER (PARTITION BY chunk
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ch)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |  sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)::BIGINT
+       |    AS toks_removed,
+       |  CAST(1000000 * (n_toks -
+       |      sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)) // n_toks
+       |    AS BIGINT) AS retained_micro
+       |FROM r GROUP BY doc_id, n_toks""".stripMargin
+
+  private val sqlMcnemar =
+    """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+      |    AS cents, o_orderpriority FROM orders),
+      |m AS (SELECT sum(cents)::BIGINT // count(*)::BIGINT
+      |    AS mean_cents FROM o),
+      |f AS (SELECT (cents > mean_cents) AS a,
+      |    (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS b
+      |  FROM o CROSS JOIN m),
+      |c AS (SELECT
+      |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS b_cnt,
+      |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS c_cnt
+      |  FROM f)
+      |SELECT b_cnt, c_cnt,
+      |  CAST((b_cnt - c_cnt) * (b_cnt - c_cnt) * 1000000
+      |    // greatest(b_cnt + c_cnt, 1) AS BIGINT) AS mcnemar_micro,
+      |  CAST((abs(b_cnt - c_cnt) - 1) * (abs(b_cnt - c_cnt) - 1)
+      |    * 1000000 // greatest(b_cnt + c_cnt, 1) AS BIGINT)
+      |    AS mcnemar_cc_micro
+      |FROM c""".stripMargin
+
+  private val sqlMatryoshka = {
+    val cosF = sqlCosCols("e.embedding", "q.qv")
+    val cosT = sqlCosCols("e.embedding[1:16]", "q.qv[1:16]")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |cf AS (SELECT q.q_id, e.vec_id, $cosF AS cs
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |rf AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cs DESC, vec_id) AS rn FROM cf) WHERE rn <= 10),
+       |ctr AS (SELECT q.q_id, e.vec_id, $cosT AS cs
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |rt AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cs DESC, vec_id) AS rn FROM ctr) WHERE rn <= 10),
+       |ov AS (SELECT rf.q_id, count(*)::BIGINT AS ov
+       |  FROM rf JOIN rt USING (q_id, vec_id) GROUP BY rf.q_id)
+       |SELECT q.q_id, coalesce(ov.ov, 0)::BIGINT AS n_overlap,
+       |  CAST(1000000 * coalesce(ov.ov, 0) // 10 AS BIGINT)
+       |    AS recall_micro
+       |FROM q LEFT JOIN ov ON q.q_id = ov.q_id""".stripMargin
+  }
+
+  private val sqlKendall =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev,
+      |    count(*)::BIGINT AS cnt FROM orders GROUP BY 1),
+      |p AS (SELECT
+      |    CASE WHEN (a.rev > b.rev AND a.cnt > b.cnt)
+      |      OR (a.rev < b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END AS conc,
+      |    CASE WHEN (a.rev > b.rev AND a.cnt < b.cnt)
+      |      OR (a.rev < b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END AS disc,
+      |    CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt
+      |      THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev
+      |      THEN 1 ELSE 0 END AS ty,
+      |    CASE WHEN a.rev = b.rev AND a.cnt = b.cnt
+      |      THEN 1 ELSE 0 END AS tb
+      |  FROM d a JOIN d b ON a.day < b.day),
+      |s AS (SELECT sum(conc)::BIGINT AS c, sum(disc)::BIGINT AS d,
+      |    sum(tx)::BIGINT AS tx, sum(ty)::BIGINT AS ty,
+      |    sum(tb)::BIGINT AS tb,
+      |    (SELECT count(*)::BIGINT FROM d) AS n FROM p)
+      |SELECT n AS n_days, c AS concordant, d AS discordant,
+      |  tx AS ties_x, ty AS ties_y,
+      |  CAST(round(1000000.0 * CAST(c - d AS DOUBLE) /
+      |    sqrt(CAST(n * (n - 1) // 2 - (tx + tb) AS DOUBLE) *
+      |      CAST(n * (n - 1) // 2 - (ty + tb) AS DOUBLE))) AS BIGINT)
+      |    AS tau_b_micro
+      |FROM s""".stripMargin
+
+  private val sqlLogreg = {
+    val base =
+      """base AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1000000
+        |      ELSE 0 END::BIGINT AS y,
+        |    CAST(round(l_quantity / 50.0 * 1000000.0) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 10000000.0) AS BIGINT) AS x2
+        |  FROM lineitem)""".stripMargin
+    val it0 = "it0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1," +
+      " 0::BIGINT AS w2)"
+    def iter(i: Int) =
+      s"""p$i AS (SELECT y, x1, x2,
+         |    CAST(round(1000000.0 / (1.0 + exp(-(CAST(
+         |      w0 + (w1 * x1) // 1000000 + (w2 * x2) // 1000000
+         |    AS DOUBLE)) / 1000000.0))) AS BIGINT) - y AS err
+         |  FROM base CROSS JOIN it${i - 1}),
+         |g$i AS (SELECT count(*)::BIGINT AS n, sum(err)::BIGINT AS s0,
+         |    sum(err * x1)::BIGINT AS s1, sum(err * x2)::BIGINT AS s2
+         |  FROM p$i),
+         |it$i AS (SELECT
+         |    CAST(w0 - (500000 * (s0 // g$i.n)) // 1000000 AS BIGINT)
+         |      AS w0,
+         |    CAST(w1 - (500000 * (s1 // (g$i.n * 1000000))) // 1000000
+         |      AS BIGINT) AS w1,
+         |    CAST(w2 - (500000 * (s2 // (g$i.n * 1000000))) // 1000000
+         |      AS BIGINT) AS w2,
+         |    g$i.n AS n
+         |  FROM g$i CROSS JOIN it${i - 1})""".stripMargin
+    s"""WITH $base,
+       |$it0,
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT n, w0 AS w0_micro, w1 AS w1_micro, w2 AS w2_micro
+       |FROM it3""".stripMargin
+  }
+
+  private val sqlWilson = {
+    def side(sign: String) =
+      "(CAST(n_defect AS DOUBLE) / CAST(n_docs AS DOUBLE)" +
+        " + 1.9208 / CAST(n_docs AS DOUBLE) " + sign +
+        " 1.96 * sqrt(CAST(n_defect AS DOUBLE) / CAST(n_docs AS DOUBLE)" +
+        " * (1.0 - CAST(n_defect AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+        " / CAST(n_docs AS DOUBLE)" +
+        " + 0.9604 / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))" +
+        " / (1.0 + 3.8416 / CAST(n_docs AS DOUBLE))"
+    s"""WITH a AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_defect
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_defect,
+       |  CAST(1000000 * n_defect // n_docs AS BIGINT) AS p_micro,
+       |  CAST(round(1000000.0 * ${side("-")}) AS BIGINT) AS lo_micro,
+       |  CAST(round(1000000.0 * ${side("+")}) AS BIGINT) AS hi_micro
+       |FROM a""".stripMargin
+  }
+
+  private val sqlPermutation = {
+    val hObs = sqlHash60("'ab|' || user_id")
+    val hPerm = sqlHash60("'perm|' || b || '|' || user_id")
+    s"""WITH u AS (SELECT user_id,
+       |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS su
+       |  FROM events WHERE event_type = 'purchase' AND value > 0
+       |  GROUP BY user_id),
+       |obs AS (SELECT
+       |    sum(CASE WHEN $hObs % 2 = 0 THEN su ELSE 0 END)::BIGINT AS s0,
+       |    sum(CASE WHEN $hObs % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN $hObs % 2 = 1 THEN su ELSE 0 END)::BIGINT AS s1,
+       |    sum(CASE WHEN $hObs % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+       |  FROM u),
+       |od AS (SELECT CAST(1000000 * s0 // greatest(n0, 1)
+       |    - 1000000 * s1 // greatest(n1, 1) AS BIGINT) AS diff_obs
+       |  FROM obs),
+       |pm AS (SELECT b,
+       |    sum(CASE WHEN $hPerm % 2 = 0 THEN su ELSE 0 END)::BIGINT AS s0,
+       |    sum(CASE WHEN $hPerm % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN $hPerm % 2 = 1 THEN su ELSE 0 END)::BIGINT AS s1,
+       |    sum(CASE WHEN $hPerm % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+       |  FROM u CROSS JOIN UNNEST(range(0, 256)) AS t(b) GROUP BY b),
+       |pd AS (SELECT b, CAST(1000000 * s0 // greatest(n0, 1)
+       |    - 1000000 * s1 // greatest(n1, 1) AS BIGINT) AS diff_b
+       |  FROM pm),
+       |e AS (SELECT count(*)::BIGINT AS n_extreme FROM pd, od
+       |  WHERE abs(diff_b) >= abs(diff_obs))
+       |SELECT od.diff_obs AS obs_diff_micro, e.n_extreme,
+       |  CAST((1 + e.n_extreme) * 1000000 // 257 AS BIGINT) AS p_micro
+       |FROM od, e""".stripMargin
+  }
+
+  private val sqlCentroidDrift =
+    """WITH mv AS (SELECT vec_id, label, vec_id % 2 AS half,
+      |    list_transform(embedding, v ->
+      |      CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+      |  FROM embeddings),
+      |vals AS (SELECT label, half, CAST(i AS INT) AS dim,
+      |    mv[CAST(i AS INT)] AS v
+      |  FROM mv, UNNEST(range(1, len(mv) + 1)) AS u(i)),
+      |cent AS (SELECT label, half, dim,
+      |    CAST(sum(v)::BIGINT // count(*)::BIGINT AS BIGINT) AS c
+      |  FROM vals GROUP BY label, half, dim),
+      |j AS (SELECT a.label,
+      |    sum(a.c * b.c)::BIGINT AS dot,
+      |    sum(a.c * a.c)::BIGINT AS n0,
+      |    sum(b.c * b.c)::BIGINT AS n1
+      |  FROM cent a JOIN cent b
+      |    ON a.label = b.label AND a.dim = b.dim
+      |   AND a.half = 0 AND b.half = 1
+      |  GROUP BY a.label),
+      |cnt AS (SELECT label,
+      |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_even,
+      |    sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_odd
+      |  FROM embeddings GROUP BY label)
+      |SELECT j.label, cnt.n_even, cnt.n_odd,
+      |  CAST(round(1000000.0 * (1.0 - CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE)))))
+      |    AS BIGINT) AS drift_micro
+      |FROM j JOIN cnt ON j.label = cnt.label""".stripMargin
+
+  private val sqlHill =
+    """WITH top AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+      |    AS cents FROM orders ORDER BY cents DESC LIMIT 100),
+      |xk AS (SELECT min(cents)::BIGINT AS xk_cents FROM top),
+      |l AS (SELECT CAST(round(1000000.0 * ln(CAST(cents AS DOUBLE) /
+      |    CAST(xk_cents AS DOUBLE))) AS BIGINT) AS lm FROM top, xk),
+      |s AS (SELECT sum(lm)::BIGINT AS sl FROM l)
+      |SELECT 100::BIGINT AS k, xk.xk_cents,
+      |  CAST(sl // 99 AS BIGINT) AS mean_ln_micro,
+      |  CAST(1000000000000 // greatest(sl // 99, 1) AS BIGINT)
+      |    AS alpha_micro
+      |FROM s, xk""".stripMargin
+
+  private val sqlKnnAcc = {
+    val cos = sqlCosCols("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+       |    label AS true_label FROM embeddings WHERE vec_id % 10 = 0),
+       |c AS (SELECT q.q_id, q.true_label, e.vec_id, e.label, $cos AS cs
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |nn AS (SELECT q_id, true_label, label FROM (SELECT q_id,
+       |    true_label, label, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cs DESC, vec_id) AS rn FROM c) WHERE rn <= 5),
+       |v AS (SELECT q_id, true_label, label, count(*)::BIGINT AS votes
+       |  FROM nn GROUP BY q_id, true_label, label),
+       |pr AS (SELECT q_id, true_label, label AS pred_label
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY votes DESC, label) AS rn2 FROM v) WHERE rn2 = 1)
+       |SELECT true_label, count(*)::BIGINT AS n_eval,
+       |  sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_correct,
+       |  CAST(1000000 * sum(CASE WHEN pred_label = true_label
+       |    THEN 1 ELSE 0 END)::BIGINT // count(*)::BIGINT AS BIGINT)
+       |    AS acc_micro
+       |FROM pr GROUP BY true_label""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q242_dsir_weights" -> sqlDsir,
+    "q243_chunk_dedup" -> sqlChunkDedup,
+    "q244_mcnemar" -> sqlMcnemar,
+    "q245_matryoshka_eval" -> sqlMatryoshka,
+    "q246_kendall_tau" -> sqlKendall,
+    "q247_logreg_gd" -> sqlLogreg,
+    "q248_wilson_ci" -> sqlWilson,
+    "q249_permutation_test" -> sqlPermutation,
+    "q250_centroid_drift" -> sqlCentroidDrift,
+    "q251_hill_tail" -> sqlHill,
+    "q252_knn_label_acc" -> sqlKnnAcc,
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Insights
+
+/** Semantic invariants for the round-4 Insights batch (q242-q252).
+  * Value-level correctness is the driver's DuckDB gate; these assert
+  * the mathematical properties that must hold regardless of data.
+  */
+class InsightsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q242 DSIR: scores only non-target docs, every doc has bigrams") {
+    val r = Insights.dsirWeights(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getLong(1) >= 1), "doc without bigrams scored")
+    val en = Tables(spark, sfDir, "documents")
+      .filter($"lang" === "en").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(r.forall(row => !en.contains(row.getLong(0))),
+      "target-language doc leaked into the candidate scores")
+  }
+
+  test("q243 chunk dedup: chunk count and retained fraction invariants") {
+    val r = Insights.chunkDedup(spark, sfDir)
+    val bad = r.filter($"retained_micro" > 1000000L ||
+      $"retained_micro" < 0L || $"n_dup_chunks" > $"n_chunks" ||
+      $"toks_removed" > $"n_chunks" * 8).count()
+    assert(bad == 0)
+    // every doc's chunk count is ceil(n_toks / 8)
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        expr("(size(filter(split(lower(text), '[^a-z]+'), " +
+          "w -> w != '')) + 7) div 8").as("expect"))
+    val mismatch = r.join(docs, Seq("doc_id"))
+      .filter($"n_chunks" =!= $"expect").count()
+    assert(mismatch == 0)
+  }
+
+  test("q244 McNemar: discordant cells bounded by the order count") {
+    val row = Insights.mcnemar(spark, sfDir).collect()(0)
+    val n = Tables(spark, sfDir, "orders").count()
+    assert(row.getLong(0) + row.getLong(1) <= n)
+    assert(row.getLong(2) >= 0)
+  }
+
+  test("q245 matryoshka: recall in [0,1], full self-eval would be 1") {
+    val r = Insights.matryoshkaEval(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(2) >= 0 && x.getLong(2) <= 1000000))
+    assert(r.forall(x => x.getLong(1) * 100000 == x.getLong(2) * 1))
+  }
+
+  test("q246 Kendall: pair partition sums to n(n-1)/2, tau in [-1,1]") {
+    val row = Insights.kendallTau(spark, sfDir).collect()(0)
+    val n = row.getLong(0)
+    val pairs = row.getLong(1) + row.getLong(2)
+    // conc + disc <= total pairs (the rest are ties)
+    assert(pairs <= n * (n - 1) / 2)
+    assert(math.abs(row.getLong(5)) <= 1000000)
+  }
+
+  test("q247 logreg: gradient descent moves the weights and keeps n") {
+    val row = Insights.logregGd(spark, sfDir).collect()(0)
+    assert(row.getLong(0) ==
+      Tables(spark, sfDir, "lineitem").count())
+    // with ~1/3 positives the intercept must have moved negative
+    // (the model lowers the base rate below sigma(0) = 0.5)
+    assert(row.getLong(1) < 0)
+    assert(math.abs(row.getLong(2)) < 10000000 &&
+      math.abs(row.getLong(3)) < 10000000, "weights diverged")
+  }
+
+  test("q248 Wilson: interval brackets the point estimate") {
+    val r = Insights.wilsonCi(spark, sfDir)
+    val bad = r.filter($"lo_micro" > $"p_micro" ||
+      $"hi_micro" < $"p_micro" || $"hi_micro" > 1000000L ||
+      $"lo_micro" < 0L).count()
+    assert(bad == 0)
+  }
+
+  test("q249 permutation test: p-value well-formed") {
+    val row = Insights.permutationTest(spark, sfDir).collect()(0)
+    val nExtreme = row.getLong(1)
+    assert(nExtreme >= 0 && nExtreme <= 256)
+    val p = row.getLong(2)
+    assert(p >= 1000000 / 257 && p <= 1000000)
+  }
+
+  test("q250 centroid drift: nonnegative, bounded by 2, halves count") {
+    val r = Insights.centroidDrift(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(3) >= 0 && x.getLong(3) <= 2000000))
+    val total = r.map(x => x.getLong(1) + x.getLong(2)).sum
+    assert(total == Tables(spark, sfDir, "embeddings").count())
+  }
+
+  test("q251 Hill: positive tail index, top-k min consistent") {
+    val row = Insights.hillTail(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == 100)
+    assert(row.getLong(2) >= 0, "mean ln ratio must be nonnegative")
+    assert(row.getLong(3) > 0)
+  }
+
+  test("q252 kNN accuracy: eval census matches the sample filter") {
+    val r = Insights.knnLabelAcc(spark, sfDir).collect()
+    val nEval = r.map(_.getLong(1)).sum
+    val expect = Tables(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 10 === 0).count()
+    assert(nEval == expect)
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1)))
+  }
+}
