@@ -444,6 +444,235 @@ object Insights {
         expr("1000000 * n_correct div n_eval").as("acc_micro"))
   }
 
+  // ------------------------------------------ shared one-way ANOVA core
+
+  /** One-way ANOVA F over a (g, v)-framed long-valued DataFrame — the
+    * shared engine of q253 (location) and q254 (Levene dispersion).
+    * Group means are truncating integer divisions (deterministic);
+    * between/within sum-of-squares terms quantize PER GROUP to longs
+    * in units of 10⁶·v² (k values — never a cross-partition double
+    * sum), so the exact long totals and the final one-row F are
+    * engine-identical. Shuffle dimension: k groups, map-side combined. */
+  private def anovaF(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val st = d.groupBy($"g").agg(count(lit(1)).as("nj"),
+      sum($"v").as("sj"),
+      sum($"v".cast("decimal(19,0)") * $"v".cast("decimal(19,0)"))
+        .as("ssj"))
+    val tot = st.agg(sum($"nj").as("n"), sum($"sj").as("s"),
+      count(lit(1)).as("k"))
+    val terms = st.crossJoin(broadcast(tot)).select(
+      expr("CAST(round(CAST(nj AS DOUBLE) * " +
+        "pow(CAST(sj div nj AS DOUBLE) - CAST(s div n AS DOUBLE), 2)" +
+        " / 1000000.0) AS BIGINT)").as("bj"),
+      expr("CAST(round((CAST(ssj AS DOUBLE) - CAST(sj AS DOUBLE)" +
+        " * CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)) / 1000000.0)" +
+        " AS BIGINT)").as("wj"))
+    terms.agg(sum($"bj").as("ssb_q"), sum($"wj").as("ssw_q"))
+      .crossJoin(broadcast(tot))
+      .select($"k".as("k_groups"), $"n".as("n_total"), $"ssb_q",
+        $"ssw_q",
+        expr("CAST(round(1000000.0 * (CAST(ssb_q AS DOUBLE) /" +
+          " CAST(k - 1 AS DOUBLE)) / (CAST(ssw_q AS DOUBLE) /" +
+          " CAST(n - k AS DOUBLE))) AS BIGINT)").as("f_micro"))
+  }
+
+  // ------------------------------------------------- q253 ANOVA F
+
+  /** q253 — one-way ANOVA: does mean order value differ across the
+    * five order priorities? The F statistic every segmentation claim
+    * should clear before shipping. See [[anovaF]] for the exactness
+    * and shuffle story (k=5 groups, one map-side-combined pass). */
+  val anovaFTest: Q = (s, dir) => {
+    import s.implicits._
+    anovaF(Tables(s, dir, "orders").select($"o_orderpriority".as("g"),
+      round($"o_totalprice" * 100).cast("long").as("v")))
+  }
+
+  // ---------------------------------------------- q254 Levene test
+
+  /** q254 — Levene's test for variance homogeneity across return
+    * flags (mean-centered variant): ANOVA-F over the absolute
+    * deviations z = |cents − group mean| — the gate on "can I pool
+    * these segments' variances" that q189/q253 silently assume. Two
+    * passes: a k-row mean frame broadcast back, then the shared
+    * [[anovaF]] core on z. Group means truncate to whole cents (the
+    * deterministic-contract tradeoff, documented there). */
+  val leveneTest: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_returnflag".as("g"),
+      round($"l_extendedprice" * 100).cast("long").as("c"))
+    val means = li.groupBy($"g").agg(expr("sum(c) div count(1)").as("mj"))
+    anovaF(li.join(broadcast(means), Seq("g"))
+      .select($"g", abs($"c" - $"mj").as("v")))
+  }
+
+  // -------------------------------------------- q255 Jarque-Bera
+
+  /** q255 — Jarque-Bera normality test on line-item prices: skewness
+    * and excess kurtosis from exact centered power sums (deviations
+    * from the truncated-cent mean fit decimal(9); d², d³, d⁴ sums are
+    * exact decimals — no raw-moment cancellation), then one single-row
+    * double expression for S, K and JB = n/6·(S² + K²/4). One
+    * broadcast mean row + one map-side-combined moment pass. */
+  val jarqueBera: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "lineitem")
+      .select(round($"l_extendedprice" * 100).cast("long").as("c"))
+    val m = c.agg(expr("sum(c) div count(1)").as("mc"))
+    val d = c.crossJoin(broadcast(m))
+      .select($"mc", ($"c" - $"mc").cast("decimal(9,0)").as("d"))
+    d.groupBy($"mc")
+      .agg(count(lit(1)).as("n"), sum($"d" * $"d").as("s2"),
+        sum($"d" * $"d" * $"d").as("s3"),
+        sum($"d" * $"d" * $"d" * $"d").as("s4"))
+      .select($"n".as("n_rows"), $"mc".as("mean_cents"),
+        expr("CAST(round(1000000.0 * (CAST(s3 AS DOUBLE) /" +
+          " CAST(n AS DOUBLE)) / pow(CAST(s2 AS DOUBLE) /" +
+          " CAST(n AS DOUBLE), 1.5)) AS BIGINT)").as("skew_micro"),
+        expr("CAST(round(1000000.0 * ((CAST(s4 AS DOUBLE) /" +
+          " CAST(n AS DOUBLE)) / pow(CAST(s2 AS DOUBLE) /" +
+          " CAST(n AS DOUBLE), 2) - 3.0)) AS BIGINT)")
+          .as("exkurt_micro"),
+        expr("CAST(round(1000000.0 * CAST(n AS DOUBLE) / 6.0 *" +
+          " (pow((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) /" +
+          " pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 2) +" +
+          " pow((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)) /" +
+          " pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2) - 3.0, 2)" +
+          " / 4.0)) AS BIGINT)").as("jb_micro"))
+  }
+
+  // ------------------------------------------------- q256 CUPED
+
+  /** q256 — CUPED variance reduction (Deng et al. 2013, the industry
+    * default for online experiments): pre-period purchase totals as
+    * the covariate, θ = cov(pre, post)/var(pre) from one exact-sum
+    * pass over the per-user frame, and the adjusted per-user metric
+    * y − θ·(x − x̄) computed ENTIRELY IN INTEGER MICRO SPACE once θ is
+    * micro-quantized — arm means and the variance-reduction ratio are
+    * then engine-exact. Scale: the event stream collapses to per-user
+    * totals first (users ≪ events), everything after is O(users) with
+    * two single-row broadcasts. */
+  val cuped: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter($"event_type" === "purchase" && $"value" > 0)
+      .select($"user_id", expr("unix_micros(ts)").as("tm"),
+        round($"value" * 100).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(tm) + max(tm)) div 2").as("mid"))
+    val usr = ev.crossJoin(broadcast(mid)).groupBy($"user_id")
+      .agg(sum(when($"tm" <= $"mid", $"cents").otherwise(0L)).as("pre"),
+        sum(when($"tm" > $"mid", $"cents").otherwise(0L)).as("post"))
+      .withColumn("arm", Hashing.hash60(
+        concat(lit("ab|"), $"user_id".cast("string"))) % 2)
+    val st = usr.agg(count(lit(1)).as("n"), sum($"pre").as("sp"),
+        sum($"post").as("so"),
+        sum($"pre".cast("decimal(19,0)") * $"pre".cast("decimal(19,0)"))
+          .as("spp"),
+        sum($"pre".cast("decimal(19,0)") * $"post".cast("decimal(19,0)"))
+          .as("spo"))
+      .select($"n", expr("CAST(round(1000000.0 * (CAST(n AS DOUBLE) *" +
+          " CAST(spo AS DOUBLE) - CAST(sp AS DOUBLE) *" +
+          " CAST(so AS DOUBLE)) / (CAST(n AS DOUBLE) *" +
+          " CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) *" +
+          " CAST(sp AS DOUBLE))) AS BIGINT)").as("theta_micro"),
+        expr("1000000 * sp div n").as("pre_mean_micro"))
+    val adj = usr.crossJoin(broadcast(st)).select($"arm", $"theta_micro",
+      (lit(1000000L) * $"post").as("post_u"),
+      expr("1000000 * post - theta_micro *" +
+        " (1000000 * pre - pre_mean_micro) div 1000000").as("adj_u"))
+    adj.groupBy($"theta_micro")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"arm" === 0, $"post_u").otherwise(0L)).as("p0"),
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 1, $"post_u").otherwise(0L)).as("p1"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"arm" === 0, $"adj_u").otherwise(0L)).as("a0"),
+        sum(when($"arm" === 1, $"adj_u").otherwise(0L)).as("a1"),
+        sum($"post_u".cast("decimal(38,0)") *
+          $"post_u".cast("decimal(38,0)")).as("qp"),
+        sum($"post_u".cast("decimal(38,0)")).as("tp"),
+        sum($"adj_u".cast("decimal(38,0)") *
+          $"adj_u".cast("decimal(38,0)")).as("qa"),
+        sum($"adj_u".cast("decimal(38,0)")).as("ta"))
+      .select($"n_users", $"theta_micro",
+        expr("p0 div greatest(n0, 1) - p1 div greatest(n1, 1)")
+          .as("diff_raw_micro"),
+        expr("a0 div greatest(n0, 1) - a1 div greatest(n1, 1)")
+          .as("diff_cuped_micro"),
+        expr("CAST(round(1000000.0 * (1.0 - (CAST(n_users AS DOUBLE) *" +
+          " CAST(qa AS DOUBLE) - CAST(ta AS DOUBLE) *" +
+          " CAST(ta AS DOUBLE)) / (CAST(n_users AS DOUBLE) *" +
+          " CAST(qp AS DOUBLE) - CAST(tp AS DOUBLE) *" +
+          " CAST(tp AS DOUBLE)))) AS BIGINT)").as("var_reduction_micro"))
+  }
+
+  // ------------------------------------- q257 Markov next-event acc
+
+  /** q257 — empirical next-event prediction accuracy: the argmax
+    * Markov predictor (most frequent successor per event type, ties
+    * to the lexicographically smallest — deterministic) scored
+    * against the transitions it was fit on. The baseline number any
+    * sequence model must beat (complements q133's transition matrix).
+    * Scale: one user-keyed lag window over the stream; the model is
+    * an O(types²) frame broadcast back; accuracy is one grouped count. */
+  val markovPredict: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev", $"event_type".as("cur"))
+    val pred = tr.groupBy($"prev", $"cur").agg(count(lit(1)).as("n_pc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"prev").orderBy($"n_pc".desc, $"cur".asc)))
+      .filter($"rn" === 1).select($"prev", $"cur".as("pred"))
+    tr.join(broadcast(pred), Seq("prev"))
+      .groupBy($"prev")
+      .agg(count(lit(1)).as("n_trans"),
+        sum(when($"cur" === $"pred", 1L).otherwise(0L)).as("n_correct"))
+      .select($"prev".as("prev_type"), $"n_trans", $"n_correct",
+        expr("1000000 * n_correct div n_trans").as("acc_micro"))
+  }
+
+  // -------------------------------------- q258 conformal coverage
+
+  /** q258 — split-conformal prediction coverage: train a per-priority
+    * mean predictor on orderkey%3=0, take the 0.9 interpolated
+    * quantile of absolute calibration residuals (%3=1) as the
+    * interval half-width, and measure empirical test coverage (%3=2)
+    * — the distribution-free ML-governance check that a "90%
+    * interval" actually covers ~90%. The quantile is the q54
+    * percentile/quantile_cont pair rounded to integer micro; every
+    * residual and coverage count is exact. Scale: two broadcast k-row
+    * model frames; the exact per-group quantile is the only per-group
+    * sort (the q96 sampled path is the 100 TB fallback). */
+  val conformalCoverage: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").select($"o_orderpriority".as("g"),
+      round($"o_totalprice" * 100).cast("long").as("cents"),
+      ($"o_orderkey" % 3).as("split"))
+    val m = o.filter($"split" === 0).groupBy($"g")
+      .agg(expr("1000000 * sum(cents) div count(1)").as("mu"))
+    val qh = o.filter($"split" === 1).join(broadcast(m), Seq("g"))
+      .select($"g", abs(lit(1000000L) * $"cents" - $"mu").as("res"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_cal"),
+        expr("CAST(round(percentile(res, 0.9)) AS BIGINT)")
+          .as("q_hat_micro"))
+    o.filter($"split" === 2).join(broadcast(m), Seq("g"))
+      .select($"g", abs(lit(1000000L) * $"cents" - $"mu").as("res"))
+      .join(broadcast(qh), Seq("g"))
+      .groupBy($"g", $"n_cal", $"q_hat_micro")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"res" <= $"q_hat_micro", 1L).otherwise(0L))
+          .as("n_covered"))
+      .select($"g".as("priority"), $"n_cal", $"q_hat_micro", $"n_test",
+        $"n_covered",
+        expr("1000000 * n_covered div n_test").as("coverage_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -456,6 +685,12 @@ object Insights {
     "q250_centroid_drift" -> centroidDrift,
     "q251_hill_tail" -> hillTail,
     "q252_knn_label_acc" -> knnLabelAcc,
+    "q253_anova_f" -> anovaFTest,
+    "q254_levene_test" -> leveneTest,
+    "q255_jarque_bera" -> jarqueBera,
+    "q256_cuped" -> cuped,
+    "q257_markov_predict" -> markovPredict,
+    "q258_conformal_coverage" -> conformalCoverage,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -738,6 +973,166 @@ object Insights {
        |FROM pr GROUP BY true_label""".stripMargin
   }
 
+  /** Shared ANOVA-F oracle over an inner (g, v) select — keep in
+    * lockstep with [[anovaF]]. */
+  private def sqlAnova(inner: String): String =
+    s"""WITH d AS ($inner),
+       |st AS (SELECT g, count(*)::BIGINT AS nj, sum(v)::BIGINT AS sj,
+       |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ssj
+       |  FROM d GROUP BY g),
+       |tot AS (SELECT sum(nj)::BIGINT AS n, sum(sj)::BIGINT AS s,
+       |    count(*)::BIGINT AS k FROM st),
+       |terms AS (SELECT
+       |    CAST(round(CAST(nj AS DOUBLE) * pow(CAST(sj // nj AS DOUBLE)
+       |      - CAST(s // n AS DOUBLE), 2) / 1000000.0) AS BIGINT) AS bj,
+       |    CAST(round((CAST(ssj AS DOUBLE) - CAST(sj AS DOUBLE)
+       |      * CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)) / 1000000.0)
+       |      AS BIGINT) AS wj
+       |  FROM st CROSS JOIN tot),
+       |ag AS (SELECT sum(bj)::BIGINT AS ssb_q, sum(wj)::BIGINT AS ssw_q
+       |  FROM terms)
+       |SELECT k AS k_groups, n AS n_total, ssb_q, ssw_q,
+       |  CAST(round(1000000.0 * (CAST(ssb_q AS DOUBLE) /
+       |    CAST(k - 1 AS DOUBLE)) / (CAST(ssw_q AS DOUBLE) /
+       |    CAST(n - k AS DOUBLE))) AS BIGINT) AS f_micro
+       |FROM ag, tot""".stripMargin
+
+  private val sqlAnovaF = sqlAnova(
+    """SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders""".stripMargin)
+
+  private val sqlLevene = sqlAnova(
+    """SELECT li.g, abs(li.c - m.mj) AS v FROM
+      |    (SELECT l_returnflag AS g,
+      |       CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |     FROM lineitem) li
+      |    JOIN (SELECT l_returnflag AS g,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+      |         // count(*)::BIGINT AS mj
+      |     FROM lineitem GROUP BY l_returnflag) m USING (g)""".stripMargin)
+
+  private val sqlJarqueBera =
+    """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    AS c FROM lineitem),
+      |m AS (SELECT sum(c)::BIGINT // count(*)::BIGINT AS mc FROM c),
+      |d AS (SELECT mc, CAST(c - mc AS HUGEINT) AS d
+      |  FROM c CROSS JOIN m),
+      |s AS (SELECT mc, count(*)::BIGINT AS n, sum(d * d) AS s2,
+      |    sum(d * d * d) AS s3, sum(d * d * d * d) AS s4
+      |  FROM d GROUP BY mc)
+      |SELECT n AS n_rows, mc AS mean_cents,
+      |  CAST(round(1000000.0 * (CAST(s3 AS DOUBLE) /
+      |    CAST(n AS DOUBLE)) / pow(CAST(s2 AS DOUBLE) /
+      |    CAST(n AS DOUBLE), 1.5)) AS BIGINT) AS skew_micro,
+      |  CAST(round(1000000.0 * ((CAST(s4 AS DOUBLE) /
+      |    CAST(n AS DOUBLE)) / pow(CAST(s2 AS DOUBLE) /
+      |    CAST(n AS DOUBLE), 2) - 3.0)) AS BIGINT) AS exkurt_micro,
+      |  CAST(round(1000000.0 * CAST(n AS DOUBLE) / 6.0 *
+      |    (pow((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 2) +
+      |    pow((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |    pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 2) - 3.0, 2)
+      |    / 4.0)) AS BIGINT) AS jb_micro
+      |FROM s""".stripMargin
+
+  private val sqlCuped = {
+    val hArm = sqlHash60("'ab|' || user_id")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tm,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' AND value > 0),
+       |mid AS (SELECT (min(tm) + max(tm)) // 2 AS mid FROM ev),
+       |usr AS (SELECT user_id,
+       |    sum(CASE WHEN tm <= mid THEN cents ELSE 0 END)::BIGINT AS pre,
+       |    sum(CASE WHEN tm > mid THEN cents ELSE 0 END)::BIGINT AS post,
+       |    ($hArm % 2) AS arm
+       |  FROM ev CROSS JOIN mid GROUP BY user_id),
+       |st AS (SELECT count(*)::BIGINT AS n, sum(pre)::BIGINT AS sp,
+       |    sum(post)::BIGINT AS so,
+       |    sum(CAST(pre AS HUGEINT) * CAST(pre AS HUGEINT)) AS spp,
+       |    sum(CAST(pre AS HUGEINT) * CAST(post AS HUGEINT)) AS spo
+       |  FROM usr),
+       |th AS (SELECT n,
+       |    CAST(round(1000000.0 * (CAST(n AS DOUBLE) *
+       |      CAST(spo AS DOUBLE) - CAST(sp AS DOUBLE) *
+       |      CAST(so AS DOUBLE)) / (CAST(n AS DOUBLE) *
+       |      CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) *
+       |      CAST(sp AS DOUBLE))) AS BIGINT) AS theta_micro,
+       |    CAST(1000000 * sp // n AS BIGINT) AS pre_mean_micro
+       |  FROM st),
+       |adj AS (SELECT arm, theta_micro,
+       |    1000000 * post AS post_u,
+       |    1000000 * post - theta_micro *
+       |      (1000000 * pre - pre_mean_micro) // 1000000 AS adj_u
+       |  FROM usr CROSS JOIN th),
+       |fin AS (SELECT theta_micro, count(*)::BIGINT AS n_users,
+       |    sum(CASE WHEN arm = 0 THEN post_u ELSE 0 END)::BIGINT AS p0,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN arm = 1 THEN post_u ELSE 0 END)::BIGINT AS p1,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN arm = 0 THEN adj_u ELSE 0 END)::BIGINT AS a0,
+       |    sum(CASE WHEN arm = 1 THEN adj_u ELSE 0 END)::BIGINT AS a1,
+       |    sum(CAST(post_u AS HUGEINT) * CAST(post_u AS HUGEINT)) AS qp,
+       |    sum(CAST(post_u AS HUGEINT)) AS tp,
+       |    sum(CAST(adj_u AS HUGEINT) * CAST(adj_u AS HUGEINT)) AS qa,
+       |    sum(CAST(adj_u AS HUGEINT)) AS ta
+       |  FROM adj GROUP BY theta_micro)
+       |SELECT n_users, theta_micro,
+       |  CAST(p0 // greatest(n0, 1) - p1 // greatest(n1, 1) AS BIGINT)
+       |    AS diff_raw_micro,
+       |  CAST(a0 // greatest(n0, 1) - a1 // greatest(n1, 1) AS BIGINT)
+       |    AS diff_cuped_micro,
+       |  CAST(round(1000000.0 * (1.0 - (CAST(n_users AS DOUBLE) *
+       |    CAST(qa AS DOUBLE) - CAST(ta AS DOUBLE) *
+       |    CAST(ta AS DOUBLE)) / (CAST(n_users AS DOUBLE) *
+       |    CAST(qp AS DOUBLE) - CAST(tp AS DOUBLE) *
+       |    CAST(tp AS DOUBLE)))) AS BIGINT) AS var_reduction_micro
+       |FROM fin""".stripMargin
+  }
+
+  private val sqlMarkovPredict =
+    """WITH tr AS (SELECT prev, event_type AS cur FROM
+      |    (SELECT event_type, lag(event_type) OVER
+      |       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |     FROM events)
+      |  WHERE prev IS NOT NULL),
+      |cnt AS (SELECT prev, cur, count(*)::BIGINT AS n_pc FROM tr
+      |  GROUP BY prev, cur),
+      |pred AS (SELECT prev, cur AS pred FROM (SELECT prev, cur,
+      |    row_number() OVER (PARTITION BY prev
+      |      ORDER BY n_pc DESC, cur) AS rn FROM cnt) WHERE rn = 1)
+      |SELECT tr.prev AS prev_type, count(*)::BIGINT AS n_trans,
+      |  sum(CASE WHEN tr.cur = pred.pred THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_correct,
+      |  CAST(1000000 * sum(CASE WHEN tr.cur = pred.pred THEN 1
+      |    ELSE 0 END)::BIGINT // count(*)::BIGINT AS BIGINT)
+      |    AS acc_micro
+      |FROM tr JOIN pred ON tr.prev = pred.prev
+      |GROUP BY tr.prev""".stripMargin
+
+  private val sqlConformal =
+    """WITH o AS (SELECT o_orderpriority AS g,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderkey % 3 AS split FROM orders),
+      |m AS (SELECT g, CAST(1000000 * sum(cents)::BIGINT //
+      |    count(*)::BIGINT AS BIGINT) AS mu
+      |  FROM o WHERE split = 0 GROUP BY g),
+      |qh AS (SELECT o.g, count(*)::BIGINT AS n_cal,
+      |    CAST(round(quantile_cont(abs(1000000 * cents - mu), 0.9))
+      |      AS BIGINT) AS q_hat_micro
+      |  FROM o JOIN m ON o.g = m.g WHERE split = 1 GROUP BY o.g),
+      |t AS (SELECT o.g, abs(1000000 * cents - mu) AS res
+      |  FROM o JOIN m ON o.g = m.g WHERE split = 2)
+      |SELECT t.g AS priority, qh.n_cal, qh.q_hat_micro,
+      |  count(*)::BIGINT AS n_test,
+      |  sum(CASE WHEN t.res <= qh.q_hat_micro THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_covered,
+      |  CAST(1000000 * sum(CASE WHEN t.res <= qh.q_hat_micro THEN 1
+      |    ELSE 0 END)::BIGINT // count(*)::BIGINT AS BIGINT)
+      |    AS coverage_micro
+      |FROM t JOIN qh ON t.g = qh.g
+      |GROUP BY t.g, qh.n_cal, qh.q_hat_micro""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
@@ -750,5 +1145,11 @@ object Insights {
     "q250_centroid_drift" -> sqlCentroidDrift,
     "q251_hill_tail" -> sqlHill,
     "q252_knn_label_acc" -> sqlKnnAcc,
+    "q253_anova_f" -> sqlAnovaF,
+    "q254_levene_test" -> sqlLevene,
+    "q255_jarque_bera" -> sqlJarqueBera,
+    "q256_cuped" -> sqlCuped,
+    "q257_markov_predict" -> sqlMarkovPredict,
+    "q258_conformal_coverage" -> sqlConformal,
   )
 }

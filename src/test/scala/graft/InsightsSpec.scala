@@ -102,6 +102,54 @@ class InsightsSpec extends SparkSpec {
     assert(row.getLong(3) > 0)
   }
 
+  test("q253/q254 ANOVA + Levene: positive sums of squares, F >= 0") {
+    for (q <- Seq(Insights.anovaFTest, Insights.leveneTest)) {
+      val row = q(spark, sfDir).collect()(0)
+      assert(row.getLong(0) >= 2, "needs at least two groups")
+      assert(row.getLong(2) >= 0 && row.getLong(3) > 0)
+      assert(row.getLong(4) >= 0)
+    }
+  }
+
+  test("q255 Jarque-Bera: moment invariants") {
+    val row = Insights.jarqueBera(spark, sfDir).collect()(0)
+    assert(row.getLong(0) ==
+      Tables(spark, sfDir, "lineitem").count())
+    assert(row.getLong(4) >= 0, "JB statistic is a sum of squares")
+    // excess kurtosis is bounded below by -2 (micro units)
+    assert(row.getLong(3) >= -2000000)
+  }
+
+  test("q256 CUPED: adjusted diff exists and variance cannot inflate " +
+    "by more than rounding") {
+    val row = Insights.cuped(spark, sfDir).collect()(0)
+    assert(row.getLong(0) > 0)
+    // theta-adjustment is the least-squares projection: variance
+    // reduction is >= 0 up to integer-micro rounding slack
+    assert(row.getLong(4) >= -1000)
+    assert(row.getLong(4) <= 1000000)
+  }
+
+  test("q257 Markov argmax predictor beats or ties the marginal " +
+    "baseline per state") {
+    val r = Insights.markovPredict(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    // argmax-of-row accuracy is at least 1/num_states
+    val k = r.length.toLong
+    assert(r.forall(_.getLong(3) * k >= 1000000 / 2),
+      s"suspicious accuracy for ${k} states: ${r.mkString(";")}")
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1)))
+  }
+
+  test("q258 conformal: coverage near the nominal 90% per priority") {
+    val r = Insights.conformalCoverage(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    // distribution-free guarantee is approximate at finite n; allow
+    // a generous band on the tiny test SF
+    assert(r.forall(x => x.getLong(5) >= 700000 && x.getLong(5) <= 1000000),
+      r.mkString(";"))
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
