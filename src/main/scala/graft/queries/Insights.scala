@@ -673,6 +673,174 @@ object Insights {
         expr("1000000 * n_covered div n_test").as("coverage_micro"))
   }
 
+  // ------------------------------------ q259 local clustering coeff
+
+  /** q259 — per-node local clustering coefficient over the co-order
+    * part graph (the graph q105 counts triangles on): lcc(v) =
+    * 2·tri(v)/(deg(v)·(deg(v)−1)). Same degree-orientation trick as
+    * q105 — every triangle appears exactly once as c ∈ N⁺(a)∩N⁺(b) on
+    * DAG edge (a,b) — but here the intersection ELEMENTS are exploded
+    * (q105 only needs sizes) because each triangle credits all three
+    * corners; the blow-up is output-bound (#triangles rows), which the
+    * orientation already caps at O(m·√m) work. lcc is an integral
+    * micro division per node. Reference: q105 scaladoc. */
+  val localClustering: Q = (s, dir) => {
+    import s.implicits._
+    val io = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = io.as("x")
+      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+    val deg = e.select($"u".as("nid"))
+      .unionByName(e.select($"v".as("nid")))
+      .groupBy($"nid").agg(count(lit(1)).as("d"))
+    val ori = e
+      .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("b"))
+    val adj = ori.groupBy($"a")
+      .agg(sort_array(collect_list($"b")).as("nbrs"))
+    val tr = adj.select($"a", $"nbrs".as("na"), explode($"nbrs").as("b"))
+      .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
+      .select($"a", $"b", explode(array_intersect($"na", $"nb")).as("c"))
+    val pn = tr.select($"a".as("nid"))
+      .unionByName(tr.select($"b".as("nid")))
+      .unionByName(tr.select($"c".as("nid")))
+      .groupBy($"nid").agg(count(lit(1)).as("n_tri"))
+    deg.filter($"d" >= 2).join(pn, Seq("nid"), "left")
+      .select($"nid", $"d".as("degree"),
+        coalesce($"n_tri", lit(0L)).as("n_tri"))
+      .select($"nid", $"degree", $"n_tri",
+        expr("2000000 * n_tri div (degree * (degree - 1))")
+          .as("lcc_micro"))
+  }
+
+  // -------------------------------------- q260 degree assortativity
+
+  /** q260 — degree assortativity (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the (both-direction) edge
+    * list — do hubs attach to hubs? All five correlation sums are
+    * exact longs (degrees are small ints); r is one single-row double
+    * expression. Same co-order graph as q105/q259; the only shuffles
+    * are the degree aggregation and two degree-lookup joins. */
+  val degreeAssortativity: Q = (s, dir) => {
+    import s.implicits._
+    val io = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = io.as("x")
+      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+    val deg = e.select($"u".as("nid"))
+      .unionByName(e.select($"v".as("nid")))
+      .groupBy($"nid").agg(count(lit(1)).as("d"))
+    val t = e
+      .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
+    val both = t.select($"du", $"dv")
+      .unionByName(t.select($"dv".as("du"), $"du".as("dv")))
+    both.agg(count(lit(1)).as("m2"), sum($"du").as("sx"),
+        sum($"du" * $"du").as("sxx"), sum($"du" * $"dv").as("sxy"))
+      .select(expr("m2 div 2").as("n_edges"),
+        expr("CAST(round(1000000.0 * (CAST(m2 AS DOUBLE) *" +
+          " CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+          " CAST(sx AS DOUBLE)) / (CAST(m2 AS DOUBLE) *" +
+          " CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+          " CAST(sx AS DOUBLE))) AS BIGINT)").as("r_micro"))
+  }
+
+  // ------------------------------------------------ q261 Friedman
+
+  /** q261 — Friedman rank test over complete blocks: nations are
+    * blocks, order priorities are treatments, the response is the
+    * block-treatment mean order value (exact micro). Treatments rank
+    * WITHIN each block (k-row keyed windows; average-rank tie
+    * correction via (2·rank + ties − 1)/2 in milli units, exact);
+    * Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) is one single-row double from
+    * exact milli-rank sums. Incomplete blocks are filtered out by
+    * contract. Shuffle dimension: blocks × treatments. */
+  val friedman: Q = (s, dir) => {
+    import s.implicits._
+    val cell = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("blk"), $"o_orderpriority".as("trt"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"blk", $"trt")
+      .agg(expr("1000000 * sum(cents) div count(1)").as("m_u"))
+    val k = cell.agg(countDistinct($"trt").as("k"))
+    val full = cell
+      .withColumn("ntrt", count(lit(1)).over(Window.partitionBy($"blk")))
+      .crossJoin(broadcast(k)).filter($"ntrt" === $"k")
+    val ranked = full
+      .withColumn("rnk", rank().over(
+        Window.partitionBy($"blk").orderBy($"m_u")))
+      .withColumn("ceq", count(lit(1)).over(
+        Window.partitionBy($"blk", $"m_u")))
+      .select($"trt", $"k", (($"rnk" * 2 + $"ceq" - 1) * 500)
+        .as("r_milli"))
+    ranked.groupBy($"trt", $"k")
+      .agg(sum($"r_milli").as("sr"), count(lit(1)).as("nb"))
+      .groupBy($"k")
+      .agg(sum($"sr" * $"sr").as("srr"), max($"nb").as("n"))
+      .select($"n".as("n_blocks"), $"k".as("k_treatments"),
+        expr("CAST(round(1000000.0 * (12.0 * (CAST(srr AS DOUBLE) /" +
+          " 1000000.0) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *" +
+          " CAST(k + 1 AS DOUBLE)) - 3.0 * CAST(n AS DOUBLE) *" +
+          " CAST(k + 1 AS DOUBLE))) AS BIGINT)").as("q_micro"))
+  }
+
+  // ---------------------------------------------- q262 FDR screen
+
+  /** q262 — multiple-testing screen with Benjamini-Hochberg control:
+    * per-source short-doc-rate deviations tested against a pooled
+    * hash-permutation null (b ∈ 0..255 pseudo-assignments, the q249
+    * design; pooling is licensed by the uniform synthetic source
+    * sizes), then BH at q = 0.10 over the m = 20 exact-micro
+    * p-values. Everything is integer arithmetic — p-values, the
+    * i·q/m staircase, the rejection frontier — so the discovery set
+    * is engine-exact. Scale: per-doc defect bits collapse first; the
+    * permutation aggregate map-side combines into B × 20 groups; the
+    * BH window runs on the m-row frame (whitelisted: source-count
+    * bounded). */
+  val fdrScreen: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select($"doc_id", $"source",
+      when($"n_chars" < 200, 1L).otherwise(0L).as("def"))
+    val tot = docs.agg(sum($"def").as("kk"), count(lit(1)).as("nn"))
+    val diffExpr = expr("1000000 * k div greatest(n, 1)" +
+      " - 1000000 * (kk - k) div greatest(nn - n, 1)")
+    val obs = docs.groupBy($"source")
+      .agg(sum($"def").as("k"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"source", diffExpr.as("diff_obs"))
+    val pool = docs
+      .select($"doc_id", $"def", explode(expr("sequence(0, 255)")).as("b"))
+      .select($"b", (Hashing.hash60(concat(lit("fdr|"),
+        $"b".cast("string"), lit("|"), $"doc_id".cast("string"))) % 20)
+        .as("ps"), $"def")
+      .groupBy($"b", $"ps")
+      .agg(sum($"def").as("k"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(diffExpr.as("diff_b"))
+    val pv = obs.crossJoin(broadcast(pool))
+      .groupBy($"source", $"diff_obs")
+      .agg(sum(when(abs($"diff_b") >= abs($"diff_obs"), 1L)
+        .otherwise(0L)).as("ge"))
+      .select($"source", $"diff_obs".as("obs_diff_micro"),
+        expr("(1 + ge) * 1000000 div 5121").as("p_micro"))
+    val ranked = pv.withColumn("bh_rank",
+      row_number().over(Window.orderBy($"p_micro", $"source"))
+        .cast("long"))
+    val imax = ranked.agg(
+      max(when($"p_micro" <= $"bh_rank" * 5000, $"bh_rank")).as("imax"))
+    ranked.crossJoin(broadcast(imax))
+      .select($"source", $"obs_diff_micro", $"p_micro", $"bh_rank",
+        ($"bh_rank" <= coalesce($"imax", lit(0))).as("rejected"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -691,6 +859,10 @@ object Insights {
     "q256_cuped" -> cuped,
     "q257_markov_predict" -> markovPredict,
     "q258_conformal_coverage" -> conformalCoverage,
+    "q259_local_clustering" -> localClustering,
+    "q260_degree_assortativity" -> degreeAssortativity,
+    "q261_friedman" -> friedman,
+    "q262_fdr_screen" -> fdrScreen,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1133,6 +1305,113 @@ object Insights {
       |FROM t JOIN qh ON t.g = qh.g
       |GROUP BY t.g, qh.n_cal, qh.q_hat_micro""".stripMargin
 
+  private val sqlGraphBase =
+    """io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM io x
+      |  JOIN io y ON x.o = y.o AND x.p < y.p),
+      |deg AS (SELECT nid, count(*)::BIGINT AS d FROM
+      |  (SELECT u AS nid FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY nid)""".stripMargin
+
+  private val sqlLocalClustering =
+    s"""WITH $sqlGraphBase,
+       |ori AS (SELECT
+       |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+       |      THEN e.u ELSE e.v END AS a,
+       |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+       |      THEN e.v ELSE e.u END AS b
+       |  FROM e JOIN deg d1 ON e.u = d1.nid
+       |    JOIN deg d2 ON e.v = d2.nid),
+       |adj AS (SELECT a, list_sort(list(b)) AS nbrs FROM ori
+       |  GROUP BY a),
+       |x AS (SELECT a, nbrs AS na, unnest(nbrs) AS b FROM adj),
+       |tr AS (SELECT x.a, x.b,
+       |    unnest(list_intersect(x.na, j.nbrs)) AS c
+       |  FROM x JOIN adj j ON x.b = j.a),
+       |pn AS (SELECT nid, count(*)::BIGINT AS n_tri FROM
+       |  (SELECT a AS nid FROM tr UNION ALL SELECT b FROM tr
+       |   UNION ALL SELECT c FROM tr) GROUP BY nid)
+       |SELECT deg.nid, deg.d AS degree,
+       |  coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+       |  CAST(2000000 * coalesce(pn.n_tri, 0) //
+       |    (deg.d * (deg.d - 1)) AS BIGINT) AS lcc_micro
+       |FROM deg LEFT JOIN pn USING (nid) WHERE deg.d >= 2""".stripMargin
+
+  private val sqlAssortativity =
+    s"""WITH $sqlGraphBase,
+       |t AS (SELECT d1.d AS du, d2.d AS dv FROM e
+       |  JOIN deg d1 ON e.u = d1.nid JOIN deg d2 ON e.v = d2.nid),
+       |bo AS (SELECT du, dv FROM t UNION ALL SELECT dv, du FROM t),
+       |s AS (SELECT count(*)::BIGINT AS m2, sum(du)::BIGINT AS sx,
+       |    sum(du * du)::BIGINT AS sxx, sum(du * dv)::BIGINT AS sxy
+       |  FROM bo)
+       |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       |  CAST(round(1000000.0 * (CAST(m2 AS DOUBLE) *
+       |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+       |    CAST(sx AS DOUBLE)) / (CAST(m2 AS DOUBLE) *
+       |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+       |    CAST(sx AS DOUBLE))) AS BIGINT) AS r_micro
+       |FROM s""".stripMargin
+
+  private val sqlFriedman =
+    """WITH cell AS (SELECT c_nationkey AS blk, o_orderpriority AS trt,
+      |    CAST(1000000 * sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      ::BIGINT // count(*)::BIGINT AS BIGINT) AS m_u
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY blk, trt),
+      |k AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cell),
+      |fullb AS (SELECT blk, trt, m_u FROM (SELECT *,
+      |    count(*) OVER (PARTITION BY blk) AS ntrt
+      |  FROM cell) CROSS JOIN k WHERE ntrt = k),
+      |ranked AS (SELECT trt,
+      |    (rank() OVER (PARTITION BY blk ORDER BY m_u) * 2 +
+      |     count(*) OVER (PARTITION BY blk, m_u) - 1) * 500 AS r_milli
+      |  FROM fullb),
+      |rj AS (SELECT trt, sum(r_milli)::BIGINT AS sr,
+      |    count(*)::BIGINT AS nb FROM ranked GROUP BY trt),
+      |ag AS (SELECT sum(sr * sr)::BIGINT AS srr, max(nb)::BIGINT AS n
+      |  FROM rj)
+      |SELECT n AS n_blocks, k AS k_treatments,
+      |  CAST(round(1000000.0 * (12.0 * (CAST(srr AS DOUBLE) /
+      |    1000000.0) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *
+      |    CAST(k + 1 AS DOUBLE)) - 3.0 * CAST(n AS DOUBLE) *
+      |    CAST(k + 1 AS DOUBLE))) AS BIGINT) AS q_micro
+      |FROM ag CROSS JOIN k""".stripMargin
+
+  private val sqlFdrScreen = {
+    val h = sqlHash60("'fdr|' || b || '|' || doc_id")
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CASE WHEN n_chars < 200 THEN 1 ELSE 0 END::BIGINT AS def
+       |  FROM documents),
+       |tot AS (SELECT sum(def)::BIGINT AS kk, count(*)::BIGINT AS nn
+       |  FROM d),
+       |obs AS (SELECT source,
+       |    CAST(1000000 * sum(def)::BIGINT // greatest(count(*), 1)
+       |      - 1000000 * (kk - sum(def)::BIGINT) //
+       |        greatest(nn - count(*), 1) AS BIGINT) AS diff_obs
+       |  FROM d CROSS JOIN tot GROUP BY source, kk, nn),
+       |pg AS (SELECT t.b, ($h % 20) AS ps, def
+       |  FROM d CROSS JOIN UNNEST(range(0, 256)) AS t(b)),
+       |pk AS (SELECT b, ps, sum(def)::BIGINT AS k,
+       |    count(*)::BIGINT AS n FROM pg GROUP BY b, ps),
+       |pool AS (SELECT CAST(1000000 * k // greatest(n, 1)
+       |    - 1000000 * (kk - k) // greatest(nn - n, 1) AS BIGINT)
+       |    AS diff_b FROM pk CROSS JOIN tot),
+       |pv AS (SELECT source, diff_obs,
+       |    CAST((1 + sum(CASE WHEN abs(diff_b) >= abs(diff_obs)
+       |      THEN 1 ELSE 0 END)) * 1000000 // 5121 AS BIGINT) AS p_micro
+       |  FROM obs CROSS JOIN pool GROUP BY source, diff_obs),
+       |r AS (SELECT *, row_number() OVER (ORDER BY p_micro, source)
+       |    AS bh_rank FROM pv),
+       |im AS (SELECT max(CASE WHEN p_micro <= bh_rank * 5000
+       |    THEN bh_rank END) AS imax FROM r)
+       |SELECT source, diff_obs AS obs_diff_micro, p_micro,
+       |  CAST(bh_rank AS BIGINT) AS bh_rank,
+       |  (bh_rank <= coalesce(imax, 0)) AS rejected
+       |FROM r CROSS JOIN im""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
@@ -1151,5 +1430,9 @@ object Insights {
     "q256_cuped" -> sqlCuped,
     "q257_markov_predict" -> sqlMarkovPredict,
     "q258_conformal_coverage" -> sqlConformal,
+    "q259_local_clustering" -> sqlLocalClustering,
+    "q260_degree_assortativity" -> sqlAssortativity,
+    "q261_friedman" -> sqlFriedman,
+    "q262_fdr_screen" -> sqlFdrScreen,
   )
 }

@@ -150,6 +150,48 @@ class InsightsSpec extends SparkSpec {
       r.mkString(";"))
   }
 
+  test("q259 local clustering: coefficients in [0,1], triangle " +
+    "mass consistent with q105's global count") {
+    val r = Insights.localClustering(spark, sfDir)
+    assert(r.filter($"lcc_micro" < 0 || $"lcc_micro" > 1000000L)
+      .count() == 0)
+    // sum of per-node triangle credits = 3 x global triangle count
+    val perNode = r.agg(sum($"n_tri")).collect()(0).getLong(0)
+    val global = queries.Scale.triangles(spark, sfDir)
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(perNode == 3 * global,
+      s"per-node credit $perNode != 3 * $global")
+  }
+
+  test("q260 assortativity: r in [-1,1], edge count matches the graph") {
+    val row = Insights.degreeAssortativity(spark, sfDir).collect()(0)
+    assert(math.abs(row.getLong(1)) <= 1000000)
+    assert(row.getLong(0) > 0)
+  }
+
+  test("q261 Friedman: rank sums force Q >= 0 and full blocks") {
+    val row = Insights.friedman(spark, sfDir).collect()(0)
+    assert(row.getLong(0) > 0 && row.getLong(1) >= 2)
+    // Q is nonnegative up to the tie correction (which this data
+    // cannot trigger at micro resolution)
+    assert(row.getLong(2) >= -1000)
+  }
+
+  test("q262 FDR screen: BH rejection set is a prefix of the p-order") {
+    val r = Insights.fdrScreen(spark, sfDir)
+      .orderBy($"bh_rank").collect()
+    assert(r.length > 0)
+    val rejected = r.map(_.getBoolean(4))
+    // once acceptance starts it never flips back to rejection
+    val firstAccept = rejected.indexWhere(!_)
+    if (firstAccept >= 0)
+      assert(rejected.drop(firstAccept).forall(!_),
+        "BH rejections must form a prefix")
+    // p-values are valid probabilities with the +1 correction
+    assert(r.forall(x => x.getLong(2) >= 1000000 / 5121 &&
+      x.getLong(2) <= 1000000))
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
