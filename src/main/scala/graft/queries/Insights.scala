@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Hashing, Similarity, TextOps}
+import graft.functions.{Dedup, Hashing, Similarity, TextOps}
 import Hashing.sqlHash60
 import TextOps.sqlTokens
 
@@ -238,10 +238,16 @@ object Insights {
     * use Java `/` — the same truncation semantic. */
   val logregGd: Q = (s, dir) => {
     import s.implicits._
-    val base = Tables(s, dir, "lineitem").select(
+    logregLoop(s, Tables(s, dir, "lineitem").select(
       when($"l_returnflag" === "R", 1000000L).otherwise(0L).as("y"),
       round($"l_quantity" / 50.0 * 1000000.0).cast("long").as("x1"),
-      round($"l_discount" * 10000000.0).cast("long").as("x2"))
+      round($"l_discount" * 10000000.0).cast("long").as("x2")))
+  }
+
+  /** The 3-iteration integer-micro GD loop shared by q247 and q263 —
+    * input frame must carry micro longs (y, x1, x2). */
+  private def logregLoop(s: SparkSession, base: DataFrame): DataFrame = {
+    import s.implicits._
     var w0 = 0L; var w1 = 0L; var w2 = 0L; var n = 0L
     for (_ <- 1 to 3) {
       val z = s"$w0 + (x1 * $w1) div 1000000 + (x2 * $w2) div 1000000"
@@ -841,6 +847,125 @@ object Insights {
         ($"bh_rank" <= coalesce($"imax", lit(0))).as("rejected"))
   }
 
+  // --------------------------------------- q263 quality classifier
+
+  /** q263 — model-based quality/language filtering (the CCNet /
+    * fastText-classifier pattern): logistic regression predicting
+    * target-language membership from two surface features — mean
+    * token length and type-token ratio — trained with the shared
+    * integer-micro GD loop ([[logregLoop]]). The trained weights ARE
+    * the filter: score new corpora without labels. Scale: feature
+    * extraction is per-row; each of the 3 iterations is one
+    * map-side-combined aggregate. */
+  val qualityLogreg: Q = (s, dir) => {
+    import s.implicits._
+    logregLoop(s, Tables(s, dir, "documents")
+      .select($"lang", TextOps.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select(
+        when($"lang" === "en", 1000000L).otherwise(0L).as("y"),
+        expr("100000 * aggregate(transform(toks, t -> CAST(length(t)" +
+          " AS BIGINT)), 0L, (a, x) -> a + x) div size(toks)").as("x1"),
+        expr("1000000 * size(array_distinct(toks)) div size(toks)")
+          .as("x2")))
+  }
+
+  // ------------------------------------------- q264 LSH band tuning
+
+  /** q264 — MinHash-LSH band-configuration tuning report: for r ∈
+    * {2, 4, 8} rows per band over the shared 64-lane signatures, the
+    * measured candidate-pair count next to the analytic collision
+    * probability 1−(1−J^r)^b at J = 0.5 — the S-curve table that
+    * justifies q23's (16, 4) choice with numbers (q228 measures its
+    * recall; this measures its cost). The probabilities are
+    * plan-build-time constants (they depend only on b and r — the
+    * plane-weight precedent); signatures compute ONCE
+    * (localCheckpoint) and each config re-bands the same 64 lanes —
+    * banding is per-row arithmetic, so the marginal cost per config
+    * is its band self-join. */
+  val lshTuning: Q = (s, dir) => {
+    import s.implicits._
+    val shs = TrainingData.corpus(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", TextOps.shinglesFromTokens($"toks", 3)
+        .as("sh_set"))
+    val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
+      TrainingData.NumHashes).localCheckpoint()
+    val rows = Seq(2, 4, 8).map { r =>
+      val b = TrainingData.NumHashes / r
+      val p = math.round(1000000.0 *
+        (1.0 - math.pow(1.0 - math.pow(0.5, r), b)))
+      Dedup.lshCandidates(Dedup.lshBands(sigs,
+          TrainingData.NumHashes, r))
+        .distinct()
+        .agg(count(lit(1)).as("n_candidates"))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          lit(p).as("p_at_half_micro"), $"n_candidates")
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  // -------------------------------------- q265 token budget curriculum
+
+  /** q265 — token-budget allocation by quality rank (the mixing
+    * decision every budgeted training run makes): sources rank by
+    * their long-document rate, and a 50%-of-corpus token budget fills
+    * greedily down the ranking — each source gets min(its tokens,
+    * remaining budget). The running prefix sum is a window over the
+    * SOURCE-count-bounded frame (whitelisted, like q262's BH
+    * staircase); everything upstream is one per-source aggregate.
+    * Complements q70/q168 (fixed mixture weights) with a
+    * budget-constrained greedy. */
+  val tokenBudget: Q = (s, dir) => {
+    import s.implicits._
+    val src = Tables(s, dir, "documents")
+      .select($"source", size(TextOps.tokens($"text")).cast("long")
+        .as("n_toks"), when($"n_chars" >= 200, 1L).otherwise(0L)
+        .as("ok"))
+      .groupBy($"source")
+      .agg(sum($"n_toks").as("tokens_s"), count(lit(1)).as("n_docs"),
+        sum($"ok").as("n_ok"))
+      .select($"source", $"tokens_s",
+        expr("1000000 * n_ok div n_docs").as("q_micro"))
+    val bud = src.agg(expr("sum(tokens_s) div 2").as("budget"))
+    val w = Window.orderBy($"q_micro".desc, $"source")
+    src.crossJoin(broadcast(bud))
+      .withColumn("cum_before", coalesce(sum($"tokens_s").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("fill_rank", row_number().over(w).cast("long"))
+      .select($"source", $"fill_rank", $"tokens_s", $"q_micro",
+        greatest(lit(0L), least($"tokens_s", $"budget" - $"cum_before"))
+          .as("alloc_tokens"))
+  }
+
+  // ------------------------------------------ q266 embedding norms
+
+  /** q266 — embedding L2-norm audit per label (the health check that
+    * catches collapsed or exploding encoders before they poison
+    * similarity search): norms micro-quantize PER ROW (one double
+    * sqrt each, index-ordered fold identical in both engines), then
+    * per-label mean/std/min/max from exact long/decimal sums. One
+    * map-side-combined pass. */
+  val embeddingNorms: Q = (s, dir) => {
+    import s.implicits._
+    val nrm = Tables(s, dir, "embeddings").select($"label",
+      expr("CAST(round(1000000.0 * sqrt(aggregate(embedding," +
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) *" +
+        " CAST(x AS DOUBLE)))) AS BIGINT)").as("nu"))
+    nrm.groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"nu").as("sn"),
+        sum($"nu".cast("decimal(19,0)") * $"nu".cast("decimal(19,0)"))
+          .as("qn"),
+        min($"nu").as("min_norm_micro"), max($"nu").as("max_norm_micro"))
+      .select($"label", $"n", expr("sn div n").as("mean_norm_micro"),
+        expr("CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(qn AS DOUBLE)" +
+          " - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) /" +
+          " (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)")
+          .as("std_norm_micro"),
+        $"min_norm_micro", $"max_norm_micro")
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -863,6 +988,10 @@ object Insights {
     "q260_degree_assortativity" -> degreeAssortativity,
     "q261_friedman" -> friedman,
     "q262_fdr_screen" -> fdrScreen,
+    "q263_quality_logreg" -> qualityLogreg,
+    "q264_lsh_tuning" -> lshTuning,
+    "q265_token_budget" -> tokenBudget,
+    "q266_embedding_norms" -> embeddingNorms,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -989,14 +1118,10 @@ object Insights {
       |    AS tau_b_micro
       |FROM s""".stripMargin
 
-  private val sqlLogreg = {
-    val base =
-      """base AS (SELECT
-        |    CASE WHEN l_returnflag = 'R' THEN 1000000
-        |      ELSE 0 END::BIGINT AS y,
-        |    CAST(round(l_quantity / 50.0 * 1000000.0) AS BIGINT) AS x1,
-        |    CAST(round(l_discount * 10000000.0) AS BIGINT) AS x2
-        |  FROM lineitem)""".stripMargin
+  /** Shared 3-iteration GD oracle over an inner (y, x1, x2) select —
+    * keep in lockstep with [[logregLoop]]. */
+  private def sqlLogregOver(inner: String): String = {
+    val base = s"base AS ($inner)"
     val it0 = "it0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1," +
       " 0::BIGINT AS w2)"
     def iter(i: Int) =
@@ -1025,6 +1150,108 @@ object Insights {
        |SELECT n, w0 AS w0_micro, w1 AS w1_micro, w2 AS w2_micro
        |FROM it3""".stripMargin
   }
+
+  private val sqlLogreg = sqlLogregOver(
+    """SELECT
+      |    CASE WHEN l_returnflag = 'R' THEN 1000000
+      |      ELSE 0 END::BIGINT AS y,
+      |    CAST(round(l_quantity / 50.0 * 1000000.0) AS BIGINT) AS x1,
+      |    CAST(round(l_discount * 10000000.0) AS BIGINT) AS x2
+      |  FROM lineitem""".stripMargin)
+
+  private val sqlQualityLogreg = sqlLogregOver(
+    s"""SELECT
+       |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END::BIGINT AS y,
+       |    CAST(100000 * list_sum(list_transform(toks, t ->
+       |      len(t)))::BIGINT // len(toks)::BIGINT AS BIGINT) AS x1,
+       |    CAST(1000000 * len(list_distinct(toks))::BIGINT //
+       |      len(toks)::BIGINT AS BIGINT) AS x2
+       |  FROM (SELECT lang, ${sqlTokens("text")} AS toks
+       |        FROM documents) WHERE len(toks) > 0""".stripMargin)
+
+  private val sqlLshTuning = {
+    import graft.functions.Hashing
+    val lanes = (0 until TrainingData.NumHashes)
+      .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
+      .mkString(",\n  ")
+    def bandsFor(r: Int): String = {
+      val numBands = TrainingData.NumHashes / r
+      (0 until numBands).map { b =>
+        val parts = (0 until r)
+          .map(j => s"CAST(h${b * r + j} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, $b AS band, " +
+          s"${sqlHash60(s"concat_ws(',', $parts)")} AS band_hash FROM sig"
+      }.mkString("\n  UNION ALL ")
+    }
+    val configs = Seq(2, 4, 8).map { r =>
+      val b = TrainingData.NumHashes / r
+      val p = math.round(1000000.0 *
+        (1.0 - math.pow(1.0 - math.pow(0.5, r), b)))
+      s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+         |  $p::BIGINT AS p_at_half_micro,
+         |  (SELECT count(*)::BIGINT FROM
+         |    (SELECT DISTINCT a.doc_id, b.doc_id AS doc_b
+         |     FROM bands_$r a JOIN bands_$r b
+         |       ON a.band = b.band AND a.band_hash = b.band_hash
+         |      AND a.doc_id < b.doc_id)) AS n_candidates""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val bandCtes = Seq(2, 4, 8)
+      .map(r => s"bands_$r AS (${bandsFor(r)})").mkString(",\n")
+    s"""WITH corpus AS ${TrainingData.sqlCorpus},
+       |sh AS (SELECT doc_id,
+       |    ${graft.functions.TextOps.sqlShingles("text", 3)} AS sh_set
+       |  FROM corpus),
+       |ex AS (SELECT doc_id, (${sqlHash60("s")} & ${Hashing.Mask31})
+       |    AS h31
+       |  FROM (SELECT doc_id, unnest(sh_set) AS s FROM sh) u),
+       |sig AS (SELECT doc_id, $lanes FROM ex GROUP BY doc_id),
+       |$bandCtes
+       |$configs""".stripMargin
+  }
+
+  private val sqlTokenBudget = {
+    val toks = sqlTokens("text")
+    s"""WITH src AS (SELECT source,
+       |    sum(len($toks))::BIGINT AS tokens_s,
+       |    count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_ok
+       |  FROM documents GROUP BY source),
+       |q AS (SELECT source, tokens_s,
+       |    CAST(1000000 * n_ok // n_docs AS BIGINT) AS q_micro
+       |  FROM src),
+       |bud AS (SELECT sum(tokens_s)::BIGINT // 2 AS budget FROM q),
+       |r AS (SELECT *,
+       |    coalesce(sum(tokens_s) OVER (ORDER BY q_micro DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before,
+       |    row_number() OVER (ORDER BY q_micro DESC, source)
+       |      AS fill_rank
+       |  FROM q CROSS JOIN bud)
+       |SELECT source, CAST(fill_rank AS BIGINT) AS fill_rank, tokens_s,
+       |  q_micro,
+       |  greatest(0, least(tokens_s, budget - cum_before))::BIGINT
+       |    AS alloc_tokens
+       |FROM r""".stripMargin
+  }
+
+  private val sqlEmbeddingNorms =
+    s"""WITH nrm AS (SELECT label,
+       |    CAST(round(1000000.0 * sqrt(${sqlNorm("embedding")}))
+       |      AS BIGINT) AS nu
+       |  FROM embeddings),
+       |a AS (SELECT label, count(*)::BIGINT AS n, sum(nu)::BIGINT AS sn,
+       |    sum(CAST(nu AS HUGEINT) * CAST(nu AS HUGEINT)) AS qn,
+       |    min(nu)::BIGINT AS min_norm_micro,
+       |    max(nu)::BIGINT AS max_norm_micro
+       |  FROM nrm GROUP BY label)
+       |SELECT label, n, CAST(sn // n AS BIGINT) AS mean_norm_micro,
+       |  CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(qn AS DOUBLE)
+       |    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) /
+       |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS BIGINT)
+       |    AS std_norm_micro,
+       |  min_norm_micro, max_norm_micro
+       |FROM a""".stripMargin
 
   private val sqlWilson = {
     def side(sign: String) =
@@ -1434,5 +1661,9 @@ object Insights {
     "q260_degree_assortativity" -> sqlAssortativity,
     "q261_friedman" -> sqlFriedman,
     "q262_fdr_screen" -> sqlFdrScreen,
+    "q263_quality_logreg" -> sqlQualityLogreg,
+    "q264_lsh_tuning" -> sqlLshTuning,
+    "q265_token_budget" -> sqlTokenBudget,
+    "q266_embedding_norms" -> sqlEmbeddingNorms,
   )
 }

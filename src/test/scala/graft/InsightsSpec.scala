@@ -192,6 +192,51 @@ class InsightsSpec extends SparkSpec {
       x.getLong(2) <= 1000000))
   }
 
+  test("q263 quality logreg: separates en from non-en at least " +
+    "directionally") {
+    val row = Insights.qualityLogreg(spark, sfDir).collect()(0)
+    assert(row.getLong(0) > 0)
+    // majority of docs are non-en, so the intercept moves negative
+    assert(row.getLong(1) < 0)
+  }
+
+  test("q264 LSH tuning: candidate count is monotone in bands") {
+    val r = Insights.lshTuning(spark, sfDir)
+      .orderBy($"rows_per_band").collect()
+    assert(r.length == 3)
+    // more bands with shorter rows => strictly more (or equal)
+    // candidates: r=2 (32 bands) >= r=4 (16) >= r=8 (8)
+    assert(r(0).getLong(3) >= r(1).getLong(3))
+    assert(r(1).getLong(3) >= r(2).getLong(3))
+    // analytic p at J=0.5 is monotone the same way
+    assert(r(0).getLong(2) >= r(1).getLong(2))
+    assert(r(1).getLong(2) >= r(2).getLong(2))
+  }
+
+  test("q265 token budget: greedy fill is a prefix and spends the " +
+    "budget exactly") {
+    val r = Insights.tokenBudget(spark, sfDir)
+      .orderBy($"fill_rank").collect()
+    val totalTokens = r.map(_.getLong(2)).sum
+    val alloc = r.map(_.getLong(4))
+    assert(alloc.sum == totalTokens / 2, "budget not exactly spent")
+    // allocations form a prefix: full, one partial, then zeros
+    val partialIdx = alloc.indices.filter(i =>
+      alloc(i) > 0 && alloc(i) < r(i).getLong(2))
+    assert(partialIdx.size <= 1)
+    val firstZero = alloc.indexWhere(_ == 0)
+    if (firstZero >= 0) assert(alloc.drop(firstZero).forall(_ == 0))
+  }
+
+  test("q266 embedding norms: bounds ordered, census complete") {
+    val r = Insights.embeddingNorms(spark, sfDir)
+    assert(r.filter($"min_norm_micro" > $"mean_norm_micro" ||
+      $"mean_norm_micro" > $"max_norm_micro" ||
+      $"std_norm_micro" < 0).count() == 0)
+    val n = r.agg(sum($"n")).collect()(0).getLong(0)
+    assert(n == Tables(spark, sfDir, "embeddings").count())
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum

@@ -232,9 +232,10 @@ class PlanSpec extends SparkSpec {
       "q57_moving_avg", "q116_zscore_anomaly", "q146_ts_similarity",
       "q175_interpolate_gaps", "q149_score_calibration",
       "q160_zipf_exponent", "q207_rrf_fusion", "q216_ndcg_eval",
-      // q262: the BH staircase ranks the m per-SOURCE p-values — a
-      // frame bounded by source count, not corpus size
-      "q262_fdr_screen")
+      // q262/q265: the BH staircase and the greedy budget prefix-sum
+      // rank the per-SOURCE frame — bounded by source count, not
+      // corpus size
+      "q262_fdr_screen", "q265_token_budget")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
