@@ -966,6 +966,121 @@ object Insights {
         $"min_norm_micro", $"max_norm_micro")
   }
 
+  // --------------------------------------------- q267 interval merge
+
+  /** q267 — overlapping-interval merge (the union-of-spans primitive
+    * behind ad-break coalescing, on-call coverage, and span-level
+    * text dedup): each event opens a 5-minute window; per user,
+    * overlapping or touching windows coalesce by the classic sweep —
+    * a running max of interval ends decides "new component" per row,
+    * and a running sum of those breaks numbers the components. Both
+    * are USER-KEYED windows (no global sort); coverage sums are exact
+    * epoch-micro longs. Distinct from q41 (gap-based sessionize): the
+    * merge rule is interval overlap, not inter-event gap. */
+  val intervalMerge: Q = (s, dir) => {
+    import s.implicits._
+    val iv = Tables(s, dir, "events")
+      .select($"user_id", expr("unix_micros(ts)").as("st"),
+        expr("unix_micros(ts) + 300000000").as("en"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val marked = iv
+      .withColumn("prev_max_en", max($"en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = marked.groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("n_events"), min($"st").as("gst"),
+        max($"en").as("gen"))
+    merged.groupBy($"user_id")
+      .agg(sum($"n_events").as("n_events"),
+        count(lit(1)).as("n_intervals"),
+        sum($"gen" - $"gst").as("covered_us"),
+        max($"gen" - $"gst").as("longest_us"))
+  }
+
+  // -------------------------------------------- q268 fairness audit
+
+  /** q268 — group-fairness audit of the q224 confidence rule (balance
+    * > 0 predicts a high-value order) across market segments:
+    * per-group confusion counts, TPR/FPR/demographic-parity rates as
+    * integral micro divisions, and the corpus-wide TPR gap (max−min)
+    * every row carries — the equalized-odds screen a model card
+    * reports. One join to build labels (the q224 frame), one grouped
+    * count pass, one 5-row gap aggregate broadcast back. */
+  val fairnessAudit: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select($"c_mktsegment".as("segment"),
+        when($"c_acctbal" > 0, 1L).otherwise(0L).as("pred"),
+        coalesce($"label", lit(0L)).as("y"))
+    val g = scored.groupBy($"segment")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" === 1 && $"y" === 1, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when($"pred" === 1 && $"y" === 0, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when($"pred" === 0 && $"y" === 1, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when($"pred" === 0 && $"y" === 0, 1L).otherwise(0L))
+          .as("tn"))
+      .select($"segment", $"n",
+        expr("1000000 * tp div greatest(tp + fn, 1)").as("tpr_micro"),
+        expr("1000000 * fp div greatest(fp + tn, 1)").as("fpr_micro"),
+        expr("1000000 * (tp + fp) div n").as("dp_micro"))
+    val gap = g.agg((max($"tpr_micro") - min($"tpr_micro"))
+      .as("tpr_gap_micro"))
+    g.crossJoin(broadcast(gap))
+  }
+
+  // ------------------------------------------ q269 off-policy IPS
+
+  /** q269 — inverse-propensity-scored off-policy evaluation (the
+    * counterfactual "what would the exploit policy have earned"
+    * estimator from logged bandit feedback): contexts are hash
+    * buckets of users, the behavior policy's propensities are the
+    * empirical action rates per context (exact micro), the target
+    * policy is the per-context argmax action (deterministic
+    * tie-break), and the IPS value reweights matching logged rewards
+    * by 1/p̂. Per-row terms are integer divisions by the quantized
+    * propensity; sums are exact. Shuffles: one (ctx, action) count
+    * (tiny, broadcast back), one reward aggregation. */
+  val offpolicyIps: Q = (s, dir) => {
+    import s.implicits._
+    val logged = Tables(s, dir, "events")
+      .select((Hashing.hash60(concat(lit("ctx|"),
+          $"user_id".cast("string"))) % 4).as("ctx"),
+        $"event_type".as("a"),
+        coalesce(round($"value" * 100), lit(0.0)).cast("long").as("r"))
+    val rates = logged.groupBy($"ctx", $"a")
+      .agg(count(lit(1)).as("n_ca"))
+    val nctx = rates.groupBy($"ctx").agg(sum($"n_ca").as("n_ctx"))
+    val prop = rates.join(nctx, Seq("ctx"))
+      .select($"ctx", $"a",
+        expr("1000000 * n_ca div n_ctx").as("p_micro"))
+    val pi = rates.withColumn("rn", row_number().over(
+        Window.partitionBy($"ctx").orderBy($"n_ca".desc, $"a".asc)))
+      .filter($"rn" === 1).select($"ctx", $"a".as("pi_action"))
+    logged.join(broadcast(prop), Seq("ctx", "a"))
+      .join(broadcast(pi), Seq("ctx"))
+      .groupBy($"ctx", $"pi_action")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"a" === $"pi_action",
+          expr("r * 1000000000000 div p_micro")).otherwise(0L))
+          .as("ips_sum"),
+        sum($"r").as("r_sum"))
+      .select($"ctx", $"pi_action", $"n",
+        expr("ips_sum div n").as("ips_value_micro"),
+        expr("1000000 * r_sum div n").as("mean_logged_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -992,6 +1107,9 @@ object Insights {
     "q264_lsh_tuning" -> lshTuning,
     "q265_token_budget" -> tokenBudget,
     "q266_embedding_norms" -> embeddingNorms,
+    "q267_interval_merge" -> intervalMerge,
+    "q268_fairness_audit" -> fairnessAudit,
+    "q269_offpolicy_ips" -> offpolicyIps,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1639,6 +1757,85 @@ object Insights {
        |FROM r CROSS JOIN im""".stripMargin
   }
 
+  private val sqlIntervalMerge =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+      |    epoch_us(ts) + 300000000 AS en, event_id FROM events),
+      |m AS (SELECT user_id, st, en, event_id,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max_en
+      |  FROM iv),
+      |b AS (SELECT user_id, st, en, event_id,
+      |    CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+      |      THEN 1 ELSE 0 END AS brk FROM m),
+      |g AS (SELECT user_id, st, en,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM b),
+      |mg AS (SELECT user_id, grp, count(*)::BIGINT AS n_events,
+      |    min(st) AS gst, max(en) AS gen FROM g GROUP BY user_id, grp)
+      |SELECT user_id, sum(n_events)::BIGINT AS n_events,
+      |  count(*)::BIGINT AS n_intervals,
+      |  sum(gen - gst)::BIGINT AS covered_us,
+      |  max(gen - gst)::BIGINT AS longest_us
+      |FROM mg GROUP BY user_id""".stripMargin
+
+  private val sqlFairness =
+    """WITH sc AS (SELECT c_mktsegment AS segment,
+      |    CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END::BIGINT AS pred,
+      |    CASE WHEN o.c2 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS y
+      |  FROM customer LEFT JOIN (SELECT DISTINCT o_custkey AS c2
+      |      FROM orders WHERE o_totalprice > 450000.0) o
+      |    ON c_custkey = o.c2),
+      |g AS (SELECT segment, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT
+      |      AS tp,
+      |    sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT
+      |      AS fp,
+      |    sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT
+      |      AS fn,
+      |    sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT
+      |      AS tn
+      |  FROM sc GROUP BY segment),
+      |r AS (SELECT segment, n,
+      |    CAST(1000000 * tp // greatest(tp + fn, 1) AS BIGINT)
+      |      AS tpr_micro,
+      |    CAST(1000000 * fp // greatest(fp + tn, 1) AS BIGINT)
+      |      AS fpr_micro,
+      |    CAST(1000000 * (tp + fp) // n AS BIGINT) AS dp_micro
+      |  FROM g),
+      |gap AS (SELECT max(tpr_micro) - min(tpr_micro) AS tpr_gap_micro
+      |  FROM r)
+      |SELECT r.segment, r.n, r.tpr_micro, r.fpr_micro, r.dp_micro,
+      |  gap.tpr_gap_micro
+      |FROM r CROSS JOIN gap""".stripMargin
+
+  private val sqlOffpolicyIps = {
+    val h = sqlHash60("'ctx|' || user_id")
+    s"""WITH l AS (SELECT ($h % 4) AS ctx, event_type AS a,
+       |    CAST(coalesce(round(value * 100), 0) AS BIGINT) AS r
+       |  FROM events),
+       |rates AS (SELECT ctx, a, count(*)::BIGINT AS n_ca FROM l
+       |  GROUP BY ctx, a),
+       |nc AS (SELECT ctx, sum(n_ca)::BIGINT AS n_ctx FROM rates
+       |  GROUP BY ctx),
+       |prop AS (SELECT ctx, a,
+       |    CAST(1000000 * n_ca // n_ctx AS BIGINT) AS p_micro
+       |  FROM rates JOIN nc USING (ctx)),
+       |pi AS (SELECT ctx, a AS pi_action FROM (SELECT ctx, a,
+       |    row_number() OVER (PARTITION BY ctx
+       |      ORDER BY n_ca DESC, a) AS rn FROM rates) WHERE rn = 1)
+       |SELECT l.ctx, pi.pi_action, count(*)::BIGINT AS n,
+       |  CAST(sum(CASE WHEN l.a = pi.pi_action
+       |      THEN r * 1000000000000 // p_micro ELSE 0 END)::BIGINT
+       |    // count(*)::BIGINT AS BIGINT) AS ips_value_micro,
+       |  CAST(1000000 * sum(r)::BIGINT // count(*)::BIGINT AS BIGINT)
+       |    AS mean_logged_micro
+       |FROM l JOIN prop ON l.ctx = prop.ctx AND l.a = prop.a
+       |JOIN pi ON l.ctx = pi.ctx
+       |GROUP BY l.ctx, pi.pi_action""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
@@ -1665,5 +1862,8 @@ object Insights {
     "q264_lsh_tuning" -> sqlLshTuning,
     "q265_token_budget" -> sqlTokenBudget,
     "q266_embedding_norms" -> sqlEmbeddingNorms,
+    "q267_interval_merge" -> sqlIntervalMerge,
+    "q268_fairness_audit" -> sqlFairness,
+    "q269_offpolicy_ips" -> sqlOffpolicyIps,
   )
 }

@@ -237,6 +237,40 @@ class InsightsSpec extends SparkSpec {
     assert(n == Tables(spark, sfDir, "embeddings").count())
   }
 
+  test("q267 interval merge: coverage bounded by n_events x window") {
+    val r = Insights.intervalMerge(spark, sfDir)
+    // every merged interval covers at least one 5-min window and at
+    // most n_events of them; intervals never exceed event count
+    val bad = r.filter($"covered_us" < 300000000L ||
+      $"covered_us" > $"n_events" * 300000000L ||
+      $"n_intervals" > $"n_events" ||
+      $"longest_us" > $"covered_us").count()
+    assert(bad == 0)
+    val users = Tables(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(r.count() == users)
+  }
+
+  test("q268 fairness audit: confusion rates are probabilities and " +
+    "the gap brackets every group") {
+    val r = Insights.fairnessAudit(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val tprs = r.map(_.getLong(2))
+    val gap = r.head.getLong(5)
+    assert(gap == tprs.max - tprs.min)
+    assert(r.forall(x => (2 to 4).forall(i =>
+      x.getLong(i) >= 0 && x.getLong(i) <= 1000000)))
+  }
+
+  test("q269 IPS: the exploit policy's IPS value dominates or ties " +
+    "the logged mean in expectation shape") {
+    val r = Insights.offpolicyIps(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    // per-context census: n sums to the full event count
+    val n = r.map(_.getLong(2)).sum
+    assert(n == Tables(spark, sfDir, "events").count())
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
