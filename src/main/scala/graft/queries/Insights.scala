@@ -1081,6 +1081,144 @@ object Insights {
         expr("1000000 * r_sum div n").as("mean_logged_micro"))
   }
 
+  // ---------------------------------------------- q270 SRM check
+
+  /** q270 — sample-ratio-mismatch check for the q189/q249/q256 hash
+    * arms (the first thing any experiment readout must pass): user
+    * counts per arm, the chi-square statistic against the intended
+    * 50/50 split, and the observed ratio — all integral micro from
+    * exact counts. One distinct-user aggregate. */
+  val srmCheck: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events").select($"user_id").distinct()
+      .select((Hashing.hash60(concat(lit("ab|"),
+        $"user_id".cast("string"))) % 2).as("arm"))
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+      .select($"n0", $"n1",
+        expr("1000000 * n0 div (n0 + n1)").as("ratio_micro"),
+        expr("1000000 * (n0 - n1) * (n0 - n1) div (n0 + n1)")
+          .as("chi2_micro"))
+  }
+
+  // ------------------------------------------ q271 diff-in-diff
+
+  /** q271 — difference-in-differences: the change in mean purchase
+    * value across the time midpoint, differenced between the hash
+    * arms — the causal-effect template when only one arm receives a
+    * treatment mid-experiment (complements q256, which reduces
+    * variance on the same frame). All four cell means are integral
+    * micro divisions of exact cent sums; DID is their exact
+    * difference. One broadcast midpoint row, one 4-cell aggregate. */
+  val diffInDiff: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter($"event_type" === "purchase" && $"value" > 0)
+      .select($"user_id", expr("unix_micros(ts)").as("tm"),
+        round($"value" * 100).cast("long").as("cents"))
+    val mid = ev.agg(expr("(min(tm) + max(tm)) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .select((Hashing.hash60(concat(lit("ab|"),
+          $"user_id".cast("string"))) % 2).as("arm"),
+        when($"tm" <= $"mid", 0L).otherwise(1L).as("post"), $"cents")
+      .groupBy($"arm", $"post")
+      .agg(expr("1000000 * sum(cents) div count(1)").as("m"))
+    cells.groupBy()
+      .pivot(concat(lit("m"), $"arm", $"post"),
+        Seq("m00", "m01", "m10", "m11"))
+      .agg(first($"m"))
+      .select($"m00".as("ctl_pre_micro"), $"m01".as("ctl_post_micro"),
+        $"m10".as("trt_pre_micro"), $"m11".as("trt_post_micro"),
+        (($"m11" - $"m10") - ($"m01" - $"m00")).as("did_micro"))
+  }
+
+  // ---------------------------------------- q272 Simpson's paradox
+
+  /** q272 — Simpson's-paradox detector: the quantity↔discount
+    * correlation computed per return-flag segment AND pooled, with a
+    * flag when a segment's sign disagrees with the pooled sign — the
+    * audit that catches aggregation reversing a relationship before a
+    * dashboard ships it. Correlation numerators/denominators are
+    * exact long sums per group (milli-discount, integer quantity);
+    * each group's r is one double expression over its own exact row.
+    * One grouped pass + one broadcast pooled row. */
+  val simpsonCheck: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "lineitem").select(
+      $"l_returnflag".as("g"),
+      round($"l_discount" * 1000).cast("long").as("x"),
+      $"l_quantity".cast("long").as("y"))
+    def stats(df: DataFrame, gcols: Seq[Column]) = {
+      val aggs = Seq(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+      (if (gcols.isEmpty) df.groupBy() else df.groupBy(gcols: _*))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("r_micro",
+          expr("CAST(round(1000000.0 * (CAST(n AS DOUBLE) *" +
+            " CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+            " CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) *" +
+            " CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+            " CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) *" +
+            " CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *" +
+            " CAST(sy AS DOUBLE)))) AS BIGINT)"))
+    }
+    val per = stats(base, Seq($"g")).select($"g", $"n", $"r_micro")
+    val pooled = stats(base, Seq.empty)
+      .select($"r_micro".as("pooled_r_micro"))
+    per.crossJoin(broadcast(pooled))
+      .select($"g".as("segment"), $"n", $"r_micro",
+        $"pooled_r_micro",
+        (signum($"r_micro") =!= signum($"pooled_r_micro"))
+          .as("sign_flipped"))
+  }
+
+  // ------------------------------------------- q273 BM25 sweep
+
+  /** q273 — BM25 (k1, b) parameter sweep: top-10 result-set overlap
+    * of each candidate configuration against the q91 default
+    * (1.2, 0.75) for the fixed 3-term query — the tuning table that
+    * shows how sensitive the ranking actually is before anyone ships
+    * new constants. Each config is the q91 plan (per-doc tf/dl
+    * columns, broadcast corpus stats, round-6 score, top-10 by
+    * (score, doc_id)); the overlap joins are O(k). */
+  val bm25Sweep: Q = (s, dir) => {
+    import s.implicits._
+    val terms = Seq("spark", "query", "hash")
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val statCols = count(lit(1)).cast("long").as("n") +:
+      (sum(size($"toks")) / count(lit(1))).as("avgdl") +:
+      terms.map(t => sum(when(array_contains($"toks", t), 1L)
+        .otherwise(0L)).as(s"df_$t"))
+    val stats = tk.agg(statCols.head, statCols.tail: _*)
+    val tfCols = $"doc_id" +: size($"toks").cast("long").as("dl") +:
+      terms.map(t =>
+        size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))
+    val withTf = tk.select(tfCols: _*).crossJoin(broadcast(stats))
+    def top10(k1: Double, b: Double) = {
+      val score = terms.map { t =>
+        (col(s"tf_$t") * lit(k1 + 1.0)) /
+          (col(s"tf_$t") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl")) *
+          log((col("n") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5)) + lit(1.0))
+      }.reduce(_ + _)
+      withTf.select($"doc_id", round(score, 6).as("bm25"))
+        .filter($"bm25" > 0.0)
+        .orderBy($"bm25".desc, $"doc_id".asc).limit(10)
+        .select($"doc_id")
+    }
+    val base10 = top10(1.2, 0.75)
+    Seq((900, 400, top10(0.9, 0.4)), (1200, 750, base10),
+        (2000, 1000, top10(2.0, 1.0))).map { case (k1m, bm, t) =>
+      t.join(base10, Seq("doc_id"))
+        .agg(count(lit(1)).as("overlap_with_default"))
+        .select(lit(k1m.toLong).as("k1_milli"), lit(bm.toLong)
+          .as("b_milli"), $"overlap_with_default")
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1110,6 +1248,10 @@ object Insights {
     "q267_interval_merge" -> intervalMerge,
     "q268_fairness_audit" -> fairnessAudit,
     "q269_offpolicy_ips" -> offpolicyIps,
+    "q270_srm_check" -> srmCheck,
+    "q271_diff_in_diff" -> diffInDiff,
+    "q272_simpson_check" -> simpsonCheck,
+    "q273_bm25_sweep" -> bm25Sweep,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -1836,6 +1978,116 @@ object Insights {
        |GROUP BY l.ctx, pi.pi_action""".stripMargin
   }
 
+  private val sqlSrm = {
+    val h = sqlHash60("'ab|' || user_id")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (SELECT ($h % 2) AS arm FROM u),
+       |c AS (SELECT
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+       |  FROM a)
+       |SELECT n0, n1,
+       |  CAST(1000000 * n0 // (n0 + n1) AS BIGINT) AS ratio_micro,
+       |  CAST(1000000 * (n0 - n1) * (n0 - n1) // (n0 + n1) AS BIGINT)
+       |    AS chi2_micro
+       |FROM c""".stripMargin
+  }
+
+  private val sqlDiffInDiff = {
+    val h = sqlHash60("'ab|' || user_id")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tm,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' AND value > 0),
+       |mid AS (SELECT (min(tm) + max(tm)) // 2 AS mid FROM ev),
+       |cells AS (SELECT ($h % 2) AS arm,
+       |    CASE WHEN tm <= mid THEN 0 ELSE 1 END AS post,
+       |    CAST(1000000 * sum(cents)::BIGINT // count(*)::BIGINT
+       |      AS BIGINT) AS m
+       |  FROM ev CROSS JOIN mid GROUP BY arm, post)
+       |SELECT
+       |  max(CASE WHEN arm = 0 AND post = 0 THEN m END)
+       |    AS ctl_pre_micro,
+       |  max(CASE WHEN arm = 0 AND post = 1 THEN m END)
+       |    AS ctl_post_micro,
+       |  max(CASE WHEN arm = 1 AND post = 0 THEN m END)
+       |    AS trt_pre_micro,
+       |  max(CASE WHEN arm = 1 AND post = 1 THEN m END)
+       |    AS trt_post_micro,
+       |  (max(CASE WHEN arm = 1 AND post = 1 THEN m END)
+       |   - max(CASE WHEN arm = 1 AND post = 0 THEN m END))
+       |  - (max(CASE WHEN arm = 0 AND post = 1 THEN m END)
+       |   - max(CASE WHEN arm = 0 AND post = 0 THEN m END))
+       |    AS did_micro
+       |FROM cells""".stripMargin
+  }
+
+  private val sqlSimpson = {
+    val rExpr =
+      """CAST(round(1000000.0 * (CAST(n AS DOUBLE) *
+        | CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        | CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) *
+        | CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        | CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) *
+        | CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        | CAST(sy AS DOUBLE)))) AS BIGINT)""".stripMargin
+    s"""WITH base AS (SELECT l_returnflag AS g,
+       |    CAST(round(l_discount * 1000) AS BIGINT) AS x,
+       |    CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+       |per AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+       |    sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+       |  FROM base GROUP BY g),
+       |perr AS (SELECT g, n, $rExpr AS r_micro FROM per),
+       |po AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+       |    sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy
+       |  FROM base),
+       |por AS (SELECT $rExpr AS pooled_r_micro FROM po)
+       |SELECT g AS segment, n, r_micro, pooled_r_micro,
+       |  (sign(r_micro) <> sign(pooled_r_micro)) AS sign_flipped
+       |FROM perr CROSS JOIN por""".stripMargin
+  }
+
+  private val sqlBm25Sweep = {
+    val terms = Seq("spark", "query", "hash")
+    val dfs = terms.map(t =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)" +
+        s" AS df_$t").mkString(", ")
+    val tfs = terms.map(t =>
+      s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf_$t")
+      .mkString(",\n  ")
+    // interpolate the COMPUTED doubles (shortest round-trip repr) so
+    // DuckDB parses exactly the value Spark's lit() carries
+    def score(k1: Double, b: Double) = terms.map(t =>
+      s"(tf_$t * ${k1 + 1.0}) / (tf_$t + $k1 * " +
+        s"(${1.0 - b} + $b * dl / avgdl))" +
+        s" * ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)")
+      .mkString(" + ")
+    def topCte(tag: String, k1: Double, b: Double) =
+      s"""top_$tag AS (SELECT doc_id FROM (SELECT doc_id,
+         |    round(${score(k1, b)}, 6) AS bm25 FROM tf, stats
+         |  WHERE round(${score(k1, b)}, 6) > 0.0
+         |  ORDER BY bm25 DESC, doc_id ASC LIMIT 10))""".stripMargin
+    val rows = Seq(("a", 900, 400), ("d", 1200, 750), ("c", 2000, 1000))
+      .map { case (tag, k1m, bm) =>
+        s"""SELECT ${k1m}::BIGINT AS k1_milli, ${bm}::BIGINT AS b_milli,
+           |  (SELECT count(*)::BIGINT FROM top_$tag x
+           |    JOIN top_d y ON x.doc_id = y.doc_id)
+           |    AS overlap_with_default""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |stats AS (SELECT count(*)::BIGINT AS n,
+       |  sum(len(toks)) / count(*) AS avgdl, $dfs FROM tk),
+       |tf AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+       |  $tfs
+       |  FROM tk),
+       |${topCte("a", 0.9, 0.4)},
+       |${topCte("d", 1.2, 0.75)},
+       |${topCte("c", 2.0, 1.0)}
+       |$rows""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
@@ -1865,5 +2117,9 @@ object Insights {
     "q267_interval_merge" -> sqlIntervalMerge,
     "q268_fairness_audit" -> sqlFairness,
     "q269_offpolicy_ips" -> sqlOffpolicyIps,
+    "q270_srm_check" -> sqlSrm,
+    "q271_diff_in_diff" -> sqlDiffInDiff,
+    "q272_simpson_check" -> sqlSimpson,
+    "q273_bm25_sweep" -> sqlBm25Sweep,
   )
 }

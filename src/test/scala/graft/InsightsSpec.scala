@@ -271,6 +271,39 @@ class InsightsSpec extends SparkSpec {
     assert(n == Tables(spark, sfDir, "events").count())
   }
 
+  test("q270 SRM: arms partition the users") {
+    val row = Insights.srmCheck(spark, sfDir).collect()(0)
+    val users = Tables(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(row.getLong(0) + row.getLong(1) == users)
+    assert(row.getLong(2) >= 0 && row.getLong(2) <= 1000000)
+  }
+
+  test("q271 DID: identity against the four cell means") {
+    val row = Insights.diffInDiff(spark, sfDir).collect()(0)
+    val did = (row.getLong(3) - row.getLong(2)) -
+      (row.getLong(1) - row.getLong(0))
+    assert(row.getLong(4) == did)
+  }
+
+  test("q272 Simpson: correlations are valid, pooled repeated " +
+    "identically") {
+    val r = Insights.simpsonCheck(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => math.abs(x.getLong(2)) <= 1000000))
+    assert(r.map(_.getLong(3)).distinct.length == 1)
+  }
+
+  test("q273 BM25 sweep: the default config overlaps itself fully") {
+    val r = Insights.bm25Sweep(spark, sfDir).collect()
+    assert(r.length == 3)
+    val default = r.find(_.getLong(0) == 1200).get
+    val full = r.map(_.getLong(2)).max
+    assert(default.getLong(2) == full,
+      "default-vs-default overlap must dominate")
+    assert(r.forall(_.getLong(2) <= 10))
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
