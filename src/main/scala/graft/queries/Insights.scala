@@ -1219,6 +1219,122 @@ object Insights {
     }.reduce(_ unionByName _)
   }
 
+  // --------------------------------------------- q274 profile drift
+
+  /** q274 — column-profile drift between snapshot halves (orderkey
+    * parity plays the role of yesterday/today): per column-metric
+    * pair the two exact values and a relative drift in micro — the
+    * data-contract monitor that pages before a silent upstream change
+    * poisons a training run (complements q114's PSI, which needs a
+    * binned distribution; this is the cheap always-on census). One
+    * grouped pass computes every metric map-side; the metric table is
+    * a static union of exact longs. */
+  val profileDrift: Q = (s, dir) => {
+    import s.implicits._
+    val h = Tables(s, dir, "orders")
+      .select(($"o_orderkey" % 2).as("half"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderpriority".as("prio"), $"o_orderstatus".as("status"),
+        to_date($"o_orderdate").as("day"))
+      .groupBy($"half")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(cents) div count(1)").as("mean_cents"),
+        countDistinct($"prio").as("n_prio"),
+        countDistinct($"status").as("n_status"),
+        expr("CAST(datediff(max(day), min(day)) AS BIGINT)")
+          .as("day_span"))
+    val a = h.filter($"half" === 0).drop("half")
+    val b = h.filter($"half" === 1).drop("half")
+    val metrics = Seq("n_rows", "mean_cents", "n_prio", "n_status",
+      "day_span")
+    metrics.map { m =>
+      a.select(lit(m).as("metric"), col(m).as("v_even"))
+        .crossJoin(broadcast(b.select(col(m).as("v_odd"))))
+        .select($"metric", $"v_even", $"v_odd",
+          expr("1000000 * abs(v_even - v_odd)" +
+            " div greatest(abs(v_even), 1)").as("drift_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  // --------------------------------------------- q275 Platt scaling
+
+  /** q275 — Platt scaling of the q224 confidence score: a
+    * one-feature logistic fit (shared [[logregLoop]], second feature
+    * pinned to zero) mapping the min-max-scaled balance to a
+    * calibrated probability — the parametric sibling of q209's
+    * isotonic fix for the miscalibration q224 MEASURES. Same frame,
+    * same exactness story. */
+  val plattScaling: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("cents"),
+        coalesce($"label", lit(0L)).as("y"))
+    val bounds = scored.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    logregLoop(s, scored.crossJoin(broadcast(bounds))
+      .select(($"y" * 1000000L).as("y"),
+        expr("1000000 * (cents - lo) div greatest(hi - lo, 1)")
+          .as("x1"), lit(0L).as("x2")))
+  }
+
+  // ------------------------------------------- q276 vocab coverage
+
+  /** q276 — cumulative token coverage of the top-k vocabulary (the
+    * number that says how big a wordpiece/embedding table must be):
+    * word frequencies collapse to the Zipf frame, ranks come from the
+    * vocabulary-bounded window (whitelisted — q160's precedent), and
+    * each k's coverage is one conditional exact sum. */
+  val vocabCoverage: Q = (s, dir) => {
+    import s.implicits._
+    val wf = Tables(s, dir, "documents")
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"c".desc, $"w".asc)).cast("long"))
+    val tot = wf.agg(sum($"c").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    Seq(10L, 20L, 50L).map { k =>
+      wf.filter($"rnk" <= k)
+        .agg(sum($"c").as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k).as("k"), $"vocab_size", $"covered_tokens",
+          $"total_tokens",
+          expr("1000000 * covered_tokens div total_tokens")
+            .as("coverage_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------ q277 term burstiness
+
+  /** q277 — term burstiness (Fano factor over containing documents):
+    * var/mean of a word's per-document counts, the dispersion signal
+    * separating bursty content words from evenly-spread function
+    * words (Church & Gale 1995) — a vocabulary-pruning and
+    * stopword-inference input. Per-word moments are exact long sums
+    * over the (word, doc) count frame; the Fano ratio is one double
+    * per word row; top-20 by (fano desc, word) via
+    * TakeOrderedAndProject. */
+  val termBurstiness: Q = (s, dir) => {
+    import s.implicits._
+    val wd = Tables(s, dir, "documents")
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("c"))
+    wd.groupBy($"w")
+      .agg(count(lit(1)).as("df"), sum($"c").as("tot"),
+        sum($"c" * $"c").as("ss"))
+      .filter($"df" >= 20)
+      .select($"w".as("term"), $"df", $"tot",
+        expr("CAST(round(1000000.0 * ((CAST(ss AS DOUBLE) /" +
+          " CAST(df AS DOUBLE)) - pow(CAST(tot AS DOUBLE) /" +
+          " CAST(df AS DOUBLE), 2)) / (CAST(tot AS DOUBLE) /" +
+          " CAST(df AS DOUBLE))) AS BIGINT)").as("fano_micro"))
+      .orderBy($"fano_micro".desc, $"term".asc).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1252,6 +1368,10 @@ object Insights {
     "q271_diff_in_diff" -> diffInDiff,
     "q272_simpson_check" -> simpsonCheck,
     "q273_bm25_sweep" -> bm25Sweep,
+    "q274_profile_drift" -> profileDrift,
+    "q275_platt_scaling" -> plattScaling,
+    "q276_vocab_coverage" -> vocabCoverage,
+    "q277_term_burstiness" -> termBurstiness,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2088,6 +2208,80 @@ object Insights {
        |$rows""".stripMargin
   }
 
+  private val sqlProfileDrift = {
+    val metrics = Seq("n_rows", "mean_cents", "n_prio", "n_status",
+      "day_span")
+    val rows = metrics.map { m =>
+      s"""SELECT '$m' AS metric, a.$m AS v_even, b.$m AS v_odd,
+         |  CAST(1000000 * abs(a.$m - b.$m) //
+         |    greatest(abs(a.$m), 1) AS BIGINT) AS drift_micro
+         |FROM a, b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH h AS (SELECT o_orderkey % 2 AS half,
+       |    count(*)::BIGINT AS n_rows,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+       |      // count(*)::BIGINT AS BIGINT) AS mean_cents,
+       |    count(DISTINCT o_orderpriority)::BIGINT AS n_prio,
+       |    count(DISTINCT o_orderstatus)::BIGINT AS n_status,
+       |    CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+       |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS day_span
+       |  FROM orders GROUP BY half),
+       |a AS (SELECT * FROM h WHERE half = 0),
+       |b AS (SELECT * FROM h WHERE half = 1)
+       |$rows""".stripMargin
+  }
+
+  private val sqlPlattScaling = sqlLogregOver(
+    """SELECT y * 1000000 AS y,
+      |    CAST(1000000 * (cents - lo) // greatest(hi - lo, 1)
+      |      AS BIGINT) AS x1, 0::BIGINT AS x2
+      |  FROM (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |      CASE WHEN o.c2 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS y
+      |    FROM customer LEFT JOIN (SELECT DISTINCT o_custkey AS c2
+      |        FROM orders WHERE o_totalprice > 450000.0) o
+      |      ON c_custkey = o.c2) s
+      |  CROSS JOIN (SELECT min(CAST(round(c_acctbal * 100) AS BIGINT))
+      |      AS lo, max(CAST(round(c_acctbal * 100) AS BIGINT)) AS hi
+      |    FROM customer) bb""".stripMargin)
+
+  private val sqlVocabCoverage = {
+    val toks = sqlTokens("text")
+    val rows = Seq(10, 20, 50).map { k =>
+      s"""SELECT ${k}::BIGINT AS k, tot.vocab_size,
+         |  (SELECT sum(c)::BIGINT FROM wf WHERE rnk <= $k)
+         |    AS covered_tokens,
+         |  tot.total_tokens,
+         |  CAST(1000000 * (SELECT sum(c)::BIGINT FROM wf
+         |    WHERE rnk <= $k) // tot.total_tokens AS BIGINT)
+         |    AS coverage_micro
+         |FROM tot""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT unnest($toks) AS w FROM documents),
+       |wf AS (SELECT w, count(*)::BIGINT AS c,
+       |    row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+       |  FROM w0 GROUP BY w),
+       |tot AS (SELECT sum(c)::BIGINT AS total_tokens,
+       |    count(*)::BIGINT AS vocab_size FROM wf)
+       |$rows""".stripMargin
+  }
+
+  private val sqlTermBurstiness = {
+    val toks = sqlTokens("text")
+    s"""WITH wd AS (SELECT w, doc_id, count(*)::BIGINT AS c FROM
+       |    (SELECT doc_id, unnest($toks) AS w FROM documents)
+       |  GROUP BY w, doc_id),
+       |a AS (SELECT w AS term, count(*)::BIGINT AS df,
+       |    sum(c)::BIGINT AS tot, sum(c * c)::BIGINT AS ss
+       |  FROM wd GROUP BY w)
+       |SELECT term, df, tot,
+       |  CAST(round(1000000.0 * ((CAST(ss AS DOUBLE) /
+       |    CAST(df AS DOUBLE)) - pow(CAST(tot AS DOUBLE) /
+       |    CAST(df AS DOUBLE), 2)) / (CAST(tot AS DOUBLE) /
+       |    CAST(df AS DOUBLE))) AS BIGINT) AS fano_micro
+       |FROM a WHERE df >= 20
+       |ORDER BY fano_micro DESC, term ASC LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
@@ -2121,5 +2315,9 @@ object Insights {
     "q271_diff_in_diff" -> sqlDiffInDiff,
     "q272_simpson_check" -> sqlSimpson,
     "q273_bm25_sweep" -> sqlBm25Sweep,
+    "q274_profile_drift" -> sqlProfileDrift,
+    "q275_platt_scaling" -> sqlPlattScaling,
+    "q276_vocab_coverage" -> sqlVocabCoverage,
+    "q277_term_burstiness" -> sqlTermBurstiness,
   )
 }

@@ -304,6 +304,43 @@ class InsightsSpec extends SparkSpec {
     assert(r.forall(_.getLong(2) <= 10))
   }
 
+  test("q274 profile drift: halves partition the orders, drift " +
+    "relative to the even half") {
+    val r = Insights.profileDrift(spark, sfDir).collect()
+    assert(r.length == 5)
+    val nr = r.find(_.getString(0) == "n_rows").get
+    assert(nr.getLong(1) + nr.getLong(2) ==
+      Tables(spark, sfDir, "orders").count())
+    assert(r.forall(_.getLong(3) >= 0))
+  }
+
+  test("q275 Platt: slope positive (balance predicts the label " +
+    "direction the q224 frame encodes)") {
+    val row = Insights.plattScaling(spark, sfDir).collect()(0)
+    assert(row.getLong(0) ==
+      Tables(spark, sfDir, "customer").count())
+    // w2 was pinned to a zero feature: it must not move
+    assert(row.getLong(3) == 0L)
+  }
+
+  test("q276 vocab coverage: monotone in k, bounded by 1") {
+    val r = Insights.vocabCoverage(spark, sfDir)
+      .orderBy($"k").collect()
+    assert(r.length == 3)
+    assert(r(0).getLong(4) <= r(1).getLong(4))
+    assert(r(1).getLong(4) <= r(2).getLong(4))
+    assert(r(2).getLong(4) <= 1000000)
+  }
+
+  test("q277 burstiness: Fano nonnegative, df filter honored") {
+    val r = Insights.termBurstiness(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    assert(r.forall(x => x.getLong(3) >= 0 && x.getLong(1) >= 20))
+    // returned in descending burstiness
+    val f = r.map(_.getLong(3))
+    assert(f.zip(f.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum

@@ -235,7 +235,9 @@ class PlanSpec extends SparkSpec {
       // q262/q265: the BH staircase and the greedy budget prefix-sum
       // rank the per-SOURCE frame — bounded by source count, not
       // corpus size
-      "q262_fdr_screen", "q265_token_budget")
+      "q262_fdr_screen", "q265_token_budget",
+      // q276: rank over the Zipf-collapsed vocabulary (q160 precedent)
+      "q276_vocab_coverage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
