@@ -1335,6 +1335,84 @@ object Insights {
       .orderBy($"fano_micro".desc, $"term".asc).limit(20)
   }
 
+  // ------------------------------------ q278 TPC-H Q17 decorrelation
+
+  /** q278 — TPC-H Q17's correlated-average shape (small-order revenue
+    * for one brand): the textbook "WHERE l_quantity < 0.2 * (SELECT
+    * avg(...) per part)" decorrelates into ONE per-part aggregate
+    * joined back — no per-row subplan at any scale — and the 20%
+    * fence evaluates as an integer cross-multiply (5·qty·n < tot), so
+    * no fraction ever materializes. Sibling of q170 (Q21); the
+    * brand×size filter pushes to the part scan. */
+  val smallOrderRevenue: Q = (s, dir) => {
+    import s.implicits._
+    val pk = Tables(s, dir, "part")
+      .filter($"p_brand" === "Brand#12" && $"p_size" < 15)
+      .select($"p_partkey")
+    val li = Tables(s, dir, "lineitem")
+      .join(broadcast(pk), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val avg = li.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_li"), sum($"qty").as("tot_qty"))
+    li.join(avg, Seq("l_partkey"))
+      .filter($"qty" * 5 * $"n_li" < $"tot_qty")
+      .agg(coalesce(sum($"cents"), lit(0L)).as("s"),
+        count(lit(1)).as("n_small"))
+      .select($"n_small", expr("s div 7").as("avg_yearly_cents"))
+  }
+
+  // ----------------------------------- q279 TPC-H Q18 large volume
+
+  /** q279 — TPC-H Q18 (large-volume customers): orders whose summed
+    * line quantity clears 300, with their customers — the
+    * grouped-HAVING semi-join that must aggregate BEFORE joining
+    * (aggregating after would shuffle every lineitem against every
+    * customer). Output ordered by (qty desc, orderkey) — exact longs
+    * only. */
+  val largeVolumeCustomers: Q = (s, dir) => {
+    import s.implicits._
+    val big = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+      .filter($"total_qty" > 300)
+    big.join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("o_date"),
+        round($"o_totalprice" * 100).cast("long").as("total_cents"),
+        $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey".asc)
+  }
+
+  // -------------------------------- q280 TPC-H Q22 anti-join shape
+
+  /** q280 — TPC-H Q22's shape (global sales opportunity): customers
+    * above the average POSITIVE balance with no URGENT order (this
+    * synthetic data gives every customer some order, so the classic
+    * "never ordered" predicate tightens to an order-subset — the
+    * anti-join shape is unchanged), grouped by country code
+    * (nationkey mod 10 stands in for the phone prefix). The scalar
+    * average is one broadcast row; the predicate is a LEFT ANTI join
+    * (never NOT IN — null-hostile and unplannable as a hash join);
+    * balances stay exact cents. */
+  val globalSalesOpportunity: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", ($"c_nationkey" % 10).as("cntrycode"),
+        round($"c_acctbal" * 100).cast("long").as("bal"))
+    val avgPos = cust.filter($"bal" > 0)
+      .agg(expr("sum(bal) div count(1)").as("avg_bal"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter($"bal" > $"avg_bal")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey").distinct(),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"cntrycode")
+      .agg(count(lit(1)).as("numcust"), sum($"bal").as("totacctbal"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1372,6 +1450,9 @@ object Insights {
     "q275_platt_scaling" -> plattScaling,
     "q276_vocab_coverage" -> vocabCoverage,
     "q277_term_burstiness" -> termBurstiness,
+    "q278_small_order_revenue" -> smallOrderRevenue,
+    "q279_large_volume_customers" -> largeVolumeCustomers,
+    "q280_global_sales_opportunity" -> globalSalesOpportunity,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2319,5 +2400,43 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q278_small_order_revenue" ->
+      """WITH pk AS (SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#12' AND p_size < 15),
+        |li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        |av AS (SELECT l_partkey, count(*)::BIGINT AS n_li,
+        |    sum(qty)::BIGINT AS tot_qty FROM li GROUP BY l_partkey),
+        |f AS (SELECT cents FROM li JOIN av USING (l_partkey)
+        |  WHERE qty * 5 * n_li < tot_qty)
+        |SELECT count(*)::BIGINT AS n_small,
+        |  CAST(coalesce(sum(cents), 0)::BIGINT // 7 AS BIGINT)
+        |    AS avg_yearly_cents
+        |FROM f""".stripMargin,
+    "q279_large_volume_customers" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin,
+    "q280_global_sales_opportunity" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |ap AS (SELECT sum(bal)::BIGINT // count(*)::BIGINT AS avg_bal
+        |  FROM cust WHERE bal > 0),
+        |rich AS (SELECT cntrycode, bal FROM cust CROSS JOIN ap
+        |  WHERE bal > avg_bal AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = cust.c_custkey
+        |      AND o_orderpriority = '1-URGENT'))
+        |SELECT cntrycode, count(*)::BIGINT AS numcust,
+        |  sum(bal)::BIGINT AS totacctbal
+        |FROM rich GROUP BY cntrycode""".stripMargin,
   )
 }

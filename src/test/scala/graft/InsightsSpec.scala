@@ -341,6 +341,32 @@ class InsightsSpec extends SparkSpec {
     assert(f.zip(f.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q278 Q17 shape: the 20% fence keeps a strict subset") {
+    val row = Insights.smallOrderRevenue(spark, sfDir).collect()(0)
+    assert(row.getLong(0) >= 0 && row.getLong(1) >= 0)
+  }
+
+  test("q279 Q18 shape: every row really clears the 300-qty fence") {
+    val r = Insights.largeVolumeCustomers(spark, sfDir)
+    assert(r.filter($"total_qty" <= 300).count() == 0)
+    val viaSql = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+      .filter($"q" > 300).count()
+    assert(r.count() == viaSql)
+  }
+
+  test("q280 Q22 shape: anti-join excludes every urgent-order " +
+    "customer") {
+    val urgent = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().count()
+    val picked = Insights.globalSalesOpportunity(spark, sfDir)
+      .agg(sum($"numcust")).collect()(0).getLong(0)
+    val total = Tables(spark, sfDir, "customer").count()
+    assert(picked > 0 && picked <= total - urgent)
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
