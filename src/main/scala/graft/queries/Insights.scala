@@ -1413,6 +1413,93 @@ object Insights {
       .agg(count(lit(1)).as("numcust"), sum($"bal").as("totacctbal"))
   }
 
+  // -------------------------------------- q281 transition entropy
+
+  /** q281 — per-state successor entropy of the event stream (the
+    * information-theoretic companion of q133's transition matrix and
+    * q257's argmax accuracy): H(next|prev) in micro-nats, each
+    * −p·ln p term quantized per (prev, next) CELL (an O(types²)
+    * frame) before the exact per-state sum — partial-aggregation
+    * order can't move it. One user-keyed lag window + one tiny
+    * grouped pass. */
+  val transitionEntropy: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"prev", $"event_type".as("cur"))
+    val cnt = tr.groupBy($"prev", $"cur").agg(count(lit(1)).as("n_pc"))
+    val tot = cnt.groupBy($"prev").agg(sum($"n_pc").as("n_p"))
+    cnt.join(tot, Seq("prev"))
+      .select($"prev", $"n_p",
+        expr("CAST(round(-1000000.0 * (CAST(n_pc AS DOUBLE) /" +
+          " CAST(n_p AS DOUBLE)) * ln(CAST(n_pc AS DOUBLE) /" +
+          " CAST(n_p AS DOUBLE))) AS BIGINT)").as("term"))
+      .groupBy($"prev", $"n_p")
+      .agg(count(lit(1)).as("n_successors"),
+        sum($"term").as("entropy_micro_nats"))
+      .select($"prev".as("prev_type"), $"n_p".as("n_trans"),
+        $"n_successors", $"entropy_micro_nats")
+  }
+
+  // ----------------------------------------- q282 hapax ratio
+
+  /** q282 — hapax-legomena rate per source (the vocabulary-health
+    * number: a high hapax share means typo/noise-heavy text, a low
+    * one means templated text): per-source word counts collapse to
+    * the (source, word) frame (one shuffle keyed on the pair), then
+    * per-source vocabulary, hapax count, and token totals in one
+    * grouped pass; ratios are integral micro. */
+  val hapaxRatio: Q = (s, dir) => {
+    import s.implicits._
+    val sw = Tables(s, dir, "documents")
+      .select($"source", explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    sw.groupBy($"source")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum($"c").as("n_tokens"))
+      .select($"source", $"vocab_size", $"n_hapax", $"n_tokens",
+        expr("1000000 * n_hapax div vocab_size").as("hapax_micro"))
+  }
+
+  // ------------------------------------------- q283 PR curve
+
+  /** q283 — precision/recall curve of the q224/q191 confidence score
+    * at ten equal-width thresholds: each row explodes into its
+    * qualifying thresholds and the counts map-side combine into 10
+    * groups (the q249 explode-then-collapse stance — never a global
+    * rank). Precision and recall are integral micro; the positives
+    * total rides a broadcast one-row frame. */
+  val prCurve: Q = (s, dir) => {
+    import s.implicits._
+    val scored = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_custkey").distinct()
+          .withColumn("label", lit(1L)),
+        $"c_custkey" === $"o_custkey", "left")
+      .select(round($"c_acctbal" * 100).cast("long").as("cents"),
+        coalesce($"label", lit(0L)).as("y"))
+    val bounds = scored.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val conf = scored.crossJoin(broadcast(bounds))
+      .select($"y", expr("1000000 * (cents - lo)" +
+        " div greatest(hi - lo, 1)").as("conf"))
+    val pos = conf.agg(sum($"y").as("n_pos"))
+    conf.select($"y", $"conf", explode(expr("sequence(0, 9)")).as("t"))
+      .filter($"conf" >= $"t" * 100000)
+      .groupBy($"t")
+      .agg(count(lit(1)).as("n_pred_pos"), sum($"y").as("tp"))
+      .crossJoin(broadcast(pos))
+      .select(($"t".cast("long") * 100000).as("threshold_micro"),
+        $"n_pred_pos", $"tp",
+        expr("1000000 * tp div greatest(n_pred_pos, 1)")
+          .as("precision_micro"),
+        expr("1000000 * tp div greatest(n_pos, 1)").as("recall_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1453,6 +1540,9 @@ object Insights {
     "q278_small_order_revenue" -> smallOrderRevenue,
     "q279_large_volume_customers" -> largeVolumeCustomers,
     "q280_global_sales_opportunity" -> globalSalesOpportunity,
+    "q281_transition_entropy" -> transitionEntropy,
+    "q282_hapax_ratio" -> hapaxRatio,
+    "q283_pr_curve" -> prCurve,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2400,6 +2490,60 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q281_transition_entropy" ->
+      """WITH tr AS (SELECT prev, event_type AS cur FROM
+        |    (SELECT event_type, lag(event_type) OVER
+        |       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |     FROM events)
+        |  WHERE prev IS NOT NULL),
+        |cnt AS (SELECT prev, cur, count(*)::BIGINT AS n_pc FROM tr
+        |  GROUP BY prev, cur),
+        |tot AS (SELECT prev, sum(n_pc)::BIGINT AS n_p FROM cnt
+        |  GROUP BY prev),
+        |t AS (SELECT cnt.prev, n_p,
+        |    CAST(round(-1000000.0 * (CAST(n_pc AS DOUBLE) /
+        |      CAST(n_p AS DOUBLE)) * ln(CAST(n_pc AS DOUBLE) /
+        |      CAST(n_p AS DOUBLE))) AS BIGINT) AS term
+        |  FROM cnt JOIN tot ON cnt.prev = tot.prev)
+        |SELECT prev AS prev_type, n_p AS n_trans,
+        |  count(*)::BIGINT AS n_successors,
+        |  sum(term)::BIGINT AS entropy_micro_nats
+        |FROM t GROUP BY prev, n_p""".stripMargin,
+    "q282_hapax_ratio" -> {
+      val toks = sqlTokens("text")
+      s"""WITH sw AS (SELECT source, w, count(*)::BIGINT AS c FROM
+         |    (SELECT source, unnest($toks) AS w FROM documents)
+         |  GROUP BY source, w)
+         |SELECT source, count(*)::BIGINT AS vocab_size,
+         |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |  sum(c)::BIGINT AS n_tokens,
+         |  CAST(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+         |    ::BIGINT // count(*)::BIGINT AS BIGINT) AS hapax_micro
+         |FROM sw GROUP BY source""".stripMargin
+    },
+    "q283_pr_curve" ->
+      """WITH sc AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT)
+        |    AS cents,
+        |    CASE WHEN o.c2 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM customer LEFT JOIN (SELECT DISTINCT o_custkey AS c2
+        |      FROM orders WHERE o_totalprice > 450000.0) o
+        |    ON c_custkey = o.c2),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM sc),
+        |conf AS (SELECT y, CAST(1000000 * (cents - lo) //
+        |    greatest(hi - lo, 1) AS BIGINT) AS conf
+        |  FROM sc CROSS JOIN b),
+        |pos AS (SELECT sum(y)::BIGINT AS n_pos FROM conf),
+        |g AS (SELECT t.t, count(*)::BIGINT AS n_pred_pos,
+        |    sum(y)::BIGINT AS tp
+        |  FROM conf CROSS JOIN UNNEST(range(0, 10)) AS t(t)
+        |  WHERE conf >= t.t * 100000 GROUP BY t.t)
+        |SELECT CAST(t * 100000 AS BIGINT) AS threshold_micro,
+        |  n_pred_pos, tp,
+        |  CAST(1000000 * tp // greatest(n_pred_pos, 1) AS BIGINT)
+        |    AS precision_micro,
+        |  CAST(1000000 * tp // greatest(n_pos, 1) AS BIGINT)
+        |    AS recall_micro
+        |FROM g CROSS JOIN pos""".stripMargin,
     "q278_small_order_revenue" ->
       """WITH pk AS (SELECT p_partkey FROM part
         |  WHERE p_brand = 'Brand#12' AND p_size < 15),

@@ -367,6 +367,36 @@ class InsightsSpec extends SparkSpec {
     assert(picked > 0 && picked <= total - urgent)
   }
 
+  test("q281 transition entropy: bounded by ln(successors)") {
+    val r = Insights.transitionEntropy(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val maxH = math.round(1000000.0 * math.log(x.getLong(2).toDouble))
+      assert(x.getLong(3) >= 0 && x.getLong(3) <= maxH + x.getLong(2),
+        s"entropy ${x.getLong(3)} exceeds ln(k) bound $maxH")
+    }
+  }
+
+  test("q282 hapax: counts nest (hapax <= vocab <= tokens)") {
+    val r = Insights.hapaxRatio(spark, sfDir)
+    assert(r.filter($"n_hapax" > $"vocab_size" ||
+      $"vocab_size" > $"n_tokens").count() == 0)
+    assert(r.count() ==
+      Tables(spark, sfDir, "documents")
+        .select($"source").distinct().count())
+  }
+
+  test("q283 PR curve: recall monotone nonincreasing in threshold") {
+    val r = Insights.prCurve(spark, sfDir).orderBy($"threshold_micro")
+      .collect()
+    assert(r.length == 10)
+    val rec = r.map(_.getLong(4))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b })
+    // threshold 0 catches every positive
+    assert(rec.head == 1000000L ||
+      r.head.getLong(2) == r.map(_.getLong(2)).max)
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
