@@ -1500,6 +1500,74 @@ object Insights {
         expr("1000000 * tp div greatest(n_pos, 1)").as("recall_micro"))
   }
 
+  // -------------------------------------------- q284 forecast MASE
+
+  /** q284 — forecast-accuracy baseline (MASE, Hyndman & Koehler
+    * 2006): the weekly-seasonal naive forecast's MAE on daily
+    * revenue, scaled by the one-step naive MAE — the sanity bar any
+    * real forecasting model must clear, and the standard
+    * scale-free way to report it. Lag windows run on the
+    * calendar-bounded day series (the q57 whitelist family); error
+    * sums are exact cent longs and MASE is one integer
+    * cross-multiplied micro ratio. */
+  val forecastMase: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val w = Window.orderBy($"day")
+    val lagged = d
+      .withColumn("e1", abs($"rev" - lag($"rev", 1).over(w)))
+      .withColumn("e7", abs($"rev" - lag($"rev", 7).over(w)))
+    lagged.agg(count(lit(1)).as("n_days"),
+        sum(when($"e1".isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(coalesce($"e1", lit(0L))).as("s1"),
+        sum(when($"e7".isNotNull, 1L).otherwise(0L)).as("n7"),
+        sum(coalesce($"e7", lit(0L))).as("s7"))
+      .select($"n_days",
+        expr("s1 div n1").as("mae_naive_cents"),
+        expr("s7 div n7").as("mae_snaive_cents"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * s7 * n1" +
+          " div (CAST(s1 AS DECIMAL(38,0)) * n7) AS BIGINT)")
+          .as("mase_micro"))
+  }
+
+  // -------------------------------------------- q285 XYZ classes
+
+  /** q285 — XYZ demand-variability classification (the companion
+    * axis to q172's ABC value classes): per-part monthly demand CV
+    * (months with sales only, by contract), micro-quantized PER PART
+    * from exact sums, then the X/<0.5 / Y/<1.0 / Z census. Shuffles:
+    * (part, month) aggregation, per-part rollup, 3-group census —
+    * all map-side combined. */
+  val xyzClasses: Q = (s, dir) => {
+    import s.implicits._
+    val pm = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_partkey", trunc(to_date($"o_orderdate"), "month")
+        .as("mon"))
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+    val per = pm.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("nm"), sum($"q").as("sq"),
+        sum($"q" * $"q").as("qq"))
+      .filter($"nm" >= 2)
+      .select($"l_partkey",
+        expr("CAST(round(1000000.0 * sqrt((CAST(nm AS DOUBLE) *" +
+          " CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) *" +
+          " CAST(sq AS DOUBLE)) / (CAST(nm AS DOUBLE) *" +
+          " CAST(nm - 1 AS DOUBLE))) / (CAST(sq AS DOUBLE) /" +
+          " CAST(nm AS DOUBLE))) AS BIGINT)").as("cv_micro"))
+    val classed = per.select(
+      when($"cv_micro" < 500000, "X")
+        .when($"cv_micro" < 1000000, "Y")
+        .otherwise("Z").as("xyz"))
+    val tot = classed.agg(count(lit(1)).as("n_parts_total"))
+    classed.groupBy($"xyz").agg(count(lit(1)).as("n_parts"))
+      .crossJoin(broadcast(tot))
+      .select($"xyz", $"n_parts",
+        expr("1000000 * n_parts div n_parts_total").as("share_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1543,6 +1611,8 @@ object Insights {
     "q281_transition_entropy" -> transitionEntropy,
     "q282_hapax_ratio" -> hapaxRatio,
     "q283_pr_curve" -> prCurve,
+    "q284_forecast_mase" -> forecastMase,
+    "q285_xyz_classes" -> xyzClasses,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2490,6 +2560,51 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q284_forecast_mase" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev
+        |  FROM orders GROUP BY day),
+        |l AS (SELECT day, rev,
+        |    abs(rev - lag(rev, 1) OVER (ORDER BY day)) AS e1,
+        |    abs(rev - lag(rev, 7) OVER (ORDER BY day)) AS e7
+        |  FROM d),
+        |a AS (SELECT count(*)::BIGINT AS n_days,
+        |    sum(CASE WHEN e1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n1,
+        |    sum(coalesce(e1, 0))::BIGINT AS s1,
+        |    sum(CASE WHEN e7 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n7,
+        |    sum(coalesce(e7, 0))::BIGINT AS s7
+        |  FROM l)
+        |SELECT n_days, CAST(s1 // n1 AS BIGINT) AS mae_naive_cents,
+        |  CAST(s7 // n7 AS BIGINT) AS mae_snaive_cents,
+        |  CAST(CAST(1000000 AS HUGEINT) * s7 * n1
+        |    // (CAST(s1 AS HUGEINT) * n7) AS BIGINT) AS mase_micro
+        |FROM a""".stripMargin,
+    "q285_xyz_classes" ->
+      """WITH pm AS (SELECT l_partkey,
+        |    date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_partkey, mon),
+        |per AS (SELECT l_partkey,
+        |    CAST(round(1000000.0 * sqrt((CAST(nm AS DOUBLE) *
+        |      CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) *
+        |      CAST(sq AS DOUBLE)) / (CAST(nm AS DOUBLE) *
+        |      CAST(nm - 1 AS DOUBLE))) / (CAST(sq AS DOUBLE) /
+        |      CAST(nm AS DOUBLE))) AS BIGINT) AS cv_micro
+        |  FROM (SELECT l_partkey, count(*)::BIGINT AS nm,
+        |      sum(q)::BIGINT AS sq, sum(q * q)::BIGINT AS qq
+        |    FROM pm GROUP BY l_partkey) s WHERE nm >= 2),
+        |cl AS (SELECT CASE WHEN cv_micro < 500000 THEN 'X'
+        |    WHEN cv_micro < 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM per),
+        |tot AS (SELECT count(*)::BIGINT AS n_parts_total FROM cl)
+        |SELECT xyz, count(*)::BIGINT AS n_parts,
+        |  CAST(1000000 * count(*)::BIGINT // n_parts_total AS BIGINT)
+        |    AS share_micro
+        |FROM cl CROSS JOIN tot GROUP BY xyz, n_parts_total""".stripMargin,
     "q281_transition_entropy" ->
       """WITH tr AS (SELECT prev, event_type AS cur FROM
         |    (SELECT event_type, lag(event_type) OVER

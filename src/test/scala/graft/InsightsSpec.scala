@@ -397,6 +397,22 @@ class InsightsSpec extends SparkSpec {
       r.head.getLong(2) == r.map(_.getLong(2)).max)
   }
 
+  test("q284 MASE: error censuses line up with the day count") {
+    val row = Insights.forecastMase(spark, sfDir).collect()(0)
+    val n = row.getLong(0)
+    assert(n > 7)
+    assert(row.getLong(1) > 0 && row.getLong(2) > 0)
+    assert(row.getLong(3) > 0)
+  }
+
+  test("q285 XYZ: classes partition the eligible parts") {
+    val r = Insights.xyzClasses(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 3)
+    val share = r.map(_.getLong(2)).sum
+    // integral-division shares sum to <= 1.0 with < #classes slack
+    assert(share <= 1000000 && share > 1000000 - 3)
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum

@@ -237,7 +237,9 @@ class PlanSpec extends SparkSpec {
       // corpus size
       "q262_fdr_screen", "q265_token_budget",
       // q276: rank over the Zipf-collapsed vocabulary (q160 precedent)
-      "q276_vocab_coverage")
+      "q276_vocab_coverage",
+      // q284: lag windows on the per-day aggregate series (q57 family)
+      "q284_forecast_mase")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
