@@ -1568,6 +1568,91 @@ object Insights {
         expr("1000000 * n_parts div n_parts_total").as("share_micro"))
   }
 
+  // --------------------------------------------- q286 SAX motifs
+
+  /** q286 — SAX-style time-series motif mining on daily revenue
+    * (Lin et al. 2003, with EMPIRICAL tercile breakpoints instead of
+    * Gaussian ones so the whole pipeline stays in exact integers):
+    * days bucket into weeks (PAA), week means tercile-symbolize via
+    * ntile over the WEEK-bounded frame, and sliding trigrams of the
+    * symbol string count into motifs — the repeated-shape detector
+    * behind seasonality discovery and anomaly templates. Every
+    * window here runs on the O(weeks) series (q57 whitelist family);
+    * means are integral micro. */
+  val saxMotifs: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val d0 = d.agg(min($"day").as("day0"))
+    val wk = d.crossJoin(broadcast(d0))
+      .select(expr("datediff(day, day0) div 7").as("week"), $"rev")
+      .groupBy($"week")
+      .agg(expr("1000000 * sum(rev) div count(1)").as("wmean"))
+    val sym = wk.withColumn("sym",
+      ntile(3).over(Window.orderBy($"wmean", $"week")).cast("long") - 1)
+    val tri = sym
+      .withColumn("s1", lag($"sym", 1).over(Window.orderBy($"week")))
+      .withColumn("s2", lag($"sym", 2).over(Window.orderBy($"week")))
+      .filter($"s2".isNotNull)
+      .select(concat($"s2", $"s1", $"sym").as("motif"))
+    val tot = sym.agg(count(lit(1)).as("n_weeks"))
+    tri.groupBy($"motif").agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(tot))
+      .orderBy($"n_occurrences".desc, $"motif".asc).limit(10)
+  }
+
+  // ------------------------------------------ q287 audience overlap
+
+  /** q287 — exact audience-overlap matrix between event types: the
+    * per-type user sets' pairwise intersections and Jaccard — the
+    * exact ground truth q217's HLL inclusion-exclusion ESTIMATES
+    * (run both to size the sketch error). The (type, user) frame
+    * collapses first (distinct), the pair join is keyed on user (a
+    * user contributes only its own type pairs — bounded by types²
+    * per user, never corpus²), and sizes ride a broadcast k-row
+    * frame. */
+  val audienceOverlap: Q = (s, dir) => {
+    import s.implicits._
+    val tu = Tables(s, dir, "events")
+      .select($"event_type".as("t"), $"user_id").distinct()
+    val sizes = tu.groupBy($"t").agg(count(lit(1)).as("nu"))
+    val inter = tu.as("a")
+      .join(tu.as("b"), $"a.user_id" === $"b.user_id" && $"a.t" < $"b.t")
+      .groupBy($"a.t".as("type_a"), $"b.t".as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select($"t".as("type_a"), $"nu".as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select($"t".as("type_b"), $"nu".as("n_b"))),
+        Seq("type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_inter",
+        expr("1000000 * n_inter div (n_a + n_b - n_inter)")
+          .as("jaccard_micro"))
+  }
+
+  // --------------------------------------------- q288 record days
+
+  /** q288 — record-breaking days per year (the running-max census
+    * behind "best day ever" reporting and drift alarms): a day beats
+    * the strict running max of all prior days. The cumulative max
+    * runs on the calendar-bounded day series (q57 whitelist family);
+    * the per-year rollup is exact counts. */
+  val recordDays: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("prev_max", max($"rev").over(w))
+      .select(year($"day").cast("long").as("yr"),
+        when($"prev_max".isNull || $"rev" > $"prev_max", 1L)
+          .otherwise(0L).as("rec"))
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_days"), sum($"rec").as("n_records"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1613,6 +1698,9 @@ object Insights {
     "q283_pr_curve" -> prCurve,
     "q284_forecast_mase" -> forecastMase,
     "q285_xyz_classes" -> xyzClasses,
+    "q286_sax_motifs" -> saxMotifs,
+    "q287_audience_overlap" -> audienceOverlap,
+    "q288_record_days" -> recordDays,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2560,6 +2648,52 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q286_sax_motifs" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev
+        |  FROM orders GROUP BY day),
+        |d0 AS (SELECT min(day) AS day0 FROM d),
+        |wk AS (SELECT date_diff('day', day0, day) // 7 AS week,
+        |    CAST(1000000 * sum(rev)::BIGINT // count(*)::BIGINT
+        |      AS BIGINT) AS wmean
+        |  FROM d CROSS JOIN d0 GROUP BY week),
+        |sym AS (SELECT week,
+        |    ntile(3) OVER (ORDER BY wmean, week) - 1 AS sym FROM wk),
+        |tri AS (SELECT concat(s2, s1, sym) AS motif FROM
+        |  (SELECT sym, lag(sym, 1) OVER (ORDER BY week) AS s1,
+        |     lag(sym, 2) OVER (ORDER BY week) AS s2 FROM sym)
+        |  WHERE s2 IS NOT NULL),
+        |tot AS (SELECT count(*)::BIGINT AS n_weeks FROM sym)
+        |SELECT motif, count(*)::BIGINT AS n_occurrences, n_weeks
+        |FROM tri CROSS JOIN tot GROUP BY motif, n_weeks
+        |ORDER BY n_occurrences DESC, motif LIMIT 10""".stripMargin,
+    "q287_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id
+        |  FROM events),
+        |sizes AS (SELECT t, count(*)::BIGINT AS nu FROM tu GROUP BY t),
+        |inter AS (SELECT a.t AS type_a, b.t AS type_b,
+        |    count(*)::BIGINT AS n_inter
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY a.t, b.t)
+        |SELECT type_a, type_b, sa.nu AS n_a, sb.nu AS n_b, n_inter,
+        |  CAST(1000000 * n_inter // (sa.nu + sb.nu - n_inter)
+        |    AS BIGINT) AS jaccard_micro
+        |FROM inter JOIN sizes sa ON type_a = sa.t
+        |JOIN sizes sb ON type_b = sb.t""".stripMargin,
+    "q288_record_days" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev
+        |  FROM orders GROUP BY day),
+        |m AS (SELECT day, rev, max(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_max FROM d)
+        |SELECT year(day)::BIGINT AS yr, count(*)::BIGINT AS n_days,
+        |  sum(CASE WHEN prev_max IS NULL OR rev > prev_max
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_records
+        |FROM m GROUP BY yr""".stripMargin,
     "q284_forecast_mase" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT

@@ -413,6 +413,31 @@ class InsightsSpec extends SparkSpec {
     assert(share <= 1000000 && share > 1000000 - 3)
   }
 
+  test("q286 SAX: motifs are length-3 ternary strings, occurrence " +
+    "mass = weeks - 2") {
+    val r = Insights.saxMotifs(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getString(0).matches("[012]{3}")))
+    val weeks = r.head.getLong(2)
+    // top-10 can't exceed the full trigram mass
+    assert(r.map(_.getLong(1)).sum <= weeks - 2)
+  }
+
+  test("q287 audience overlap: intersection bounded by set sizes") {
+    val r = Insights.audienceOverlap(spark, sfDir)
+    assert(r.filter($"n_inter" > $"n_a" || $"n_inter" > $"n_b" ||
+      $"jaccard_micro" > 1000000L).count() == 0)
+    assert(r.count() == 10) // C(5,2) event-type pairs
+  }
+
+  test("q288 record days: first year has at least one record, " +
+    "records never exceed days") {
+    val r = Insights.recordDays(spark, sfDir).orderBy($"yr").collect()
+    assert(r.nonEmpty)
+    assert(r.head.getLong(2) >= 1, "day one always sets a record")
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1)))
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
