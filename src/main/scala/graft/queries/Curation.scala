@@ -1645,7 +1645,7 @@ object Curation {
     * inlining would re-run earlier rounds exponentially). Assumes every
     * round finds a pair (holds whenever some word still has ≥2 symbols;
     * CurationSpec asserts 8 full rounds on this corpus). */
-  private def sqlBpeRounds(rounds: Int): String = {
+  private[queries] def sqlBpeRounds(rounds: Int): String = {
     val toks = sqlTokens("text")
     val base =
       s"""w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n

@@ -1653,6 +1653,122 @@ object Insights {
       .agg(count(lit(1)).as("n_days"), sum($"rec").as("n_records"))
   }
 
+  // ----------------------------------------- q289 BPE merge sweep
+
+  /** q289 — tokenizer merge-budget sweep: corpus fertility
+    * (pieces/word) after 2, 4 and 8 BPE merges — the
+    * compression-per-merge curve that decides how much tokenizer
+    * training is worth buying. Greedy BPE is deterministic, so the
+    * r-round vocabulary equals the first r rounds of the 8-round
+    * chain (the oracle reads the s2/s4/s8 states of ONE chain); the
+    * Spark side re-trains per budget — each round is the q98
+    * argmax-collect seam and the encode join broadcasts the
+    * vocab-sized piece table. */
+  val bpeMergeSweep: Q = (s, dir) => {
+    import s.implicits._
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val words = tok.select(explode($"toks").as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+    def total(r: Int) = {
+      val vocab = graft.functions.Bpe.train(words, rounds = r)._2
+        .select($"word", size(split($"sym", " ")).cast("long")
+          .as("pieces"))
+      tok.select(explode($"toks").as("word"))
+        .join(broadcast(vocab), Seq("word"))
+        .agg(count(lit(1)).as("total_words"),
+          sum($"pieces").as("total_pieces"))
+        .select(lit(r.toLong).as("merge_rounds"), $"total_words",
+          $"total_pieces",
+          expr("1000000 * total_pieces div total_words")
+            .as("fertility_micro"))
+    }
+    Seq(2, 4, 8).map(total).reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------- q290 context census
+
+  /** q290 — context-window overflow census: how many documents
+    * exceed each candidate window and how much token mass truncation
+    * would destroy (limits sized to this corpus's token scale; the
+    * operator is limit-parametric). One explode into 3 limit groups,
+    * map-side combined — the sizing input to q59's chunking and
+    * q64's packing. */
+  val contextCensus: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select(size(TextOps.tokens($"text")).cast("long").as("nt"))
+    val tot = d.agg(sum($"nt").as("total_tokens"))
+    d.select($"nt", explode(expr("array(32, 64, 128)")).as("lim"))
+      .groupBy($"lim")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"nt" > $"lim", 1L).otherwise(0L)).as("n_over"),
+        sum(greatest($"nt" - $"lim", lit(0L))).as("tokens_lost"))
+      .crossJoin(broadcast(tot))
+      .select($"lim".cast("long").as("window_limit"), $"n_docs",
+        $"n_over", $"tokens_lost",
+        expr("1000000 * tokens_lost div total_tokens")
+          .as("loss_micro"))
+  }
+
+  // ------------------------------------- q291 bigram acceptance
+
+  /** q291 — speculative-decoding acceptance proxy: how often the
+    * corpus-level argmax bigram predictor guesses the next TOKEN
+    * (q257's construction, applied to text instead of events) — the
+    * cheap upper-bound screen for draft-model speedup per source.
+    * The predictor is a vocab-bounded frame (argmax per w1 via a
+    * w1-keyed window) broadcast back over the bigram stream. */
+  val bigramAcceptance: Q = (s, dir) => {
+    import s.implicits._
+    val bg = Tables(s, dir, "documents")
+      .select($"source", TextOps.tokens($"text").as("toks"))
+      .select($"source", explode(when(size($"toks") >= 2,
+          sequence(lit(1), size($"toks") - 1))
+        .otherwise(array().cast("array<int>"))).as("i"), $"toks")
+      .select($"source", element_at($"toks", $"i").as("w1"),
+        element_at($"toks", $"i" + 1).as("w2"))
+    val pred = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"w1").orderBy($"c".desc, $"w2".asc)))
+      .filter($"rn" === 1).select($"w1", $"w2".as("pred"))
+    bg.join(broadcast(pred), Seq("w1"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"w2" === $"pred", 1L).otherwise(0L)).as("n_accepted"))
+      .select($"source", $"n_bigrams", $"n_accepted",
+        expr("1000000 * n_accepted div n_bigrams").as("accept_micro"))
+  }
+
+  // ------------------------------------------ q292 kNN outliers
+
+  /** q292 — kNN-distance outlier scores over the embedding sample
+    * (the local-density screen beside q68's global centroid
+    * distance): each eval vector's mean cosine to its 5 nearest
+    * neighbors, quantized per NEIGHBOR before the exact 5-way mean —
+    * low mean-neighbor similarity = isolated point. Same broadcast
+    * sample + keyed-window candidate pruning as q252. */
+  val knnOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("q_label"))
+    e.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id",
+        Similarity.cosine($"embedding", $"qv").as("cs"))
+      .select($"q_id", $"q_label", $"vec_id",
+        expr("CAST(round(1000000.0 * cs) AS BIGINT)").as("cs_micro"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"q_id")
+        .orderBy($"cs_micro".desc, $"vec_id".asc)))
+      .filter($"rank" <= 5)
+      .groupBy($"q_id", $"q_label")
+      .agg(expr("sum(cs_micro) div 5").as("mean5_cos_micro"))
+      .select($"q_id", $"q_label", $"mean5_cos_micro",
+        (lit(1000000L) - $"mean5_cos_micro").as("outlier_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1701,6 +1817,10 @@ object Insights {
     "q286_sax_motifs" -> saxMotifs,
     "q287_audience_overlap" -> audienceOverlap,
     "q288_record_days" -> recordDays,
+    "q289_bpe_merge_sweep" -> bpeMergeSweep,
+    "q290_context_census" -> contextCensus,
+    "q291_bigram_acceptance" -> bigramAcceptance,
+    "q292_knn_outliers" -> knnOutliers,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2648,6 +2768,81 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q289_bpe_merge_sweep" -> {
+      val toks = sqlTokens("text")
+      val pieces = Seq(2, 4, 8).map { r =>
+        s"""pc_$r AS (SELECT word,
+           |    len(string_split(sym, ' '))::BIGINT AS pieces
+           |  FROM s$r),
+           |t_$r AS (SELECT count(*)::BIGINT AS tw,
+           |    sum(p.pieces)::BIGINT AS tp
+           |  FROM corpus c JOIN pc_$r p USING (word))""".stripMargin
+      }.mkString(",\n")
+      val rows = Seq(2, 4, 8).map { r =>
+        s"""SELECT ${r}::BIGINT AS merge_rounds, tw AS total_words,
+           |  tp AS total_pieces,
+           |  CAST(1000000 * tp // tw AS BIGINT) AS fertility_micro
+           |FROM t_$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${Curation.sqlBpeRounds(8)},
+         |corpus AS (SELECT unnest($toks) AS word FROM documents),
+         |$pieces
+         |$rows""".stripMargin
+    },
+    "q290_context_census" -> {
+      val toks = sqlTokens("text")
+      s"""WITH d AS (SELECT len($toks)::BIGINT AS nt FROM documents),
+         |tot AS (SELECT sum(nt)::BIGINT AS total_tokens FROM d),
+         |g AS (SELECT l.lim, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN nt > l.lim THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_over,
+         |    sum(greatest(nt - l.lim, 0))::BIGINT AS tokens_lost
+         |  FROM d CROSS JOIN (SELECT unnest([32, 64, 128]) AS lim) l
+         |  GROUP BY l.lim)
+         |SELECT CAST(lim AS BIGINT) AS window_limit, n_docs, n_over,
+         |  tokens_lost,
+         |  CAST(1000000 * tokens_lost // total_tokens AS BIGINT)
+         |    AS loss_micro
+         |FROM g CROSS JOIN tot""".stripMargin
+    },
+    "q291_bigram_acceptance" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |bg AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT source, toks,
+         |      CAST(unnest(range(1, len(toks)::BIGINT)) AS INT) AS i
+         |    FROM t)),
+         |cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg
+         |  GROUP BY w1, w2),
+         |pred AS (SELECT w1, w2 AS pred FROM (SELECT w1, w2,
+         |    row_number() OVER (PARTITION BY w1
+         |      ORDER BY c DESC, w2) AS rn FROM cnt) WHERE rn = 1)
+         |SELECT source, count(*)::BIGINT AS n_bigrams,
+         |  sum(CASE WHEN bg.w2 = pred.pred THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_accepted,
+         |  CAST(1000000 * sum(CASE WHEN bg.w2 = pred.pred THEN 1
+         |    ELSE 0 END)::BIGINT // count(*)::BIGINT AS BIGINT)
+         |    AS accept_micro
+         |FROM bg JOIN pred ON bg.w1 = pred.w1
+         |GROUP BY source""".stripMargin
+    },
+    "q292_knn_outliers" -> {
+      val cos = sqlCosCols("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+         |    label AS q_label FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT q.q_id, q.q_label, e.vec_id,
+         |    CAST(round(1000000.0 * ($cos)) AS BIGINT) AS cs_micro
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |nn AS (SELECT q_id, q_label, cs_micro FROM (SELECT q_id,
+         |    q_label, cs_micro, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cs_micro DESC, vec_id) AS rn FROM c)
+         |  WHERE rn <= 5)
+         |SELECT q_id, q_label,
+         |  CAST(sum(cs_micro) // 5 AS BIGINT) AS mean5_cos_micro,
+         |  CAST(1000000 - sum(cs_micro) // 5 AS BIGINT)
+         |    AS outlier_micro
+         |FROM nn GROUP BY q_id, q_label""".stripMargin
+    },
     "q286_sax_motifs" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT

@@ -438,6 +438,41 @@ class InsightsSpec extends SparkSpec {
     assert(r.forall(x => x.getLong(2) <= x.getLong(1)))
   }
 
+  test("q289 BPE sweep: fertility monotone nonincreasing in merges") {
+    val r = Insights.bpeMergeSweep(spark, sfDir)
+      .orderBy($"merge_rounds").collect()
+    assert(r.length == 3)
+    val f = r.map(_.getLong(3))
+    assert(f(0) >= f(1) && f(1) >= f(2),
+      s"more merges can only compress: ${f.mkString(",")}")
+    // same corpus every config
+    assert(r.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("q290 context census: loss monotone decreasing in the limit") {
+    val r = Insights.contextCensus(spark, sfDir)
+      .orderBy($"window_limit").collect()
+    assert(r.length == 3)
+    val lost = r.map(_.getLong(3))
+    assert(lost(0) >= lost(1) && lost(1) >= lost(2))
+    assert(r.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("q291 bigram acceptance: rates are probabilities over the " +
+    "full bigram census") {
+    val r = Insights.bigramAcceptance(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1)))
+    assert(r.forall(x => x.getLong(3) <= 1000000))
+  }
+
+  test("q292 kNN outliers: score complements the mean similarity") {
+    val r = Insights.knnOutliers(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x =>
+      x.getLong(2) + x.getLong(3) == 1000000L))
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum
