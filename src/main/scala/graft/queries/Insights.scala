@@ -1769,6 +1769,176 @@ object Insights {
         (lit(1000000L) - $"mean5_cos_micro").as("outlier_micro"))
   }
 
+  // -------------------------------------- q293 neg-binomial moments
+
+  /** q293 — negative-binomial overdispersion fit by moments: per
+    * event type, the per-user count distribution's (r̂, p̂) from
+    * mean/variance — the standard model for bursty count data, and
+    * the quantitative answer to "is this Poisson or not" (variance
+    * ratio > 1). Exact count sums per (type, user) collapse first;
+    * each type's estimators are one double expression over its own
+    * exact row; types where variance ≤ mean yield NULL by contract
+    * (Poisson-or-under regime has no NB fit). */
+  val negbinMoments: Q = (s, dir) => {
+    import s.implicits._
+    val cu = Tables(s, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("c"))
+    cu.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"), sum($"c").as("sc"),
+        sum($"c" * $"c").as("scc"))
+      .select($"event_type", $"n_users",
+        expr("1000 * sc div n_users").as("mean_milli"),
+        expr("CAST(round(1000.0 * (CAST(n_users AS DOUBLE) *" +
+          " CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) *" +
+          " CAST(sc AS DOUBLE)) / (CAST(n_users AS DOUBLE) *" +
+          " CAST(n_users - 1 AS DOUBLE))) AS BIGINT)").as("var_milli"))
+      .select($"event_type", $"n_users", $"mean_milli", $"var_milli",
+        expr("CASE WHEN var_milli > mean_milli THEN" +
+          " CAST(round(1000000.0 * CAST(mean_milli AS DOUBLE) *" +
+          " CAST(mean_milli AS DOUBLE) / (1000.0 *" +
+          " CAST(var_milli - mean_milli AS DOUBLE))) AS BIGINT)" +
+          " ELSE NULL END").as("r_micro"),
+        expr("CASE WHEN var_milli > mean_milli THEN" +
+          " CAST(round(1000000.0 * CAST(mean_milli AS DOUBLE) /" +
+          " CAST(var_milli AS DOUBLE)) AS BIGINT)" +
+          " ELSE NULL END").as("p_micro"))
+  }
+
+  // ---------------------------------------- q294 front coding
+
+  /** q294 — front-coding compression estimate over the sorted
+    * vocabulary (the dictionary-layout decision for string columns
+    * and term indexes): neighbor longest-common-prefix via a lag on
+    * the vocabulary-bounded frame (whitelisted, q160 family), LCP
+    * computed as a counted prefix-equality filter (monotone, so the
+    * count IS the prefix length); bytes-saved is an exact sum. */
+  val frontCoding: Q = (s, dir) => {
+    import s.implicits._
+    val vocab = Tables(s, dir, "documents")
+      .select(explode(TextOps.tokens($"text")).as("w")).distinct()
+    val lagged = vocab
+      .withColumn("pw", lag($"w", 1).over(Window.orderBy($"w")))
+    lagged.select($"w",
+        when($"pw".isNull, 0L).otherwise(expr(
+          "size(filter(sequence(1, least(length(w), length(pw)))," +
+            " i -> substring(w, 1, i) = substring(pw, 1, i)))")
+          .cast("long")).as("lcp"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(length($"w").cast("long")).as("total_bytes"),
+        sum($"lcp").as("saved_bytes"))
+      .select($"vocab_size", $"total_bytes", $"saved_bytes",
+        expr("1000000 * saved_bytes div total_bytes")
+          .as("saving_micro"))
+  }
+
+  // -------------------------------------- q295 seasonal strength
+
+  /** q295 — seasonal-strength score (Hyndman's F_s): 1 −
+    * var(residual)/var(detrended) after removing a centered 7-day
+    * moving average and the day-of-week means — the single number
+    * that says whether q166/q187's weekly pattern is signal or
+    * noise. Day-series windows (whitelist family); the MA and DOW
+    * means are truncating exact divisions; both variances use the
+    * n·Σx²−(Σx)² cross form over exact long sums in one final row. */
+  val seasonalStrength: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val det = d
+      .withColumn("ma", expr("sum(rev) OVER (ORDER BY day ROWS" +
+        " BETWEEN 3 PRECEDING AND 3 FOLLOWING) div count(rev) OVER" +
+        " (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
+      .select($"day", ($"rev" - $"ma").as("dt"),
+        dayofweek($"day").as("dow"))
+    val dow = det.groupBy($"dow")
+      .agg(expr("sum(dt) div count(1)").as("sdow"))
+    det.join(broadcast(dow), Seq("dow"))
+      .select($"dt", ($"dt" - $"sdow").as("rs"))
+      .agg(count(lit(1)).as("n"), sum($"dt").as("sd"),
+        sum($"dt".cast("decimal(38,0)") * $"dt".cast("decimal(38,0)"))
+          .as("sdd"),
+        sum($"rs").as("sr"),
+        sum($"rs".cast("decimal(38,0)") * $"rs".cast("decimal(38,0)"))
+          .as("srr"))
+      .select($"n",
+        expr("CAST(round(1000000.0 * greatest(0.0, 1.0 -" +
+          " (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) -" +
+          " CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) /" +
+          " (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) -" +
+          " CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))) AS BIGINT)")
+          .as("seasonal_strength_micro"))
+  }
+
+  // ------------------------------------- q296 dedup pipeline verdict
+
+  /** q296 — end-to-end dedup pipeline verdict per source: the three
+    * dedup tiers this engine implements — exact (md5, q22's rule),
+    * near (banded MinHash candidates verified at Jaccard ≥ 0.5
+    * against a smaller doc, q23's rule), and chunk-level token
+    * salvage on the survivors (q243's rule) — composed into the
+    * per-source keep census and token-savings report a curation run
+    * signs off on. Every tier reuses the library primitives
+    * (Dedup.minhashFromShingleSets/lshBands/lshCandidates); shuffles
+    * are the documented per-tier ones, plus one final per-source
+    * rollup. */
+  val dedupPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", $"text",
+        TextOps.tokens($"text").as("toks"))
+    // tier 1: exact — canonical is the smallest doc_id per md5
+    val exact = docs.select($"doc_id", md5($"text").as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id")))
+      .select($"doc_id", ($"rn" > 1).as("is_exact_dup"))
+    // tier 2: near — verified banded candidates against a smaller id
+    val shs = docs.select($"doc_id",
+      TextOps.shinglesFromTokens($"toks", 3).as("sh_set"))
+    val cand = Dedup.lshCandidates(Dedup.lshBands(
+        Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
+          TrainingData.NumHashes),
+        TrainingData.NumHashes, TrainingData.RowsPerBand)).distinct()
+    val near = cand
+      .join(shs.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(shs.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .filter(Dedup.jaccard(col("sa.sh_set"), col("sb.sh_set")) >= 0.5)
+      .select($"doc_b".as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    // tier 3: chunk salvage on survivors
+    val ch = docs.select($"doc_id", size($"toks").cast("long")
+        .as("n_toks"), posexplode(expr(
+        "transform(sequence(0, (size(toks) + 7) div 8 - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))")))
+      .select($"doc_id", $"n_toks", $"pos".cast("long").as("ci"),
+        $"col".as("chunk"),
+        least(lit(8L), $"n_toks" - $"pos" * 8).as("clen"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"chunk").orderBy($"doc_id", $"ci")))
+      .groupBy($"doc_id", $"n_toks")
+      .agg(sum(when($"rn" > 1, $"clen").otherwise(0L)).as("removed"))
+    docs.select($"doc_id", $"source")
+      .join(exact, Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .join(ch, Seq("doc_id"))
+      .select($"source", $"is_exact_dup",
+        coalesce($"is_near_dup", lit(false)).as("is_near"),
+        $"n_toks", $"removed")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(!$"is_exact_dup" && $"is_near", 1L).otherwise(0L))
+          .as("n_near_dup"),
+        sum($"n_toks").as("tokens_total"),
+        sum(when(!$"is_exact_dup" && !$"is_near",
+          $"n_toks" - $"removed").otherwise(0L)).as("tokens_kept"))
+      .select($"source", $"n_docs", $"n_exact_dup", $"n_near_dup",
+        $"tokens_total", $"tokens_kept",
+        expr("1000000 * tokens_kept div tokens_total")
+          .as("kept_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1821,6 +1991,10 @@ object Insights {
     "q290_context_census" -> contextCensus,
     "q291_bigram_acceptance" -> bigramAcceptance,
     "q292_knn_outliers" -> knnOutliers,
+    "q293_negbin_moments" -> negbinMoments,
+    "q294_front_coding" -> frontCoding,
+    "q295_seasonal_strength" -> seasonalStrength,
+    "q296_dedup_pipeline" -> dedupPipeline,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -2731,6 +2905,148 @@ object Insights {
        |ORDER BY fano_micro DESC, term ASC LIMIT 20""".stripMargin
   }
 
+  private val sqlNegbin =
+    """WITH cu AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+      |  FROM events GROUP BY event_type, user_id),
+      |a AS (SELECT event_type, count(*)::BIGINT AS n_users,
+      |    sum(c)::BIGINT AS sc, sum(c * c)::BIGINT AS scc
+      |  FROM cu GROUP BY event_type),
+      |b AS (SELECT event_type, n_users,
+      |    CAST(1000 * sc // n_users AS BIGINT) AS mean_milli,
+      |    CAST(round(1000.0 * (CAST(n_users AS DOUBLE) *
+      |      CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) *
+      |      CAST(sc AS DOUBLE)) / (CAST(n_users AS DOUBLE) *
+      |      CAST(n_users - 1 AS DOUBLE))) AS BIGINT) AS var_milli
+      |  FROM a)
+      |SELECT event_type, n_users, mean_milli, var_milli,
+      |  CASE WHEN var_milli > mean_milli THEN
+      |    CAST(round(1000000.0 * CAST(mean_milli AS DOUBLE) *
+      |      CAST(mean_milli AS DOUBLE) / (1000.0 *
+      |      CAST(var_milli - mean_milli AS DOUBLE))) AS BIGINT)
+      |    ELSE NULL END AS r_micro,
+      |  CASE WHEN var_milli > mean_milli THEN
+      |    CAST(round(1000000.0 * CAST(mean_milli AS DOUBLE) /
+      |      CAST(var_milli AS DOUBLE)) AS BIGINT)
+      |    ELSE NULL END AS p_micro
+      |FROM b""".stripMargin
+
+  private val sqlFrontCoding = {
+    val toks = sqlTokens("text")
+    s"""WITH v AS (SELECT DISTINCT unnest($toks) AS w FROM documents),
+       |l AS (SELECT w, lag(w, 1) OVER (ORDER BY w) AS pw FROM v),
+       |c AS (SELECT w, CASE WHEN pw IS NULL THEN 0 ELSE
+       |    len(list_filter(range(1, least(length(w), length(pw)) + 1),
+       |      i -> substr(w, 1, CAST(i AS INT)) =
+       |           substr(pw, 1, CAST(i AS INT))))
+       |  END::BIGINT AS lcp FROM l)
+       |SELECT count(*)::BIGINT AS vocab_size,
+       |  sum(length(w))::BIGINT AS total_bytes,
+       |  sum(lcp)::BIGINT AS saved_bytes,
+       |  CAST(1000000 * sum(lcp)::BIGINT // sum(length(w))::BIGINT
+       |    AS BIGINT) AS saving_micro
+       |FROM c""".stripMargin
+  }
+
+  private val sqlSeasonalStrength =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+      |      AS rev
+      |  FROM orders GROUP BY day),
+      |det AS (SELECT day, rev - (sum(rev) OVER (ORDER BY day ROWS
+      |    BETWEEN 3 PRECEDING AND 3 FOLLOWING) // count(rev) OVER
+      |    (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      |    AS dt,
+      |    dayofweek(day) + 1 AS dow
+      |  FROM d),
+      |dw AS (SELECT dow, sum(dt)::BIGINT // count(*)::BIGINT AS sdow
+      |  FROM det GROUP BY dow),
+      |r AS (SELECT dt, dt - sdow AS rs FROM det JOIN dw USING (dow)),
+      |a AS (SELECT count(*)::BIGINT AS n, sum(dt)::BIGINT AS sd,
+      |    sum(CAST(dt AS HUGEINT) * CAST(dt AS HUGEINT)) AS sdd,
+      |    sum(rs)::BIGINT AS sr,
+      |    sum(CAST(rs AS HUGEINT) * CAST(rs AS HUGEINT)) AS srr
+      |  FROM r)
+      |SELECT n,
+      |  CAST(round(1000000.0 * greatest(0.0, 1.0 -
+      |    (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) -
+      |    CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) -
+      |    CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))) AS BIGINT)
+      |    AS seasonal_strength_micro
+      |FROM a""".stripMargin
+
+  private val sqlDedupPipeline = {
+    import graft.functions.Hashing
+    val lanes = (0 until TrainingData.NumHashes)
+      .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
+      .mkString(",\n  ")
+    val r = TrainingData.RowsPerBand
+    val numBands = TrainingData.NumHashes / r
+    val bandSelects = (0 until numBands).map { b =>
+      val parts = (0 until r)
+        .map(j => s"CAST(h${b * r + j} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $b AS band, " +
+        s"${sqlHash60(s"concat_ws(',', $parts)")} AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val jac =
+      """(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) /
+        | (CAST(len(sa.sh_set) + len(sb.sh_set) AS DOUBLE)
+        |  - CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)))"""
+        .stripMargin
+    val toks = sqlTokens("text")
+    s"""WITH ex AS (SELECT doc_id, (row_number() OVER (PARTITION BY
+       |    md5(text) ORDER BY doc_id) > 1) AS is_exact_dup
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    ${graft.functions.TextOps.sqlShingles("text", 3)} AS sh_set
+       |  FROM documents),
+       |exd AS (SELECT doc_id, (${sqlHash60("s")} & ${Hashing.Mask31})
+       |    AS h31
+       |  FROM (SELECT doc_id, unnest(sh_set) AS s FROM sh) u),
+       |sig AS (SELECT doc_id, $lanes FROM exd GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |near AS (SELECT DISTINCT doc_b AS doc_id FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE $jac >= 0.5),
+       |t AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_toks
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |chk AS (SELECT doc_id, n_toks, CAST(u.i AS BIGINT) AS ci,
+       |    array_to_string(toks[CAST(u.i * 8 + 1 AS INT):
+       |      CAST(u.i * 8 + 8 AS INT)], ' ') AS chunk,
+       |    least(8, n_toks - u.i * 8)::BIGINT AS clen
+       |  FROM t, UNNEST(range(0, (n_toks + 7) // 8)) AS u(i)),
+       |chr AS (SELECT doc_id, n_toks,
+       |    sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)::BIGINT
+       |      AS removed
+       |  FROM (SELECT doc_id, n_toks, clen, row_number() OVER
+       |      (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM chk)
+       |  GROUP BY doc_id, n_toks),
+       |j AS (SELECT d.source, ex.is_exact_dup,
+       |    (near.doc_id IS NOT NULL) AS is_near, chr.n_toks,
+       |    chr.removed
+       |  FROM documents d
+       |  JOIN ex ON d.doc_id = ex.doc_id
+       |  LEFT JOIN near ON d.doc_id = near.doc_id
+       |  JOIN chr ON d.doc_id = chr.doc_id)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_exact_dup,
+       |  sum(CASE WHEN NOT is_exact_dup AND is_near THEN 1 ELSE 0
+       |    END)::BIGINT AS n_near_dup,
+       |  sum(n_toks)::BIGINT AS tokens_total,
+       |  sum(CASE WHEN NOT is_exact_dup AND NOT is_near
+       |    THEN n_toks - removed ELSE 0 END)::BIGINT AS tokens_kept,
+       |  CAST(1000000 * sum(CASE WHEN NOT is_exact_dup AND NOT
+       |    is_near THEN n_toks - removed ELSE 0 END)::BIGINT //
+       |    sum(n_toks)::BIGINT AS BIGINT) AS kept_micro
+       |FROM j GROUP BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
@@ -2768,6 +3084,10 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q293_negbin_moments" -> sqlNegbin,
+    "q294_front_coding" -> sqlFrontCoding,
+    "q295_seasonal_strength" -> sqlSeasonalStrength,
+    "q296_dedup_pipeline" -> sqlDedupPipeline,
     "q289_bpe_merge_sweep" -> {
       val toks = sqlTokens("text")
       val pieces = Seq(2, 4, 8).map { r =>

@@ -473,6 +473,36 @@ class InsightsSpec extends SparkSpec {
       x.getLong(2) + x.getLong(3) == 1000000L))
   }
 
+  test("q293 NB moments: users partition per type, milli stats " +
+    "positive") {
+    val r = Insights.negbinMoments(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getLong(2) >= 1000))
+    // when a fit exists, p in (0, 1]
+    r.filter(!_.isNullAt(5)).foreach { x =>
+      assert(x.getLong(5) > 0 && x.getLong(5) <= 1000000)
+    }
+  }
+
+  test("q294 front coding: savings bounded by total bytes") {
+    val row = Insights.frontCoding(spark, sfDir).collect()(0)
+    assert(row.getLong(2) >= 0 && row.getLong(2) < row.getLong(1))
+    assert(row.getLong(3) < 1000000)
+  }
+
+  test("q295 seasonal strength: a valid share in [0, 1]") {
+    val row = Insights.seasonalStrength(spark, sfDir).collect()(0)
+    assert(row.getLong(1) >= 0 && row.getLong(1) <= 1000000)
+  }
+
+  test("q296 dedup pipeline: censuses nest and kept <= total") {
+    val r = Insights.dedupPipeline(spark, sfDir)
+    assert(r.filter($"n_exact_dup" + $"n_near_dup" > $"n_docs" ||
+      $"tokens_kept" > $"tokens_total").count() == 0)
+    val total = r.agg(sum($"n_docs")).collect()(0).getLong(0)
+    assert(total == Tables(spark, sfDir, "documents").count())
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum

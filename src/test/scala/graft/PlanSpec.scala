@@ -238,9 +238,12 @@ class PlanSpec extends SparkSpec {
       "q262_fdr_screen", "q265_token_budget",
       // q276: rank over the Zipf-collapsed vocabulary (q160 precedent)
       "q276_vocab_coverage",
-      // q284/q286/q288: lag/ntile/cummax windows on the per-day or
-      // per-week aggregate series (q57 family)
-      "q284_forecast_mase", "q286_sax_motifs", "q288_record_days")
+      // q284/q286/q288/q295: lag/ntile/cummax/MA windows on the
+      // per-day or per-week aggregate series (q57 family)
+      "q284_forecast_mase", "q286_sax_motifs", "q288_record_days",
+      "q295_seasonal_strength",
+      // q294: neighbor lag over the sorted vocabulary (q160 family)
+      "q294_front_coding")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
