@@ -1939,6 +1939,167 @@ object Insights {
           .as("kept_micro"))
   }
 
+  // ------------------------------------ q297 top-list stability
+
+  /** q297 — top-list stability between snapshot halves: overlap@k of
+    * the top-k parts by revenue computed on the orderkey-parity
+    * halves — the leaderboard-churn monitor that separates "ranking
+    * drifted" from "noise at the tail". Each half's top-20 comes off
+    * a TakeOrderedAndProject (VALUES+key ordering, deterministic);
+    * ranks attach on the 20-row frames (whitelisted); overlap joins
+    * are O(k). */
+  val toplistStability: Q = (s, dir) => {
+    import s.implicits._
+    def top(par: Int) = Tables(s, dir, "lineitem")
+      .filter($"l_orderkey" % 2 === par)
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("rev"))
+      .orderBy($"rev".desc, $"l_partkey".asc).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"rev".desc, $"l_partkey".asc)).cast("long"))
+      .select($"l_partkey", $"rnk")
+    val a = top(0); val b = top(1)
+    Seq(5L, 10L, 20L).map { k =>
+      a.filter($"rnk" <= k)
+        .join(b.filter($"rnk" <= k), Seq("l_partkey"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(k).as("k"), $"n_overlap",
+          expr(s"1000000 * n_overlap div (2 * $k - n_overlap)")
+            .as("jaccard_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------- q298 runs test
+
+  /** q298 — Wald-Wolfowitz runs test on daily revenue up/down moves
+    * (the randomness check behind "is this trend real"): sign
+    * sequence from day-over-day diffs (zeros drop by contract), run
+    * count via one lag on the day series (whitelist family), and the
+    * normal z-score from the exact (n+, n−, R) triple in one
+    * single-row double expression. */
+  val runsTest: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val sgn = d
+      .withColumn("diff", $"rev" - lag($"rev", 1).over(
+        Window.orderBy($"day")))
+      .filter($"diff".isNotNull && $"diff" =!= 0)
+      .select($"day", when($"diff" > 0, 1L).otherwise(-1L).as("sg"))
+    val runs = sgn
+      .withColumn("chg", when(lag($"sg", 1).over(Window.orderBy($"day"))
+        .isNull || lag($"sg", 1).over(Window.orderBy($"day")) =!= $"sg",
+        1L).otherwise(0L))
+      .agg(sum(when($"sg" === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when($"sg" === -1, 1L).otherwise(0L)).as("n_down"),
+        sum($"chg").as("n_runs"))
+    runs.select($"n_up", $"n_down", $"n_runs",
+      expr("CAST(round(1000000.0 * (CAST(n_runs AS DOUBLE) - (1.0 +" +
+        " 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) /" +
+        " CAST(n_up + n_down AS DOUBLE))) / sqrt(2.0 *" +
+        " CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) * (2.0 *" +
+        " CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) -" +
+        " CAST(n_up + n_down AS DOUBLE)) / (CAST(n_up + n_down" +
+        " AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) *" +
+        " CAST(n_up + n_down - 1 AS DOUBLE)))) AS BIGINT)")
+        .as("z_micro"))
+  }
+
+  // ------------------------------------- q299 retention half-life
+
+  /** q299 — retention half-life from the log-linear decay fit: the
+    * cross-cohort retention curve r(age) at DAILY granularity
+    * (q79's frame, pooled; this corpus spans one month, so days are
+    * the informative clock), ln r quantized PER AGE on the bounded
+    * age frame, and the OLS slope in closed form from exact sums —
+    * half-life = ln 2 / (−slope). The single number a growth model
+    * consumes. Ages with zero retention drop by contract (no ln). */
+  val retentionHalflife: Q = (s, dir) => {
+    import s.implicits._
+    val um = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
+    val cohort = um.groupBy($"user_id").agg(min($"d").as("d0"))
+    val act = um.join(cohort, Seq("user_id"))
+      .select($"user_id", datediff($"d", $"d0").cast("long").as("age"))
+      .distinct()
+    val sizes = cohort.agg(count(lit(1)).as("n_users"))
+    val ret = act.groupBy($"age").agg(count(lit(1)).as("active"))
+      .crossJoin(broadcast(sizes))
+      .filter($"active" > 0)
+      .select($"age",
+        expr("CAST(round(1000000.0 * ln(CAST(active AS DOUBLE) /" +
+          " CAST(n_users AS DOUBLE))) AS BIGINT)").as("lr"))
+    ret.agg(count(lit(1)).as("n_ages"), sum($"age").as("sx"),
+        sum($"lr").as("sy"), sum($"age" * $"age").as("sxx"),
+        sum($"age" * $"lr").as("sxy"))
+      .select($"n_ages",
+        expr("CAST(round((CAST(n_ages AS DOUBLE) *" +
+          " CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+          " CAST(sy AS DOUBLE)) / (CAST(n_ages AS DOUBLE) *" +
+          " CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+          " CAST(sx AS DOUBLE))) AS BIGINT)").as("slope_micro"))
+      .select($"n_ages", $"slope_micro",
+        expr("CASE WHEN slope_micro < 0 THEN CAST(round(" +
+          "CAST(693147180.55994531 AS DOUBLE) /" +
+          " CAST(-slope_micro AS DOUBLE))" +
+          " AS BIGINT) ELSE NULL END").as("halflife_milli_days"))
+  }
+
+  // ---------------------------------------- q300 corpus scorecard
+
+  /** q300 — the corpus health scorecard: five single-number checks
+    * (exact-dup share, language-balance entropy ratio, short-doc
+    * share, hapax share, context-overflow share at 128 tokens), each
+    * with its fixed gate — the one-page summary a data-quality
+    * review reads before anything trains on the corpus. Every check
+    * is one or two exact aggregates; entropy terms quantize per
+    * language (≤5 values); the output is a static 5-row union. */
+  val corpusScorecard: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"n_chars",
+        TextOps.tokens($"text").as("toks"))
+    val dup = docs.select(md5($"text").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" - 1).as("dups"), sum($"c").as("n"))
+      .select(lit("exact_dup_share").as("check_name"),
+        expr("1000000 * dups div n").as("value_micro"))
+      .withColumn("pass", $"value_micro" < 300000)
+    val langH = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(expr("CAST(round(-1000000.0 * (CAST(c AS DOUBLE) /" +
+        " CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) /" +
+        " CAST(n AS DOUBLE))) AS BIGINT)").as("term"))
+      .agg(sum($"term").as("h"))
+      .select(lit("lang_entropy_ratio").as("check_name"),
+        expr("CAST(round(1000000.0 * CAST(h AS DOUBLE) /" +
+          s" (1000000.0 * ln(5.0))) AS BIGINT)").as("value_micro"))
+      .withColumn("pass", $"value_micro" > 800000)
+    val short = docs
+      .agg(sum(when($"n_chars" < 200, 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"))
+      .select(lit("short_doc_share").as("check_name"),
+        expr("1000000 * k div n").as("value_micro"))
+      .withColumn("pass", $"value_micro" < 400000)
+    val hapax = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .agg(sum(when($"c" === 1, 1L).otherwise(0L)).as("h1"),
+        count(lit(1)).as("v"))
+      .select(lit("hapax_share").as("check_name"),
+        expr("1000000 * h1 div v").as("value_micro"))
+      .withColumn("pass", $"value_micro" < 300000)
+    val overflow = docs
+      .select(size($"toks").cast("long").as("nt"))
+      .agg(sum(greatest($"nt" - 128, lit(0L))).as("lost"),
+        sum($"nt").as("tot"))
+      .select(lit("context128_loss_share").as("check_name"),
+        expr("1000000 * lost div tot").as("value_micro"))
+      .withColumn("pass", $"value_micro" < 100000)
+    Seq(dup, langH, short, hapax, overflow).reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -1995,6 +2156,10 @@ object Insights {
     "q294_front_coding" -> frontCoding,
     "q295_seasonal_strength" -> seasonalStrength,
     "q296_dedup_pipeline" -> dedupPipeline,
+    "q297_toplist_stability" -> toplistStability,
+    "q298_runs_test" -> runsTest,
+    "q299_retention_halflife" -> retentionHalflife,
+    "q300_corpus_scorecard" -> corpusScorecard,
   )
 
   // ---------------------------------------------------------- oracle SQL
@@ -3084,6 +3249,135 @@ object Insights {
     "q275_platt_scaling" -> sqlPlattScaling,
     "q276_vocab_coverage" -> sqlVocabCoverage,
     "q277_term_burstiness" -> sqlTermBurstiness,
+    "q297_toplist_stability" -> {
+      def top(tag: String, par: Int) =
+        s"""t$tag AS (SELECT l_partkey, row_number() OVER
+           |    (ORDER BY rev DESC, l_partkey) AS rnk
+           |  FROM (SELECT l_partkey,
+           |      sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |        ::BIGINT AS rev
+           |    FROM lineitem WHERE l_orderkey % 2 = $par
+           |    GROUP BY l_partkey
+           |    ORDER BY rev DESC, l_partkey LIMIT 20))""".stripMargin
+      val rows = Seq(5, 10, 20).map { k =>
+        s"""SELECT ${k}::BIGINT AS k,
+           |  (SELECT count(*)::BIGINT FROM ta JOIN tb
+           |    ON ta.l_partkey = tb.l_partkey
+           |    WHERE ta.rnk <= $k AND tb.rnk <= $k) AS n_overlap,
+           |  CAST(1000000 * (SELECT count(*)::BIGINT FROM ta JOIN tb
+           |    ON ta.l_partkey = tb.l_partkey
+           |    WHERE ta.rnk <= $k AND tb.rnk <= $k)
+           |    // (2 * $k - (SELECT count(*)::BIGINT FROM ta JOIN tb
+           |    ON ta.l_partkey = tb.l_partkey
+           |    WHERE ta.rnk <= $k AND tb.rnk <= $k)) AS BIGINT)
+           |    AS jaccard_micro""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${top("a", 0)},
+         |${top("b", 1)}
+         |$rows""".stripMargin
+    },
+    "q298_runs_test" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev
+        |  FROM orders GROUP BY day),
+        |s AS (SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END
+        |    ::BIGINT AS sg
+        |  FROM (SELECT day, rev - lag(rev, 1) OVER (ORDER BY day)
+        |      AS diff FROM d)
+        |  WHERE diff IS NOT NULL AND diff <> 0),
+        |c AS (SELECT sg, CASE WHEN lag(sg, 1) OVER (ORDER BY day)
+        |    IS NULL OR lag(sg, 1) OVER (ORDER BY day) <> sg
+        |    THEN 1 ELSE 0 END::BIGINT AS chg FROM s),
+        |a AS (SELECT
+        |    sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+        |    sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_down,
+        |    sum(chg)::BIGINT AS n_runs FROM c)
+        |SELECT n_up, n_down, n_runs,
+        |  CAST(round(1000000.0 * (CAST(n_runs AS DOUBLE) - (1.0 +
+        |    2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) /
+        |    CAST(n_up + n_down AS DOUBLE))) / sqrt(2.0 *
+        |    CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) * (2.0 *
+        |    CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) -
+        |    CAST(n_up + n_down AS DOUBLE)) / (CAST(n_up + n_down
+        |    AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) *
+        |    CAST(n_up + n_down - 1 AS DOUBLE)))) AS BIGINT)
+        |    AS z_micro
+        |FROM a""".stripMargin,
+    "q299_retention_halflife" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS d0 FROM um
+        |  GROUP BY user_id),
+        |act AS (SELECT DISTINCT um.user_id,
+        |    date_diff('day', coh.d0, um.d)::BIGINT AS age
+        |  FROM um JOIN coh ON um.user_id = coh.user_id),
+        |sz AS (SELECT count(*)::BIGINT AS n_users FROM coh),
+        |ret AS (SELECT age,
+        |    CAST(round(1000000.0 * ln(CAST(count(*) AS DOUBLE) /
+        |      CAST(n_users AS DOUBLE))) AS BIGINT) AS lr
+        |  FROM act CROSS JOIN sz GROUP BY age, n_users
+        |  HAVING count(*) > 0),
+        |a AS (SELECT count(*)::BIGINT AS n_ages,
+        |    sum(age)::BIGINT AS sx, sum(lr)::BIGINT AS sy,
+        |    sum(age * age)::BIGINT AS sxx,
+        |    sum(age * lr)::BIGINT AS sxy FROM ret),
+        |b AS (SELECT n_ages,
+        |    CAST(round((CAST(n_ages AS DOUBLE) *
+        |      CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sy AS DOUBLE)) / (CAST(n_ages AS DOUBLE) *
+        |      CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE))) AS BIGINT) AS slope_micro
+        |  FROM a)
+        |SELECT n_ages, slope_micro,
+        |  CASE WHEN slope_micro < 0 THEN CAST(round(
+        |    CAST(693147180.55994531 AS DOUBLE) /
+        |    CAST(-slope_micro AS DOUBLE))
+        |    AS BIGINT) ELSE NULL END AS halflife_milli_days
+        |FROM b""".stripMargin,
+    "q300_corpus_scorecard" -> {
+      val toks = sqlTokens("text")
+      s"""SELECT 'exact_dup_share' AS check_name,
+         |  CAST(1000000 * (n - nh) // n AS BIGINT) AS value_micro,
+         |  (1000000 * (n - nh) // n < 300000) AS pass
+         |FROM (SELECT count(*)::BIGINT AS n,
+         |    count(DISTINCT md5(text))::BIGINT AS nh FROM documents)
+         |UNION ALL
+         |SELECT 'lang_entropy_ratio',
+         |  CAST(round(1000000.0 * CAST(h AS DOUBLE) /
+         |    (1000000.0 * ln(5.0))) AS BIGINT),
+         |  (round(1000000.0 * CAST(h AS DOUBLE) /
+         |    (1000000.0 * ln(5.0))) > 800000)
+         |FROM (SELECT sum(term)::BIGINT AS h FROM (SELECT
+         |    CAST(round(-1000000.0 * (CAST(c AS DOUBLE) /
+         |      CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) /
+         |      CAST(n AS DOUBLE))) AS BIGINT) AS term
+         |  FROM (SELECT lang, count(*)::BIGINT AS c FROM documents
+         |    GROUP BY lang) x CROSS JOIN
+         |    (SELECT count(*)::BIGINT AS n FROM documents) t))
+         |UNION ALL
+         |SELECT 'short_doc_share',
+         |  CAST(1000000 * k // n AS BIGINT),
+         |  (1000000 * k // n < 400000)
+         |FROM (SELECT sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0
+         |    END)::BIGINT AS k, count(*)::BIGINT AS n FROM documents)
+         |UNION ALL
+         |SELECT 'hapax_share',
+         |  CAST(1000000 * h1 // v AS BIGINT),
+         |  (1000000 * h1 // v < 300000)
+         |FROM (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS h1, count(*)::BIGINT AS v FROM (SELECT w,
+         |      count(*)::BIGINT AS c FROM (SELECT unnest($toks) AS w
+         |      FROM documents) GROUP BY w))
+         |UNION ALL
+         |SELECT 'context128_loss_share',
+         |  CAST(1000000 * lost // tot AS BIGINT),
+         |  (1000000 * lost // tot < 100000)
+         |FROM (SELECT sum(greatest(len($toks) - 128, 0))::BIGINT
+         |    AS lost, sum(len($toks))::BIGINT AS tot
+         |  FROM documents)""".stripMargin
+    },
     "q293_negbin_moments" -> sqlNegbin,
     "q294_front_coding" -> sqlFrontCoding,
     "q295_seasonal_strength" -> sqlSeasonalStrength,

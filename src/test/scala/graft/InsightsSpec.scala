@@ -503,6 +503,36 @@ class InsightsSpec extends SparkSpec {
     assert(total == Tables(spark, sfDir, "documents").count())
   }
 
+  test("q297 toplist stability: overlap monotone in k and bounded") {
+    val r = Insights.toplistStability(spark, sfDir)
+      .orderBy($"k").collect()
+    assert(r.length == 3)
+    assert(r.forall(x => x.getLong(1) <= x.getLong(0)))
+    assert(r(0).getLong(1) <= r(1).getLong(1) &&
+      r(1).getLong(1) <= r(2).getLong(1))
+  }
+
+  test("q298 runs test: run count bounded by sign count") {
+    val row = Insights.runsTest(spark, sfDir).collect()(0)
+    val n = row.getLong(0) + row.getLong(1)
+    assert(row.getLong(2) >= 1 && row.getLong(2) <= n)
+  }
+
+  test("q299 retention half-life: decaying curve yields a positive " +
+    "half-life") {
+    val row = Insights.retentionHalflife(spark, sfDir).collect()(0)
+    assert(row.getLong(0) >= 3, "needs at least 3 age points")
+    if (!row.isNullAt(2)) assert(row.getLong(2) > 0)
+  }
+
+  test("q300 scorecard: five checks, shares are valid probabilities") {
+    val r = Insights.corpusScorecard(spark, sfDir).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getString(0)).distinct.length == 5)
+    assert(r.forall(x =>
+      x.getLong(1) >= 0 && x.getLong(1) <= 1000000))
+  }
+
   test("q252 kNN accuracy: eval census matches the sample filter") {
     val r = Insights.knnLabelAcc(spark, sfDir).collect()
     val nEval = r.map(_.getLong(1)).sum

@@ -241,7 +241,9 @@ class PlanSpec extends SparkSpec {
       // q284/q286/q288/q295: lag/ntile/cummax/MA windows on the
       // per-day or per-week aggregate series (q57 family)
       "q284_forecast_mase", "q286_sax_motifs", "q288_record_days",
-      "q295_seasonal_strength",
+      "q295_seasonal_strength", "q298_runs_test",
+      // q297: rank windows on the 20-row top-k frames
+      "q297_toplist_stability",
       // q294: neighbor lag over the sorted vocabulary (q160 family)
       "q294_front_coding")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
