@@ -23,6 +23,7 @@ object SparkEntry {
       (gq.Corpus.queries, gq.Corpus.oracles),
       (gq.Insights.queries, gq.Insights.oracles),
       (gq.Governance.queries, gq.Governance.oracles),
+      (gq.Analytics.queries, gq.Analytics.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -128,10 +128,18 @@ object ScaleWindows {
     * with no carry still sees its local predecessors and the global
     * first row stays NULL). Adds `out`, typed as `value`. */
   def rangeCumMax(df: DataFrame, keys: Seq[Column], value: Column,
-                  out: String, parts: Int = 32): DataFrame = {
-    val ranged = df.withColumn("__v", value)
+                  out: String, parts: Int = 32,
+                  checkpoint: Boolean = false): DataFrame = {
+    val ranged0 = df.withColumn("__v", value)
       .repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
+    // same hazard as rangeCumSums: the maxima branch and the final
+    // join branch re-evaluate the input under independently-sampled
+    // range boundaries; for a long or itself-range-exchanged lineage
+    // the samples can disagree and the carry then describes a
+    // DIFFERENT partitioning. `checkpoint = true` materializes the
+    // exchange once so both branches share one boundary set.
+    val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
     val maxes = ranged.groupBy(col("__pid"))
       .agg(max(col("__v")).as("__pmax"))
     val rhs = maxes.select(col("__pid").as("__pid2"),
