@@ -247,6 +247,131 @@ object Analytics {
           .as("w1_micro_cents"))
   }
 
+  // ------------------------------------------------ retrieval helpers
+
+  // DuckDB cosine fragments, kept in lockstep with Similarity.cosine
+  // (the q252/q216 parity convention: double multiply-adds in index
+  // order so both engines produce bit-identical doubles).
+  private def sqlDotCols(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def sqlNorm(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private def sqlCosCols(a: String, b: String) =
+    s"${sqlDotCols(a, b)} / (sqrt(${sqlNorm(a)}) * sqrt(${sqlNorm(b)}))"
+
+  // --------------------------------------------------- q308 MRR eval
+
+  /** q308 — mean reciprocal rank of the first same-label neighbor
+    * within the top-50 cosine candidates, per label (the rank-position
+    * companion of q208's recall, q216's nDCG and q252's vote
+    * accuracy). Scale: eval sample broadcast, one corpus scan, the
+    * per-query rank window prunes to 50 BEFORE the exchange
+    * (WindowGroupLimit); queries with no same-label hit inside the cap
+    * score 0 via the left join, so the production path never ranks
+    * past k. Reciprocals are integral micro divisions. */
+  val mrrEval: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Similarity
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("true_label"))
+    val first = e.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"true_label", $"vec_id", $"label",
+        Similarity.cosine($"embedding", $"qv").as("cs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cs".desc, $"vec_id".asc)))
+      .filter($"rank" <= 50 && $"label" === $"true_label")
+      .groupBy($"q_id").agg(min($"rank").as("first_rank"))
+    qs.select($"q_id", $"true_label")
+      .join(first, Seq("q_id"), "left")
+      .select($"true_label",
+        coalesce(expr("1000000 div first_rank"), lit(0L)).as("rr_micro"))
+      .groupBy($"true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum($"rr_micro").as("sum_rr_micro"))
+      .select($"true_label", $"n_queries", $"sum_rr_micro",
+        expr("sum_rr_micro div n_queries").as("mrr_micro"))
+  }
+
+  // ----------------------------------- q309 query-likelihood ranking
+
+  /** q309 — Dirichlet-smoothed query-likelihood retrieval (Zhai &
+    * Lafferty 2004), the language-model scorer next to q91's BM25:
+    * score(d) = Σ_t ln((tf·|C| + μ·cf_t) / (|C|·(dl + μ))), μ = 2000.
+    * Corpus stats (total tokens, per-term collection frequency) reduce
+    * to ONE broadcast row so scoring is a map-only pass; each ln
+    * quantizes to micro-nats per (doc, term) from EXACT long
+    * numerator/denominator (never a summed double), then the 3-term
+    * sum is exact. */
+  val queryLikelihood: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    val terms = Seq("spark", "query", "hash")
+    val tk = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val statCols = sum(size($"toks")).cast("long").as("ctot") +:
+      terms.map(t => sum(size(filter($"toks", x => x === t)))
+        .cast("long").as(s"cf_$t"))
+    val stats = tk.agg(statCols.head, statCols.tail: _*)
+    val tfCols = $"doc_id" +: size($"toks").cast("long").as("dl") +:
+      terms.map(t =>
+        size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))
+    val score = terms.map { t =>
+      expr(s"CAST(round(1000000.0 * ln(" +
+        s"CAST(tf_$t * ctot + 2000 * cf_$t AS DOUBLE) / " +
+        s"CAST(ctot * (dl + 2000) AS DOUBLE))) AS BIGINT)")
+    }.reduce(_ + _)
+    tk.select(tfCols: _*).crossJoin(broadcast(stats))
+      .select($"doc_id", score.as("ql_micro"))
+      .orderBy($"ql_micro".desc, $"doc_id".asc)
+      .limit(15)
+  }
+
+  // --------------------------------- q310 binary-sign Hamming ANN
+
+  /** q310 — binary embedding search: each vector sign-quantizes to a
+    * 63-bit code (one long word; bit 63 stays clear because DuckDB's
+    * checked `<<` rejects it — at production dims the code is simply
+    * ⌈dims/63⌉ words), candidates rank by XOR-popcount Hamming
+    * distance, and only the 20 survivors pay the exact-cosine rerank
+    * to top-5. The 64×-compressed first pass is the scale story:
+    * popcount on a broadcast query code versus a float dot product per
+    * corpus row; WindowGroupLimit prunes to 20 before the exchange;
+    * the rerank join re-fetches the query vector from the broadcast
+    * side only for candidate rows. */
+  val binaryHammingAnn: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Similarity
+    val code = expr("aggregate(sequence(0, 62), CAST(0 AS BIGINT), " +
+      "(acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0.0 " +
+      "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+    val coded = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", code.as("code"))
+    val qs = coded.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"code".as("qcode"))
+    val top = coded.crossJoin(broadcast(qs.select($"q_id", $"qcode")))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"embedding",
+        expr("CAST(bit_count(code ^ qcode) AS BIGINT)").as("ham"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"ham".asc, $"vec_id".asc)))
+      .filter($"hrank" <= 20)
+    top.join(broadcast(qs.select($"q_id", $"qv")), Seq("q_id"))
+      .select($"q_id", $"vec_id", $"ham",
+        Similarity.cosine($"embedding", $"qv").as("cs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cs".desc, $"vec_id".asc)))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id",
+        $"ham", expr("CAST(round(1000000 * cs) AS BIGINT)")
+          .as("cos_micro"))
+      .orderBy($"q_id".asc, $"rank".asc)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -257,6 +382,9 @@ object Analytics {
     "q305_order_priority_check" -> orderPriorityCheck,
     "q306_distribution_distances" -> distributionDistances,
     "q307_wasserstein_1d" -> wasserstein1d,
+    "q308_mrr_eval" -> mrrEval,
+    "q309_query_likelihood" -> queryLikelihood,
+    "q310_binary_hamming_ann" -> binaryHammingAnn,
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,5 +513,69 @@ object Analytics {
         |    (1000000 * (num % (t1 * t2))) // (t1 * t2) AS BIGINT)
         |    AS w1_micro_cents
         |FROM agg CROSS JOIN tot""".stripMargin,
+    "q308_mrr_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+        |    label AS tl FROM embeddings WHERE vec_id % 10 = 0),
+        |rk AS (SELECT q_id, tl, label, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |      ${sqlCosCols("embedding", "qv")} DESC, vec_id ASC) AS rank
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |fr AS (SELECT q_id, min(rank)::BIGINT AS first_rank
+        |  FROM rk WHERE rank <= 50 AND label = tl GROUP BY q_id),
+        |rr AS (SELECT q.tl, coalesce(1000000 // first_rank, 0)::BIGINT
+        |    AS rr_micro
+        |  FROM q LEFT JOIN fr ON q.q_id = fr.q_id)
+        |SELECT tl AS true_label, count(*)::BIGINT AS n_queries,
+        |  sum(rr_micro)::BIGINT AS sum_rr_micro,
+        |  CAST(sum(rr_micro)::BIGINT // count(*)::BIGINT AS BIGINT)
+        |    AS mrr_micro
+        |FROM rr GROUP BY tl""".stripMargin,
+    "q309_query_likelihood" -> {
+      val toks = "list_filter(string_split_regex(lower(text)," +
+        " '[^a-z]+'), w -> w <> '')"
+      def tf(t: String) =
+        s"len(list_filter(toks, w -> w = '$t'))::BIGINT"
+      val terms = Seq("spark", "query", "hash")
+      val termSql = terms.map(t =>
+        s"CAST(round(1000000.0 * ln(CAST(tf_$t * ctot + 2000 * cf_$t" +
+          s" AS DOUBLE) / CAST(ctot * (dl + 2000) AS DOUBLE)))" +
+          " AS BIGINT)").mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        |st AS (SELECT sum(len(toks))::BIGINT AS ctot,
+        |    ${terms.map(t => s"sum(${tf(t)})::BIGINT AS cf_$t")
+          .mkString(", ")}
+        |  FROM tk),
+        |d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |    ${terms.map(t => s"${tf(t)} AS tf_$t").mkString(", ")}
+        |  FROM tk)
+        |SELECT doc_id, ($termSql)::BIGINT AS ql_micro
+        |FROM d CROSS JOIN st
+        |ORDER BY ql_micro DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+    "q310_binary_hamming_ann" -> {
+      val code = "list_sum(list_transform(range(0, 63), i -> CASE " +
+        "WHEN embedding[i + 1] > 0.0 THEN (1::BIGINT << i) " +
+        "ELSE 0::BIGINT END))::BIGINT"
+      s"""WITH coded AS (SELECT vec_id, embedding, $code AS code
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv, code AS qcode
+        |  FROM coded WHERE vec_id % 25 = 0),
+        |ham AS (SELECT q_id, vec_id, embedding,
+        |    bit_count(xor(code, qcode))::BIGINT AS ham
+        |  FROM coded CROSS JOIN q WHERE vec_id <> q_id),
+        |top AS (SELECT q_id, vec_id, embedding, ham, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC)
+        |    AS hrank
+        |  FROM ham QUALIFY hrank <= 20),
+        |rer AS (SELECT top.q_id, vec_id, ham,
+        |    ${sqlCosCols("embedding", "qv")} AS cs,
+        |    row_number() OVER (PARTITION BY top.q_id ORDER BY
+        |      ${sqlCosCols("embedding", "qv")} DESC, vec_id ASC)
+        |      AS rank
+        |  FROM top JOIN q ON top.q_id = q.q_id QUALIFY rank <= 5)
+        |SELECT q_id, rank::BIGINT AS rank, vec_id, ham,
+        |  CAST(round(1000000 * cs) AS BIGINT) AS cos_micro
+        |FROM rer ORDER BY q_id ASC, rank ASC""".stripMargin
+    },
   )
 }
