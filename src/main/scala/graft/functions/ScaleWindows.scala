@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   * boundaries land, so AQE/sampling variance cannot change results.
   * The explicit partition count keeps AQE from re-coalescing the
   * exchange between its two consumers.
+  *
+  * Branch consistency: every operator here feeds the ranged frame to
+  * TWO plan branches (per-partition aggregates + the final join), and
+  * the sampled exchange is not reliably reused across them (column
+  * pruning specializes the subtrees; re-sampling can pick different
+  * boundaries when upstream row order is nondeterministic). All four
+  * operators therefore materialize the exchange once by default
+  * (`checkpoint = true`, an eager localCheckpoint) so both branches
+  * see one boundary set.
   */
 object ScaleWindows {
 
@@ -38,10 +47,12 @@ object ScaleWindows {
     * single-partition sort. `keys` must be a total order (unique
     * tie-break). Adds column `out` (int, 1..k). */
   def rangeNtile(df: DataFrame, k: Int, keys: Seq[Column], out: String,
-                 parts: Int = 32): DataFrame = {
+                 parts: Int = 32,
+                 checkpoint: Boolean = true): DataFrame = {
     require(k > 0, s"rangeNtile: k must be positive, got $k")
-    val ranged = df.repartitionByRange(parts, keys: _*)
+    val ranged0 = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
+    val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
     val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
     // offsets without a window: triangular sum over the P-row frame
@@ -76,7 +87,7 @@ object ScaleWindows {
     * [[rangeNtile]]: `keys` must be a total order. Adds `out` (long). */
   def rangeCumSum(df: DataFrame, keys: Seq[Column], value: Column,
                   out: String, parts: Int = 32,
-                  checkpoint: Boolean = false): DataFrame =
+                  checkpoint: Boolean = true): DataFrame =
     rangeCumSums(df, keys, Seq(value -> out), parts, checkpoint)
 
   /** Multi-value form of [[rangeCumSum]]: N exclusive prefix sums over
@@ -84,17 +95,23 @@ object ScaleWindows {
     * share the frame). `values` maps each summed column to its output
     * column name.
     *
-    * `checkpoint` (default off): the ranged frame feeds BOTH the
-    * per-partition-totals branch and the window branch, and a sampled
-    * range exchange is non-deterministic so Spark cannot reuse it —
-    * the input evaluates twice. For the usual value-grid-sized frames
-    * that is noise; for a million-row+ input pass `checkpoint = true`
-    * to materialize the exchange once (an EAGER localCheckpoint —
-    * runs a job at plan-build time, the PageRank precedent). */
+    * `checkpoint` (default ON): the ranged frame feeds BOTH the
+    * per-partition-totals branch and the window branch. Column pruning
+    * specializes the two subtrees differently, so Spark does not
+    * always reuse the exchange — and a SAMPLED range exchange
+    * re-evaluated independently can land on DIFFERENT boundaries
+    * (sampling order depends on upstream shuffle-read order), making
+    * the offsets describe the wrong partitioning. That divergence is
+    * intermittent (surfaced by q312 after hundreds of green runs of
+    * the same machinery), so the default materializes the exchange
+    * ONCE via an eager localCheckpoint — both branches then share one
+    * boundary set by construction. Opt out only when the caller
+    * guarantees a deterministic, reusable input (and accepts the
+    * risk). */
   def rangeCumSums(df: DataFrame, keys: Seq[Column],
                    values: Seq[(Column, String)],
                    parts: Int = 32,
-                   checkpoint: Boolean = false): DataFrame = {
+                   checkpoint: Boolean = true): DataFrame = {
     val ranged0 = df.repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
     val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
@@ -129,7 +146,7 @@ object ScaleWindows {
     * first row stays NULL). Adds `out`, typed as `value`. */
   def rangeCumMax(df: DataFrame, keys: Seq[Column], value: Column,
                   out: String, parts: Int = 32,
-                  checkpoint: Boolean = false): DataFrame = {
+                  checkpoint: Boolean = true): DataFrame = {
     val ranged0 = df.withColumn("__v", value)
       .repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
@@ -167,10 +184,12 @@ object ScaleWindows {
     * `last(ignoreNulls)` window + carry fallback. Adds `out`, typed
     * as `value`. */
   def rangeLastCarry(df: DataFrame, keys: Seq[Column], value: Column,
-                     out: String, parts: Int = 32): DataFrame = {
-    val tagged = df.withColumn("__v", value)
+                     out: String, parts: Int = 32,
+                     checkpoint: Boolean = true): DataFrame = {
+    val tagged0 = df.withColumn("__v", value)
       .repartitionByRange(parts, keys: _*)
       .withColumn("__pid", spark_partition_id())
+    val tagged = if (checkpoint) tagged0.localCheckpoint() else tagged0
     val keyStruct = struct(
       keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } :+
         col("__v").as("__vv"): _*)
