@@ -372,6 +372,190 @@ object Analytics {
       .orderBy($"q_id".asc, $"rank".asc)
   }
 
+  // ------------------------------------------- q311 Kruskal-Wallis H
+
+  /** q311 — Kruskal-Wallis rank test (the nonparametric k-group
+    * companion of q253's ANOVA and q199's two-group Mann-Whitney):
+    * order values ranked across the 5 priority groups, H with the tie
+    * correction. Scale shape: ranks NEVER materialize per row — the
+    * value GRID (one row per distinct cents value, with per-group
+    * counts) gets its exclusive cumulative count from
+    * [[graft.functions.ScaleWindows.rangeCumSum]], and the average
+    * rank of a tied block is the integral doubled rank
+    * 2·E(v)+n_v+1. Per-group rank sums are exact longs; the two
+    * divisions quantize once each on the one-row frame (milli units —
+    * 12·ΣU at micro would overflow int64 at sf0.01). */
+  val kruskalWallis: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val g = when($"o_orderpriority" === "1-URGENT", 1)
+      .when($"o_orderpriority" === "2-HIGH", 2)
+      .when($"o_orderpriority" === "3-MEDIUM", 3)
+      .when($"o_orderpriority" === "4-NOT SPECIFIED", 4).otherwise(5)
+    val base = Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        g.as("g"))
+    val gcols = (1 to 5).map(j =>
+      sum(when($"g" === j, 1L).otherwise(0L)).as(s"n$j"))
+    val grid = base.groupBy($"v")
+      .agg(gcols.head, gcols.tail :+ count(lit(1)).as("nv"): _*)
+    val cum = ScaleWindows.rangeCumSum(grid, Seq($"v"), col("nv"), "e")
+    val r2 = cum.withColumn("r2", lit(2L) * $"e" + $"nv" + 1L)
+    val aggCols = (1 to 5).flatMap(j => Seq(
+      sum(col(s"n$j") * $"r2").as(s"rr$j"),
+      sum(col(s"n$j")).as(s"m$j"))) :+
+      sum($"nv").as("n") :+
+      sum($"nv" * $"nv" * $"nv" - $"nv").as("ties")
+    val one = r2.agg(aggCols.head, aggCols.tail: _*)
+    // one-row frame: the k=5 sum is a FIXED left-to-right expression
+    // chain (not a partial aggregation), so the double path is
+    // deterministic and cannot overflow at any SF
+    val sTerms = (1 to 5).map(j =>
+      s"CAST(rr$j AS DOUBLE) * rr$j / (4.0 * m$j)").mkString(" + ")
+    one
+      .select($"n", $"ties",
+        expr(s"CAST(round(1000.0 * (12.0 * ($sTerms) /" +
+          " (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)))" +
+          " AS BIGINT)").as("h_milli"))
+      .select($"n", $"ties", $"h_milli",
+        expr("CAST(round(CAST(h_milli AS DOUBLE) *" +
+          " (CAST(n AS DOUBLE) * n * n - n) /" +
+          " (CAST(n AS DOUBLE) * n * n - n - ties)) AS BIGINT)")
+          .as("h_corr_milli"))
+  }
+
+  // ------------------------------------ q312 effect sizes (d, delta)
+
+  /** q312 — effect sizes between URGENT and non-URGENT order values:
+    * Cohen's d (pooled-SD standardized mean difference) and Cliff's
+    * delta (the ordinal dominance statistic). Cliff's delta is EXACT
+    * rational arithmetic with NO pair enumeration: on the value grid,
+    * #(x>y) = Σ_v n1(v)·E2(v) with E2 the exclusive cumulative count
+    * from the q307/q311 [[graft.functions.ScaleWindows]] backbone, so
+    * the O(n1·n2) pair space collapses to one grid pass. Cohen's d
+    * keeps exact long/decimal sums (cents, cents²) and quantizes once
+    * on the one-row frame. */
+  val effectSizes: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val base = Tables(s, dir, "orders")
+      .select(when($"o_orderpriority" === "1-URGENT", 1).otherwise(2)
+        .as("g"), round($"o_totalprice" * 100).cast("long").as("v"))
+    val grid = base.groupBy($"v")
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"g" === 1, $"v").otherwise(0L)).as("s1v"),
+        sum(when($"g" === 2, $"v").otherwise(0L)).as("s2v"),
+        sum(when($"g" === 1,
+          $"v".cast("decimal(19,0)") * $"v".cast("decimal(19,0)"))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("q1v"),
+        sum(when($"g" === 2,
+          $"v".cast("decimal(19,0)") * $"v".cast("decimal(19,0)"))
+          .otherwise(lit(0).cast("decimal(19,0)"))).as("q2v"))
+    val cum = ScaleWindows.rangeCumSums(grid, Seq($"v"),
+      Seq(col("n1") -> "e1", col("n2") -> "e2"))
+    val one = cum.agg(
+      sum($"n1").as("m1"), sum($"n2").as("m2"),
+      sum($"s1v").as("sum1"), sum($"s2v").as("sum2"),
+      sum($"q1v").as("ss1"), sum($"q2v").as("ss2"),
+      sum($"n1" * $"e2").as("gt"),
+      sum($"n2" * $"e1").as("lt"))
+    one.select($"m1", $"m2", $"gt", $"lt",
+      expr("CAST((1000000 * (gt - lt)) div (m1 * m2) AS BIGINT)")
+        .as("cliffs_micro"),
+      expr("CAST(round(1000000.0 *" +
+        " (CAST(sum1 AS DOUBLE) / m1 - CAST(sum2 AS DOUBLE) / m2) /" +
+        " sqrt(((CAST(ss1 AS DOUBLE) -" +
+        " CAST(sum1 AS DOUBLE) * sum1 / m1) +" +
+        " (CAST(ss2 AS DOUBLE) - CAST(sum2 AS DOUBLE) * sum2 / m2)) /" +
+        " (m1 + m2 - 2))) AS BIGINT)").as("cohens_d_micro"))
+  }
+
+  // --------------------------------------------- q313 partial ACF
+
+  /** q313 — partial autocorrelation of daily revenue at lags 1–3 via
+    * the Durbin-Levinson recursion in closed form (the AR-order
+    * selector read next to q181's ACF): φ11 = r1,
+    * φ22 = (r2−r1²)/(1−r1²), φ33 from the level-2 coefficients. The
+    * series is the POST-AGGREGATE daily frame (O(days)); the three
+    * lag products come from one ×3 broadcast fan-out join; moment
+    * sums are decimal(38,0) (exact), and the recursion runs on the
+    * ONE-ROW r-vector with a fixed expression order mirrored
+    * operation-for-operation in the oracle. */
+  val pacf: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val lags = s.range(1, 4).select($"id".cast("int").as("lag"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rs = daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("b.d") === col("a.d") + $"lag")
+      .select($"lag", col("a.cents").as("x"), col("b.cents").as("y"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+        sum(dec($"x") * dec($"y")).as("sxy"),
+        sum(dec($"x") * dec($"x")).as("sxx"),
+        sum(dec($"y") * dec($"y")).as("syy"))
+      .select($"lag",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) /
+          sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("r"))
+    rs.agg(sum(when($"lag" === 1, $"r")).as("r1"),
+        sum(when($"lag" === 2, $"r")).as("r2"),
+        sum(when($"lag" === 3, $"r")).as("r3"))
+      .withColumn("p2",
+        ($"r2" - $"r1" * $"r1") / (lit(1.0) - $"r1" * $"r1"))
+      .withColumn("a1", $"r1" - $"p2" * $"r1")
+      .withColumn("v2",
+        (lit(1.0) - $"r1" * $"r1") * (lit(1.0) - $"p2" * $"p2"))
+      .select(round($"r1", 6).as("pacf1"), round($"p2", 6).as("pacf2"),
+        round(($"r3" - $"a1" * $"r2" - $"p2" * $"r1") / $"v2", 6)
+          .as("pacf3"))
+  }
+
+  // ------------------------------------------ q314 Cronbach's alpha
+
+  /** q314 — Cronbach's alpha over the user × event-type count matrix
+    * (internal-consistency of the "items" = do the event types move
+    * together across users?): α = k/(k−1)·(1 − Σvar_i/var_total).
+    * Users absent from an item are exact zeros, handled WITHOUT
+    * materializing the dense matrix: per-item moments over present
+    * rows only, with n = all users (zeros add nothing to either sum).
+    * Item count k is data-derived; per-item sample variances quantize
+    * to micro per ITEM (k-row frame) before the exact sum; the
+    * user-total variance comes from exact decimal moments; α is one
+    * quantized double on the one-row frame. */
+  val cronbachAlpha: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val ut = Tables(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("x"))
+    val totals = ut.groupBy($"user_id").agg(sum($"x").as("tot"))
+    val tstats = totals.agg(count(lit(1)).as("n"),
+      sum(dec($"tot")).as("st"), sum(dec($"tot") * dec($"tot")).as("qt"))
+    val item = ut.groupBy($"event_type")
+      .agg(sum(dec($"x")).as("s"), sum(dec($"x") * dec($"x")).as("q"))
+      .crossJoin(broadcast(tstats.select($"n")))
+      .select(expr("CAST(round(1000000.0 * (CAST(q AS DOUBLE) -" +
+        " CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))" +
+        " AS BIGINT)").as("var_micro"))
+      .agg(count(lit(1)).as("k"), sum($"var_micro").as("siv"))
+    item.crossJoin(broadcast(tstats))
+      .select($"n".as("n_users"), $"k".as("k_items"),
+        $"siv".as("sum_item_var_micro"),
+        expr("CAST(round(1000000.0 * (CAST(qt AS DOUBLE) -" +
+          " CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n) / (n - 1))" +
+          " AS BIGINT)").as("total_var_micro"))
+      .select($"n_users", $"k_items", $"sum_item_var_micro",
+        $"total_var_micro",
+        expr("CAST(round(1000000.0 * k_items / (k_items - 1) *" +
+          " (1.0 - CAST(sum_item_var_micro AS DOUBLE) /" +
+          " total_var_micro)) AS BIGINT)").as("alpha_micro"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -385,6 +569,10 @@ object Analytics {
     "q308_mrr_eval" -> mrrEval,
     "q309_query_likelihood" -> queryLikelihood,
     "q310_binary_hamming_ann" -> binaryHammingAnn,
+    "q311_kruskal_wallis" -> kruskalWallis,
+    "q312_effect_sizes" -> effectSizes,
+    "q313_pacf" -> pacf,
+    "q314_cronbach_alpha" -> cronbachAlpha,
   )
 
   val oracles: Map[String, String] = Map(
@@ -577,5 +765,131 @@ object Analytics {
         |  CAST(round(1000000 * cs) AS BIGINT) AS cos_micro
         |FROM rer ORDER BY q_id ASC, rank ASC""".stripMargin
     },
+    "q311_kruskal_wallis" -> {
+      val sTerms = (1 to 5).map(j =>
+        s"CAST(rr$j AS DOUBLE) * rr$j / (4.0 * m$j)").mkString(" + ")
+      val gCols = (1 to 5).map(j =>
+        s"sum(CASE WHEN g = $j THEN 1 ELSE 0 END)::BIGINT AS n$j")
+        .mkString(", ")
+      val aggCols = (1 to 5).map(j =>
+        s"sum(n$j * r2)::BIGINT AS rr$j, sum(n$j)::BIGINT AS m$j")
+        .mkString(", ")
+      s"""WITH base AS (SELECT
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE o_orderpriority WHEN '1-URGENT' THEN 1
+        |      WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        |      WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS g
+        |  FROM orders),
+        |grid AS (SELECT v, $gCols, count(*)::BIGINT AS nv
+        |  FROM base GROUP BY v),
+        |cum AS (SELECT *, coalesce(sum(nv) OVER (ORDER BY v ROWS
+        |    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS e FROM grid),
+        |r AS (SELECT *, 2 * e + nv + 1 AS r2 FROM cum),
+        |one AS (SELECT $aggCols, sum(nv)::BIGINT AS n,
+        |    sum(nv * nv * nv - nv)::BIGINT AS ties FROM r),
+        |h AS (SELECT n, ties,
+        |    CAST(round(1000.0 * (12.0 * ($sTerms) /
+        |      (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)))
+        |      AS BIGINT) AS h_milli FROM one)
+        |SELECT n, ties, h_milli,
+        |  CAST(round(CAST(h_milli AS DOUBLE) *
+        |    (CAST(n AS DOUBLE) * n * n - n) /
+        |    (CAST(n AS DOUBLE) * n * n - n - ties)) AS BIGINT)
+        |    AS h_corr_milli
+        |FROM h""".stripMargin
+    },
+    "q312_effect_sizes" ->
+      """WITH base AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 2 END AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |grid AS (SELECT v,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 1 THEN v ELSE 0 END)::BIGINT AS s1v,
+        |    sum(CASE WHEN g = 2 THEN v ELSE 0 END)::BIGINT AS s2v,
+        |    sum(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS q1v,
+        |    sum(CASE WHEN g = 2 THEN v * v ELSE 0 END) AS q2v
+        |  FROM base GROUP BY v),
+        |cum AS (SELECT *,
+        |    coalesce(sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e1,
+        |    coalesce(sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e2
+        |  FROM grid),
+        |one AS (SELECT sum(n1)::BIGINT AS m1, sum(n2)::BIGINT AS m2,
+        |    sum(s1v)::BIGINT AS sum1, sum(s2v)::BIGINT AS sum2,
+        |    sum(q1v) AS ss1, sum(q2v) AS ss2,
+        |    sum(n1 * e2)::BIGINT AS gt, sum(n2 * e1)::BIGINT AS lt
+        |  FROM cum)
+        |SELECT m1, m2, gt, lt,
+        |  CAST((1000000 * (gt - lt)) // (m1 * m2) AS BIGINT)
+        |    AS cliffs_micro,
+        |  CAST(round(1000000.0 *
+        |    (CAST(sum1 AS DOUBLE) / m1 - CAST(sum2 AS DOUBLE) / m2) /
+        |    sqrt(((CAST(ss1 AS DOUBLE) -
+        |    CAST(sum1 AS DOUBLE) * sum1 / m1) +
+        |    (CAST(ss2 AS DOUBLE) - CAST(sum2 AS DOUBLE) * sum2 / m2)) /
+        |    (m1 + m2 - 2))) AS BIGINT) AS cohens_d_micro
+        |FROM one""".stripMargin,
+    "q313_pacf" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT l.lag AS lag, a.cents::HUGEINT AS x,
+        |    b.cents::HUGEINT AS y
+        |  FROM (SELECT unnest(range(1, 4))::INTEGER AS lag) l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.d = a.d + l.lag),
+        |s AS (SELECT lag, count(*)::BIGINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY lag),
+        |r AS (SELECT lag,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |  FROM s),
+        |one AS (SELECT sum(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    sum(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    sum(CASE WHEN lag = 3 THEN r END) AS r3 FROM r),
+        |lvl AS (SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2 FROM one),
+        |lvl2 AS (SELECT r1, r2, r3, p2, r1 - p2 * r1 AS a1,
+        |    (1.0 - r1 * r1) * (1.0 - p2 * p2) AS v2 FROM lvl)
+        |SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2,
+        |  round((r3 - a1 * r2 - p2 * r1) / v2, 6) AS pacf3
+        |FROM lvl2""".stripMargin,
+    "q314_cronbach_alpha" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1, 2),
+        |totals AS (SELECT user_id, sum(x)::BIGINT AS tot
+        |  FROM ut GROUP BY 1),
+        |ts AS (SELECT count(*)::BIGINT AS n, sum(tot::HUGEINT) AS st,
+        |    sum(tot::HUGEINT * tot::HUGEINT) AS qt FROM totals),
+        |item AS (SELECT event_type, sum(x::HUGEINT) AS s,
+        |    sum(x::HUGEINT * x::HUGEINT) AS q
+        |  FROM ut GROUP BY 1),
+        |iv AS (SELECT CAST(round(1000000.0 * (CAST(q AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+        |      AS BIGINT) AS var_micro
+        |  FROM item CROSS JOIN ts),
+        |ia AS (SELECT count(*)::BIGINT AS k,
+        |    sum(var_micro)::BIGINT AS siv FROM iv),
+        |fin AS (SELECT n AS n_users, k AS k_items,
+        |    siv AS sum_item_var_micro,
+        |    CAST(round(1000000.0 * (CAST(qt AS DOUBLE) -
+        |      CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n) / (n - 1))
+        |      AS BIGINT) AS total_var_micro
+        |  FROM ia CROSS JOIN ts)
+        |SELECT n_users, k_items, sum_item_var_micro, total_var_micro,
+        |  CAST(round(1000000.0 * k_items / (k_items - 1) *
+        |    (1.0 - CAST(sum_item_var_micro AS DOUBLE) /
+        |    total_var_micro)) AS BIGINT) AS alpha_micro
+        |FROM fin""".stripMargin,
   )
 }
