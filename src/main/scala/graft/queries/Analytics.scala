@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -556,6 +556,106 @@ object Analytics {
           " total_var_micro)) AS BIGINT)").as("alpha_micro"))
   }
 
+  // ------------------------------- q315 Kneser-Ney held-out scoring
+
+  /** q315 — interpolated Kneser-Ney bigram LM (Kneser & Ney 1995;
+    * Chen & Goodman 1999) scored on the held-out half of the corpus —
+    * the discounting upgrade over q227's add-one model and q236's
+    * stupid backoff. Absolute discount D = 3/4 stays EXACT by scaling
+    * the probability to the common denominator 4·c(w1)·(T+V):
+    * P = [max(4c−3,0)·(T+V) + 3·N1+(w1·)·(N1+(·w2)+1)] / that — the
+    * continuation distribution is add-one smoothed so unseen followers
+    * keep finite scores, and an unseen history backs off to the
+    * continuation probability alone. One ln per DISTINCT held-out
+    * bigram type (micro-nats, the q77 convention), then exact long
+    * sums per document. Model frames are Zipf-bounded (bigram/unigram
+    * types) and the scoring join is keyed on the bigram; the exact
+    * integer numerators assume c·(T+V) fits int64 — beyond ~1e12×1e9
+    * the production path drops to the documented micro-quantized
+    * ratio. */
+  val knHeldout: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    def pairs(df: DataFrame) = df.select($"doc_id", explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("pr"))
+      .select($"doc_id", $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val train = tok.filter($"doc_id" % 2 === 0)
+    val held = tok.filter($"doc_id" % 2 =!= 0)
+    val bi = pairs(train).groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c"))
+    val lft = bi.groupBy($"w1")
+      .agg(sum($"c").as("c1"), count(lit(1)).as("n1p"))
+    val rgt = bi.groupBy($"w2").agg(count(lit(1)).as("ncont"))
+    val glob = bi.agg(count(lit(1)).as("t"))
+      .crossJoin(train.select(explode($"toks").as("w"))
+        .agg(countDistinct($"w").as("v")))
+    val hp = pairs(held)
+    val scored = hp.select($"w1", $"w2").distinct()
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(lft, Seq("w1"), "left")
+      .join(rgt, Seq("w2"), "left")
+      .crossJoin(broadcast(glob))
+      .select($"w1", $"w2",
+        expr("CAST(round(-1000000.0 * ln(CAST(CASE WHEN c1 IS NULL" +
+          " THEN coalesce(ncont, 0) + 1" +
+          " ELSE greatest(4 * coalesce(c, 0) - 3, 0) * (t + v) +" +
+          " 3 * n1p * (coalesce(ncont, 0) + 1) END AS DOUBLE) /" +
+          " CAST(CASE WHEN c1 IS NULL THEN t + v" +
+          " ELSE 4 * c1 * (t + v) END AS DOUBLE))) AS BIGINT)")
+          .as("nlp_u"))
+    hp.join(scored, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum($"nlp_u").as("s_u"))
+      .select($"doc_id", $"n_pairs",
+        expr("s_u div n_pairs").as("mean_kn_nll_micro"))
+  }
+
+  // ------------------------------------- q316 1-D energy distance
+
+  /** q316 — exact energy distance between the URGENT / non-URGENT
+    * order-value distributions: E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (the
+    * rotation-free two-sample statistic next to q307's W1 and q192's
+    * KS). No pair is ever enumerated: on the value grid, the ordered-
+    * pair sum Σ|a−b| with b<a is Σ_v n_A(v)·(v·C_B(v) − S_B(v)) over
+    * exclusive cumulative counts AND value-sums — ONE
+    * [[graft.functions.ScaleWindows.rangeCumSums]] pass carries all
+    * four prefix series. Numerators are exact longs; the one-row E
+    * quantizes once. */
+  val energyDistance: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val grid = Tables(s, dir, "orders")
+      .select(when($"o_orderpriority" === "1-URGENT", 1).otherwise(2)
+        .as("g"), round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"v")
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("n2"))
+      .withColumn("w1", $"n1" * $"v").withColumn("w2", $"n2" * $"v")
+    val cum = ScaleWindows.rangeCumSums(grid, Seq($"v"),
+      Seq(col("n1") -> "e1", col("n2") -> "e2",
+        col("w1") -> "s1", col("w2") -> "s2"))
+    val one = cum.agg(
+      sum($"n1").as("m1"), sum($"n2").as("m2"),
+      sum($"n1" * ($"v" * $"e2" - $"s2")).as("l12"),
+      sum($"n2" * ($"v" * $"e1" - $"s1")).as("l21"),
+      sum($"n1" * ($"v" * $"e1" - $"s1")).as("l11"),
+      sum($"n2" * ($"v" * $"e2" - $"s2")).as("l22"))
+    one.select($"m1", $"m2",
+        ($"l12" + $"l21").as("a_num"), (lit(2L) * $"l11").as("b_num"),
+        (lit(2L) * $"l22").as("c_num"))
+      .select($"m1", $"m2", $"a_num", $"b_num", $"c_num",
+        expr("CAST(round(1000000.0 * (" +
+          "2.0 * CAST(a_num AS DOUBLE) / (CAST(m1 AS DOUBLE) * m2) -" +
+          " CAST(b_num AS DOUBLE) / (CAST(m1 AS DOUBLE) * m1) -" +
+          " CAST(c_num AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2)))" +
+          " AS BIGINT)").as("energy_micro_cents"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -573,6 +673,8 @@ object Analytics {
     "q312_effect_sizes" -> effectSizes,
     "q313_pacf" -> pacf,
     "q314_cronbach_alpha" -> cronbachAlpha,
+    "q315_kn_heldout" -> knHeldout,
+    "q316_energy_distance" -> energyDistance,
   )
 
   val oracles: Map[String, String] = Map(
@@ -891,5 +993,82 @@ object Analytics {
         |    (1.0 - CAST(sum_item_var_micro AS DOUBLE) /
         |    total_var_micro)) AS BIGINT) AS alpha_micro
         |FROM fin""".stripMargin,
+    "q315_kn_heldout" -> {
+      val toks = "list_filter(string_split_regex(lower(text)," +
+        " '[^a-z]+'), w -> w <> '')"
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |trainp AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2 FROM
+        |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT),
+        |     i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr
+        |   FROM t WHERE doc_id % 2 = 0)),
+        |heldp AS (SELECT doc_id, pr['w1'] AS w1, pr['w2'] AS w2 FROM
+        |  (SELECT doc_id,
+        |     unnest(list_transform(range(1, len(toks)::BIGINT),
+        |       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr
+        |   FROM t WHERE doc_id % 2 <> 0)),
+        |bi AS (SELECT w1, w2, count(*)::BIGINT AS c FROM trainp
+        |  GROUP BY w1, w2),
+        |lft AS (SELECT w1, sum(c)::BIGINT AS c1,
+        |    count(*)::BIGINT AS n1p FROM bi GROUP BY w1),
+        |rgt AS (SELECT w2, count(*)::BIGINT AS ncont FROM bi
+        |  GROUP BY w2),
+        |gl AS (SELECT (SELECT count(*)::BIGINT FROM bi) AS t,
+        |    (SELECT count(DISTINCT w)::BIGINT FROM
+        |      (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0))
+        |      AS v),
+        |scored AS (SELECT hp.w1, hp.w2,
+        |    CAST(round(-1000000.0 * ln(CAST(CASE WHEN c1 IS NULL
+        |      THEN coalesce(ncont, 0) + 1
+        |      ELSE greatest(4 * coalesce(c, 0) - 3, 0) * (t + v) +
+        |      3 * n1p * (coalesce(ncont, 0) + 1) END AS DOUBLE) /
+        |      CAST(CASE WHEN c1 IS NULL THEN t + v
+        |      ELSE 4 * c1 * (t + v) END AS DOUBLE))) AS BIGINT)
+        |      AS nlp_u
+        |  FROM (SELECT DISTINCT w1, w2 FROM heldp) hp
+        |  LEFT JOIN bi ON hp.w1 = bi.w1 AND hp.w2 = bi.w2
+        |  LEFT JOIN lft ON hp.w1 = lft.w1
+        |  LEFT JOIN rgt ON hp.w2 = rgt.w2
+        |  CROSS JOIN gl)
+        |SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+        |  (sum(s.nlp_u)::BIGINT // count(*)::BIGINT)
+        |    AS mean_kn_nll_micro
+        |FROM heldp p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+        |GROUP BY p.doc_id""".stripMargin
+    },
+    "q316_energy_distance" ->
+      """WITH grid AS (SELECT
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS n1,
+        |    sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS n2
+        |  FROM orders GROUP BY 1),
+        |g2 AS (SELECT v, n1, n2, n1 * v AS w1, n2 * v AS w2
+        |  FROM grid),
+        |cum AS (SELECT *,
+        |    coalesce(sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e1,
+        |    coalesce(sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e2,
+        |    coalesce(sum(w1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s1,
+        |    coalesce(sum(w2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s2
+        |  FROM g2),
+        |one AS (SELECT sum(n1)::BIGINT AS m1, sum(n2)::BIGINT AS m2,
+        |    sum(n1 * (v * e2 - s2))::BIGINT AS l12,
+        |    sum(n2 * (v * e1 - s1))::BIGINT AS l21,
+        |    sum(n1 * (v * e1 - s1))::BIGINT AS l11,
+        |    sum(n2 * (v * e2 - s2))::BIGINT AS l22
+        |  FROM cum)
+        |SELECT m1, m2, (l12 + l21)::BIGINT AS a_num,
+        |  (2 * l11)::BIGINT AS b_num, (2 * l22)::BIGINT AS c_num,
+        |  CAST(round(1000000.0 * (
+        |    2.0 * CAST(l12 + l21 AS DOUBLE) /
+        |    (CAST(m1 AS DOUBLE) * m2) -
+        |    CAST(2 * l11 AS DOUBLE) / (CAST(m1 AS DOUBLE) * m1) -
+        |    CAST(2 * l22 AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2)))
+        |    AS BIGINT) AS energy_micro_cents
+        |FROM one""".stripMargin,
   )
 }
