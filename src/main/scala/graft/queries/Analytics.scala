@@ -656,6 +656,88 @@ object Analytics {
           " AS BIGINT)").as("energy_micro_cents"))
   }
 
+  // --------------------------------- q317 link-prediction battery
+
+  /** q317 — the classic link-prediction score battery (common
+    * neighbors, Jaccard, preferential attachment) for unlinked part
+    * pairs on the co-order graph — the diverse-lens complement of
+    * q215's single Adamic-Adar score (Liben-Nowell & Kleinberg 2003).
+    * Same scale stance as q215: wedge candidates route ONLY through
+    * nodes with deg ∈ [2, 64] (the Σdeg² cap — a declared part of the
+    * operator contract, mirrored by the oracle), while Jaccard/PA use
+    * the node's FULL degree; existing edges leave via anti-join;
+    * top-20 via TakeOrderedAndProject. Jaccard is an integral micro
+    * division of exact longs. */
+  val linkPrediction: Q = (s, dir) => {
+    import s.implicits._
+    val io = Tables(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val e = io.as("x")
+      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
+      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
+      .localCheckpoint() // feeds und (twice) and the anti-join probe
+    val und = e.select($"u".as("w"), $"v".as("n"))
+      .unionByName(e.select($"v".as("w"), $"u".as("n")))
+    val deg = und.groupBy($"w").agg(count(lit(1)).as("d"))
+    val mid = deg.filter($"d" >= 2 && $"d" <= 64).select($"w")
+    val capped = und.join(mid, Seq("w"))
+    val sc = capped.as("a")
+      .join(capped.as("b"), $"a.w" === $"b.w" && $"a.n" < $"b.n")
+      .select($"a.n".as("n1"), $"b.n".as("n2"))
+      .groupBy($"n1", $"n2").agg(count(lit(1)).as("n_common"))
+    sc.join(e, sc("n1") === e("u") && sc("n2") === e("v"), "left_anti")
+      .join(deg.select($"w".as("n1"), $"d".as("d1")), Seq("n1"))
+      .join(deg.select($"w".as("n2"), $"d".as("d2")), Seq("n2"))
+      .select($"n1", $"n2", $"n_common", $"d1", $"d2",
+        expr("(1000000 * n_common) div (d1 + d2 - n_common)")
+          .as("jaccard_micro"),
+        ($"d1" * $"d2").as("pa_score"))
+      .orderBy($"jaccard_micro".desc, $"n_common".desc, $"n1".asc,
+        $"n2".asc)
+      .limit(20)
+  }
+
+  // ------------------------------------ q318 harmonic centrality
+
+  /** q318 — harmonic centrality from a landmark set (Boldi & Vigna
+    * 2014's centrality, in its standard landmark approximation): per
+    * node, Σ_landmarks 1/d(l, v) over the supplier⇄part bipartite
+    * graph within 3 hops, seeded at the two lowest supplier keys
+    * (q107's SF-robust seed). Each BFS round is ONE frontier⇄edge
+    * equi-join plus an anti-join against the visited set, all keyed on
+    * node id with the landmark id carried — per-landmark distances in
+    * the same bounded unroll the q107 multi-source BFS uses; the
+    * unbounded fixpoint lives in GraphKernels.bfsHops. Reciprocals
+    * are integral micro divisions summed as exact longs. */
+  val harmonicCentrality: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = Tables(s, dir, "lineitem")
+      .select($"l_suppkey".as("src"),
+        (lit(100000L) + $"l_partkey").as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select($"dst".as("src"), $"src".as("dst")))
+    val d0 = Tables(s, dir, "supplier").filter($"s_suppkey" <= 2)
+      .select($"s_suppkey".as("lm"), $"s_suppkey".as("node_id"))
+    def expand(frontier: DataFrame, visited: DataFrame): DataFrame =
+      edges.join(frontier.select($"lm", $"node_id".as("src")),
+          Seq("src"))
+        .select($"lm", $"dst".as("node_id")).distinct()
+        .join(visited, Seq("lm", "node_id"), "left_anti")
+    val d1 = expand(d0, d0)
+    val v1 = d0.unionByName(d1)
+    val d2 = expand(d1, v1)
+    val d3 = expand(d2, v1.unionByName(d2))
+    d1.select($"lm", $"node_id", lit(1L).as("hops"))
+      .unionByName(d2.select($"lm", $"node_id", lit(2L).as("hops")))
+      .unionByName(d3.select($"lm", $"node_id", lit(3L).as("hops")))
+      .groupBy($"node_id")
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(expr("1000000 div hops")).as("h_micro"))
+      .orderBy($"h_micro".desc, $"node_id".asc)
+      .limit(30)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -675,6 +757,8 @@ object Analytics {
     "q314_cronbach_alpha" -> cronbachAlpha,
     "q315_kn_heldout" -> knHeldout,
     "q316_energy_distance" -> energyDistance,
+    "q317_link_prediction" -> linkPrediction,
+    "q318_harmonic_centrality" -> harmonicCentrality,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1070,5 +1154,57 @@ object Analytics {
         |    CAST(2 * l22 AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2)))
         |    AS BIGINT) AS energy_micro_cents
         |FROM one""".stripMargin,
+    "q317_link_prediction" ->
+      """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+        |und AS (SELECT u AS w, v AS n FROM e
+        |  UNION ALL SELECT v AS w, u AS n FROM e),
+        |deg AS (SELECT w, count(*)::BIGINT AS d FROM und GROUP BY w),
+        |mid AS (SELECT w FROM deg WHERE d >= 2 AND d <= 64),
+        |capped AS (SELECT und.w, und.n FROM und
+        |  JOIN mid ON und.w = mid.w),
+        |sc AS (SELECT a.n AS n1, b.n AS n2,
+        |    count(*)::BIGINT AS n_common
+        |  FROM capped a JOIN capped b ON a.w = b.w AND a.n < b.n
+        |  GROUP BY 1, 2),
+        |nl AS (SELECT * FROM sc WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.u = sc.n1 AND e.v = sc.n2))
+        |SELECT n1, n2, n_common, da.d AS d1, db.d AS d2,
+        |  CAST((1000000 * n_common) // (da.d + db.d - n_common)
+        |    AS BIGINT) AS jaccard_micro,
+        |  (da.d * db.d)::BIGINT AS pa_score
+        |FROM nl JOIN deg da ON n1 = da.w JOIN deg db ON n2 = db.w
+        |ORDER BY jaccard_micro DESC, n_common DESC, n1 ASC, n2 ASC
+        |LIMIT 20""".stripMargin,
+    "q318_harmonic_centrality" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+        |    100000 + l_partkey AS dst FROM lineitem),
+        |edges AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |d0 AS (SELECT s_suppkey AS lm, s_suppkey AS node_id
+        |  FROM supplier WHERE s_suppkey <= 2),
+        |f1 AS (SELECT DISTINCT d0.lm, edges.dst AS node_id
+        |  FROM d0 JOIN edges ON edges.src = d0.node_id),
+        |d1 AS (SELECT * FROM f1 x WHERE NOT EXISTS (SELECT 1 FROM d0
+        |  WHERE d0.lm = x.lm AND d0.node_id = x.node_id)),
+        |v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+        |f2 AS (SELECT DISTINCT d1.lm, edges.dst AS node_id
+        |  FROM d1 JOIN edges ON edges.src = d1.node_id),
+        |d2 AS (SELECT * FROM f2 x WHERE NOT EXISTS (SELECT 1 FROM v1
+        |  WHERE v1.lm = x.lm AND v1.node_id = x.node_id)),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM d2),
+        |f3 AS (SELECT DISTINCT d2.lm, edges.dst AS node_id
+        |  FROM d2 JOIN edges ON edges.src = d2.node_id),
+        |d3 AS (SELECT * FROM f3 x WHERE NOT EXISTS (SELECT 1 FROM v2
+        |  WHERE v2.lm = x.lm AND v2.node_id = x.node_id)),
+        |hops AS (SELECT lm, node_id, 1::BIGINT AS hops FROM d1
+        |  UNION ALL SELECT lm, node_id, 2::BIGINT FROM d2
+        |  UNION ALL SELECT lm, node_id, 3::BIGINT FROM d3)
+        |SELECT node_id, count(*)::BIGINT AS n_landmarks,
+        |  sum(1000000 // hops)::BIGINT AS h_micro
+        |FROM hops GROUP BY node_id
+        |ORDER BY h_micro DESC, node_id ASC LIMIT 30""".stripMargin,
   )
 }
