@@ -738,6 +738,133 @@ object Analytics {
       .limit(30)
   }
 
+  // ------------------------------------------ q319 ridge path (2D)
+
+  /** q319 — ridge regression path in closed form: o_totalprice
+    * regressed on customer balance and order recency at four
+    * regularization strengths, the 2-predictor normal equations
+    * inverted symbolically (det / adjugate — no iterative solver, no
+    * feature matrix materialized). All moment sums are exact
+    * decimal(38,0) in ONE scan; λ is scaled to the centered-moment
+    * trace so the path is unit-free at any SF; the 4-row λ fan-out is
+    * a broadcast literal frame and every coefficient is a quantized
+    * double over exact integers (fixed op order, mirrored in the
+    * oracle). Complements q211's unregularized OLS and q247's GD
+    * logistic. */
+  val ridgePath: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select($"c_custkey", $"c_acctbal"),
+        $"o_custkey" === $"c_custkey")
+      .select(round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"),
+        round($"o_totalprice" * 100).cast("long").as("y"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x1")).as("sx1"), sum(dec($"x2")).as("sx2"),
+      sum(dec($"y")).as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"))
+    val lam = s.range(0, 4).select($"id".cast("int").as("k"),
+      element_at(array(lit(0.0), lit(0.001), lit(0.01), lit(0.1)),
+        ($"id" + 1).cast("int")).as("rel"))
+    // centered moments in mirrored double ops (decimal division would
+    // diverge from DuckDB's float `/` on HUGEINT)
+    val cent = m.select($"n", $"sx1", $"sx2", $"sy",
+      expr("CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+        " CAST(sx1 AS DOUBLE) / n").as("s11"),
+      expr("CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *" +
+        " CAST(sx2 AS DOUBLE) / n").as("s22"),
+      expr("CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+        " CAST(sx2 AS DOUBLE) / n").as("s12"),
+      expr("CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+        " CAST(sy AS DOUBLE) / n").as("s1y"),
+      expr("CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) *" +
+        " CAST(sy AS DOUBLE) / n").as("s2y"))
+    lam.crossJoin(broadcast(cent))
+      .withColumn("l", $"rel" * ($"s11" + $"s22") / lit(2.0))
+      .withColumn("det",
+        ($"s11" + $"l") * ($"s22" + $"l") - $"s12" * $"s12")
+      .withColumn("b1",
+        (($"s22" + $"l") * $"s1y" - $"s12" * $"s2y") / $"det")
+      .withColumn("b2",
+        (($"s11" + $"l") * $"s2y" - $"s12" * $"s1y") / $"det")
+      .select($"k", $"n",
+        expr("CAST(round(1000000.0 * b1) AS BIGINT)").as("b1_micro"),
+        expr("CAST(round(1000000.0 * b2) AS BIGINT)").as("b2_micro"),
+        expr("CAST(round((CAST(sy AS DOUBLE) / n -" +
+          " b1 * (CAST(sx1 AS DOUBLE) / n) -" +
+          " b2 * (CAST(sx2 AS DOUBLE) / n)) * 100) AS BIGINT)")
+          .as("intercept_hundredths"))
+      .orderBy($"k".asc)
+  }
+
+  // ----------------------------------------- q320 Hurst exponent
+
+  /** q320 — Hurst exponent of daily revenue by rescaled-range (R/S)
+    * analysis at block sizes 16/64/256 (Hurst 1951; Mandelbrot &
+    * Wallis 1969): the long-memory probe next to q181's ACF and
+    * q295's seasonal strength. The series index is the ORDERED day
+    * rank (sparse calendars keep full blocks) from the scale-safe
+    * [[graft.functions.ScaleWindows.rangeCumSum]]; within-block
+    * cumulative deviations use the q183 trick — devs scaled by m so
+    * they stay exact longs (m·x − Σx), making R exact and
+    * R/S = R_scaled/√(m·Σx² − (Σx)²) one deterministic double per
+    * block, quantized per BLOCK before the per-m mean. The final
+    * slope over the three (ln m, ln mean-R/S) points is a pinned
+    * 3-point closed form (q313's convention). */
+  val hurstExponent: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+    val ranked = ScaleWindows.rangeCumSum(daily, Seq($"d"), lit(1L), "rk")
+    val ms = s.range(0, 3).select(
+      element_at(array(lit(16), lit(64), lit(256)),
+        ($"id" + 1).cast("int")).cast("long").as("m"))
+    val blocks = ranked.crossJoin(broadcast(ms))
+      .select($"m", expr("rk div m").as("blk"), $"rk", $"d", $"x")
+    val bstat = blocks.groupBy($"m", $"blk")
+      .agg(count(lit(1)).as("cnt"), sum($"x").as("sx"),
+        sum(dec($"x") * dec($"x")).as("qx"))
+      .filter($"cnt" === $"m")
+    val wb = Window.partitionBy($"m", $"blk").orderBy($"rk")
+    val dev = blocks.join(bstat, Seq("m", "blk"))
+      .withColumn("z", sum($"m" * $"x" - $"sx").over(wb))
+    val rs = dev.groupBy($"m", $"blk", $"sx", $"qx")
+      .agg((max($"z") - min($"z")).as("r"))
+      .filter(expr("CAST(m AS DOUBLE) * CAST(qx AS DOUBLE) -" +
+        " CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0"))
+      .select($"m", $"blk",
+        expr("CAST(round(1000000.0 * (CAST(r AS DOUBLE) /" +
+          " sqrt(CAST(m AS DOUBLE) * CAST(qx AS DOUBLE) -" +
+          " CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT)")
+          .as("rs_micro"))
+    val perM = rs.groupBy($"m")
+      .agg(count(lit(1)).as("n_blocks"),
+        expr("sum(rs_micro) div count(1)").as("mean_rs_micro"))
+    val pins = perM.agg(
+      sum(when($"m" === 16, $"mean_rs_micro")).as("y1"),
+      sum(when($"m" === 64, $"mean_rs_micro")).as("y2"),
+      sum(when($"m" === 256, $"mean_rs_micro")).as("y3"))
+    // ln(m) spacing is uniform (ln 4 steps), so the 3-point LS slope
+    // reduces to (ln y3 − ln y1) / (2 ln 4) — pinned scalar form
+    val hurst = pins.select(
+      expr("CAST(round(1000000.0 *" +
+        " (ln(CAST(y3 AS DOUBLE)) - ln(CAST(y1 AS DOUBLE))) /" +
+        " (2.0 * ln(4.0))) AS BIGINT)").as("hurst_micro"))
+    perM.crossJoin(broadcast(hurst))
+      .select($"m", $"n_blocks", $"mean_rs_micro", $"hurst_micro")
+      .orderBy($"m".asc)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -759,6 +886,8 @@ object Analytics {
     "q316_energy_distance" -> energyDistance,
     "q317_link_prediction" -> linkPrediction,
     "q318_harmonic_centrality" -> harmonicCentrality,
+    "q319_ridge_path" -> ridgePath,
+    "q320_hurst_exponent" -> hurstExponent,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1206,5 +1335,92 @@ object Analytics {
         |  sum(1000000 // hops)::BIGINT AS h_micro
         |FROM hops GROUP BY node_id
         |ORDER BY h_micro DESC, node_id ASC LIMIT 30""".stripMargin,
+    "q319_ridge_path" ->
+      """WITH rows0 AS (SELECT
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+        |    sum(y::HUGEINT) AS sy,
+        |    sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+        |    sum(x2::HUGEINT * x2::HUGEINT) AS q22,
+        |    sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+        |    sum(x1::HUGEINT * y::HUGEINT) AS q1y,
+        |    sum(x2::HUGEINT * y::HUGEINT) AS q2y
+        |  FROM rows0),
+        |cent AS (SELECT n, sx1, sx2, sy,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx1 AS DOUBLE) / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s12,
+        |    CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / n AS s1y,
+        |    CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / n AS s2y
+        |  FROM m),
+        |lam AS (SELECT * FROM (VALUES (0, 0.0), (1, 0.001),
+        |  (2, 0.01), (3, 0.1)) AS t(k, rel)),
+        |f AS (SELECT k, n, sx1, sx2, sy, s11, s22, s12, s1y, s2y,
+        |    rel * (s11 + s22) / 2.0 AS l FROM lam CROSS JOIN cent),
+        |g AS (SELECT *,
+        |    (s11 + l) * (s22 + l) - s12 * s12 AS det FROM f),
+        |h AS (SELECT *, ((s22 + l) * s1y - s12 * s2y) / det AS b1,
+        |    ((s11 + l) * s2y - s12 * s1y) / det AS b2 FROM g)
+        |SELECT k, n,
+        |  CAST(round(1000000.0 * b1) AS BIGINT) AS b1_micro,
+        |  CAST(round(1000000.0 * b2) AS BIGINT) AS b2_micro,
+        |  CAST(round((CAST(sy AS DOUBLE) / n -
+        |    b1 * (CAST(sx1 AS DOUBLE) / n) -
+        |    b2 * (CAST(sx2 AS DOUBLE) / n)) * 100) AS BIGINT)
+        |    AS intercept_hundredths
+        |FROM h ORDER BY k ASC""".stripMargin,
+    "q320_hurst_exponent" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *, (row_number() OVER (ORDER BY d) - 1)
+        |    ::BIGINT AS rk FROM daily),
+        |blocks AS (SELECT m, rk // m AS blk, rk, d, x FROM ranked
+        |  CROSS JOIN (SELECT unnest([16, 64, 256])::BIGINT AS m) ms),
+        |bstat AS (SELECT m, blk, count(*)::BIGINT AS cnt,
+        |    sum(x)::BIGINT AS sx, sum(x::HUGEINT * x::HUGEINT) AS qx
+        |  FROM blocks GROUP BY 1, 2),
+        |bful AS (SELECT * FROM bstat WHERE cnt = m),
+        |dev AS (SELECT blocks.m AS m, blocks.blk AS blk, rk, sx, qx,
+        |    sum(blocks.m * x - sx) OVER (PARTITION BY blocks.m,
+        |      blocks.blk ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS z
+        |  FROM blocks JOIN bful ON blocks.m = bful.m
+        |    AND blocks.blk = bful.blk),
+        |rsb AS (SELECT m, blk, sx, qx, (max(z) - min(z))::BIGINT AS r
+        |  FROM dev GROUP BY 1, 2, 3, 4),
+        |rs AS (SELECT m, blk,
+        |    CAST(round(1000000.0 * (CAST(r AS DOUBLE) /
+        |      sqrt(CAST(m AS DOUBLE) * CAST(qx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT)
+        |      AS rs_micro
+        |  FROM rsb WHERE CAST(m AS DOUBLE) * CAST(qx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0),
+        |perm AS (SELECT m, count(*)::BIGINT AS n_blocks,
+        |    (sum(rs_micro)::BIGINT // count(*)::BIGINT)
+        |      AS mean_rs_micro
+        |  FROM rs GROUP BY m),
+        |pins AS (SELECT
+        |    sum(CASE WHEN m = 16 THEN mean_rs_micro END)::BIGINT
+        |      AS y1,
+        |    sum(CASE WHEN m = 256 THEN mean_rs_micro END)::BIGINT
+        |      AS y3 FROM perm),
+        |h AS (SELECT CAST(round(1000000.0 *
+        |    (ln(CAST(y3 AS DOUBLE)) - ln(CAST(y1 AS DOUBLE))) /
+        |    (2.0 * ln(4.0))) AS BIGINT) AS hurst_micro FROM pins)
+        |SELECT m, n_blocks, mean_rs_micro, hurst_micro
+        |FROM perm CROSS JOIN h ORDER BY m ASC""".stripMargin,
   )
 }
