@@ -865,6 +865,192 @@ object Analytics {
       .orderBy($"m".asc)
   }
 
+  // ------------------------------------ q321 Rocchio feedback loop
+
+  /** q321 — pseudo-relevance feedback (Rocchio 1971 over lexical
+    * scores): round 0 ranks by the q91 BM25 (3 seed terms), the top-5
+    * docs vote their highest-lift terms, the top-3 NEW terms join the
+    * query at β = 1/2 weight, round 1 re-ranks. No collect: the
+    * feedback terms are a 3-row frame (broadcast), scoring joins stay
+    * keyed on term, and the doc-frequency stats come from the
+    * vocabulary-sized frame the inverted-index family already uses.
+    * Term lift and scores quantize per (doc, term) to micro before
+    * exact sums; every tie breaks on (term, doc_id). */
+  val rocchioFeedback: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    val seeds = Seq("spark", "query", "hash")
+    val idx = Tables(s, dir, "documents")
+      .select($"doc_id", posexplode(TextOps.tokens($"text")))
+      .select($"doc_id", $"col".as("term"))
+    val tf = idx.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nd = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
+    val seedFrame = s.createDataFrame(
+      seeds.map(Tuple1.apply)).toDF("term")
+    // round-0 score: idf_micro per term (vocab frame), tf saturation
+    val idf = df.crossJoin(broadcast(nd))
+      .select($"term", $"df",
+        expr("CAST(round(1000000.0 * ln(1.0 +" +
+          " (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))) AS BIGINT)")
+          .as("idf_micro"))
+    val score0 = tf.join(broadcast(seedFrame), Seq("term"))
+      .join(idf, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("(tf * idf_micro) div (tf + 1)")).as("s0"))
+    val top5 = score0
+      .orderBy($"s0".desc, $"doc_id".asc).limit(5)
+      .select($"doc_id")
+    // expansion: highest idf-weighted tf terms inside the top-5 docs,
+    // excluding the seeds
+    val expand = tf.join(broadcast(top5), Seq("doc_id"))
+      .join(broadcast(seedFrame), Seq("term"), "left_anti")
+      .groupBy($"term").agg(sum($"tf").as("reltf"))
+      .join(idf, Seq("term"))
+      .select($"term", ($"reltf" * $"idf_micro").as("lift"))
+      .orderBy($"lift".desc, $"term".asc).limit(3)
+      .select($"term", lit(1L).as("half"))
+    val qterms = seedFrame.select($"term", lit(0L).as("half"))
+      .unionByName(expand)
+    val score1 = tf.join(broadcast(qterms), Seq("term"))
+      .join(idf, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(sum(expr("((tf * idf_micro) div (tf + 1)) div (1 + half)"))
+        .as("rocchio_micro"))
+    score1.orderBy($"rocchio_micro".desc, $"doc_id".asc).limit(10)
+      .select($"doc_id", $"rocchio_micro")
+  }
+
+  // ------------------------------------------- q322 Grubbs outlier
+
+  /** q322 — Grubbs' maximum-studentized-deviate test on daily
+    * revenue: G = max|x − x̄|/s with the arg-max day (the single-
+    * outlier complement of q180's MAD fence and q116's z-scores).
+    * Deviations stay exact by the q183 scaling (n·x − Σx); the
+    * arg-max resolves by (|dev| desc, day asc) on the O(days) frame;
+    * G quantizes once from exact longs and decimal moments. */
+  val grubbsTest: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+    val m = daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum(dec($"x") * dec($"x")).as("qx"))
+    val dev = daily.crossJoin(broadcast(m))
+      .select($"day", $"x", $"n", $"sx", $"qx",
+        abs($"n" * $"x" - $"sx").as("adev"))
+      .orderBy($"adev".desc, $"day".asc).limit(1)
+    dev.select($"day", $"x", $"n",
+      expr("CAST(round(1000000.0 * (CAST(adev AS DOUBLE) / n) /" +
+        " sqrt((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+        " CAST(sx AS DOUBLE) / n) / (n - 1))) AS BIGINT)")
+        .as("g_micro"))
+  }
+
+  // --------------------------------------------- q323 Cochran's Q
+
+  /** q323 — Cochran's Q over the users × 3-treatment binary matrix
+    * (did the user ever fire each of the three probe event types?) —
+    * the k-related-proportions test beside q244's McNemar (k = 2) and
+    * q261's Friedman (ordinal). FULLY exact integer arithmetic:
+    * Q = (k−1)·(k·ΣCj² − (ΣCj)²) / (k·ΣRi − ΣRi²) where C are
+    * treatment totals and R per-user row sums — one micro division at
+    * the end. The dense matrix never materializes: row sums from the
+    * (user, type)-distinct frame, absent cells are exact zeros. */
+  val cochranQ: Q = (s, dir) => {
+    import s.implicits._
+    val types = Seq("click", "view", "purchase")
+    val cells0 = Tables(s, dir, "events")
+      .filter($"event_type".isin(types: _*))
+      .select($"user_id", $"event_type").distinct()
+    // all-success (r = k) and all-failure rows carry no information
+    // and make Q literally 0/0 — the standard drop, mirrored by the
+    // oracle (r = 0 rows never materialize in the sparse frame)
+    val informative = cells0.groupBy($"user_id")
+      .agg(count(lit(1)).as("r")).filter($"r" < 3)
+    val cells = cells0.join(informative.select($"user_id"),
+      Seq("user_id"))
+    val rstat = informative.agg(count(lit(1)).as("n_users"),
+      sum($"r").as("sr"), sum($"r" * $"r").as("srr"))
+    val cstat = cells.groupBy($"event_type").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").as("scc"), sum($"c").as("sc"))
+    rstat.crossJoin(broadcast(cstat))
+      .select($"n_users", $"sr", $"srr", $"sc", $"scc",
+        expr("CAST((1000000 * 2 * (3 * scc - sc * sc))" +
+          " div (3 * sr - srr) AS BIGINT)").as("q_micro"))
+  }
+
+  // -------------------------------- q324 polynomial-kernel MMD²
+
+  /** q324 — maximum mean discrepancy between URGENT and non-URGENT
+    * order values under the degree-2 polynomial kernel
+    * k(x,y) = (1 + xy/c)² (Gretton et al. 2012). The kernel
+    * DECOMPOSES INTO MOMENTS — E[k] over a product distribution is
+    * 1 + 2μ_xμ_y/c + E[x²]E[y²]/c² — so the O(n²) kernel matrix
+    * collapses to first/second moments per group: ONE aggregation
+    * scan, no pair join at any scale (the kernel-trick mirror of
+    * q316's sorted-grid trick for the energy distance). c = 10⁸
+    * (squared cents scale); exact decimal moments, one quantized
+    * double on the one-row frame. */
+  val polyKernelMmd: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = Tables(s, dir, "orders")
+      .select(when($"o_orderpriority" === "1-URGENT", 1).otherwise(2)
+        .as("g"), round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum(dec($"v")).as("s"),
+        sum(dec($"v") * dec($"v")).as("q"))
+    val one = m.agg(
+      sum(when($"g" === 1, $"n")).as("n1"),
+      sum(when($"g" === 2, $"n")).as("n2"),
+      sum(when($"g" === 1, $"s".cast("double"))).as("s1"),
+      sum(when($"g" === 2, $"s".cast("double"))).as("s2"),
+      sum(when($"g" === 1, $"q".cast("double"))).as("q1"),
+      sum(when($"g" === 2, $"q".cast("double"))).as("q2"))
+    one.select($"n1", $"n2",
+      expr("CAST(round(1000000.0 * (" +
+        "(1.0 + 2.0 * (s1 / n1) * (s1 / n1) / 100000000.0 +" +
+        " (q1 / n1) * (q1 / n1) / 10000000000000000.0) +" +
+        " (1.0 + 2.0 * (s2 / n2) * (s2 / n2) / 100000000.0 +" +
+        " (q2 / n2) * (q2 / n2) / 10000000000000000.0) -" +
+        " 2.0 * (1.0 + 2.0 * (s1 / n1) * (s2 / n2) / 100000000.0 +" +
+        " (q1 / n1) * (q2 / n2) / 10000000000000000.0)))" +
+        " AS BIGINT)").as("mmd2_micro"))
+  }
+
+  // ----------------------------------------- q325 readability card
+
+  /** q325 — Flesch-Kincaid-style readability per source: grade ≈
+    * 0.39·words/sentences + 11.8·syllables/words − 15.59, with
+    * syllables approximated as maximal vowel runs and sentences as
+    * [.!?] runs — the shallow-parse text-quality lens next to q29's
+    * ratio card and q45's repetition score. All three counts are
+    * exact per-document integers (shared regex dialect with the
+    * q28/X13 family); the grade quantizes to milli per DOCUMENT
+    * before the per-source integral mean. */
+  val readability: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    val base = Tables(s, dir, "documents")
+      .select($"source",
+        size(TextOps.tokens($"text")).cast("long").as("words"),
+        size(filter(split(lower($"text"), "[^aeiou]+"),
+          x => x =!= "")).cast("long").as("syl"),
+        greatest(size(filter(split($"text", "[.!?]+"),
+          x => length(trim(x)) > 0)), lit(1)).cast("long").as("sents"))
+      .filter($"words" > 0)
+      .select($"source",
+        expr("CAST(round(1000.0 * (0.39 * (CAST(words AS DOUBLE) /" +
+          " sents) + 11.8 * (CAST(syl AS DOUBLE) / words) - 15.59))" +
+          " AS BIGINT)").as("fk_milli"))
+    base.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(fk_milli) div count(1)").as("mean_fk_milli"))
+      .orderBy($"source".asc)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -888,6 +1074,11 @@ object Analytics {
     "q318_harmonic_centrality" -> harmonicCentrality,
     "q319_ridge_path" -> ridgePath,
     "q320_hurst_exponent" -> hurstExponent,
+    "q321_rocchio_feedback" -> rocchioFeedback,
+    "q322_grubbs_test" -> grubbsTest,
+    "q323_cochran_q" -> cochranQ,
+    "q324_poly_kernel_mmd" -> polyKernelMmd,
+    "q325_readability" -> readability,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1422,5 +1613,121 @@ object Analytics {
         |    (2.0 * ln(4.0))) AS BIGINT) AS hurst_micro FROM pins)
         |SELECT m, n_blocks, mean_rs_micro, hurst_micro
         |FROM perm CROSS JOIN h ORDER BY m ASC""".stripMargin,
+    "q321_rocchio_feedback" -> {
+      val toks = "list_filter(string_split_regex(lower(text)," +
+        " '[^a-z]+'), w -> w <> '')"
+      s"""WITH idx AS (SELECT doc_id, unnest($toks) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM idx GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        |  GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tf),
+        |idf AS (SELECT term, df, CAST(round(1000000.0 * ln(1.0 +
+        |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))) AS BIGINT)
+        |    AS idf_micro FROM df CROSS JOIN nd),
+        |seeds AS (SELECT unnest(['spark', 'query', 'hash']) AS term),
+        |s0 AS (SELECT doc_id,
+        |    sum((tf * idf_micro) // (tf + 1))::BIGINT AS s0
+        |  FROM tf JOIN seeds USING (term) JOIN idf USING (term)
+        |  GROUP BY doc_id),
+        |top5 AS (SELECT doc_id FROM s0
+        |  ORDER BY s0 DESC, doc_id ASC LIMIT 5),
+        |exp0 AS (SELECT term, sum(tf)::BIGINT AS reltf
+        |  FROM tf JOIN top5 USING (doc_id)
+        |  WHERE term NOT IN (SELECT term FROM seeds)
+        |  GROUP BY term),
+        |exp1 AS (SELECT exp0.term AS term,
+        |    (reltf * idf_micro)::BIGINT AS lift
+        |  FROM exp0 JOIN idf ON exp0.term = idf.term
+        |  ORDER BY lift DESC, term ASC LIMIT 3),
+        |qt AS (SELECT term, 0::BIGINT AS half FROM seeds
+        |  UNION ALL SELECT term, 1::BIGINT FROM exp1),
+        |s1 AS (SELECT doc_id, sum(((tf * idf_micro) // (tf + 1))
+        |    // (1 + half))::BIGINT AS rocchio_micro
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, rocchio_micro FROM s1
+        |ORDER BY rocchio_micro DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "q322_grubbs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(x::HUGEINT * x::HUGEINT) AS qx FROM daily),
+        |dev AS (SELECT day, x, n, sx, qx,
+        |    abs(n * x - sx)::BIGINT AS adev
+        |  FROM daily CROSS JOIN m
+        |  ORDER BY adev DESC, day ASC LIMIT 1)
+        |SELECT day, x, n,
+        |  CAST(round(1000000.0 * (CAST(adev AS DOUBLE) / n) /
+        |    sqrt((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |    CAST(sx AS DOUBLE) / n) / (n - 1))) AS BIGINT) AS g_micro
+        |FROM dev""".stripMargin,
+    "q323_cochran_q" ->
+      """WITH cells0 AS (SELECT DISTINCT user_id, event_type
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |inf AS (SELECT user_id, count(*)::BIGINT AS r FROM cells0
+        |  GROUP BY 1 HAVING count(*) < 3),
+        |cells AS (SELECT cells0.user_id, event_type FROM cells0
+        |  JOIN inf ON cells0.user_id = inf.user_id),
+        |rstat AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(r)::BIGINT AS sr, sum(r * r)::BIGINT AS srr
+        |  FROM inf),
+        |cstat AS (SELECT sum(c * c)::BIGINT AS scc,
+        |    sum(c)::BIGINT AS sc FROM (SELECT event_type,
+        |      count(*)::BIGINT AS c FROM cells GROUP BY 1))
+        |SELECT n_users, sr, srr, sc, scc,
+        |  CAST((1000000 * 2 * (3 * scc - sc * sc))
+        |    // (3 * sr - srr) AS BIGINT) AS q_micro
+        |FROM rstat CROSS JOIN cstat""".stripMargin,
+    "q324_poly_kernel_mmd" ->
+      """WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 2 END AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |m AS (SELECT g, count(*)::BIGINT AS n, sum(v::HUGEINT) AS s,
+        |    sum(v::HUGEINT * v::HUGEINT) AS q FROM b GROUP BY 1),
+        |one AS (SELECT
+        |    sum(CASE WHEN g = 1 THEN n END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN n END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+        |    sum(CASE WHEN g = 2 THEN CAST(s AS DOUBLE) END) AS s2,
+        |    sum(CASE WHEN g = 1 THEN CAST(q AS DOUBLE) END) AS q1,
+        |    sum(CASE WHEN g = 2 THEN CAST(q AS DOUBLE) END) AS q2
+        |  FROM m)
+        |SELECT n1, n2,
+        |  CAST(round(1000000.0 * (
+        |    (1.0 + 2.0 * (s1 / n1) * (s1 / n1) / 100000000.0 +
+        |    (q1 / n1) * (q1 / n1) / 10000000000000000.0) +
+        |    (1.0 + 2.0 * (s2 / n2) * (s2 / n2) / 100000000.0 +
+        |    (q2 / n2) * (q2 / n2) / 10000000000000000.0) -
+        |    2.0 * (1.0 + 2.0 * (s1 / n1) * (s2 / n2) / 100000000.0 +
+        |    (q1 / n1) * (q2 / n2) / 10000000000000000.0)))
+        |    AS BIGINT) AS mmd2_micro
+        |FROM one""".stripMargin,
+    "q325_readability" -> {
+      val toks = "list_filter(string_split_regex(lower(text)," +
+        " '[^a-z]+'), w -> w <> '')"
+      s"""WITH base AS (SELECT source,
+        |    len($toks)::BIGINT AS words,
+        |    len(list_filter(string_split_regex(lower(text),
+        |      '[^aeiou]+'), x -> x <> ''))::BIGINT AS syl,
+        |    greatest(len(list_filter(string_split_regex(text,
+        |      '[.!?]+'), x -> len(trim(x)) > 0)), 1)::BIGINT AS sents
+        |  FROM documents),
+        |fk AS (SELECT source, CAST(round(1000.0 * (0.39 *
+        |    (CAST(words AS DOUBLE) / sents) + 11.8 *
+        |    (CAST(syl AS DOUBLE) / words) - 15.59)) AS BIGINT)
+        |    AS fk_milli
+        |  FROM base WHERE words > 0)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  (sum(fk_milli)::BIGINT // count(*)::BIGINT)
+        |    AS mean_fk_milli
+        |FROM fk GROUP BY source ORDER BY source ASC""".stripMargin
+    },
   )
 }
