@@ -1060,6 +1060,95 @@ object Analytics {
       .orderBy($"source".asc)
   }
 
+  // ------------------------------------- q326 James-Stein shrinkage
+
+  /** q326 — James-Stein shrinkage of per-source mean document length
+    * toward the grand mean (Efron & Morris 1975's "batting averages"
+    * estimator — the empirical-Bayes fix for noisy small-group means
+    * that a mixture planner reads instead of raw per-source stats).
+    * Shrinkage factor c = max(0, 1 − (k−3)·(σ²/n̄)/S) with σ² the
+    * pooled within-source variance and S the between-source squared
+    * deviation sum — the classic equal-allocation form, documented as
+    * such. Group moments are exact (decimal squares); the k-row
+    * shrink pass quantizes per source. */
+  val jamesStein: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("nj"), sum($"n_chars").as("sj"),
+        sum(dec($"n_chars") * dec($"n_chars")).as("qj"))
+    // within-source SS quantizes per SOURCE (k-row frame) before the
+    // exact long sum — never a cross-partition double sum
+    val tot = g.agg(count(lit(1)).as("k"), sum($"nj").as("n"),
+      sum($"sj").as("st"),
+      sum(expr("CAST(round(1000000.0 * (CAST(qj AS DOUBLE) -" +
+        " CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj)) AS BIGINT)"))
+        .as("ssw_micro"))
+    val means = g.crossJoin(broadcast(tot))
+      .select($"source", $"nj", $"k", $"n", $"ssw_micro",
+        expr("CAST(sj AS DOUBLE) / nj").as("xb"),
+        expr("CAST(st AS DOUBLE) / n").as("gm"))
+    val btw = means.agg(
+      sum(expr("CAST(round(1000000.0 * (xb - gm) * (xb - gm))" +
+        " AS BIGINT)")).as("s_micro"))
+    means.crossJoin(broadcast(btw))
+      .select($"source", $"nj", $"xb", $"gm",
+        expr("CAST(round(1000.0 * xb) AS BIGINT)").as("raw_mean_milli"),
+        expr("CAST(round(1000000.0 * greatest(0.0, 1.0 -" +
+          " (k - 3) * (((CAST(ssw_micro AS DOUBLE) / 1000000.0) /" +
+          " (n - k)) / (CAST(n AS DOUBLE) / k)) /" +
+          " (CAST(s_micro AS DOUBLE) / 1000000.0))) AS BIGINT)")
+          .as("shrink_micro"))
+      .select($"source", $"nj", $"raw_mean_milli", $"shrink_micro",
+        expr("CAST(round(1000.0 * (gm + (CAST(shrink_micro AS DOUBLE)" +
+          " / 1000000.0) * (xb - gm))) AS BIGINT)")
+          .as("shrunk_mean_milli"))
+      .orderBy($"source".asc)
+  }
+
+  // ------------------------------- q327 Mahalanobis outliers (2-D)
+
+  /** q327 — Mahalanobis-distance outliers in the (order value,
+    * customer balance) plane: d² = (x−μ)ᵀΣ⁻¹(x−μ) with the 2×2
+    * covariance inverted symbolically (det/adjugate — q319's trick on
+    * the second-moment side), the correlation-aware upgrade of q116's
+    * per-axis z-scores. ONE moment scan (exact decimal sums) → one
+    * broadcast row; scoring is map-only; top-15 via
+    * TakeOrderedAndProject. */
+  val mahalanobisOutliers: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("x"),
+        round($"c_acctbal" * 100).cast("long").as("y"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+      sum(dec($"x") * dec($"x")).as("qxx"),
+      sum(dec($"y") * dec($"y")).as("qyy"),
+      sum(dec($"x") * dec($"y")).as("qxy"))
+    val cov = m.select($"n",
+      expr("CAST(sx AS DOUBLE) / n").as("mx"),
+      expr("CAST(sy AS DOUBLE) / n").as("my"),
+      expr("(CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+        " CAST(sx AS DOUBLE) / n) / (n - 1)").as("vxx"),
+      expr("(CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) *" +
+        " CAST(sy AS DOUBLE) / n) / (n - 1)").as("vyy"),
+      expr("(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) *" +
+        " CAST(sy AS DOUBLE) / n) / (n - 1)").as("vxy"))
+    rows.crossJoin(broadcast(cov))
+      .select($"o_orderkey",
+        expr("CAST(round(1000.0 * ((x - mx) * (vyy * (x - mx) -" +
+          " vxy * (y - my)) + (y - my) * (vxx * (y - my) -" +
+          " vxy * (x - mx))) / (vxx * vyy - vxy * vxy)) AS BIGINT)")
+          .as("d2_milli"))
+      .orderBy($"d2_milli".desc, $"o_orderkey".asc)
+      .limit(15)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1088,6 +1177,8 @@ object Analytics {
     "q323_cochran_q" -> cochranQ,
     "q324_poly_kernel_mmd" -> polyKernelMmd,
     "q325_readability" -> readability,
+    "q326_james_stein" -> jamesStein,
+    "q327_mahalanobis_outliers" -> mahalanobisOutliers,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1748,5 +1839,61 @@ object Analytics {
         |    AS mean_fk_milli
         |FROM fk GROUP BY source ORDER BY source ASC""".stripMargin
     },
+    "q326_james_stein" ->
+      """WITH g AS (SELECT source, count(*)::BIGINT AS nj,
+        |    sum(n_chars)::BIGINT AS sj,
+        |    sum(n_chars::HUGEINT * n_chars::HUGEINT) AS qj
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS k, sum(nj)::BIGINT AS n,
+        |    sum(sj)::BIGINT AS st,
+        |    sum(CAST(round(1000000.0 * (CAST(qj AS DOUBLE) -
+        |      CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj))
+        |      AS BIGINT))::BIGINT AS ssw_micro
+        |  FROM g),
+        |means AS (SELECT source, nj, k, n, ssw_micro,
+        |    CAST(sj AS DOUBLE) / nj AS xb,
+        |    CAST(st AS DOUBLE) / n AS gm
+        |  FROM g CROSS JOIN tot),
+        |btw AS (SELECT sum(CAST(round(1000000.0 * (xb - gm) *
+        |    (xb - gm)) AS BIGINT))::BIGINT AS s_micro FROM means),
+        |shr AS (SELECT source, nj, xb, gm,
+        |    CAST(round(1000.0 * xb) AS BIGINT) AS raw_mean_milli,
+        |    CAST(round(1000000.0 * greatest(0.0, 1.0 -
+        |      (k - 3) * (((CAST(ssw_micro AS DOUBLE) / 1000000.0) /
+        |      (n - k)) / (CAST(n AS DOUBLE) / k)) /
+        |      (CAST(s_micro AS DOUBLE) / 1000000.0))) AS BIGINT)
+        |      AS shrink_micro
+        |  FROM means CROSS JOIN btw)
+        |SELECT source, nj, raw_mean_milli, shrink_micro,
+        |  CAST(round(1000.0 * (gm + (CAST(shrink_micro AS DOUBLE) /
+        |    1000000.0) * (xb - gm))) AS BIGINT) AS shrunk_mean_milli
+        |FROM shr ORDER BY source ASC""".stripMargin,
+    "q327_mahalanobis_outliers" ->
+      """WITH r AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * x::HUGEINT) AS qxx,
+        |    sum(y::HUGEINT * y::HUGEINT) AS qyy,
+        |    sum(x::HUGEINT * y::HUGEINT) AS qxy
+        |  FROM r),
+        |cov AS (SELECT n,
+        |    CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+        |    (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE) / n) / (n - 1) AS vxx,
+        |    (CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / n) / (n - 1) AS vyy,
+        |    (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) / n) / (n - 1) AS vxy
+        |  FROM m)
+        |SELECT o_orderkey,
+        |  CAST(round(1000.0 * ((x - mx) * (vyy * (x - mx) -
+        |    vxy * (y - my)) + (y - my) * (vxx * (y - my) -
+        |    vxy * (x - mx))) / (vxx * vyy - vxy * vxy)) AS BIGINT)
+        |    AS d2_milli
+        |FROM r CROSS JOIN cov
+        |ORDER BY d2_milli DESC, o_orderkey ASC LIMIT 15""".stripMargin,
   )
 }
