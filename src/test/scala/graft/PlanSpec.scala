@@ -332,4 +332,31 @@ class PlanSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(salted == plain)
   }
+  test("continuation batch (q301-q327) keeps its scale plan shapes") {
+    // q301: the part prefilter broadcasts onto the lineitem scan
+    assert(plan("q301_min_cost_supplier").contains("BroadcastHashJoin"))
+    // q303: the scalar max is a one-row broadcast, not a global sort
+    val p303 = plan("q303_top_supplier_revenue")
+    assert(p303.contains("BroadcastNestedLoopJoin") ||
+      p303.contains("BroadcastHashJoin"))
+    // q310: the Hamming pass prunes to 20 per query BEFORE the
+    // exchange — the property that keeps the rerank O(k·queries)
+    assert("WindowGroupLimit".r.findAllIn(
+      plan("q310_binary_hamming_ann")).size >= 2,
+      "Hamming rank pruning missing")
+    // q324: the kernel decomposes into moments — NO row-level join
+    // and no window anywhere in the plan
+    val p324 = plan("q324_poly_kernel_mmd")
+    assert(!p324.contains("SortMergeJoin") &&
+      !p324.contains("ShuffledHashJoin"), "kernel matrix materialized")
+    assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p324).hasNext,
+      "unexpected window in a moment-only plan")
+    // q327: top-15 outliers via TakeOrderedAndProject, no global Sort
+    assert(plan("q327_mahalanobis_outliers")
+      .contains("TakeOrderedAndProject"))
+    // q321: the 3-term feedback frame broadcasts — never a collect,
+    // never a shuffled join against the posting frame
+    assert(plan("q321_rocchio_feedback").contains("BroadcastHashJoin"))
+  }
+
 }
