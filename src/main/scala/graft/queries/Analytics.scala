@@ -1149,6 +1149,172 @@ object Analytics {
       .limit(15)
   }
 
+  // ------------------------------------ q328 shard balance audit
+
+  /** q328 — token-weighted balance audit of the q220 rendezvous
+    * sharding: per-shard token mass, coefficient of variation, and
+    * max/mean skew — the numbers a placement review actually gates on
+    * (doc counts can balance while token mass skews). Assignment is
+    * the same stateless 8-hash argmax (zero shuffle until the 8-row
+    * census); CV quantizes once on the one-row frame; max/mean is the
+    * exact integer cross-multiply max·k vs total. */
+  val shardBalance: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.{Hashing, TextOps}
+    val structs = (0 until 8).map(i =>
+      struct(Hashing.hash60(concat(lit(s"rv|$i|"),
+        $"doc_id".cast("string"))).as("h"), lit(i).as("shard")))
+    val perShard = Tables(s, dir, "documents")
+      .select(greatest(structs: _*).getField("shard").as("shard"),
+        size(TextOps.tokens($"text")).cast("long").as("toks"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("t"))
+    perShard.agg(count(lit(1)).as("n_shards"), sum($"t").as("tot"),
+        min($"t").as("min_toks"), max($"t").as("max_toks"),
+        sum($"t".cast("decimal(19,0)") * $"t".cast("decimal(19,0)"))
+          .as("qt"))
+      .select($"n_shards", $"tot", $"min_toks", $"max_toks",
+        expr("CAST(round(1000000.0 * sqrt(CAST(qt AS DOUBLE) /" +
+          " n_shards - (CAST(tot AS DOUBLE) / n_shards) *" +
+          " (CAST(tot AS DOUBLE) / n_shards)) /" +
+          " (CAST(tot AS DOUBLE) / n_shards)) AS BIGINT)")
+          .as("cv_micro"),
+        expr("CAST((1000000 * max_toks * n_shards) div tot AS BIGINT)")
+          .as("maxmean_micro"))
+  }
+
+  // ------------------------------------------- q329 SPRT stopping
+
+  /** q329 — sequential probability ratio test (Wald 1945) replay over
+    * the enrollment order: arm-B users (q199's hash split) tested for
+    * conversion at H1 p=0.5 vs H0 p=0.4, log-likelihood ratio
+    * accumulated user-by-user with ±ln 19 boundaries (α = β = 0.05) —
+    * the always-valid sequential complement of q189's fixed-horizon
+    * test. Per-subject LLR is one of TWO integer constants (micro-
+    * nats), so the cumulative path is an exact
+    * [[graft.functions.ScaleWindows.rangeCumSums]] prefix sum over
+    * the (enroll day, user) total order, and the first boundary
+    * crossing is a plain min-aggregate over the crossed rows — no
+    * sequential scan, no driver loop. */
+  val sprtStopping: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.{Hashing, ScaleWindows}
+    val perUser = Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("d0"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .filter(Hashing.hash60(concat(lit("ab|"),
+        $"user_id".cast("string"))) % 2 === 1)
+    // micro-nat LLR constants: ln(0.5/0.4), ln(0.5/0.6)
+    val scored = perUser.select($"d0", $"user_id", $"conv",
+      when($"conv" === 1, lit(223144L)).otherwise(lit(-182322L))
+        .as("llr"))
+    val cum = ScaleWindows.rangeCumSums(scored,
+      Seq($"d0", $"user_id"),
+      Seq(col("llr") -> "e_llr", lit(1L) -> "idx"))
+      .withColumn("c_llr", $"e_llr" + $"llr")
+    val tot = cum.agg(count(lit(1)).as("n_subjects"),
+      sum($"conv").as("n_converts"), sum($"llr").as("final_llr_micro"))
+    val cross = cum.filter(abs($"c_llr") >= 2944439L)
+      .agg(min(struct(($"idx" + 1).as("i"),
+        signum($"c_llr").cast("long").as("dir"))).as("first"))
+      .select($"first.i".as("stop_index"),
+        $"first.dir".as("decision"))
+    tot.crossJoin(cross)
+      .select($"n_subjects", $"n_converts", $"final_llr_micro",
+        $"stop_index", $"decision")
+  }
+
+  // ------------------------------------- q330 Nelson-Aalen hazard
+
+  /** q330 — Nelson–Aalen cumulative-hazard estimator over the q198
+    * time-to-first-purchase data: H(t) = Σ_{u≤t} d_u/n_u, the
+    * estimator read next to Kaplan-Meier when hazard RATES (not
+    * survival fractions) drive the decision. Same histogram + risk-set
+    * machinery (one rangeCumSums for the risk set, one rangeCumSum
+    * for the running hazard); each d/n term is an integral micro
+    * division, so the cumulative sum is exact. */
+  val nelsonAalen: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val e = Tables(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+    val perUser = e.groupBy($"user_id").agg(
+      min($"day").as("d0"), max($"day").as("dlast"),
+      min(when($"event_type" === "purchase", $"day")).as("dp"))
+    val subj = perUser.select(
+      when($"dp".isNotNull, datediff($"dp", $"d0"))
+        .otherwise(datediff($"dlast", $"d0")).as("t"),
+      when($"dp".isNotNull, 1L).otherwise(0L).as("death"))
+    val hist = subj.groupBy($"t")
+      .agg(sum($"death").as("d"), sum(lit(1L) - $"death").as("c"))
+    val tot = hist.agg((sum($"d") + sum($"c")).as("n0"))
+    val risk = ScaleWindows
+      .rangeCumSums(hist, Seq($"t".asc), Seq(col("d") -> "cd",
+        col("c") -> "cc"))
+      .crossJoin(broadcast(tot))
+      .select($"t", $"d", ($"n0" - $"cd" - $"cc").as("n"))
+      .filter($"d" > 0)
+      .withColumn("h_micro", expr("(1000000 * d) div n"))
+    ScaleWindows.rangeCumSum(risk, Seq($"t".asc), $"h_micro", "ch")
+      .select($"t", $"n".as("n_risk"), $"d".as("deaths"), $"h_micro",
+        ($"ch" + $"h_micro").as("cum_hazard_micro"))
+  }
+
+  // -------------------------------- q331 LM interpolation sweep
+
+  /** q331 — deleted-interpolation weight sweep (Jelinek & Mercer
+    * 1980): held-out NLL of the mixture λ·P_bigram + (1−λ)·P_unigram
+    * (both add-one smoothed) at λ ∈ {0.1, 0.3, 0.5, 0.7, 0.9} — the
+    * tuning run between q227's fixed bigram model and q315's KN. λ
+    * stays the rational k/10, so the mixture is the EXACT integer
+    * fraction (k·nb·du + (10−k)·nu·db) / (10·db·du); one ln per
+    * (held-out bigram type × λ) quantizes to micro-nats, and per-λ
+    * totals are exact long sums over the instance frame. The 5-λ
+    * fan-out is a broadcast literal frame. */
+  val interpolationSweep: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    def pairs(df: DataFrame) = df.select($"doc_id", explode(transform(
+        when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
+          .otherwise(array().cast("array<int>")),
+        i => struct(element_at($"toks", i).as("w1"),
+          element_at($"toks", i + 1).as("w2")))).as("pr"))
+      .select($"doc_id", $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val tok = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val train = tok.filter($"doc_id" % 2 === 0)
+    val held = tok.filter($"doc_id" % 2 =!= 0)
+    val bi = pairs(train).groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("cb"))
+    val lft = bi.groupBy($"w1").agg(sum($"cb").as("c1"))
+    val uni = train.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cu"))
+    val glob = uni.agg(count(lit(1)).as("v"), sum($"cu").as("ttok"))
+    val lam = s.range(0, 5).select(($"id" * 2 + 1).cast("long").as("k"))
+    val hp = pairs(held)
+    val scored = hp.select($"w1", $"w2").distinct()
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(lft, Seq("w1"), "left")
+      .join(uni.select($"w".as("w2"), $"cu"), Seq("w2"), "left")
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(lam))
+      .select($"w1", $"w2", $"k",
+        expr("CAST(round(-1000000.0 * ln(" +
+          "CAST(k * (coalesce(cb, 0) + 1) * (ttok + v) +" +
+          " (10 - k) * (coalesce(cu, 0) + 1) *" +
+          " (coalesce(c1, 0) + v) AS DOUBLE) /" +
+          " CAST(10 * (coalesce(c1, 0) + v) * (ttok + v)" +
+          " AS DOUBLE))) AS BIGINT)").as("nlp_u"))
+    hp.join(scored, Seq("w1", "w2"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_pairs"), sum($"nlp_u").as("s_u"))
+      .select($"k", $"n_pairs",
+        expr("s_u div n_pairs").as("mean_nll_micro"))
+      .orderBy($"k".asc)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1179,6 +1345,10 @@ object Analytics {
     "q325_readability" -> readability,
     "q326_james_stein" -> jamesStein,
     "q327_mahalanobis_outliers" -> mahalanobisOutliers,
+    "q328_shard_balance" -> shardBalance,
+    "q329_sprt_stopping" -> sprtStopping,
+    "q330_nelson_aalen" -> nelsonAalen,
+    "q331_interpolation_sweep" -> interpolationSweep,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1895,5 +2065,120 @@ object Analytics {
         |    AS d2_milli
         |FROM r CROSS JOIN cov
         |ORDER BY d2_milli DESC, o_orderkey ASC LIMIT 15""".stripMargin,
+    "q328_shard_balance" ->
+      s"""WITH a AS (SELECT CAST(right(greatest(
+        |      printf('%019d', (('0x' || substr(md5('rv|0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '0',
+        |      printf('%019d', (('0x' || substr(md5('rv|1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '1',
+        |      printf('%019d', (('0x' || substr(md5('rv|2|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '2',
+        |      printf('%019d', (('0x' || substr(md5('rv|3|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '3',
+        |      printf('%019d', (('0x' || substr(md5('rv|4|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '4',
+        |      printf('%019d', (('0x' || substr(md5('rv|5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '5',
+        |      printf('%019d', (('0x' || substr(md5('rv|6|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '6',
+        |      printf('%019d', (('0x' || substr(md5('rv|7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)) || '7'), 1) AS INTEGER) AS shard,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> ''))::BIGINT AS toks
+        |  FROM documents),
+        |ps AS (SELECT shard, count(*)::BIGINT AS n_docs,
+        |    sum(toks)::BIGINT AS t FROM a GROUP BY 1),
+        |one AS (SELECT count(*)::BIGINT AS n_shards,
+        |    sum(t)::BIGINT AS tot, min(t)::BIGINT AS min_toks,
+        |    max(t)::BIGINT AS max_toks,
+        |    sum(t::HUGEINT * t::HUGEINT) AS qt FROM ps)
+        |SELECT n_shards, tot, min_toks, max_toks,
+        |  CAST(round(1000000.0 * sqrt(CAST(qt AS DOUBLE) / n_shards -
+        |    (CAST(tot AS DOUBLE) / n_shards) *
+        |    (CAST(tot AS DOUBLE) / n_shards)) /
+        |    (CAST(tot AS DOUBLE) / n_shards)) AS BIGINT) AS cv_micro,
+        |  CAST((1000000 * max_toks * n_shards) // tot AS BIGINT)
+        |    AS maxmean_micro
+        |FROM one""".stripMargin,
+    "q329_sprt_stopping" ->
+      s"""WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |arm AS (SELECT * FROM pu WHERE (('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 1),
+        |sc AS (SELECT d0, user_id, conv, (CASE WHEN conv = 1
+        |    THEN 223144 ELSE -182322 END)::BIGINT AS llr FROM arm),
+        |cum AS (SELECT *,
+        |    (coalesce(sum(llr) OVER (ORDER BY d0, user_id ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + llr)::BIGINT AS c_llr,
+        |    (row_number() OVER (ORDER BY d0, user_id))::BIGINT AS i
+        |  FROM sc),
+        |tot AS (SELECT count(*)::BIGINT AS n_subjects,
+        |    sum(conv)::BIGINT AS n_converts,
+        |    sum(llr)::BIGINT AS final_llr_micro FROM sc),
+        |crossed AS (SELECT i, (CASE WHEN c_llr > 0 THEN 1 ELSE -1
+        |    END)::BIGINT AS dir
+        |  FROM cum WHERE abs(c_llr) >= 2944439),
+        |firstc AS (SELECT min(i)::BIGINT AS stop_index,
+        |    arg_min(dir, i)::BIGINT AS decision FROM crossed)
+        |SELECT n_subjects, n_converts, final_llr_micro, stop_index,
+        |  decision
+        |FROM tot CROSS JOIN firstc""".stripMargin,
+    "q330_nelson_aalen" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    event_type FROM events),
+        |pu AS (SELECT user_id, min(day) AS d0, max(day) AS dlast,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+        |  FROM e GROUP BY 1),
+        |subj AS (SELECT CASE WHEN dp IS NOT NULL
+        |      THEN CAST(dp - d0 AS INTEGER)
+        |      ELSE CAST(dlast - d0 AS INTEGER) END AS t,
+        |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM pu),
+        |hist AS (SELECT t, sum(death)::BIGINT AS d,
+        |    sum(1 - death)::BIGINT AS c FROM subj GROUP BY t),
+        |tot AS (SELECT (sum(d) + sum(c))::BIGINT AS n0 FROM hist),
+        |risk AS (SELECT t, d,
+        |    (n0 - coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      )::BIGINT AS n
+        |  FROM hist CROSS JOIN tot),
+        |hz AS (SELECT t, n, d,
+        |    ((1000000 * d) // n)::BIGINT AS h_micro
+        |  FROM risk WHERE d > 0)
+        |SELECT t, n AS n_risk, d AS deaths, h_micro,
+        |  (coalesce(sum(h_micro) OVER (ORDER BY t ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + h_micro)::BIGINT AS cum_hazard_micro
+        |FROM hz""".stripMargin,
+    "q331_interpolation_sweep" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS toks FROM documents),
+        |trainp AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2 FROM
+        |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT),
+        |     i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr
+        |   FROM t WHERE doc_id % 2 = 0)),
+        |heldp AS (SELECT doc_id, pr['w1'] AS w1, pr['w2'] AS w2 FROM
+        |  (SELECT doc_id,
+        |     unnest(list_transform(range(1, len(toks)::BIGINT),
+        |       i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS pr
+        |   FROM t WHERE doc_id % 2 <> 0)),
+        |bi AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM trainp
+        |  GROUP BY w1, w2),
+        |lft AS (SELECT w1, sum(cb)::BIGINT AS c1 FROM bi GROUP BY w1),
+        |uni AS (SELECT w, count(*)::BIGINT AS cu FROM
+        |  (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)
+        |  GROUP BY w),
+        |gl AS (SELECT count(*)::BIGINT AS v, sum(cu)::BIGINT AS ttok
+        |  FROM uni),
+        |lam AS (SELECT unnest([1, 3, 5, 7, 9])::BIGINT AS k),
+        |scored AS (SELECT hp.w1, hp.w2, k,
+        |    CAST(round(-1000000.0 * ln(
+        |      CAST(k * (coalesce(cb, 0) + 1) * (ttok + v) +
+        |      (10 - k) * (coalesce(cu, 0) + 1) *
+        |      (coalesce(c1, 0) + v) AS DOUBLE) /
+        |      CAST(10 * (coalesce(c1, 0) + v) * (ttok + v)
+        |      AS DOUBLE))) AS BIGINT) AS nlp_u
+        |  FROM (SELECT DISTINCT w1, w2 FROM heldp) hp
+        |  LEFT JOIN bi ON hp.w1 = bi.w1 AND hp.w2 = bi.w2
+        |  LEFT JOIN lft ON hp.w1 = lft.w1
+        |  LEFT JOIN uni ON hp.w2 = uni.w
+        |  CROSS JOIN gl CROSS JOIN lam)
+        |SELECT k, count(*)::BIGINT AS n_pairs,
+        |  (sum(s.nlp_u)::BIGINT // count(*)::BIGINT)
+        |    AS mean_nll_micro
+        |FROM heldp p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+        |GROUP BY k ORDER BY k ASC""".stripMargin,
   )
 }
