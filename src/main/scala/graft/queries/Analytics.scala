@@ -1315,6 +1315,87 @@ object Analytics {
       .orderBy($"k".asc)
   }
 
+  // ------------------------------------------ q332/q333 raking (IPF)
+
+  /** The raked cell frame shared by q332/q333: iterative proportional
+    * fitting (Deming & Stephan 1940) of the order count over the
+    * region × priority grid toward independent target margins (region
+    * shares from the CUSTOMER dim, priority shares from orders). All
+    * weights live on the nano grid (Σw = 1e9): the update
+    * w ← (w·target) div current keeps every product under
+    * 1e9·1e9 < 2^63 at ANY scale factor, and truncation is identical
+    * in Spark `div`, Java `/`, DuckDB `//`. Three full iterations
+    * (six half-steps) as chained joins on the O(cells) frame — the
+    * fact table is touched ONCE (the counting shuffle); IPF itself
+    * never leaves broadcast size. */
+  private def rakedCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 1000000000L
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", ($"c_nationkey" % 5).as("r")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"r", $"o_orderpriority".as("p"))
+      .agg(count(lit(1)).as("n"))
+    val nTot = cells.agg(sum($"n").as("nn"))
+    val rowT = Tables(s, dir, "customer")
+      .groupBy(($"c_nationkey" % 5).as("r"))
+      .agg(count(lit(1)).as("cr"))
+    val rowTot = rowT.agg(sum($"cr").as("cc"))
+    val tr = rowT.crossJoin(broadcast(rowTot))
+      .select($"r", expr(s"(cr * ${S}L) div cc").as("tr"))
+    val tc = cells.groupBy($"p").agg(sum($"n").as("np"))
+      .crossJoin(broadcast(nTot))
+      .select($"p", expr(s"(np * ${S}L) div nn").as("tc"))
+    val w0 = cells.crossJoin(broadcast(nTot))
+      .select($"r", $"p", $"n", expr(s"(n * ${S}L) div nn").as("w"))
+    def rowStep(d: DataFrame): DataFrame = {
+      val rs = d.groupBy($"r").agg(sum($"w").as("rs"))
+      d.join(broadcast(rs), Seq("r")).join(broadcast(tr), Seq("r"))
+        .select($"r", $"p", $"n", expr("(w * tr) div rs").as("w"))
+    }
+    def colStep(d: DataFrame): DataFrame = {
+      val cs = d.groupBy($"p").agg(sum($"w").as("cs"))
+      d.join(broadcast(cs), Seq("p")).join(broadcast(tc), Seq("p"))
+        .select($"r", $"p", $"n", expr("(w * tc) div cs").as("w"))
+    }
+    (1 to 3).foldLeft(w0)((d, _) => colStep(rowStep(d)))
+  }
+
+  /** q332 — survey raking: the per-cell calibrated weights after 3
+    * IPF iterations, with each cell's weight-to-count ratio (the
+    * per-cell calibration factor a downstream sampler applies). */
+  val raking: Q = (s, dir) => {
+    import s.implicits._
+    rakedCells(s, dir)
+      .select($"r", $"p", $"n", $"w".as("w_nano"),
+        expr("w div n").as("factor_nano"))
+      .orderBy($"r".asc, $"p".asc)
+  }
+
+  /** q333 — raked-weight diagnostics: Kish effective sample size
+    * ESS = (Σ n·f)² / Σ n·f² over per-ROW calibration factors f (the
+    * design-effect readout a weighting step must publish before
+    * anyone trains on the weights). Exact: per-cell f is the nano
+    * long from q332; the moment sums use decimal squares; one
+    * quantized division at the end. */
+  val weightDiagnostics: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = rakedCells(s, dir)
+      .select($"r", $"p", $"n", expr("w div n").as("f"))
+    cells.agg(sum($"n").as("n_rows"), count(lit(1)).as("n_cells"),
+        min($"f").as("min_f_nano"), max($"f").as("max_f_nano"),
+        sum(dec($"n") * dec($"f")).as("sw"),
+        sum(dec($"n") * dec($"f") * dec($"f")).as("sww"))
+      .select($"n_rows", $"n_cells", $"min_f_nano", $"max_f_nano",
+        expr("CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /" +
+          " CAST(sww AS DOUBLE)) AS BIGINT)").as("ess"),
+        expr("CAST(round(1000000.0 * n_rows * CAST(sww AS DOUBLE) /" +
+          " (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))) AS BIGINT)")
+          .as("deff_micro"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1349,6 +1430,8 @@ object Analytics {
     "q329_sprt_stopping" -> sprtStopping,
     "q330_nelson_aalen" -> nelsonAalen,
     "q331_interpolation_sweep" -> interpolationSweep,
+    "q332_raking" -> raking,
+    "q333_weight_diagnostics" -> weightDiagnostics,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2180,5 +2263,112 @@ object Analytics {
         |    AS mean_nll_micro
         |FROM heldp p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
         |GROUP BY k ORDER BY k ASC""".stripMargin,
+    "q332_raking" ->
+      """WITH cells AS (SELECT c_nationkey % 5 AS r,
+        |    o_orderpriority AS p, count(*)::BIGINT AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT sum(n)::BIGINT AS nn FROM cells),
+        |rt AS (SELECT c_nationkey % 5 AS r, count(*)::BIGINT AS cr
+        |  FROM customer GROUP BY 1),
+        |rtt AS (SELECT sum(cr)::BIGINT AS cc FROM rt),
+        |tr AS (SELECT r, (cr * 1000000000) // cc AS tr
+        |  FROM rt CROSS JOIN rtt),
+        |tc AS (SELECT p, (np * 1000000000) // nn AS tc FROM
+        |  (SELECT p, sum(n)::BIGINT AS np FROM cells GROUP BY 1)
+        |  CROSS JOIN nt),
+        |w0 AS (SELECT r, p, n, (n * 1000000000) // nn AS w
+        |  FROM cells CROSS JOIN nt),
+        |r1 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tr.tr) // s.rs AS w
+        |  FROM w0 x JOIN (SELECT r, sum(w)::BIGINT AS rs
+        |    FROM w0 GROUP BY r) s ON x.r = s.r
+        |  JOIN tr ON x.r = tr.r),
+        |c1 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tc.tc) // s.cs AS w
+        |  FROM r1 x JOIN (SELECT p, sum(w)::BIGINT AS cs
+        |    FROM r1 GROUP BY p) s ON x.p = s.p
+        |  JOIN tc ON x.p = tc.p),
+        |r2 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tr.tr) // s.rs AS w
+        |  FROM c1 x JOIN (SELECT r, sum(w)::BIGINT AS rs
+        |    FROM c1 GROUP BY r) s ON x.r = s.r
+        |  JOIN tr ON x.r = tr.r),
+        |c2 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tc.tc) // s.cs AS w
+        |  FROM r2 x JOIN (SELECT p, sum(w)::BIGINT AS cs
+        |    FROM r2 GROUP BY p) s ON x.p = s.p
+        |  JOIN tc ON x.p = tc.p),
+        |r3 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tr.tr) // s.rs AS w
+        |  FROM c2 x JOIN (SELECT r, sum(w)::BIGINT AS rs
+        |    FROM c2 GROUP BY r) s ON x.r = s.r
+        |  JOIN tr ON x.r = tr.r),
+        |c3 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tc.tc) // s.cs AS w
+        |  FROM r3 x JOIN (SELECT p, sum(w)::BIGINT AS cs
+        |    FROM r3 GROUP BY p) s ON x.p = s.p
+        |  JOIN tc ON x.p = tc.p)
+        |SELECT r, p, n, w AS w_nano, (w // n) AS factor_nano
+        |FROM c3 ORDER BY r ASC, p ASC""".stripMargin,
+    "q333_weight_diagnostics" ->
+      """WITH cells AS (SELECT c_nationkey % 5 AS r,
+        |    o_orderpriority AS p, count(*)::BIGINT AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT sum(n)::BIGINT AS nn FROM cells),
+        |rt AS (SELECT c_nationkey % 5 AS r, count(*)::BIGINT AS cr
+        |  FROM customer GROUP BY 1),
+        |rtt AS (SELECT sum(cr)::BIGINT AS cc FROM rt),
+        |tr AS (SELECT r, (cr * 1000000000) // cc AS tr
+        |  FROM rt CROSS JOIN rtt),
+        |tc AS (SELECT p, (np * 1000000000) // nn AS tc FROM
+        |  (SELECT p, sum(n)::BIGINT AS np FROM cells GROUP BY 1)
+        |  CROSS JOIN nt),
+        |w0 AS (SELECT r, p, n, (n * 1000000000) // nn AS w
+        |  FROM cells CROSS JOIN nt),
+        |r1 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tr.tr) // s.rs AS w
+        |  FROM w0 x JOIN (SELECT r, sum(w)::BIGINT AS rs
+        |    FROM w0 GROUP BY r) s ON x.r = s.r
+        |  JOIN tr ON x.r = tr.r),
+        |c1 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tc.tc) // s.cs AS w
+        |  FROM r1 x JOIN (SELECT p, sum(w)::BIGINT AS cs
+        |    FROM r1 GROUP BY p) s ON x.p = s.p
+        |  JOIN tc ON x.p = tc.p),
+        |r2 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tr.tr) // s.rs AS w
+        |  FROM c1 x JOIN (SELECT r, sum(w)::BIGINT AS rs
+        |    FROM c1 GROUP BY r) s ON x.r = s.r
+        |  JOIN tr ON x.r = tr.r),
+        |c2 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tc.tc) // s.cs AS w
+        |  FROM r2 x JOIN (SELECT p, sum(w)::BIGINT AS cs
+        |    FROM r2 GROUP BY p) s ON x.p = s.p
+        |  JOIN tc ON x.p = tc.p),
+        |r3 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tr.tr) // s.rs AS w
+        |  FROM c2 x JOIN (SELECT r, sum(w)::BIGINT AS rs
+        |    FROM c2 GROUP BY r) s ON x.r = s.r
+        |  JOIN tr ON x.r = tr.r),
+        |c3 AS (SELECT x.r AS r, x.p AS p, x.n AS n,
+        |    (x.w * tc.tc) // s.cs AS w
+        |  FROM r3 x JOIN (SELECT p, sum(w)::BIGINT AS cs
+        |    FROM r3 GROUP BY p) s ON x.p = s.p
+        |  JOIN tc ON x.p = tc.p),
+        |f AS (SELECT r, p, n, (w // n) AS f FROM c3),
+        |m AS (SELECT sum(n)::BIGINT AS n_rows,
+        |    count(*)::BIGINT AS n_cells, min(f)::BIGINT AS min_f_nano,
+        |    max(f)::BIGINT AS max_f_nano,
+        |    sum(n::HUGEINT * f::HUGEINT) AS sw,
+        |    sum(n::HUGEINT * f::HUGEINT * f::HUGEINT) AS sww FROM f)
+        |SELECT n_rows, n_cells, min_f_nano, max_f_nano,
+        |  CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+        |    CAST(sww AS DOUBLE)) AS BIGINT) AS ess,
+        |  CAST(round(1000000.0 * n_rows * CAST(sww AS DOUBLE) /
+        |    (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))) AS BIGINT)
+        |    AS deff_micro
+        |FROM m""".stripMargin,
   )
 }
