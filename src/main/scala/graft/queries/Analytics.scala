@@ -1396,6 +1396,81 @@ object Analytics {
           .as("deff_micro"))
   }
 
+  // -------------------------------- q334 Mantel-Haenszel odds ratio
+
+  /** q334 — Mantel–Haenszel pooled odds ratio of conversion (arm B vs
+    * arm A) stratified by region — the confounder-adjusted effect
+    * estimate read when per-stratum tables are too thin for separate
+    * ORs (the stratified companion of q189/q271). Per-stratum 2×2
+    * cells come from ONE user-keyed aggregate + one counting shuffle;
+    * the two MH sums quantize per STRATUM (micro, O(regions) rows)
+    * before the exact ratio. Users without a region (none here) would
+    * drop; the hash arm split is q199's. */
+  val mantelHaenszel: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Hashing
+    val users = Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select($"user_id", $"conv",
+        (Hashing.hash60(concat(lit("ab|"), $"user_id".cast("string")))
+          % 2).as("arm"),
+        ($"user_id" % 5).as("stratum"))
+    val cells = users.groupBy($"stratum").agg(
+      sum(when($"arm" === 1 && $"conv" === 1, 1L).otherwise(0L)).as("a"),
+      sum(when($"arm" === 1 && $"conv" === 0, 1L).otherwise(0L)).as("b"),
+      sum(when($"arm" === 0 && $"conv" === 1, 1L).otherwise(0L)).as("c"),
+      sum(when($"arm" === 0 && $"conv" === 0, 1L).otherwise(0L)).as("d"))
+    val terms = cells
+      .select($"stratum", ($"a" + $"b" + $"c" + $"d").as("n"),
+        $"a", $"b", $"c", $"d")
+      .select(
+        expr("(1000000 * a * d) div n").as("num_micro"),
+        expr("(1000000 * b * c) div n").as("den_micro"))
+      .agg(count(lit(1)).as("n_strata"), sum($"num_micro").as("num"),
+        sum($"den_micro").as("den"))
+    terms.select($"n_strata", $"num".as("sum_ad_micro"),
+      $"den".as("sum_bc_micro"),
+      expr("(1000000 * num) div greatest(den, 1)").as("or_mh_micro"))
+  }
+
+  // ----------------------------------------- q335 MDE / power card
+
+  /** q335 — minimum detectable effect card for the A/B split: at the
+    * observed arm sizes and pooled conversion rate, the two-sided
+    * α = 0.05, power = 0.8 MDE in absolute and relative terms —
+    * the pre-registration readout published BEFORE an experiment
+    * reads q189/q329. One exact counting pass; the z constants
+    * (1.96, 0.8416) fold to literals so both engines evaluate the
+    * identical double tree on the one-row frame. */
+  val mdePower: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Hashing
+    val users = Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select($"conv",
+        (Hashing.hash60(concat(lit("ab|"), $"user_id".cast("string")))
+          % 2).as("arm"))
+    users.agg(
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("na"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("nb"),
+        sum($"conv").as("nc"))
+      .select($"na", $"nb", $"nc",
+        expr("CAST((1000000 * nc) div (na + nb) AS BIGINT)")
+          .as("pooled_rate_micro"),
+        expr("CAST(round(1000000.0 * (1.96 + 0.8416) * sqrt(" +
+          "(CAST(nc AS DOUBLE) / (na + nb)) *" +
+          " (1.0 - CAST(nc AS DOUBLE) / (na + nb)) *" +
+          " (1.0 / na + 1.0 / nb))) AS BIGINT)").as("mde_abs_micro"))
+      .select($"na", $"nb", $"nc", $"pooled_rate_micro",
+        $"mde_abs_micro",
+        expr("(1000000 * mde_abs_micro) div" +
+          " greatest(pooled_rate_micro, 1)").as("mde_rel_micro"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1432,6 +1507,8 @@ object Analytics {
     "q331_interpolation_sweep" -> interpolationSweep,
     "q332_raking" -> raking,
     "q333_weight_diagnostics" -> weightDiagnostics,
+    "q334_mantel_haenszel" -> mantelHaenszel,
+    "q335_mde_power" -> mdePower,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2370,5 +2447,56 @@ object Analytics {
         |    (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))) AS BIGINT)
         |    AS deff_micro
         |FROM m""".stripMargin,
+    "q334_mantel_haenszel" ->
+      s"""WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT conv, (('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 AS arm,
+        |    user_id % 5 AS stratum FROM u),
+        |cells AS (SELECT stratum,
+        |    sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0
+        |      END)::BIGINT AS a,
+        |    sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0
+        |      END)::BIGINT AS b,
+        |    sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0
+        |      END)::BIGINT AS c,
+        |    sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0
+        |      END)::BIGINT AS d
+        |  FROM t GROUP BY 1),
+        |terms AS (SELECT
+        |    (1000000 * a * d) // (a + b + c + d) AS num_micro,
+        |    (1000000 * b * c) // (a + b + c + d) AS den_micro
+        |  FROM cells),
+        |agg AS (SELECT count(*)::BIGINT AS n_strata,
+        |    sum(num_micro)::BIGINT AS num,
+        |    sum(den_micro)::BIGINT AS den FROM terms)
+        |SELECT n_strata, num AS sum_ad_micro, den AS sum_bc_micro,
+        |  CAST((1000000 * num) // greatest(den, 1) AS BIGINT)
+        |    AS or_mh_micro
+        |FROM agg""".stripMargin,
+    "q335_mde_power" ->
+      s"""WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT conv, (('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 AS arm FROM u),
+        |m AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(conv)::BIGINT AS nc FROM t),
+        |f AS (SELECT na, nb, nc,
+        |    CAST((1000000 * nc) // (na + nb) AS BIGINT)
+        |      AS pooled_rate_micro,
+        |    CAST(round(1000000.0 * (1.96 + 0.8416) * sqrt(
+        |      (CAST(nc AS DOUBLE) / (na + nb)) *
+        |      (1.0 - CAST(nc AS DOUBLE) / (na + nb)) *
+        |      (1.0 / na + 1.0 / nb))) AS BIGINT) AS mde_abs_micro
+        |  FROM m)
+        |SELECT na, nb, nc, pooled_rate_micro, mde_abs_micro,
+        |  CAST((1000000 * mde_abs_micro) //
+        |    greatest(pooled_rate_micro, 1) AS BIGINT)
+        |    AS mde_rel_micro
+        |FROM f""".stripMargin,
   )
 }
