@@ -1409,11 +1409,16 @@ object Analytics {
   val mantelHaenszel: Q = (s, dir) => {
     import s.implicits._
     import graft.functions.Hashing
+    // outcome: purchase-HEAVY user (5·purchases > events) — the
+    // any-purchase outcome saturates to all-success at tiny SF where
+    // few heavy users hold all events (the q323 lesson)
     val users = Tables(s, dir, "events")
       .groupBy($"user_id")
-      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
-        .as("conv"))
-      .select($"user_id", $"conv",
+      .agg(count(lit(1)).as("ne"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .select($"user_id",
+        when($"np" * 5 > $"ne", 1L).otherwise(0L).as("conv"),
         (Hashing.hash60(concat(lit("ab|"), $"user_id".cast("string")))
           % 2).as("arm"),
         ($"user_id" % 5).as("stratum"))
@@ -1449,9 +1454,10 @@ object Analytics {
     import graft.functions.Hashing
     val users = Tables(s, dir, "events")
       .groupBy($"user_id")
-      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
-        .as("conv"))
-      .select($"conv",
+      .agg(count(lit(1)).as("ne"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .select(when($"np" * 5 > $"ne", 1L).otherwise(0L).as("conv"),
         (Hashing.hash60(concat(lit("ab|"), $"user_id".cast("string")))
           % 2).as("arm"))
     users.agg(
@@ -2449,8 +2455,9 @@ object Analytics {
         |FROM m""".stripMargin,
     "q334_mantel_haenszel" ->
       s"""WITH u AS (SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
-        |      END)::BIGINT AS conv
+        |    (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) * 5 > count(*) THEN 1 ELSE 0 END)::BIGINT
+        |      AS conv
         |  FROM events GROUP BY 1),
         |t AS (SELECT conv, (('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 AS arm,
         |    user_id % 5 AS stratum FROM u),
@@ -2477,8 +2484,9 @@ object Analytics {
         |FROM agg""".stripMargin,
     "q335_mde_power" ->
       s"""WITH u AS (SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
-        |      END)::BIGINT AS conv
+        |    (CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) * 5 > count(*) THEN 1 ELSE 0 END)::BIGINT
+        |      AS conv
         |  FROM events GROUP BY 1),
         |t AS (SELECT conv, (('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 AS arm FROM u),
         |m AS (SELECT

@@ -207,6 +207,100 @@ class AnalyticsSpec extends SparkSpec {
       "MMD^2 must be >= 0 up to rounding")
   }
 
+  test("q326 James-Stein: shrinkage in [0,1], shrunk means between raw and grand") {
+    val r = Analytics.jamesStein(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val c = row.getAs[Long]("shrink_micro")
+      assert(c >= 0 && c <= 1000000, s"shrink factor out of [0,1]: $c")
+    }
+  }
+
+  test("q327 Mahalanobis: distances non-negative, sorted desc") {
+    val d = Analytics.mahalanobisOutliers(spark, sfDir).collect()
+      .map(_.getAs[Long]("d2_milli"))
+    assert(d.nonEmpty && d.forall(_ >= 0))
+    assert(d.sameElements(d.sorted.reverse))
+  }
+
+  test("q328 shard balance: masses partition the corpus") {
+    val row = Analytics.shardBalance(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_shards") == 8)
+    assert(row.getAs[Long]("min_toks") > 0)
+    assert(row.getAs[Long]("maxmean_micro") >= 1000000,
+      "max shard cannot be below the mean")
+  }
+
+  test("q329 SPRT: decision sign matches the final LLR side when stopped") {
+    val row = Analytics.sprtStopping(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_subjects") > 0)
+    if (!row.isNullAt(row.fieldIndex("stop_index"))) {
+      val dec = row.getAs[Long]("decision")
+      assert(dec == 1L || dec == -1L)
+      assert(row.getAs[Long]("stop_index") >= 1)
+    }
+  }
+
+  test("q330 Nelson-Aalen: cumulative hazard strictly increasing") {
+    val r = Analytics.nelsonAalen(spark, sfDir)
+      .orderBy($"t".asc).collect()
+    assert(r.nonEmpty)
+    val ch = r.map(_.getAs[Long]("cum_hazard_micro"))
+    assert(ch.zip(ch.tail).forall { case (a, b) => b > a },
+      "cumulative hazard must strictly increase at death days")
+    assert(r.forall(_.getAs[Long]("n_risk") > 0))
+  }
+
+  test("q331 interpolation sweep: every lambda scores every pair set") {
+    val r = Analytics.interpolationSweep(spark, sfDir).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("n_pairs")).distinct.length == 1,
+      "all lambdas must score the identical held-out pair multiset")
+    assert(r.forall(_.getAs[Long]("mean_nll_micro") > 0))
+  }
+
+  test("q332 raking: 3 IPF iterations land the column margins") {
+    val r = Analytics.raking(spark, sfDir)
+    val w = r.agg(sum($"w_nano")).collect().head.getLong(0)
+    // total mass stays on the nano grid up to per-cell truncation
+    assert(math.abs(w - 1000000000L) < 1000,
+      s"total raked mass drifted: $w")
+    // the final (column) half-step makes priority margins match the
+    // observed priority shares exactly up to integer truncation
+    val colM = r.groupBy($"p").agg(sum($"w_nano").as("m"),
+      sum($"n").as("np")).collect()
+    val nTot = colM.map(_.getAs[Long]("np")).sum
+    colM.foreach { row =>
+      val target = row.getAs[Long]("np") * 1000000000L / nTot
+      assert(math.abs(row.getAs[Long]("m") - target) < 1000,
+        "column margin missed its target after the final col step")
+    }
+  }
+
+  test("q333 diagnostics: ESS <= n and deff >= 1") {
+    val row = Analytics.weightDiagnostics(spark, sfDir).collect().head
+    assert(row.getAs[Long]("ess") <= row.getAs[Long]("n_rows"))
+    assert(row.getAs[Long]("deff_micro") >= 1000000,
+      "design effect of any non-uniform weighting is >= 1")
+  }
+
+  test("q334 MH: strata cover users, MH sums non-degenerate") {
+    val row = Analytics.mantelHaenszel(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_strata") == 5)
+    assert(row.getAs[Long]("or_mh_micro") >= 0)
+    assert(row.getAs[Long]("sum_ad_micro") +
+      row.getAs[Long]("sum_bc_micro") > 0,
+      "every stratum degenerate — outcome/arm split broken")
+  }
+
+  test("q335 MDE: shrinks with more users (monotone sanity on arms)") {
+    val row = Analytics.mdePower(spark, sfDir).collect().head
+    assert(row.getAs[Long]("mde_abs_micro") > 0)
+    assert(row.getAs[Long]("na") + row.getAs[Long]("nb") ==
+      Tables(spark, sfDir, "events").select($"user_id")
+        .distinct().count())
+  }
+
   test("q325 readability: every source present, counts positive") {
     val r = Analytics.readability(spark, sfDir).collect()
     assert(r.length == Tables(spark, sfDir, "documents")
