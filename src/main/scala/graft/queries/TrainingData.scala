@@ -1581,6 +1581,46 @@ object TrainingData {
        |JOIN sh sb ON cand.doc_b = sb.doc_id
        |WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5""".stripMargin
 
+  private def sqlCapRecap: String = {
+    val lanes = (0 until NumHashes)
+      .map(i => s"min(${Hashing.sqlLane("h31", i)}) AS h$i")
+      .mkString(",\n  ")
+    val numBands = NumHashes / RowsPerBand
+    val bandSelects = (0 until numBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(j => s"CAST(h${b * RowsPerBand + j} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ${sqlHash60(s"concat_ws(',', $parts)")}" +
+        " AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS $sqlCorpus,
+       |sh AS (SELECT doc_id, ${sqlShingles("text", ShingleN)} AS sh_set
+       |       FROM corpus),
+       |ex AS (SELECT doc_id,
+       |         (${sqlHash60("s")} & ${Hashing.Mask31}) AS h31
+       |       FROM (SELECT doc_id, unnest(sh_set) AS s FROM sh) u),
+       |sig AS (SELECT doc_id, $lanes FROM ex GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    max(CASE WHEN a.band < 8 THEN 1 ELSE 0 END)::BIGINT AS in_a,
+       |    max(CASE WHEN a.band >= 8 THEN 1 ELSE 0 END)::BIGINT AS in_b
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT in_a, in_b FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5),
+       |agg AS (SELECT sum(in_a)::BIGINT AS n1, sum(in_b)::BIGINT AS n2,
+       |    sum(in_a * in_b)::BIGINT AS m, count(*)::BIGINT AS n_union
+       |  FROM ver)
+       |SELECT n1, n2, m, n_union,
+       |  (((n1 + 1) * (n2 + 1)) // (m + 1) - 1)::BIGINT AS chapman_est,
+       |  ((((n1 + 1) * (n2 + 1)) // (m + 1) - 1) - n_union)::BIGINT
+       |    AS est_missed
+       |FROM agg""".stripMargin
+  }
+
   private def sqlContainment: String =
     s"""$sqlLshCandCtes,
        |sc AS (SELECT doc_a, doc_b,
@@ -1999,7 +2039,51 @@ object TrainingData {
       .select($"doc_a", $"doc_b", $"inter", $"sa", $"sb", $"jac_micro")
   }
 
+  /** q336 — capture-recapture coverage estimate for the LSH dedup
+    * (Chapman's bias-corrected Lincoln-Petersen): the 16 bands split
+    * into two INDEPENDENT 8-band detectors; verified pairs caught by
+    * half A (n1), half B (n2), and both (m) give
+    * N̂ = (n1+1)(n2+1)/(m+1) − 1 — an estimate of the TOTAL verified-
+    * pair population including pairs NO band caught, i.e. the number
+    * the q228 recall eval cannot see. One shingle pass feeds
+    * signatures and the Jaccard verify (the q99 rule); candidates
+    * carry band-half flags through the same bucket equi-join as q23
+    * (never all-pairs); the estimator is exact integer arithmetic on
+    * the one-row frame. */
+  val capRecapDedup: Q = (s, dir) => {
+    import s.implicits._
+    val sh = corpus(s, dir)
+      .select($"doc_id", TextOps.shinglesFromTokens(
+        TextOps.tokens($"text"), ShingleN).as("sh_set"))
+      .localCheckpoint()
+    val sigs = Dedup.minhashFromShingleSets(sh, "doc_id", "sh_set",
+      NumHashes)
+    val bands = Dedup.lshBands(sigs, NumHashes, RowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.band".as("band"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max(when($"band" < 8, 1L).otherwise(0L)).as("in_a"),
+        max(when($"band" >= 8, 1L).otherwise(0L)).as("in_b"))
+    val ver = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh_set".as("sa")),
+        Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh_set".as("sb")),
+        Seq("doc_b"))
+      .filter(Dedup.jaccard($"sa", $"sb") >= 0.5)
+      .select($"in_a", $"in_b")
+    ver.agg(sum($"in_a").as("n1"), sum($"in_b").as("n2"),
+        sum($"in_a" * $"in_b").as("m"), count(lit(1)).as("n_union"))
+      .select($"n1", $"n2", $"m", $"n_union",
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("chapman_est"))
+      .select($"n1", $"n2", $"m", $"n_union", $"chapman_est",
+        ($"chapman_est" - $"n_union").as("est_missed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q336_capture_recapture" -> capRecapDedup,
     "q22_dedup_exact" -> dedupExact,
     "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
     "q123_containment_dedup" -> containmentDedup,
@@ -2087,6 +2171,7 @@ object TrainingData {
          |      SELECT doc_id + $TwinOffset, text FROM documents) t
          |GROUP BY md5(text)""".stripMargin,
     "q23_dedup_minhash_lsh" -> sqlMinhashLsh,
+    "q336_capture_recapture" -> sqlCapRecap,
     "q123_containment_dedup" -> sqlContainment,
     "q67_incremental_near_dup" -> sqlIncNearDup,
     "q99_incremental_clusters" -> sqlIncrementalClusters,
