@@ -1477,6 +1477,53 @@ object Analytics {
           " greatest(pooled_rate_micro, 1)").as("mde_rel_micro"))
   }
 
+  // ----------------------------------- q337 Burrows' Delta stylometry
+
+  /** q337 — Burrows' Delta (Burrows 2002) between sources: each
+    * source's relative frequency of the corpus's top-30 words
+    * z-scored per WORD across sources, Delta = mean |z₁ − z₂| — the
+    * authorship/style distance matrix read next to q221's vocabulary
+    * Jaccard and q233's passage overlap. The corpus is touched once
+    * (the word-count shuffle); the dense source × word frame is
+    * O(sources·30) with missing cells as EXACT zeros via the fan-out
+    * join; z quantizes per CELL (micro) so pair sums are exact longs.
+    * Top-30 selection ties break on the word string. */
+  val burrowsDelta: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    val words = Tables(s, dir, "documents")
+      .select($"source", explode(TextOps.tokens($"text")).as("w"))
+    val top = words.groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(30).select($"w")
+    val totals = words.groupBy($"source").agg(count(lit(1)).as("nt"))
+    val cnt = words.join(broadcast(top), Seq("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val dense = totals.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "w"), "left")
+      .select($"source", $"w",
+        expr("(1000000 * coalesce(c, 0)) div nt").as("f"))
+    val stats = dense.groupBy($"w")
+      .agg(count(lit(1)).as("k"), sum($"f").as("sf"),
+        sum($"f" * $"f").as("qf"))
+      .select($"w",
+        expr("CAST(sf AS DOUBLE) / k").as("mu"),
+        expr("sqrt((CAST(qf AS DOUBLE) - CAST(sf AS DOUBLE) *" +
+          " CAST(sf AS DOUBLE) / k) / (k - 1))").as("sd"))
+    val z = dense.join(broadcast(stats), Seq("w"))
+      .select($"source", $"w",
+        expr("CAST(round(1000000.0 * (f - mu) / sd) AS BIGINT)")
+          .as("z"))
+    z.as("a").join(z.as("b"),
+        $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .select($"a.source".as("s1"), $"b.source".as("s2"),
+        abs($"a.z" - $"b.z").as("dz"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("n_words"), sum($"dz").as("sdz"))
+      .select($"s1", $"s2", $"n_words",
+        expr("(sdz div n_words) div 1000").as("delta_milli"))
+      .orderBy($"s1".asc, $"s2".asc)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1515,6 +1562,7 @@ object Analytics {
     "q333_weight_diagnostics" -> weightDiagnostics,
     "q334_mantel_haenszel" -> mantelHaenszel,
     "q335_mde_power" -> mdePower,
+    "q337_burrows_delta" -> burrowsDelta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2506,5 +2554,33 @@ object Analytics {
         |    greatest(pooled_rate_micro, 1) AS BIGINT)
         |    AS mde_rel_micro
         |FROM f""".stripMargin,
+    "q337_burrows_delta" ->
+      s"""WITH words AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')) AS w
+        |  FROM documents),
+        |top AS (SELECT w FROM (SELECT w, count(*)::BIGINT AS n
+        |  FROM words GROUP BY w ORDER BY n DESC, w ASC LIMIT 30)),
+        |totals AS (SELECT source, count(*)::BIGINT AS nt FROM words
+        |  GROUP BY source),
+        |cnt AS (SELECT source, w, count(*)::BIGINT AS c FROM words
+        |  JOIN top USING (w) GROUP BY 1, 2),
+        |dense AS (SELECT totals.source AS source, top.w AS w,
+        |    (1000000 * coalesce(c, 0)) // nt AS f
+        |  FROM totals CROSS JOIN top
+        |  LEFT JOIN cnt ON cnt.source = totals.source
+        |    AND cnt.w = top.w),
+        |stats AS (SELECT w, CAST(sf AS DOUBLE) / k AS mu,
+        |    sqrt((CAST(qf AS DOUBLE) - CAST(sf AS DOUBLE) *
+        |      CAST(sf AS DOUBLE) / k) / (k - 1)) AS sd
+        |  FROM (SELECT w, count(*)::BIGINT AS k, sum(f)::BIGINT AS sf,
+        |    sum(f * f)::BIGINT AS qf FROM dense GROUP BY w)),
+        |z AS (SELECT source, dense.w AS w,
+        |    CAST(round(1000000.0 * (f - mu) / sd) AS BIGINT) AS z
+        |  FROM dense JOIN stats ON dense.w = stats.w)
+        |SELECT a.source AS s1, b.source AS s2,
+        |  count(*)::BIGINT AS n_words,
+        |  ((sum(abs(a.z - b.z))::BIGINT // count(*)::BIGINT) // 1000)
+        |    AS delta_milli
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY s1 ASC, s2 ASC""".stripMargin,
   )
 }
