@@ -1524,6 +1524,79 @@ object Analytics {
       .orderBy($"s1".asc, $"s2".asc)
   }
 
+  // ---------------------------------------- q338 Ljung-Box Q test
+
+  /** q338 — Ljung-Box portmanteau test on daily revenue at lags 1–5:
+    * Q = n(n+2)·Σ r_k²/(n−k), the is-it-white-noise gate run on
+    * residuals before trusting any forecast (complements q181's raw
+    * ACF and q298's runs test). Lag correlations come from the q313
+    * moment machinery (exact decimal sums, one double per lag); the
+    * 5-term sum is a PINNED expression chain on the one-row frame. */
+  val ljungBox: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).as("d"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val nDays = daily.agg(count(lit(1)).as("nd"))
+    val lags = s.range(1, 6).select($"id".cast("int").as("lag"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rs = daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("b.d") === col("a.d") + $"lag")
+      .select($"lag", col("a.cents").as("x"), col("b.cents").as("y"))
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+        sum(dec($"x") * dec($"y")).as("sxy"),
+        sum(dec($"x") * dec($"x")).as("sxx"),
+        sum(dec($"y") * dec($"y")).as("syy"))
+      .select($"lag",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) /
+          sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("r"))
+    val pinCols = (1 to 5).map(k =>
+      sum(when($"lag" === k, $"r")).as(s"r$k"))
+    val pins = rs.agg(pinCols.head, pinCols.tail: _*)
+    val terms = (1 to 5).map(k =>
+      s"r$k * r$k / (CAST(nd AS DOUBLE) - $k)").mkString(" + ")
+    pins.crossJoin(broadcast(nDays))
+      .select($"nd".as("n_days"),
+        expr(s"CAST(round(1000.0 * CAST(nd AS DOUBLE) * (nd + 2) *" +
+          s" ($terms)) AS BIGINT)").as("q_lb_milli"))
+  }
+
+  // ------------------------------------------ q339 Lorenz deciles
+
+  /** q339 — Lorenz curve decile table of order values: each revenue
+    * decile's exact cent mass and cumulative share (the tabular
+    * companion of q171's Gini scalar — "the top decile holds X% of
+    * revenue"). Deciles come from the scale-safe
+    * [[graft.functions.ScaleWindows.rangeNtile]] over the
+    * (cents, orderkey) total order; the cumulative pass is a
+    * rangeCumSum on the 10-row frame; shares are integral micro
+    * divisions of exact longs. */
+  val lorenzDeciles: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val tiled = ScaleWindows.rangeNtile(base, 10,
+      Seq($"v", $"o_orderkey"), "decile")
+    val per = tiled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"), sum($"v").as("decile_cents"))
+    val tot = per.agg(sum($"decile_cents").as("t"))
+    ScaleWindows.rangeCumSum(per, Seq($"decile"), $"decile_cents", "e")
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n_orders", $"decile_cents",
+        ($"e" + $"decile_cents").as("cum_cents"),
+        // divide by (t div 1e6) rather than multiply by 1e6: exact to
+        // 1e-6 relative and overflow-free at ANY corpus size
+        expr("(e + decile_cents) div (t div 1000000)")
+          .as("cum_share_micro"))
+      .orderBy($"decile".asc)
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1563,6 +1636,8 @@ object Analytics {
     "q334_mantel_haenszel" -> mantelHaenszel,
     "q335_mde_power" -> mdePower,
     "q337_burrows_delta" -> burrowsDelta,
+    "q338_ljung_box" -> ljungBox,
+    "q339_lorenz_deciles" -> lorenzDeciles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2582,5 +2657,57 @@ object Analytics {
         |    AS delta_milli
         |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY s1 ASC, s2 ASC""".stripMargin,
+    "q338_ljung_box" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |nd AS (SELECT count(*)::BIGINT AS nd FROM daily),
+        |p AS (SELECT l.lag AS lag, a.cents::HUGEINT AS x,
+        |    b.cents::HUGEINT AS y
+        |  FROM (SELECT unnest(range(1, 6))::INTEGER AS lag) l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.d = a.d + l.lag),
+        |s AS (SELECT lag, count(*)::BIGINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY lag),
+        |r AS (SELECT lag,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |  FROM s),
+        |pins AS (SELECT
+        |    sum(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    sum(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    sum(CASE WHEN lag = 3 THEN r END) AS r3,
+        |    sum(CASE WHEN lag = 4 THEN r END) AS r4,
+        |    sum(CASE WHEN lag = 5 THEN r END) AS r5
+        |  FROM r)
+        |SELECT nd AS n_days,
+        |  CAST(round(1000.0 * CAST(nd AS DOUBLE) * (nd + 2) *
+        |    (r1 * r1 / (CAST(nd AS DOUBLE) - 1) + r2 * r2 / (CAST(nd AS DOUBLE) - 2) + r3 * r3 / (CAST(nd AS DOUBLE) - 3) + r4 * r4 / (CAST(nd AS DOUBLE) - 4) + r5 * r5 / (CAST(nd AS DOUBLE) - 5))) AS BIGINT) AS q_lb_milli
+        |FROM pins CROSS JOIN nd""".stripMargin,
+    "q339_lorenz_deciles" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |tiled AS (SELECT *, ntile(10) OVER (ORDER BY v, o_orderkey)
+        |    ::INTEGER AS decile FROM base),
+        |per AS (SELECT decile, count(*)::BIGINT AS n_orders,
+        |    sum(v)::BIGINT AS decile_cents FROM tiled GROUP BY 1),
+        |tot AS (SELECT sum(decile_cents)::BIGINT AS t FROM per),
+        |cum AS (SELECT decile, n_orders, decile_cents,
+        |    coalesce(sum(decile_cents) OVER (ORDER BY decile ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS e
+        |  FROM per)
+        |SELECT decile, n_orders, decile_cents,
+        |  (e + decile_cents)::BIGINT AS cum_cents,
+        |  ((e + decile_cents) // (t // 1000000))::BIGINT
+        |    AS cum_share_micro
+        |FROM cum CROSS JOIN tot ORDER BY decile ASC""".stripMargin,
   )
 }
