@@ -301,6 +301,46 @@ class AnalyticsSpec extends SparkSpec {
         .distinct().count())
   }
 
+  test("q336 capture-recapture: Chapman estimate covers the union") {
+    val row = graft.queries.TrainingData.capRecapDedup(spark, sfDir)
+      .collect().head
+    val n1 = row.getAs[Long]("n1"); val n2 = row.getAs[Long]("n2")
+    val m = row.getAs[Long]("m"); val u = row.getAs[Long]("n_union")
+    assert(m <= math.min(n1, n2), "overlap exceeds a capture")
+    assert(u >= math.max(n1, n2), "union below a capture")
+    assert(row.getAs[Long]("chapman_est") >= m,
+      "estimate below the observed overlap")
+  }
+
+  test("q337 Burrows Delta: full pair matrix, symmetric word count") {
+    val r = Analytics.burrowsDelta(spark, sfDir).collect()
+    val k = Tables(spark, sfDir, "documents")
+      .select($"source").distinct().count()
+    assert(r.length == k * (k - 1) / 2, "missing source pairs")
+    assert(r.forall(_.getAs[Long]("n_words") == 30))
+    assert(r.forall(_.getAs[Long]("delta_milli") >= 0))
+  }
+
+  test("q338 Ljung-Box: Q non-negative") {
+    val row = Analytics.ljungBox(spark, sfDir).collect().head
+    assert(row.getAs[Long]("q_lb_milli") >= 0)
+    assert(row.getAs[Long]("n_days") > 10)
+  }
+
+  test("q339 Lorenz: shares monotone to ~1e6, deciles near-equal counts") {
+    val r = Analytics.lorenzDeciles(spark, sfDir)
+      .orderBy($"decile".asc).collect()
+    assert(r.length == 10)
+    val sh = r.map(_.getAs[Long]("cum_share_micro"))
+    assert(sh.zip(sh.tail).forall { case (a, b) => b >= a })
+    // the truncated divisor (t div 1e6) inflates shares by up to
+    // 1e6/t relative — sub-0.1% at the smoke SF, ~0 at scale
+    assert(math.abs(sh.last - 1000000L) < 1000,
+      s"final cumulative share must be ~1e6, got ${sh.last}")
+    val ns = r.map(_.getAs[Long]("n_orders"))
+    assert(ns.max - ns.min <= 1, "ntile buckets must differ by <= 1")
+  }
+
   test("q325 readability: every source present, counts positive") {
     val r = Analytics.readability(spark, sfDir).collect()
     assert(r.length == Tables(spark, sfDir, "documents")
