@@ -1597,6 +1597,122 @@ object Analytics {
       .orderBy($"decile".asc)
   }
 
+  // --------------------------------- q340 propensity-stratified ATE
+
+  /** q340 — propensity-score stratification (Rosenbaum & Rubin 1984):
+    * the effect of URGENT priority on order value, adjusted for
+    * customer balance and order recency. The propensity is the
+    * CLOSED-FORM linear probability model (q319's det/adjugate
+    * normal-equation solve at λ=0 — no iterative fit, documented LPM
+    * choice), scores stratify into quintiles via
+    * [[graft.functions.ScaleWindows.rangeNtile]], and the ATE is the
+    * stratum-size-weighted mean difference with every term quantized
+    * per STRATUM. One moment scan + one score pass + one 10-cell
+    * aggregate; the 1e6·n_s·diff products hold to ~1e12 rows (noted
+    * for the 100 TB path: lift to decimal there). */
+  val propensityAte: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)
+          .as("t"),
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x1")).as("sx1"), sum(dec($"x2")).as("sx2"),
+      sum(($"t" * lit(1000000L)).cast("decimal(38,0)")).as("st"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"t" * lit(1000000L))).as("q1t"),
+      sum(dec($"x2") * dec($"t" * lit(1000000L))).as("q2t"))
+    val cent = m.select($"n", $"sx1", $"sx2", $"st",
+      expr("CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+        " CAST(sx1 AS DOUBLE) / n").as("s11"),
+      expr("CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *" +
+        " CAST(sx2 AS DOUBLE) / n").as("s22"),
+      expr("CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+        " CAST(sx2 AS DOUBLE) / n").as("s12"),
+      expr("CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+        " CAST(st AS DOUBLE) / n").as("s1t"),
+      expr("CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) *" +
+        " CAST(st AS DOUBLE) / n").as("s2t"))
+      .select($"n", $"sx1", $"sx2", $"st",
+        expr("(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12)")
+          .as("b1"),
+        expr("(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12)")
+          .as("b2"))
+    val scored = rows.crossJoin(broadcast(cent))
+      .select($"o_orderkey", $"t", $"y",
+        expr("CAST(round(CAST(st AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT)")
+          .as("p_micro"))
+    val tiled = ScaleWindows.rangeNtile(scored, 5,
+      Seq($"p_micro", $"o_orderkey"), "stratum")
+    val cells = tiled.groupBy($"stratum")
+      .agg(sum(when($"t" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"t" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"t" === 1, $"y").otherwise(0L)).as("y1"),
+        sum(when($"t" === 0, $"y").otherwise(0L)).as("y0"))
+      .select($"stratum", $"n1", $"n0",
+        expr("y1 div greatest(n1, 1)").as("m1_cents"),
+        expr("y0 div greatest(n0, 1)").as("m0_cents"))
+    val ate = cells
+      .agg(sum(expr("(1000000 * (n1 + n0) *" +
+        " (m1_cents - m0_cents))")).as("wsum"),
+        sum($"n1" + $"n0").as("ntot"))
+      .select(expr("wsum div (1000000 * ntot)").as("ate_cents"))
+    cells.crossJoin(broadcast(ate))
+      .orderBy($"stratum".asc)
+  }
+
+  // ------------------------------------- q341 GPD tail fit (PWM)
+
+  /** q341 — generalized-Pareto tail fit of order values above the
+    * 95th percentile, by probability-weighted moments (Hosking &
+    * Wallis 1987): k̂ = b0/(b0−2b1) − 2, α̂ = 2b0b1/(b0−2b1) — the
+    * parametric tail model beyond q251's Hill index (which assumes
+    * k < 0 power tails; PWM also covers bounded tails). The threshold
+    * is the exact 19/20 vigintile fence from
+    * [[graft.functions.ScaleWindows.rangeNtile]]; rank weights
+    * (r−1)·x come from rangeCumSum over the (excess, orderkey) total
+    * order, so B1 is an EXACT long and both parameters are one-row
+    * quantized doubles over exact integers. */
+  val gpdTail: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val tiled = ScaleWindows.rangeNtile(base, 20,
+      Seq($"v", $"o_orderkey"), "vig")
+    val tail = tiled.filter($"vig" === 20)
+    val u = tail.agg(min($"v").as("u"))
+    val exc = tail.crossJoin(broadcast(u))
+      .select($"o_orderkey", ($"v" - $"u").as("x"), $"u")
+    val ranked = ScaleWindows.rangeCumSum(exc,
+      Seq($"x", $"o_orderkey"), lit(1L), "e")
+    ranked.agg(count(lit(1)).as("n"), first($"u").as("u_cents"),
+        sum($"x").as("b0n"), sum($"e" * $"x").as("b1n"))
+      .select($"n", $"u_cents",
+        expr("b0n div n").as("b0_cents"),
+        expr("CAST(round(1000000.0 * (CAST(b0n AS DOUBLE) * (n - 1) /" +
+          " (CAST(b0n AS DOUBLE) * (n - 1) - 2.0 * b1n) - 2.0))" +
+          " AS BIGINT)").as("k_micro"),
+        expr("CAST(round(2.0 * (CAST(b0n AS DOUBLE) / n) *" +
+          " (CAST(b1n AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) /" +
+          " (CAST(b0n AS DOUBLE) / n - 2.0 * CAST(b1n AS DOUBLE) /" +
+          " (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)")
+          .as("sigma_cents"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1638,6 +1754,8 @@ object Analytics {
     "q337_burrows_delta" -> burrowsDelta,
     "q338_ljung_box" -> ljungBox,
     "q339_lorenz_deciles" -> lorenzDeciles,
+    "q340_propensity_ate" -> propensityAte,
+    "q341_gpd_tail" -> gpdTail,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2709,5 +2827,87 @@ object Analytics {
         |  ((e + decile_cents) // (t // 1000000))::BIGINT
         |    AS cum_share_micro
         |FROM cum CROSS JOIN tot ORDER BY decile ASC""".stripMargin,
+    "q340_propensity_ate" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+        |    sum((t * 1000000)::HUGEINT) AS st,
+        |    sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+        |    sum(x2::HUGEINT * x2::HUGEINT) AS q22,
+        |    sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+        |    sum(x1::HUGEINT * (t * 1000000)::HUGEINT) AS q1t,
+        |    sum(x2::HUGEINT * (t * 1000000)::HUGEINT) AS q2t
+        |  FROM rows0),
+        |cent AS (SELECT n, sx1, sx2, st,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx1 AS DOUBLE) / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s12,
+        |    CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n AS s1t,
+        |    CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n AS s2t
+        |  FROM m),
+        |b AS (SELECT n, sx1, sx2, st,
+        |    (s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM cent),
+        |sc AS (SELECT o_orderkey, t, y,
+        |    CAST(round(CAST(st AS DOUBLE) / n +
+        |      b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |      b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT)
+        |      AS p_micro
+        |  FROM rows0 CROSS JOIN b),
+        |tiled AS (SELECT *, ntile(5) OVER (ORDER BY p_micro,
+        |    o_orderkey)::INTEGER AS stratum FROM sc),
+        |cells AS (SELECT stratum,
+        |    sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN t = 1 THEN y ELSE 0 END)::BIGINT AS y1s,
+        |    sum(CASE WHEN t = 0 THEN y ELSE 0 END)::BIGINT AS y0s
+        |  FROM tiled GROUP BY 1),
+        |c2 AS (SELECT stratum, n1, n0,
+        |    (y1s // greatest(n1, 1))::BIGINT AS m1_cents,
+        |    (y0s // greatest(n0, 1))::BIGINT AS m0_cents FROM cells),
+        |ate AS (SELECT (sum(1000000 * (n1 + n0) *
+        |    (m1_cents - m0_cents))::BIGINT //
+        |    (1000000 * sum(n1 + n0)::BIGINT))::BIGINT AS ate_cents
+        |  FROM c2)
+        |SELECT stratum, n1, n0, m1_cents, m0_cents, ate_cents
+        |FROM c2 CROSS JOIN ate ORDER BY stratum ASC""".stripMargin,
+    "q341_gpd_tail" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |tiled AS (SELECT *, ntile(20) OVER (ORDER BY v, o_orderkey)
+        |    AS vig FROM base),
+        |tl AS (SELECT * FROM tiled WHERE vig = 20),
+        |u AS (SELECT min(v)::BIGINT AS u FROM tl),
+        |exc AS (SELECT o_orderkey, (v - u)::BIGINT AS x, u
+        |  FROM tl CROSS JOIN u),
+        |ranked AS (SELECT *, (row_number() OVER (ORDER BY x,
+        |    o_orderkey) - 1)::BIGINT AS e FROM exc),
+        |agg AS (SELECT count(*)::BIGINT AS n, min(u)::BIGINT
+        |    AS u_cents, sum(x)::BIGINT AS b0n,
+        |    sum(e * x)::BIGINT AS b1n FROM ranked)
+        |SELECT n, u_cents, (b0n // n)::BIGINT AS b0_cents,
+        |  CAST(round(1000000.0 * (CAST(b0n AS DOUBLE) * (n - 1) /
+        |    (CAST(b0n AS DOUBLE) * (n - 1) - 2.0 * b1n) - 2.0))
+        |    AS BIGINT) AS k_micro,
+        |  CAST(round(2.0 * (CAST(b0n AS DOUBLE) / n) *
+        |    (CAST(b1n AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) /
+        |    (CAST(b0n AS DOUBLE) / n - 2.0 * CAST(b1n AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)
+        |    AS sigma_cents
+        |FROM agg""".stripMargin,
   )
 }
