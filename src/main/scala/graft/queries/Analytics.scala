@@ -1713,6 +1713,84 @@ object Analytics {
           .as("sigma_cents"))
   }
 
+  // ------------------------------------------ q342 Tukey HSD pairs
+
+  /** q342 — Tukey's honestly-significant-difference post-hoc over the
+    * five priority groups (the pairwise follow-up q253's ANOVA omnibus
+    * requires before naming a winner): every group pair's mean
+    * difference against the HSD fence q·√(MSW/2·(1/nᵢ+1/nⱼ)), with
+    * q = 3.858 (the k = 5, ν→∞ studentized-range critical value,
+    * folded to a literal so both engines walk one double tree).
+    * Group moments are exact decimals from ONE scan; the pair frame
+    * is O(k²) = 10 rows. */
+  val tukeyHsd: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = Tables(s, dir, "orders")
+      .select($"o_orderpriority".as("grp"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("nj"), sum($"v").as("sj"),
+        sum(dec($"v") * dec($"v")).as("qj"))
+    // per-group SS quantizes at UNIT cents² (micro would overflow
+    // int64 — SS ~ n·var ~ 3e17 already at sf0.01)
+    val msw = g.agg(sum($"nj").as("n"), count(lit(1)).as("k"),
+        sum(expr("CAST(round(CAST(qj AS DOUBLE) -" +
+          " CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj)" +
+          " AS BIGINT)")).as("ssw"))
+      .select($"n", $"k",
+        expr("CAST(ssw AS DOUBLE) / (n - k)").as("msw"))
+    val means = g.select($"grp", $"nj",
+      expr("sj div nj").as("mean_cents"))
+    means.as("a").join(means.as("b"), $"a.grp" < $"b.grp")
+      .crossJoin(broadcast(msw))
+      .select($"a.grp".as("g1"), $"b.grp".as("g2"),
+        ($"a.mean_cents" - $"b.mean_cents").as("diff_cents"),
+        expr("CAST(round(3.858 * sqrt(msw / 2.0 *" +
+          " (1.0 / a.nj + 1.0 / b.nj))) AS BIGINT)").as("hsd_cents"))
+      .select($"g1", $"g2", $"diff_cents", $"hsd_cents",
+        (abs($"diff_cents") > $"hsd_cents").cast("int")
+          .as("significant"))
+      .orderBy($"g1".asc, $"g2".asc)
+  }
+
+  // ---------------------------------------- q343 A/A calibration
+
+  /** q343 — A/A negative-control test: the q199-style hash split on a
+    * DIFFERENT salt ("aa|") compared on order values with the q189
+    * two-sample z — by construction there is NO effect, so |z| gates
+    * the testing stack itself (the experimentation calibration check
+    * run before any real readout is trusted; q270's SRM is the
+    * assignment-side twin). Exact moments per arm in one scan; the
+    * one-row z mirrors q189's double tree; the output carries the
+    * |z| < 3 verdict bit. */
+  val aaCalibration: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Hashing
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = Tables(s, dir, "orders")
+      .select((Hashing.hash60(concat(lit("aa|"),
+        $"o_orderkey".cast("string"))) % 2).as("arm"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum(dec($"v")).as("s"),
+        sum(dec($"v") * dec($"v")).as("q"))
+    val one = m.agg(
+      sum(when($"arm" === 0, $"n")).as("n0"),
+      sum(when($"arm" === 1, $"n")).as("n1"),
+      sum(when($"arm" === 0, $"s".cast("double"))).as("s0"),
+      sum(when($"arm" === 1, $"s".cast("double"))).as("s1"),
+      sum(when($"arm" === 0, $"q".cast("double"))).as("q0"),
+      sum(when($"arm" === 1, $"q".cast("double"))).as("q1"))
+    one.select($"n0", $"n1",
+        expr("CAST(round(1000.0 * (s0 / n0 - s1 / n1) /" +
+          " sqrt((q0 / n0 - (s0 / n0) * (s0 / n0)) / n0 +" +
+          " (q1 / n1 - (s1 / n1) * (s1 / n1)) / n1)) AS BIGINT)")
+          .as("z_milli"))
+      .select($"n0", $"n1", $"z_milli",
+        (abs($"z_milli") < 3000L).cast("int").as("calibrated"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1756,6 +1834,8 @@ object Analytics {
     "q339_lorenz_deciles" -> lorenzDeciles,
     "q340_propensity_ate" -> propensityAte,
     "q341_gpd_tail" -> gpdTail,
+    "q342_tukey_hsd" -> tukeyHsd,
+    "q343_aa_calibration" -> aaCalibration,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2909,5 +2989,55 @@ object Analytics {
         |    (CAST(n AS DOUBLE) * (n - 1)))) AS BIGINT)
         |    AS sigma_cents
         |FROM agg""".stripMargin,
+    "q342_tukey_hsd" ->
+      """WITH g AS (SELECT o_orderpriority AS grp,
+        |    count(*)::BIGINT AS nj,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS sj,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT *
+        |      CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT)
+        |      AS qj
+        |  FROM orders GROUP BY 1),
+        |msw AS (SELECT sum(nj)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    CAST(sum(CAST(round(CAST(qj AS DOUBLE) -
+        |      CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj)
+        |      AS BIGINT))::BIGINT AS DOUBLE) /
+        |      (sum(nj)::BIGINT - count(*)::BIGINT) AS msw
+        |  FROM g),
+        |means AS (SELECT grp, nj, (sj // nj)::BIGINT AS mean_cents
+        |  FROM g)
+        |SELECT a.grp AS g1, b.grp AS g2,
+        |  (a.mean_cents - b.mean_cents)::BIGINT AS diff_cents,
+        |  CAST(round(3.858 * sqrt(msw / 2.0 *
+        |    (1.0 / a.nj + 1.0 / b.nj))) AS BIGINT) AS hsd_cents,
+        |  (CASE WHEN abs(a.mean_cents - b.mean_cents) >
+        |    CAST(round(3.858 * sqrt(msw / 2.0 *
+        |    (1.0 / a.nj + 1.0 / b.nj))) AS BIGINT)
+        |    THEN 1 ELSE 0 END)::INTEGER AS significant
+        |FROM means a JOIN means b ON a.grp < b.grp CROSS JOIN msw
+        |ORDER BY g1 ASC, g2 ASC""".stripMargin,
+    "q343_aa_calibration" ->
+      s"""WITH b AS (SELECT (('0x' || substr(md5('aa|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 2 AS arm,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |m AS (SELECT arm, count(*)::BIGINT AS n, sum(v::HUGEINT) AS s,
+        |    sum(v::HUGEINT * v::HUGEINT) AS q FROM b GROUP BY 1),
+        |one AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN n END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN n END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+        |    sum(CASE WHEN arm = 0 THEN CAST(q AS DOUBLE) END) AS q0,
+        |    sum(CASE WHEN arm = 1 THEN CAST(q AS DOUBLE) END) AS q1
+        |  FROM m),
+        |z AS (SELECT n0, n1,
+        |    CAST(round(1000.0 * (s0 / n0 - s1 / n1) /
+        |      sqrt((q0 / n0 - (s0 / n0) * (s0 / n0)) / n0 +
+        |      (q1 / n1 - (s1 / n1) * (s1 / n1)) / n1)) AS BIGINT)
+        |      AS z_milli FROM one)
+        |SELECT n0, n1, z_milli,
+        |  (CASE WHEN abs(z_milli) < 3000 THEN 1 ELSE 0 END)::INTEGER
+        |    AS calibrated
+        |FROM z""".stripMargin,
   )
 }
