@@ -341,6 +341,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(ns.max - ns.min <= 1, "ntile buckets must differ by <= 1")
   }
 
+  test("q340 propensity ATE: strata partition orders, ATE bounded by extremes") {
+    val r = Analytics.propensityAte(spark, sfDir).collect()
+    assert(r.length == 5)
+    val total = r.map(row => row.getAs[Long]("n1") + row.getAs[Long]("n0")).sum
+    assert(total == Tables(spark, sfDir, "orders").count())
+    val diffs = r.map(row =>
+      row.getAs[Long]("m1_cents") - row.getAs[Long]("m0_cents"))
+    val ate = r.head.getAs[Long]("ate_cents")
+    assert(ate >= diffs.min - 1 && ate <= diffs.max + 1,
+      "weighted ATE outside the stratum-difference envelope")
+  }
+
+  test("q341 GPD tail: ~5% exceedances, b0 positive") {
+    val row = Analytics.gpdTail(spark, sfDir).collect().head
+    val n = row.getAs[Long]("n")
+    val all = Tables(spark, sfDir, "orders").count()
+    assert(math.abs(n - all / 20) <= 1, s"tail size $n vs ${all / 20}")
+    assert(row.getAs[Long]("b0_cents") > 0)
+  }
+
+  test("q342 Tukey: all 10 pairs, fences positive, HSD symmetric logic") {
+    val r = Analytics.tukeyHsd(spark, sfDir).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getAs[Long]("hsd_cents") > 0)
+      val sig = row.getAs[Int]("significant")
+      val expected =
+        if (math.abs(row.getAs[Long]("diff_cents")) >
+          row.getAs[Long]("hsd_cents")) 1 else 0
+      assert(sig == expected)
+    }
+  }
+
+  test("q343 A/A: both arms populated, no effect detected") {
+    val row = Analytics.aaCalibration(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n0") > 0 && row.getAs[Long]("n1") > 0)
+    assert(row.getAs[Int]("calibrated") == 1,
+      s"A/A split flagged an effect: z_milli=${row.getAs[Long]("z_milli")}")
+  }
+
   test("q325 readability: every source present, counts positive") {
     val r = Analytics.readability(spark, sfDir).collect()
     assert(r.length == Tables(spark, sfDir, "documents")
