@@ -1791,6 +1791,124 @@ object Analytics {
         (abs($"z_milli") < 3000L).cast("int").as("calibrated"))
   }
 
+  // ------------------------------------- q344 two-way ANOVA (R×P)
+
+  /** q344 — two-way ANOVA of order value on region × priority with
+    * interaction (the factorial extension of q253's one-way F): SS
+    * decomposition from ONE cell-moment scan via the unweighted
+    * cell-means identities — SSA/SSB from margin means, SSAB as the
+    * cell deviation remainder, SSW from within-cell moments. Cell
+    * SS quantize at unit cents² per CELL (25 rows, the q342
+    * convention); means are exact integral divisions carried in
+    * doubles only on the O(cells) frame; the three F ratios are one
+    * quantized double row. Margin sums use the weighted-means
+    * decomposition (equals the textbook Type-I under balance),
+    * documented as the operator's contract. */
+  val twoWayAnova: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", ($"c_nationkey" % 5).as("r")),
+        $"o_custkey" === $"c_custkey")
+      .select($"r", $"o_orderpriority".as("p"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"r", $"p")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum(dec($"v") * dec($"v")).as("qv"))
+    val tot = cells.agg(sum($"n").as("nn"), sum($"sv").as("st"),
+      count(lit(1)).as("nc"),
+      sum(expr("CAST(round(CAST(qv AS DOUBLE) -" +
+        " CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) AS BIGINT)"))
+        .as("ssw"))
+    val ra = cells.groupBy($"r").agg(sum($"n").as("na"),
+      sum($"sv").as("sa"))
+    val pb = cells.groupBy($"p").agg(sum($"n").as("nb"),
+      sum($"sv").as("sb"))
+    val ssa = ra.crossJoin(broadcast(tot))
+      .select(expr("CAST(round(na * (CAST(sa AS DOUBLE) / na -" +
+        " CAST(st AS DOUBLE) / nn) * (CAST(sa AS DOUBLE) / na -" +
+        " CAST(st AS DOUBLE) / nn)) AS BIGINT)").as("t"))
+      .agg(sum($"t").as("ssa"), count(lit(1)).as("ka"))
+    val ssb = pb.crossJoin(broadcast(tot))
+      .select(expr("CAST(round(nb * (CAST(sb AS DOUBLE) / nb -" +
+        " CAST(st AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nb -" +
+        " CAST(st AS DOUBLE) / nn)) AS BIGINT)").as("t"))
+      .agg(sum($"t").as("ssb"), count(lit(1)).as("kb"))
+    val ssc = cells.crossJoin(broadcast(tot))
+      .select(expr("CAST(round(n * (CAST(sv AS DOUBLE) / n -" +
+        " CAST(st AS DOUBLE) / nn) * (CAST(sv AS DOUBLE) / n -" +
+        " CAST(st AS DOUBLE) / nn)) AS BIGINT)").as("t"))
+      .agg(sum($"t").as("ssc"))
+    tot.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
+      .crossJoin(broadcast(ssc))
+      .select($"nn", $"ka", $"kb", $"ssa", $"ssb",
+        ($"ssc" - $"ssa" - $"ssb").as("ssab"), $"ssw",
+        expr("CAST(round(1000.0 * (CAST(ssa AS DOUBLE) / (ka - 1)) /" +
+          " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
+          .as("f_a_milli"),
+        expr("CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (kb - 1)) /" +
+          " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
+          .as("f_b_milli"),
+        expr("CAST(round(1000.0 * ((CAST(ssc AS DOUBLE) - ssa - ssb)" +
+          " / ((ka - 1) * (kb - 1))) /" +
+          " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
+          .as("f_ab_milli"))
+  }
+
+  // --------------------------------- q345 Jonckheere-Terpstra test
+
+  /** q345 — Jonckheere–Terpstra trend test: does order value
+    * INCREASE along the priority ordering 5-LOW → 1-URGENT? The
+    * ordered-alternative rank test (more powerful than q311's
+    * omnibus KW when the alternative is monotone). The statistic is
+    * the sum of all 10 between-group Mann-Whitney counts — computed
+    * EXACTLY on the value grid: doubled pair credit
+    * 2·#(xᵢ<xⱼ) + #(ties) = Σ_v nⱼ(v)·(2Eᵢ(v) + nᵢ(v)) from ONE
+    * [[graft.functions.ScaleWindows.rangeCumSums]] pass carrying all
+    * five per-group exclusive cumulative counts. The z uses the
+    * no-tie JT variance (documented; ties are sparse cents here). */
+  val jonckheereTerpstra: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val g = when($"o_orderpriority" === "5-LOW", 1)
+      .when($"o_orderpriority" === "4-NOT SPECIFIED", 2)
+      .when($"o_orderpriority" === "3-MEDIUM", 3)
+      .when($"o_orderpriority" === "2-HIGH", 4).otherwise(5)
+    val gcols = (1 to 5).map(j =>
+      sum(when($"g" === j, 1L).otherwise(0L)).as(s"n$j"))
+    val grid = Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        g.as("g"))
+      .groupBy($"v").agg(gcols.head, gcols.tail: _*)
+    val cum = ScaleWindows.rangeCumSums(grid, Seq($"v"),
+      (1 to 5).map(j => col(s"n$j") -> s"e$j"))
+    val pairTerms = for (i <- 1 to 5; j <- 1 to 5 if i < j) yield
+      sum(col(s"n$j") * (lit(2L) * col(s"e$i") + col(s"n$i")))
+        .as(s"u2_${i}_$j")
+    val counts = (1 to 5).map(j => sum(col(s"n$j")).as(s"m$j"))
+    val one = cum.agg((pairTerms ++ counts).head,
+      (pairTerms ++ counts).tail: _*)
+    val u2sum = (for (i <- 1 to 5; j <- 1 to 5 if i < j)
+      yield col(s"u2_${i}_$j")).reduce(_ + _)
+    val nTot = (1 to 5).map(j => col(s"m$j")).reduce(_ + _)
+    val sumSq = (1 to 5).map(j => col(s"m$j") * col(s"m$j"))
+      .reduce(_ + _)
+    val sumSqN = (1 to 5).map(j =>
+      col(s"m$j") * col(s"m$j") * (lit(2L) * col(s"m$j") + 3L))
+      .reduce(_ + _)
+    one.select(u2sum.as("jt2"), nTot.as("n"), sumSq.as("ssq"),
+        sumSqN.as("ssqn"))
+      .select($"n", $"jt2",
+        // z = (JT − μ)/σ with μ = (n² − Σm²)/4 and
+        // σ² = (n²(2n+3) − Σm²(2m+3))/72 (no-tie form)
+        expr("CAST(round(1000.0 *" +
+          " (CAST(jt2 AS DOUBLE) / 2.0 -" +
+          " (CAST(n AS DOUBLE) * n - ssq) / 4.0) /" +
+          " sqrt((CAST(n AS DOUBLE) * n * (2.0 * n + 3) - ssqn)" +
+          " / 72.0)) AS BIGINT)").as("z_milli"))
+  }
+
   // ------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1836,6 +1954,8 @@ object Analytics {
     "q341_gpd_tail" -> gpdTail,
     "q342_tukey_hsd" -> tukeyHsd,
     "q343_aa_calibration" -> aaCalibration,
+    "q344_two_way_anova" -> twoWayAnova,
+    "q345_jonckheere_terpstra" -> jonckheereTerpstra,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3039,5 +3159,98 @@ object Analytics {
         |  (CASE WHEN abs(z_milli) < 3000 THEN 1 ELSE 0 END)::INTEGER
         |    AS calibrated
         |FROM z""".stripMargin,
+    "q344_two_way_anova" ->
+      """WITH cells AS (SELECT c_nationkey % 5 AS r,
+        |    o_orderpriority AS p, count(*)::BIGINT AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS sv,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT *
+        |      CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT)
+        |      AS qv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(n)::BIGINT AS nn, sum(sv)::BIGINT AS st,
+        |    count(*)::BIGINT AS nc,
+        |    sum(CAST(round(CAST(qv AS DOUBLE) -
+        |      CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+        |      AS BIGINT))::BIGINT AS ssw
+        |  FROM cells),
+        |ssa AS (SELECT sum(t)::BIGINT AS ssa, count(*)::BIGINT AS ka
+        |  FROM (SELECT CAST(round(na * (CAST(sa AS DOUBLE) / na -
+        |      CAST(st AS DOUBLE) / nn) * (CAST(sa AS DOUBLE) / na -
+        |      CAST(st AS DOUBLE) / nn)) AS BIGINT) AS t
+        |    FROM (SELECT r, sum(n)::BIGINT AS na,
+        |      sum(sv)::BIGINT AS sa FROM cells GROUP BY r)
+        |    CROSS JOIN tot)),
+        |ssb AS (SELECT sum(t)::BIGINT AS ssb, count(*)::BIGINT AS kb
+        |  FROM (SELECT CAST(round(nb * (CAST(sb AS DOUBLE) / nb -
+        |      CAST(st AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nb -
+        |      CAST(st AS DOUBLE) / nn)) AS BIGINT) AS t
+        |    FROM (SELECT p, sum(n)::BIGINT AS nb,
+        |      sum(sv)::BIGINT AS sb FROM cells GROUP BY p)
+        |    CROSS JOIN tot)),
+        |ssc AS (SELECT sum(t)::BIGINT AS ssc
+        |  FROM (SELECT CAST(round(n * (CAST(sv AS DOUBLE) / n -
+        |      CAST(st AS DOUBLE) / nn) * (CAST(sv AS DOUBLE) / n -
+        |      CAST(st AS DOUBLE) / nn)) AS BIGINT) AS t
+        |    FROM cells CROSS JOIN tot))
+        |SELECT nn, ka, kb, ssa, ssb, (ssc - ssa - ssb)::BIGINT
+        |    AS ssab, ssw,
+        |  CAST(round(1000.0 * (CAST(ssa AS DOUBLE) / (ka - 1)) /
+        |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
+        |    AS f_a_milli,
+        |  CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (kb - 1)) /
+        |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
+        |    AS f_b_milli,
+        |  CAST(round(1000.0 * ((CAST(ssc AS DOUBLE) - ssa - ssb) /
+        |    ((ka - 1) * (kb - 1))) /
+        |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
+        |    AS f_ab_milli
+        |FROM tot CROSS JOIN ssa CROSS JOIN ssb CROSS JOIN ssc""".stripMargin,
+    "q345_jonckheere_terpstra" ->
+      """WITH base AS (SELECT
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE o_orderpriority WHEN '5-LOW' THEN 1
+        |      WHEN '4-NOT SPECIFIED' THEN 2 WHEN '3-MEDIUM' THEN 3
+        |      WHEN '2-HIGH' THEN 4 ELSE 5 END AS g
+        |  FROM orders),
+        |grid AS (SELECT v,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |    sum(CASE WHEN g = 4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+        |    sum(CASE WHEN g = 5 THEN 1 ELSE 0 END)::BIGINT AS n5
+        |  FROM base GROUP BY v),
+        |cum AS (SELECT *,
+        |    coalesce(sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e1,
+        |    coalesce(sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e2,
+        |    coalesce(sum(n3) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e3,
+        |    coalesce(sum(n4) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e4,
+        |    coalesce(sum(n5) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS e5
+        |  FROM grid),
+        |one AS (SELECT
+        |    sum(n2 * (2 * e1 + n1))::BIGINT AS u2_1_2,
+        |    sum(n3 * (2 * e1 + n1))::BIGINT AS u2_1_3,
+        |    sum(n4 * (2 * e1 + n1))::BIGINT AS u2_1_4,
+        |    sum(n5 * (2 * e1 + n1))::BIGINT AS u2_1_5,
+        |    sum(n3 * (2 * e2 + n2))::BIGINT AS u2_2_3,
+        |    sum(n4 * (2 * e2 + n2))::BIGINT AS u2_2_4,
+        |    sum(n5 * (2 * e2 + n2))::BIGINT AS u2_2_5,
+        |    sum(n4 * (2 * e3 + n3))::BIGINT AS u2_3_4,
+        |    sum(n5 * (2 * e3 + n3))::BIGINT AS u2_3_5,
+        |    sum(n5 * (2 * e4 + n4))::BIGINT AS u2_4_5,
+        |    sum(n1)::BIGINT AS m1, sum(n2)::BIGINT AS m2, sum(n3)::BIGINT AS m3, sum(n4)::BIGINT AS m4, sum(n5)::BIGINT AS m5
+        |  FROM cum),
+        |f AS (SELECT (u2_1_2 + u2_1_3 + u2_1_4 + u2_1_5 + u2_2_3 + u2_2_4 + u2_2_5 + u2_3_4 + u2_3_5 + u2_4_5)::BIGINT AS jt2,
+        |    (m1 + m2 + m3 + m4 + m5)::BIGINT AS n,
+        |    (m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4 + m5 * m5)::BIGINT AS ssq,
+        |    (m1 * m1 * (2 * m1 + 3) + m2 * m2 * (2 * m2 + 3) + m3 * m3 * (2 * m3 + 3) + m4 * m4 * (2 * m4 + 3) + m5 * m5 * (2 * m5 + 3))::BIGINT AS ssqn FROM one)
+        |SELECT n, jt2,
+        |  CAST(round(1000.0 *
+        |    (CAST(jt2 AS DOUBLE) / 2.0 -
+        |    (CAST(n AS DOUBLE) * n - ssq) / 4.0) /
+        |    sqrt((CAST(n AS DOUBLE) * n * (2.0 * n + 3) - ssqn)
+        |    / 72.0)) AS BIGINT) AS z_milli
+        |FROM f""".stripMargin,
   )
 }
