@@ -42,9 +42,16 @@ object NewsPipeline {
     cached(s, dir, "transformed")(
       NewsTransform.transformed(rawNews(s, dir), LoadTs))
 
-  private def articlesShared(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir, "articles")(
-      NewsTransform.articlesMart(transformedShared(s, dir)))
+  private def articlesShared(s: SparkSession, dir: String): DataFrame = {
+    // resolve the dependency BEFORE entering the cache: a nested
+    // computeIfAbsent on the same ConcurrentHashMap throws
+    // "Recursive update" whenever the two keys share a hash bin —
+    // which depends on the per-JVM SparkSession identity hash, so it
+    // strikes intermittently (first seen on a 345-query Verify run
+    // after many green runs)
+    val trunk = transformedShared(s, dir)
+    cached(s, dir, "articles")(NewsTransform.articlesMart(trunk))
+  }
 
   /** Synthetic raw_news: events drive cardinality/keys, documents supply
     * content. Every edge case from FIXTURES.md §1 is planted
