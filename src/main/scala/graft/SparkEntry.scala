@@ -24,6 +24,7 @@ object SparkEntry {
       (gq.Insights.queries, gq.Insights.oracles),
       (gq.Governance.queries, gq.Governance.oracles),
       (gq.Analytics.queries, gq.Analytics.oracles),
+      (gq.Modeling.queries, gq.Modeling.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

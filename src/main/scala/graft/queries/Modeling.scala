@@ -1,0 +1,1007 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 second-continuation batch: recommender primitives,
+  * privacy/anonymity completion, causal/attribution completion, and
+  * resampling/extreme-value statistics — the model-adjacent operators
+  * a curation warehouse serves to downstream teams.
+  *
+  * Same exactness discipline as the rest of the repo: money is cents
+  * (`round(x*100)` per ROW, summed as longs), ratio outputs are
+  * integral divisions of exact integer cross-products in
+  * decimal(38,0) (DuckDB mirror: HUGEINT `//`), fences cross-multiply
+  * instead of dividing, and doubles appear only on O(groups)
+  * aggregate frames where both engines evaluate the identical IEEE
+  * expression.
+  *
+  * Scale stance per query in the scaladoc; the shared posture: pair
+  * fan-outs are bounded by basket width, per-entity solves are
+  * closed-form over moment sums (one groupBy each), and every
+  * global scalar rides as a one-row broadcast.
+  */
+object Modeling {
+
+  // ------------------------------ q346 item-item collaborative filter
+
+  /** q346 — item-to-item collaborative filtering over co-purchase
+    * baskets (the "customers who bought X also bought Y" serving
+    * table): cosine affinity between parts that share an order, top-3
+    * neighbors per part. Distinct from q184 (event-type affinity over
+    * a 5-type universe): this runs on the open-ended part catalog, so
+    * the pair space is pruned by support (nij >= 2) and ranked per
+    * item. Pair fan-out is bounded by order width (~7 lines), the
+    * pair count shuffles on the (i,j) key, per-item supports join
+    * back by key, and the top-3 window partitions by item — nothing
+    * global at any catalog size. Cosine² is exact: nij²·1e12 div
+    * (ni·nj) in decimal(38,0). */
+  val itemCfTopk: Q = (s, dir) => {
+    import s.implicits._
+    val baskets = Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val support = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("ni"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pi"), col("b.l_partkey").as("pj"))
+      .agg(count(lit(1)).as("nij"))
+      .filter($"nij" >= 2)
+    val scored = pairs
+      .join(support.select($"l_partkey".as("pi"), $"ni".as("si")), Seq("pi"))
+      .join(support.select($"l_partkey".as("pj"), $"ni".as("sj")), Seq("pj"))
+      .select($"pi", $"pj", $"nij", $"si", $"sj",
+        expr("CAST(CAST(1000000000000 AS DECIMAL(38,0)) * nij * nij" +
+          " div (CAST(si AS DECIMAL(38,0)) * sj) AS BIGINT)")
+          .as("cos2_micro2"))
+    // symmetric serving table: each ordered (item, neighbor) direction
+    val sym = scored.select($"pi".as("item"), $"pj".as("neighbor"),
+        $"nij", $"cos2_micro2")
+      .unionAll(scored.select($"pj".as("item"), $"pi".as("neighbor"),
+        $"nij", $"cos2_micro2"))
+    val w = Window.partitionBy($"item")
+      .orderBy($"cos2_micro2".desc, $"neighbor".asc)
+    sym.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"item", $"rk", $"neighbor", $"nij", $"cos2_micro2")
+  }
+
+  // ----------------------------------- q347 ALS half-step (ridge)
+
+  /** q347 — one exact ALS half-step: with item factors FIXED (a
+    * deterministic 2-D integer embedding of the part key — in a real
+    * system, the previous iteration's item matrix), solve each user's
+    * ridge regression in closed form. This is the distributed-ALS
+    * kernel (Koren et al.; Spark MLlib's own ALS does exactly this
+    * per block): userFactor = (XᵀX + λI)⁻¹ Xᵀy. All five normal-
+    * equation moments accumulate as exact longs in ONE groupBy(user);
+    * the 2×2 solve is Cramer's rule on the O(users) frame; the only
+    * doubles are the final milli-quantized divisions, identical IEEE
+    * in both engines. No iteration, no collect, shuffles once on the
+    * user key. */
+  val alsHalfStep: Q = (s, dir) => {
+    import s.implicits._
+    val rated = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("usr"),
+        ($"l_partkey" % 7 - 3).cast("long").as("f1"),
+        (expr("(l_partkey div 7) % 7").cast("long") - 3).as("f2"),
+        $"l_quantity".cast("long").as("y"))
+    val lam = 10L
+    rated.groupBy($"usr")
+      .agg(count(lit(1)).as("n"),
+        sum($"f1" * $"f1").as("a11"),
+        sum($"f1" * $"f2").as("a12"),
+        sum($"f2" * $"f2").as("a22"),
+        sum($"f1" * $"y").as("b1"),
+        sum($"f2" * $"y").as("b2"))
+      .select($"usr", $"n",
+        (($"a11" + lam) * ($"a22" + lam) - $"a12" * $"a12").as("det"),
+        $"a11", $"a12", $"a22", $"b1", $"b2")
+      .select($"usr", $"n",
+        expr("CAST(round(1000.0 * ((a22 + 10) * b1 - a12 * b2)" +
+          " / det) AS BIGINT)").as("x1_milli"),
+        expr("CAST(round(1000.0 * ((a11 + 10) * b2 - a12 * b1)" +
+          " / det) AS BIGINT)").as("x2_milli"))
+  }
+
+  // -------------------------------------------- q348 t-closeness
+
+  /** q348 — t-closeness audit (Li et al. 2007), completing the
+    * anonymity battery (q159 k-anonymity, q213 l-diversity): per
+    * quasi-identifier group, the total-variation distance between the
+    * group's sensitive-attribute (market segment) distribution and
+    * the global one must not exceed t = 0.2. TV is EXACT integers:
+    * 2·TV·n_g·N = Σ_seg |cnt_gs·N − cnt_s·n_g|, and segments ABSENT
+    * from a group contribute their full cnt_s·n_g — folded in without
+    * an outer join via Σ_absent cnt_s·n_g = N·n_g − Σ_present
+    * cnt_s·n_g. The fence 5·tv2num > 2·(2·n_g·N) cross-multiplies
+    * t = 1/5. One groupBy(qid, seg), one groupBy(qid), an O(segments)
+    * broadcast — no per-row distribution state. */
+  val tCloseness: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .select(($"c_nationkey" % 5).cast("long").as("qid_region"),
+        (floor($"c_acctbal" / 2000).cast("long")).as("qid_band"),
+        $"c_mktsegment".as("seg"))
+    val cell = c.groupBy($"qid_region", $"qid_band", $"seg")
+      .agg(count(lit(1)).as("cgs"))
+    val grp = cell.groupBy($"qid_region", $"qid_band")
+      .agg(sum($"cgs").as("ng"))
+    val glob = cell.groupBy($"seg").agg(sum($"cgs").as("cs"))
+    val tot = glob.agg(sum($"cs").as("nn"))
+    cell.join(broadcast(glob), Seq("seg"))
+      .join(grp, Seq("qid_region", "qid_band"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"qid_region", $"qid_band")
+      .agg(first($"ng").as("n_g"), first($"nn").as("nn"),
+        sum(abs($"cgs" * $"nn" - $"cs" * $"ng")).as("present_abs"),
+        sum($"cs" * $"ng").as("present_mass"))
+      .select($"qid_region", $"qid_band", $"n_g",
+        ($"present_abs" + ($"nn" * $"n_g" - $"present_mass"))
+          .as("tv2num"),
+        (lit(5L) * ($"present_abs" + ($"nn" * $"n_g" - $"present_mass"))
+          > lit(2L) * $"n_g" * $"nn").cast("int").as("violates_t"))
+      .orderBy($"qid_region", $"qid_band")
+  }
+
+  // ----------------------------- q349 exact Shapley attribution
+
+  /** q349 — exact Shapley-value channel attribution over the 3-channel
+    * universe (view / click / signup), completing the attribution
+    * family: q179 gives positional rules, q223 the Markov removal
+    * effect; Shapley is the game-theoretic split (Shapley 1953). Each
+    * converting user contributes their PRE-conversion channel SET as
+    * a 3-bit mask; coalition worth v(S) = #users whose mask ⊆ S.
+    * Everything reduces to the 7-row mask-count frame, the 8 coalition
+    * worths are Σ_{m⊆S} cnt_m over that broadcast frame, and 6·φ_c =
+    * 2[v({c})] + [v({c,a})−v({a})] + [v({c,b})−v({b})] +
+    * 2[v(C)−v(C\c)] is an EXACT INTEGER (denominator 3! folded in) —
+    * no rounding anywhere. Per-user mask is one groupBy; the rest is
+    * O(1). */
+  val shapleyAttribution: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val firstConv = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("conv_ts"))
+    val masks = e.join(firstConv, Seq("user_id"))
+      .filter($"ts" < $"conv_ts")
+      .select($"user_id",
+        when($"event_type" === "view", 1L)
+          .when($"event_type" === "click", 2L)
+          .when($"event_type" === "signup", 4L).otherwise(0L).as("bit"))
+      .groupBy($"user_id")
+      .agg(expr("bit_or(bit)").as("mask"))
+      .filter($"mask" > 0)
+    val cnt = masks.groupBy($"mask").agg(count(lit(1)).as("c"))
+    // v(S) for the 8 coalitions from the <=7-row broadcast frame
+    val vS = (0 to 7).map(sMask =>
+      sum(when(($"mask".bitwiseAND(lit(~sMask & 7))) === 0, $"c")
+        .otherwise(0L)).as(s"v$sMask"))
+    val worths = cnt.agg(vS.head, vS.tail: _*).na.fill(0L)
+    // channel bits: view=1, click=2, signup=4; 6*phi exact per channel
+    def phi6(c: Int): Column = {
+      val others = Seq(1, 2, 4).filter(_ != c)
+      val (a, b) = (others.head, others.last)
+      lit(2L) * col(s"v$c") +
+        (col(s"v${c | a}") - col(s"v$a")) +
+        (col(s"v${c | b}") - col(s"v$b")) +
+        lit(2L) * (col(s"v7") - col(s"v${a | b}"))
+    }
+    worths.select($"v7".as("conversions"),
+      phi6(1).as("phi6_view"), phi6(2).as("phi6_click"),
+      phi6(4).as("phi6_signup"))
+  }
+
+  // ------------------------------ q350 jackknife variance (groups)
+
+  /** q350 — delete-a-group jackknife for a ratio statistic (global
+    * revenue-per-order in cents, groups = customer nations): the
+    * survey-statistics variance estimator that never recomputes —
+    * θ_{−g} = (S − s_g)/(N − n_g) comes from the SAME one-pass
+    * sufficient statistics (S, N, per-group s_g, n_g) for every g.
+    * One groupBy(nation) (25 rows), a one-row broadcast of the
+    * totals, then the pseudo-value variance (G−1)/G·Σ(θ_{−g}−θ̄_J)²
+    * on the O(G) frame. Cent sums exact; the replicate math is
+    * double-precision on 25 rows — identical IEEE in both engines. */
+  val jackknifeVariance: Q = (s, dir) => {
+    import s.implicits._
+    val perG = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("s_g"))
+    val tot = perG.agg(sum($"n_g").as("nn"), sum($"s_g").as("ss"),
+      count(lit(1)).as("gg"))
+    // center each replicate on the full-sample ratio BEFORE summing:
+    // Σ(θ_del − θ̄)² = Σδ² − (Σδ)²/G with δ = θ_del − θ̂. The raw
+    // Σθ_del² − G·θ̄² form cancels ~8 significant digits and the
+    // partial-sum ORDER of a distributed double sum would then decide
+    // the micro-rounded output; the centered form keeps the relative
+    // error ~1e-13, far from any rounding boundary.
+    val reps = perG.crossJoin(broadcast(tot))
+      .select($"g", $"nn", $"ss", $"gg",
+        (($"ss" - $"s_g").cast("double") / ($"nn" - $"n_g")
+          - $"ss".cast("double") / $"nn").as("delta"))
+    val m = reps.groupBy($"nn", $"ss", $"gg")
+      .agg(sum($"delta").as("sd"),
+        sum($"delta" * $"delta").as("sd2"))
+    m.select($"gg".as("n_groups"),
+        expr("CAST(round(1000000.0 * ss / nn) AS BIGINT)")
+          .as("theta_micro"),
+        expr("CAST(round(1000000.0 * sqrt(((gg - 1.0) / gg) *" +
+          " (sd2 - sd * sd / gg))) AS BIGINT)")
+          .as("se_micro"))
+  }
+
+  // --------------------------- q351 Gumbel block-maxima EVT fit
+
+  /** q351 — extreme-value fit by block maxima (the Gumbel/method-of-
+    * moments complement to q341's peaks-over-threshold GPD): weekly
+    * maxima of order value, β̂ = s·√6/π, μ̂ = m̄ − γβ̂, and the
+    * T = 100-block return level μ̂ − β̂·ln(−ln(1 − 1/T)). Block maxima
+    * come from one groupBy(week) with exact cent maxima; the moment
+    * fit runs on the one-row (Σm, Σm², n) aggregate with Σm² carried
+    * in decimal(38,0) so the sample variance is exact-integer until
+    * the final double sqrt. Nothing global but the one-row frame. */
+  val gumbelBlockMaxima: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wk = Tables(s, dir, "orders")
+      .select(expr("CAST(datediff(to_date(o_orderdate)," +
+        " DATE '1995-01-01') AS BIGINT) div 7").as("week"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"week").agg(max($"cents").as("m"))
+    val agg = wk.agg(count(lit(1)).as("nb"), sum($"m").as("sm"),
+      sum(dec($"m") * dec($"m")).as("qm"))
+    agg.select($"nb", $"sm",
+        expr("CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb")
+          .as("ss"))
+      .select($"nb",
+        expr("CAST(round(CAST(sm AS DOUBLE) / nb) AS BIGINT)")
+          .as("mean_cents"),
+        expr("CAST(round(sqrt(ss / (nb - 1)) * sqrt(6.0) / pi())" +
+          " AS BIGINT)").as("beta_cents"),
+        expr("CAST(round(CAST(sm AS DOUBLE) / nb -" +
+          " 0.5772156649015329 * (sqrt(ss / (nb - 1)) * sqrt(6.0)" +
+          " / pi())) AS BIGINT)").as("mu_cents"),
+        expr("CAST(round(CAST(sm AS DOUBLE) / nb -" +
+          " 0.5772156649015329 * (sqrt(ss / (nb - 1)) * sqrt(6.0)" +
+          " / pi()) - (sqrt(ss / (nb - 1)) * sqrt(6.0) / pi()) *" +
+          " ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT)")
+          .as("return_level_100_cents"))
+  }
+
+  // --------------------------- q352 doubly-robust (AIPW) ATE
+
+  /** q352 — augmented inverse-propensity-weighted ATE (Robins et al.
+    * 1994), the doubly-robust completion of q340's stratified
+    * estimator: separate closed-form LPM outcome models per arm
+    * (m₁, m₀ over acctbal + order age) PLUS the LPM propensity, and
+    * the AIPW score m₁−m₀ + T(y−m₁)/e − (1−T)(y−m₀)/(1−e) — unbiased
+    * if EITHER model is right. All three 2-covariate OLS solves come
+    * from ONE groupBy(arm) moment pass (the propensity cross-moments
+    * are the treated arm's sums — no third scan); the per-row score
+    * quantizes to milli-cents BEFORE the sum, so the global mean is
+    * an order-independent long sum. e clamps to [0.02, 0.98]
+    * identically in both engines. */
+  val doublyRobustAte: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val arm = rows.groupBy($"t").agg(
+      count(lit(1)).as("n"), sum($"x1").as("sx1"), sum($"x2").as("sx2"),
+      sum($"y").as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"))
+    def armCols(a: Int): Seq[Column] = Seq(
+      sum(when($"t" === a, $"n")).as(s"n$a"),
+      sum(when($"t" === a, $"sx1")).as(s"sx1_$a"),
+      sum(when($"t" === a, $"sx2")).as(s"sx2_$a"),
+      sum(when($"t" === a, $"sy")).as(s"sy_$a"),
+      sum(when($"t" === a, $"q11")).as(s"q11_$a"),
+      sum(when($"t" === a, $"q22")).as(s"q22_$a"),
+      sum(when($"t" === a, $"q12")).as(s"q12_$a"),
+      sum(when($"t" === a, $"q1y")).as(s"q1y_$a"),
+      sum(when($"t" === a, $"q2y")).as(s"q2y_$a"))
+    val one = arm.agg((armCols(1) ++ armCols(0)).head,
+      (armCols(1) ++ armCols(0)).tail: _*)
+    // per-arm centered OLS slopes; propensity slopes from pooled
+    // moments with the treated arm's sums as the t-cross-moments
+    val model = one.selectExpr(
+      "n1", "n0",
+      "CAST(sx1_1 AS DOUBLE) / n1 AS mx1_1",
+      "CAST(sx2_1 AS DOUBLE) / n1 AS mx2_1",
+      "CAST(sy_1 AS DOUBLE) / n1 AS my_1",
+      "CAST(sx1_0 AS DOUBLE) / n0 AS mx1_0",
+      "CAST(sx2_0 AS DOUBLE) / n0 AS mx2_0",
+      "CAST(sy_0 AS DOUBLE) / n0 AS my_0",
+      "CAST(q11_1 AS DOUBLE) - CAST(sx1_1 AS DOUBLE) * sx1_1 / n1 AS s11_1",
+      "CAST(q22_1 AS DOUBLE) - CAST(sx2_1 AS DOUBLE) * sx2_1 / n1 AS s22_1",
+      "CAST(q12_1 AS DOUBLE) - CAST(sx1_1 AS DOUBLE) * sx2_1 / n1 AS s12_1",
+      "CAST(q1y_1 AS DOUBLE) - CAST(sx1_1 AS DOUBLE) * sy_1 / n1 AS s1y_1",
+      "CAST(q2y_1 AS DOUBLE) - CAST(sx2_1 AS DOUBLE) * sy_1 / n1 AS s2y_1",
+      "CAST(q11_0 AS DOUBLE) - CAST(sx1_0 AS DOUBLE) * sx1_0 / n0 AS s11_0",
+      "CAST(q22_0 AS DOUBLE) - CAST(sx2_0 AS DOUBLE) * sx2_0 / n0 AS s22_0",
+      "CAST(q12_0 AS DOUBLE) - CAST(sx1_0 AS DOUBLE) * sx2_0 / n0 AS s12_0",
+      "CAST(q1y_0 AS DOUBLE) - CAST(sx1_0 AS DOUBLE) * sy_0 / n0 AS s1y_0",
+      "CAST(q2y_0 AS DOUBLE) - CAST(sx2_0 AS DOUBLE) * sy_0 / n0 AS s2y_0",
+      "CAST(sx1_1 + sx1_0 AS DOUBLE) / (n1 + n0) AS mx1",
+      "CAST(sx2_1 + sx2_0 AS DOUBLE) / (n1 + n0) AS mx2",
+      "CAST(n1 AS DOUBLE) / (n1 + n0) AS mt",
+      "CAST(q11_1 + q11_0 AS DOUBLE) - CAST(sx1_1 + sx1_0 AS DOUBLE)" +
+        " * (sx1_1 + sx1_0) / (n1 + n0) AS s11",
+      "CAST(q22_1 + q22_0 AS DOUBLE) - CAST(sx2_1 + sx2_0 AS DOUBLE)" +
+        " * (sx2_1 + sx2_0) / (n1 + n0) AS s22",
+      "CAST(q12_1 + q12_0 AS DOUBLE) - CAST(sx1_1 + sx1_0 AS DOUBLE)" +
+        " * (sx2_1 + sx2_0) / (n1 + n0) AS s12",
+      "CAST(sx1_1 AS DOUBLE) - CAST(sx1_1 + sx1_0 AS DOUBLE)" +
+        " * n1 / (n1 + n0) AS s1t",
+      "CAST(sx2_1 AS DOUBLE) - CAST(sx2_1 + sx2_0 AS DOUBLE)" +
+        " * n1 / (n1 + n0) AS s2t")
+      .selectExpr("n1", "n0", "mx1_1", "mx2_1", "my_1",
+        "mx1_0", "mx2_0", "my_0", "mx1", "mx2", "mt",
+        "(s22_1 * s1y_1 - s12_1 * s2y_1) / (s11_1 * s22_1 - s12_1 * s12_1) AS b1_1",
+        "(s11_1 * s2y_1 - s12_1 * s1y_1) / (s11_1 * s22_1 - s12_1 * s12_1) AS b2_1",
+        "(s22_0 * s1y_0 - s12_0 * s2y_0) / (s11_0 * s22_0 - s12_0 * s12_0) AS b1_0",
+        "(s11_0 * s2y_0 - s12_0 * s1y_0) / (s11_0 * s22_0 - s12_0 * s12_0) AS b2_0",
+        "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS c1",
+        "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS c2")
+    val scored = rows.crossJoin(broadcast(model))
+      .selectExpr("t", "y",
+        "my_1 + b1_1 * (x1 - mx1_1) + b2_1 * (x2 - mx2_1) AS m1",
+        "my_0 + b1_0 * (x1 - mx1_0) + b2_0 * (x2 - mx2_0) AS m0",
+        "least(greatest(mt + c1 * (x1 - mx1) + c2 * (x2 - mx2)," +
+          " 0.02), 0.98) AS e")
+      .selectExpr("CAST(round(1000.0 * (m1 - m0 +" +
+        " t * (y - m1) / e - (1 - t) * (y - m0) / (1 - e)))" +
+        " AS BIGINT) AS phi_milli")
+    scored.agg(count(lit(1)).as("n"), sum($"phi_milli").as("sum_phi_milli"))
+      .select($"n", $"sum_phi_milli",
+        expr("CAST(round(CAST(sum_phi_milli AS DOUBLE) / n) AS BIGINT)")
+          .as("ate_milli_cents"))
+  }
+
+  // ------------------------------------- q353 Fleiss' kappa
+
+  /** q353 — Fleiss' kappa over three deterministic quality "raters"
+    * (length, digit-density, sentence-punctuation heuristics — the
+    * classic weak-supervision setup where rule agreement is the
+    * labeling-confidence signal; q204's two-rater Cohen κ
+    * generalized to n raters). Every item reduces to its good-vote
+    * count g ∈ 0..3, the corpus to the FOUR counts N_g, and κ's
+    * P̄ and P_e are exact integer ratios of those counts until one
+    * final quantized division. One map, one 4-row groupBy — nothing
+    * else. */
+  val fleissKappa: Q = (s, dir) => {
+    import s.implicits._
+    val votes = Tables(s, dir, "documents")
+      .select(
+        (when($"n_chars" > 300, 1L).otherwise(0L) +
+         when(length(regexp_replace($"text", "[^0-9]", "")) * 25
+           < $"n_chars", 1L).otherwise(0L) +
+         when(length(regexp_replace($"text", "[^.]", "")) >= 3, 1L)
+           .otherwise(0L)).as("g"))
+    val byG = votes.groupBy($"g").agg(count(lit(1)).as("ng"))
+    val agg = byG.agg(sum($"ng").as("nn"),
+      sum($"g" * $"ng").as("sg"),
+      // Σ_i (g² + (3−g)² − 3) = per-item pair-agreement numerator ×2
+      sum(($"g" * $"g" + (lit(3L) - $"g") * (lit(3L) - $"g") - 3L)
+        * $"ng").as("pairs2"))
+    // P̄ = pairs2 / (6N); P_e = p² + (1−p)² with p = sg/(3N);
+    // κ = (P̄ − P_e) / (1 − P_e), output in micro units
+    agg.selectExpr("nn", "sg", "pairs2",
+      "CAST(round(1000000.0 * " +
+        "((CAST(pairs2 AS DOUBLE) / (6.0 * nn)) - " +
+        " (POW(CAST(sg AS DOUBLE) / (3.0 * nn), 2) + " +
+        "  POW(1.0 - CAST(sg AS DOUBLE) / (3.0 * nn), 2))) / " +
+        "(1.0 - (POW(CAST(sg AS DOUBLE) / (3.0 * nn), 2) + " +
+        "  POW(1.0 - CAST(sg AS DOUBLE) / (3.0 * nn), 2)))) AS BIGINT)" +
+        " AS kappa_micro")
+  }
+
+  // ------------------------ q354 Brier score Murphy decomposition
+
+  /** q354 — Murphy (1973) decomposition of the Brier score into
+    * reliability − resolution + uncertainty over 10 forecast bins,
+    * completing the calibration battery (q224 ECE, q275 Platt, q209
+    * isotonic, q258 conformal): REL penalizes bin-level
+    * miscalibration, RES rewards outcome discrimination, UNC is the
+    * base-rate entropy term, and BS = REL − RES + UNC exactly (the
+    * within-bin variance of the constant-per-bin forecast is zero —
+    * binned forecasts make the identity exact, not approximate).
+    * Forecast = balance percentile rank in milli (monotone map, the
+    * LPM convention); every component is an integer cross-product
+    * ratio on the 10-row bin frame. */
+  val brierDecomposition: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        round($"c_acctbal" * 100).cast("long").as("bal"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("o"))
+    // forecast: exclusive-rank / n percentile in milli, binned by decile
+    val ranked = ScaleWindows.rangeCumSum(rows, Seq($"bal", $"o_orderkey"),
+      lit(1L), "rk")
+    val n = rows.agg(count(lit(1)).as("nn"))
+    // bin by percentile decile, then the FORECAST is the bin midpoint
+    // (constant per bin — that's what makes the Murphy identity exact
+    // rather than approximate; a within-bin-varying forecast adds a
+    // fourth within-bin-variance term)
+    val binned = ranked.crossJoin(broadcast(n))
+      .select(expr("rk * 10 div nn").as("bin"), $"o")
+      .select($"bin", ($"bin" * 100L + 50L).as("p_milli"), $"o")
+    val cells = binned.groupBy($"bin")
+      .agg(count(lit(1)).as("nk"), sum($"p_milli").as("sp"),
+        sum($"o").as("so"))
+    val agg = cells.agg(sum($"nk").as("nn"), sum($"so").as("sot"),
+      // REL numerator ×1e6: Σ (sp_k − 1000·so_k)² / n_k
+      sum(expr("CAST(round(CAST((sp - 1000 * so) AS DOUBLE) *" +
+        " (sp - 1000 * so) / nk) AS BIGINT)")).as("rel_num"),
+      sum($"so" * $"so").as("sso_n"),
+      sum(expr("CAST(round(1000000.0 * CAST(so AS DOUBLE) * so / nk)" +
+        " AS BIGINT)")).as("res_base"))
+    agg.selectExpr("nn", "sot",
+      "CAST(round(CAST(rel_num AS DOUBLE) / nn) AS BIGINT)" +
+        " AS rel_micro",
+      // RES ×1e6 = (1/N)(Σ so²/n_k − sot²/N)·1e6
+      "CAST(round(CAST(res_base AS DOUBLE) / nn -" +
+        " 1000000.0 * sot * sot / (CAST(nn AS DOUBLE) * nn))" +
+        " AS BIGINT) AS res_micro",
+      "CAST(round(1000000.0 * sot * (nn - sot) /" +
+        " (CAST(nn AS DOUBLE) * nn)) AS BIGINT) AS unc_micro")
+  }
+
+  // ------------------------ q355 PPS systematic sampling
+
+  /** q355 — probability-proportional-to-size SYSTEMATIC sampling
+    * (Madow 1949), the survey-sampling workhorse the q80/q140/q95
+    * samplers don't cover: one deterministic pass over the
+    * size-ordered cumulative axis selects ⌊C_hi·K/S⌋ − ⌊C_lo·K/S⌋
+    * copies of each unit — large units (> S/K) enter with
+    * multiplicity, everything else with probability ∝ size, and the
+    * draw count is EXACTLY K by telescoping. The cumulative axis
+    * comes from [[graft.functions.ScaleWindows.rangeCumSum]] (range
+    * exchange, no global sort); the floor arithmetic is exact long
+    * division on nonneg operands in both engines. */
+  val ppsSystematic: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val k = 100L
+    val sized = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("w"))
+    val cum = ScaleWindows.rangeCumSum(sized, Seq($"o_orderkey"),
+      $"w", "c_lo")
+    val tot = sized.agg(sum($"w").as("s"))
+    cum.crossJoin(broadcast(tot))
+      .select($"o_orderkey", $"w",
+        (expr(s"CAST((c_lo + w) AS DECIMAL(38,0)) * $k div s") -
+          expr(s"CAST(c_lo AS DECIMAL(38,0)) * $k div s")).cast("long")
+          .as("m"))
+      .filter($"m" > 0)
+      .select($"o_orderkey", $"w", $"m")
+  }
+
+  // --------------------- q356 Cochran-Armitage trend test
+
+  /** q356 — Cochran–Armitage test for a monotone trend in a binary
+    * rate across ORDERED dose groups (urgent-order share across five
+    * account-balance bands): the proportions counterpart of q345's
+    * rank JT test, and the recommended replacement for chi-square
+    * (q194) when the alternative is ordered. The statistic needs
+    * only the K-row (dose, n_k, r_k) frame; numerator and variance
+    * are exact integer cross-products (×N to clear the p̄ fractions)
+    * with one final quantized division. */
+  val cochranArmitage: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select(floor(($"c_acctbal" + 1000.0) / 2200.0).cast("long")
+          .as("dose"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("r"))
+    val cells = rows.groupBy($"dose")
+      .agg(count(lit(1)).as("nk"), sum($"r").as("rk"))
+    val agg = cells.agg(sum($"nk").as("nn"), sum($"rk").as("rr"),
+      sum($"dose" * $"rk").as("swr"),
+      sum($"dose" * $"nk").as("swn"),
+      sum($"dose" * $"dose" * $"nk").as("sw2n"))
+    // T·N = N·Σw r_k − R·Σw n_k ; Var·N³-ish cross-multiplied:
+    // Var(T) = p̄(1−p̄)(Σw²n − (Σwn)²/N) with p̄ = R/N
+    agg.selectExpr("nn", "rr",
+      "CAST(round(1000.0 * (CAST(nn AS DOUBLE) * swr - CAST(rr AS DOUBLE) * swn) /" +
+        " (CAST(nn AS DOUBLE) *" +
+        " sqrt((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn) *" +
+        " (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * swn / nn))))" +
+        " AS BIGINT) AS z_milli")
+  }
+
+  // ------------------------------- q357 log-rank test
+
+  /** q357 — two-group log-rank test on time-to-first-purchase with
+    * administrative censoring at day 7, completing the survival
+    * battery (q198 Kaplan–Meier, q330 Nelson–Aalen, q299 half-life):
+    * per distinct event day τ, observed-minus-expected group-1
+    * events O₁−E₁ with the hypergeometric variance, summed into one
+    * z. The day grid is O(horizon) small; at-risk counts come from
+    * ONE [[graft.functions.ScaleWindows.rangeCumSums]] pass (at-risk
+    * = total − exited-before), so nothing sequential touches the
+    * user-level frame — it reduces to per-(day, group) counts in a
+    * single groupBy. */
+  val logRank: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val e = Tables(s, dir, "events")
+    val entry = e.groupBy($"user_id").agg(min($"ts").as("entry"))
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("conv"))
+    val horizon = 7L
+    val durs = entry.join(fp, Seq("user_id"), "left")
+      .select($"user_id", ($"user_id" % 2).as("g"),
+        when($"conv".isNotNull &&
+            datediff(to_date($"conv"), to_date($"entry")) <= horizon,
+          datediff(to_date($"conv"), to_date($"entry")).cast("long"))
+          .otherwise(lit(horizon)).as("d"),
+        when($"conv".isNotNull &&
+            datediff(to_date($"conv"), to_date($"entry")) <= horizon,
+          1L).otherwise(0L).as("evt"))
+    val grid = durs.groupBy($"d").agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).as("x0"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).as("x1"),
+      sum(when($"g" === 0 && $"evt" === 1, 1L).otherwise(0L)).as("d0"),
+      sum(when($"g" === 1 && $"evt" === 1, 1L).otherwise(0L)).as("d1"))
+    val tot = durs.groupBy().agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).as("t0"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).as("t1"))
+    val cum = ScaleWindows.rangeCumSums(grid, Seq($"d"),
+      Seq(col("x0") -> "e0", col("x1") -> "e1"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .filter($"d0" + $"d1" > 0)
+      .select($"d", ($"t0" - $"e0").as("r0"), ($"t1" - $"e1").as("r1"),
+        $"d0", $"d1")
+      .selectExpr("d", "r0", "r1", "d0", "d1",
+        // E1 = d·r1/r ; V = d·(r0·r1)·(r−d)/(r²(r−1)), all exact ints
+        "CAST(d1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE) * r1 / (r0 + r1)" +
+          " AS ome",
+        "CASE WHEN r0 + r1 > 1 THEN" +
+          " CAST(d0 + d1 AS DOUBLE) * r0 * r1 *" +
+          " (r0 + r1 - d0 - d1) /" +
+          " (CAST(r0 + r1 AS DOUBLE) * (r0 + r1) * (r0 + r1 - 1))" +
+          " ELSE 0.0 END AS v")
+      // quantize each day's term to micro so the cross-day sum is an
+      // order-independent long sum (grid rows are O(horizon) anyway)
+      .select(expr("CAST(round(1000000.0 * ome) AS BIGINT)").as("ome_u"),
+        expr("CAST(round(1000000.0 * v) AS BIGINT)").as("v_u"))
+    terms.agg(count(lit(1)).as("n_event_days"),
+        sum($"ome_u").as("sum_ome_micro"), sum($"v_u").as("sum_v_micro"))
+      .selectExpr("n_event_days", "sum_ome_micro", "sum_v_micro",
+        "CAST(round(1000.0 * sum_ome_micro /" +
+          " sqrt(1000000.0 * sum_v_micro)) AS BIGINT) AS z_milli")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q346_item_cf_topk" -> itemCfTopk,
+    "q347_als_half_step" -> alsHalfStep,
+    "q348_t_closeness" -> tCloseness,
+    "q349_shapley_attribution" -> shapleyAttribution,
+    "q350_jackknife_variance" -> jackknifeVariance,
+    "q351_gumbel_block_maxima" -> gumbelBlockMaxima,
+    "q352_doubly_robust_ate" -> doublyRobustAte,
+    "q353_fleiss_kappa" -> fleissKappa,
+    "q354_brier_decomposition" -> brierDecomposition,
+    "q355_pps_systematic" -> ppsSystematic,
+    "q356_cochran_armitage" -> cochranArmitage,
+    "q357_logrank_test" -> logRank,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q346_item_cf_topk" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |support AS (SELECT l_partkey, count(*)::BIGINT AS ni
+        |  FROM baskets GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS pi, b.l_partkey AS pj,
+        |    count(*)::BIGINT AS nij
+        |  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (SELECT pi, pj, nij,
+        |    CAST(1000000000000::HUGEINT * nij * nij
+        |      // (sa.ni::HUGEINT * sb.ni) AS BIGINT) AS cos2_micro2
+        |  FROM pairs
+        |  JOIN support sa ON sa.l_partkey = pi
+        |  JOIN support sb ON sb.l_partkey = pj),
+        |sym AS (SELECT pi AS item, pj AS neighbor, nij, cos2_micro2
+        |    FROM scored
+        |  UNION ALL
+        |  SELECT pj AS item, pi AS neighbor, nij, cos2_micro2
+        |    FROM scored),
+        |ranked AS (SELECT item, neighbor, nij, cos2_micro2,
+        |    row_number() OVER (PARTITION BY item
+        |      ORDER BY cos2_micro2 DESC, neighbor ASC) AS rk
+        |  FROM sym)
+        |SELECT item, rk::INT AS rk, neighbor, nij, cos2_micro2
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+    "q347_als_half_step" ->
+      """WITH rated AS (SELECT o_custkey AS usr,
+        |    (l_partkey % 7 - 3)::BIGINT AS f1,
+        |    ((l_partkey // 7) % 7 - 3)::BIGINT AS f2,
+        |    CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (SELECT usr, count(*)::BIGINT AS n,
+        |    sum(f1 * f1)::BIGINT AS a11, sum(f1 * f2)::BIGINT AS a12,
+        |    sum(f2 * f2)::BIGINT AS a22,
+        |    sum(f1 * y)::BIGINT AS b1, sum(f2 * y)::BIGINT AS b2
+        |  FROM rated GROUP BY 1)
+        |SELECT usr, n,
+        |  CAST(round(1000.0 * ((a22 + 10) * b1 - a12 * b2) /
+        |    ((a11 + 10) * (a22 + 10) - a12 * a12)) AS BIGINT)
+        |    AS x1_milli,
+        |  CAST(round(1000.0 * ((a11 + 10) * b2 - a12 * b1) /
+        |    ((a11 + 10) * (a22 + 10) - a12 * a12)) AS BIGINT)
+        |    AS x2_milli
+        |FROM m""".stripMargin,
+    "q348_t_closeness" ->
+      """WITH c AS (SELECT (c_nationkey % 5)::BIGINT AS qid_region,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS qid_band,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |cell AS (SELECT qid_region, qid_band, seg,
+        |    count(*)::BIGINT AS cgs
+        |  FROM c GROUP BY 1, 2, 3),
+        |grp AS (SELECT qid_region, qid_band, sum(cgs)::BIGINT AS ng
+        |  FROM cell GROUP BY 1, 2),
+        |gsum AS (SELECT seg, sum(cgs)::BIGINT AS cs FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(cs)::BIGINT AS nn FROM gsum)
+        |SELECT cell.qid_region, cell.qid_band,
+        |  first(ng)::BIGINT AS n_g,
+        |  (sum(abs(cgs * nn - cs * ng)) +
+        |   (first(nn) * first(ng) - sum(cs * ng)))::BIGINT AS tv2num,
+        |  CAST(5 * (sum(abs(cgs * nn - cs * ng)) +
+        |    (first(nn) * first(ng) - sum(cs * ng)))
+        |    > 2 * first(ng) * first(nn) AS INT) AS violates_t
+        |FROM cell
+        |JOIN gsum USING (seg)
+        |JOIN grp ON cell.qid_region = grp.qid_region
+        |  AND cell.qid_band = grp.qid_band
+        |CROSS JOIN tot
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q349_shapley_attribution" ->
+      """WITH conv AS (SELECT user_id, min(ts) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |masks AS (SELECT e.user_id,
+        |    bit_or(CASE e.event_type WHEN 'view' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'signup' THEN 4
+        |      ELSE 0 END)::BIGINT AS mask
+        |  FROM events e JOIN conv ON e.user_id = conv.user_id
+        |  WHERE e.ts < conv.conv_ts
+        |  GROUP BY 1 HAVING mask > 0),
+        |cnt AS (SELECT mask, count(*)::BIGINT AS c
+        |  FROM masks GROUP BY 1),
+        |w AS (SELECT
+        |  coalesce(sum(CASE WHEN (mask & ~1 & 7) = 0 THEN c END), 0)
+        |    ::BIGINT AS v1,
+        |  coalesce(sum(CASE WHEN (mask & ~2 & 7) = 0 THEN c END), 0)
+        |    ::BIGINT AS v2,
+        |  coalesce(sum(CASE WHEN (mask & ~3 & 7) = 0 THEN c END), 0)
+        |    ::BIGINT AS v3,
+        |  coalesce(sum(CASE WHEN (mask & ~4 & 7) = 0 THEN c END), 0)
+        |    ::BIGINT AS v4,
+        |  coalesce(sum(CASE WHEN (mask & ~5 & 7) = 0 THEN c END), 0)
+        |    ::BIGINT AS v5,
+        |  coalesce(sum(CASE WHEN (mask & ~6 & 7) = 0 THEN c END), 0)
+        |    ::BIGINT AS v6,
+        |  coalesce(sum(c), 0)::BIGINT AS v7
+        |  FROM cnt)
+        |SELECT v7 AS conversions,
+        |  (2 * v1 + (v3 - v2) + (v5 - v4) + 2 * (v7 - v6))::BIGINT
+        |    AS phi6_view,
+        |  (2 * v2 + (v3 - v1) + (v6 - v4) + 2 * (v7 - v5))::BIGINT
+        |    AS phi6_click,
+        |  (2 * v4 + (v5 - v1) + (v6 - v2) + 2 * (v7 - v3))::BIGINT
+        |    AS phi6_signup
+        |FROM w""".stripMargin,
+    "q350_jackknife_variance" ->
+      """WITH per_g AS (SELECT c_nationkey AS g, count(*)::BIGINT AS n_g,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS s_g
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(n_g)::BIGINT AS nn, sum(s_g)::BIGINT AS ss,
+        |    count(*)::BIGINT AS gg
+        |  FROM per_g),
+        |reps AS (SELECT g, nn, ss, gg,
+        |    CAST(ss - s_g AS DOUBLE) / (nn - n_g)
+        |      - CAST(ss AS DOUBLE) / nn AS delta
+        |  FROM per_g CROSS JOIN tot),
+        |m AS (SELECT nn, ss, gg, sum(delta) AS sd,
+        |    sum(delta * delta) AS sd2
+        |  FROM reps GROUP BY 1, 2, 3)
+        |SELECT gg AS n_groups,
+        |  CAST(round(1000000.0 * ss / nn) AS BIGINT) AS theta_micro,
+        |  CAST(round(1000000.0 * sqrt(((gg - 1.0) / gg) *
+        |    (sd2 - sd * sd / gg))) AS BIGINT) AS se_micro
+        |FROM m""".stripMargin,
+    "q351_gumbel_block_maxima" ->
+      """WITH wk AS (SELECT
+        |    (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      // 7)::BIGINT AS week,
+        |    max(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS m
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS nb, sum(m)::BIGINT AS sm,
+        |    sum(m::HUGEINT * m) AS qm
+        |  FROM wk),
+        |st AS (SELECT nb, sm,
+        |    CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / nb AS ss
+        |  FROM agg)
+        |SELECT nb,
+        |  CAST(round(CAST(sm AS DOUBLE) / nb) AS BIGINT) AS mean_cents,
+        |  CAST(round(sqrt(ss / (nb - 1)) * sqrt(6.0) / pi()) AS BIGINT)
+        |    AS beta_cents,
+        |  CAST(round(CAST(sm AS DOUBLE) / nb - 0.5772156649015329 *
+        |    (sqrt(ss / (nb - 1)) * sqrt(6.0) / pi())) AS BIGINT)
+        |    AS mu_cents,
+        |  CAST(round(CAST(sm AS DOUBLE) / nb - 0.5772156649015329 *
+        |    (sqrt(ss / (nb - 1)) * sqrt(6.0) / pi()) -
+        |    (sqrt(ss / (nb - 1)) * sqrt(6.0) / pi()) *
+        |    ln(-ln(1.0 - 1.0 / 100.0))) AS BIGINT)
+        |    AS return_level_100_cents
+        |FROM st""".stripMargin,
+    "q352_doubly_robust_ate" ->
+      """WITH rows_ AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      ::BIGINT AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |arm AS (SELECT t, count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+        |    sum(y)::BIGINT AS sy,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * y) AS q1y,
+        |    sum(x2::HUGEINT * y) AS q2y
+        |  FROM rows_ GROUP BY 1),
+        |one AS (SELECT
+        |    sum(CASE WHEN t = 1 THEN n END)::BIGINT AS n1,
+        |    sum(CASE WHEN t = 1 THEN sx1 END)::BIGINT AS sx1_1,
+        |    sum(CASE WHEN t = 1 THEN sx2 END)::BIGINT AS sx2_1,
+        |    sum(CASE WHEN t = 1 THEN sy END)::BIGINT AS sy_1,
+        |    sum(CASE WHEN t = 1 THEN q11 END) AS q11_1,
+        |    sum(CASE WHEN t = 1 THEN q22 END) AS q22_1,
+        |    sum(CASE WHEN t = 1 THEN q12 END) AS q12_1,
+        |    sum(CASE WHEN t = 1 THEN q1y END) AS q1y_1,
+        |    sum(CASE WHEN t = 1 THEN q2y END) AS q2y_1,
+        |    sum(CASE WHEN t = 0 THEN n END)::BIGINT AS n0,
+        |    sum(CASE WHEN t = 0 THEN sx1 END)::BIGINT AS sx1_0,
+        |    sum(CASE WHEN t = 0 THEN sx2 END)::BIGINT AS sx2_0,
+        |    sum(CASE WHEN t = 0 THEN sy END)::BIGINT AS sy_0,
+        |    sum(CASE WHEN t = 0 THEN q11 END) AS q11_0,
+        |    sum(CASE WHEN t = 0 THEN q22 END) AS q22_0,
+        |    sum(CASE WHEN t = 0 THEN q12 END) AS q12_0,
+        |    sum(CASE WHEN t = 0 THEN q1y END) AS q1y_0,
+        |    sum(CASE WHEN t = 0 THEN q2y END) AS q2y_0
+        |  FROM arm),
+        |mid AS (SELECT n1, n0,
+        |    CAST(sx1_1 AS DOUBLE) / n1 AS mx1_1,
+        |    CAST(sx2_1 AS DOUBLE) / n1 AS mx2_1,
+        |    CAST(sy_1 AS DOUBLE) / n1 AS my_1,
+        |    CAST(sx1_0 AS DOUBLE) / n0 AS mx1_0,
+        |    CAST(sx2_0 AS DOUBLE) / n0 AS mx2_0,
+        |    CAST(sy_0 AS DOUBLE) / n0 AS my_0,
+        |    CAST(q11_1 AS DOUBLE) - CAST(sx1_1 AS DOUBLE) * sx1_1 / n1 AS s11_1,
+        |    CAST(q22_1 AS DOUBLE) - CAST(sx2_1 AS DOUBLE) * sx2_1 / n1 AS s22_1,
+        |    CAST(q12_1 AS DOUBLE) - CAST(sx1_1 AS DOUBLE) * sx2_1 / n1 AS s12_1,
+        |    CAST(q1y_1 AS DOUBLE) - CAST(sx1_1 AS DOUBLE) * sy_1 / n1 AS s1y_1,
+        |    CAST(q2y_1 AS DOUBLE) - CAST(sx2_1 AS DOUBLE) * sy_1 / n1 AS s2y_1,
+        |    CAST(q11_0 AS DOUBLE) - CAST(sx1_0 AS DOUBLE) * sx1_0 / n0 AS s11_0,
+        |    CAST(q22_0 AS DOUBLE) - CAST(sx2_0 AS DOUBLE) * sx2_0 / n0 AS s22_0,
+        |    CAST(q12_0 AS DOUBLE) - CAST(sx1_0 AS DOUBLE) * sx2_0 / n0 AS s12_0,
+        |    CAST(q1y_0 AS DOUBLE) - CAST(sx1_0 AS DOUBLE) * sy_0 / n0 AS s1y_0,
+        |    CAST(q2y_0 AS DOUBLE) - CAST(sx2_0 AS DOUBLE) * sy_0 / n0 AS s2y_0,
+        |    CAST(sx1_1 + sx1_0 AS DOUBLE) / (n1 + n0) AS mx1,
+        |    CAST(sx2_1 + sx2_0 AS DOUBLE) / (n1 + n0) AS mx2,
+        |    CAST(n1 AS DOUBLE) / (n1 + n0) AS mt,
+        |    CAST(q11_1 + q11_0 AS DOUBLE) - CAST(sx1_1 + sx1_0 AS DOUBLE)
+        |      * (sx1_1 + sx1_0) / (n1 + n0) AS s11,
+        |    CAST(q22_1 + q22_0 AS DOUBLE) - CAST(sx2_1 + sx2_0 AS DOUBLE)
+        |      * (sx2_1 + sx2_0) / (n1 + n0) AS s22,
+        |    CAST(q12_1 + q12_0 AS DOUBLE) - CAST(sx1_1 + sx1_0 AS DOUBLE)
+        |      * (sx2_1 + sx2_0) / (n1 + n0) AS s12,
+        |    CAST(sx1_1 AS DOUBLE) - CAST(sx1_1 + sx1_0 AS DOUBLE)
+        |      * n1 / (n1 + n0) AS s1t,
+        |    CAST(sx2_1 AS DOUBLE) - CAST(sx2_1 + sx2_0 AS DOUBLE)
+        |      * n1 / (n1 + n0) AS s2t
+        |  FROM one),
+        |model AS (SELECT n1, n0, mx1_1, mx2_1, my_1,
+        |    mx1_0, mx2_0, my_0, mx1, mx2, mt,
+        |    (s22_1 * s1y_1 - s12_1 * s2y_1) / (s11_1 * s22_1 - s12_1 * s12_1) AS b1_1,
+        |    (s11_1 * s2y_1 - s12_1 * s1y_1) / (s11_1 * s22_1 - s12_1 * s12_1) AS b2_1,
+        |    (s22_0 * s1y_0 - s12_0 * s2y_0) / (s11_0 * s22_0 - s12_0 * s12_0) AS b1_0,
+        |    (s11_0 * s2y_0 - s12_0 * s1y_0) / (s11_0 * s22_0 - s12_0 * s12_0) AS b2_0,
+        |    (s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS c1,
+        |    (s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS c2
+        |  FROM mid),
+        |scored AS (SELECT
+        |    CAST(round(1000.0 * (
+        |      (my_1 + b1_1 * (x1 - mx1_1) + b2_1 * (x2 - mx2_1)) -
+        |      (my_0 + b1_0 * (x1 - mx1_0) + b2_0 * (x2 - mx2_0)) +
+        |      t * (y - (my_1 + b1_1 * (x1 - mx1_1) + b2_1 * (x2 - mx2_1)))
+        |        / least(greatest(mt + c1 * (x1 - mx1) + c2 * (x2 - mx2),
+        |            0.02), 0.98) -
+        |      (1 - t) * (y - (my_0 + b1_0 * (x1 - mx1_0)
+        |          + b2_0 * (x2 - mx2_0)))
+        |        / (1 - least(greatest(mt + c1 * (x1 - mx1)
+        |            + c2 * (x2 - mx2), 0.02), 0.98))))
+        |      AS BIGINT) AS phi_milli
+        |  FROM rows_ CROSS JOIN model)
+        |SELECT count(*)::BIGINT AS n,
+        |  sum(phi_milli)::BIGINT AS sum_phi_milli,
+        |  CAST(round(CAST(sum(phi_milli) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS ate_milli_cents
+        |FROM scored""".stripMargin,
+    "q353_fleiss_kappa" ->
+      """WITH votes AS (SELECT
+        |    ((CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |        * 25 < n_chars THEN 1 ELSE 0 END) +
+        |     (CASE WHEN length(regexp_replace(text, '[^.]', '', 'g'))
+        |        >= 3 THEN 1 ELSE 0 END))::BIGINT AS g
+        |  FROM documents),
+        |by_g AS (SELECT g, count(*)::BIGINT AS ng FROM votes GROUP BY 1),
+        |agg AS (SELECT sum(ng)::BIGINT AS nn,
+        |    sum(g * ng)::BIGINT AS sg,
+        |    sum((g * g + (3 - g) * (3 - g) - 3) * ng)::BIGINT AS pairs2
+        |  FROM by_g)
+        |SELECT nn, sg, pairs2,
+        |  CAST(round(1000000.0 *
+        |    ((CAST(pairs2 AS DOUBLE) / (6.0 * nn)) -
+        |     (POW(CAST(sg AS DOUBLE) / (3.0 * nn), 2) +
+        |      POW(1.0 - CAST(sg AS DOUBLE) / (3.0 * nn), 2))) /
+        |    (1.0 - (POW(CAST(sg AS DOUBLE) / (3.0 * nn), 2) +
+        |      POW(1.0 - CAST(sg AS DOUBLE) / (3.0 * nn), 2)))) AS BIGINT)
+        |    AS kappa_micro
+        |FROM agg""".stripMargin,
+    "q354_brier_decomposition" ->
+      """WITH rows_ AS (SELECT o_orderkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      ::BIGINT AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |n_ AS (SELECT count(*)::BIGINT AS nn FROM rows_),
+        |ranked AS (SELECT o,
+        |    (row_number() OVER (ORDER BY bal, o_orderkey) - 1)::BIGINT
+        |      AS rk
+        |  FROM rows_),
+        |binned AS (SELECT (rk * 10 // nn)::BIGINT AS bin,
+        |    ((rk * 10 // nn) * 100 + 50)::BIGINT AS p_milli, o
+        |  FROM ranked CROSS JOIN n_),
+        |cells AS (SELECT bin, count(*)::BIGINT AS nk,
+        |    sum(p_milli)::BIGINT AS sp, sum(o)::BIGINT AS so
+        |  FROM binned GROUP BY 1),
+        |agg AS (SELECT sum(nk)::BIGINT AS nn, sum(so)::BIGINT AS sot,
+        |    sum(CAST(round(CAST((sp - 1000 * so) AS DOUBLE) *
+        |      (sp - 1000 * so) / nk) AS BIGINT))::BIGINT AS rel_num,
+        |    sum(CAST(round(1000000.0 * CAST(so AS DOUBLE) * so / nk)
+        |      AS BIGINT))::BIGINT AS res_base
+        |  FROM cells)
+        |SELECT nn, sot,
+        |  CAST(round(CAST(rel_num AS DOUBLE) / nn) AS BIGINT)
+        |    AS rel_micro,
+        |  CAST(round(CAST(res_base AS DOUBLE) / nn -
+        |    1000000.0 * sot * sot / (CAST(nn AS DOUBLE) * nn))
+        |    AS BIGINT) AS res_micro,
+        |  CAST(round(1000000.0 * sot * (nn - sot) /
+        |    (CAST(nn AS DOUBLE) * nn)) AS BIGINT) AS unc_micro
+        |FROM agg""".stripMargin,
+    "q355_pps_systematic" ->
+      """WITH sized AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS w
+        |  FROM orders),
+        |cum AS (SELECT o_orderkey, w,
+        |    coalesce(sum(w) OVER (ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS c_lo
+        |  FROM sized),
+        |tot AS (SELECT sum(w)::BIGINT AS s FROM sized)
+        |SELECT o_orderkey, w,
+        |  CAST((c_lo::HUGEINT + w) * 100 // s
+        |    - c_lo::HUGEINT * 100 // s AS BIGINT) AS m
+        |FROM cum CROSS JOIN tot
+        |WHERE (c_lo::HUGEINT + w) * 100 // s
+        |    - c_lo::HUGEINT * 100 // s > 0""".stripMargin,
+    "q356_cochran_armitage" ->
+      """WITH rows_ AS (SELECT
+        |    CAST(floor((c_acctbal + 1000.0) / 2200.0) AS BIGINT) AS dose,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      ::BIGINT AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT dose, count(*)::BIGINT AS nk,
+        |    sum(r)::BIGINT AS rk
+        |  FROM rows_ GROUP BY 1),
+        |agg AS (SELECT sum(nk)::BIGINT AS nn, sum(rk)::BIGINT AS rr,
+        |    sum(dose * rk)::BIGINT AS swr, sum(dose * nk)::BIGINT AS swn,
+        |    sum(dose * dose * nk)::BIGINT AS sw2n
+        |  FROM cells)
+        |SELECT nn, rr,
+        |  CAST(round(1000.0 * (CAST(nn AS DOUBLE) * swr - CAST(rr AS DOUBLE) * swn) /
+        |    (CAST(nn AS DOUBLE) *
+        |    sqrt((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn) *
+        |    (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * swn / nn))))
+        |    AS BIGINT) AS z_milli
+        |FROM agg""".stripMargin,
+    "q357_logrank_test" ->
+      """WITH entry AS (SELECT user_id, min(ts) AS entry
+        |  FROM events GROUP BY 1),
+        |fp AS (SELECT user_id, min(ts) AS conv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |durs AS (SELECT e.user_id, (e.user_id % 2)::BIGINT AS g,
+        |    CASE WHEN conv IS NOT NULL AND date_diff('day',
+        |        CAST(entry AS DATE), CAST(conv AS DATE)) <= 7
+        |      THEN date_diff('day', CAST(entry AS DATE),
+        |        CAST(conv AS DATE))::BIGINT
+        |      ELSE 7 END AS d,
+        |    CASE WHEN conv IS NOT NULL AND date_diff('day',
+        |        CAST(entry AS DATE), CAST(conv AS DATE)) <= 7
+        |      THEN 1 ELSE 0 END::BIGINT AS evt
+        |  FROM entry e LEFT JOIN fp ON e.user_id = fp.user_id),
+        |grid AS (SELECT d,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS x0,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS x1,
+        |    sum(CASE WHEN g = 0 AND evt = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS d0,
+        |    sum(CASE WHEN g = 1 AND evt = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS d1
+        |  FROM durs GROUP BY 1),
+        |tot AS (SELECT
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS t0,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS t1
+        |  FROM durs),
+        |cum AS (SELECT d, d0, d1,
+        |    coalesce(sum(x0) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS e0,
+        |    coalesce(sum(x1) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS e1
+        |  FROM grid),
+        |terms AS (SELECT
+        |    CAST(round(1000000.0 * (CAST(d1 AS DOUBLE) -
+        |      CAST(d0 + d1 AS DOUBLE) * (t1 - e1)
+        |        / ((t0 - e0) + (t1 - e1)))) AS BIGINT) AS ome_u,
+        |    CAST(round(1000000.0 * (CASE WHEN (t0 - e0) + (t1 - e1) > 1
+        |      THEN CAST(d0 + d1 AS DOUBLE) * (t0 - e0) * (t1 - e1) *
+        |        ((t0 - e0) + (t1 - e1) - d0 - d1) /
+        |        (CAST((t0 - e0) + (t1 - e1) AS DOUBLE) *
+        |         ((t0 - e0) + (t1 - e1)) *
+        |         ((t0 - e0) + (t1 - e1) - 1))
+        |      ELSE 0.0 END)) AS BIGINT) AS v_u
+        |  FROM cum CROSS JOIN tot
+        |  WHERE d0 + d1 > 0)
+        |SELECT count(*)::BIGINT AS n_event_days,
+        |  sum(ome_u)::BIGINT AS sum_ome_micro,
+        |  sum(v_u)::BIGINT AS sum_v_micro,
+        |  CAST(round(1000.0 * sum(ome_u) /
+        |    sqrt(1000000.0 * sum(v_u))) AS BIGINT) AS z_milli
+        |FROM terms""".stripMargin,
+  )
+}

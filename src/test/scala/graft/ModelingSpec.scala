@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Modeling
+
+/** Semantic invariants for the modeling batch (q346+). Value-level
+  * correctness is the driver's DuckDB gate; these assert the
+  * mathematical properties that must hold regardless of data.
+  */
+class ModelingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q346 item CF: ranks contiguous from 1, cosine² within [0,1e12], symmetric support") {
+    val r = Modeling.itemCfTopk(spark, sfDir)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getAs[Long]("cos2_micro2") >= 0 &&
+      x.getAs[Long]("cos2_micro2") <= 1000000000000L))
+    // per item: ranks are 1..k with k<=3 and scores non-increasing
+    rows.groupBy(_.getAs[Long]("item")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to g.length))
+      val scores = sorted.map(_.getAs[Long]("cos2_micro2"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the symmetric union must contain each undirected pair both ways
+    // before ranking; spot-check via a self-neighbor ban
+    assert(rows.forall(x =>
+      x.getAs[Long]("item") != x.getAs[Long]("neighbor")))
+  }
+
+  test("q347 ALS half-step: solution satisfies the 2x2 normal equations") {
+    // reconstruct A and b for one user and check (A+λI)x ≈ b at the
+    // unquantized solution — Cramer inversion must be the exact solve
+    val rated = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("usr"),
+        ($"l_partkey" % 7 - 3).cast("long").as("f1"),
+        (expr("(l_partkey div 7) % 7").cast("long") - 3).as("f2"),
+        $"l_quantity".cast("long").as("y"))
+    val m = rated.groupBy($"usr").agg(
+      sum($"f1" * $"f1").as("a11"), sum($"f1" * $"f2").as("a12"),
+      sum($"f2" * $"f2").as("a22"), sum($"f1" * $"y").as("b1"),
+      sum($"f2" * $"y").as("b2")).orderBy($"usr").first()
+    val (a11, a12, a22) = (m.getLong(1), m.getLong(2), m.getLong(3))
+    val (b1, b2) = (m.getLong(4), m.getLong(5))
+    val det = (a11 + 10.0) * (a22 + 10.0) - a12.toDouble * a12
+    val x1 = ((a22 + 10.0) * b1 - a12.toDouble * b2) / det
+    val x2 = ((a11 + 10.0) * b2 - a12.toDouble * b1) / det
+    assert(math.abs((a11 + 10.0) * x1 + a12 * x2 - b1) < 1e-6 * math.max(1.0, math.abs(b1)))
+    assert(math.abs(a12 * x1 + (a22 + 10.0) * x2 - b2) < 1e-6 * math.max(1.0, math.abs(b2)))
+    val r = Modeling.alsHalfStep(spark, sfDir).orderBy($"usr").first()
+    assert(r.getAs[Long]("x1_milli") == math.round(1000.0 * x1))
+    assert(r.getAs[Long]("x2_milli") == math.round(1000.0 * x2))
+  }
+
+  test("q348 t-closeness: tv2num within [0, 2·n_g·N]; group sizes sum to N") {
+    val rows = Modeling.tCloseness(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nTotal = Tables(spark, sfDir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_g")).sum == nTotal)
+    rows.foreach { x =>
+      val tv2 = x.getAs[Long]("tv2num")
+      assert(tv2 >= 0 && tv2 <= 2L * x.getAs[Long]("n_g") * nTotal)
+      val flag = x.getAs[Int]("violates_t")
+      assert(flag == (if (5L * tv2 > 2L * x.getAs[Long]("n_g") * nTotal) 1 else 0))
+    }
+  }
+
+  test("q349 Shapley: efficiency — the three 6·φ values sum to 6·v(full)") {
+    val r = Modeling.shapleyAttribution(spark, sfDir).collect().head
+    val conv = r.getAs[Long]("conversions")
+    val sum6 = r.getAs[Long]("phi6_view") + r.getAs[Long]("phi6_click") +
+      r.getAs[Long]("phi6_signup")
+    assert(sum6 == 6L * conv, s"efficiency axiom: $sum6 != ${6L * conv}")
+    assert(conv > 0)
+  }
+
+  test("q350 jackknife: se positive and theta equals the plain ratio") {
+    val r = Modeling.jackknifeVariance(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_groups") > 1)
+    assert(r.getAs[Long]("se_micro") >= 0)
+    val o = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("s")).first()
+    val expected = math.round(1e6 * o.getLong(1).toDouble / o.getLong(0))
+    assert(r.getAs[Long]("theta_micro") == expected)
+  }
+
+  test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
+    val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
+    val mu = r.getAs[Long]("mu_cents")
+    val beta = r.getAs[Long]("beta_cents")
+    val rl = r.getAs[Long]("return_level_100_cents")
+    assert(beta > 0)
+    assert(mu < r.getAs[Long]("mean_cents"))
+    // -ln(-ln(0.99)) ≈ 4.6 > 0 so the 100-block return level sits
+    // well above the location parameter
+    assert(rl > mu)
+  }
+}
