@@ -89,6 +89,121 @@ class ModelingSpec extends SparkSpec {
     assert(r.getAs[Long]("theta_micro") == expected)
   }
 
+  test("q352 AIPW: finite, and consistent with its own sum/count") {
+    val r = Modeling.doublyRobustAte(spark, sfDir).collect().head
+    val n = r.getAs[Long]("n")
+    val sum = r.getAs[Long]("sum_phi_milli")
+    assert(n == Tables(spark, sfDir, "orders").count())
+    assert(r.getAs[Long]("ate_milli_cents") ==
+      math.round(sum.toDouble / n))
+  }
+
+  test("q353 Fleiss kappa: matches a brute-force recomputation") {
+    val r = Modeling.fleissKappa(spark, sfDir).collect().head
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"text", $"n_chars").collect()
+    val gs = docs.map { d =>
+      val text = d.getString(0); val nc = d.getLong(1)
+      (if (nc > 300) 1 else 0) +
+        (if (text.count(_.isDigit) * 25 < nc) 1 else 0) +
+        (if (text.count(_ == '.') >= 3) 1 else 0)
+    }
+    val nn = gs.length.toDouble
+    val p = gs.sum / (3.0 * nn)
+    val pBar = gs.map(g => (g * g + (3 - g) * (3 - g) - 3) / 6.0).sum / nn
+    val pe = p * p + (1 - p) * (1 - p)
+    val kappa = (pBar - pe) / (1 - pe)
+    assert(r.getAs[Long]("kappa_micro") == math.round(1e6 * kappa))
+  }
+
+  test("q354 Murphy identity: REL - RES + UNC equals the direct Brier score") {
+    val r = Modeling.brierDecomposition(spark, sfDir).collect().head
+    val decomposed = r.getAs[Long]("rel_micro") -
+      r.getAs[Long]("res_micro") + r.getAs[Long]("unc_micro")
+    // direct Brier with the same bin-midpoint forecasts
+    val rows = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select(round($"c_acctbal" * 100).cast("long").as("bal"),
+        $"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1.0).otherwise(0.0).as("o"))
+      .collect().sortBy(x => (x.getAs[Long]("bal"), x.getAs[Long]("o_orderkey")))
+    val n = rows.length
+    val bs = rows.zipWithIndex.map { case (x, i) =>
+      val p = ((i.toLong * 10 / n) * 100 + 50) / 1000.0
+      math.pow(p - x.getAs[Double]("o"), 2)
+    }.sum / n
+    assert(math.abs(decomposed - math.round(1e6 * bs)) <= 3,
+      s"identity violated: $decomposed vs ${math.round(1e6 * bs)}")
+  }
+
+  test("q355 PPS systematic: multiplicities telescope to exactly K=100") {
+    val rows = Modeling.ppsSystematic(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("m")).sum == 100L)
+    assert(rows.forall(_.getAs[Long]("m") >= 1))
+    // certainty units: anything heavier than one grid step S/K MUST be
+    // selected (smaller units enter with probability w·K/S < 1, so no
+    // guarantee for them — not even for the global maximum)
+    val sized = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long").as("w"))
+      .collect()
+    val s = sized.map(_.getLong(1)).sum
+    val certain = sized.filter(x => x.getLong(1) * 100L > s).map(_.getLong(0))
+    val selected = rows.map(_.getAs[Long]("o_orderkey")).toSet
+    assert(certain.forall(selected.contains))
+  }
+
+  test("q356 Cochran-Armitage: matches a brute-force recomputation") {
+    val r = Modeling.cochranArmitage(spark, sfDir).collect().head
+    val rows = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select(floor(($"c_acctbal" + 1000.0) / 2200.0).cast("long").as("dose"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("r"))
+      .collect()
+    val n = rows.length.toDouble
+    val rr = rows.map(_.getLong(1)).sum.toDouble
+    val swr = rows.map(x => x.getLong(0) * x.getLong(1)).sum.toDouble
+    val swn = rows.map(_.getLong(0)).sum.toDouble
+    val sw2n = rows.map(x => x.getLong(0) * x.getLong(0)).sum.toDouble
+    val pbar = rr / n
+    val z = (n * swr - rr * swn) /
+      (n * math.sqrt(pbar * (1 - pbar) * (sw2n - swn * swn / n)))
+    assert(math.abs(r.getAs[Long]("z_milli") - math.round(1000 * z)) <= 1)
+  }
+
+  test("q357 log-rank: matches a brute-force recomputation") {
+    val r = Modeling.logRank(spark, sfDir).collect().head
+    val e = Tables(spark, sfDir, "events")
+    val entry = e.groupBy($"user_id").agg(min($"ts").as("entry"))
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("conv"))
+    val durs = entry.join(fp, Seq("user_id"), "left")
+      .select($"user_id", ($"user_id" % 2).as("g"),
+        datediff(to_date($"conv"), to_date($"entry")).as("rawd"))
+      .collect()
+      .map { x =>
+        val raw = if (x.isNullAt(2)) Int.MaxValue else x.getInt(2)
+        val d = math.min(raw, 7)
+        (x.getAs[Long]("g"), d, if (raw <= 7) 1 else 0)
+      }
+    val eventDays = durs.filter(_._3 == 1).map(_._2).distinct.sorted
+    var sumOme = 0.0; var sumV = 0.0
+    for (tau <- eventDays) {
+      val atRisk = durs.filter(_._2 >= tau)
+      val r0 = atRisk.count(_._1 == 0).toDouble
+      val r1 = atRisk.count(_._1 == 1).toDouble
+      val d1 = durs.count(x => x._1 == 1 && x._2 == tau && x._3 == 1)
+      val dd = durs.count(x => x._2 == tau && x._3 == 1).toDouble
+      sumOme += d1 - dd * r1 / (r0 + r1)
+      if (r0 + r1 > 1)
+        sumV += dd * r0 * r1 * (r0 + r1 - dd) /
+          ((r0 + r1) * (r0 + r1) * (r0 + r1 - 1))
+    }
+    val z = sumOme / math.sqrt(sumV)
+    assert(math.abs(r.getAs[Long]("z_milli") - math.round(1000 * z)) <= 2)
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
