@@ -597,6 +597,249 @@ object Modeling {
           " sqrt(1000000.0 * sum_v_micro)) AS BIGINT) AS z_milli")
   }
 
+  // ---------------------- q358 segmented regression (break search)
+
+  /** q358 — single structural-break search on the daily revenue
+    * series: for every candidate breakpoint on a bounded grid (every
+    * 90th day, 180-day margins), fit BOTH segment OLS lines in closed
+    * form and keep the SSE-minimizing split — the piecewise complement
+    * of q183's CUSUM (which locates mean shifts, not slope breaks)
+    * and q197's feature-split stump. The daily frame is O(days) and
+    * broadcastable; candidates × days is a few-thousand-row crossJoin
+    * of two bounded frames; every segment moment (n, Σx, Σy, Σxy,
+    * Σx², Σy²) is an exact long/decimal sum, so each candidate's SSE
+    * is ONE deterministic double expression and the argmin is
+    * engine-stable (ties break on earlier day). */
+  val segmentedRegression: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val bounds = daily.agg(max($"x").as("xmax"))
+    val cands = daily.crossJoin(broadcast(bounds))
+      .filter($"x" % 90 === 0 && $"x" >= 180 && $"x" <= $"xmax" - 180)
+      .select($"x".as("c")).distinct()
+    val sides = daily.crossJoin(broadcast(cands))
+      .select($"c", when($"x" < $"c", 0L).otherwise(1L).as("side"),
+        $"x", $"y")
+      .groupBy($"c", $"side")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(dec($"x") * dec($"x")).as("qxx"),
+        sum(dec($"x") * dec($"y")).as("qxy"),
+        sum(dec($"y") * dec($"y")).as("qyy"))
+      .selectExpr("c", "side", "n",
+        "(CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) -" +
+          " POW(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2) /" +
+          " (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS sse",
+        "(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) /" +
+          " (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope")
+    val perC = sides.groupBy($"c").agg(
+      sum($"sse").as("sse_tot"),
+      sum(when($"side" === 0, $"slope")).as("slope_lo"),
+      sum(when($"side" === 1, $"slope")).as("slope_hi"))
+    val best = perC.agg(min(struct($"sse_tot", $"c")).as("b"))
+      .select($"b.c".as("c"))
+    perC.join(broadcast(best), Seq("c"))
+      .select($"c".as("break_day"),
+        expr("CAST(round(sse_tot / 1000000.0) AS BIGINT)")
+          .as("sse_mega"),
+        expr("CAST(round(1000.0 * slope_lo) AS BIGINT)")
+          .as("slope_lo_milli"),
+        expr("CAST(round(1000.0 * slope_hi) AS BIGINT)")
+          .as("slope_hi_milli"))
+  }
+
+  // ------------------- q359 weighted Jaccard between sources
+
+  /** q359 — weighted Jaccard Σmin/Σmax between source term-FREQUENCY
+    * profiles over the global top-200 vocabulary (q221 compares
+    * vocabularies as sets; this weighs them, which is what actually
+    * separates near-identical scrapes from topical cousins). The
+    * identity Σmax = T_a + T_b − Σmin means only the Σmin join over
+    * COMMON terms is needed — absent terms enter through the totals.
+    * Vocab is a 200-row broadcast; the pair frame is sources², built
+    * from a broadcast cross of the O(sources) totals; the only real
+    * shuffle keys on term. Exact integer counts end in one integral
+    * division. */
+  val weightedJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"source", explode(split(lower($"text"), "[^a-z]+"))
+        .as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("f"))
+    val top = tf.groupBy($"term").agg(sum($"f").as("tot"))
+      .orderBy($"tot".desc, $"term".asc).limit(200).select($"term")
+    val prof = tf.join(broadcast(top), Seq("term"))
+    val totals = prof.groupBy($"source").agg(sum($"f").as("t"))
+    val mins = prof.select($"term", $"source".as("sa"), $"f".as("fa"))
+      .join(prof.select($"term", $"source".as("sb"), $"f".as("fb")),
+        Seq("term"))
+      .filter($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(sum(least($"fa", $"fb")).as("smin"))
+    totals.select($"source".as("sa"), $"t".as("ta"))
+      .crossJoin(broadcast(totals.select($"source".as("sb"),
+        $"t".as("tb"))))
+      .filter($"sa" < $"sb")
+      .join(mins, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("smin"))
+      .select($"sa", $"sb", $"smin", ($"ta" + $"tb" - $"smin").as("smax"),
+        expr("1000000 * smin div (ta + tb - smin)").as("wj_micro"))
+  }
+
+  // ------------------------ q360 Kendall's W (concordance)
+
+  /** q360 — Kendall's coefficient of concordance: do the seven
+    * yearly revenue rankings of nations AGREE (q246's pairwise τ
+    * lifted to m judges)? Rankings use row_number partitioned BY
+    * YEAR (scale-safe window; one partition per judge), restricted
+    * to nations present in every year so all judges rank the same
+    * slate. With doubled deviations 2R_i − m(n+1), both W and its
+    * χ² = m(n−1)W are exact integer ratios until one final
+    * quantization. Frames: cells O(nations×years), rank sums
+    * O(nations). */
+  val kendallW: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy(year(to_date($"o_orderdate")).cast("long").as("yr"),
+        $"c_nationkey".as("nat"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val nYears = cells.select($"yr").distinct().agg(count(lit(1)).as("m"))
+    val complete = cells.groupBy($"nat").agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(nYears)).filter($"k" === $"m").select($"nat")
+    val ranked = cells.join(broadcast(complete), Seq("nat"))
+      .withColumn("r", row_number().over(Window.partitionBy($"yr")
+        .orderBy($"cents".desc, $"nat".asc)).cast("long"))
+    val sums = ranked.groupBy($"nat").agg(sum($"r").as("ri"))
+    // two-pass: n (the slate size) is needed inside each deviation,
+    // so aggregate it first and close over the one-row broadcast
+    val nm = sums.crossJoin(broadcast(nYears))
+      .agg(count(lit(1)).as("n"), first($"m").as("m"))
+    sums.crossJoin(broadcast(nm))
+      .select((($"ri" * 2 - $"m" * ($"n" + 1)) *
+        ($"ri" * 2 - $"m" * ($"n" + 1))).as("d2"), $"n", $"m")
+      .groupBy($"n", $"m").agg(sum($"d2").as("sd2"))
+      .selectExpr("n", "m",
+        "CAST(round(1000000.0 * 3.0 * sd2 /" +
+          " (CAST(m AS DOUBLE) * m * n * (CAST(n AS DOUBLE) * n - 1)))" +
+          " AS BIGINT) AS w_micro",
+        "CAST(round(1000.0 * m * (n - 1) * (3.0 * sd2 /" +
+          " (CAST(m AS DOUBLE) * m * n * (CAST(n AS DOUBLE) * n - 1))))" +
+          " AS BIGINT) AS chi2_milli")
+  }
+
+  // ----------------- q361 two-way fixed-effects panel estimator
+
+  /** q361 — two-way fixed-effects (within) estimator on the
+    * nation × year panel: the effect of urgent-order share on mean
+    * order value with nation AND year effects swept out — the
+    * workhorse behind q271's DiD generalized to many groups and
+    * periods. Restricted to the balanced sub-panel (nations present
+    * every year) so the double-demeaning identity is exact; cell
+    * metrics quantize to milli FIRST, making the scaled deviations
+    * Ỹ = NT·y − N·S_i − T·S_t + S EXACT integers (the NT factors
+    * cancel in β) — the β ratio is the only double. Cells are
+    * O(N·T) with one groupBy; margins broadcast. */
+  val twoWayFixedEffects: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nat"),
+        year(to_date($"o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("s"),
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+          .as("u"))
+      .selectExpr("nat", "yr",
+        "CAST(round(1000.0 * s / n) AS BIGINT) AS y_milli",
+        "CAST(round(1000.0 * u / n) AS BIGINT) AS x_milli")
+    val nYears = cells.select($"yr").distinct().agg(count(lit(1)).as("tt"))
+    val complete = cells.groupBy($"nat").agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(nYears)).filter($"k" === $"tt").select($"nat")
+    val bal = cells.join(broadcast(complete), Seq("nat"))
+    val si = bal.groupBy($"nat").agg(sum($"y_milli").as("siy"),
+      sum($"x_milli").as("six"))
+    val st = bal.groupBy($"yr").agg(sum($"y_milli").as("sty"),
+      sum($"x_milli").as("stx"))
+    val tot = bal.agg(sum($"y_milli").as("sy"), sum($"x_milli").as("sx"),
+      countDistinct($"nat").as("nn"), countDistinct($"yr").as("tt"))
+    val dem = bal.join(si, Seq("nat")).join(broadcast(st), Seq("yr"))
+      .crossJoin(broadcast(tot))
+      .select(
+        ($"nn" * $"tt" * $"y_milli" - $"nn" * $"siy" - $"tt" * $"sty"
+          + $"sy").as("yd"),
+        ($"nn" * $"tt" * $"x_milli" - $"nn" * $"six" - $"tt" * $"stx"
+          + $"sx").as("xd"))
+    dem.agg(count(lit(1)).as("n_cells"),
+        sum(dec($"xd") * dec($"yd")).as("sxy"),
+        sum(dec($"xd") * dec($"xd")).as("sxx"))
+      .selectExpr("n_cells",
+        "CAST(round(1000000.0 * CAST(sxy AS DOUBLE) /" +
+          " CAST(sxx AS DOUBLE)) AS BIGINT) AS beta_micro")
+  }
+
+  // --------------------------- q362 geometric-mean KPI
+
+  /** q362 — per-priority geometric mean of order value: the
+    * multiplicative average that latency/price KPIs call for.
+    * The log transform is quantized PER ROW (round(1e6·ln cents) as
+    * a long) so the grouped sum is order-independent — the repo's
+    * standard defense against distributed float-sum drift — and the
+    * final exp runs on the O(groups) frame. */
+  val geoMean: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderpriority",
+        expr("CAST(round(1000000.0 *" +
+          " ln(CAST(round(o_totalprice * 100) AS BIGINT))) AS BIGINT)")
+          .as("l_micro"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"l_micro").as("sl"))
+      .selectExpr("o_orderpriority", "n",
+        "CAST(round(exp(CAST(sl AS DOUBLE) / n / 1000000.0)) AS BIGINT)" +
+          " AS geo_cents")
+      .orderBy($"o_orderpriority")
+  }
+
+  // ------------------ q363 unigram negative-sampling table
+
+  /** q363 — word2vec-style negative-sampling table: the top-1000
+    * vocabulary weighted by freq^0.75 (Mikolov et al. 2013), drawn
+    * K = 500 times by the same deterministic PPS-systematic pass as
+    * q355 — the standard way to materialize a sampling table once
+    * and share it across a training fleet instead of sampling per
+    * worker. Cumulative axis via
+    * [[graft.functions.ScaleWindows.rangeCumSum]] over the term
+    * order; freq^0.75 quantizes per term before the cumsum so the
+    * grid is exact integers. */
+  val negativeSampling: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val k = 500L
+    val tf = Tables(s, dir, "documents")
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("f"))
+    val top = tf.orderBy($"f".desc, $"term".asc).limit(1000)
+      .select($"term", $"f",
+        expr("CAST(round(1000.0 * POW(f, 0.75)) AS BIGINT)").as("w"))
+    val cum = ScaleWindows.rangeCumSum(top, Seq($"term"), $"w", "c_lo")
+    val tot = top.agg(sum($"w").as("s"))
+    cum.crossJoin(broadcast(tot))
+      .select($"term", $"f", $"w",
+        (expr(s"CAST((c_lo + w) AS DECIMAL(38,0)) * $k div s") -
+          expr(s"CAST(c_lo AS DECIMAL(38,0)) * $k div s")).cast("long")
+          .as("m"))
+      .filter($"m" > 0)
+      .select($"term", $"f", $"w", $"m")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -610,6 +853,12 @@ object Modeling {
     "q355_pps_systematic" -> ppsSystematic,
     "q356_cochran_armitage" -> cochranArmitage,
     "q357_logrank_test" -> logRank,
+    "q358_segmented_regression" -> segmentedRegression,
+    "q359_weighted_jaccard" -> weightedJaccard,
+    "q360_kendall_w" -> kendallW,
+    "q361_twoway_fe" -> twoWayFixedEffects,
+    "q362_geo_mean" -> geoMean,
+    "q363_negative_sampling" -> negativeSampling,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1003,5 +1252,152 @@ object Modeling {
         |  CAST(round(1000.0 * sum(ome_u) /
         |    sqrt(1000000.0 * sum(v_u))) AS BIGINT) AS z_milli
         |FROM terms""".stripMargin,
+    "q358_segmented_regression" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT max(x)::BIGINT AS xmax FROM daily),
+        |cands AS (SELECT DISTINCT x AS c FROM daily CROSS JOIN bounds
+        |  WHERE x % 90 = 0 AND x >= 180 AND x <= xmax - 180),
+        |sides AS (SELECT c,
+        |    CASE WHEN x < c THEN 0 ELSE 1 END::BIGINT AS side,
+        |    count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy,
+        |    sum(x::HUGEINT * x) AS qxx, sum(x::HUGEINT * y) AS qxy,
+        |    sum(y::HUGEINT * y) AS qyy
+        |  FROM daily CROSS JOIN cands GROUP BY 1, 2),
+        |fit AS (SELECT c, side, n,
+        |    (CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) -
+        |      POW(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2) /
+        |      (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS sse,
+        |    (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) /
+        |      (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope
+        |  FROM sides),
+        |per_c AS (SELECT c, sum(sse) AS sse_tot,
+        |    sum(CASE WHEN side = 0 THEN slope END) AS slope_lo,
+        |    sum(CASE WHEN side = 1 THEN slope END) AS slope_hi
+        |  FROM fit GROUP BY 1),
+        |best AS (SELECT c FROM per_c ORDER BY sse_tot ASC, c ASC LIMIT 1)
+        |SELECT per_c.c AS break_day,
+        |  CAST(round(sse_tot / 1000000.0) AS BIGINT) AS sse_mega,
+        |  CAST(round(1000.0 * slope_lo) AS BIGINT) AS slope_lo_milli,
+        |  CAST(round(1000.0 * slope_hi) AS BIGINT) AS slope_hi_milli
+        |FROM per_c JOIN best ON per_c.c = best.c""".stripMargin,
+    "q359_weighted_jaccard" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS f
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |top AS (SELECT term FROM tf GROUP BY term
+        |  ORDER BY sum(f) DESC, term ASC LIMIT 200),
+        |prof AS (SELECT tf.* FROM tf JOIN top USING (term)),
+        |totals AS (SELECT source, sum(f)::BIGINT AS t
+        |  FROM prof GROUP BY 1),
+        |mins AS (SELECT a.source AS sa, b.source AS sb,
+        |    sum(least(a.f, b.f))::BIGINT AS smin
+        |  FROM prof a JOIN prof b ON a.term = b.term
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT ta.source AS sa, tb.source AS sb,
+        |  coalesce(smin, 0)::BIGINT AS smin,
+        |  (ta.t + tb.t - coalesce(smin, 0))::BIGINT AS smax,
+        |  CAST(1000000::HUGEINT * coalesce(smin, 0)
+        |    // (ta.t + tb.t - coalesce(smin, 0)) AS BIGINT) AS wj_micro
+        |FROM totals ta JOIN totals tb ON ta.source < tb.source
+        |LEFT JOIN mins ON mins.sa = ta.source AND mins.sb = tb.source"""
+        .stripMargin,
+    "q360_kendall_w" ->
+      """WITH cells AS (SELECT
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    c_nationkey AS nat,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ny AS (SELECT count(DISTINCT yr)::BIGINT AS m FROM cells),
+        |complete AS (SELECT nat FROM cells CROSS JOIN ny
+        |  GROUP BY nat, m HAVING count(*) = m),
+        |ranked AS (SELECT yr, nat,
+        |    row_number() OVER (PARTITION BY yr
+        |      ORDER BY cents DESC, nat ASC)::BIGINT AS r
+        |  FROM cells JOIN complete USING (nat)),
+        |sums AS (SELECT nat, sum(r)::BIGINT AS ri
+        |  FROM ranked GROUP BY 1),
+        |nm AS (SELECT count(*)::BIGINT AS n, first(m)::BIGINT AS m
+        |  FROM sums CROSS JOIN ny)
+        |SELECT n, m,
+        |  CAST(round(1000000.0 * 3.0 *
+        |    sum((ri * 2 - m * (n + 1)) * (ri * 2 - m * (n + 1))) /
+        |    (CAST(m AS DOUBLE) * m * n * (CAST(n AS DOUBLE) * n - 1)))
+        |    AS BIGINT) AS w_micro,
+        |  CAST(round(1000.0 * m * (n - 1) * (3.0 *
+        |    sum((ri * 2 - m * (n + 1)) * (ri * 2 - m * (n + 1))) /
+        |    (CAST(m AS DOUBLE) * m * n * (CAST(n AS DOUBLE) * n - 1))))
+        |    AS BIGINT) AS chi2_milli
+        |FROM sums CROSS JOIN nm
+        |GROUP BY n, m""".stripMargin,
+    "q361_twoway_fe" ->
+      """WITH cells AS (SELECT c_nationkey AS nat,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(round(1000.0 * sum(CAST(round(o_totalprice * 100)
+        |      AS BIGINT)) / count(*)) AS BIGINT) AS y_milli,
+        |    CAST(round(1000.0 * sum(CASE WHEN o_orderpriority =
+        |      '1-URGENT' THEN 1 ELSE 0 END) / count(*)) AS BIGINT)
+        |      AS x_milli
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ny AS (SELECT count(DISTINCT yr)::BIGINT AS tt FROM cells),
+        |complete AS (SELECT nat FROM cells CROSS JOIN ny
+        |  GROUP BY nat, tt HAVING count(*) = tt),
+        |bal AS (SELECT cells.* FROM cells JOIN complete USING (nat)),
+        |si AS (SELECT nat, sum(y_milli)::BIGINT AS siy,
+        |    sum(x_milli)::BIGINT AS six FROM bal GROUP BY 1),
+        |st AS (SELECT yr, sum(y_milli)::BIGINT AS sty,
+        |    sum(x_milli)::BIGINT AS stx FROM bal GROUP BY 1),
+        |tot AS (SELECT sum(y_milli)::BIGINT AS sy,
+        |    sum(x_milli)::BIGINT AS sx,
+        |    count(DISTINCT nat)::BIGINT AS nn,
+        |    count(DISTINCT yr)::BIGINT AS tt FROM bal),
+        |dem AS (SELECT
+        |    (nn * tt * y_milli - nn * siy - tt * sty + sy)::BIGINT AS yd,
+        |    (nn * tt * x_milli - nn * six - tt * stx + sx)::BIGINT AS xd
+        |  FROM bal JOIN si USING (nat) JOIN st USING (yr)
+        |  CROSS JOIN tot)
+        |SELECT count(*)::BIGINT AS n_cells,
+        |  CAST(round(1000000.0 * CAST(sum(xd::HUGEINT * yd) AS DOUBLE) /
+        |    CAST(sum(xd::HUGEINT * xd) AS DOUBLE)) AS BIGINT)
+        |    AS beta_micro
+        |FROM dem""".stripMargin,
+    "q362_geo_mean" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(round(exp(CAST(sum(CAST(round(1000000.0 *
+        |    ln(CAST(round(o_totalprice * 100) AS BIGINT))) AS BIGINT))
+        |    AS DOUBLE) / count(*) / 1000000.0)) AS BIGINT) AS geo_cents
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q363_negative_sampling" ->
+      """WITH tf AS (SELECT term, count(*)::BIGINT AS f
+        |  FROM (SELECT unnest(string_split_regex(lower(text),
+        |      '[^a-z]+')) AS term FROM documents) t
+        |  WHERE term <> '' GROUP BY 1),
+        |top AS (SELECT term, f,
+        |    CAST(round(1000.0 * POW(f, 0.75)) AS BIGINT) AS w
+        |  FROM tf ORDER BY f DESC, term ASC LIMIT 1000),
+        |cum AS (SELECT term, f, w,
+        |    coalesce(sum(w) OVER (ORDER BY term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS c_lo
+        |  FROM top),
+        |tot AS (SELECT sum(w)::BIGINT AS s FROM top)
+        |SELECT term, f, w,
+        |  CAST((c_lo::HUGEINT + w) * 500 // s
+        |    - c_lo::HUGEINT * 500 // s AS BIGINT) AS m
+        |FROM cum CROSS JOIN tot
+        |WHERE (c_lo::HUGEINT + w) * 500 // s
+        |    - c_lo::HUGEINT * 500 // s > 0""".stripMargin,
   )
 }

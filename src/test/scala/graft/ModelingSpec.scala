@@ -204,6 +204,87 @@ class ModelingSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("z_milli") - math.round(1000 * z)) <= 2)
   }
 
+  test("q358 segmented regression: break on the candidate grid with margins") {
+    val r = Modeling.segmentedRegression(spark, sfDir).collect()
+    assert(r.length == 1)
+    val c = r.head.getAs[Long]("break_day")
+    assert(c % 90 == 0 && c >= 180)
+    assert(r.head.getAs[Long]("sse_mega") >= 0)
+  }
+
+  test("q359 weighted Jaccard: bounded, complete pair grid, min<=max") {
+    val rows = Modeling.weightedJaccard(spark, sfDir).collect()
+    val sources = rows.flatMap(x => Seq(x.getString(0), x.getString(1)))
+      .distinct.length
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { x =>
+      val wj = x.getAs[Long]("wj_micro")
+      assert(wj >= 0 && wj <= 1000000)
+      assert(x.getAs[Long]("smin") <= x.getAs[Long]("smax"))
+    }
+  }
+
+  test("q360 Kendall W: matches a brute-force recomputation and sits in [0,1]") {
+    val r = Modeling.kendallW(spark, sfDir).collect().head
+    val w = r.getAs[Long]("w_micro")
+    assert(w >= 0 && w <= 1000000)
+    // brute force on collected cells
+    val cells = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+      .groupBy(year(to_date($"o_orderdate")).cast("long").as("yr"),
+        $"c_nationkey".as("nat"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .collect()
+      .map(x => (x.getLong(0), x.getAs[Int]("nat").toLong,
+        x.getLong(2)))
+    val years = cells.map(_._1).distinct
+    val m = years.length
+    val complete = cells.groupBy(_._2).filter(_._2.length == m).keySet
+    val rankSums = scala.collection.mutable.Map.empty[Long, Long]
+    for (y <- years) {
+      val slate = cells.filter(x => x._1 == y && complete(x._2))
+        .sortBy(x => (-x._3, x._2))
+      slate.zipWithIndex.foreach { case (x, i) =>
+        rankSums(x._2) = rankSums.getOrElse(x._2, 0L) + i + 1
+      }
+    }
+    val n = rankSums.size
+    val sd2 = rankSums.values.map { ri =>
+      val d = 2 * ri - m.toLong * (n + 1); d * d
+    }.sum
+    val wBrute = 3.0 * sd2 / (m.toDouble * m * n * (n.toDouble * n - 1))
+    assert(w == math.round(1e6 * wBrute))
+  }
+
+  test("q361 two-way FE: balanced panel (cells divisible by year count)") {
+    val r = Modeling.twoWayFixedEffects(spark, sfDir).collect().head
+    val nCells = r.getAs[Long]("n_cells")
+    val nYears = Tables(spark, sfDir, "orders")
+      .select(year(to_date($"o_orderdate"))).distinct().count()
+    assert(nCells > 0 && nCells % nYears == 0)
+  }
+
+  test("q362 geometric mean: AM-GM — geo never exceeds the arithmetic mean") {
+    val geo = Modeling.geoMean(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("geo_cents")).toMap
+    val am = Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(avg(round($"o_totalprice" * 100).cast("long")).as("am"))
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("am")).toMap
+    geo.foreach { case (k, g) => assert(g <= am(k) + 1) }
+    assert(geo.nonEmpty)
+  }
+
+  test("q363 negative sampling: draws telescope to exactly K=500") {
+    val rows = Modeling.negativeSampling(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("m")).sum == 500L)
+    assert(rows.forall(_.getAs[Long]("m") >= 1))
+    // heavier terms never get fewer draws than lighter ones ± 1 grid cell
+    val byW = rows.sortBy(-_.getAs[Long]("w"))
+    assert(byW.head.getAs[Long]("m") >= byW.last.getAs[Long]("m") - 1)
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
