@@ -840,6 +840,213 @@ object Modeling {
       .select($"term", $"f", $"w", $"m")
   }
 
+  // ---------------- q364 propensity-score matching (1-NN, caliper)
+
+  /** q364 — propensity-score 1-NN caliper matching for the ATT,
+    * closing the causal toolkit's third leg (q340 stratifies, q352
+    * reweights, this MATCHES): every treated order pairs with its
+    * nearest control on the LPM propensity within a 0.05 caliper.
+    * Nearest-neighbor search over a global order WITHOUT sorting the
+    * world: two [[graft.functions.ScaleWindows.rangeCumMax]] passes
+    * (backward and forward along the p axis, controls ordered before
+    * treated at ties so the exclusive prefix is inclusive of equal-p
+    * controls) yield each treated row's bracketing control scores;
+    * the closer side wins (ties backward). Controls collapse to one
+    * deterministic representative per distinct score (min orderkey),
+    * so the match join is a keyed equi-join. The paired difference
+    * is EXACT cents; one long sum ends it. */
+  val psmAtt: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x1")).as("sx1"), sum(dec($"x2")).as("sx2"),
+      sum(($"t" * lit(1000000L)).cast("decimal(38,0)")).as("st"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"t" * lit(1000000L))).as("q1t"),
+      sum(dec($"x2") * dec($"t" * lit(1000000L))).as("q2t"))
+    val b = m.selectExpr("n", "sx1", "sx2", "st",
+      "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n AS s11",
+      "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s22",
+      "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s12",
+      "CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s1t",
+      "CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s2t")
+      .selectExpr("n", "sx1", "sx2", "st",
+        "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2")
+    val scored = rows.crossJoin(broadcast(b))
+      .selectExpr("o_orderkey", "t", "y",
+        "CAST(round(CAST(st AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
+    val back = ScaleWindows.rangeCumMax(scored,
+      Seq($"p", $"t", $"o_orderkey"),
+      when($"t" === 0, $"p"), "p_back")
+    val fwd = ScaleWindows.rangeCumMax(scored,
+      Seq((-$"p").as("np"), $"t", $"o_orderkey"),
+      when($"t" === 0, -$"p"), "np_fwd")
+      .select($"o_orderkey".as("ok2"), (-$"np_fwd").as("p_fwd"))
+    val treated = back.join(fwd, $"o_orderkey" === $"ok2")
+      .filter($"t" === 1)
+      .selectExpr("o_orderkey", "y", "p",
+        "CASE WHEN p_back IS NULL AND p_fwd IS NULL THEN NULL" +
+          " WHEN p_fwd IS NULL THEN p_back" +
+          " WHEN p_back IS NULL THEN p_fwd" +
+          " WHEN p - p_back <= p_fwd - p THEN p_back" +
+          " ELSE p_fwd END AS p_match")
+      .filter($"p_match".isNotNull && abs($"p" - $"p_match") <= 50000L)
+    val rep = scored.filter($"t" === 0)
+      .groupBy($"p".as("p_match"))
+      .agg(min(struct($"o_orderkey", $"y")).as("r"))
+      .select($"p_match", $"r.y".as("y_ctrl"))
+    val nT = scored.filter($"t" === 1).agg(count(lit(1)).as("n_treated"))
+    treated.join(rep, Seq("p_match"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum($"y" - $"y_ctrl").as("sum_diff_cents"))
+      .crossJoin(broadcast(nT))
+      .selectExpr("n_treated", "n_matched",
+        "CAST(round(1000.0 * sum_diff_cents / n_matched) AS BIGINT)" +
+          " AS att_milli_cents")
+  }
+
+  // ------------------------- q365 grid-DBSCAN (density clusters)
+
+  /** q365 — grid-density clustering (the DBSCAN shape that actually
+    * scales): customers land in fixed 2-D cells over
+    * (account balance, total spend); cells with >= 5 points are
+    * dense; dense cells CONNECT through 8-neighborhood adjacency and
+    * components come from the repo's
+    * [[graft.functions.ConnectedComponents.minLabel]] O(log n)
+    * machinery — never a point-to-point distance join. The neighbor
+    * join is a 9-way keyed equi-join on cell id (cells are
+    * unit-spaced, so neighbor ids are arithmetic); everything after
+    * the first groupBy is O(dense cells). Output: one row per
+    * cluster with cell/point tallies, cluster id = min cell id. */
+  val gridDbscan: Q = (s, dir) => {
+    import s.implicits._
+    val spend = Tables(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("sp"))
+    val pts = Tables(s, dir, "customer")
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .na.fill(0L, Seq("sp"))
+      .select(
+        expr("CAST(round(c_acctbal * 100) + 100000 AS BIGINT) div 220000")
+          .as("cx"),
+        expr("sp div 20000000").as("cy"))
+    val dense = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("np"))
+      .filter($"np" >= 5)
+      .select(($"cx" * 100000L + $"cy").as("id"), $"cx", $"cy", $"np")
+    val offs = Seq(-1L, 0L, 1L)
+      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+      .filter { case (dx, dy) => dx != 0 || dy != 0 }
+    val offsets = offs.toDF("dx", "dy")
+    val edges = dense.select($"id", $"cx", $"cy")
+      .crossJoin(broadcast(offsets))
+      .select($"id".as("src"), ($"cx" + $"dx").as("nx"),
+        ($"cy" + $"dy").as("ny"))
+      .join(dense.select($"id".as("dst"), $"cx".as("nx"),
+        $"cy".as("ny")), Seq("nx", "ny"))
+      .filter($"src" < $"dst")
+      .select($"src", $"dst")
+    val comp = graft.functions.ConnectedComponents.minLabel(
+      dense.select($"id"), edges)
+    dense.join(comp, Seq("id"))
+      .groupBy($"component".as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum($"np").as("n_points"))
+      .orderBy($"cluster")
+  }
+
+  // ----------------- q366 Anderson-Darling uniformity test
+
+  /** q366 — Anderson–Darling test that sub-dollar cent fractions are
+    * uniform (the order-statistic complement of q158's Benford
+    * first-digit audit — AD weights the tails where chi-square
+    * (q194) is blind). Ranks come from ONE
+    * [[graft.functions.ScaleWindows.rangeCumSum]] pass (no global
+    * sort); the reverse-order-statistic pairing folds into a single
+    * per-row term (2r−1)·ln F + (2(n−r)+1)·ln(1−F) via j = n+1−i,
+    * quantized to micro PER ROW so the statistic's sum is an
+    * order-independent long. Lattice-centered F = (c+0.5)/1000
+    * keeps both logs finite. */
+  val adUniform: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        (round($"o_totalprice" * 100).cast("long") % 1000L).as("frac"))
+    val ranked = ScaleWindows.rangeCumSum(rows,
+      Seq($"frac", $"o_orderkey"), lit(1L), "rk")
+    val n = rows.agg(count(lit(1)).as("nn"))
+    val terms = ranked.crossJoin(broadcast(n))
+      .selectExpr("nn",
+        "CAST(round(1000000.0 * (" +
+          "(2.0 * (rk + 1) - 1) * ln((frac + 0.5) / 1000.0) +" +
+          "(2.0 * (nn - (rk + 1)) + 1) * ln(1.0 - (frac + 0.5) / 1000.0)" +
+          ")) AS BIGINT) AS term_micro")
+    terms.groupBy($"nn").agg(sum($"term_micro").as("st"))
+      .selectExpr("nn AS n",
+        "CAST(round(1000.0 * (-CAST(nn AS DOUBLE) -" +
+          " CAST(st AS DOUBLE) / 1000000.0 / nn)) AS BIGINT)" +
+          " AS a2_milli")
+  }
+
+  // ------------------ q367 centroid silhouette (cluster quality)
+
+  /** q367 — simplified (centroid) silhouette per label over the
+    * 64-dim embeddings: a = distance to the own-label centroid, b =
+    * distance to the nearest other centroid, s = (b−a)/max(a,b) —
+    * the cluster-quality score batch eval jobs attach to every
+    * clustering run (q238 measures purity against sources; this
+    * needs no external reference). Centroids stay EXACT as
+    * (Σcoord, n) pairs; every point-centroid distance numerator
+    * Σ(v·n − sv)² is an exact decimal sum (order-independent),
+    * divided by n² once — so the argmin over centroids is
+    * engine-stable. Per-point s quantizes to micro before the
+    * per-label mean. Point×centroid fan-out is points × K with K
+    * bounded (the centroid frame broadcasts). */
+  val silhouette: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val coords = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding")
+        .as(Seq("dim", "x")))
+      .select($"vec_id", $"label", $"dim",
+        round($"x".cast("double") * 1000000.0).cast("long").as("v"))
+    val cent = coords.groupBy($"label".as("clab"), $"dim")
+      .agg(sum($"v").as("sv"), count(lit(1)).as("nc"))
+    val d2 = coords.join(cent, Seq("dim"))
+      .groupBy($"vec_id", $"label", $"clab")
+      .agg(sum(dec($"v" * $"nc" - $"sv") * dec($"v" * $"nc" - $"sv"))
+        .as("num"), first($"nc").as("nc"))
+      .selectExpr("vec_id", "label", "clab",
+        "sqrt(CAST(num AS DOUBLE)) / nc AS dist")
+    val ab = d2.groupBy($"vec_id", $"label")
+      .agg(sum(when($"clab" === $"label", $"dist")).as("a"),
+        min(when($"clab" =!= $"label", $"dist")).as("b"))
+      .selectExpr("vec_id", "label",
+        "CAST(round(1000000.0 * CASE WHEN greatest(a, b) > 0" +
+          " THEN (b - a) / greatest(a, b) ELSE 0.0 END) AS BIGINT)" +
+          " AS s_micro")
+    ab.groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"s_micro").as("ss"))
+      .selectExpr("label", "n",
+        "CAST(round(CAST(ss AS DOUBLE) / n) AS BIGINT)" +
+          " AS mean_sil_micro")
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -859,6 +1066,10 @@ object Modeling {
     "q361_twoway_fe" -> twoWayFixedEffects,
     "q362_geo_mean" -> geoMean,
     "q363_negative_sampling" -> negativeSampling,
+    "q364_psm_att" -> psmAtt,
+    "q365_grid_dbscan" -> gridDbscan,
+    "q366_ad_uniform" -> adUniform,
+    "q367_silhouette" -> silhouette,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1399,5 +1610,155 @@ object Modeling {
         |FROM cum CROSS JOIN tot
         |WHERE (c_lo::HUGEINT + w) * 500 // s
         |    - c_lo::HUGEINT * 500 // s > 0""".stripMargin,
+    "q364_psm_att" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+        |    sum((t * 1000000)::HUGEINT) AS st,
+        |    sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+        |    sum(x2::HUGEINT * x2::HUGEINT) AS q22,
+        |    sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+        |    sum(x1::HUGEINT * (t * 1000000)::HUGEINT) AS q1t,
+        |    sum(x2::HUGEINT * (t * 1000000)::HUGEINT) AS q2t
+        |  FROM rows0),
+        |cent AS (SELECT n, sx1, sx2, st,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx1 AS DOUBLE) / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s12,
+        |    CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n AS s1t,
+        |    CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n AS s2t
+        |  FROM m),
+        |b AS (SELECT n, sx1, sx2, st,
+        |    (s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM cent),
+        |sc AS (SELECT o_orderkey, t, y,
+        |    CAST(round(CAST(st AS DOUBLE) / n +
+        |      b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |      b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p
+        |  FROM rows0 CROSS JOIN b),
+        |brk AS (SELECT o_orderkey, t, y, p,
+        |    max(CASE WHEN t = 0 THEN p END) OVER (
+        |      ORDER BY p, t, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS p_back,
+        |    -max(CASE WHEN t = 0 THEN -p END) OVER (
+        |      ORDER BY -p, t, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS p_fwd
+        |  FROM sc),
+        |treated AS (SELECT o_orderkey, y, p,
+        |    CASE WHEN p_back IS NULL AND p_fwd IS NULL THEN NULL
+        |      WHEN p_fwd IS NULL THEN p_back
+        |      WHEN p_back IS NULL THEN p_fwd
+        |      WHEN p - p_back <= p_fwd - p THEN p_back
+        |      ELSE p_fwd END AS p_match
+        |  FROM brk WHERE t = 1),
+        |matched AS (SELECT * FROM treated
+        |  WHERE p_match IS NOT NULL AND abs(p - p_match) <= 50000),
+        |rep AS (SELECT p AS p_match, arg_min(y, o_orderkey) AS y_ctrl
+        |  FROM sc WHERE t = 0 GROUP BY 1),
+        |nt AS (SELECT count(*)::BIGINT AS n_treated FROM sc
+        |  WHERE t = 1)
+        |SELECT n_treated, count(*)::BIGINT AS n_matched,
+        |  CAST(round(1000.0 * sum(y - y_ctrl) / count(*)) AS BIGINT)
+        |    AS att_milli_cents
+        |FROM matched JOIN rep USING (p_match) CROSS JOIN nt
+        |GROUP BY n_treated""".stripMargin,
+    "q365_grid_dbscan" ->
+      """WITH RECURSIVE spend AS (SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS sp
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT
+        |    (CAST(round(c_acctbal * 100) + 100000 AS BIGINT) // 220000)
+        |      ::BIGINT AS cx,
+        |    (coalesce(sp, 0) // 20000000)::BIGINT AS cy
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |dense AS (SELECT (cx * 100000 + cy)::BIGINT AS id, cx, cy,
+        |    count(*)::BIGINT AS np
+        |  FROM pts GROUP BY cx, cy HAVING count(*) >= 5),
+        |offs AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+        |    (SELECT unnest([-1, 0, 1]) AS dy)
+        |  WHERE dx <> 0 OR dy <> 0),
+        |edges0 AS (SELECT a.id AS src, b.id AS dst
+        |  FROM dense a CROSS JOIN offs
+        |  JOIN dense b ON b.cx = a.cx + dx AND b.cy = a.cy + dy
+        |  WHERE a.id < b.id),
+        |edges AS (SELECT src, dst FROM edges0
+        |  UNION SELECT dst, src FROM edges0),
+        |reach(n, lab) AS (
+        |  SELECT id, id FROM dense
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.n),
+        |comp AS (SELECT n AS id, min(lab)::BIGINT AS component
+        |  FROM reach GROUP BY 1)
+        |SELECT component AS cluster, count(*)::BIGINT AS n_cells,
+        |  sum(np)::BIGINT AS n_points
+        |FROM dense JOIN comp USING (id)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q366_ad_uniform" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CAST(round(o_totalprice * 100) AS BIGINT) % 1000)
+        |      ::BIGINT AS frac
+        |  FROM orders),
+        |n_ AS (SELECT count(*)::BIGINT AS nn FROM rows0),
+        |ranked AS (SELECT frac,
+        |    (row_number() OVER (ORDER BY frac, o_orderkey) - 1)
+        |      ::BIGINT AS rk
+        |  FROM rows0),
+        |terms AS (SELECT nn,
+        |    CAST(round(1000000.0 * (
+        |      (2.0 * (rk + 1) - 1) * ln((frac + 0.5) / 1000.0) +
+        |      (2.0 * (nn - (rk + 1)) + 1) *
+        |        ln(1.0 - (frac + 0.5) / 1000.0)
+        |      )) AS BIGINT) AS term_micro
+        |  FROM ranked CROSS JOIN n_)
+        |SELECT nn AS n,
+        |  CAST(round(1000.0 * (-CAST(nn AS DOUBLE) -
+        |    CAST(sum(term_micro) AS DOUBLE) / 1000000.0 / nn))
+        |    AS BIGINT) AS a2_milli
+        |FROM terms GROUP BY nn""".stripMargin,
+    "q367_silhouette" ->
+      """WITH coords AS (SELECT vec_id, label, d AS dim,
+        |    CAST(round(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(range(64)) AS d) dims),
+        |cent AS (SELECT label AS clab, dim, sum(v)::BIGINT AS sv,
+        |    count(*)::BIGINT AS nc
+        |  FROM coords GROUP BY 1, 2),
+        |d2 AS (SELECT vec_id, label, clab,
+        |    sqrt(CAST(sum((v * nc - sv)::HUGEINT * (v * nc - sv))
+        |      AS DOUBLE)) / first(nc) AS dist
+        |  FROM coords JOIN cent USING (dim)
+        |  GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    CAST(round(1000000.0 * CASE WHEN greatest(a, b) > 0
+        |      THEN (b - a) / greatest(a, b) ELSE 0.0 END) AS BIGINT)
+        |      AS s_micro
+        |  FROM (SELECT vec_id, label,
+        |      sum(CASE WHEN clab = label THEN dist END) AS a,
+        |      min(CASE WHEN clab <> label THEN dist END) AS b
+        |    FROM d2 GROUP BY 1, 2))
+        |SELECT label, count(*)::BIGINT AS n,
+        |  CAST(round(CAST(sum(s_micro) AS DOUBLE) / count(*))
+        |    AS BIGINT) AS mean_sil_micro
+        |FROM ab
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -285,6 +285,55 @@ class ModelingSpec extends SparkSpec {
     assert(byW.head.getAs[Long]("m") >= byW.last.getAs[Long]("m") - 1)
   }
 
+  test("q364 PSM: matched subset of treated; ATT consistent") {
+    val r = Modeling.psmAtt(spark, sfDir).collect().head
+    val nT = r.getAs[Long]("n_treated")
+    val nM = r.getAs[Long]("n_matched")
+    assert(nM > 0 && nM <= nT)
+    val nUrgent = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").count()
+    assert(nT == nUrgent)
+  }
+
+  test("q365 grid DBSCAN: every cluster holds >=5 points per dense cell") {
+    val rows = Modeling.gridDbscan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("n_points") >= 5 * x.getAs[Long]("n_cells"))
+    }
+    val total = Tables(spark, sfDir, "customer").count()
+    assert(rows.map(_.getAs[Long]("n_points")).sum <= total)
+  }
+
+  test("q366 AD uniformity: matches a brute-force recomputation") {
+    val r = Modeling.adUniform(spark, sfDir).collect().head
+    val fracs = Tables(spark, sfDir, "orders")
+      .select((round($"o_totalprice" * 100).cast("long") % 1000L)
+        .as("f"), $"o_orderkey")
+      .collect().sortBy(x => (x.getLong(0), x.getLong(1)))
+      .map(_.getLong(0))
+    val n = fracs.length
+    val st = fracs.zipWithIndex.map { case (f, i0) =>
+      val i = i0 + 1
+      val x = (f + 0.5) / 1000.0
+      math.round(1e6 * ((2.0 * i - 1) * math.log(x) +
+        (2.0 * (n - i) + 1) * math.log(1 - x)))
+    }.sum
+    val a2 = -n.toDouble - st.toDouble / 1e6 / n
+    assert(r.getAs[Long]("a2_milli") == math.round(1000 * a2))
+  }
+
+  test("q367 silhouette: scores bounded in [-1,1]; rows cover the table") {
+    val rows = Modeling.silhouette(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val m = x.getAs[Long]("mean_sil_micro")
+      assert(m >= -1000000 && m <= 1000000)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables(spark, sfDir, "embeddings").count())
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
