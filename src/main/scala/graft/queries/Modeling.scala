@@ -1047,6 +1047,161 @@ object Modeling {
       .orderBy($"label")
   }
 
+  // ---------------------- q368 deterministic RANSAC line fit
+
+  /** q368 — RANSAC line fit on the daily revenue series with a
+    * DETERMINISTIC hypothesis grid (anchor days every 240 days, all
+    * anchor pairs as candidate lines) instead of random sampling —
+    * same robustness contract (q177's Theil–Sen resists ~29%
+    * outliers; RANSAC's consensus count survives worse), fully
+    * reproducible and oracle-checkable. Inlier tests are EXACT
+    * integer cross-products |(y−y₁)Δx − (x−x₁)Δy| ≤ band·Δx — no
+    * division anywhere until the final OLS refit on the winning
+    * consensus set. Candidates × days is a bounded crossJoin
+    * (O(anchors²·days)); the winner is one broadcast row. */
+  val ransacLine: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val anchors = daily.filter($"x" % 240 === 0)
+      .select($"x".as("ax"), $"y".as("ay"))
+    val cands = anchors.select($"ax".as("x1"), $"ay".as("y1"))
+      .crossJoin(broadcast(anchors.select($"ax".as("x2"),
+        $"ay".as("y2"))))
+      .filter($"x1" < $"x2")
+    val band = 5000000L
+    val scoredCands = daily.crossJoin(broadcast(cands))
+      .filter(abs(dec(($"y" - $"y1")) * dec($"x2" - $"x1") -
+        dec($"x" - $"x1") * dec($"y2" - $"y1"))
+        <= dec(lit(band)) * dec($"x2" - $"x1"))
+      .groupBy($"x1", $"y1", $"x2", $"y2")
+      .agg(count(lit(1)).as("n_inliers"))
+    val best = scoredCands
+      .agg(max(struct($"n_inliers", (-$"x1").as("nx1"),
+        (-$"x2").as("nx2"))).as("b"))
+      .select((-$"b.nx1").as("x1"), (-$"b.nx2").as("x2"),
+        $"b.n_inliers".as("n_best"))
+    val win = cands.join(broadcast(best), Seq("x1", "x2"))
+    val refit = daily.crossJoin(broadcast(win))
+      .filter(abs(dec(($"y" - $"y1")) * dec($"x2" - $"x1") -
+        dec($"x" - $"x1") * dec($"y2" - $"y1"))
+        <= dec(lit(band)) * dec($"x2" - $"x1"))
+      .groupBy($"x1", $"x2", $"n_best")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(dec($"x") * dec($"x")).as("qxx"),
+        sum(dec($"x") * dec($"y")).as("qxy"))
+    refit.selectExpr("x1", "x2", "n_best AS n_inliers",
+      "CAST(round(1000.0 * (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)" +
+        " * sy / n) / (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+        " * sx / n)) AS BIGINT) AS slope_milli",
+      "CAST(round(CAST(sy AS DOUBLE) / n - ((CAST(qxy AS DOUBLE) -" +
+        " CAST(sx AS DOUBLE) * sy / n) / (CAST(qxx AS DOUBLE) -" +
+        " CAST(sx AS DOUBLE) * sx / n)) * sx / n) AS BIGINT)" +
+        " AS intercept_cents")
+  }
+
+  // ------------- q369 empirical-Bayes Beta-binomial shrinkage
+
+  /** q369 — empirical-Bayes shrinkage of per-source quality rates
+    * under a Beta-binomial model (the rate counterpart of q326's
+    * James–Stein for means): method-of-moments α, β from the
+    * across-source rate spread, then every source's rate pulls
+    * toward the grand mean by its own sample size — small sources
+    * shrink hard, big ones barely move. Per-source rates quantize
+    * to micro BEFORE the cross-source moments (exact longs on the
+    * O(sources) frame); α, β and the posterior means are single
+    * deterministic double expressions. One groupBy(source), one
+    * one-row broadcast. */
+  val ebBetaShrinkage: Q = (s, dir) => {
+    import s.implicits._
+    val src = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"n_chars" > 300, 1L).otherwise(0L)).as("k"))
+      .select($"source", $"n", $"k",
+        expr("CAST(round(1000000.0 * k / n) AS BIGINT)").as("r_micro"))
+    val mom = src.agg(count(lit(1)).as("g"),
+      sum($"r_micro").as("sr"),
+      sum($"r_micro" * $"r_micro").as("qr"))
+      .selectExpr("g",
+        "CAST(sr AS DOUBLE) / g / 1000000.0 AS m",
+        "(CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / g) /" +
+          " (g - 1) / 1000000.0 / 1000000.0 AS v")
+      .selectExpr("m", "v",
+        "m * (m * (1.0 - m) / v - 1.0) AS alpha",
+        "(1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta")
+    src.crossJoin(broadcast(mom))
+      .select($"source", $"n", $"k", $"r_micro",
+        expr("CAST(round(1000000.0 * (k + alpha) / (n + alpha + beta))" +
+          " AS BIGINT)").as("eb_micro"))
+      .orderBy($"source")
+  }
+
+  // -------------- q370 Hosmer-Lemeshow calibration GOF
+
+  /** q370 — Hosmer–Lemeshow goodness-of-fit for the LPM propensity
+    * (the grouped chi-square that q224's ECE reports as a mean
+    * absolute gap): decile groups along the predicted score via the
+    * same rangeCumSum rank backbone, observed vs expected urgent
+    * counts per group, Σ(O−E)²∕(E(1−E/n)) with E kept as an EXACT
+    * micro-sum of the integer scores. Per-group terms quantize to
+    * micro before the final 10-row sum. */
+  val hosmerLemeshow: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x1")).as("sx1"), sum(dec($"x2")).as("sx2"),
+      sum(($"t" * lit(1000000L)).cast("decimal(38,0)")).as("st"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"t" * lit(1000000L))).as("q1t"),
+      sum(dec($"x2") * dec($"t" * lit(1000000L))).as("q2t"))
+    val b = m.selectExpr("n", "sx1", "sx2", "st",
+      "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n AS s11",
+      "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s22",
+      "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s12",
+      "CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s1t",
+      "CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s2t")
+      .selectExpr("n", "sx1", "sx2", "st",
+        "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2")
+    val scored = rows.crossJoin(broadcast(b))
+      .selectExpr("o_orderkey", "t",
+        "CAST(round(CAST(st AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
+    val ranked = ScaleWindows.rangeCumSum(scored,
+      Seq($"p", $"o_orderkey"), lit(1L), "rk")
+    val n = rows.agg(count(lit(1)).as("nn"))
+    val cells = ranked.crossJoin(broadcast(n))
+      .select(expr("rk * 10 div nn").as("g"), $"t", $"p")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("ng"), sum($"t").as("og"), sum($"p").as("ep"))
+    val terms = cells.selectExpr("g",
+      "CAST(round(1000000.0 *" +
+        " POW(og - CAST(ep AS DOUBLE) / 1000000.0, 2) /" +
+        " ((CAST(ep AS DOUBLE) / 1000000.0) *" +
+        "  (1.0 - CAST(ep AS DOUBLE) / 1000000.0 / ng))) AS BIGINT)" +
+        " AS term_micro")
+    terms.agg(count(lit(1)).as("n_groups"), sum($"term_micro").as("st"))
+      .selectExpr("n_groups", "(n_groups - 2) AS df",
+        "CAST(round(CAST(st AS DOUBLE) / 1000.0) AS BIGINT)" +
+          " AS hl_milli")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -1070,6 +1225,9 @@ object Modeling {
     "q365_grid_dbscan" -> gridDbscan,
     "q366_ad_uniform" -> adUniform,
     "q367_silhouette" -> silhouette,
+    "q368_ransac_line" -> ransacLine,
+    "q369_eb_beta_shrinkage" -> ebBetaShrinkage,
+    "q370_hosmer_lemeshow" -> hosmerLemeshow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1760,5 +1918,123 @@ object Modeling {
         |FROM ab
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "q368_ransac_line" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |anchors AS (SELECT x AS ax, y AS ay FROM daily
+        |  WHERE x % 240 = 0),
+        |cands AS (SELECT a.ax AS x1, a.ay AS y1, b.ax AS x2, b.ay AS y2
+        |  FROM anchors a JOIN anchors b ON a.ax < b.ax),
+        |scored AS (SELECT x1, y1, x2, y2, count(*)::BIGINT AS n_inliers
+        |  FROM daily CROSS JOIN cands
+        |  WHERE abs((y - y1)::HUGEINT * (x2 - x1)
+        |      - (x - x1)::HUGEINT * (y2 - y1))
+        |    <= 5000000::HUGEINT * (x2 - x1)
+        |  GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT x1, y1, x2, y2, n_inliers AS n_best
+        |  FROM scored ORDER BY n_inliers DESC, x1 ASC, x2 ASC LIMIT 1),
+        |refit AS (SELECT x1, x2, n_best, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x::HUGEINT * x) AS qxx, sum(x::HUGEINT * y) AS qxy
+        |  FROM daily CROSS JOIN best
+        |  WHERE abs((y - y1)::HUGEINT * (x2 - x1)
+        |      - (x - x1)::HUGEINT * (y2 - y1))
+        |    <= 5000000::HUGEINT * (x2 - x1)
+        |  GROUP BY 1, 2, 3)
+        |SELECT x1, x2, n_best AS n_inliers,
+        |  CAST(round(1000.0 * (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |    * sy / n) / (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |    * sx / n)) AS BIGINT) AS slope_milli,
+        |  CAST(round(CAST(sy AS DOUBLE) / n - ((CAST(qxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * sy / n) / (CAST(qxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * sx / n)) * sx / n) AS BIGINT)
+        |    AS intercept_cents
+        |FROM refit""".stripMargin,
+    "q369_eb_beta_shrinkage" ->
+      """WITH src AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::BIGINT AS k
+        |  FROM documents GROUP BY 1),
+        |src2 AS (SELECT source, n, k,
+        |    CAST(round(1000000.0 * k / n) AS BIGINT) AS r_micro
+        |  FROM src),
+        |mom0 AS (SELECT count(*)::BIGINT AS g, sum(r_micro)::BIGINT AS sr,
+        |    sum(r_micro::HUGEINT * r_micro) AS qr
+        |  FROM src2),
+        |mom1 AS (SELECT
+        |    CAST(sr AS DOUBLE) / g / 1000000.0 AS m,
+        |    (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / g) /
+        |      (g - 1) / 1000000.0 / 1000000.0 AS v
+        |  FROM mom0),
+        |mom AS (SELECT m, v,
+        |    m * (m * (1.0 - m) / v - 1.0) AS alpha,
+        |    (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+        |  FROM mom1)
+        |SELECT source, n, k, r_micro,
+        |  CAST(round(1000000.0 * (k + alpha) / (n + alpha + beta))
+        |    AS BIGINT) AS eb_micro
+        |FROM src2 CROSS JOIN mom
+        |ORDER BY source""".stripMargin,
+    "q370_hosmer_lemeshow" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+        |    sum((t * 1000000)::HUGEINT) AS st,
+        |    sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+        |    sum(x2::HUGEINT * x2::HUGEINT) AS q22,
+        |    sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+        |    sum(x1::HUGEINT * (t * 1000000)::HUGEINT) AS q1t,
+        |    sum(x2::HUGEINT * (t * 1000000)::HUGEINT) AS q2t
+        |  FROM rows0),
+        |cent AS (SELECT n, sx1, sx2, st,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx1 AS DOUBLE) / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(sx2 AS DOUBLE) / n AS s12,
+        |    CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n AS s1t,
+        |    CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n AS s2t
+        |  FROM m),
+        |b AS (SELECT n, sx1, sx2, st,
+        |    (s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM cent),
+        |sc AS (SELECT o_orderkey, t,
+        |    CAST(round(CAST(st AS DOUBLE) / n +
+        |      b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |      b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p
+        |  FROM rows0 CROSS JOIN b),
+        |n_ AS (SELECT count(*)::BIGINT AS nn FROM sc),
+        |ranked AS (SELECT t, p,
+        |    (row_number() OVER (ORDER BY p, o_orderkey) - 1)::BIGINT
+        |      AS rk
+        |  FROM sc),
+        |cells AS (SELECT (rk * 10 // nn)::BIGINT AS g,
+        |    count(*)::BIGINT AS ng, sum(t)::BIGINT AS og,
+        |    sum(p)::BIGINT AS ep
+        |  FROM ranked CROSS JOIN n_ GROUP BY 1),
+        |terms AS (SELECT g,
+        |    CAST(round(1000000.0 *
+        |      POW(og - CAST(ep AS DOUBLE) / 1000000.0, 2) /
+        |      ((CAST(ep AS DOUBLE) / 1000000.0) *
+        |       (1.0 - CAST(ep AS DOUBLE) / 1000000.0 / ng)))
+        |      AS BIGINT) AS term_micro
+        |  FROM cells)
+        |SELECT count(*)::BIGINT AS n_groups,
+        |  (count(*) - 2)::BIGINT AS df,
+        |  CAST(round(CAST(sum(term_micro) AS DOUBLE) / 1000.0)
+        |    AS BIGINT) AS hl_milli
+        |FROM terms""".stripMargin,
   )
 }

@@ -334,6 +334,34 @@ class ModelingSpec extends SparkSpec {
       Tables(spark, sfDir, "embeddings").count())
   }
 
+  test("q368 RANSAC: anchors on the grid, consensus non-trivial") {
+    val r = Modeling.ransacLine(spark, sfDir).collect().head
+    assert(r.getAs[Long]("x1") % 240 == 0 && r.getAs[Long]("x2") % 240 == 0)
+    assert(r.getAs[Long]("x1") < r.getAs[Long]("x2"))
+    assert(r.getAs[Long]("n_inliers") >= 2)
+  }
+
+  test("q369 EB shrinkage: every posterior sits between raw rate and grand mean") {
+    val rows = Modeling.ebBetaShrinkage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(_.getAs[Long]("r_micro")).sum.toDouble / rows.length
+    rows.foreach { x =>
+      val raw = x.getAs[Long]("r_micro").toDouble
+      val eb = x.getAs[Long]("eb_micro").toDouble
+      val lo = math.min(raw, m) - 1
+      val hi = math.max(raw, m) + 1
+      assert(eb >= lo && eb <= hi,
+        s"${x.getString(0)}: eb=$eb outside [$lo, $hi]")
+    }
+  }
+
+  test("q370 Hosmer-Lemeshow: ten groups, df 8, non-negative statistic") {
+    val r = Modeling.hosmerLemeshow(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_groups") == 10)
+    assert(r.getAs[Long]("df") == 8)
+    assert(r.getAs[Long]("hl_milli") >= 0)
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
