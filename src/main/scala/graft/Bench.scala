@@ -62,8 +62,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // only a full (unfiltered) sweep may overwrite the committed map —
+    // a SPARK_GRAFT_ONLY dev run would otherwise clobber it with a subset
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
     // stdout gets ONE compact line that FITS the tail buffer: total over
     // all queries + a stable headline subset (heavies + one per family,
     // names unchanged since round 1 so rounds stay comparable).

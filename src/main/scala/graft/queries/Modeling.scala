@@ -1202,6 +1202,189 @@ object Modeling {
           " AS hl_milli")
   }
 
+  // --------------------- q371 intraclass correlation ICC(1)
+
+  /** q371 — one-way random-effects intraclass correlation of document
+    * length by source (Shrout & Fleiss ICC(1)): how much of the
+    * length variance is BETWEEN sources — the reliability number
+    * behind "is source a meaningful grouping for stratification?"
+    * (q253 tests the same decomposition; ICC reports its magnitude).
+    * MSB/MSW come from the O(sources) moment frame with Σchars²
+    * in decimal(38,0); the unbalanced-design n₀ correction
+    * (N − Σn_g²/N)/(G−1) is exact integer arithmetic over the same
+    * frame. One groupBy, one one-row output. */
+  val icc1: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = Tables(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sv"),
+        sum(dec($"n_chars") * dec($"n_chars")).as("qv"))
+    val agg = g.agg(count(lit(1)).as("gg"), sum($"n").as("nn"),
+      sum($"sv").as("st"), sum($"qv").as("qt"),
+      sum($"n" * $"n").as("sn2"),
+      // SSW = Σ_g (Σv² − (Σv)²/n_g): quantize per GROUP (one row
+      // each), exact until the division
+      sum(expr("CAST(round(CAST(qv AS DOUBLE) -" +
+        " CAST(sv AS DOUBLE) * sv / n) AS BIGINT)")).as("ssw"),
+      sum(expr("CAST(round(CAST(sv AS DOUBLE) * sv / n) AS BIGINT)"))
+        .as("ssb_base"))
+    agg.selectExpr("gg", "nn",
+      "CAST(ssb_base AS DOUBLE) - CAST(st AS DOUBLE) * st / nn AS ssb",
+      "CAST(ssw AS DOUBLE) AS sswd",
+      "(CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (gg - 1)" +
+        " AS n0")
+      .selectExpr("gg", "nn",
+        "ssb / (gg - 1) AS msb", "sswd / (nn - gg) AS msw", "n0")
+      .selectExpr("gg AS n_sources", "nn AS n_docs",
+        "CAST(round(1000000.0 * (msb - msw) / (msb + (n0 - 1.0) * msw))" +
+          " AS BIGINT) AS icc_micro")
+  }
+
+  // ------------------ q372 price indices (Laspeyres/Paasche/Fisher)
+
+  /** q372 — classic index-number analytics between the first and
+    * last order years: Laspeyres (base-weighted), Paasche
+    * (current-weighted) and Fisher's ideal geometric mean over the
+    * parts traded in BOTH years. Per-part unit values are rationals
+    * Σprice/Σqty; each index term quantizes to micro-cents PER PART
+    * (deterministic double of exact ints) before the long sums, so
+    * the three ratios are order-independent. Everything shuffles on
+    * the part key once per year; the output is one row. */
+  val priceIndex: Q = (s, dir) => {
+    import s.implicits._
+    def yearAgg(yr: Int) = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter(year(to_date($"o_orderdate")) === yr)
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("e"),
+        sum($"l_quantity".cast("long")).as("q"))
+    val base = yearAgg(1995).select($"l_partkey", $"e".as("e0"),
+      $"q".as("q0"))
+    val cur = yearAgg(2000).select($"l_partkey", $"e".as("e1"),
+      $"q".as("q1"))
+    val terms = base.join(cur, Seq("l_partkey"))
+      .selectExpr("l_partkey", "e0", "q0", "e1", "q1",
+        // p1·q0 and p0·q1 as micro-cents, quantized per part
+        "CAST(round(1000000.0 * e1 * q0 / q1) AS BIGINT) AS p1q0_u",
+        "CAST(round(1000000.0 * e0 * q1 / q0) AS BIGINT) AS p0q1_u")
+    terms.agg(count(lit(1)).as("n_parts"),
+        sum($"e0").as("se0"), sum($"e1").as("se1"),
+        sum($"p1q0_u").as("sp1q0"), sum($"p0q1_u").as("sp0q1"))
+      .selectExpr("n_parts",
+        "CAST(round(CAST(sp1q0 AS DOUBLE) / se0) AS BIGINT)" +
+          " AS laspeyres_micro",
+        "CAST(round(1000000.0 * 1000000.0 * se1 / sp0q1) AS BIGINT)" +
+          " AS paasche_micro",
+        "CAST(round(sqrt((CAST(sp1q0 AS DOUBLE) / se0) *" +
+          " (1000000.0 * 1000000.0 * se1 / sp0q1))) AS BIGINT)" +
+          " AS fisher_micro")
+  }
+
+  // ---------------- q373 Weibull fit of inter-arrival gaps
+
+  /** q373 — Weibull shape/scale for user inter-event gaps by the
+    * log-moment method (ln X of a Weibull is Gumbel-min: σ_lnX =
+    * π/(k√6), E[lnX] = lnλ − γ/k) — the reliability/engagement
+    * model behind "are events bursty (k<1) or regular (k>1)?",
+    * next to q198/q330/q357's nonparametric survival tools. Gaps
+    * come from ONE lag window partitioned per user (never global);
+    * ln(gap) quantizes to micro per row; the Gumbel moment solve
+    * runs on the one-row exact aggregate. */
+  val weibullGaps: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gaps = Tables(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+      .withColumn("gap_us", $"tus" - lag($"tus", 1).over(w))
+      .filter($"gap_us" > 0)
+      .select(expr("CAST(round(1000000.0 * ln(gap_us)) AS BIGINT)")
+        .as("l"))
+    gaps.agg(count(lit(1)).as("n"), sum($"l").as("sl"),
+        sum(dec($"l") * dec($"l")).as("ql"))
+      .selectExpr("n",
+        "CAST(sl AS DOUBLE) / n / 1000000.0 AS mu",
+        "sqrt((CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n)" +
+          " / (n - 1)) / 1000000.0 AS sigma")
+      .selectExpr("n",
+        "CAST(round(1000.0 * pi() / (sigma * sqrt(6.0))) AS BIGINT)" +
+          " AS k_milli",
+        "CAST(round(exp(mu + 0.5772156649015329 /" +
+          " (pi() / (sigma * sqrt(6.0))))) AS BIGINT) AS lambda_us")
+  }
+
+  // -------------- q374 detrended fluctuation analysis (DFA)
+
+  /** q374 — DFA-1 scaling exponent of the daily revenue series, the
+    * nonstationarity-robust complement of q320's rescaled-range
+    * Hurst: the mean-centered cumulative profile is detrended per
+    * block at scales {8,16,32,64} days and α is the log-log slope
+    * of the fluctuation function. The profile is kept EXACT as
+    * N·P(t) − t·S (inclusive prefix sum from one
+    * [[graft.functions.ScaleWindows.rangeCumSum]] pass — no global
+    * sort); per-block SSEs come from exact decimal moments of
+    * (t, profile); the 4-point log-log OLS is closed-form on the
+    * O(scales) frame. */
+  val dfa: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val idx = ScaleWindows.rangeCumSums(daily, Seq($"t"),
+      Seq(col("y") -> "p_ex", lit(1L) -> "r_ex"))
+    val tot = daily.agg(sum($"y").as("s"), count(lit(1)).as("nn"))
+    // profile at rank r (1-based, inclusive): Yr = P(r) − r·S/N with
+    // the linear term quantized per row — keeps |Yr| at
+    // random-walk-deviation scale so per-block SSE stays in int64
+    // headroom after the 1e-6 quantization below
+    val prof = idx.crossJoin(broadcast(tot))
+      .select(($"r_ex" + 1L).as("r"),
+        (($"p_ex" + $"y") -
+          expr("CAST(round(CAST(r_ex + 1 AS DOUBLE) * s / nn)" +
+            " AS BIGINT)")).as("yp"),
+        $"nn")
+    val scales = Seq(8L, 16L, 32L, 64L).toDF("sc")
+    val blocks = prof.crossJoin(broadcast(scales))
+      .select($"sc", expr("(r - 1) div sc").as("blk"), $"r", $"yp", $"nn")
+      // drop the ragged tail block so every block has exactly sc rows
+      .filter(expr("(r - 1) div sc") < expr("nn div sc"))
+      .groupBy($"sc", $"blk")
+      .agg(count(lit(1)).as("n"), sum($"r").as("sx"), sum($"yp").as("sy"),
+        sum(dec($"r") * dec($"r")).as("qxx"),
+        sum(dec($"r") * dec($"yp")).as("qxy"),
+        sum(dec($"yp") * dec($"yp")).as("qyy"))
+      .selectExpr("sc",
+        "(CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) -" +
+          " POW(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2) /" +
+          " (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS sse",
+        "n")
+      // per-block SSE quantized (1e-6 cents² units) before the
+      // cross-block mean — order-independent and overflow-safe
+      .select($"sc", $"n",
+        expr("CAST(round(sse / 1000000.0) AS BIGINT)").as("sse_q"))
+    val fluct = blocks.groupBy($"sc")
+      .agg(count(lit(1)).as("nb"), sum($"sse_q").as("ssum"))
+      .selectExpr("sc",
+        "CAST(round(1000000.0 * 0.5 *" +
+          " ln(CAST(ssum AS DOUBLE) * 1000000.0 / (nb * sc)) )" +
+          " AS BIGINT) AS lf_micro",
+        "CAST(round(1000000.0 * ln(CAST(sc AS DOUBLE))) AS BIGINT)" +
+          " AS ls_micro")
+    fluct.agg(count(lit(1)).as("k"), sum($"ls_micro").as("sx"),
+        sum($"lf_micro").as("sy"),
+        sum(dec($"ls_micro") * dec($"ls_micro")).as("qxx"),
+        sum(dec($"ls_micro") * dec($"lf_micro")).as("qxy"))
+      .selectExpr("k AS n_scales",
+        "CAST(round(1000.0 * (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)" +
+          " * sy / k) / (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+          " * sx / k)) AS BIGINT) AS alpha_milli")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -1228,6 +1411,10 @@ object Modeling {
     "q368_ransac_line" -> ransacLine,
     "q369_eb_beta_shrinkage" -> ebBetaShrinkage,
     "q370_hosmer_lemeshow" -> hosmerLemeshow,
+    "q371_icc" -> icc1,
+    "q372_price_index" -> priceIndex,
+    "q373_weibull_gaps" -> weibullGaps,
+    "q374_dfa" -> dfa,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2036,5 +2223,130 @@ object Modeling {
         |  CAST(round(CAST(sum(term_micro) AS DOUBLE) / 1000.0)
         |    AS BIGINT) AS hl_milli
         |FROM terms""".stripMargin,
+    "q371_icc" ->
+      """WITH g AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(n_chars)::BIGINT AS sv,
+        |    sum(n_chars::HUGEINT * n_chars) AS qv
+        |  FROM documents GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS gg, sum(n)::BIGINT AS nn,
+        |    sum(sv)::BIGINT AS st,
+        |    sum(n * n)::BIGINT AS sn2,
+        |    sum(CAST(round(CAST(qv AS DOUBLE) -
+        |      CAST(sv AS DOUBLE) * sv / n) AS BIGINT))::BIGINT AS ssw,
+        |    sum(CAST(round(CAST(sv AS DOUBLE) * sv / n) AS BIGINT))
+        |      ::BIGINT AS ssb_base
+        |  FROM g),
+        |mid AS (SELECT gg, nn,
+        |    CAST(ssb_base AS DOUBLE) - CAST(st AS DOUBLE) * st / nn
+        |      AS ssb,
+        |    CAST(ssw AS DOUBLE) AS sswd,
+        |    (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (gg - 1)
+        |      AS n0
+        |  FROM agg),
+        |ms AS (SELECT gg, nn, ssb / (gg - 1) AS msb,
+        |    sswd / (nn - gg) AS msw, n0
+        |  FROM mid)
+        |SELECT gg AS n_sources, nn AS n_docs,
+        |  CAST(round(1000000.0 * (msb - msw) /
+        |    (msb + (n0 - 1.0) * msw)) AS BIGINT) AS icc_micro
+        |FROM ms""".stripMargin,
+    "q372_price_index" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS e,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) IN (1995, 2000)
+        |  GROUP BY 1, 2),
+        |base AS (SELECT l_partkey, e AS e0, q AS q0 FROM li
+        |  WHERE yr = 1995),
+        |cur AS (SELECT l_partkey, e AS e1, q AS q1 FROM li
+        |  WHERE yr = 2000),
+        |terms AS (SELECT base.l_partkey, e0, q0, e1, q1,
+        |    CAST(round(1000000.0 * e1 * q0 / q1) AS BIGINT) AS p1q0_u,
+        |    CAST(round(1000000.0 * e0 * q1 / q0) AS BIGINT) AS p0q1_u
+        |  FROM base JOIN cur USING (l_partkey))
+        |SELECT count(*)::BIGINT AS n_parts,
+        |  CAST(round(CAST(sum(p1q0_u) AS DOUBLE) / sum(e0)) AS BIGINT)
+        |    AS laspeyres_micro,
+        |  CAST(round(1000000.0 * 1000000.0 * sum(e1) / sum(p0q1_u))
+        |    AS BIGINT) AS paasche_micro,
+        |  CAST(round(sqrt((CAST(sum(p1q0_u) AS DOUBLE) / sum(e0)) *
+        |    (1000000.0 * 1000000.0 * sum(e1) / sum(p0q1_u))))
+        |    AS BIGINT) AS fisher_micro
+        |FROM terms""".stripMargin,
+    "q373_weibull_gaps" ->
+      """WITH seq AS (SELECT user_id, epoch_us(ts)::BIGINT AS tus,
+        |    event_id
+        |  FROM events),
+        |gaps AS (SELECT tus - lag(tus, 1) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS gap_us
+        |  FROM seq),
+        |ls AS (SELECT CAST(round(1000000.0 * ln(gap_us)) AS BIGINT)
+        |    AS l
+        |  FROM gaps WHERE gap_us > 0),
+        |agg AS (SELECT count(*)::BIGINT AS n, sum(l)::BIGINT AS sl,
+        |    sum(l::HUGEINT * l) AS ql
+        |  FROM ls),
+        |mid AS (SELECT n,
+        |    CAST(sl AS DOUBLE) / n / 1000000.0 AS mu,
+        |    sqrt((CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n)
+        |      / (n - 1)) / 1000000.0 AS sigma
+        |  FROM agg)
+        |SELECT n,
+        |  CAST(round(1000.0 * pi() / (sigma * sqrt(6.0))) AS BIGINT)
+        |    AS k_milli,
+        |  CAST(round(exp(mu + 0.5772156649015329 /
+        |    (pi() / (sigma * sqrt(6.0))))) AS BIGINT) AS lambda_us
+        |FROM mid""".stripMargin,
+    "q374_dfa" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(y)::BIGINT AS s, count(*)::BIGINT AS nn
+        |  FROM daily),
+        |prof AS (SELECT
+        |    row_number() OVER (ORDER BY t)::BIGINT AS r,
+        |    (sum(y) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)
+        |     - CAST(round(CAST(row_number() OVER (ORDER BY t) AS DOUBLE)
+        |       * s / nn) AS BIGINT))::BIGINT AS yp,
+        |    nn
+        |  FROM daily CROSS JOIN tot),
+        |blocks AS (SELECT sc, (r - 1) // sc AS blk,
+        |    count(*)::BIGINT AS n, sum(r)::BIGINT AS sx,
+        |    sum(yp)::BIGINT AS sy,
+        |    sum(r::HUGEINT * r) AS qxx, sum(r::HUGEINT * yp) AS qxy,
+        |    sum(yp::HUGEINT * yp) AS qyy
+        |  FROM prof CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS sc)
+        |  WHERE (r - 1) // sc < nn // sc
+        |  GROUP BY 1, 2),
+        |sses AS (SELECT sc,
+        |    CAST(round((
+        |      (CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) -
+        |      POW(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n, 2) /
+        |      (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |      ) / 1000000.0) AS BIGINT) AS sse_q
+        |  FROM blocks),
+        |fluct AS (SELECT sc, count(*)::BIGINT AS nb,
+        |    sum(sse_q)::BIGINT AS ssum
+        |  FROM sses GROUP BY 1),
+        |pts AS (SELECT
+        |    CAST(round(1000000.0 * 0.5 * ln(CAST(ssum AS DOUBLE)
+        |      * 1000000.0 / (nb * sc))) AS BIGINT) AS lf_micro,
+        |    CAST(round(1000000.0 * ln(CAST(sc AS DOUBLE))) AS BIGINT)
+        |      AS ls_micro
+        |  FROM fluct)
+        |SELECT count(*)::BIGINT AS n_scales,
+        |  CAST(round(1000.0 * (CAST(sum(ls_micro::HUGEINT * lf_micro)
+        |      AS DOUBLE) - CAST(sum(ls_micro) AS DOUBLE)
+        |      * sum(lf_micro) / count(*)) /
+        |    (CAST(sum(ls_micro::HUGEINT * ls_micro) AS DOUBLE)
+        |      - CAST(sum(ls_micro) AS DOUBLE) * sum(ls_micro)
+        |      / count(*))) AS BIGINT) AS alpha_milli
+        |FROM pts""".stripMargin,
   )
 }

@@ -362,6 +362,37 @@ class ModelingSpec extends SparkSpec {
     assert(r.getAs[Long]("hl_milli") >= 0)
   }
 
+  test("q371 ICC: bounded above by 1, covers every document") {
+    val r = Modeling.icc1(spark, sfDir).collect().head
+    assert(r.getAs[Long]("icc_micro") <= 1000000)
+    assert(r.getAs[Long]("n_docs") ==
+      Tables(spark, sfDir, "documents").count())
+  }
+
+  test("q372 price index: Fisher is the geometric mean of L and P") {
+    val r = Modeling.priceIndex(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_parts") > 0)
+    val l = r.getAs[Long]("laspeyres_micro")
+    val p = r.getAs[Long]("paasche_micro")
+    val f = r.getAs[Long]("fisher_micro")
+    assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1)
+    assert(math.abs(f - math.round(math.sqrt(l.toDouble * p))) <= 2)
+  }
+
+  test("q373 Weibull gaps: positive shape and scale") {
+    val r = Modeling.weibullGaps(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n") > 0)
+    assert(r.getAs[Long]("k_milli") > 0)
+    assert(r.getAs[Long]("lambda_us") > 0)
+  }
+
+  test("q374 DFA: four scales, exponent in a sane band") {
+    val r = Modeling.dfa(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_scales") == 4)
+    val a = r.getAs[Long]("alpha_milli")
+    assert(a > 0 && a < 2000, s"alpha_milli=$a")
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")

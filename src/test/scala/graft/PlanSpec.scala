@@ -359,4 +359,29 @@ class PlanSpec extends SparkSpec {
     assert(plan("q321_rocchio_feedback").contains("BroadcastHashJoin"))
   }
 
+  test("modeling batch (q346-q370) keeps its scale plan shapes") {
+    // q346: the top-3 rank prunes inside each item partition BEFORE
+    // any exchange — the property that keeps the serving table join
+    // O(k·items)
+    assert(plan("q346_item_cf_topk").contains("WindowGroupLimit"))
+    // q352: three OLS fits from one moment pass — no window, no
+    // shuffled row-level join anywhere in the plan
+    val p352 = plan("q352_doubly_robust_ate")
+    assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p352).hasNext,
+      "unexpected window in the AIPW moment plan")
+    // q367: the centroid frame broadcasts onto the coordinate stream
+    assert(plan("q367_silhouette").contains("BroadcastHashJoin"))
+    // q365: grid density clustering never materializes a
+    // point-to-point distance join
+    assert(!plan("q365_grid_dbscan").contains("CartesianProduct"))
+    // q364: both nearest-control passes ride the range exchange —
+    // every window in the plan is partition-local
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val w364 = graft.queries.Modeling.psmAtt(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    assert(w364.isEmpty, "unpartitioned window in the PSM plan")
+  }
+
 }
