@@ -1385,6 +1385,201 @@ object Modeling {
           " * sx / k)) AS BIGINT) AS alpha_milli")
   }
 
+  // --------------------- q375 Atkinson inequality index
+
+  /** q375 — Atkinson inequality index (ε = 1) of order value per
+    * customer region: 1 − geomean/mean, the welfare-grounded
+    * complement of q171's Gini and q339's Lorenz deciles (ε = 1
+    * weights transfers at the bottom of the distribution). Log
+    * values quantize per ROW (q362's defense), means stay exact
+    * rationals, and the index is one deterministic expression per
+    * O(regions) row. */
+  val atkinsonIndex: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", ($"c_nationkey" % 5).cast("long").as("region")),
+        $"o_custkey" === $"c_custkey")
+      .select($"region",
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        expr("CAST(round(1000000.0 *" +
+          " ln(CAST(round(o_totalprice * 100) AS BIGINT))) AS BIGINT)")
+          .as("l"))
+      .groupBy($"region")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"), sum($"l").as("sl"))
+      .selectExpr("region", "n",
+        "CAST(round(1000000.0 * (1.0 -" +
+          " exp(CAST(sl AS DOUBLE) / n / 1000000.0) /" +
+          " (CAST(sy AS DOUBLE) / n))) AS BIGINT) AS atkinson_micro")
+      .orderBy($"region")
+  }
+
+  // ------------------ q376 restricted mean survival time
+
+  /** q376 — restricted mean survival time to first purchase at the
+    * 7-day horizon: the area under the Kaplan–Meier curve, the
+    * scalar effect measure survival analysts report when hazards
+    * aren't proportional (q198 draws the curve; q357 tests it; this
+    * integrates it). The KM product folds into a cumulative SUM of
+    * per-day quantized ln(1−d/r); at-risk counts come from the same
+    * grid reduction as q357; the integral is S(t) summed over a
+    * LITERAL 7-row horizon frame joined to the event-day grid —
+    * everything after the per-user groupBy is O(horizon). */
+  val rmst: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val entry = e.groupBy($"user_id").agg(min($"ts").as("entry"))
+    val fp = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("conv"))
+    val horizon = 7L
+    val durs = entry.join(fp, Seq("user_id"), "left")
+      .select(
+        when($"conv".isNotNull &&
+            datediff(to_date($"conv"), to_date($"entry")) <= horizon,
+          datediff(to_date($"conv"), to_date($"entry")).cast("long"))
+          .otherwise(lit(horizon)).as("d"),
+        when($"conv".isNotNull &&
+            datediff(to_date($"conv"), to_date($"entry")) <= horizon,
+          1L).otherwise(0L).as("evt"))
+    val grid = durs.groupBy($"d").agg(count(lit(1)).as("x"),
+      sum($"evt").as("de"))
+    val tot = durs.agg(count(lit(1)).as("t"))
+    // exits before each day -> at-risk; quantized ln(1 - d/r) per day
+    val cum = graft.functions.ScaleWindows.rangeCumSum(grid, Seq($"d"),
+      $"x", "e_before")
+    val lnf = cum.crossJoin(broadcast(tot))
+      .filter($"de" > 0)
+      .select($"d",
+        expr("CAST(round(1000000.0 * ln(1.0 -" +
+          " CAST(de AS DOUBLE) / (t - e_before))) AS BIGINT)")
+          .as("lf"))
+    val horizonDf = (0L until horizon).toDF("h")
+    val st = horizonDf.join(lnf, $"d" <= $"h", "left")
+      .groupBy($"h").agg(coalesce(sum($"lf"), lit(0L)).as("cum_lf"))
+      .select($"h", expr("exp(CAST(cum_lf AS DOUBLE) / 1000000.0)")
+        .as("s_t"))
+    st.agg(count(lit(1)).as("horizon_days"),
+        sum(expr("CAST(round(1000000.0 * s_t) AS BIGINT)")).as("area_u"))
+      .selectExpr("horizon_days",
+        "CAST(round(CAST(area_u AS DOUBLE) / 1000.0) AS BIGINT)" +
+          " AS rmst_milli_days")
+  }
+
+  // ------------- q377 Aalen-Johansen competing-risks incidence
+
+  /** q377 — cumulative incidence at the 7-day horizon under
+    * COMPETING risks (first purchase vs first error, whichever comes
+    * first): the Aalen–Johansen estimator CIF_k = Σ_u S(u−)·d_k/r_u,
+    * which 1−KM would over-state for each cause (the classic
+    * competing-risks mistake; this is the fix). Shares q357/q376's
+    * grid reduction: one per-user first-event pass, per-day counts,
+    * at-risk from one rangeCumSum, the all-cause KM prefix via
+    * quantized ln sums — then each cause's increments sum over the
+    * O(horizon) grid. Spec asserts CIF₁ + CIF₂ + S(7) = 1. */
+  val competingRisks: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val entry = e.groupBy($"user_id").agg(min($"ts").as("entry"))
+    val firsts = e.filter($"event_type".isin("purchase", "error"))
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id", $"event_type")).as("f"))
+      .select($"user_id", $"f.ts".as("fts"), $"f.event_type".as("cause"))
+    val horizon = 7L
+    val durs = entry.join(firsts, Seq("user_id"), "left")
+      .select(
+        when($"fts".isNotNull &&
+            datediff(to_date($"fts"), to_date($"entry")) <= horizon,
+          datediff(to_date($"fts"), to_date($"entry")).cast("long"))
+          .otherwise(lit(horizon)).as("d"),
+        when($"fts".isNotNull &&
+            datediff(to_date($"fts"), to_date($"entry")) <= horizon,
+          when($"cause" === "purchase", 1L).otherwise(2L))
+          .otherwise(0L).as("cause"))
+    val grid = durs.groupBy($"d").agg(count(lit(1)).as("x"),
+      sum(when($"cause" === 1L, 1L).otherwise(0L)).as("d1"),
+      sum(when($"cause" === 2L, 1L).otherwise(0L)).as("d2"))
+    val tot = durs.agg(count(lit(1)).as("t"))
+    val cum = graft.functions.ScaleWindows.rangeCumSum(grid, Seq($"d"),
+      $"x", "e_before")
+    // a day where EVERYONE at risk exits (d1+d2 = r) has KM factor 0:
+    // ln would blow up, so its lf stays NULL (prefix sums skip it —
+    // harmless, since any later day has nobody at risk and therefore
+    // no events) and the survivor S(7) is pinned to exact 0 below
+    val withR = cum.crossJoin(broadcast(tot))
+      .select($"d", $"d1", $"d2", ($"t" - $"e_before").as("r"))
+      .filter($"d1" + $"d2" > 0)
+      .select($"d", $"d1", $"d2", $"r",
+        expr("CASE WHEN d1 + d2 < r THEN CAST(round(1000000.0 *" +
+          " ln(1.0 - CAST(d1 + d2 AS DOUBLE) / r)) AS BIGINT)" +
+          " END").as("lf"))
+    // S(u-) = exp(sum of lf for event days STRICTLY before u)
+    val sMinus = graft.functions.ScaleWindows.rangeCumSum(withR,
+      Seq($"d"), $"lf", "lf_before")
+    val incr = sMinus.select(
+      expr("CAST(round(1000000.0 *" +
+        " exp(CAST(lf_before AS DOUBLE) / 1000000.0) * d1 / r)" +
+        " AS BIGINT)").as("i1_u"),
+      expr("CAST(round(1000000.0 *" +
+        " exp(CAST(lf_before AS DOUBLE) / 1000000.0) * d2 / r)" +
+        " AS BIGINT)").as("i2_u"))
+    val s7 = withR.agg(sum($"lf").as("sl"),
+        max(when($"d1" + $"d2" === $"r", 1L).otherwise(0L)).as("full"))
+      .select(expr("CASE WHEN full = 1 THEN 0 ELSE" +
+        " CAST(round(1000000.0 * exp(CAST(sl AS DOUBLE) / 1000000.0))" +
+        " AS BIGINT) END").as("s7_micro"))
+    incr.agg(sum($"i1_u").as("cif_purchase_micro"),
+        sum($"i2_u").as("cif_error_micro"))
+      .crossJoin(broadcast(s7))
+  }
+
+  // ----------------- q378 periodogram at named frequencies
+
+  /** q378 — periodogram of daily revenue at the named calendar
+    * periods {7, 30, 91, 365}: the Fourier projection that answers
+    * "how much variance lives at the weekly cycle?" directly (q187
+    * conditions on day-of-week, q295 on a fixed season length; this
+    * measures arbitrary periods without grouping). Per-row y·cos and
+    * y·sin products quantize to integer cents (deterministic doubles
+    * of exact ints) so the four projections are order-independent
+    * long sums; the mean is removed analytically (a = Σy·c − ȳΣc);
+    * the variance share divides by the exact centered SS. O(days)
+    * frame × 4 periods. */
+  val periodogram: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val periods = Seq(7L, 30L, 91L, 365L).toDF("p")
+    val terms = daily.crossJoin(broadcast(periods))
+      .select($"p",
+        $"y",
+        expr("CAST(round(y * cos(2 * pi() * t / p)) AS BIGINT)")
+          .as("yc"),
+        expr("CAST(round(y * sin(2 * pi() * t / p)) AS BIGINT)")
+          .as("ys"),
+        expr("CAST(round(1000000.0 * cos(2 * pi() * t / p)) AS BIGINT)")
+          .as("c_u"),
+        expr("CAST(round(1000000.0 * sin(2 * pi() * t / p)) AS BIGINT)")
+          .as("s_u"))
+    val agg = terms.groupBy($"p")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum(dec($"y") * dec($"y")).as("qy"),
+        sum($"yc").as("syc"), sum($"ys").as("sys"),
+        sum($"c_u").as("sc"), sum($"s_u").as("ss"))
+    agg.selectExpr("p", "n",
+        "CAST(syc AS DOUBLE) - (CAST(sy AS DOUBLE) / n) *" +
+          " (CAST(sc AS DOUBLE) / 1000000.0) AS a",
+        "CAST(sys AS DOUBLE) - (CAST(sy AS DOUBLE) / n) *" +
+          " (CAST(ss AS DOUBLE) / 1000000.0) AS b",
+        "CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS ssq")
+      .selectExpr("p", "n",
+        "CAST(round(1000000.0 * 2.0 * (a * a + b * b) / (n * ssq))" +
+          " AS BIGINT) AS fvar_micro")
+      .orderBy($"p")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -1415,6 +1610,10 @@ object Modeling {
     "q372_price_index" -> priceIndex,
     "q373_weibull_gaps" -> weibullGaps,
     "q374_dfa" -> dfa,
+    "q375_atkinson_index" -> atkinsonIndex,
+    "q376_rmst" -> rmst,
+    "q377_competing_risks" -> competingRisks,
+    "q378_periodogram" -> periodogram,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2348,5 +2547,146 @@ object Modeling {
         |      - CAST(sum(ls_micro) AS DOUBLE) * sum(ls_micro)
         |      / count(*))) AS BIGINT) AS alpha_milli
         |FROM pts""".stripMargin,
+    "q375_atkinson_index" ->
+      """SELECT (c_nationkey % 5)::BIGINT AS region,
+        |  count(*)::BIGINT AS n,
+        |  CAST(round(1000000.0 * (1.0 -
+        |    exp(CAST(sum(CAST(round(1000000.0 *
+        |      ln(CAST(round(o_totalprice * 100) AS BIGINT))) AS BIGINT))
+        |      AS DOUBLE) / count(*) / 1000000.0) /
+        |    (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS DOUBLE) / count(*)))) AS BIGINT) AS atkinson_micro
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q376_rmst" ->
+      """WITH entry AS (SELECT user_id, min(ts) AS entry
+        |  FROM events GROUP BY 1),
+        |fp AS (SELECT user_id, min(ts) AS conv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |durs AS (SELECT
+        |    CASE WHEN conv IS NOT NULL AND date_diff('day',
+        |        CAST(entry AS DATE), CAST(conv AS DATE)) <= 7
+        |      THEN date_diff('day', CAST(entry AS DATE),
+        |        CAST(conv AS DATE))::BIGINT
+        |      ELSE 7 END AS d,
+        |    CASE WHEN conv IS NOT NULL AND date_diff('day',
+        |        CAST(entry AS DATE), CAST(conv AS DATE)) <= 7
+        |      THEN 1 ELSE 0 END::BIGINT AS evt
+        |  FROM entry e LEFT JOIN fp ON e.user_id = fp.user_id),
+        |grid AS (SELECT d, count(*)::BIGINT AS x,
+        |    sum(evt)::BIGINT AS de
+        |  FROM durs GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM durs),
+        |cum AS (SELECT d, de,
+        |    coalesce(sum(x) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS e_before
+        |  FROM grid),
+        |lnf AS (SELECT d,
+        |    CAST(round(1000000.0 * ln(1.0 -
+        |      CAST(de AS DOUBLE) / (t - e_before))) AS BIGINT) AS lf
+        |  FROM cum CROSS JOIN tot WHERE de > 0),
+        |hz AS (SELECT unnest(range(7))::BIGINT AS h),
+        |st AS (SELECT h,
+        |    exp(CAST(coalesce(sum(lf), 0) AS DOUBLE) / 1000000.0)
+        |      AS s_t
+        |  FROM hz LEFT JOIN lnf ON d <= h
+        |  GROUP BY h)
+        |SELECT count(*)::BIGINT AS horizon_days,
+        |  CAST(round(CAST(sum(CAST(round(1000000.0 * s_t) AS BIGINT))
+        |    AS DOUBLE) / 1000.0) AS BIGINT) AS rmst_milli_days
+        |FROM st""".stripMargin,
+    "q377_competing_risks" ->
+      """WITH entry AS (SELECT user_id, min(ts) AS entry
+        |  FROM events GROUP BY 1),
+        |firsts AS (SELECT user_id, ts AS fts, event_type AS cause
+        |  FROM (SELECT user_id, ts, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'error'))
+        |  WHERE rn = 1),
+        |durs AS (SELECT
+        |    CASE WHEN fts IS NOT NULL AND date_diff('day',
+        |        CAST(entry AS DATE), CAST(fts AS DATE)) <= 7
+        |      THEN date_diff('day', CAST(entry AS DATE),
+        |        CAST(fts AS DATE))::BIGINT
+        |      ELSE 7 END AS d,
+        |    CASE WHEN fts IS NOT NULL AND date_diff('day',
+        |        CAST(entry AS DATE), CAST(fts AS DATE)) <= 7
+        |      THEN (CASE WHEN cause = 'purchase' THEN 1 ELSE 2 END)
+        |      ELSE 0 END::BIGINT AS cause
+        |  FROM entry e LEFT JOIN firsts f ON e.user_id = f.user_id),
+        |grid AS (SELECT d, count(*)::BIGINT AS x,
+        |    sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)::BIGINT AS d2
+        |  FROM durs GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM durs),
+        |cum AS (SELECT d, d1, d2,
+        |    coalesce(sum(x) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS e_before
+        |  FROM grid),
+        |withr AS (SELECT d, d1, d2, (t - e_before)::BIGINT AS r,
+        |    CASE WHEN d1 + d2 < t - e_before THEN
+        |      CAST(round(1000000.0 * ln(1.0 -
+        |        CAST(d1 + d2 AS DOUBLE) / (t - e_before))) AS BIGINT)
+        |      END AS lf
+        |  FROM cum CROSS JOIN tot WHERE d1 + d2 > 0),
+        |sminus AS (SELECT d, d1, d2, r,
+        |    coalesce(sum(lf) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS lf_before
+        |  FROM withr),
+        |incr AS (SELECT
+        |    CAST(round(1000000.0 *
+        |      exp(CAST(lf_before AS DOUBLE) / 1000000.0) * d1 / r)
+        |      AS BIGINT) AS i1_u,
+        |    CAST(round(1000000.0 *
+        |      exp(CAST(lf_before AS DOUBLE) / 1000000.0) * d2 / r)
+        |      AS BIGINT) AS i2_u
+        |  FROM sminus),
+        |s7 AS (SELECT CASE WHEN max(CASE WHEN d1 + d2 = r THEN 1
+        |      ELSE 0 END) = 1 THEN 0
+        |    ELSE CAST(round(1000000.0 *
+        |      exp(CAST(sum(lf) AS DOUBLE) / 1000000.0)) AS BIGINT)
+        |    END::BIGINT AS s7_micro
+        |  FROM withr)
+        |SELECT sum(i1_u)::BIGINT AS cif_purchase_micro,
+        |  sum(i2_u)::BIGINT AS cif_error_micro, s7_micro
+        |FROM incr CROSS JOIN s7
+        |GROUP BY s7_micro""".stripMargin,
+    "q378_periodogram" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |terms AS (SELECT p, y,
+        |    CAST(round(y * cos(2 * pi() * t / p)) AS BIGINT) AS yc,
+        |    CAST(round(y * sin(2 * pi() * t / p)) AS BIGINT) AS ys,
+        |    CAST(round(1000000.0 * cos(2 * pi() * t / p)) AS BIGINT)
+        |      AS c_u,
+        |    CAST(round(1000000.0 * sin(2 * pi() * t / p)) AS BIGINT)
+        |      AS s_u
+        |  FROM daily CROSS JOIN
+        |    (SELECT unnest([7, 30, 91, 365])::BIGINT AS p)),
+        |agg AS (SELECT p, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |    sum(y::HUGEINT * y) AS qy, sum(yc)::BIGINT AS syc,
+        |    sum(ys)::BIGINT AS sys, sum(c_u)::BIGINT AS sc,
+        |    sum(s_u)::BIGINT AS ss
+        |  FROM terms GROUP BY 1),
+        |mid AS (SELECT p, n,
+        |    CAST(syc AS DOUBLE) - (CAST(sy AS DOUBLE) / n) *
+        |      (CAST(sc AS DOUBLE) / 1000000.0) AS a,
+        |    CAST(sys AS DOUBLE) - (CAST(sy AS DOUBLE) / n) *
+        |      (CAST(ss AS DOUBLE) / 1000000.0) AS b,
+        |    CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS ssq
+        |  FROM agg)
+        |SELECT p, n,
+        |  CAST(round(1000000.0 * 2.0 * (a * a + b * b) / (n * ssq))
+        |    AS BIGINT) AS fvar_micro
+        |FROM mid
+        |ORDER BY p""".stripMargin,
   )
 }

@@ -393,6 +393,42 @@ class ModelingSpec extends SparkSpec {
     assert(a > 0 && a < 2000, s"alpha_milli=$a")
   }
 
+  test("q375 Atkinson: in [0,1) per region — AM-GM again, welfare form") {
+    val rows = Modeling.atkinsonIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val a = x.getAs[Long]("atkinson_micro")
+      assert(a >= 0 && a < 1000000)
+    }
+  }
+
+  test("q376 RMST: bounded by the 7-day horizon, positive") {
+    val r = Modeling.rmst(spark, sfDir).collect().head
+    assert(r.getAs[Long]("horizon_days") == 7)
+    val rm = r.getAs[Long]("rmst_milli_days")
+    assert(rm > 0 && rm <= 7000)
+  }
+
+  test("q377 competing risks: CIF1 + CIF2 + S(7) accounts for everyone") {
+    val r = Modeling.competingRisks(spark, sfDir).collect().head
+    val c1 = r.getAs[Long]("cif_purchase_micro")
+    val c2 = r.getAs[Long]("cif_error_micro")
+    val s7 = r.getAs[Long]("s7_micro")
+    assert(c1 >= 0 && c2 >= 0 && s7 >= 0)
+    // identity up to the per-day independent micro rounding
+    assert(math.abs(c1 + c2 + s7 - 1000000L) <= 20,
+      s"mass not conserved: $c1 + $c2 + $s7")
+  }
+
+  test("q378 periodogram: four periods, variance shares in [0,1]") {
+    val rows = Modeling.periodogram(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("p")).toSeq == Seq(7L, 30L, 91L, 365L))
+    rows.foreach { x =>
+      val f = x.getAs[Long]("fvar_micro")
+      assert(f >= 0 && f <= 1000000 + 10)
+    }
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
