@@ -1580,6 +1580,192 @@ object Modeling {
       .orderBy($"p")
   }
 
+  // --------------------- q379 Granger causality (1 lag)
+
+  /** q379 — Granger test (1 lag): does yesterday's ORDER COUNT help
+    * predict today's revenue beyond yesterday's revenue? Restricted
+    * vs unrestricted closed-form OLS over the daily frame; the lag
+    * is a SELF-JOIN on t−1 (keyed equi-join — no unpartitioned
+    * window enters the plan; calendar-contiguous pairs only, same
+    * drop rule in both engines). All moments exact decimals; the
+    * two SSEs and the F ratio are one-row double expressions. */
+  val granger: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val pairs = daily.join(
+      daily.select(($"t" + 1L).as("t"), $"rev".as("rev1"),
+        $"cnt".as("cnt1")), Seq("t"))
+      .select($"rev".as("y"), $"rev1".as("x1"), $"cnt1".as("x2"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"),
+      sum(dec($"y") * dec($"y")).as("qyy"))
+    m.selectExpr("n",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12",
+        "CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y",
+        "CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y",
+        "CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy")
+      .selectExpr("n",
+        "syy - s1y * s1y / s11 AS sse_r",
+        "syy - (s22 * s1y * s1y - 2 * s12 * s1y * s2y +" +
+          " s11 * s2y * s2y) / (s11 * s22 - s12 * s12) AS sse_u")
+      .selectExpr("n",
+        "CAST(round(1000.0 * (sse_r - sse_u) /" +
+          " (sse_u / (n - 3))) AS BIGINT) AS f_milli")
+  }
+
+  // ------------- q380 Engle-Granger cointegration (step 1 + DF)
+
+  /** q380 — Engle–Granger first stage on the daily revenue/count
+    * pair: the levels regression residual, then the Dickey–Fuller
+    * slope of Δe on e_{t−1} (unit root in the residual ⇒ NOT
+    * cointegrated). Residuals quantize per row to micro BEFORE the
+    * DF moments — exact long sums, so the lag self-join and both
+    * regressions are engine-stable. Everything is two closed-form
+    * OLS passes over the O(days) frame. */
+  val engleGranger: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val m1 = daily.agg(count(lit(1)).as("n"), sum($"cnt").as("sx"),
+      sum($"rev").as("sy"), sum(dec($"cnt") * dec($"cnt")).as("qxx"),
+      sum(dec($"cnt") * dec($"rev")).as("qxy"))
+      .selectExpr("n", "sx", "sy",
+        "(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) /" +
+          " (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b")
+      .selectExpr("n", "b",
+        "CAST(sy AS DOUBLE) / n - b * sx / n AS a")
+    val resid = daily.crossJoin(broadcast(m1))
+      .select($"t",
+        expr("CAST(round(1000000.0 * (rev - a - b * cnt)) AS BIGINT)")
+          .as("e"))
+    val dfPairs = resid.join(
+      resid.select(($"t" + 1L).as("t"), $"e".as("e1")), Seq("t"))
+      .select(($"e" - $"e1").as("de"), $"e1")
+    val m2 = dfPairs.agg(count(lit(1)).as("n2"),
+      sum(dec($"e1") * dec($"e1")).as("qee"),
+      sum(dec($"e1") * dec($"de")).as("qed"),
+      sum(dec($"de") * dec($"de")).as("qdd"))
+    m2.crossJoin(broadcast(m1.select($"b")))
+      .selectExpr("n2", "b",
+        "CAST(qed AS DOUBLE) / CAST(qee AS DOUBLE) AS gamma",
+        "(CAST(qdd AS DOUBLE) - CAST(qed AS DOUBLE) * qed / " +
+          "CAST(qee AS DOUBLE)) / (n2 - 1) AS s2",
+        "CAST(qee AS DOUBLE) AS qeed")
+      .selectExpr("n2 AS n_pairs",
+        "CAST(round(1000.0 * b) AS BIGINT) AS b_milli",
+        "CAST(round(1000.0 * gamma) AS BIGINT) AS gamma_milli",
+        "CAST(round(1000.0 * gamma / sqrt(s2 / qeed)) AS BIGINT)" +
+          " AS df_stat_milli")
+  }
+
+  // -------------- q381 rank aggregation: Borda + Condorcet
+
+  /** q381 — rank aggregation over the yearly revenue rankings
+    * (q360's slate): Borda scores AND the Condorcet tournament —
+    * the two classic aggregators disagree exactly when preference
+    * cycles appear, which is the point of reporting both. Pairwise
+    * majorities come from a year-keyed self-join of the O(N·T) rank
+    * frame (bounded slate²·years); a Condorcet winner must beat all
+    * N−1 rivals. Everything downstream of the per-year window is
+    * exact integer counting. */
+  val bordaCondorcet: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy(year(to_date($"o_orderdate")).cast("long").as("yr"),
+        $"c_nationkey".as("nat"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val nYears = cells.select($"yr").distinct().agg(count(lit(1)).as("m"))
+    val complete = cells.groupBy($"nat").agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(nYears)).filter($"k" === $"m").select($"nat")
+    val ranked = cells.join(broadcast(complete), Seq("nat"))
+      .withColumn("r", row_number().over(Window.partitionBy($"yr")
+        .orderBy($"cents".desc, $"nat".asc)).cast("long"))
+    val nm = ranked.agg(countDistinct($"nat").as("n"),
+      countDistinct($"yr").as("m"))
+    val borda = ranked.crossJoin(broadcast(nm))
+      .groupBy($"nat").agg(sum($"n" - $"r").as("borda"))
+    val duels = ranked.select($"yr", $"nat".as("a"), $"r".as("ra"))
+      .join(ranked.select($"yr", $"nat".as("b"), $"r".as("rb")),
+        Seq("yr"))
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b")
+      .agg(sum(when($"ra" < $"rb", 1L).otherwise(0L)).as("wins_ab"),
+        count(lit(1)).as("m2"))
+      .filter($"wins_ab" * 2 > $"m2")
+      .groupBy($"a").agg(count(lit(1)).as("beats"))
+    borda.join(duels.select($"a".as("nat"), $"beats"), Seq("nat"), "left")
+      .na.fill(0L, Seq("beats"))
+      .crossJoin(broadcast(nm))
+      .select($"nat", $"borda", $"beats",
+        ($"beats" === $"n" - 1).cast("int").as("is_condorcet"))
+      .orderBy($"borda".desc, $"nat".asc)
+  }
+
+  // ---------- q382 cross-language near-dup leakage audit
+
+  /** q382 — cross-LANGUAGE near-duplicate leakage report: how many
+    * J ≥ 1/2 shingle-Jaccard pairs connect documents of DIFFERENT
+    * languages, per language pair — the multilingual-corpus audit
+    * (translated/boilerplate copies inflate per-language token
+    * budgets and leak across language-split evals) that q240 runs
+    * for train/test splits and q233 for sources. Pair discovery is
+    * the df-capped inverted-index idiom (df ≤ 64, q228): never join
+    * on a ubiquitous shingle. The report grid is the full
+    * language×language broadcast cross with zeros filled, so "no
+    * leakage" is an explicit row, not an absent one. */
+  val crossLangLeakage: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    val sh = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        explode(TextOps.shinglesFromTokens(
+          TextOps.tokens($"text"), 3)).as("g"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nn"))
+    val rare = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 64).select($"g")
+    val posting = sh.join(rare, Seq("g"))
+    val pairs = posting.select($"g", $"doc_id".as("da"), $"lang".as("la"))
+      .join(posting.select($"g", $"doc_id".as("db"), $"lang".as("lb")),
+        Seq("g"))
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db", $"la", $"lb")
+      .agg(count(lit(1)).as("shared"))
+    val dups = pairs
+      .join(sizes.select($"doc_id".as("da"), $"nn".as("na")), Seq("da"))
+      .join(sizes.select($"doc_id".as("db"), $"nn".as("nb")), Seq("db"))
+      .filter($"shared" * 2 >= $"na" + $"nb" - $"shared")
+      .select(least($"la", $"lb").as("l1"),
+        greatest($"la", $"lb").as("l2"))
+      .groupBy($"l1", $"l2").agg(count(lit(1)).as("n_dup_pairs"))
+    val langs = Tables(s, dir, "documents").select($"lang").distinct()
+    val grid = langs.select($"lang".as("l1"))
+      .crossJoin(broadcast(langs.select($"lang".as("l2"))))
+      .filter($"l1" <= $"l2")
+    grid.join(dups, Seq("l1", "l2"), "left")
+      .na.fill(0L, Seq("n_dup_pairs"))
+      .select($"l1", $"l2", $"n_dup_pairs",
+        ($"l1" =!= $"l2").cast("int").as("cross_lang"))
+      .orderBy($"l1", $"l2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -1614,6 +1800,10 @@ object Modeling {
     "q376_rmst" -> rmst,
     "q377_competing_risks" -> competingRisks,
     "q378_periodogram" -> periodogram,
+    "q379_granger" -> granger,
+    "q380_engle_granger" -> engleGranger,
+    "q381_borda_condorcet" -> bordaCondorcet,
+    "q382_cross_lang_leakage" -> crossLangLeakage,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2688,5 +2878,137 @@ object Modeling {
         |    AS BIGINT) AS fvar_micro
         |FROM mid
         |ORDER BY p""".stripMargin,
+    "q379_granger" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev,
+        |    count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |pairs AS (SELECT a.rev AS y, b.rev AS x1, b.cnt AS x2
+        |  FROM daily a JOIN daily b ON a.t = b.t + 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+        |    sum(x2)::BIGINT AS sx2, sum(y)::BIGINT AS sy,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * y) AS q1y,
+        |    sum(x2::HUGEINT * y) AS q2y, sum(y::HUGEINT * y) AS qyy
+        |  FROM pairs),
+        |c AS (SELECT n,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12,
+        |    CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y,
+        |    CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y,
+        |    CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy
+        |  FROM m),
+        |sse AS (SELECT n,
+        |    syy - s1y * s1y / s11 AS sse_r,
+        |    syy - (s22 * s1y * s1y - 2 * s12 * s1y * s2y +
+        |      s11 * s2y * s2y) / (s11 * s22 - s12 * s12) AS sse_u
+        |  FROM c)
+        |SELECT n,
+        |  CAST(round(1000.0 * (sse_r - sse_u) / (sse_u / (n - 3)))
+        |    AS BIGINT) AS f_milli
+        |FROM sse""".stripMargin,
+    "q380_engle_granger" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev,
+        |    count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |m1 AS (SELECT n, sx, sy, b,
+        |    CAST(sy AS DOUBLE) / n - b * sx / n AS a
+        |  FROM (SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS sx,
+        |      sum(rev)::BIGINT AS sy,
+        |      (CAST(sum(cnt::HUGEINT * rev) AS DOUBLE)
+        |        - CAST(sum(cnt) AS DOUBLE) * sum(rev) / count(*)) /
+        |      (CAST(sum(cnt::HUGEINT * cnt) AS DOUBLE)
+        |        - CAST(sum(cnt) AS DOUBLE) * sum(cnt) / count(*)) AS b
+        |    FROM daily)),
+        |resid AS (SELECT t,
+        |    CAST(round(1000000.0 * (rev - a - b * cnt)) AS BIGINT) AS e
+        |  FROM daily CROSS JOIN m1),
+        |dfp AS (SELECT (a.e - b.e) AS de, b.e AS e1
+        |  FROM resid a JOIN resid b ON a.t = b.t + 1),
+        |m2 AS (SELECT count(*)::BIGINT AS n2,
+        |    sum(e1::HUGEINT * e1) AS qee, sum(e1::HUGEINT * de) AS qed,
+        |    sum(de::HUGEINT * de) AS qdd
+        |  FROM dfp),
+        |fin AS (SELECT n2, b,
+        |    CAST(qed AS DOUBLE) / CAST(qee AS DOUBLE) AS gamma,
+        |    (CAST(qdd AS DOUBLE) - CAST(qed AS DOUBLE) * qed /
+        |      CAST(qee AS DOUBLE)) / (n2 - 1) AS s2,
+        |    CAST(qee AS DOUBLE) AS qeed
+        |  FROM m2 CROSS JOIN (SELECT b FROM m1))
+        |SELECT n2 AS n_pairs,
+        |  CAST(round(1000.0 * b) AS BIGINT) AS b_milli,
+        |  CAST(round(1000.0 * gamma) AS BIGINT) AS gamma_milli,
+        |  CAST(round(1000.0 * gamma / sqrt(s2 / qeed)) AS BIGINT)
+        |    AS df_stat_milli
+        |FROM fin""".stripMargin,
+    "q381_borda_condorcet" ->
+      """WITH cells AS (SELECT
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    c_nationkey AS nat,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ny AS (SELECT count(DISTINCT yr)::BIGINT AS m FROM cells),
+        |complete AS (SELECT nat FROM cells CROSS JOIN ny
+        |  GROUP BY nat, m HAVING count(*) = m),
+        |ranked AS (SELECT yr, nat,
+        |    row_number() OVER (PARTITION BY yr
+        |      ORDER BY cents DESC, nat ASC)::BIGINT AS r
+        |  FROM cells JOIN complete USING (nat)),
+        |nm AS (SELECT count(DISTINCT nat)::BIGINT AS n,
+        |    count(DISTINCT yr)::BIGINT AS m FROM ranked),
+        |borda AS (SELECT nat, sum(n - r)::BIGINT AS borda
+        |  FROM ranked CROSS JOIN nm GROUP BY 1),
+        |duels AS (SELECT a.nat AS a, b.nat AS b,
+        |    sum(CASE WHEN a.r < b.r THEN 1 ELSE 0 END)::BIGINT
+        |      AS wins_ab,
+        |    count(*)::BIGINT AS m2
+        |  FROM ranked a JOIN ranked b ON a.yr = b.yr
+        |    AND a.nat <> b.nat
+        |  GROUP BY 1, 2),
+        |beats AS (SELECT a AS nat, count(*)::BIGINT AS beats
+        |  FROM duels WHERE wins_ab * 2 > m2 GROUP BY 1)
+        |SELECT borda.nat, borda,
+        |  coalesce(beats, 0)::BIGINT AS beats,
+        |  CAST(coalesce(beats, 0) = n - 1 AS INT) AS is_condorcet
+        |FROM borda LEFT JOIN beats ON borda.nat = beats.nat
+        |CROSS JOIN nm
+        |ORDER BY borda DESC, borda.nat ASC""".stripMargin,
+    "q382_cross_lang_leakage" ->
+      s"""WITH sh AS (SELECT doc_id, lang,
+        |    unnest(${graft.functions.TextOps.sqlShingles("text", 3)}) AS g
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS nn
+        |  FROM sh GROUP BY 1),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 64),
+        |posting AS (SELECT sh.* FROM sh JOIN rare USING (g)),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    a.lang AS la, b.lang AS lb, count(*)::BIGINT AS shared
+        |  FROM posting a JOIN posting b ON a.g = b.g
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dups AS (SELECT least(la, lb) AS l1, greatest(la, lb) AS l2,
+        |    count(*)::BIGINT AS n_dup_pairs
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = da
+        |  JOIN sizes sb ON sb.doc_id = db
+        |  WHERE shared * 2 >= sa.nn + sb.nn - shared
+        |  GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |grid AS (SELECT a.lang AS l1, b.lang AS l2
+        |  FROM langs a CROSS JOIN langs b WHERE a.lang <= b.lang)
+        |SELECT l1, l2, coalesce(n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+        |  CAST(l1 <> l2 AS INT) AS cross_lang
+        |FROM grid LEFT JOIN dups USING (l1, l2)
+        |ORDER BY l1, l2""".stripMargin,
   )
 }

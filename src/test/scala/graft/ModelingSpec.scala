@@ -429,6 +429,43 @@ class ModelingSpec extends SparkSpec {
     }
   }
 
+  test("q379 Granger: F non-negative (restricted SSE >= unrestricted)") {
+    val r = Modeling.granger(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n") > 10)
+    assert(r.getAs[Long]("f_milli") >= 0)
+  }
+
+  test("q380 Engle-Granger: DF slope in (-2,0] — residual mean-reverts, never explodes") {
+    val r = Modeling.engleGranger(spark, sfDir).collect().head
+    val g = r.getAs[Long]("gamma_milli")
+    assert(g <= 0 && g > -2000, s"gamma_milli=$g")
+    assert(r.getAs[Long]("df_stat_milli") <= 0)
+  }
+
+  test("q381 Borda/Condorcet: at most one Condorcet winner; Borda totals conserved") {
+    val rows = Modeling.bordaCondorcet(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("is_condorcet")).sum <= 1)
+    val n = rows.length.toLong
+    val years = Tables(spark, sfDir, "orders")
+      .select(year(to_date($"o_orderdate"))).distinct().count()
+    // Σ borda = m · Σ_{r=1..n} (n − r) = m·n(n−1)/2
+    assert(rows.map(_.getAs[Long]("borda")).sum ==
+      years * n * (n - 1) / 2)
+  }
+
+  test("q382 cross-lang leakage: complete grid, symmetric-normalized keys") {
+    val rows = Modeling.crossLangLeakage(spark, sfDir).collect()
+    val k = rows.map(_.getString(0)).distinct.length
+    assert(rows.length == k * (k + 1) / 2)
+    rows.foreach { x =>
+      assert(x.getString(0) <= x.getString(1))
+      assert(x.getAs[Long]("n_dup_pairs") >= 0)
+      assert(x.getAs[Int]("cross_lang") ==
+        (if (x.getString(0) == x.getString(1)) 0 else 1))
+    }
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
