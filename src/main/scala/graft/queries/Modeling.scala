@@ -1766,6 +1766,116 @@ object Modeling {
       .orderBy($"l1", $"l2")
   }
 
+  // ------------- q383 participation ratio (effective rank)
+
+  /** q383 — participation ratio tr(C)²∕tr(C²) of the embedding
+    * covariance: the eigendecomposition-free effective-rank
+    * diagnostic (dimensional-collapse check) self-supervised
+    * pipelines run on every new encoder — and it needs NO
+    * eigensolver because tr(C²) = ΣᵢⱼCᵢⱼ². With the SCALED
+    * covariance Ĉ = n·S − ssᵀ every entry is an EXACT integer from
+    * one dim-pair moment pass (64² cells per point, a bounded
+    * fan-out keyed on the dim pair); cells quantize by 1e6 before
+    * squaring so Σ Ĉ² stays inside decimal(38,0) at any corpus
+    * size. The n factors cancel in the ratio — one division at the
+    * end. */
+  val participationRatio: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val coords = Tables(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim",
+        round($"x".cast("double") * 1000000.0).cast("long").as("v"))
+    val n = coords.select($"vec_id").distinct()
+      .agg(count(lit(1)).as("n"))
+    val pairs = coords.select($"vec_id", $"dim".as("di"), $"v".as("vi"))
+      .join(coords.select($"vec_id", $"dim".as("dj"), $"v".as("vj")),
+        Seq("vec_id"))
+      .groupBy($"di", $"dj")
+      .agg(sum(dec($"vi") * dec($"vj")).as("sij"))
+    val sums = coords.groupBy($"dim").agg(sum($"v").as("si"))
+    val chat = pairs
+      .join(broadcast(sums.select($"dim".as("di"), $"si".as("si"))),
+        Seq("di"))
+      .join(broadcast(sums.select($"dim".as("dj"), $"si".as("sj"))),
+        Seq("dj"))
+      .crossJoin(broadcast(n))
+      .select($"di", $"dj",
+        expr("CAST(round(CAST(n * sij - CAST(si AS DECIMAL(38,0)) * sj" +
+          " AS DOUBLE) / 1000000.0) AS BIGINT)").as("c_q"))
+    chat.agg(
+        sum(when($"di" === $"dj", $"c_q").otherwise(0L)).as("trace_q"),
+        sum(dec($"c_q") * dec($"c_q")).as("tr2_q"))
+      .selectExpr("trace_q",
+        "CAST(round(1000.0 * CAST(trace_q AS DOUBLE) * trace_q /" +
+          " CAST(tr2_q AS DOUBLE)) AS BIGINT) AS pr_milli")
+  }
+
+  // --------------- q384 lead-lag cross-correlation function
+
+  /** q384 — cross-correlation between daily order count and daily
+    * revenue at lags 0..7 (does volume LEAD value?): the
+    * lag-profile complement of q379's single-lag F test. Every lag
+    * is a keyed self-join on t−lag (no window), the lag grid is an
+    * 8-row broadcast, and each lag's correlation comes from exact
+    * joint moments of the matched pairs — one deterministic double
+    * per O(lags) row. */
+  val xcorr: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+    val lags = (0L to 7L).toDF("lag")
+    val joined = daily.select($"t", $"rev")
+      .crossJoin(broadcast(lags))
+      .select(($"t" - $"lag").as("ts"), $"lag", $"rev")
+      .join(daily.select($"t".as("ts"), $"cnt"), Seq("ts"))
+    joined.groupBy($"lag")
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("sx"),
+        sum($"rev").as("sy"),
+        sum(dec($"cnt") * dec($"cnt")).as("qxx"),
+        sum(dec($"rev") * dec($"rev")).as("qyy"),
+        sum(dec($"cnt") * dec($"rev")).as("qxy"))
+      .selectExpr("lag", "n",
+        "CAST(round(1000000.0 *" +
+          " (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) /" +
+          " sqrt((CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) *" +
+          " (CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)))" +
+          " AS BIGINT) AS r_micro")
+      .orderBy($"lag")
+  }
+
+  // ------------------- q385 per-document novelty share
+
+  /** q385 — per-document shingle novelty: the share of a document's
+    * shingles whose FIRST corpus occurrence (min doc id) is the
+    * document itself — the "how much does each new document add"
+    * curve that corpus curation reads next to Heaps growth (q162:
+    * vocabulary-level; this is document-level and directly flags
+    * recycled content at novelty ≈ 0). First-occurrence is one
+    * groupBy(shingle) min; attribution is a keyed join back; the
+    * ratio is exact integers. */
+  val noveltyShare: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TextOps
+    val sh = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(TextOps.shinglesFromTokens(
+          TextOps.tokens($"text"), 3)).as("g"))
+    val first = sh.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_new"))
+      .select($"doc_id", $"n_shingles", $"n_new",
+        expr("1000000 * n_new div n_shingles").as("novelty_micro"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -1804,6 +1914,9 @@ object Modeling {
     "q380_engle_granger" -> engleGranger,
     "q381_borda_condorcet" -> bordaCondorcet,
     "q382_cross_lang_leakage" -> crossLangLeakage,
+    "q383_participation_ratio" -> participationRatio,
+    "q384_xcorr" -> xcorr,
+    "q385_novelty_share" -> noveltyShare,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3010,5 +3123,72 @@ object Modeling {
         |  CAST(l1 <> l2 AS INT) AS cross_lang
         |FROM grid LEFT JOIN dups USING (l1, l2)
         |ORDER BY l1, l2""".stripMargin,
+    "q383_participation_ratio" ->
+      """WITH coords AS (SELECT vec_id, d AS dim,
+        |    CAST(round(CAST(embedding[d + 1] AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(range(64)) AS d) dims),
+        |n_ AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM coords),
+        |pairs AS (SELECT a.dim AS di, b.dim AS dj,
+        |    sum(a.v::HUGEINT * b.v) AS sij
+        |  FROM coords a JOIN coords b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT dim, sum(v)::BIGINT AS si
+        |  FROM coords GROUP BY 1),
+        |chat AS (SELECT di, dj,
+        |    CAST(round(CAST(n * sij - sa.si::HUGEINT * sb.si AS DOUBLE)
+        |      / 1000000.0) AS BIGINT) AS c_q
+        |  FROM pairs
+        |  JOIN sums sa ON sa.dim = di
+        |  JOIN sums sb ON sb.dim = dj
+        |  CROSS JOIN n_)
+        |SELECT sum(CASE WHEN di = dj THEN c_q ELSE 0 END)::BIGINT
+        |    AS trace_q,
+        |  CAST(round(1000.0 *
+        |    CAST(sum(CASE WHEN di = dj THEN c_q ELSE 0 END) AS DOUBLE) *
+        |    sum(CASE WHEN di = dj THEN c_q ELSE 0 END) /
+        |    CAST(sum(c_q::HUGEINT * c_q) AS DOUBLE)) AS BIGINT)
+        |    AS pr_milli
+        |FROM chat""".stripMargin,
+    "q384_xcorr" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS rev,
+        |    count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |joined AS (SELECT lag, a.rev, b.cnt
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(8))::BIGINT AS lag)
+        |  JOIN daily b ON b.t = a.t - lag)
+        |SELECT lag, count(*)::BIGINT AS n,
+        |  CAST(round(1000000.0 *
+        |    (CAST(sum(cnt::HUGEINT * rev) AS DOUBLE)
+        |      - CAST(sum(cnt) AS DOUBLE) * sum(rev) / count(*)) /
+        |    sqrt((CAST(sum(cnt::HUGEINT * cnt) AS DOUBLE)
+        |      - CAST(sum(cnt) AS DOUBLE) * sum(cnt) / count(*)) *
+        |     (CAST(sum(rev::HUGEINT * rev) AS DOUBLE)
+        |      - CAST(sum(rev) AS DOUBLE) * sum(rev) / count(*))))
+        |    AS BIGINT) AS r_micro
+        |FROM joined
+        |GROUP BY lag
+        |ORDER BY lag""".stripMargin,
+    "q385_novelty_share" ->
+      s"""WITH sh AS (SELECT doc_id,
+        |    unnest(${graft.functions.TextOps.sqlShingles("text", 3)}) AS g
+        |  FROM documents),
+        |first_ AS (SELECT g, min(doc_id)::BIGINT AS first_doc
+        |  FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_new,
+        |  CAST(1000000::HUGEINT *
+        |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS novelty_micro
+        |FROM sh JOIN first_ USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -466,6 +466,34 @@ class ModelingSpec extends SparkSpec {
     }
   }
 
+  test("q383 participation ratio: between 1 and the ambient dimension") {
+    val r = Modeling.participationRatio(spark, sfDir).collect().head
+    val pr = r.getAs[Long]("pr_milli")
+    assert(pr >= 1000 && pr <= 64000, s"pr_milli=$pr")
+    assert(r.getAs[Long]("trace_q") > 0)
+  }
+
+  test("q384 xcorr: eight lags, correlations in [-1,1]") {
+    val rows = Modeling.xcorr(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (0L to 7L))
+    rows.foreach { x =>
+      val r = x.getAs[Long]("r_micro")
+      assert(r >= -1000000 && r <= 1000000)
+    }
+  }
+
+  test("q385 novelty: the first document is 100% novel; shares bounded") {
+    val rows = Modeling.noveltyShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_micro") == 1000000)
+    rows.foreach { x =>
+      val nm = x.getAs[Long]("novelty_micro")
+      assert(nm >= 0 && nm <= 1000000)
+      assert(x.getAs[Long]("n_new") <= x.getAs[Long]("n_shingles"))
+    }
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
