@@ -1876,6 +1876,162 @@ object Modeling {
       .orderBy($"doc_id")
   }
 
+  // ------------------- q386 Gaussian KDE on a fixed grid
+
+  /** q386 — Gaussian kernel density of order value on a 21-point
+    * grid with Silverman's rule-of-thumb bandwidth — the
+    * density-estimation primitive (histograms q63/q158 bin; KDE
+    * smooths) plus the mode cell. Bandwidth and grid come from one
+    * exact moment row; each row's kernel contribution to each grid
+    * point quantizes to micro BEFORE the grid sum (order-independent
+    * longs, rows × 21 bounded fan-out against a broadcast grid). */
+  val gaussianKde: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vals = Tables(s, dir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("v"))
+    val m = vals.agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum(dec($"v") * dec($"v")).as("qv"),
+        min($"v").as("lo"), max($"v").as("hi"))
+      .selectExpr("n", "lo", "hi",
+        "sqrt((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)" +
+          " / (n - 1)) AS sd")
+      .selectExpr("n", "lo", "hi",
+        "1.06 * sd * POW(CAST(n AS DOUBLE), -0.2) AS h")
+    val grid = (0L to 20L).toDF("gi")
+    val pts = grid.crossJoin(broadcast(m))
+      .select($"gi", $"n", $"h",
+        ($"lo" + ($"hi" - $"lo") * $"gi" / 20L).cast("double").as("x"))
+    val contrib = vals.crossJoin(broadcast(pts))
+      .select($"gi",
+        expr("CAST(round(1000000.0 * exp(-0.5 * POW((v - x) / h, 2)))" +
+          " AS BIGINT)").as("k_u"))
+      .groupBy($"gi").agg(sum($"k_u").as("sk"))
+    val dens = contrib.crossJoin(broadcast(m.select($"n", $"h")))
+      .select($"gi",
+        // density × 1e9 cents⁻¹ (values are ~1e-9/cent scale)
+        expr("CAST(round(1000000000.0 * CAST(sk AS DOUBLE) / 1000000.0" +
+          " / (n * h * sqrt(2 * pi()))) AS BIGINT)").as("dens_nano"))
+    val mode = dens.agg(max(struct($"dens_nano", (-$"gi").as("ngi")))
+      .as("b")).select((-$"b.ngi").as("mode_gi"))
+    dens.crossJoin(broadcast(mode))
+      .select($"gi", $"dens_nano",
+        ($"gi" === $"mode_gi").cast("int").as("is_mode"))
+      .orderBy($"gi")
+  }
+
+  // -------------- q387 empirical tail-dependence coefficients
+
+  /** q387 — empirical tail dependence between account balance and
+    * order value: λ_L = P(both ranks ≤ q)∕q and λ_U at q = 0.05 —
+    * the copula-level risk question ("do extremes co-occur?") that
+    * q193's Spearman, a whole-distribution average, cannot see.
+    * Both marginal ranks come from ONE rangeCumSums-backed pass
+    * each (no global sort); the joint tail counts are exact integer
+    * comparisons against rank fences, one row out. */
+  val tailDependence: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        round($"c_acctbal" * 100).cast("long").as("x"),
+        round($"o_totalprice" * 100).cast("long").as("y"))
+    val rx = ScaleWindows.rangeCumSum(rows, Seq($"x", $"o_orderkey"),
+      lit(1L), "rx")
+    val rxy = ScaleWindows.rangeCumSum(rx, Seq($"y", $"o_orderkey"),
+      lit(1L), "ry")
+    val n = rows.agg(count(lit(1)).as("nn"))
+    rxy.crossJoin(broadcast(n))
+      .select($"nn",
+        // q = 5%: fences are exact integer cross-multiplies
+        (($"rx" * 20L < $"nn") && ($"ry" * 20L < $"nn")).cast("long")
+          .as("lo"),
+        ((($"nn" - 1L - $"rx") * 20L < $"nn") &&
+          (($"nn" - 1L - $"ry") * 20L < $"nn")).cast("long").as("hi"))
+      .groupBy($"nn")
+      .agg(sum($"lo").as("n_lo"), sum($"hi").as("n_hi"))
+      .selectExpr("nn AS n", "n_lo", "n_hi",
+        "CAST(round(1000000.0 * n_lo / (CAST(nn AS DOUBLE) / 20.0))" +
+          " AS BIGINT) AS lambda_lower_micro",
+        "CAST(round(1000000.0 * n_hi / (CAST(nn AS DOUBLE) / 20.0))" +
+          " AS BIGINT) AS lambda_upper_micro")
+  }
+
+  // -------------------- q388 quantile treatment effects
+
+  /** q388 — quantile treatment effects at the deciles (Firpo 2007):
+    * the urgent-priority "effect" on order value quantile by
+    * quantile — mean ATEs (q340/q352/q364) hide distributional
+    * shifts; QTE is the whole profile. Within-arm ranks derive from
+    * ONE global rangeCumSum over (arm, value, key) minus the
+    * broadcast arm offset — no per-arm sort; each decile picks its
+    * exact order statistic by integer rank match, and the paired
+    * differences are exact cents. */
+  val quantileTreatmentEffect: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"o_totalprice" * 100).cast("long").as("y"))
+    val ranked = ScaleWindows.rangeCumSum(rows,
+      Seq($"t", $"y", $"o_orderkey"), lit(1L), "rk")
+    val arms = rows.groupBy($"t").agg(count(lit(1)).as("na"))
+    val n0 = arms.filter($"t" === 0).select($"na".as("n0"))
+    val n1 = arms.filter($"t" === 1).select($"na".as("n1"))
+    val within = ranked.crossJoin(broadcast(n0)).crossJoin(broadcast(n1))
+      .select($"t", $"y",
+        ($"rk" - $"t" * $"n0").as("wr"),
+        when($"t" === 0, $"n0").otherwise($"n1").as("na"))
+    val qs = (1L to 9L).toDF("q")
+    val picks = within.crossJoin(broadcast(qs))
+      // order statistic at ceil(q/10 · na): wr is 0-based
+      .filter(($"wr" + 1L) * 10L >= $"q" * $"na" &&
+        $"wr" * 10L < $"q" * $"na")
+      .groupBy($"q", $"t").agg(min($"y").as("yq"))
+    picks.groupBy($"q")
+      .agg(sum(when($"t" === 1, $"yq")).as("y1"),
+        sum(when($"t" === 0, $"yq")).as("y0"))
+      .select($"q", $"y1", $"y0", ($"y1" - $"y0").as("qte_cents"))
+      .orderBy($"q")
+  }
+
+  // ----------------------- q389 E-value (sensitivity)
+
+  /** q389 — VanderWeele–Ding E-value for the urgent→high-value risk
+    * ratio: how strong would an unmeasured confounder have to be to
+    * explain the association away — the sensitivity number reviewers
+    * now ask for next to any observational estimate (q340/q352/q364
+    * family). RR from exact counts (high-value = above the global
+    * milli-quantized mean fence), E = RR + √(RR(RR−1)) on the one
+    * aggregate row; RR < 1 takes the reciprocal first, per the
+    * definition. */
+  val eValue: Q = (s, dir) => {
+    import s.implicits._
+    val rows = Tables(s, dir, "orders")
+      .select(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)
+        .as("t"), round($"o_totalprice" * 100).cast("long").as("y"))
+    val fence = rows.agg(sum($"y").as("sy"), count(lit(1)).as("n"))
+    val agg = rows.crossJoin(broadcast(fence))
+      .select($"t", ($"y" * $"n" > $"sy").cast("long").as("hi"))
+      .groupBy($"t").agg(count(lit(1)).as("na"), sum($"hi").as("ha"))
+    val one = agg.agg(
+      sum(when($"t" === 1, $"na")).as("n1"),
+      sum(when($"t" === 1, $"ha")).as("h1"),
+      sum(when($"t" === 0, $"na")).as("n0"),
+      sum(when($"t" === 0, $"ha")).as("h0"))
+    one.selectExpr("n1", "h1", "n0", "h0",
+        "(CAST(h1 AS DOUBLE) / n1) / (CAST(h0 AS DOUBLE) / n0) AS rr0")
+      .selectExpr("n1", "h1", "n0", "h0",
+        "CASE WHEN rr0 < 1.0 THEN 1.0 / rr0 ELSE rr0 END AS rr")
+      .selectExpr(
+        "CAST(round(1000.0 * rr) AS BIGINT) AS rr_milli",
+        "CAST(round(1000.0 * (rr + sqrt(rr * (rr - 1.0))))" +
+          " AS BIGINT) AS e_value_milli")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -1917,6 +2073,10 @@ object Modeling {
     "q383_participation_ratio" -> participationRatio,
     "q384_xcorr" -> xcorr,
     "q385_novelty_share" -> noveltyShare,
+    "q386_gaussian_kde" -> gaussianKde,
+    "q387_tail_dependence" -> tailDependence,
+    "q388_qte" -> quantileTreatmentEffect,
+    "q389_e_value" -> eValue,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3190,5 +3350,115 @@ object Modeling {
         |FROM sh JOIN first_ USING (g)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q386_gaussian_kde" ->
+      """WITH vals AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS v
+        |  FROM orders),
+        |m AS (SELECT n, lo, hi,
+        |    1.06 * sd * POW(CAST(n AS DOUBLE), -0.2) AS h
+        |  FROM (SELECT count(*)::BIGINT AS n, min(v)::BIGINT AS lo,
+        |      max(v)::BIGINT AS hi,
+        |      sqrt((CAST(sum(v::HUGEINT * v) AS DOUBLE)
+        |        - CAST(sum(v) AS DOUBLE) * sum(v) / count(*))
+        |        / (count(*) - 1)) AS sd
+        |    FROM vals)),
+        |pts AS (SELECT gi, n, h,
+        |    CAST(lo + (hi - lo) * gi / 20 AS DOUBLE) AS x
+        |  FROM (SELECT unnest(range(21))::BIGINT AS gi) CROSS JOIN m),
+        |contrib AS (SELECT gi,
+        |    sum(CAST(round(1000000.0 *
+        |      exp(-0.5 * POW((v - x) / h, 2))) AS BIGINT))::BIGINT
+        |      AS sk
+        |  FROM vals CROSS JOIN pts GROUP BY 1),
+        |dens AS (SELECT gi,
+        |    CAST(round(1000000000.0 * CAST(sk AS DOUBLE) / 1000000.0
+        |      / (n * h * sqrt(2 * pi()))) AS BIGINT) AS dens_nano
+        |  FROM contrib CROSS JOIN (SELECT n, h FROM m)),
+        |md AS (SELECT gi AS mode_gi FROM dens
+        |  ORDER BY dens_nano DESC, gi ASC LIMIT 1)
+        |SELECT gi, dens_nano,
+        |  CAST(gi = mode_gi AS INT) AS is_mode
+        |FROM dens CROSS JOIN md
+        |ORDER BY gi""".stripMargin,
+    "q387_tail_dependence" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rk AS (SELECT
+        |    (row_number() OVER (ORDER BY x, o_orderkey) - 1)::BIGINT
+        |      AS rx,
+        |    (row_number() OVER (ORDER BY y, o_orderkey) - 1)::BIGINT
+        |      AS ry
+        |  FROM rows0),
+        |n_ AS (SELECT count(*)::BIGINT AS nn FROM rows0),
+        |f AS (SELECT nn,
+        |    sum(CASE WHEN rx * 20 < nn AND ry * 20 < nn THEN 1
+        |      ELSE 0 END)::BIGINT AS n_lo,
+        |    sum(CASE WHEN (nn - 1 - rx) * 20 < nn
+        |      AND (nn - 1 - ry) * 20 < nn THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_hi
+        |  FROM rk CROSS JOIN n_ GROUP BY nn)
+        |SELECT nn AS n, n_lo, n_hi,
+        |  CAST(round(1000000.0 * n_lo / (CAST(nn AS DOUBLE) / 20.0))
+        |    AS BIGINT) AS lambda_lower_micro,
+        |  CAST(round(1000000.0 * n_hi / (CAST(nn AS DOUBLE) / 20.0))
+        |    AS BIGINT) AS lambda_upper_micro
+        |FROM f""".stripMargin,
+    "q388_qte" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |ranked AS (SELECT t, y,
+        |    (row_number() OVER (PARTITION BY t ORDER BY y, o_orderkey)
+        |      - 1)::BIGINT AS wr
+        |  FROM rows0),
+        |arms AS (SELECT t, count(*)::BIGINT AS na FROM rows0
+        |  GROUP BY 1),
+        |picks AS (SELECT q, ranked.t, min(y)::BIGINT AS yq
+        |  FROM ranked
+        |  JOIN arms ON ranked.t = arms.t
+        |  CROSS JOIN (SELECT unnest(range(1, 10))::BIGINT AS q)
+        |  WHERE (wr + 1) * 10 >= q * na AND wr * 10 < q * na
+        |  GROUP BY 1, 2)
+        |SELECT q,
+        |  sum(CASE WHEN t = 1 THEN yq END)::BIGINT AS y1,
+        |  sum(CASE WHEN t = 0 THEN yq END)::BIGINT AS y0,
+        |  (sum(CASE WHEN t = 1 THEN yq END)
+        |    - sum(CASE WHEN t = 0 THEN yq END))::BIGINT AS qte_cents
+        |FROM picks
+        |GROUP BY q
+        |ORDER BY q""".stripMargin,
+    "q389_e_value" ->
+      """WITH rows0 AS (SELECT
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |fence AS (SELECT sum(y)::BIGINT AS sy, count(*)::BIGINT AS n
+        |  FROM rows0),
+        |agg AS (SELECT t, count(*)::BIGINT AS na,
+        |    sum(CASE WHEN y * n > sy THEN 1 ELSE 0 END)::BIGINT AS ha
+        |  FROM rows0 CROSS JOIN fence GROUP BY 1),
+        |one AS (SELECT
+        |    sum(CASE WHEN t = 1 THEN na END)::BIGINT AS n1,
+        |    sum(CASE WHEN t = 1 THEN ha END)::BIGINT AS h1,
+        |    sum(CASE WHEN t = 0 THEN na END)::BIGINT AS n0,
+        |    sum(CASE WHEN t = 0 THEN ha END)::BIGINT AS h0
+        |  FROM agg),
+        |rr_ AS (SELECT
+        |    CASE WHEN (CAST(h1 AS DOUBLE) / n1) / (CAST(h0 AS DOUBLE)
+        |      / n0) < 1.0
+        |    THEN 1.0 / ((CAST(h1 AS DOUBLE) / n1) /
+        |      (CAST(h0 AS DOUBLE) / n0))
+        |    ELSE (CAST(h1 AS DOUBLE) / n1) / (CAST(h0 AS DOUBLE) / n0)
+        |    END AS rr
+        |  FROM one)
+        |SELECT CAST(round(1000.0 * rr) AS BIGINT) AS rr_milli,
+        |  CAST(round(1000.0 * (rr + sqrt(rr * (rr - 1.0)))) AS BIGINT)
+        |    AS e_value_milli
+        |FROM rr_""".stripMargin,
   )
 }

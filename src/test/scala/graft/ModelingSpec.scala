@@ -494,6 +494,38 @@ class ModelingSpec extends SparkSpec {
     }
   }
 
+  test("q386 KDE: full grid, one mode, non-negative densities") {
+    val rows = Modeling.gaussianKde(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("gi")).toSeq == (0L to 20L))
+    assert(rows.map(_.getAs[Int]("is_mode")).sum == 1)
+    assert(rows.forall(_.getAs[Long]("dens_nano") >= 0))
+  }
+
+  test("q387 tail dependence: coefficients bounded near [0,1]") {
+    val r = Modeling.tailDependence(spark, sfDir).collect().head
+    val lo = r.getAs[Long]("lambda_lower_micro")
+    val hi = r.getAs[Long]("lambda_upper_micro")
+    assert(lo >= 0 && lo <= 1200000)
+    assert(hi >= 0 && hi <= 1200000)
+  }
+
+  test("q388 QTE: nine deciles, both arm quantile profiles monotone") {
+    val rows = Modeling.quantileTreatmentEffect(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("q")).toSeq == (1L to 9L))
+    val y1 = rows.map(_.getAs[Long]("y1"))
+    val y0 = rows.map(_.getAs[Long]("y0"))
+    assert(y1.zip(y1.tail).forall { case (a, b) => a <= b })
+    assert(y0.zip(y0.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q389 E-value: at least the (reciprocal-normalized) risk ratio, rr >= 1") {
+    val r = Modeling.eValue(spark, sfDir).collect().head
+    val rr = r.getAs[Long]("rr_milli")
+    val e = r.getAs[Long]("e_value_milli")
+    assert(rr >= 1000)
+    assert(e >= rr)
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
