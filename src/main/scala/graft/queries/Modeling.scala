@@ -2032,6 +2032,224 @@ object Modeling {
           " AS BIGINT) AS e_value_milli")
   }
 
+  // ---------------- q390 Cook's distance / influence top-20
+
+  /** q390 — influence diagnostics for the order-value OLS (q211's
+    * fit, now asking WHICH rows drive it): leverage from the
+    * closed-form 2×2 inverse of the centered scatter, Cook's
+    * distance D = e²h∕(p·s²(1−h)²), top-20 via
+    * TakeOrderedAndProject (never a global sort). Every per-row
+    * quantity is one deterministic double expression over exact
+    * integer covariates and the broadcast one-row model — no
+    * hat-matrix materialization at any scale. */
+  val cooksDistance: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"),
+      sum(dec($"y") * dec($"y")).as("qyy"))
+      .selectExpr("n", "sx1", "sx2", "sy",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12",
+        "CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y",
+        "CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y",
+        "CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy")
+      .selectExpr("n", "sx1", "sx2", "sy", "s11", "s22", "s12",
+        "(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2",
+        "(syy - (s22 * s1y * s1y - 2 * s12 * s1y * s2y +" +
+          " s11 * s2y * s2y) / (s11 * s22 - s12 * s12)) / (n - 3)" +
+          " AS s2e")
+    rows.crossJoin(broadcast(m))
+      .selectExpr("o_orderkey",
+        "y - (CAST(sy AS DOUBLE) / n + b1 * (x1 - CAST(sx1 AS DOUBLE)" +
+          " / n) + b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS e",
+        "1.0 / n + (s22 * POW(x1 - CAST(sx1 AS DOUBLE) / n, 2)" +
+          " - 2 * s12 * (x1 - CAST(sx1 AS DOUBLE) / n) *" +
+          " (x2 - CAST(sx2 AS DOUBLE) / n)" +
+          " + s11 * POW(x2 - CAST(sx2 AS DOUBLE) / n, 2))" +
+          " / (s11 * s22 - s12 * s12) AS h", "s2e")
+      .selectExpr("o_orderkey",
+        "CAST(round(e) AS BIGINT) AS resid_cents",
+        "CAST(round(1000000.0 * h) AS BIGINT) AS leverage_micro",
+        "CAST(round(1000000.0 * e * e * h /" +
+          " (3.0 * s2e * POW(1.0 - h, 2))) AS BIGINT) AS cook_micro")
+      .orderBy($"cook_micro".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+
+  // ----------------- q391 variance inflation factors
+
+  /** q391 — VIFs for the 3-covariate design (balance, order age,
+    * line count): the multicollinearity gate run before trusting
+    * any OLS table; VIF_j is the j-th diagonal of the inverse
+    * CORRELATION matrix, here by the closed-form 3×3 adjugate over
+    * exact moment sums — no iteration, one row out. Line counts
+    * join from lineitem by order key before the single moment
+    * pass. */
+  val vif: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lines = Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("x3"))
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .join(lines, $"o_orderkey" === $"l_orderkey")
+      .select(round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"),
+        $"x3")
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum($"x1").as("s1"), sum($"x2").as("s2"), sum($"x3").as("s3"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x3") * dec($"x3")).as("q33"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"x3")).as("q13"),
+      sum(dec($"x2") * dec($"x3")).as("q23"))
+    val r = m.selectExpr("n",
+      "CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11",
+      "CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22",
+      "CAST(q33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n AS c33",
+      "CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12",
+      "CAST(q13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3 / n AS c13",
+      "CAST(q23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3 / n AS c23")
+      .selectExpr(
+        "c12 / sqrt(c11 * c22) AS r12",
+        "c13 / sqrt(c11 * c33) AS r13",
+        "c23 / sqrt(c22 * c33) AS r23")
+      .selectExpr("r12", "r13", "r23",
+        "1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13" +
+          " - r23 * r23 AS det")
+    r.selectExpr(
+      "CAST(round(1000.0 * (1.0 - r23 * r23) / det) AS BIGINT)" +
+        " AS vif_balance_milli",
+      "CAST(round(1000.0 * (1.0 - r13 * r13) / det) AS BIGINT)" +
+        " AS vif_age_milli",
+      "CAST(round(1000.0 * (1.0 - r12 * r12) / det) AS BIGINT)" +
+        " AS vif_lines_milli")
+  }
+
+  // -------------- q392 Breusch-Pagan heteroskedasticity
+
+  /** q392 — Breusch–Pagan LM test on the q211/q390 fit: are the
+    * residual VARIANCES explained by the covariates (if yes, every
+    * plain OLS standard error in the shop is wrong)? Two chained
+    * closed-form passes: residuals quantize per row to cents, their
+    * squares regress on (x1, x2) via the same exact-moment solve,
+    * LM = n·R². Residual squares ride decimal(38,0) so nothing
+    * overflows at any SF. */
+  val breuschPagan: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"))
+      .selectExpr("n", "sx1", "sx2", "sy",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12",
+        "CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y",
+        "CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y")
+      .selectExpr("n", "sx1", "sx2", "sy",
+        "(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2")
+    val resid = rows.crossJoin(broadcast(m))
+      .select($"x1", $"x2",
+        expr("CAST(round(y - (CAST(sy AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n))) AS BIGINT)").as("e"))
+      .select($"x1", $"x2", (dec($"e") * dec($"e")).as("e2"))
+    val m2 = resid.agg(count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"e2").as("se"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * $"e2").as("q1e"),
+      sum(dec($"x2") * $"e2").as("q2e"),
+      sum($"e2" * $"e2").as("qee"))
+    m2.selectExpr("n",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12",
+        "CAST(q1e AS DOUBLE) - CAST(sx1 AS DOUBLE) *" +
+          " CAST(se AS DOUBLE) / n AS s1e",
+        "CAST(q2e AS DOUBLE) - CAST(sx2 AS DOUBLE) *" +
+          " CAST(se AS DOUBLE) / n AS s2e",
+        "CAST(qee AS DOUBLE) - CAST(se AS DOUBLE) *" +
+          " CAST(se AS DOUBLE) / n AS see")
+      .selectExpr("n",
+        "(s22 * s1e * s1e - 2 * s12 * s1e * s2e + s11 * s2e * s2e)" +
+          " / ((s11 * s22 - s12 * s12) * see) AS r2")
+      .selectExpr("n", "CAST(2 AS BIGINT) AS df",
+        "CAST(round(1000.0 * n * r2) AS BIGINT) AS lm_milli")
+  }
+
+  // ------------------------ q393 Durbin-Watson
+
+  /** q393 — Durbin–Watson autocorrelation statistic for the daily
+    * revenue trend fit (the serial-correlation alarm that says the
+    * daily series' OLS errors aren't independent — DW≈2 is clean,
+    * →0 positive autocorrelation): residuals from the closed-form
+    * time-trend fit quantize per DAY to micro, consecutive-day
+    * pairs come from the q379/q380 keyed t−1 self-join, and both
+    * sums are exact decimals — one row, no window. */
+  val durbinWatson: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val m = daily.agg(count(lit(1)).as("n"), sum($"t").as("sx"),
+      sum($"y").as("sy"), sum(dec($"t") * dec($"t")).as("qxx"),
+      sum(dec($"t") * dec($"y")).as("qxy"))
+      .selectExpr("n", "sx", "sy",
+        "(CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) /" +
+          " (CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b")
+    val resid = daily.crossJoin(broadcast(m))
+      .select($"t",
+        expr("CAST(round(1000000.0 * (y - (CAST(sy AS DOUBLE) / n +" +
+          " b * (t - CAST(sx AS DOUBLE) / n)))) AS BIGINT)").as("e"))
+    val pairs = resid.join(
+      resid.select(($"t" + 1L).as("t"), $"e".as("e1")), Seq("t"))
+    val num = pairs.agg(
+      sum(dec($"e" - $"e1") * dec($"e" - $"e1")).as("nd"))
+    val den = resid.agg(sum(dec($"e") * dec($"e")).as("dd"),
+      count(lit(1)).as("n_days"))
+    num.crossJoin(broadcast(den))
+      .selectExpr("n_days",
+        "CAST(round(1000.0 * CAST(nd AS DOUBLE) /" +
+          " CAST(dd AS DOUBLE)) AS BIGINT) AS dw_milli")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -2077,6 +2295,10 @@ object Modeling {
     "q387_tail_dependence" -> tailDependence,
     "q388_qte" -> quantileTreatmentEffect,
     "q389_e_value" -> eValue,
+    "q390_cooks_distance" -> cooksDistance,
+    "q391_vif" -> vif,
+    "q392_breusch_pagan" -> breuschPagan,
+    "q393_durbin_watson" -> durbinWatson,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3460,5 +3682,177 @@ object Modeling {
         |  CAST(round(1000.0 * (rr + sqrt(rr * (rr - 1.0)))) AS BIGINT)
         |    AS e_value_milli
         |FROM rr_""".stripMargin,
+    "q390_cooks_distance" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m0 AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+        |    sum(x2)::BIGINT AS sx2, sum(y)::BIGINT AS sy,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * y) AS q1y,
+        |    sum(x2::HUGEINT * y) AS q2y, sum(y::HUGEINT * y) AS qyy
+        |  FROM rows0),
+        |mc AS (SELECT n, sx1, sx2, sy,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12,
+        |    CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y,
+        |    CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y,
+        |    CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy
+        |  FROM m0),
+        |m AS (SELECT n, sx1, sx2, sy, s11, s22, s12,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+        |    (syy - (s22 * s1y * s1y - 2 * s12 * s1y * s2y +
+        |      s11 * s2y * s2y) / (s11 * s22 - s12 * s12)) / (n - 3)
+        |      AS s2e
+        |  FROM mc),
+        |per AS (SELECT o_orderkey,
+        |    y - (CAST(sy AS DOUBLE) / n + b1 * (x1 - CAST(sx1
+        |      AS DOUBLE) / n) + b2 * (x2 - CAST(sx2 AS DOUBLE) / n))
+        |      AS e,
+        |    1.0 / n + (s22 * POW(x1 - CAST(sx1 AS DOUBLE) / n, 2)
+        |      - 2 * s12 * (x1 - CAST(sx1 AS DOUBLE) / n) *
+        |      (x2 - CAST(sx2 AS DOUBLE) / n)
+        |      + s11 * POW(x2 - CAST(sx2 AS DOUBLE) / n, 2))
+        |      / (s11 * s22 - s12 * s12) AS h, s2e
+        |  FROM rows0 CROSS JOIN m)
+        |SELECT o_orderkey,
+        |  CAST(round(e) AS BIGINT) AS resid_cents,
+        |  CAST(round(1000000.0 * h) AS BIGINT) AS leverage_micro,
+        |  CAST(round(1000000.0 * e * e * h /
+        |    (3.0 * s2e * POW(1.0 - h, 2))) AS BIGINT) AS cook_micro
+        |FROM per
+        |ORDER BY cook_micro DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "q391_vif" ->
+      """WITH lines_ AS (SELECT l_orderkey, count(*)::BIGINT AS x3
+        |  FROM lineitem GROUP BY 1),
+        |rows0 AS (SELECT
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2,
+        |    x3
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lines_ ON o_orderkey = l_orderkey),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS s1,
+        |    sum(x2)::BIGINT AS s2, sum(x3)::BIGINT AS s3,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x3::HUGEINT * x3) AS q33, sum(x1::HUGEINT * x2) AS q12,
+        |    sum(x1::HUGEINT * x3) AS q13, sum(x2::HUGEINT * x3) AS q23
+        |  FROM rows0),
+        |cc AS (SELECT n,
+        |    CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+        |    CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+        |    CAST(q33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n AS c33,
+        |    CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+        |    CAST(q13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3 / n AS c13,
+        |    CAST(q23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3 / n AS c23
+        |  FROM m),
+        |rr AS (SELECT
+        |    c12 / sqrt(c11 * c22) AS r12,
+        |    c13 / sqrt(c11 * c33) AS r13,
+        |    c23 / sqrt(c22 * c33) AS r23
+        |  FROM cc),
+        |dd AS (SELECT r12, r13, r23,
+        |    1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13
+        |      - r23 * r23 AS det
+        |  FROM rr)
+        |SELECT
+        |  CAST(round(1000.0 * (1.0 - r23 * r23) / det) AS BIGINT)
+        |    AS vif_balance_milli,
+        |  CAST(round(1000.0 * (1.0 - r13 * r13) / det) AS BIGINT)
+        |    AS vif_age_milli,
+        |  CAST(round(1000.0 * (1.0 - r12 * r12) / det) AS BIGINT)
+        |    AS vif_lines_milli
+        |FROM dd""".stripMargin,
+    "q392_breusch_pagan" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m0 AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+        |    sum(x2)::BIGINT AS sx2, sum(y)::BIGINT AS sy,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * y) AS q1y,
+        |    sum(x2::HUGEINT * y) AS q2y
+        |  FROM rows0),
+        |m AS (SELECT n, sx1, sx2, sy,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM (SELECT n, sx1, sx2, sy,
+        |      CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n
+        |        AS s11,
+        |      CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n
+        |        AS s22,
+        |      CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n
+        |        AS s12,
+        |      CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n
+        |        AS s1y,
+        |      CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n
+        |        AS s2y
+        |    FROM m0)),
+        |resid AS (SELECT x1, x2,
+        |    (CAST(round(y - (CAST(sy AS DOUBLE) / n +
+        |      b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |      b2 * (x2 - CAST(sx2 AS DOUBLE) / n))) AS BIGINT))
+        |      ::HUGEINT AS e
+        |  FROM rows0 CROSS JOIN m),
+        |r2_ AS (SELECT e * e AS e2, x1, x2 FROM resid),
+        |m2 AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+        |    sum(x2)::BIGINT AS sx2, sum(e2) AS se,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * e2) AS q1e,
+        |    sum(x2::HUGEINT * e2) AS q2e, sum(e2 * e2) AS qee
+        |  FROM r2_),
+        |cs AS (SELECT n,
+        |    CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11,
+        |    CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22,
+        |    CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12,
+        |    CAST(q1e AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |      CAST(se AS DOUBLE) / n AS s1e,
+        |    CAST(q2e AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |      CAST(se AS DOUBLE) / n AS s2e,
+        |    CAST(qee AS DOUBLE) - CAST(se AS DOUBLE) *
+        |      CAST(se AS DOUBLE) / n AS see
+        |  FROM m2)
+        |SELECT n, 2::BIGINT AS df,
+        |  CAST(round(1000.0 * n *
+        |    ((s22 * s1e * s1e - 2 * s12 * s1e * s2e + s11 * s2e * s2e)
+        |     / ((s11 * s22 - s12 * s12) * see))) AS BIGINT)
+        |    AS lm_milli
+        |FROM cs""".stripMargin,
+    "q393_durbin_watson" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT n, sx, sy, b FROM (SELECT count(*)::BIGINT AS n,
+        |    sum(t)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    (CAST(sum(t::HUGEINT * y) AS DOUBLE)
+        |      - CAST(sum(t) AS DOUBLE) * sum(y) / count(*)) /
+        |    (CAST(sum(t::HUGEINT * t) AS DOUBLE)
+        |      - CAST(sum(t) AS DOUBLE) * sum(t) / count(*)) AS b
+        |  FROM daily)),
+        |resid AS (SELECT t,
+        |    CAST(round(1000000.0 * (y - (CAST(sy AS DOUBLE) / n +
+        |      b * (t - CAST(sx AS DOUBLE) / n)))) AS BIGINT) AS e
+        |  FROM daily CROSS JOIN m),
+        |num AS (SELECT sum((a.e - b.e)::HUGEINT * (a.e - b.e)) AS nd
+        |  FROM resid a JOIN resid b ON a.t = b.t + 1),
+        |den AS (SELECT sum(e::HUGEINT * e) AS dd,
+        |    count(*)::BIGINT AS n_days
+        |  FROM resid)
+        |SELECT n_days,
+        |  CAST(round(1000.0 * CAST(nd AS DOUBLE) /
+        |    CAST(dd AS DOUBLE)) AS BIGINT) AS dw_milli
+        |FROM num CROSS JOIN den""".stripMargin,
   )
 }

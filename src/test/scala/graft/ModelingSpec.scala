@@ -526,6 +526,36 @@ class ModelingSpec extends SparkSpec {
     assert(e >= rr)
   }
 
+  test("q390 Cook's distance: 20 rows, sorted desc, leverage in (0,1)") {
+    val rows = Modeling.cooksDistance(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val ds = rows.map(_.getAs[Long]("cook_micro"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    rows.foreach { x =>
+      val h = x.getAs[Long]("leverage_micro")
+      assert(h > 0 && h < 1000000)
+    }
+  }
+
+  test("q391 VIF: every factor at least 1 (definitionally)") {
+    val r = Modeling.vif(spark, sfDir).collect().head
+    assert(r.getAs[Long]("vif_balance_milli") >= 1000 - 1)
+    assert(r.getAs[Long]("vif_age_milli") >= 1000 - 1)
+    assert(r.getAs[Long]("vif_lines_milli") >= 1000 - 1)
+  }
+
+  test("q392 Breusch-Pagan: LM non-negative, df 2") {
+    val r = Modeling.breuschPagan(spark, sfDir).collect().head
+    assert(r.getAs[Long]("df") == 2)
+    assert(r.getAs[Long]("lm_milli") >= 0)
+  }
+
+  test("q393 Durbin-Watson: statistic in (0, 4)") {
+    val r = Modeling.durbinWatson(spark, sfDir).collect().head
+    val dw = r.getAs[Long]("dw_milli")
+    assert(dw > 0 && dw < 4000, s"dw_milli=$dw")
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
