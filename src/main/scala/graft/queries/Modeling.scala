@@ -2250,6 +2250,183 @@ object Modeling {
           " CAST(dd AS DOUBLE)) AS BIGINT) AS dw_milli")
   }
 
+  // ------------- q394 heteroskedasticity-robust (HC1) errors
+
+  /** q394 — White/HC1 sandwich standard errors for the q211 fit,
+    * the repair q392's positive LM calls for: meat terms
+    * Σe²·x̃x̃ᵀ accumulate EXACTLY via the n-scaled centering trick
+    * (n·x − Σx is an integer, so every meat entry is an exact
+    * decimal sum of per-row quantized e² times integer products;
+    * the n powers cancel against the bread). Output: classical vs
+    * robust SE per slope — the ratio IS the heteroskedasticity
+    * penalty. One moment pass + one residual pass. */
+  val hc1RobustSe: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"))
+      .selectExpr("n", "sx1", "sx2", "sy",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12",
+        "CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y",
+        "CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y")
+      .selectExpr("n", "sx1", "sx2", "sy", "s11", "s22", "s12",
+        "(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2")
+    // meat: Σ e²·x̃x̃ᵀ via per-row quantized g_j = round(e·x̃_j/1e3) —
+    // e and x̃ are intensive (don't grow with SF), so g_j² stays in
+    // int64 headroom at any corpus size and the decimal sums are
+    // exact and order-independent; the 1e3² scale undoes below
+    val meat = rows.crossJoin(broadcast(m))
+      .selectExpr("n", "s11", "s22", "s12",
+        "CAST(round(y - (CAST(sy AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n))) AS BIGINT) AS e",
+        "x1 - CAST(sx1 AS DOUBLE) / n AS xt1",
+        "x2 - CAST(sx2 AS DOUBLE) / n AS xt2")
+      .selectExpr("n", "s11", "s22", "s12", "e",
+        "CAST(round(e * xt1 / 1000.0) AS BIGINT) AS g1",
+        "CAST(round(e * xt2 / 1000.0) AS BIGINT) AS g2")
+      .groupBy($"n", $"s11", $"s22", $"s12")
+      .agg(sum(dec($"e") * dec($"e")).as("see"),
+        sum(dec($"g1") * dec($"g1")).as("m11"),
+        sum(dec($"g2") * dec($"g2")).as("m22"),
+        sum(dec($"g1") * dec($"g2")).as("m12"))
+    meat.selectExpr("n", "s11", "s22", "s12",
+        "CAST(see AS DOUBLE) AS seed",
+        "CAST(m11 AS DOUBLE) * 1000000.0 AS a11",
+        "CAST(m22 AS DOUBLE) * 1000000.0 AS a22",
+        "CAST(m12 AS DOUBLE) * 1000000.0 AS a12")
+      .selectExpr("n",
+        // classical: s² (S⁻¹)_jj ; robust: (S⁻¹ A S⁻¹)_jj, HC1 factor
+        "seed / (n - 3) AS s2e", "s11", "s22", "s12",
+        "a11", "a22", "a12",
+        "s11 * s22 - s12 * s12 AS det")
+      .selectExpr("n",
+        "CAST(round(1000.0 * sqrt(s2e * s22 / det)) AS BIGINT)" +
+          " AS se_b1_classical_milli",
+        "CAST(round(1000.0 * sqrt((CAST(n AS DOUBLE) / (n - 3)) *" +
+          " (s22 * s22 * a11 - 2 * s22 * s12 * a12 +" +
+          " s12 * s12 * a22) / (det * det))) AS BIGINT)" +
+          " AS se_b1_robust_milli",
+        "CAST(round(1000.0 * sqrt(s2e * s11 / det)) AS BIGINT)" +
+          " AS se_b2_classical_milli",
+        "CAST(round(1000.0 * sqrt((CAST(n AS DOUBLE) / (n - 3)) *" +
+          " (s11 * s11 * a22 - 2 * s11 * s12 * a12 +" +
+          " s12 * s12 * a11) / (det * det))) AS BIGINT)" +
+          " AS se_b2_robust_milli")
+  }
+
+  // ---------------- q395 Oaxaca-Blinder decomposition
+
+  /** q395 — Oaxaca–Blinder twofold decomposition of the
+    * urgent-vs-other order-value gap into an ENDOWMENTS part
+    * (different covariate mixes at control coefficients) and a
+    * COEFFICIENTS part (different returns at treated means) — the
+    * audit that separates "their orders are older/richer" from
+    * "urgency itself pays". Reuses q352's one-pass per-arm moment
+    * machinery for both OLS fits; the decomposition is a one-row
+    * expression over the two broadcast models. */
+  val oaxacaBlinder: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select(
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"o_totalprice" * 100).cast("long").as("y"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val arm = rows.groupBy($"t").agg(
+      count(lit(1)).as("n"), sum($"x1").as("sx1"), sum($"x2").as("sx2"),
+      sum($"y").as("sy"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"y")).as("q1y"),
+      sum(dec($"x2") * dec($"y")).as("q2y"))
+      .selectExpr("t", "n",
+        "CAST(sx1 AS DOUBLE) / n AS mx1",
+        "CAST(sx2 AS DOUBLE) / n AS mx2",
+        "CAST(sy AS DOUBLE) / n AS my",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12",
+        "CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y",
+        "CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y")
+      .selectExpr("t", "mx1", "mx2", "my",
+        "(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2")
+    val one = arm.agg(
+      sum(when($"t" === 1, $"my")).as("my1"),
+      sum(when($"t" === 0, $"my")).as("my0"),
+      sum(when($"t" === 1, $"mx1")).as("mx1_1"),
+      sum(when($"t" === 0, $"mx1")).as("mx1_0"),
+      sum(when($"t" === 1, $"mx2")).as("mx2_1"),
+      sum(when($"t" === 0, $"mx2")).as("mx2_0"),
+      sum(when($"t" === 1, $"b1")).as("b1_1"),
+      sum(when($"t" === 0, $"b1")).as("b1_0"),
+      sum(when($"t" === 1, $"b2")).as("b2_1"),
+      sum(when($"t" === 0, $"b2")).as("b2_0"))
+    one.selectExpr(
+      "CAST(round(1000.0 * (my1 - my0)) AS BIGINT) AS gap_milli_cents",
+      "CAST(round(1000.0 * ((mx1_1 - mx1_0) * b1_0 +" +
+        " (mx2_1 - mx2_0) * b2_0)) AS BIGINT)" +
+        " AS endowments_milli_cents",
+      "CAST(round(1000.0 * ((my1 - my0) - ((mx1_1 - mx1_0) * b1_0 +" +
+        " (mx2_1 - mx2_0) * b2_0))) AS BIGINT)" +
+        " AS coefficients_milli_cents")
+  }
+
+  // ----------------------- q396 SLO burn rate
+
+  /** q396 — multi-window error-budget burn rate (the SRE
+    * fast/slow-burn alert pair, Google SRE Workbook ch.5): with a
+    * 1% error SLO, burn = error share ÷ budget per 6-hour and
+    * 24-hour window ending at each day boundary — alert when BOTH
+    * windows burn hot (fast spike + sustained). Hour buckets reduce
+    * the event stream once; each window is an exact integer sum
+    * over its bucket range via a bounded self-join on the hour
+    * grid; rates are integer cross-products. */
+  val sloBurnRate: Q = (s, dir) => {
+    import s.implicits._
+    val hours = Tables(s, dir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        when($"event_type" === "error", 1L).otherwise(0L).as("err"))
+      .groupBy($"h").agg(count(lit(1)).as("n"), sum($"err").as("e"))
+    val days = hours.select((($"h" + 1L) % 24L === 0).as("boundary"),
+      $"h").filter($"boundary").select($"h".as("hb"))
+    def windowAgg(w: Long, pfx: String) = days
+      .join(hours, $"h" > $"hb" - w && $"h" <= $"hb")
+      .groupBy($"hb")
+      .agg(sum($"n").as(s"n_$pfx"), sum($"e").as(s"e_$pfx"))
+    windowAgg(6L, "6h").join(windowAgg(24L, "24h"), Seq("hb"))
+      .select($"hb", $"n_6h", $"e_6h", $"n_24h", $"e_24h",
+        // burn = (e/n)/0.01 in milli: 1000·100·e div n
+        expr("100000 * e_6h div n_6h").as("burn_6h_milli"),
+        expr("100000 * e_24h div n_24h").as("burn_24h_milli"),
+        (expr("100000 * e_6h div n_6h") > 10000L &&
+          expr("100000 * e_24h div n_24h") > 2000L).cast("int")
+          .as("page"))
+      .orderBy($"hb")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -2299,6 +2476,9 @@ object Modeling {
     "q391_vif" -> vif,
     "q392_breusch_pagan" -> breuschPagan,
     "q393_durbin_watson" -> durbinWatson,
+    "q394_hc1_robust_se" -> hc1RobustSe,
+    "q395_oaxaca_blinder" -> oaxacaBlinder,
+    "q396_slo_burn_rate" -> sloBurnRate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3854,5 +4034,146 @@ object Modeling {
         |  CAST(round(1000.0 * CAST(nd AS DOUBLE) /
         |    CAST(dd AS DOUBLE)) AS BIGINT) AS dw_milli
         |FROM num CROSS JOIN den""".stripMargin,
+    "q394_hc1_robust_se" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m0 AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS sx1,
+        |    sum(x2)::BIGINT AS sx2, sum(y)::BIGINT AS sy,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * y) AS q1y,
+        |    sum(x2::HUGEINT * y) AS q2y
+        |  FROM rows0),
+        |m AS (SELECT n, sx1, sx2, sy, s11, s22, s12,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM (SELECT n, sx1, sx2, sy,
+        |      CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n
+        |        AS s11,
+        |      CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n
+        |        AS s22,
+        |      CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n
+        |        AS s12,
+        |      CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n
+        |        AS s1y,
+        |      CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n
+        |        AS s2y
+        |    FROM m0)),
+        |per AS (SELECT n, s11, s22, s12,
+        |    CAST(round(y - (CAST(sy AS DOUBLE) / n +
+        |      b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |      b2 * (x2 - CAST(sx2 AS DOUBLE) / n))) AS BIGINT) AS e,
+        |    x1 - CAST(sx1 AS DOUBLE) / n AS xt1,
+        |    x2 - CAST(sx2 AS DOUBLE) / n AS xt2
+        |  FROM rows0 CROSS JOIN m),
+        |g AS (SELECT n, s11, s22, s12, e,
+        |    CAST(round(e * xt1 / 1000.0) AS BIGINT) AS g1,
+        |    CAST(round(e * xt2 / 1000.0) AS BIGINT) AS g2
+        |  FROM per),
+        |meat AS (SELECT n, s11, s22, s12,
+        |    CAST(sum(e::HUGEINT * e) AS DOUBLE) AS seed,
+        |    CAST(sum(g1::HUGEINT * g1) AS DOUBLE) * 1000000.0 AS a11,
+        |    CAST(sum(g2::HUGEINT * g2) AS DOUBLE) * 1000000.0 AS a22,
+        |    CAST(sum(g1::HUGEINT * g2) AS DOUBLE) * 1000000.0 AS a12
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |fin AS (SELECT n, seed / (n - 3) AS s2e, s11, s22, s12,
+        |    a11, a22, a12, s11 * s22 - s12 * s12 AS det
+        |  FROM meat)
+        |SELECT n,
+        |  CAST(round(1000.0 * sqrt(s2e * s22 / det)) AS BIGINT)
+        |    AS se_b1_classical_milli,
+        |  CAST(round(1000.0 * sqrt((CAST(n AS DOUBLE) / (n - 3)) *
+        |    (s22 * s22 * a11 - 2 * s22 * s12 * a12 +
+        |    s12 * s12 * a22) / (det * det))) AS BIGINT)
+        |    AS se_b1_robust_milli,
+        |  CAST(round(1000.0 * sqrt(s2e * s11 / det)) AS BIGINT)
+        |    AS se_b2_classical_milli,
+        |  CAST(round(1000.0 * sqrt((CAST(n AS DOUBLE) / (n - 3)) *
+        |    (s11 * s11 * a22 - 2 * s11 * s12 * a12 +
+        |    s12 * s12 * a11) / (det * det))) AS BIGINT)
+        |    AS se_b2_robust_milli
+        |FROM fin""".stripMargin,
+    "q395_oaxaca_blinder" ->
+      """WITH rows0 AS (SELECT
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |arm0 AS (SELECT t, count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+        |    sum(y)::BIGINT AS sy,
+        |    sum(x1::HUGEINT * x1) AS q11, sum(x2::HUGEINT * x2) AS q22,
+        |    sum(x1::HUGEINT * x2) AS q12, sum(x1::HUGEINT * y) AS q1y,
+        |    sum(x2::HUGEINT * y) AS q2y
+        |  FROM rows0 GROUP BY 1),
+        |arm AS (SELECT t,
+        |    CAST(sx1 AS DOUBLE) / n AS mx1,
+        |    CAST(sx2 AS DOUBLE) / n AS mx2,
+        |    CAST(sy AS DOUBLE) / n AS my,
+        |    (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM (SELECT t, n, sx1, sx2, sy,
+        |      CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n
+        |        AS s11,
+        |      CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n
+        |        AS s22,
+        |      CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n
+        |        AS s12,
+        |      CAST(q1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n
+        |        AS s1y,
+        |      CAST(q2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n
+        |        AS s2y
+        |    FROM arm0)),
+        |one AS (SELECT
+        |    sum(CASE WHEN t = 1 THEN my END) AS my1,
+        |    sum(CASE WHEN t = 0 THEN my END) AS my0,
+        |    sum(CASE WHEN t = 1 THEN mx1 END) AS mx1_1,
+        |    sum(CASE WHEN t = 0 THEN mx1 END) AS mx1_0,
+        |    sum(CASE WHEN t = 1 THEN mx2 END) AS mx2_1,
+        |    sum(CASE WHEN t = 0 THEN mx2 END) AS mx2_0,
+        |    sum(CASE WHEN t = 0 THEN b1 END) AS b1_0,
+        |    sum(CASE WHEN t = 0 THEN b2 END) AS b2_0
+        |  FROM arm)
+        |SELECT
+        |  CAST(round(1000.0 * (my1 - my0)) AS BIGINT)
+        |    AS gap_milli_cents,
+        |  CAST(round(1000.0 * ((mx1_1 - mx1_0) * b1_0 +
+        |    (mx2_1 - mx2_0) * b2_0)) AS BIGINT)
+        |    AS endowments_milli_cents,
+        |  CAST(round(1000.0 * ((my1 - my0) - ((mx1_1 - mx1_0) * b1_0 +
+        |    (mx2_1 - mx2_0) * b2_0))) AS BIGINT)
+        |    AS coefficients_milli_cents
+        |FROM one""".stripMargin,
+    "q396_slo_burn_rate" ->
+      """WITH hours AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS e
+        |  FROM events GROUP BY 1),
+        |days AS (SELECT h AS hb FROM hours WHERE (h + 1) % 24 = 0),
+        |w6 AS (SELECT hb, sum(n)::BIGINT AS n_6h,
+        |    sum(e)::BIGINT AS e_6h
+        |  FROM days JOIN hours ON h > hb - 6 AND h <= hb
+        |  GROUP BY 1),
+        |w24 AS (SELECT hb, sum(n)::BIGINT AS n_24h,
+        |    sum(e)::BIGINT AS e_24h
+        |  FROM days JOIN hours ON h > hb - 24 AND h <= hb
+        |  GROUP BY 1)
+        |SELECT hb, n_6h, e_6h, n_24h, e_24h,
+        |  CAST(100000::HUGEINT * e_6h // n_6h AS BIGINT)
+        |    AS burn_6h_milli,
+        |  CAST(100000::HUGEINT * e_24h // n_24h AS BIGINT)
+        |    AS burn_24h_milli,
+        |  CAST(100000::HUGEINT * e_6h // n_6h > 10000
+        |    AND 100000::HUGEINT * e_24h // n_24h > 2000 AS INT)
+        |    AS page
+        |FROM w6 JOIN w24 USING (hb)
+        |ORDER BY hb""".stripMargin,
   )
 }

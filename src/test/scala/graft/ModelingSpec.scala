@@ -556,6 +556,34 @@ class ModelingSpec extends SparkSpec {
     assert(dw > 0 && dw < 4000, s"dw_milli=$dw")
   }
 
+  test("q394 HC1: all four standard errors strictly positive") {
+    val r = Modeling.hc1RobustSe(spark, sfDir).collect().head
+    assert(r.getAs[Long]("se_b1_classical_milli") > 0)
+    assert(r.getAs[Long]("se_b1_robust_milli") > 0)
+    assert(r.getAs[Long]("se_b2_classical_milli") > 0)
+    assert(r.getAs[Long]("se_b2_robust_milli") > 0)
+  }
+
+  test("q395 Oaxaca-Blinder: decomposition parts sum back to the gap") {
+    val r = Modeling.oaxacaBlinder(spark, sfDir).collect().head
+    val gap = r.getAs[Long]("gap_milli_cents")
+    val e = r.getAs[Long]("endowments_milli_cents")
+    val c = r.getAs[Long]("coefficients_milli_cents")
+    assert(math.abs(gap - (e + c)) <= 1, s"$gap != $e + $c")
+  }
+
+  test("q396 SLO burn: rate identity and paging logic per window") {
+    val rows = Modeling.sloBurnRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val b6 = x.getAs[Long]("burn_6h_milli")
+      val b24 = x.getAs[Long]("burn_24h_milli")
+      assert(b6 == 100000L * x.getAs[Long]("e_6h") / x.getAs[Long]("n_6h"))
+      assert(x.getAs[Int]("page") ==
+        (if (b6 > 10000 && b24 > 2000) 1 else 0))
+    }
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
