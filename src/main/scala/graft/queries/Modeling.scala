@@ -2427,6 +2427,184 @@ object Modeling {
       .orderBy($"hb")
   }
 
+  // ------------------ q397 quadratic-weighted kappa
+
+  /** q397 — quadratic-weighted Cohen's kappa between two ORDINAL
+    * 3-level raters (length tercile vs sentence-punctuation
+    * tercile): the ordinal upgrade of q204 (binary) and q353
+    * (nominal multi-rater) — near-misses cost (i−j)², not 1.
+    * The whole computation lives on the 9-cell contingency frame;
+    * κ_w = 1 − N·ΣwO∕ΣwE stays exact integers until one final
+    * quantized division. */
+  val weightedKappa: Q = (s, dir) => {
+    import s.implicits._
+    val rated = Tables(s, dir, "documents")
+      .select(
+        (when($"n_chars" < 250, 0L).when($"n_chars" < 350, 1L)
+          .otherwise(2L)).as("r1"),
+        (when(length(regexp_replace($"text", "[^.]", "")) < 2, 0L)
+          .when(length(regexp_replace($"text", "[^.]", "")) < 4, 1L)
+          .otherwise(2L)).as("r2"))
+    val cells = rated.groupBy($"r1", $"r2").agg(count(lit(1)).as("o"))
+    val joined = cells
+      .join(broadcast(cells.groupBy($"r1").agg(sum($"o").as("rn"))),
+        Seq("r1"))
+      .join(broadcast(cells.groupBy($"r2").agg(sum($"o").as("cn"))),
+        Seq("r2"))
+    joined.agg(sum($"o").as("nn"),
+        sum(($"r1" - $"r2") * ($"r1" - $"r2") * $"o").as("wo"),
+        sum(($"r1" - $"r2") * ($"r1" - $"r2") * $"rn" * $"cn").as("we"))
+      .selectExpr("nn",
+        "CAST(round(1000000.0 * (1.0 - CAST(nn AS DOUBLE) * wo / we))" +
+          " AS BIGINT) AS kappa_w_micro")
+  }
+
+  // ------------ q398 recommender catalog coverage / concentration
+
+  /** q398 — serving-table evaluation for the q346 recommender:
+    * catalog coverage (share of items that appear as anybody's
+    * neighbor — cold-start blind spots) and neighbor-slot
+    * concentration (exact Gini over per-item recommendation counts,
+    * q171's machinery on the O(items) count frame via one
+    * rangeCumSum rank pass). Both are the standard rec-sys audit
+    * pair: high coverage, low concentration. */
+  val recCoverage: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val serving = itemCfTopk(s, dir)
+    val catalog = Tables(s, dir, "lineitem")
+      .select($"l_partkey").distinct()
+    val nCat = catalog.agg(count(lit(1)).as("n_catalog"))
+    val counts = serving.groupBy($"neighbor").agg(count(lit(1)).as("c"))
+    val nNb = counts.agg(count(lit(1)).as("n_neighbors"),
+      sum($"c").as("slots"))
+    val ranked = ScaleWindows.rangeCumSum(counts,
+      Seq($"c", $"neighbor"), lit(1L), "rk")
+    val gini = ranked.crossJoin(broadcast(nNb))
+      .agg(sum((lit(2L) * ($"rk" + 1L) - $"n_neighbors" - 1L) * $"c")
+        .as("gnum"), first($"n_neighbors").as("nk"),
+        first($"slots").as("slots"))
+    gini.crossJoin(broadcast(nCat))
+      .selectExpr("n_catalog", "nk AS n_neighbors",
+        "CAST(1000000 * nk AS BIGINT) div n_catalog" +
+          " AS coverage_micro",
+        "CAST(round(1000000.0 * gnum / (CAST(nk AS DOUBLE) * slots))" +
+          " AS BIGINT) AS gini_micro")
+  }
+
+  // ---------- q399 calibration-in-the-large + slope
+
+  /** q399 — the two weak-calibration moments reported before any
+    * fancier recalibration (q275 Platt, q209 isotonic): bias
+    * (mean outcome − mean score) and the LPM calibration slope
+    * cov(t, p)∕var(p) — slope < 1 means overconfident spread.
+    * Scores are the q340 family's integer-micro LPM propensities,
+    * so BOTH moments are exact integers until the final division —
+    * no float sums anywhere. */
+  val calibrationMoments: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x1")).as("sx1"), sum(dec($"x2")).as("sx2"),
+      sum(($"t" * lit(1000000L)).cast("decimal(38,0)")).as("st"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"t" * lit(1000000L))).as("q1t"),
+      sum(dec($"x2") * dec($"t" * lit(1000000L))).as("q2t"))
+      .selectExpr("n", "sx1", "sx2", "st",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s12",
+        "CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s1t",
+        "CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s2t")
+      .selectExpr("n", "sx1", "sx2", "st",
+        "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2")
+    val scored = rows.crossJoin(broadcast(m))
+      .selectExpr("t",
+        "CAST(round(CAST(st AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
+    scored.agg(count(lit(1)).as("n"), sum($"t").as("stt"),
+        sum($"p").as("sp"), sum(dec($"p") * dec($"p")).as("qpp"),
+        sum(dec($"p") * dec($"t" * lit(1000000L))).as("qpt"))
+      .selectExpr("n",
+        "CAST(round(1000000.0 * stt / n - CAST(sp AS DOUBLE) / n)" +
+          " AS BIGINT) AS bias_micro",
+        "CAST(round(1000.0 *" +
+          " (CAST(qpt AS DOUBLE) - CAST(sp AS DOUBLE) *" +
+          " (1000000.0 * stt) / n) /" +
+          " (CAST(qpp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n))" +
+          " AS BIGINT) AS slope_milli")
+  }
+
+  // --------------- q400 per-segment PSI drift attribution
+
+  /** q400 — population-stability drift ATTRIBUTED to segments:
+    * q114's global PSI says THAT the order-value mix moved between
+    * the first and second half of the history; this says WHERE —
+    * PSI per market segment over the shared global decile bins
+    * (rangeNtile backbone), add-one smoothed so empty segment×bin
+    * cells stay finite, worst segment flagged. Per-bin terms
+    * quantize to micro before the 10-row segment sums. */
+  val psiBySegment: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment".as("seg"),
+        round($"o_totalprice" * 100).cast("long").as("v"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("d"))
+    val half = rows.agg(max($"d").as("dmax"))
+    val binned = ScaleWindows.rangeNtile(rows, 10,
+      Seq($"v", $"o_orderkey"), "bin")
+    val cells = binned.crossJoin(broadcast(half))
+      .select($"seg", $"bin",
+        when($"d" * 2L <= $"dmax", 0L).otherwise(1L).as("period"))
+      .groupBy($"seg", $"bin", $"period").agg(count(lit(1)).as("c"))
+    // complete (seg, bin, period) grid with add-one smoothing
+    val segs = cells.select($"seg").distinct()
+    val grid = segs
+      .crossJoin(broadcast((1L to 10L).toDF("bin")))
+      .crossJoin(broadcast(Seq(0L, 1L).toDF("period")))
+    val smooth = grid.join(cells, Seq("seg", "bin", "period"), "left")
+      .na.fill(0L, Seq("c")).select($"seg", $"bin", $"period",
+        ($"c" + 1L).as("c"))
+    val tots = smooth.groupBy($"seg", $"period").agg(sum($"c").as("tc"))
+    val wide = smooth.join(tots, Seq("seg", "period"))
+      .select($"seg", $"bin",
+        when($"period" === 0, $"c").otherwise(0L).as("c0"),
+        when($"period" === 1, $"c").otherwise(0L).as("c1"),
+        when($"period" === 0, $"tc").otherwise(0L).as("t0"),
+        when($"period" === 1, $"tc").otherwise(0L).as("t1"))
+      .groupBy($"seg", $"bin")
+      .agg(sum($"c0").as("c0"), sum($"c1").as("c1"),
+        sum($"t0").as("t0"), sum($"t1").as("t1"))
+    val terms = wide.select($"seg",
+      expr("CAST(round(1000000.0 *" +
+        " (CAST(c0 AS DOUBLE) / t0 - CAST(c1 AS DOUBLE) / t1) *" +
+        " ln((CAST(c0 AS DOUBLE) / t0) / (CAST(c1 AS DOUBLE) / t1)))" +
+        " AS BIGINT)").as("term_u"))
+    val psi = terms.groupBy($"seg").agg(sum($"term_u").as("psi_micro"))
+    val worst = psi.agg(max(struct($"psi_micro", $"seg")).as("b"))
+      .select($"b.seg".as("worst_seg"))
+    psi.crossJoin(broadcast(worst))
+      .select($"seg", $"psi_micro",
+        ($"seg" === $"worst_seg").cast("int").as("is_worst"))
+      .orderBy($"seg")
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -2479,6 +2657,10 @@ object Modeling {
     "q394_hc1_robust_se" -> hc1RobustSe,
     "q395_oaxaca_blinder" -> oaxacaBlinder,
     "q396_slo_burn_rate" -> sloBurnRate,
+    "q397_weighted_kappa" -> weightedKappa,
+    "q398_rec_coverage" -> recCoverage,
+    "q399_calibration_moments" -> calibrationMoments,
+    "q400_psi_by_segment" -> psiBySegment,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4175,5 +4357,169 @@ object Modeling {
         |    AS page
         |FROM w6 JOIN w24 USING (hb)
         |ORDER BY hb""".stripMargin,
+    "q397_weighted_kappa" ->
+      """WITH rated AS (SELECT
+        |    (CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 350 THEN 1
+        |      ELSE 2 END)::BIGINT AS r1,
+        |    (CASE WHEN length(regexp_replace(text, '[^.]', '', 'g')) < 2
+        |      THEN 0
+        |      WHEN length(regexp_replace(text, '[^.]', '', 'g')) < 4
+        |      THEN 1 ELSE 2 END)::BIGINT AS r2
+        |  FROM documents),
+        |cells AS (SELECT r1, r2, count(*)::BIGINT AS o
+        |  FROM rated GROUP BY 1, 2),
+        |rn AS (SELECT r1, sum(o)::BIGINT AS rn FROM cells GROUP BY 1),
+        |cn AS (SELECT r2, sum(o)::BIGINT AS cn FROM cells GROUP BY 1),
+        |agg AS (SELECT sum(o)::BIGINT AS nn,
+        |    sum((cells.r1 - cells.r2) * (cells.r1 - cells.r2) * o)
+        |      ::BIGINT AS wo,
+        |    sum((cells.r1 - cells.r2) * (cells.r1 - cells.r2)
+        |      * rn.rn * cn.cn)::BIGINT AS we
+        |  FROM cells JOIN rn ON cells.r1 = rn.r1
+        |  JOIN cn ON cells.r2 = cn.r2)
+        |SELECT nn,
+        |  CAST(round(1000000.0 * (1.0 - CAST(nn AS DOUBLE) * wo / we))
+        |    AS BIGINT) AS kappa_w_micro
+        |FROM agg""".stripMargin,
+    "q398_rec_coverage" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |support AS (SELECT l_partkey, count(*)::BIGINT AS ni
+        |  FROM baskets GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS pi, b.l_partkey AS pj,
+        |    count(*)::BIGINT AS nij
+        |  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |scored AS (SELECT pi, pj, nij,
+        |    CAST(1000000000000::HUGEINT * nij * nij
+        |      // (sa.ni::HUGEINT * sb.ni) AS BIGINT) AS cos2_micro2
+        |  FROM pairs
+        |  JOIN support sa ON sa.l_partkey = pi
+        |  JOIN support sb ON sb.l_partkey = pj),
+        |sym AS (SELECT pi AS item, pj AS neighbor, cos2_micro2
+        |    FROM scored
+        |  UNION ALL
+        |  SELECT pj AS item, pi AS neighbor, cos2_micro2 FROM scored),
+        |serving AS (SELECT item, neighbor FROM
+        |  (SELECT item, neighbor,
+        |     row_number() OVER (PARTITION BY item
+        |       ORDER BY cos2_micro2 DESC, neighbor ASC) AS rk
+        |   FROM sym) WHERE rk <= 3),
+        |counts AS (SELECT neighbor, count(*)::BIGINT AS c
+        |  FROM serving GROUP BY 1),
+        |nnb AS (SELECT count(*)::BIGINT AS nk, sum(c)::BIGINT AS slots
+        |  FROM counts),
+        |ncat AS (SELECT count(DISTINCT l_partkey)::BIGINT AS n_catalog
+        |  FROM lineitem),
+        |ranked AS (SELECT c,
+        |    (row_number() OVER (ORDER BY c, neighbor) - 1)::BIGINT
+        |      AS rk
+        |  FROM counts),
+        |gini AS (SELECT sum((2 * (rk + 1) - nk - 1) * c)::BIGINT
+        |    AS gnum, first(nk)::BIGINT AS nk,
+        |    first(slots)::BIGINT AS slots
+        |  FROM ranked CROSS JOIN nnb)
+        |SELECT n_catalog, nk AS n_neighbors,
+        |  CAST(1000000::HUGEINT * nk // n_catalog AS BIGINT)
+        |    AS coverage_micro,
+        |  CAST(round(1000000.0 * gnum / (CAST(nk AS DOUBLE) * slots))
+        |    AS BIGINT) AS gini_micro
+        |FROM gini CROSS JOIN ncat""".stripMargin,
+    "q399_calibration_moments" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m0 AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+        |    sum((t * 1000000)::HUGEINT) AS st,
+        |    sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+        |    sum(x2::HUGEINT * x2::HUGEINT) AS q22,
+        |    sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+        |    sum(x1::HUGEINT * (t * 1000000)::HUGEINT) AS q1t,
+        |    sum(x2::HUGEINT * (t * 1000000)::HUGEINT) AS q2t
+        |  FROM rows0),
+        |b AS (SELECT n, sx1, sx2, st,
+        |    (s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM (SELECT n, sx1, sx2, st,
+        |      CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(sx1 AS DOUBLE) / n AS s11,
+        |      CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |        CAST(sx2 AS DOUBLE) / n AS s22,
+        |      CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(sx2 AS DOUBLE) / n AS s12,
+        |      CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(st AS DOUBLE) / n AS s1t,
+        |      CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |        CAST(st AS DOUBLE) / n AS s2t
+        |    FROM m0)),
+        |sc AS (SELECT t,
+        |    CAST(round(CAST(st AS DOUBLE) / n +
+        |      b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |      b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p
+        |  FROM rows0 CROSS JOIN b)
+        |SELECT count(*)::BIGINT AS n,
+        |  CAST(round(1000000.0 * sum(t) / count(*)
+        |    - CAST(sum(p) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS bias_micro,
+        |  CAST(round(1000.0 *
+        |    (CAST(sum(p::HUGEINT * (t * 1000000)) AS DOUBLE)
+        |      - CAST(sum(p) AS DOUBLE) * (1000000.0 * sum(t))
+        |        / count(*)) /
+        |    (CAST(sum(p::HUGEINT * p) AS DOUBLE)
+        |      - CAST(sum(p) AS DOUBLE) * sum(p) / count(*)))
+        |    AS BIGINT) AS slope_milli
+        |FROM sc""".stripMargin,
+    "q400_psi_by_segment" ->
+      """WITH rows0 AS (SELECT o_orderkey, c_mktsegment AS seg,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |half AS (SELECT max(d)::BIGINT AS dmax FROM rows0),
+        |binned AS (SELECT seg, d,
+        |    ntile(10) OVER (ORDER BY v, o_orderkey)::BIGINT AS bin
+        |  FROM rows0),
+        |cells AS (SELECT seg, bin,
+        |    CASE WHEN d * 2 <= dmax THEN 0 ELSE 1 END::BIGINT
+        |      AS period,
+        |    count(*)::BIGINT AS c
+        |  FROM binned CROSS JOIN half
+        |  GROUP BY 1, 2, 3),
+        |grid AS (SELECT seg, bin, period
+        |  FROM (SELECT DISTINCT seg FROM cells)
+        |  CROSS JOIN (SELECT unnest(range(1, 11))::BIGINT AS bin)
+        |  CROSS JOIN (SELECT unnest([0, 1])::BIGINT AS period)),
+        |smooth AS (SELECT grid.seg, grid.bin, grid.period,
+        |    coalesce(c, 0) + 1 AS c
+        |  FROM grid LEFT JOIN cells USING (seg, bin, period)),
+        |tots AS (SELECT seg, period, sum(c)::BIGINT AS tc
+        |  FROM smooth GROUP BY 1, 2),
+        |wide AS (SELECT seg, bin,
+        |    sum(CASE WHEN period = 0 THEN c ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN period = 1 THEN c ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN period = 0 THEN tc ELSE 0 END)::BIGINT AS t0,
+        |    sum(CASE WHEN period = 1 THEN tc ELSE 0 END)::BIGINT AS t1
+        |  FROM smooth JOIN tots USING (seg, period)
+        |  GROUP BY 1, 2),
+        |terms AS (SELECT seg,
+        |    CAST(round(1000000.0 *
+        |      (CAST(c0 AS DOUBLE) / t0 - CAST(c1 AS DOUBLE) / t1) *
+        |      ln((CAST(c0 AS DOUBLE) / t0) / (CAST(c1 AS DOUBLE)
+        |        / t1))) AS BIGINT) AS term_u
+        |  FROM wide),
+        |psi AS (SELECT seg, sum(term_u)::BIGINT AS psi_micro
+        |  FROM terms GROUP BY 1),
+        |worst AS (SELECT seg AS worst_seg FROM psi
+        |  ORDER BY psi_micro DESC, seg DESC LIMIT 1)
+        |SELECT seg, psi_micro,
+        |  CAST(seg = worst_seg AS INT) AS is_worst
+        |FROM psi CROSS JOIN worst
+        |ORDER BY seg""".stripMargin,
   )
 }

@@ -584,6 +584,38 @@ class ModelingSpec extends SparkSpec {
     }
   }
 
+  test("q397 weighted kappa: micro value bounded above by 1e6") {
+    val r = Modeling.weightedKappa(spark, sfDir).collect().head
+    assert(r.getAs[Long]("kappa_w_micro") <= 1000000)
+    assert(r.getAs[Long]("nn") ==
+      Tables(spark, sfDir, "documents").count())
+  }
+
+  test("q398 rec coverage: coverage and Gini both within [0,1]") {
+    val r = Modeling.recCoverage(spark, sfDir).collect().head
+    val cov = r.getAs[Long]("coverage_micro")
+    val g = r.getAs[Long]("gini_micro")
+    assert(cov >= 0 && cov <= 1000000)
+    assert(g >= 0 && g <= 1000000)
+    assert(r.getAs[Long]("n_neighbors") <= r.getAs[Long]("n_catalog"))
+  }
+
+  test("q399 calibration: LPM scores are exactly mean-matched (bias 0)") {
+    // OLS fitted values share the outcome mean BY CONSTRUCTION — the
+    // only deviation is the per-row micro rounding of the score
+    val r = Modeling.calibrationMoments(spark, sfDir).collect().head
+    assert(math.abs(r.getAs[Long]("bias_micro")) <= 1)
+    val slope = r.getAs[Long]("slope_milli")
+    assert(slope > 0, s"slope_milli=$slope")
+  }
+
+  test("q400 PSI by segment: exactly one worst, all PSI non-negative") {
+    val rows = Modeling.psiBySegment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("is_worst")).sum == 1)
+    rows.foreach(x => assert(x.getAs[Long]("psi_micro") >= 0))
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
