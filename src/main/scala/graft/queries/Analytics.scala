@@ -1331,12 +1331,19 @@ object Analytics {
   private def rakedCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val S = 1000000000L
+    // localCheckpoint: every IPF step below branches the running frame
+    // into a marginal groupBy AND a join — without truncation the base
+    // scan's lineage re-executes once per BRANCH, doubling per step
+    // (2^6 recomputes across 3 iterations; measured 5.7 s at sf0.1 for
+    // a 25-row computation). The checkpoint pins the 25-row frame so
+    // each step costs two tiny local jobs.
     val cells = Tables(s, dir, "orders")
       .join(Tables(s, dir, "customer")
         .select($"c_custkey", ($"c_nationkey" % 5).as("r")),
         $"o_custkey" === $"c_custkey")
       .groupBy($"r", $"o_orderpriority".as("p"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val nTot = cells.agg(sum($"n").as("nn"))
     val rowT = Tables(s, dir, "customer")
       .groupBy(($"c_nationkey" % 5).as("r"))
@@ -1353,13 +1360,15 @@ object Analytics {
       val rs = d.groupBy($"r").agg(sum($"w").as("rs"))
       d.join(broadcast(rs), Seq("r")).join(broadcast(tr), Seq("r"))
         .select($"r", $"p", $"n", expr("(w * tr) div rs").as("w"))
+        .localCheckpoint()
     }
     def colStep(d: DataFrame): DataFrame = {
       val cs = d.groupBy($"p").agg(sum($"w").as("cs"))
       d.join(broadcast(cs), Seq("p")).join(broadcast(tc), Seq("p"))
         .select($"r", $"p", $"n", expr("(w * tc) div cs").as("w"))
+        .localCheckpoint()
     }
-    (1 to 3).foldLeft(w0)((d, _) => colStep(rowStep(d)))
+    (1 to 3).foldLeft(w0.localCheckpoint())((d, _) => colStep(rowStep(d)))
   }
 
   /** q332 — survey raking: the per-cell calibrated weights after 3
