@@ -568,9 +568,10 @@ object Modeling {
       sum(when($"g" === 1, 1L).otherwise(0L)).as("x1"),
       sum(when($"g" === 0 && $"evt" === 1, 1L).otherwise(0L)).as("d0"),
       sum(when($"g" === 1 && $"evt" === 1, 1L).otherwise(0L)).as("d1"))
-    val tot = durs.groupBy().agg(
-      sum(when($"g" === 0, 1L).otherwise(0L)).as("t0"),
-      sum(when($"g" === 1, 1L).otherwise(0L)).as("t1"))
+      .localCheckpoint()
+    // totals from the O(horizon) grid, NOT a second pass over the
+    // user-level frame (which would re-run the per-user reduction)
+    val tot = grid.agg(sum($"x0").as("t0"), sum($"x1").as("t1"))
     val cum = ScaleWindows.rangeCumSums(grid, Seq($"d"),
       Seq(col("x0") -> "e0", col("x1") -> "e1"))
     val terms = cum.crossJoin(broadcast(tot))
@@ -885,11 +886,15 @@ object Modeling {
       .selectExpr("n", "sx1", "sx2", "st",
         "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1",
         "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2")
+    // localCheckpoint: four consumers below (both rangeCumMax passes,
+    // the control representative, the treated count) would otherwise
+    // re-run the join + scoring pipeline once each
     val scored = rows.crossJoin(broadcast(b))
       .selectExpr("o_orderkey", "t", "y",
         "CAST(round(CAST(st AS DOUBLE) / n +" +
           " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
           " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
+      .localCheckpoint()
     val back = ScaleWindows.rangeCumMax(scored,
       Seq($"p", $"t", $"o_orderkey"),
       when($"t" === 0, $"p"), "p_back")
@@ -945,9 +950,13 @@ object Modeling {
         expr("CAST(round(c_acctbal * 100) + 100000 AS BIGINT) div 220000")
           .as("cx"),
         expr("sp div 20000000").as("cy"))
+    // localCheckpoint: dense feeds the edge join twice (source and
+    // neighbor side) plus the final label join — O(cells) rows, so
+    // pinning is free and saves three base-scan re-runs
     val dense = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("np"))
       .filter($"np" >= 5)
       .select(($"cx" * 100000L + $"cy").as("id"), $"cx", $"cy", $"np")
+      .localCheckpoint()
     val offs = Seq(-1L, 0L, 1L)
       .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
       .filter { case (dx, dy) => dx != 0 || dy != 0 }
@@ -1443,7 +1452,9 @@ object Modeling {
           1L).otherwise(0L).as("evt"))
     val grid = durs.groupBy($"d").agg(count(lit(1)).as("x"),
       sum($"evt").as("de"))
-    val tot = durs.agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    // totals from the O(horizon) grid — never a second user-level pass
+    val tot = grid.agg(sum($"x").as("t"))
     // exits before each day -> at-risk; quantized ln(1 - d/r) per day
     val cum = graft.functions.ScaleWindows.rangeCumSum(grid, Seq($"d"),
       $"x", "e_before")
@@ -1498,7 +1509,8 @@ object Modeling {
     val grid = durs.groupBy($"d").agg(count(lit(1)).as("x"),
       sum(when($"cause" === 1L, 1L).otherwise(0L)).as("d1"),
       sum(when($"cause" === 2L, 1L).otherwise(0L)).as("d2"))
-    val tot = durs.agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val tot = grid.agg(sum($"x").as("t"))
     val cum = graft.functions.ScaleWindows.rangeCumSum(grid, Seq($"d"),
       $"x", "e_before")
     // a day where EVERYONE at risk exits (d1+d2 = r) has KM factor 0:
