@@ -2792,6 +2792,96 @@ object Modeling {
           " (CAST(tp AS DOUBLE) * tn)) AS BIGINT)").as("youden_j_micro"))
   }
 
+  // -------------------- q405 Mann-Kendall trend test
+
+  /** q405 — Mann–Kendall monotone-trend test on the daily revenue
+    * series: the nonparametric answer to "is revenue drifting?"
+    * that q358's parametric break search and q183's CUSUM assume
+    * away. S = Σ sign(y_j − y_i) over ordered day pairs, computed
+    * on the day-grid SELF-JOIN — bounded by calendar days squared
+    * at ANY corpus size (days don't grow with SF), with the exact
+    * tie-corrected variance from the value-multiplicity frame. */
+  val mannKendall: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .localCheckpoint()
+    val pairs = daily.select($"t".as("ti"), $"y".as("yi"))
+      .join(daily.select($"t".as("tj"), $"y".as("yj")),
+        $"ti" < $"tj")
+      .agg(sum(when($"yj" > $"yi", 1L).when($"yj" < $"yi", -1L)
+        .otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy($"y").agg(count(lit(1)).as("m"))
+      .agg(sum($"m").as("n"),
+        sum($"m" * ($"m" - 1L) * (lit(2L) * $"m" + 5L)).as("tie_adj"))
+    pairs.crossJoin(broadcast(ties))
+      .selectExpr("n", "s_stat",
+        // Var(S) = (n(n−1)(2n+5) − Σ m(m−1)(2m+5)) / 18
+        "CAST(round(1000.0 * (s_stat - CASE WHEN s_stat > 0 THEN 1" +
+          " WHEN s_stat < 0 THEN -1 ELSE 0 END) /" +
+          " sqrt((CAST(n AS DOUBLE) * (n - 1) * (2.0 * n + 5)" +
+          " - tie_adj) / 18.0)) AS BIGINT) AS z_milli")
+  }
+
+  // ---------------------- q406 paired sign test
+
+  /** q406 — paired sign test on the q401 price pair: is the
+    * transacted unit price ABOVE list more often than below —
+    * the assumption-free companion the Bland–Altman write-up
+    * quotes when differences are skewed. Exact integer counts,
+    * continuity-corrected normal z on the one-row frame. */
+  val signTest: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part")
+        .select($"p_partkey", round($"p_retailprice" * 100).cast("long")
+          .as("rp")), $"l_partkey" === $"p_partkey")
+      .select((expr("CAST(round(100.0 * l_extendedprice / l_quantity)" +
+        " AS BIGINT)") - $"rp").as("d"))
+      .agg(sum(when($"d" > 0, 1L).otherwise(0L)).as("pos"),
+        sum(when($"d" < 0, 1L).otherwise(0L)).as("neg"))
+      .selectExpr("pos", "neg",
+        "CAST(round(1000.0 * (abs(CAST(pos AS DOUBLE) - neg) - 1.0) /" +
+          " sqrt(CAST(pos + neg AS DOUBLE))) AS BIGINT)" +
+          " AS z_milli")
+  }
+
+  // ------------------ q407 Hodges-Lehmann estimator
+
+  /** q407 — Hodges–Lehmann location estimate of daily revenue: the
+    * median of all pairwise Walsh averages — the robust center with
+    * higher efficiency than the plain median (the estimator behind
+    * the Wilcoxon interval). Walsh averages live on the day-grid
+    * self-join (calendar-bounded); the exact median comes from one
+    * rangeCumSum rank pass over that bounded pair frame, picking
+    * the middle order statistic(s) by integer rank match. */
+  val hodgesLehmann: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .localCheckpoint()
+    // Walsh averages (i <= j) in half-cent units to stay integral
+    val walsh = daily.select($"t".as("ti"), $"y".as("yi"))
+      .join(daily.select($"t".as("tj"), $"y".as("yj")),
+        $"ti" <= $"tj")
+      .select(($"yi" + $"yj").as("w2"), $"ti", $"tj")
+    val n = walsh.agg(count(lit(1)).as("nw"))
+    val ranked = ScaleWindows.rangeCumSum(walsh,
+      Seq($"w2", $"ti", $"tj"), lit(1L), "rk")
+    ranked.crossJoin(broadcast(n))
+      // lower median (rk = (nw−1) div 2) and upper (rk = nw div 2)
+      .filter($"rk" === expr("(nw - 1) div 2") ||
+        $"rk" === expr("nw div 2"))
+      .agg(first($"nw").as("n_walsh"),
+        expr("CAST(round(CAST(sum(w2) AS DOUBLE) /" +
+          " (2.0 * count(*))) AS BIGINT)").as("hl_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q346_item_cf_topk" -> itemCfTopk,
     "q347_als_half_step" -> alsHalfStep,
@@ -2852,6 +2942,9 @@ object Modeling {
     "q402_lins_ccc" -> linsCcc,
     "q403_deming_regression" -> demingRegression,
     "q404_youden_threshold" -> youdenThreshold,
+    "q405_mann_kendall" -> mannKendall,
+    "q406_sign_test" -> signTest,
+    "q407_hodges_lehmann" -> hodgesLehmann,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4836,5 +4929,56 @@ object Modeling {
         |  CAST(round(1000000.0 * jnum / (CAST(tp AS DOUBLE) * tn))
         |    AS BIGINT) AS youden_j_micro
         |FROM best CROSS JOIN tot""".stripMargin,
+    "q405_mann_kendall" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |pairs AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b ON a.t < b.t),
+        |ties AS (SELECT sum(m)::BIGINT AS n,
+        |    sum(m * (m - 1) * (2 * m + 5))::BIGINT AS tie_adj
+        |  FROM (SELECT y, count(*)::BIGINT AS m FROM daily GROUP BY 1))
+        |SELECT n, s_stat,
+        |  CAST(round(1000.0 * (s_stat - CASE WHEN s_stat > 0 THEN 1
+        |    WHEN s_stat < 0 THEN -1 ELSE 0 END) /
+        |    sqrt((CAST(n AS DOUBLE) * (n - 1) * (2.0 * n + 5)
+        |    - tie_adj) / 18.0)) AS BIGINT) AS z_milli
+        |FROM pairs CROSS JOIN ties""".stripMargin,
+    "q406_sign_test" ->
+      """WITH diffs AS (SELECT
+        |    CAST(round(100.0 * l_extendedprice / l_quantity) AS BIGINT)
+        |      - CAST(round(p_retailprice * 100) AS BIGINT) AS d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS pos,
+        |  sum(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS neg,
+        |  CAST(round(1000.0 * (abs(CAST(sum(CASE WHEN d > 0 THEN 1
+        |    ELSE 0 END) AS DOUBLE) - sum(CASE WHEN d < 0 THEN 1
+        |    ELSE 0 END)) - 1.0) /
+        |    sqrt(CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+        |      + sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE)))
+        |    AS BIGINT) AS z_milli
+        |FROM diffs""".stripMargin,
+    "q407_hodges_lehmann" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |walsh AS (SELECT (a.y + b.y)::BIGINT AS w2, a.t AS ti,
+        |    b.t AS tj
+        |  FROM daily a JOIN daily b ON a.t <= b.t),
+        |n_ AS (SELECT count(*)::BIGINT AS nw FROM walsh),
+        |ranked AS (SELECT w2,
+        |    (row_number() OVER (ORDER BY w2, ti, tj) - 1)::BIGINT
+        |      AS rk
+        |  FROM walsh)
+        |SELECT first(nw)::BIGINT AS n_walsh,
+        |  CAST(round(CAST(sum(w2) AS DOUBLE) / (2.0 * count(*)))
+        |    AS BIGINT) AS hl_cents
+        |FROM ranked CROSS JOIN n_
+        |WHERE rk = (nw - 1) // 2 OR rk = nw // 2""".stripMargin,
   )
 }

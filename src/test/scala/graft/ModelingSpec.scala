@@ -653,6 +653,32 @@ class ModelingSpec extends SparkSpec {
     assert(j >= 0 && j <= 1000000)
   }
 
+  test("q405 Mann-Kendall: |S| bounded by the pair count") {
+    val r = Modeling.mannKendall(spark, sfDir).collect().head
+    val n = r.getAs[Long]("n")
+    assert(math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2)
+  }
+
+  test("q406 sign test: counts partition the non-tied differences") {
+    val r = Modeling.signTest(spark, sfDir).collect().head
+    val total = Tables(spark, sfDir, "lineitem").count()
+    assert(r.getAs[Long]("pos") + r.getAs[Long]("neg") <= total)
+    assert(r.getAs[Long]("pos") > 0 && r.getAs[Long]("neg") > 0)
+  }
+
+  test("q407 Hodges-Lehmann: sits inside the daily revenue range") {
+    val r = Modeling.hodgesLehmann(spark, sfDir).collect().head
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .agg(min($"y"), max($"y")).collect().head
+    val hl = r.getAs[Long]("hl_cents")
+    assert(hl >= daily.getLong(0) && hl <= daily.getLong(1))
+    val nd = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate")).distinct().count()
+    assert(r.getAs[Long]("n_walsh") == nd * (nd + 1) / 2)
+  }
+
   test("q351 Gumbel: return level exceeds mu; mu below the block-max mean") {
     val r = Modeling.gumbelBlockMaxima(spark, sfDir).collect().head
     val mu = r.getAs[Long]("mu_cents")
