@@ -26,13 +26,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+    // failures are recorded, not swallowed: a query that dies instantly
+    // must not masquerade as a near-zero "speedup" in the committed map
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune whole expression trees and flatter the numbers)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        failed(name) = Option(t.getMessage).getOrElse(t.getClass.getName)
+          .linesIterator.next().take(120)
+        System.err.println(s"BENCH FAIL $name: ${failed(name)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // back-to-back min-of-N keeps the second run fully warm (plan,
@@ -42,14 +50,20 @@ object Bench {
     // So afterwards, any query whose min is >3× the suite median gets
     // ONE retry — by then the sweep has moved minutes past the burst.
     val times = scala.collection.mutable.Map.empty[String, Double]
-    for ((name, fn) <- selected; _ <- 1 to runs) {
-      times(name) =
-        math.min(timeOnce(fn), times.getOrElse(name, Double.MaxValue))
+    for ((name, fn) <- selected) {
+      for (_ <- 1 to runs)
+        times(name) =
+          math.min(timeOnce(name, fn), times.getOrElse(name, Double.MaxValue))
+      // query boundary: drop this query's localCheckpoint blocks so a
+      // full sweep doesn't accumulate thousands of them in block storage
+      // (each run rebuilds its frames; nothing references the old ones)
+      CheckpointHygiene.release(spark)
     }
     val sortedT = times.values.toSeq.sorted
     val median = sortedT(sortedT.size / 2)
     for ((name, fn) <- selected if times(name) > 3 * median) {
-      times(name) = math.min(timeOnce(fn), times(name))
+      times(name) = math.min(timeOnce(name, fn), times(name))
+      CheckpointHygiene.release(spark)
     }
     val results = selected.map { case (name, _) => name -> times(name) }
     val total = results.map(_._2).sum
@@ -57,11 +71,17 @@ object Bench {
     // map is ~12 KB, and the driver keeps only the last 2000 chars of
     // output — r1-r3 all show "parsed": null because the line's head was
     // truncated away. Committed per bench run so the judge has every number.
-    def fmt(v: Double): String = f"$v%.3f"
+    // explicit Locale.ROOT: a decimal-comma default locale (de_DE) would
+    // turn both JSON outputs into unparseable "1,234" floats
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", v: java.lang.Double)
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     // only a full (unfiltered) sweep may overwrite the committed map —
     // a SPARK_GRAFT_ONLY dev run would otherwise clobber it with a subset
     if (only.isEmpty)
@@ -85,10 +105,13 @@ object Bench {
       "q119_pareto_front", "q120_cluster_representative",
       "q123_containment_dedup", "q182_prefix_jaccard_join")
     val head0 = results.filter { case (k, _) => headline.contains(k) }
-    val head = if (head0.nonEmpty) head0 else results.take(34)
+    // fallback (e.g. a SPARK_GRAFT_ONLY dev run over non-headline
+    // prefixes) is MARKED so cross-round comparisons can't mix shapes
+    val isHeadline = head0.nonEmpty
+    val head = if (isHeadline) head0 else results.take(34)
     val qs = head.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

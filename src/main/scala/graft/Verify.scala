@@ -27,6 +27,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      CheckpointHygiene.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -43,6 +44,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // registry manifest: lets the driver/judge assert that the
+    // correctness report covers the FULL registry (the r3 failure mode
+    // was silent shrinkage — fewer dumped queries than registered ones,
+    // with nothing flagging the gap)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      s"""{"n_queries":${SparkEntry.queries.size},"n_oracles":${SparkEntry.oracleSql.size},"rows_only":[${noOracle.toSeq.sorted.map(q).mkString(",")}]}""")
     spark.stop()
   }
 }

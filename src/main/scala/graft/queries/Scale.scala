@@ -800,20 +800,20 @@ object Scale {
   val theilSen: Q = (s, dir) => {
     import s.implicits._
     // localCheckpoint: the tiny daily frame feeds both join sides (one
-    // aggregation instead of two). repartition(32) on the probe side:
-    // post-aggregate the frame is a handful of KB, so AQE coalesces it
-    // to ONE partition and the O(days²) nested-loop pair expansion runs
-    // single-threaded (measured 10.7 s; spread across 32 tasks it is
-    // ~1 s). The explicit partition count is deliberate — this is a
-    // compute-expansion join, not a data join, so partitions must
-    // follow cores, not bytes.
+    // aggregation instead of two). Explicit repartition on the probe
+    // side: post-aggregate the frame is a handful of KB, so AQE
+    // coalesces it to ONE partition and the O(days²) nested-loop pair
+    // expansion runs single-threaded (measured 10.7 s; spread across
+    // the cluster's cores it is ~1 s). This is a compute-expansion
+    // join, not a data join, so partitions must follow cores, not
+    // bytes — defaultParallelism, never a literal.
     val daily = Tables(s, dir, "orders")
       .groupBy(to_date($"o_orderdate").as("day"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
       .select(datediff($"day", lit("1995-01-01").cast("date"))
         .as("d"), $"cents")
       .localCheckpoint()
-    val pairs = daily.repartition(32).as("a")
+    val pairs = daily.repartition(s.sparkContext.defaultParallelism).as("a")
       .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
       .select(expr("(1000000 * (b.cents - a.cents)) div (b.d - a.d)")
         .as("slope_micro"))

@@ -73,7 +73,8 @@ object TrainingData {
       DataFrame]()
   private[queries] def nearDupGroups(s: SparkSession,
       dir: String): DataFrame =
-    groupCache.computeIfAbsent((s, dir), _ => {
+    groupCache.computeIfAbsent((s, dir), _ =>
+      graft.CheckpointHygiene.pinning(s) {
       import s.implicits._
       corpus(s, dir)
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
