@@ -91,43 +91,127 @@ object Corpus {
     * are exact longs; precision/recall are integral micro divisions. */
   val lshDedupEval: Q = (s, dir) => {
     import s.implicits._
-    val c = TrainingData.corpus(s, dir)
-    // ONE materialized shingle pass (q99's rule) feeds the signature
-    // chain, the inverted index and both exact-Jaccard lookups
-    val shs = c.select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id",
-        TextOps.shinglesFromTokens($"toks", 3).as("sh_set"))
+    // Shares the rep-level trunk with q23/q99/q182
+    // ([[TrainingData.nearDupGroups]]): identical docs collapse to one
+    // representative of weight gn, and every DOC-level pair quantity
+    // the oracle computes is recovered by weight arithmetic — no
+    // second shingle pass over the corpus, no member expansion, no
+    // doc-level inverted index. Exactness argument: copies have
+    // identical shingle sets, hence identical minhash signatures and
+    // band buckets, so a doc pair is an LSH candidate iff its rep pair
+    // is (cross-group) or the two docs share a group (within-group —
+    // same buckets trivially); likewise J(doc_a,doc_b) = J(rep_a,rep_b)
+    // and "shares a rare shingle" depends only on the two sets. The
+    // rare-shingle df cap counts every COPY (the oracle's df is over
+    // the full twin corpus), so df weights each group by gn.
+    val groups = TrainingData.nearDupGroups(s, dir)
+      .select($"rep_id", $"sh_set", $"gn")
+    val g = groups.select($"rep_id", $"gn", explode($"sh_set").as("g"))
+    // ONE shuffle builds the whole rare-shingle inverted index: per
+    // gram, the weighted df (Σ gn — the oracle's doc-level count) AND
+    // the member list ride the same aggregate. The list is a k=64
+    // min-K buffer, NOT an unbounded collect_list: a gram eligible
+    // under the df ≤ 64 cap has ≤ 64 reps (df ≥ rep count), so its
+    // buffer provably retains EVERY member, while a corpus-wide
+    // boilerplate gram costs a fixed 1 KB buffer instead of an
+    // O(corpus) list — the property that keeps executor memory flat at
+    // 100 TB. (The old form paid three shuffles: df groupBy, join
+    // back, inverted self-join.)
+    // min-K keyed on rep_id itself (unique per group entry, already a
+    // long — no per-row hashing): retention is what matters, not
+    // randomness, and eval() returns the list ascending by key, so the
+    // i < j expansion below needs no re-sort
+    val minkMembers = org.apache.spark.sql.graftbridge.ColumnBridge
+      .column(graft.expressions.MinKSampleAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          $"rep_id"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          $"rep_id".cast("double")), 64).toAggregateExpression())
+    // checkpoint: the consumers below (pair expansion, hot-gram sets,
+    // has-rare flag) all read this frame — without it the corpus-wide
+    // aggregate runs once per branch. Query-local, reclaimed at the
+    // bench/verify query boundary by CheckpointHygiene.release.
+    val perGram = g.groupBy($"g")
+      .agg(sum($"gn").as("gdf"), minkMembers.as("ds"))
       .localCheckpoint()
-    val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
-      TrainingData.NumHashes)
-    val cand = Dedup.lshCandidates(Dedup.lshBands(sigs,
-      TrainingData.NumHashes, TrainingData.RowsPerBand))
-    // inverted-index ground-truth candidates: pairs sharing a RARE
-    // shingle (df ≤ 64 — see the contract above)
-    val allGrams = shs.select($"doc_id", explode($"sh_set").as("g"))
-    val rare = allGrams.groupBy($"g").agg(count(lit(1)).as("gdf"))
-      .filter($"gdf" <= 64).select($"g")
-    val grams = allGrams.join(rare, Seq("g"))
-    val share = grams.as("a")
-      .join(grams.as("b"), col("a.g") === col("b.g") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val truth = share
-      .join(shs.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(shs.as("sb"), $"doc_b" === col("sb.doc_id"))
-      .filter(Dedup.jaccard(col("sa.sh_set"), col("sb.sh_set")) >= 0.5)
+    // rep pairs routed through a shared rare shingle (ground truth
+    // candidates): i < j expansion over the ≤64-member list. Keeping
+    // the per-gram multiplicity (count, not distinct) gives the
+    // SHARED-RARE-GRAM count per pair for free — the bulk of |A∩B|.
+    val pairsRare = perGram.filter($"gdf" <= 64)
+      .select(explode(flatten(transform($"ds", (x, i) =>
+        transform(slice($"ds", i + lit(2), size($"ds")), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy($"p.a".cast("long").as("doc_a"),
+        $"p.b".cast("long").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // the FULL intersection adds shared HOT grams (df > 64 — corpus
+    // boilerplate, a handful of distinct values): per rep, the ≤|hot|
+    // hot grams it contains, broadcast onto the pairs. |A∩B| =
+    // rare co-occurrences + |hot_a ∩ hot_b| — exact, and the oracle's
+    // double test J ≥ 0.5 is the exact integer test 3·inter ≥ na+nb
+    // (set sizes are small enough that the doubles are exact). No
+    // 4.5M-row array_intersect over full shingle sets anywhere.
+    val hotSets = g.join(broadcast(
+        perGram.filter($"gdf" > 64).select($"g")), Seq("g"))
+      .groupBy($"rep_id").agg(collect_list($"g").as("hots"))
+    val sizes = groups
+      .select($"rep_id", size($"sh_set").cast("long").as("nsh"))
+    val truthRep = pairsRare
+      .join(broadcast(sizes.select($"rep_id".as("doc_a"),
+        $"nsh".as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select($"rep_id".as("doc_b"),
+        $"nsh".as("nb"))), Seq("doc_b"))
+      .join(broadcast(hotSets.select($"rep_id".as("doc_a"),
+        $"hots".as("ha"))), Seq("doc_a"), "left")
+      .join(broadcast(hotSets.select($"rep_id".as("doc_b"),
+        $"hots".as("hb"))), Seq("doc_b"), "left")
+      .select($"doc_a", $"doc_b", $"na", $"nb",
+        ($"inter_rare" + size(array_intersect(
+          coalesce($"ha", array()), coalesce($"hb", array())))
+          .cast("long")).as("inter"))
+      .filter(lit(3L) * $"inter" >= $"na" + $"nb")
       .select($"doc_a", $"doc_b")
-    truth.withColumn("t", lit(1L))
-      .join(cand.withColumn("cd", lit(1L)), Seq("doc_a", "doc_b"),
+    val candRep = TrainingData
+      .repCandidates(TrainingData.nearDupGroups(s, dir))
+      .select($"doc_a", $"doc_b")
+    // cross-group doc pairs: weight gn_a·gn_b on the rep verdict
+    val w = groups.select($"rep_id", $"gn")
+    val cross = truthRep.withColumn("t", lit(1L))
+      .join(candRep.withColumn("cd", lit(1L)), Seq("doc_a", "doc_b"),
         "full_outer")
+      .join(w.select($"rep_id".as("doc_a"), $"gn".as("gna")),
+        Seq("doc_a"))
+      .join(w.select($"rep_id".as("doc_b"), $"gn".as("gnb")),
+        Seq("doc_b"))
       .agg(
-        sum(when($"t".isNotNull && $"cd".isNotNull, 1L).otherwise(0L))
+        sum(when($"t".isNotNull && $"cd".isNotNull, $"gna" * $"gnb")
+          .otherwise(0L)).as("tp_x"),
+        sum(when($"t".isNull && $"cd".isNotNull, $"gna" * $"gnb")
+          .otherwise(0L)).as("fp_x"),
+        sum(when($"t".isNotNull && $"cd".isNull, $"gna" * $"gnb")
+          .otherwise(0L)).as("fn_x"))
+    // within-group doc pairs: all gn·(gn−1)/2 are candidates (identical
+    // signatures share every bucket) at J = 1; they are TRUTH iff the
+    // group's set contains a rare shingle (share requires one), else FP
+    val hasRare = perGram.filter($"gdf" <= 64)
+      .select(explode($"ds").as("m"))
+      .select($"m".cast("long").as("rep_id")).distinct()
+      .withColumn("hr", lit(1L))
+    val within = groups.filter($"gn" >= 2)
+      .join(hasRare, Seq("rep_id"), "left")
+      .agg(
+        sum(when($"hr".isNotNull, expr("gn * (gn - 1) div 2"))
+          .otherwise(0L)).as("tp_w"),
+        sum(when($"hr".isNull, expr("gn * (gn - 1) div 2"))
+          .otherwise(0L)).as("fp_w"))
+    cross.crossJoin(within)
+      .select(
+        (coalesce($"tp_x", lit(0L)) + coalesce($"tp_w", lit(0L)))
           .as("tp"),
-        sum(when($"t".isNull && $"cd".isNotNull, 1L).otherwise(0L))
+        (coalesce($"fp_x", lit(0L)) + coalesce($"fp_w", lit(0L)))
           .as("fp"),
-        sum(when($"t".isNotNull && $"cd".isNull, 1L).otherwise(0L))
-          .as("fn"))
+        coalesce($"fn_x", lit(0L)).as("fn"))
       .select($"tp", $"fp", $"fn",
         expr("1000000 * tp div greatest(tp + fp, 1)")
           .as("precision_micro"),

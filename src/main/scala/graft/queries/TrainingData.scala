@@ -87,19 +87,35 @@ object TrainingData {
     })
 
   /** Representative-level LSH candidate pairs (doc_a < doc_b, both
-    * rep ids) with both shingle sets attached for verification. */
-  private[queries] def repCandidates(groups: DataFrame): DataFrame = {
-    val shs = groups.select(col("rep_id").as("doc_id"), col("sh_set"))
-    val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
-      NumHashes)
-    val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
-      RowsPerBand))
-    cand
-      .join(shs.select(col("doc_id").as("doc_a"),
-        col("sh_set").as("sa_set")), Seq("doc_a"))
-      .join(shs.select(col("doc_id").as("doc_b"),
-        col("sh_set").as("sb_set")), Seq("doc_b"))
-  }
+    * rep ids) with both shingle sets attached for verification.
+    *
+    * Memoized per input frame: all seven consumers (q23/q123/q182's
+    * pair emitters, q99's delta graph, q228's eval, q240/q241) pass
+    * the IDENTICAL [[nearDupGroups]] frame (itself memoized per
+    * (session, dir)), so the minhash + banding + bucket self-join —
+    * the expensive half of the near-dup chain — materializes once per
+    * session and every later query reads the checkpointed pairs.
+    * Datasets compare by reference, which is exactly the sharing
+    * contract here; a caller constructing its own groups frame gets
+    * its own entry. Pinned: [[graft.CheckpointHygiene.release]] must
+    * not drop a truncated-lineage frame other queries still read. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  private[queries] def repCandidates(groups: DataFrame): DataFrame =
+    candCache.computeIfAbsent(groups, g =>
+      graft.CheckpointHygiene.pinning(g.sparkSession) {
+        val shs = g.select(col("rep_id").as("doc_id"), col("sh_set"))
+        val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
+          NumHashes)
+        val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, NumHashes,
+          RowsPerBand))
+        cand
+          .join(shs.select(col("doc_id").as("doc_a"),
+            col("sh_set").as("sa_set")), Seq("doc_a"))
+          .join(shs.select(col("doc_id").as("doc_b"),
+            col("sh_set").as("sb_set")), Seq("doc_b"))
+          .localCheckpoint()
+      })
 
   /** Member expansion of a rep-level pair verdict: cross-group pairs
     * inherit the payload (columns listed in `sym` are symmetric;
