@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
 /** Live (network-backed) implementations of the external-service
   * seams. The engine's gate path stays hermetic — `MapFetcher`,
   * `StubTranslator`, `StubScorer` — and these adapters are what a
-  * production deployment plugs in instead, config-gated via
-  * [[LiveAdapters.fromEnv]]:
+  * production deployment plugs in instead, config-gated via the
+  * `*FromEnv` factories below:
   *
   *   - [[HttpFetcher]] — the reference's page download
   *     (get_news.py:83-112, requests.get + raise_for_status): GET,
@@ -72,13 +72,13 @@ object LiveAdapters {
 
   /** Minimal JSON string-field accessors — enough for the small fixed
     * envelopes these services speak (one level, string values). */
-  private[news] def jsonStr(field: String, json: String): Option[String] = {
+  private[graft] def jsonStr(field: String, json: String): Option[String] = {
     val re = ("\"" + java.util.regex.Pattern.quote(field) +
       "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
     re.findFirstMatchIn(json).map(m => unescape(m.group(1)))
   }
 
-  private[news] def escape(s: String): String =
+  private[graft] def escape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -89,7 +89,7 @@ object LiveAdapters {
       case c => c.toString
     }
 
-  private[news] def unescape(s: String): String = {
+  private[graft] def unescape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
