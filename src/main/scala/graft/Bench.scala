@@ -54,6 +54,10 @@ object Bench {
       for (_ <- 1 to runs)
         times(name) =
           math.min(timeOnce(name, fn), times.getOrElse(name, Double.MaxValue))
+      // per-query min to stderr: dev runs (SPARK_GRAFT_ONLY) otherwise
+      // have no per-query visibility — stdout carries only the compact
+      // headline line the driver tail-parses
+      System.err.println(f"BENCH ${times(name)}%9.3f s  $name")
       // query boundary: drop this query's localCheckpoint blocks so a
       // full sweep doesn't accumulate thousands of them in block storage
       // (each run rebuilds its frames; nothing references the old ones)

@@ -24,6 +24,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"), "unused columns must be pruned")
   }
 
+  test("events ts predicate pushes through the NTZ normalization cast") {
+    // Tables() normalizes events.ts (NTZ or nanos-long parquet) to
+    // session-TZ TimestampType. With the UTC-pinned session the cast is
+    // order-preserving, and Catalyst must UNWRAP it so a ts range
+    // predicate still reaches the parquet scan — at 100 TB this is the
+    // difference between pruning row groups and reading the full fact
+    // table. (Measured: the cast projection itself costs ~0 — bare
+    // scan and cast scan are within noise at sf0.1.)
+    val p = Tables(spark, sfDir, "events")
+      .filter($"ts" >= lit("1995-06-01 00:00:00").cast("timestamp"))
+      .select($"ts", $"user_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      "ts range predicate must reach the scan despite the NTZ cast:\n" + p)
+  }
+
   test("q04: dimension joins broadcast") {
     val p = plan("q04_revenue_by_nation")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
