@@ -51,7 +51,7 @@ object Isotonic {
     * INCLUSIVE cumulative count / label-sum per bucket, origin (0,0)
     * appended by this method. Returns (cn_start, cn_end, dy, dn) — one
     * row per hull segment, slopes strictly increasing. */
-  def gcmSegments(cum: DataFrame, parts: Int = 32): DataFrame = {
+  def gcmSegments(cum: DataFrame, parts: Int = -1): DataFrame = {
     val ss = cum.sparkSession
     import ss.implicits._
     val pts = cum.select(col("cn").cast("long"), col("cy").cast("long"))
@@ -61,7 +61,7 @@ object Isotonic {
     // columns are (cn, cy) up to the first mapPartitions, (_1, _2)
     // after it (typed re-serialization renames)
     val local: Dataset[(Long, Long)] = pts
-      .repartitionByRange(parts, col("cn"))
+      .repartitionByRange(ScaleWindows.resolveParts(cum, parts), col("cn"))
       .sortWithinPartitions(col("cn"))
       .mapPartitions(chain)
     local.repartition(1).sortWithinPartitions(col("_1"))
@@ -81,7 +81,7 @@ object Isotonic {
     * step join keyed on the cumulative count (query rows sort BEFORE
     * segments at equal key: a bucket whose cn equals a segment start
     * is the END point of the previous segment). */
-  def fit(buckets: DataFrame, parts: Int = 32): DataFrame = {
+  def fit(buckets: DataFrame, parts: Int = -1): DataFrame = {
     val cum = ScaleWindows.rangeCumSums(buckets,
         Seq(col("x").asc), Seq(col("n") -> "cn0", col("sy") -> "cy0"),
         parts)

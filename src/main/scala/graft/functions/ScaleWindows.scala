@@ -43,14 +43,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleWindows {
 
+  /** parts <= 0 means "follow the cluster": defaultParallelism, never
+    * a core-count literal baked at authoring time (local[32] today,
+    * 400 cores tomorrow). Callers pass an explicit count only when the
+    * frame is provably tiny and a fixed fan-out is part of the
+    * contract. */
+  private[graft] def resolveParts(df: DataFrame, parts: Int): Int =
+    if (parts > 0) parts
+    else df.sparkSession.sparkContext.defaultParallelism
+
   /** Exact `ntile(k)` over the global order `keys` without a
     * single-partition sort. `keys` must be a total order (unique
     * tie-break). Adds column `out` (int, 1..k). */
   def rangeNtile(df: DataFrame, k: Int, keys: Seq[Column], out: String,
-                 parts: Int = 32,
+                 parts: Int = -1,
                  checkpoint: Boolean = true): DataFrame = {
     require(k > 0, s"rangeNtile: k must be positive, got $k")
-    val ranged0 = df.repartitionByRange(parts, keys: _*)
+    val ranged0 = df.repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
     val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
     val counts = ranged.groupBy(col("__pid"))
@@ -86,7 +95,7 @@ object ScaleWindows {
     * local running sum + carried offset. Same determinism contract as
     * [[rangeNtile]]: `keys` must be a total order. Adds `out` (long). */
   def rangeCumSum(df: DataFrame, keys: Seq[Column], value: Column,
-                  out: String, parts: Int = 32,
+                  out: String, parts: Int = -1,
                   checkpoint: Boolean = true): DataFrame =
     rangeCumSums(df, keys, Seq(value -> out), parts, checkpoint)
 
@@ -110,9 +119,9 @@ object ScaleWindows {
     * risk). */
   def rangeCumSums(df: DataFrame, keys: Seq[Column],
                    values: Seq[(Column, String)],
-                   parts: Int = 32,
+                   parts: Int = -1,
                    checkpoint: Boolean = true): DataFrame = {
-    val ranged0 = df.repartitionByRange(parts, keys: _*)
+    val ranged0 = df.repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
     val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
     val psums = values.map { case (v, o) => sum(v).as(s"__psum_$o") }
@@ -145,10 +154,10 @@ object ScaleWindows {
     * with no carry still sees its local predecessors and the global
     * first row stays NULL). Adds `out`, typed as `value`. */
   def rangeCumMax(df: DataFrame, keys: Seq[Column], value: Column,
-                  out: String, parts: Int = 32,
+                  out: String, parts: Int = -1,
                   checkpoint: Boolean = true): DataFrame = {
     val ranged0 = df.withColumn("__v", value)
-      .repartitionByRange(parts, keys: _*)
+      .repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
     // same hazard as rangeCumSums: the maxima branch and the final
     // join branch re-evaluate the input under independently-sampled
@@ -184,10 +193,10 @@ object ScaleWindows {
     * `last(ignoreNulls)` window + carry fallback. Adds `out`, typed
     * as `value`. */
   def rangeLastCarry(df: DataFrame, keys: Seq[Column], value: Column,
-                     out: String, parts: Int = 32,
+                     out: String, parts: Int = -1,
                      checkpoint: Boolean = true): DataFrame = {
     val tagged0 = df.withColumn("__v", value)
-      .repartitionByRange(parts, keys: _*)
+      .repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
     val tagged = if (checkpoint) tagged0.localCheckpoint() else tagged0
     val keyStruct = struct(
