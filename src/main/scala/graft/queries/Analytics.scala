@@ -639,15 +639,20 @@ object Analytics {
     val cum = ScaleWindows.rangeCumSums(grid, Seq($"v"),
       Seq(col("n1") -> "e1", col("n2") -> "e2",
         col("w1") -> "s1", col("w2") -> "s2"))
+    // pair-sum numerators exceed int64 at 10× the bench SF (each term
+    // fits a long; the SUM does not): carried as DECIMAL(38,0) — exact,
+    // order-independent adds, same integers at any SF that fits both
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val one = cum.agg(
       sum($"n1").as("m1"), sum($"n2").as("m2"),
-      sum($"n1" * ($"v" * $"e2" - $"s2")).as("l12"),
-      sum($"n2" * ($"v" * $"e1" - $"s1")).as("l21"),
-      sum($"n1" * ($"v" * $"e1" - $"s1")).as("l11"),
-      sum($"n2" * ($"v" * $"e2" - $"s2")).as("l22"))
+      sum(dec($"n1" * ($"v" * $"e2" - $"s2"))).as("l12"),
+      sum(dec($"n2" * ($"v" * $"e1" - $"s1"))).as("l21"),
+      sum(dec($"n1" * ($"v" * $"e1" - $"s1"))).as("l11"),
+      sum(dec($"n2" * ($"v" * $"e2" - $"s2"))).as("l22"))
     one.select($"m1", $"m2",
-        ($"l12" + $"l21").as("a_num"), (lit(2L) * $"l11").as("b_num"),
-        (lit(2L) * $"l22").as("c_num"))
+        dec($"l12" + $"l21").as("a_num"),
+        dec(lit(2L) * $"l11").as("b_num"),
+        dec(lit(2L) * $"l22").as("c_num"))
       .select($"m1", $"m2", $"a_num", $"b_num", $"c_num",
         expr("CAST(round(1000000.0 * (" +
           "2.0 * CAST(a_num AS DOUBLE) / (CAST(m1 AS DOUBLE) * m2) -" +
@@ -1743,10 +1748,12 @@ object Analytics {
         sum(dec($"v") * dec($"v")).as("qj"))
     // per-group SS quantizes at UNIT cents² (micro would overflow
     // int64 — SS ~ n·var ~ 3e17 already at sf0.01)
+    // the per-group rounded SS exceeds int64 at 10× the bench SF:
+    // carry it as DECIMAL(38,0) (same integer values, no overflow)
     val msw = g.agg(sum($"nj").as("n"), count(lit(1)).as("k"),
         sum(expr("CAST(round(CAST(qj AS DOUBLE) -" +
           " CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj)" +
-          " AS BIGINT)")).as("ssw"))
+          " AS DECIMAL(38,0))")).as("ssw"))
       .select($"n", $"k",
         expr("CAST(ssw AS DOUBLE) / (n - k)").as("msw"))
     val means = g.select($"grp", $"nj",
@@ -1825,11 +1832,14 @@ object Analytics {
       .groupBy($"r", $"p")
       .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
         sum(dec($"v") * dec($"v")).as("qv"))
+    // cell/margin SS values exceed int64 at 10× the bench SF (a single
+    // cell's SSW already overflows the cast): quantize on the same unit
+    // grid but carry every SS as DECIMAL(38,0)
     val tot = cells.agg(sum($"n").as("nn"), sum($"sv").as("st"),
       count(lit(1)).as("nc"),
       sum(expr("CAST(round(CAST(qv AS DOUBLE) -" +
-        " CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) AS BIGINT)"))
-        .as("ssw"))
+        " CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)" +
+        " AS DECIMAL(38,0))")).as("ssw"))
     val ra = cells.groupBy($"r").agg(sum($"n").as("na"),
       sum($"sv").as("sa"))
     val pb = cells.groupBy($"p").agg(sum($"n").as("nb"),
@@ -1837,22 +1847,23 @@ object Analytics {
     val ssa = ra.crossJoin(broadcast(tot))
       .select(expr("CAST(round(na * (CAST(sa AS DOUBLE) / na -" +
         " CAST(st AS DOUBLE) / nn) * (CAST(sa AS DOUBLE) / na -" +
-        " CAST(st AS DOUBLE) / nn)) AS BIGINT)").as("t"))
+        " CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0))").as("t"))
       .agg(sum($"t").as("ssa"), count(lit(1)).as("ka"))
     val ssb = pb.crossJoin(broadcast(tot))
       .select(expr("CAST(round(nb * (CAST(sb AS DOUBLE) / nb -" +
         " CAST(st AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nb -" +
-        " CAST(st AS DOUBLE) / nn)) AS BIGINT)").as("t"))
+        " CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0))").as("t"))
       .agg(sum($"t").as("ssb"), count(lit(1)).as("kb"))
     val ssc = cells.crossJoin(broadcast(tot))
       .select(expr("CAST(round(n * (CAST(sv AS DOUBLE) / n -" +
         " CAST(st AS DOUBLE) / nn) * (CAST(sv AS DOUBLE) / n -" +
-        " CAST(st AS DOUBLE) / nn)) AS BIGINT)").as("t"))
+        " CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0))").as("t"))
       .agg(sum($"t").as("ssc"))
     tot.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
       .crossJoin(broadcast(ssc))
-      .select($"nn", $"ka", $"kb", $"ssa", $"ssb",
-        ($"ssc" - $"ssa" - $"ssb").as("ssab"), $"ssw",
+      .select($"nn", $"ka", $"kb",
+        dec($"ssa").as("ssa"), dec($"ssb").as("ssb"),
+        dec($"ssc" - $"ssa" - $"ssb").as("ssab"), dec($"ssw").as("ssw"),
         expr("CAST(round(1000.0 * (CAST(ssa AS DOUBLE) / (ka - 1)) /" +
           " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
           .as("f_a_milli"),
@@ -2351,8 +2362,9 @@ object Analytics {
         |    sum(n1 * (v * e1 - s1))::BIGINT AS l11,
         |    sum(n2 * (v * e2 - s2))::BIGINT AS l22
         |  FROM cum)
-        |SELECT m1, m2, (l12 + l21)::BIGINT AS a_num,
-        |  (2 * l11)::BIGINT AS b_num, (2 * l22)::BIGINT AS c_num,
+        |SELECT m1, m2, (l12 + l21)::DECIMAL(38,0) AS a_num,
+        |  (2 * l11)::DECIMAL(38,0) AS b_num,
+        |  (2 * l22)::DECIMAL(38,0) AS c_num,
         |  CAST(round(1000000.0 * (
         |    2.0 * CAST(l12 + l21 AS DOUBLE) /
         |    (CAST(m1 AS DOUBLE) * m2) -
@@ -3130,7 +3142,7 @@ object Analytics {
         |msw AS (SELECT sum(nj)::BIGINT AS n, count(*)::BIGINT AS k,
         |    CAST(sum(CAST(round(CAST(qj AS DOUBLE) -
         |      CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj)
-        |      AS BIGINT))::BIGINT AS DOUBLE) /
+        |      AS DECIMAL(38,0))) AS DOUBLE) /
         |      (sum(nj)::BIGINT - count(*)::BIGINT) AS msw
         |  FROM g),
         |means AS (SELECT grp, nj, (sj // nj)::BIGINT AS mean_cents
@@ -3182,29 +3194,29 @@ object Analytics {
         |    count(*)::BIGINT AS nc,
         |    sum(CAST(round(CAST(qv AS DOUBLE) -
         |      CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
-        |      AS BIGINT))::BIGINT AS ssw
+        |      AS DECIMAL(38,0))) AS ssw
         |  FROM cells),
-        |ssa AS (SELECT sum(t)::BIGINT AS ssa, count(*)::BIGINT AS ka
+        |ssa AS (SELECT sum(t)::DECIMAL(38,0) AS ssa, count(*)::BIGINT AS ka
         |  FROM (SELECT CAST(round(na * (CAST(sa AS DOUBLE) / na -
         |      CAST(st AS DOUBLE) / nn) * (CAST(sa AS DOUBLE) / na -
-        |      CAST(st AS DOUBLE) / nn)) AS BIGINT) AS t
+        |      CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0)) AS t
         |    FROM (SELECT r, sum(n)::BIGINT AS na,
         |      sum(sv)::BIGINT AS sa FROM cells GROUP BY r)
         |    CROSS JOIN tot)),
-        |ssb AS (SELECT sum(t)::BIGINT AS ssb, count(*)::BIGINT AS kb
+        |ssb AS (SELECT sum(t)::DECIMAL(38,0) AS ssb, count(*)::BIGINT AS kb
         |  FROM (SELECT CAST(round(nb * (CAST(sb AS DOUBLE) / nb -
         |      CAST(st AS DOUBLE) / nn) * (CAST(sb AS DOUBLE) / nb -
-        |      CAST(st AS DOUBLE) / nn)) AS BIGINT) AS t
+        |      CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0)) AS t
         |    FROM (SELECT p, sum(n)::BIGINT AS nb,
         |      sum(sv)::BIGINT AS sb FROM cells GROUP BY p)
         |    CROSS JOIN tot)),
-        |ssc AS (SELECT sum(t)::BIGINT AS ssc
+        |ssc AS (SELECT sum(t)::DECIMAL(38,0) AS ssc
         |  FROM (SELECT CAST(round(n * (CAST(sv AS DOUBLE) / n -
         |      CAST(st AS DOUBLE) / nn) * (CAST(sv AS DOUBLE) / n -
-        |      CAST(st AS DOUBLE) / nn)) AS BIGINT) AS t
+        |      CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0)) AS t
         |    FROM cells CROSS JOIN tot))
-        |SELECT nn, ka, kb, ssa, ssb, (ssc - ssa - ssb)::BIGINT
-        |    AS ssab, ssw,
+        |SELECT nn, ka, kb, ssa, ssb,
+        |  (ssc - ssa - ssb)::DECIMAL(38,0) AS ssab, ssw,
         |  CAST(round(1000.0 * (CAST(ssa AS DOUBLE) / (ka - 1)) /
         |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
         |    AS f_a_milli,
