@@ -76,9 +76,12 @@ object StreamingNearDup {
     }
     docs.select(col(idCol).cast("long").as("docId"),
         explode(array(bandStructs: _*)).as("bb"))
-      // fold the band index into the state key: 16 disjoint key spaces
-      .select((col("bb.band_hash") * 31 + col("bb.band")).as("bucket"),
-        col("docId"))
+      // fold the band index into the state key: 16 disjoint key
+      // spaces. Bitwise (shift+or), not arithmetic: the hash is
+      // 60-bit, so a multiplicative fold overflows int64 under ANSI;
+      // (hash << 4) | band is injective and wraps harmlessly
+      .select(shiftleft(col("bb.band_hash"), 4)
+        .bitwiseOR(col("bb.band")).as("bucket"), col("docId"))
       .as[BucketRow]
   }
 

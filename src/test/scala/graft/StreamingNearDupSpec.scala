@@ -86,12 +86,25 @@ class StreamingNearDupSpec extends SparkSpec {
     // the twins really are found, across both arrival patterns
     assert(streamed.contains((1L, 4L)), "same-batch twin pair")
     assert(streamed.contains((3L, 5L)), "cross-batch twin pair")
-    // re-ingest of doc 1 in batch 2 emitted nothing new: every pair
-    // appears exactly once in the append stream
-    val all = spark.table("snd_pairs").as[Cand].collect()
-      .map(c => (c.docA, c.docB)).toSeq
-    assert(all.size === all.distinct.size,
-      "append stream must not duplicate pairs on re-ingest")
+    // exactly-once per SHARED BUCKET (the documented emission
+    // contract), which also proves re-ingest idempotence: doc 1's
+    // re-arrival in batch 2 must add zero emissions. The expected
+    // multiset is the batch band table's per-pair shared-bucket count.
+    val bandTbl = Dedup.lshBands(sigs, 64, 4)
+      .select($"doc_id",
+        shiftleft($"band_hash", 4).bitwiseOR($"band").as("bucket"))
+    val expectedCounts = bandTbl.as("a")
+      .join(bandTbl.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val streamedCounts = spark.table("snd_pairs").as[Cand].collect()
+      .groupBy(c => (c.docA, c.docB))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamedCounts === expectedCounts,
+      "one emission per shared bucket, none added on re-ingest")
   }
 
   test("per-row signature lanes equal the batch minhash aggregation") {
@@ -101,7 +114,8 @@ class StreamingNearDupSpec extends SparkSpec {
     // tables directly pins the per-row lane arithmetic to the batch
     // aggregation lane for lane
     val batchBands = Dedup.lshBands(batch, 64, 4)
-      .select($"doc_id", ($"band_hash" * 31 + $"band").as("bucket"))
+      .select($"doc_id",
+        shiftleft($"band_hash", 4).bitwiseOR($"band").as("bucket"))
       .as[(Long, Long)].collect().toSet
     val rowBands = StreamingNearDup.bucketRows(docs, "doc_id", "sh_set")
       .collect().map(b => (b.docId, b.bucket)).toSet
