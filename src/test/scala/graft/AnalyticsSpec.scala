@@ -139,7 +139,8 @@ class AnalyticsSpec extends SparkSpec {
 
   test("q316 energy distance: non-negative, symmetric parts positive") {
     val row = Analytics.energyDistance(spark, sfDir).collect().head
-    assert(row.getAs[Long]("a_num") >= 0)
+    // a_num is DECIMAL(38,0) since the 10x-overflow fix
+    assert(row.getAs[java.math.BigDecimal]("a_num").signum >= 0)
     assert(row.getAs[Long]("energy_micro_cents") >= 0,
       "energy distance is a metric — must be >= 0")
   }
