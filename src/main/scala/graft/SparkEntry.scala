@@ -25,6 +25,7 @@ object SparkEntry {
       (gq.Governance.queries, gq.Governance.oracles),
       (gq.Analytics.queries, gq.Analytics.oracles),
       (gq.Modeling.queries, gq.Modeling.oracles),
+      (gq.Inference.queries, gq.Inference.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -296,6 +296,60 @@ object Analytics {
         expr("sum_rr_micro div n_queries").as("mrr_micro"))
   }
 
+  // ---------------------------------------------- q412 ERR ranking eval
+
+  // one template string for the per-rank ERR term in both engines:
+  // (1/r)·R_r·Π(1−R_s) with R=(2^g−1)/4 is qq·3^o·4^z/(r·4^r) — the
+  // stop-probability product stays an exact power product (1−R ∈
+  // {1, 3/4, 1/4}), never a floating accumulation
+  private val errTerm =
+    "CAST(round(1000000.0 * qq * power(3.0, o) * power(4.0, z)" +
+      " / (rank * power(4.0, rank))) AS BIGINT)"
+
+  /** q412 — Expected Reciprocal Rank (Chapelle et al., CIKM 2009) of
+    * the top-10 cosine neighbors per held-out query under the cascade
+    * user model — the graded, position-discounted companion to q308's
+    * MRR and q216's nDCG. Grades derive deterministically from labels
+    * (exact match → 2, same label mod 3 → 1, else 0), R = (2^g−1)/4.
+    * The cascade product Π(1−R_s) is EXACT: factors ∈ {1, 3/4, 1/4}
+    * make it 3^o·4^z/4^(r−1) with o/z two prior-row window counts, so
+    * each rank's term micro-quantizes from an exact rational and sums
+    * exactly per query. Scale posture = q308: the query sample
+    * broadcasts, the corpus scans once, the rank window prunes to 10
+    * before any exchange (WindowGroupLimit). */
+  val errEval: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Similarity
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("tl"))
+    val byCs = Window.partitionBy($"q_id")
+      .orderBy($"cs".desc, $"vec_id".asc)
+    val prior = Window.partitionBy($"q_id").orderBy($"rank".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"tl", $"vec_id", $"label",
+        Similarity.cosine($"embedding", $"qv").as("cs"))
+      .withColumn("rank", row_number().over(byCs))
+      .filter($"rank" <= 10)
+      .withColumn("qq", expr("CASE WHEN label = tl THEN 3" +
+        " WHEN label % 3 = tl % 3 THEN 1 ELSE 0 END"))
+      .withColumn("o", coalesce(sum(when($"qq" === 1, 1L)
+        .otherwise(0L)).over(prior), lit(0L)))
+      .withColumn("z", coalesce(sum(when($"qq" === 0, 1L)
+        .otherwise(0L)).over(prior), lit(0L)))
+      .withColumn("term_micro", expr(errTerm))
+      .groupBy($"q_id", $"tl")
+      .agg(sum($"term_micro").as("err_q_micro"))
+      .groupBy($"tl".as("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum($"err_q_micro").as("sum_err_micro"))
+      .select($"true_label", $"n_queries", $"sum_err_micro",
+        expr("sum_err_micro div n_queries").as("err_micro"))
+  }
+
   // ----------------------------------- q309 query-likelihood ranking
 
   /** q309 — Dirichlet-smoothed query-likelihood retrieval (Zhai &
@@ -1941,6 +1995,7 @@ object Analytics {
     "q307_wasserstein_1d" -> wasserstein1d,
     "q308_mrr_eval" -> mrrEval,
     "q309_query_likelihood" -> queryLikelihood,
+    "q412_err_eval" -> errEval,
     "q310_binary_hamming_ann" -> binaryHammingAnn,
     "q311_kruskal_wallis" -> kruskalWallis,
     "q312_effect_sizes" -> effectSizes,
@@ -2121,6 +2176,33 @@ object Analytics {
         |  CAST(sum(rr_micro)::BIGINT // count(*)::BIGINT AS BIGINT)
         |    AS mrr_micro
         |FROM rr GROUP BY tl""".stripMargin,
+    "q412_err_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+        |    label AS tl FROM embeddings WHERE vec_id % 10 = 0),
+        |rk AS (SELECT q_id, tl, label, vec_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |      ${sqlCosCols("embedding", "qv")} DESC, vec_id ASC) AS rank
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |top AS (SELECT q_id, tl, rank,
+        |    CASE WHEN label = tl THEN 3
+        |      WHEN label % 3 = tl % 3 THEN 1 ELSE 0 END AS qq
+        |  FROM rk WHERE rank <= 10),
+        |oz AS (SELECT q_id, tl, rank, qq,
+        |    coalesce(sum(CASE WHEN qq = 1 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS o,
+        |    coalesce(sum(CASE WHEN qq = 0 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS z
+        |  FROM top
+        |  WINDOW w AS (PARTITION BY q_id ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT q_id, tl, $errTerm AS term_micro FROM oz),
+        |per AS (SELECT q_id, tl, sum(term_micro)::BIGINT AS err_q
+        |  FROM t GROUP BY 1, 2)
+        |SELECT tl AS true_label, count(*)::BIGINT AS n_queries,
+        |  sum(err_q)::BIGINT AS sum_err_micro,
+        |  CAST(sum(err_q)::BIGINT // count(*)::BIGINT AS BIGINT)
+        |    AS err_micro
+        |FROM per GROUP BY tl""".stripMargin,
     "q309_query_likelihood" -> {
       val toks = "list_filter(string_split_regex(lower(text)," +
         " '[^a-z]+'), w -> w <> '')"

@@ -1,0 +1,523 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 batch: classical inference operators a curation warehouse
+  * serves when teams ask "is this effect real?" — instrumental
+  * variables, structural-break and rank-based two-sample tests, ordered
+  * trend tests, and scale/location nonparametrics. None exist in the
+  * reference (a thin news ETL); all are beyond-reference additions in
+  * the spirit of SURVEY §2's analytics tier.
+  *
+  * Exactness discipline (the q211/q405 convention): inputs quantize to
+  * integer units per row (cents, day indices), moment sums accumulate
+  * as longs or DECIMAL(38,0) (exact, order-independent), and doubles
+  * appear only in the FINAL one-row (or O(groups)-row) expressions —
+  * whose operand text is shared token-for-token with the DuckDB oracle
+  * via the private template vals below, so both engines evaluate the
+  * identical IEEE tree on identical inputs.
+  *
+  * Scale stance: every query is one (or two) map-side-combined
+  * aggregation passes over the fact table plus O(days)/O(groups)
+  * arithmetic; the two rank-based tests (q410, q415) ride
+  * ScaleWindows.rangeCumSums — a range exchange plus partition-local
+  * running sums, never a single-partition sort.
+  */
+object Inference {
+
+  // ------------------------------------- q408 instrumental variables
+
+  // template: identical double math in both engines (q211 precedent)
+  private val ivDbl = Seq("n", "sz", "sx", "sy", "szx", "szy", "szz")
+    .map(c => s"CAST($c AS DOUBLE) AS ${c}d")
+  private val ivOut = Seq(
+    "CAST(n AS BIGINT) AS n",
+    "CAST(round(1000000.0 * (nd*szyd - szd*syd) / (nd*szxd - szd*sxd))" +
+      " AS BIGINT) AS beta_iv_micro",
+    "CAST(round(1000000.0 * (nd*szxd - szd*sxd) / (nd*szzd - szd*szd))" +
+      " AS BIGINT) AS gamma_micro")
+
+  /** q408 — instrumental-variables slope (Wald/2SLS with one
+    * endogenous regressor): revenue ~ quantity, instrumented by the
+    * part's size (supply-side, plausibly demand-exogenous).
+    * β_IV = Cov(z,y)/Cov(z,x), plus the first-stage slope γ (the
+    * weak-instrument readout). ONE map-side-combined aggregate over
+    * lineitem⋈part collects 7 exact moment sums (cross-products in
+    * DECIMAL(38,0) — exact to ~1e12 rows); the two ratios run in
+    * double on the one-row frame with oracle-shared operand text.
+    * Scale: the join broadcasts nothing it shouldn't (part is the
+    * dim side at real SF; Catalyst picks the strategy), the fact
+    * table is touched once. */
+  val ivWald: Q = (s, dir) => {
+    import s.implicits._
+    val f = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").select($"p_partkey", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .select(round($"l_extendedprice" * 100).cast("long").as("y"),
+        $"l_quantity".cast("long").as("x"),
+        $"p_size".cast("long").as("z"))
+    f.agg(count(lit(1)).as("n"), sum($"z").as("sz"), sum($"x").as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * x")).as("szx"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * y")).as("szy"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("szz"))
+      .selectExpr("n" +: ivDbl: _*)
+      .selectExpr(ivOut: _*)
+  }
+
+  // ------------------------------------------- q409 Chow break test
+
+  private def chowSsr(p: String) =
+    s"((syy${p}d - sy${p}d*sy${p}d/n${p}d)" +
+      s" - (sxy${p}d - sx${p}d*sy${p}d/n${p}d)" +
+      s"*(sxy${p}d - sx${p}d*sy${p}d/n${p}d)" +
+      s"/(sxx${p}d - sx${p}d*sx${p}d/n${p}d))"
+  private val chowDbl: Seq[String] =
+    (for (g <- Seq("1", "2");
+          c <- Seq("n", "sx", "sy", "sxx", "sxy", "syy"))
+      yield s"CAST($c$g AS DOUBLE) AS $c${g}d") ++
+      Seq("n", "sx", "sy", "sxx", "sxy", "syy")
+        .map(c => s"CAST(${c}1 AS DOUBLE) + CAST(${c}2 AS DOUBLE)" +
+          s" AS ${c}pd")
+  private val chowOut = Seq(
+    "CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+    s"CAST(round(1000.0 * ((${chowSsr("p")} - ${chowSsr("1")}" +
+      s" - ${chowSsr("2")}) / 2.0)" +
+      s" / ((${chowSsr("1")} + ${chowSsr("2")}) / (npd - 4.0)))" +
+      " AS BIGINT) AS f_milli")
+
+  /** q409 — Chow structural-break F-test on the daily-revenue trend
+    * at 1997-01-01 (the series midpoint): does one line fit the whole
+    * period or do the halves demand separate intercept+slope?
+    * F = ((SSRp − SSR1 − SSR2)/k)/((SSR1+SSR2)/(n−2k)), k = 2.
+    * The daily frame is calendar-bounded (O(days) at ANY corpus
+    * size); one conditional-sum pass collects both segments' six
+    * moment sums (y² in DECIMAL(38,0) — daily cents squared exceeds
+    * int64 at ~100× the bench SF), the F ratio runs in double on the
+    * one-row frame, SSR text shared with the oracle. Complements
+    * q358 (free-knot search) with the fixed-break hypothesis test. */
+  val chowTest: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val seg = when($"t" < 731L, 1).otherwise(2)
+    def cond(g: Int, c: org.apache.spark.sql.Column) =
+      sum(when(seg === g, c).otherwise(lit(0L)))
+    def condDec(g: Int, e: String) =
+      sum(when(seg === g, expr(e)).otherwise(expr("CAST(0 AS DECIMAL(38,0))")))
+    daily.agg(
+        cond(1, lit(1L)).as("n1"), cond(2, lit(1L)).as("n2"),
+        cond(1, $"t").as("sx1"), cond(2, $"t").as("sx2"),
+        condDec(1, "CAST(y AS DECIMAL(38,0))").as("sy1"),
+        condDec(2, "CAST(y AS DECIMAL(38,0))").as("sy2"),
+        cond(1, expr("t * t")).as("sxx1"), cond(2, expr("t * t")).as("sxx2"),
+        condDec(1, "CAST(t AS DECIMAL(38,0)) * y").as("sxy1"),
+        condDec(2, "CAST(t AS DECIMAL(38,0)) * y").as("sxy2"),
+        condDec(1, "CAST(y AS DECIMAL(38,0)) * y").as("syy1"),
+        condDec(2, "CAST(y AS DECIMAL(38,0)) * y").as("syy2"))
+      .selectExpr(Seq("n1", "n2") ++ chowDbl: _*)
+      .selectExpr(chowOut: _*)
+  }
+
+  // ------------------------------------- q410 Brunner–Munzel test
+
+  private val bmMid = Seq(
+    "CAST(n1 AS DOUBLE) AS n1d", "CAST(n2 AS DOUBLE) AS n2d",
+    "CAST(k1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS r1b",
+    "CAST(k2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS r2b",
+    "CAST(h1 AS DOUBLE) AS h1d", "CAST(h2 AS DOUBLE) AS h2d",
+    "CAST(q1 AS DOUBLE) AS q1d", "CAST(q2 AS DOUBLE) AS q2d")
+  private val bmVar = Seq(
+    "n1d", "n2d", "r1b", "r2b",
+    "(q1d/4.0 - (r1b - (n1d+1.0)/2.0)*h1d" +
+      " + n1d*(r1b - (n1d+1.0)/2.0)*(r1b - (n1d+1.0)/2.0))/(n1d-1.0)" +
+      " AS v1",
+    "(q2d/4.0 - (r2b - (n2d+1.0)/2.0)*h2d" +
+      " + n2d*(r2b - (n2d+1.0)/2.0)*(r2b - (n2d+1.0)/2.0))/(n2d-1.0)" +
+      " AS v2")
+  private val bmOut = Seq(
+    "CAST(n1d AS BIGINT) AS n1", "CAST(n2d AS BIGINT) AS n2",
+    "CAST(round(1000000.0 * (r2b - (n2d+1.0)/2.0)/n1d) AS BIGINT)" +
+      " AS p_hat_micro",
+    "CAST(round(1000.0 * n1d*n2d*(r2b - r1b)" +
+      " / ((n1d+n2d)*sqrt(n1d*v1 + n2d*v2))) AS BIGINT) AS w_milli",
+    "CAST(round(1000.0 * power(n1d*v1 + n2d*v2, 2.0)" +
+      " / (power(n1d*v1, 2.0)/(n1d-1.0) + power(n2d*v2, 2.0)/(n2d-1.0)))" +
+      " AS BIGINT) AS df_milli")
+
+  /** q410 — Brunner–Munzel heteroscedastic rank test (the modern
+    * replacement for Wilcoxon when variances differ): are URGENT
+    * orders stochastically larger than the rest? Estimates
+    * p = P(X<Y)+½P(X=Y) with the studentized statistic and
+    * Welch-style df (Brunner & Munzel 2000; the lawstat formulation).
+    * Midranks come from the VALUE HISTOGRAM — one groupBy on cents,
+    * one rangeCumSums pass for the two groups' exclusive prefix
+    * counts — so the rank machinery is a range exchange over distinct
+    * values, never a global sort of rows. All rank moments are exact:
+    * doubled midrank differences (2(R−Rw) = 2·c_other + m_other) stay
+    * integral; the squared sums carry DECIMAL(38,0) (they pass int64
+    * at ~10× the bench SF). Doubles only on the one-row frame,
+    * operand text shared with the oracle. */
+  val brunnerMunzel: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val hist = Tables(s, dir, "orders")
+      .select(when($"o_orderpriority" === "1-URGENT", 1).otherwise(2)
+        .as("g"), round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"v")
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("m1"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("m2"))
+    val cum = ScaleWindows.rangeCumSums(hist, Seq($"v"),
+      Seq(col("m1") -> "c1", col("m2") -> "c2"))
+      // u_g: the doubled (combined − within-group) midrank shared by
+      // every group-g member at this value; k_g: doubled combined
+      // midrank × multiplicity (for the group mean rank)
+      .withColumn("u1", expr("2*c2 + m2"))
+      .withColumn("u2", expr("2*c1 + m1"))
+    cum.agg(
+        sum($"m1").as("n1"), sum($"m2").as("n2"),
+        sum(expr("m1 * (2*(c1+c2) + m1 + m2 + 1)")).as("k1"),
+        sum(expr("m2 * (2*(c1+c2) + m1 + m2 + 1)")).as("k2"),
+        sum(expr("m1 * u1")).as("h1"), sum(expr("m2 * u2")).as("h2"),
+        sum(expr("CAST(m1 AS DECIMAL(38,0)) * u1 * u1")).as("q1"),
+        sum(expr("CAST(m2 AS DECIMAL(38,0)) * u2 * u2")).as("q2"))
+      .selectExpr(bmMid: _*)
+      .selectExpr(Seq("n1d", "n2d", "r1b", "r2b") ++ bmVar
+        .drop(4): _*)
+      .selectExpr(bmOut: _*)
+  }
+
+  // ------------------------------------------ q411 Page trend test
+
+  private val pageOut = Seq(
+    "CAST(b AS BIGINT) AS b_blocks", "CAST(l AS BIGINT) AS l_stat",
+    "CAST(round(1000.0 * (CAST(l AS DOUBLE) - CAST(b AS DOUBLE)*7.0*64.0/4.0)" +
+      " / sqrt(CAST(b AS DOUBLE)*49.0*8.0*48.0/144.0)) AS BIGINT)" +
+      " AS z_milli")
+
+  /** q411 — Page's trend test for ordered alternatives: does yearly
+    * revenue rise monotonically across the 7 order years (the ordered
+    * hypothesis Friedman's q261 omnibus can't see), with regions as
+    * blocks? L = Σ_blocks Σ_j j·rank_bj on the region×year cell grid
+    * — O(5×7) cells at ANY corpus size, built by one aggregation pass.
+    * Ranks break (impossible-at-cents) ties by year — declared
+    * contract, mirrored by the oracle. E[L] and Var[L] are the exact
+    * no-tie moments (k = 7 literal in the shared expression text). */
+  val pageTrend: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables(s, dir, "nation")
+        .select($"n_nationkey", $"n_regionkey"),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey".as("b"),
+        (year(to_date($"o_orderdate")) - 1994).cast("long").as("j"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    cells
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"b").orderBy($"rev".asc, $"j".asc)))
+      .agg(countDistinct($"b").as("b"),
+        sum($"j" * $"rk").as("l"))
+      .selectExpr(pageOut: _*)
+  }
+
+  // ----------------------------------------- q413 Bartlett's test
+
+  private val bartRow = Seq(
+    "n", "a",
+    // group variance quantized to 1 cent² — exact long both engines,
+    // then ln() sees the identical integer-valued double
+    "CAST(round((CAST(ss AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)" +
+      "/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1.0)) AS BIGINT) AS s2q")
+  private val bartTerms = Seq(
+    "CAST(round(1000000.0 * (CAST(n AS DOUBLE)-1.0)" +
+      " * ln(CAST(s2q AS DOUBLE))) AS BIGINT) AS t_micro",
+    "CAST(round(1000000000000.0/(CAST(n AS DOUBLE)-1.0)) AS BIGINT)" +
+      " AS c_pico",
+    "CAST(s2q AS DECIMAL(38,0)) * (n - 1) AS ws")
+  private val bartOut = Seq(
+    "CAST(k AS BIGINT) AS k_groups", "CAST(nn AS BIGINT) AS n",
+    "CAST(round(1000.0 * ((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))" +
+      " * ln(CAST(sws AS DOUBLE)/(CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))" +
+      " - CAST(st AS DOUBLE)/1000000.0)" +
+      " / (1.0 + (CAST(sc AS DOUBLE)/1000000000000.0" +
+      " - 1.0/(CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))" +
+      "/(3.0*(CAST(k AS DOUBLE)-1.0)))) AS BIGINT) AS chi2_milli")
+
+  /** q413 — Bartlett's test of equal variances across the 5 order
+    * priorities (the parametric, more powerful sibling of q254's
+    * Levene — and the one that assumes normality; serving both lets
+    * users triangulate). Per-group moments come from ONE grouped
+    * pass (Σx² in DECIMAL(38,0)); each group's variance quantizes to
+    * 1 cent² (relative error ~1e-14) so both engines feed ln()
+    * identical integers, the per-group ln terms quantize to micro
+    * and SUM EXACTLY (no cross-row double adds — the 5-row frame
+    * would otherwise order-race), and the final χ² assembles in
+    * double on the one-row frame with oracle-shared text. */
+  val bartlett: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("ss"))
+      .withColumn("a", lit(1L))
+      .selectExpr(bartRow: _*)
+      .selectExpr(Seq("n", "a") ++ bartTerms: _*)
+      .agg(sum($"a").as("k"), sum($"n").as("nn"),
+        sum($"t_micro").as("st"), sum($"c_pico").as("sc"),
+        sum($"ws").as("sws"))
+      .selectExpr(bartOut: _*)
+  }
+
+  // -------------------------------------- q414 Mood's median test
+
+  private val moodCell = Seq(
+    "g", "ni", "ai",
+    // above-median cell + at-or-below cell, each micro-quantized from
+    // the exact integer cross-product form (O·N − r·c)²/(N·r·c)
+    "CAST(round(1000000.0 * power(CAST(ai AS DOUBLE)*nn" +
+      " - CAST(ni AS DOUBLE)*ca, 2.0)" +
+      " / (CAST(nn AS DOUBLE)*ni*ca)) AS BIGINT)" +
+      " + CAST(round(1000000.0 * power(CAST(ni - ai AS DOUBLE)*nn" +
+      " - CAST(ni AS DOUBLE)*(nn - ca), 2.0)" +
+      " / (CAST(nn AS DOUBLE)*ni*(nn - ca))) AS BIGINT) AS cell_micro")
+
+  /** q414 — Mood's median test: do the 5 order priorities share a
+    * median order value? Dichotomizes at the GRAND lower median —
+    * found scalably as the smallest cents value whose inclusive
+    * histogram cumulative reaches N/2 (one groupBy + one rangeCumSum
+    * over distinct values; the q177 median discipline, never a
+    * percentile single-reducer) — then runs the 5×2 χ² on exact
+    * counts. Cell terms micro-quantize from integer cross-products
+    * and sum exactly; only the 5-row cell frame sees doubles, with
+    * oracle-shared text. */
+  val moodMedian: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val hist = rows.groupBy($"v").agg(count(lit(1)).as("m"))
+    val cum = ScaleWindows.rangeCumSum(hist, Seq($"v"), col("m"), "c")
+    val tot = hist.agg(sum($"m").as("nn0"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(expr("2*(c + m) >= nn0"))
+      .agg(min($"v").as("med"))
+    val grp = rows.crossJoin(broadcast(med))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("ni"),
+        sum(when($"v" > $"med", 1L).otherwise(0L)).as("ai"),
+        first($"med").as("medv"))
+    val colTot = grp.agg(sum($"ni").as("nn"), sum($"ai").as("ca"),
+      max($"medv").as("med_cents"))
+    grp.crossJoin(broadcast(colTot))
+      .selectExpr(Seq("med_cents", "nn") ++ moodCell: _*)
+      .groupBy($"med_cents")
+      .agg(max($"nn").as("n"), sum($"cell_micro").as("chi2_micro"))
+      .selectExpr("med_cents", "CAST(n AS BIGINT) AS n",
+        "CAST(chi2_micro AS BIGINT) AS chi2_micro")
+  }
+
+  // ---------------------- q415 two-sample Cramér–von Mises test
+
+  private val cvmOut = Seq(
+    "CAST(n AS BIGINT) AS n", "CAST(m AS BIGINT) AS m",
+    "CAST(round(1000000.0 * ((CAST(n AS DOUBLE)*CAST(su1 AS DOUBLE)" +
+      " + CAST(m AS DOUBLE)*CAST(su2 AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE)*CAST(m AS DOUBLE)" +
+      "*(CAST(n AS DOUBLE)+CAST(m AS DOUBLE)))" +
+      " - (4.0*CAST(n AS DOUBLE)*CAST(m AS DOUBLE) - 1.0)" +
+      "/(6.0*(CAST(n AS DOUBLE)+CAST(m AS DOUBLE))))) AS BIGINT)" +
+      " AS t_micro")
+
+  /** q415 — two-sample Cramér–von Mises criterion (Anderson 1962)
+    * between returned ('R') and accepted ('A') line prices — the
+    * whole-distribution companion to q192's KS supremum: T sums the
+    * SQUARED ECDF gap instead of taking the max, so it sees spread
+    * differences KS misses. U = nΣ(r_i−i)² + mΣ(s_j−j)² where r/s
+    * are combined-sample ranks: for a group-1 row, r−i is exactly
+    * the count of group-2 rows strictly before it in the total order
+    * (v, orderkey, linenumber) — ONE rangeCumSums pass produces both
+    * groups' exclusive prefix counts; no global sort, no row
+    * explosion. Tie order across groups is the declared deterministic
+    * contract (cents ties are broken by key, as classical CvM's
+    * continuity assumption expects). Σd² carries DECIMAL(38,0)
+    * (passes int64 at ~10× bench SF); T assembles in double on the
+    * one-row frame with oracle-shared text. */
+  val cvmTwoSample: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "lineitem")
+      .filter($"l_returnflag".isin("R", "A"))
+      .select(when($"l_returnflag" === "R", 1).otherwise(2).as("g"),
+        round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey".as("ok"), $"l_linenumber".as("lnum"))
+    val cum = ScaleWindows.rangeCumSums(rows,
+      Seq($"v", $"ok", $"lnum"),
+      Seq(when($"g" === 1, 1L).otherwise(0L) -> "c1",
+        when($"g" === 2, 1L).otherwise(0L) -> "c2"))
+    cum.agg(
+        sum(when($"g" === 1, 1L).otherwise(0L)).as("n"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("m"),
+        sum(when($"g" === 1, expr("CAST(c2 AS DECIMAL(38,0)) * c2"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("su1"),
+        sum(when($"g" === 2, expr("CAST(c1 AS DECIMAL(38,0)) * c1"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("su2"))
+      .selectExpr(cvmOut: _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q408_iv_wald" -> ivWald,
+    "q409_chow_test" -> chowTest,
+    "q410_brunner_munzel" -> brunnerMunzel,
+    "q411_page_trend" -> pageTrend,
+    "q413_bartlett" -> bartlett,
+    "q414_mood_median" -> moodMedian,
+    "q415_cvm_two_sample" -> cvmTwoSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q408_iv_wald" ->
+      s"""WITH f AS (SELECT
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(p_size AS BIGINT) AS z
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(z)::BIGINT AS sz,
+        |    sum(x)::BIGINT AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(z::HUGEINT * x) AS szx, sum(z::HUGEINT * y) AS szy,
+        |    sum(z::HUGEINT * z) AS szz
+        |  FROM f),
+        |dbl AS (SELECT n, ${ivDbl.mkString(", ")} FROM m)
+        |SELECT ${ivOut.mkString(", ")} FROM dbl""".stripMargin,
+    "q409_chow_test" ->
+      s"""WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT
+        |    sum(CASE WHEN t < 731 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN t >= 731 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN t < 731 THEN t ELSE 0 END)::BIGINT AS sx1,
+        |    sum(CASE WHEN t >= 731 THEN t ELSE 0 END)::BIGINT AS sx2,
+        |    sum(CASE WHEN t < 731 THEN y::HUGEINT ELSE 0 END) AS sy1,
+        |    sum(CASE WHEN t >= 731 THEN y::HUGEINT ELSE 0 END) AS sy2,
+        |    sum(CASE WHEN t < 731 THEN t * t ELSE 0 END)::BIGINT AS sxx1,
+        |    sum(CASE WHEN t >= 731 THEN t * t ELSE 0 END)::BIGINT AS sxx2,
+        |    sum(CASE WHEN t < 731 THEN t::HUGEINT * y ELSE 0 END) AS sxy1,
+        |    sum(CASE WHEN t >= 731 THEN t::HUGEINT * y ELSE 0 END) AS sxy2,
+        |    sum(CASE WHEN t < 731 THEN y::HUGEINT * y ELSE 0 END) AS syy1,
+        |    sum(CASE WHEN t >= 731 THEN y::HUGEINT * y ELSE 0 END) AS syy2
+        |  FROM daily),
+        |dbl AS (SELECT n1, n2, ${chowDbl.mkString(", ")} FROM m)
+        |SELECT ${chowOut.mkString(", ")} FROM dbl""".stripMargin,
+    "q410_brunner_munzel" ->
+      s"""WITH hist AS (SELECT
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END)::BIGINT AS m1,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1
+        |      END)::BIGINT AS m2
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT v, m1, m2,
+        |    coalesce(sum(m1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS c1,
+        |    coalesce(sum(m2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      ::BIGINT AS c2
+        |  FROM hist),
+        |u AS (SELECT v, m1, m2, c1, c2,
+        |    2*c2 + m2 AS u1, 2*c1 + m1 AS u2 FROM cum),
+        |m AS (SELECT sum(m1)::BIGINT AS n1, sum(m2)::BIGINT AS n2,
+        |    sum(m1 * (2*(c1+c2) + m1 + m2 + 1))::BIGINT AS k1,
+        |    sum(m2 * (2*(c1+c2) + m1 + m2 + 1))::BIGINT AS k2,
+        |    sum(m1 * u1)::BIGINT AS h1, sum(m2 * u2)::BIGINT AS h2,
+        |    sum(m1::HUGEINT * u1 * u1) AS q1,
+        |    sum(m2::HUGEINT * u2 * u2) AS q2
+        |  FROM u),
+        |mid AS (SELECT ${bmMid.mkString(", ")} FROM m),
+        |vv AS (SELECT n1d, n2d, r1b, r2b, ${bmVar.drop(4).mkString(", ")}
+        |  FROM mid)
+        |SELECT ${bmOut.mkString(", ")} FROM vv""".stripMargin,
+    "q411_page_trend" ->
+      s"""WITH cells AS (SELECT n_regionkey AS b,
+        |    (year(CAST(o_orderdate AS DATE)) - 1994)::BIGINT AS j,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT b, j, row_number() OVER (
+        |    PARTITION BY b ORDER BY rev ASC, j ASC)::BIGINT AS rk
+        |  FROM cells),
+        |m AS (SELECT count(DISTINCT b)::BIGINT AS b,
+        |    sum(j * rk)::BIGINT AS l FROM rk)
+        |SELECT ${pageOut.mkString(", ")} FROM m""".stripMargin,
+    "q413_bartlett" ->
+      s"""WITH g AS (SELECT o_orderpriority AS g, count(*)::BIGINT AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sv,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT
+        |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS ss,
+        |    1::BIGINT AS a
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT ${bartRow.mkString(", ")} FROM g),
+        |t AS (SELECT n, a, ${bartTerms.mkString(", ")
+          .replace("CAST(s2q AS DECIMAL(38,0))", "s2q::HUGEINT")} FROM q),
+        |m AS (SELECT sum(a)::BIGINT AS k, sum(n)::BIGINT AS nn,
+        |    sum(t_micro)::BIGINT AS st, sum(c_pico)::BIGINT AS sc,
+        |    sum(ws) AS sws FROM t)
+        |SELECT ${bartOut.mkString(", ")} FROM m""".stripMargin,
+    "q414_mood_median" ->
+      s"""WITH rows_ AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |hist AS (SELECT v, count(*)::BIGINT AS m FROM rows_ GROUP BY 1),
+        |cum AS (SELECT v, m, coalesce(sum(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    ::BIGINT AS c FROM hist),
+        |tot AS (SELECT sum(m)::BIGINT AS nn0 FROM hist),
+        |med AS (SELECT min(v)::BIGINT AS med FROM cum CROSS JOIN tot
+        |  WHERE 2*(c + m) >= nn0),
+        |grp AS (SELECT g, count(*)::BIGINT AS ni,
+        |    sum(CASE WHEN v > med THEN 1 ELSE 0 END)::BIGINT AS ai,
+        |    first(med)::BIGINT AS medv
+        |  FROM rows_ CROSS JOIN med GROUP BY 1),
+        |ct AS (SELECT sum(ni)::BIGINT AS nn, sum(ai)::BIGINT AS ca,
+        |    max(medv)::BIGINT AS med_cents FROM grp),
+        |cells AS (SELECT med_cents, nn, ${moodCell.mkString(", ")}
+        |  FROM grp CROSS JOIN ct)
+        |SELECT med_cents, max(nn)::BIGINT AS n,
+        |  sum(cell_micro)::BIGINT AS chi2_micro
+        |FROM cells GROUP BY med_cents""".stripMargin,
+    "q415_cvm_two_sample" ->
+      s"""WITH rows_ AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 2 END AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    l_orderkey AS ok, l_linenumber AS lnum
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |cum AS (SELECT g,
+        |    coalesce(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c1,
+        |    coalesce(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c2
+        |  FROM rows_
+        |  WINDOW w AS (ORDER BY v, ok, lnum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS m,
+        |    sum(CASE WHEN g = 1 THEN c2::HUGEINT * c2 ELSE 0 END) AS su1,
+        |    sum(CASE WHEN g = 2 THEN c1::HUGEINT * c1 ELSE 0 END) AS su2
+        |  FROM cum)
+        |SELECT ${cvmOut.mkString(", ")} FROM m""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Inference
+
+/** Semantic invariants for the inference batch (q408+). Value-level
+  * correctness is the driver's DuckDB gate; these assert the
+  * mathematical properties that must hold regardless of data.
+  */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q408 IV: n matches the join, slope finite and nonzero-sane") {
+    val r = Inference.ivWald(spark, sfDir).collect().head
+    val n = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"),
+        $"l_partkey" === $"p_partkey").count()
+    assert(r.getAs[Long]("n") == n)
+    // price ~ quantity: both βIV and the first stage exist (cents scale
+    // keeps |β| well under 1e12 micro even at tiny SF)
+    assert(math.abs(r.getAs[Long]("beta_iv_micro")) < 1000000000000L)
+    assert(!r.isNullAt(r.fieldIndex("gamma_micro")))
+  }
+
+  test("q409 Chow: segments partition the days; F non-negative") {
+    val r = Inference.chowTest(spark, sfDir).collect().head
+    val days = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate")).distinct().count()
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == days)
+    assert(r.getAs[Long]("n1") > 2 && r.getAs[Long]("n2") > 2)
+    // pooled SSR >= split SSRs by least-squares optimality => F >= 0
+    assert(r.getAs[Long]("f_milli") >= 0)
+  }
+
+  test("q410 Brunner-Munzel: p-hat in [0,1], df positive") {
+    val r = Inference.brunnerMunzel(spark, sfDir).collect().head
+    val n1 = r.getAs[Long]("n1")
+    val n2 = r.getAs[Long]("n2")
+    val total = Tables(spark, sfDir, "orders").count()
+    assert(n1 + n2 == total && n1 > 1 && n2 > 1)
+    val p = r.getAs[Long]("p_hat_micro")
+    assert(p >= 0 && p <= 1000000)
+    // Welch-style df: min(n1,n2)-1 <= df <= n1+n2-2 (Brunner-Munzel
+    // 2000, Satterthwaite bound)
+    val df = r.getAs[Long]("df_milli")
+    assert(df >= (math.min(n1, n2) - 1) * 1000 - 1000 &&
+      df <= (n1 + n2 - 2) * 1000 + 1000)
+  }
+
+  test("q411 Page: L within the exact min/max over 7 ranks") {
+    val r = Inference.pageTrend(spark, sfDir).collect().head
+    val b = r.getAs[Long]("b_blocks")
+    assert(b == 5)
+    // per block, sum j*rk over a permutation of 1..7 is in
+    // [sum j*(8-j), sum j*j] = [84, 140]
+    val l = r.getAs[Long]("l_stat")
+    assert(l >= 84 * b && l <= 140 * b)
+  }
+
+  test("q412 ERR: per-label ERR in [0, 1e6], counts positive") {
+    val r = graft.queries.Analytics.errEval(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // ERR is a sub-probability: sum over 10 ranks of P(stop at r)/r
+      val e = row.getAs[Long]("err_micro")
+      assert(e >= 0 && e <= 1000000)
+      assert(row.getAs[Long]("n_queries") > 0)
+    }
+  }
+
+  test("q413 Bartlett: chi2 non-negative, groups and n complete") {
+    val r = Inference.bartlett(spark, sfDir).collect().head
+    assert(r.getAs[Long]("k_groups") == 5)
+    assert(r.getAs[Long]("n") ==
+      Tables(spark, sfDir, "orders").count())
+    // Jensen: (N-k)·ln(pooled) >= Σ(ni-1)·ln(si²); correction factor
+    // C > 1, so the statistic stays non-negative (tiny quantization
+    // slack)
+    assert(r.getAs[Long]("chi2_milli") >= -1)
+  }
+
+  test("q414 Mood: median splits mass near half; chi2 non-negative") {
+    val r = Inference.moodMedian(spark, sfDir).collect().head
+    val total = Tables(spark, sfDir, "orders").count()
+    assert(r.getAs[Long]("n") == total)
+    assert(r.getAs[Long]("chi2_micro") >= 0)
+    // the lower median must be an attained cents value with at least
+    // half the mass at or below it
+    val med = r.getAs[Long]("med_cents")
+    val below = Tables(spark, sfDir, "orders")
+      .filter(round($"o_totalprice" * 100).cast("long") <= med).count()
+    val strictly = Tables(spark, sfDir, "orders")
+      .filter(round($"o_totalprice" * 100).cast("long") < med).count()
+    assert(2 * below >= total && 2 * strictly < total)
+  }
+
+  test("q415 CvM: T within the exact two-sample bounds") {
+    val r = Inference.cvmTwoSample(spark, sfDir).collect().head
+    val n = r.getAs[Long]("n")
+    val m = r.getAs[Long]("m")
+    val counts = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(n == counts("R") && m == counts("A"))
+    // Anderson 1962: T in [(4nm-1)/(6(n+m)) shifted to 0 .. nm/(n+m)]
+    // => after centering, 0 <= T <= (n+m)/6 roughly; assert the loose
+    // sanity window T >= 0 (centering term is the exact minimum) and
+    // T below the theoretical max nm(n+m)/(...) bound proxy
+    val t = r.getAs[Long]("t_micro")
+    assert(t >= -1)
+    assert(t <= (n + m) * 1000000L / 6 + 1000000L)
+  }
+}
