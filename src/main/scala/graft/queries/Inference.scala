@@ -375,6 +375,312 @@ object Inference {
       .selectExpr(cvmOut: _*)
   }
 
+  // -------------------------------------- q416 Ansari–Bradley test
+
+  private val abDbl = Seq("n1", "n2", "a1")
+    .map(c => s"CAST($c AS DOUBLE) AS ${c}d") ++ Seq(
+    "CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd",
+    "CAST(t1 AS DOUBLE) AS t1d", "CAST(t2 AS DOUBLE) AS t2d")
+  private val abOut = Seq(
+    "CAST(n1d AS BIGINT) AS n1", "CAST(n2d AS BIGINT) AS n2",
+    "CAST(a1d AS BIGINT) AS a_stat",
+    "CAST(round(1000.0 * (a1d - n1d*t1d/nd)" +
+      " / sqrt(n1d*n2d*(nd*t2d - t1d*t1d)/(nd*nd*(nd-1.0))))" +
+      " AS BIGINT) AS z_milli")
+
+  /** q416 — Ansari–Bradley two-sample scale test: do finished ('F')
+    * and open ('O') orders have equally DISPERSED values around a
+    * common center? Scores a(p) = min(p, N+1−p) peak at the middle,
+    * so a small group-1 sum means group 1 crowds the extremes (more
+    * spread). Ranks come from a TOTAL order (cents, orderkey) — the
+    * q415 tie contract — via one rangeCumSums pass (range exchange,
+    * no global sort); scores stay exact integers, the score moments
+    * T1/T2 aggregate exactly (DECIMAL(38,0) — T2 passes int64 at
+    * ~100× bench SF), and the standardized z uses the general
+    * fixed-scores linear-rank moments E[A] = n1·T1/N,
+    * Var = n1n2(N·T2−T1²)/(N²(N−1)), assembled in double on the
+    * one-row frame with oracle-shared text. */
+  val ansariBradley: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .filter($"o_orderstatus".isin("F", "O"))
+      .select(when($"o_orderstatus" === "F", 1).otherwise(2).as("g"),
+        round($"o_totalprice" * 100).cast("long").as("v"),
+        $"o_orderkey".as("ok"))
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val cum = ScaleWindows.rangeCumSums(rows, Seq($"v", $"ok"),
+      Seq(when($"g" === 1, 1L).otherwise(0L) -> "c1",
+        when($"g" === 2, 1L).otherwise(0L) -> "c2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("p", expr("c1 + c2 + 1"))
+      .withColumn("sc", expr("least(p, nn + 1 - p)"))
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"g" === 1, expr("CAST(sc AS DECIMAL(38,0))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("a1"),
+        sum(expr("CAST(sc AS DECIMAL(38,0))")).as("t1"),
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("t2"))
+      .selectExpr(abDbl: _*)
+      .selectExpr(abOut: _*)
+  }
+
+  // --------------------------------------------- q417 Quade test
+
+  private val quadeOut = Seq(
+    "CAST(b AS BIGINT) AS b_blocks", "CAST(kk AS BIGINT) AS k_treatments",
+    // F = (b−1)·ΣSj² / (b·A − ΣSj²) is scale-free in the doubling:
+    // both A4 and sb4 carry the 4× from doubled S, so the ratio is
+    // the classical statistic exactly
+    "CAST(round(1000.0 * (CAST(b AS DOUBLE) - 1.0) * CAST(sb4 AS DOUBLE)" +
+      " / (CAST(b AS DOUBLE)*CAST(a4 AS DOUBLE) - CAST(sb4 AS DOUBLE)))" +
+      " AS BIGINT) AS f_milli")
+
+  /** q417 — Quade test on the region×year revenue grid: a Friedman-
+    * family blocked comparison that WEIGHTS blocks by their range, so
+    * high-variation regions drive the verdict (the test of choice for
+    * k ≤ ~5 treatments; here the 7 order years are treatments, the 5
+    * regions blocks). Within-block ranks use a partitioned window on
+    * the O(35)-cell grid; the 5-row block-range ranking uses a
+    * broadcast triangular self-join — NO unpartitioned window
+    * anywhere (PlanSpec-clean). Doubled scores S2 = Q·(2r−(k+1))
+    * keep every sum integral; the 4× factors cancel in F, which
+    * assembles in double on the one-row frame with oracle-shared
+    * text. Ties in revenue/range break by year/region key — the
+    * impossible-at-cents declared contract (q411 precedent). */
+  val quadeTest: Q = (s, dir) => {
+    import s.implicits._
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables(s, dir, "nation")
+        .select($"n_nationkey", $"n_regionkey"),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey".as("b"),
+        (year(to_date($"o_orderdate")) - 1994).cast("long").as("j"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val ranked = cells.withColumn("r", row_number().over(
+      Window.partitionBy($"b").orderBy($"rev".asc, $"j".asc)))
+    val bl = cells.groupBy($"b")
+      .agg((max($"rev") - min($"rev")).as("rng"))
+    val bl2 = bl.select($"b".as("b2"), $"rng".as("rng2"))
+    val blq = bl.crossJoin(broadcast(bl2))
+      .groupBy($"b", $"rng")
+      .agg((sum(when($"rng2" < $"rng" ||
+        ($"rng2" === $"rng" && $"b2" < $"b"), 1L)
+        .otherwise(0L)) + 1L).as("q"))
+      .select($"b".as("bq"), $"q")
+    ranked.join(broadcast(blq), $"b" === $"bq")
+      .withColumn("s2", $"q" * (lit(2L) * $"r" - 8L))
+      .groupBy($"j")
+      .agg(sum($"s2" * $"s2").as("aj"), sum($"s2").as("sj2"))
+      .agg(countDistinct($"j").as("kk"), sum($"aj").as("a4"),
+        sum($"sj2" * $"sj2").as("sb4"))
+      .withColumn("b", lit(5L))
+      .selectExpr(quadeOut: _*)
+  }
+
+  // -------------------------------------------- q418 Lepage test
+
+  private val lepDbl = Seq("n1", "n2", "w1", "a1", "t1", "t2")
+    .map(c => s"CAST($c AS DOUBLE) AS ${c}d") ++ Seq(
+    "CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd")
+  private val lepMid = Seq(
+    "n1d", "n2d",
+    "(w1d - n1d*(nd+1.0)/2.0) / sqrt(n1d*n2d*(nd+1.0)/12.0) AS zw",
+    "(a1d - n1d*t1d/nd)" +
+      " / sqrt(n1d*n2d*(nd*t2d - t1d*t1d)/(nd*nd*(nd-1.0))) AS za")
+  private val lepOut = Seq(
+    "CAST(n1d AS BIGINT) AS n1", "CAST(n2d AS BIGINT) AS n2",
+    "CAST(round(1000.0 * zw) AS BIGINT) AS zw_milli",
+    "CAST(round(1000.0 * za) AS BIGINT) AS za_milli",
+    "CAST(round(1000.0 * (zw*zw + za*za)) AS BIGINT) AS l_milli")
+
+  /** q418 — Lepage two-sample omnibus: detects location AND scale
+    * shifts between finished and open line items by combining the
+    * Wilcoxon rank-sum z (location) with the Ansari–Bradley z
+    * (scale): L = z_W² + z_AB² (~χ²₂). ONE rangeCumSums pass over
+    * the (cents, orderkey, linenumber) total order feeds both
+    * statistics — ranks are an exact permutation of 1..N under the
+    * declared tie contract, so Wilcoxon uses the exact no-tie
+    * moments and AB the exact fixed-scores moments (same machinery
+    * as q416). Rank/score sums carry DECIMAL(38,0); doubles only on
+    * the one-row frame with oracle-shared text. */
+  val lepageTest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "lineitem")
+      .select(when($"l_linestatus" === "F", 1).otherwise(2).as("g"),
+        round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey".as("ok"), $"l_linenumber".as("lnum"))
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val cum = ScaleWindows.rangeCumSums(rows, Seq($"v", $"ok", $"lnum"),
+      Seq(when($"g" === 1, 1L).otherwise(0L) -> "c1",
+        when($"g" === 2, 1L).otherwise(0L) -> "c2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("p", expr("c1 + c2 + 1"))
+      .withColumn("sc", expr("least(p, nn + 1 - p)"))
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"g" === 1, expr("CAST(p AS DECIMAL(38,0))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("w1"),
+        sum(when($"g" === 1, expr("CAST(sc AS DECIMAL(38,0))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("a1"),
+        sum(expr("CAST(sc AS DECIMAL(38,0))")).as("t1"),
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * sc")).as("t2"))
+      .selectExpr(lepDbl: _*)
+      .selectExpr(lepMid: _*)
+      .selectExpr(lepOut: _*)
+  }
+
+  // ------------------------------------------- q419 Cucconi test
+
+  private val cucDbl = Seq("n1", "n2", "s2", "s2c")
+    .map(c => s"CAST($c AS DOUBLE) AS ${c}d") ++ Seq(
+    "CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd")
+  private val cucMid = Seq(
+    "n1d", "n2d",
+    "(6.0*s2d - n2d*(nd+1.0)*(2.0*nd+1.0))" +
+      " / sqrt(n1d*n2d*(nd+1.0)*(2.0*nd+1.0)*(8.0*nd+11.0)/5.0) AS u",
+    "(6.0*s2cd - n2d*(nd+1.0)*(2.0*nd+1.0))" +
+      " / sqrt(n1d*n2d*(nd+1.0)*(2.0*nd+1.0)*(8.0*nd+11.0)/5.0) AS v",
+    "2.0*(nd*nd - 4.0)/((2.0*nd+1.0)*(8.0*nd+11.0)) - 1.0 AS rho")
+  private val cucOut = Seq(
+    "CAST(n1d AS BIGINT) AS n1", "CAST(n2d AS BIGINT) AS n2",
+    "CAST(round(1000.0 * u) AS BIGINT) AS u_milli",
+    "CAST(round(1000.0 * v) AS BIGINT) AS v_milli",
+    "CAST(round(1000.0 * (u*u + v*v - 2.0*rho*u*v)" +
+      "/(2.0*(1.0 - rho*rho))) AS BIGINT) AS c_milli")
+
+  /** q419 — Cucconi two-sample location-scale test (1968; predates
+    * and often outpowers Lepage): C combines U (squared ranks) and V
+    * (squared CONTRARY ranks) of the second sample with their exact
+    * negative correlation ρ. Deep-discount (≥5%) vs shallow-discount
+    * line prices; ranks from the
+    * same keyed total order / rangeCumSums machinery as q418, squared
+    * -rank sums in DECIMAL(38,0) (pass int64 at ~30× bench SF), U, V,
+    * ρ, C assembled in double on the one-row frame with oracle-shared
+    * text. */
+  val cucconiTest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "lineitem")
+      .select(when(round($"l_discount" * 100).cast("long") >= 5L, 1)
+        .otherwise(2).as("g"),
+        round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey".as("ok"), $"l_linenumber".as("lnum"))
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val cum = ScaleWindows.rangeCumSums(rows, Seq($"v", $"ok", $"lnum"),
+      Seq(when($"g" === 1, 1L).otherwise(0L) -> "c1",
+        when($"g" === 2, 1L).otherwise(0L) -> "c2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("p", expr("c1 + c2 + 1"))
+      .agg(sum(when($"g" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"g" === 2, expr("CAST(p AS DECIMAL(38,0)) * p"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s2"),
+        sum(when($"g" === 2,
+          expr("CAST(nn + 1 - p AS DECIMAL(38,0)) * (nn + 1 - p)"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s2c"))
+      .selectExpr(cucDbl: _*)
+      .selectExpr(cucMid: _*)
+      .selectExpr(cucOut: _*)
+  }
+
+  // --------------------------------- q420 Yule–Walker AR(2) fit
+
+  private val ywDbl = Seq(
+    "CAST(dd AS DOUBLE) AS ddd", "CAST(sy AS DOUBLE) AS syd",
+    "CAST(syy AS DOUBLE) AS syyd",
+    "CAST(m1 AS DOUBLE) AS m1d", "CAST(p1 AS DOUBLE) AS p1d",
+    "CAST(a1 AS DOUBLE) AS a1d", "CAST(b1 AS DOUBLE) AS b1d",
+    "CAST(m2 AS DOUBLE) AS m2d", "CAST(p2 AS DOUBLE) AS p2d",
+    "CAST(a2 AS DOUBLE) AS a2d", "CAST(b2 AS DOUBLE) AS b2d",
+    "dd", "m1", "m2")
+  private val ywGam = Seq(
+    "dd", "m1", "m2",
+    "(syyd - syd*syd/ddd)/ddd AS g0",
+    "(p1d - (syd/ddd)*(a1d + b1d) + m1d*(syd/ddd)*(syd/ddd))/ddd AS g1",
+    "(p2d - (syd/ddd)*(a2d + b2d) + m2d*(syd/ddd)*(syd/ddd))/ddd AS g2")
+  private val ywOut = Seq(
+    "CAST(dd AS BIGINT) AS d_days",
+    "CAST(round(1000000.0 * g1*(g0 - g2)/(g0*g0 - g1*g1)) AS BIGINT)" +
+      " AS phi1_micro",
+    "CAST(round(1000000.0 * (g0*g2 - g1*g1)/(g0*g0 - g1*g1)) AS BIGINT)" +
+      " AS phi2_micro",
+    "CAST(round(1000000.0 * (g0 - (g1*(g0 - g2)/(g0*g0 - g1*g1))*g1" +
+      " - ((g0*g2 - g1*g1)/(g0*g0 - g1*g1))*g2)/g0) AS BIGINT)" +
+      " AS innov_ratio_micro")
+
+  /** q420 — Yule–Walker AR(2) identification on the daily-revenue
+    * series: the autoregression teams fit before believing any
+    * "trend" (an AR(2) with φ1+φ2 near 1 mimics drift). Lag products
+    * come from two equi self-joins of the O(days) daily frame on
+    * t−1/t−2 (gap-safe: only matched pairs contribute — the declared
+    * estimator contract, identical in the oracle); all moment sums
+    * are exact (Σy·y_lag in DECIMAL(38,0) — daily-cents products pass
+    * int64 at ~3× bench SF). γ₀/γ₁/γ₂ and the Cramér solve of the
+    * 2×2 Toeplitz system run in double on the one-row frame with
+    * oracle-shared text; innov_ratio = σ²/γ₀ is the fraction of
+    * variance the AR(2) cannot explain. */
+  val yuleWalkerAr2: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "orders")
+      .groupBy(datediff(to_date($"o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long").as("t"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val base = daily.agg(count(lit(1)).as("dd"), sum($"y").as("sy"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    def lagMoments(k: Int, p: String) = daily.as("d0")
+      .join(daily.select($"t".as("tl"), $"y".as("yl")),
+        $"tl" === $"t" - k)
+      .agg(count(lit(1)).as(s"m$p"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * yl")).as(s"p$p"),
+        sum($"y").as(s"a$p"), sum($"yl").as(s"b$p"))
+    base.crossJoin(broadcast(lagMoments(1, "1")))
+      .crossJoin(broadcast(lagMoments(2, "2")))
+      .selectExpr(ywDbl: _*)
+      .selectExpr(ywGam: _*)
+      .selectExpr(ywOut: _*)
+  }
+
+  // --------------------------- q421 process capability (Cp/Cpk)
+
+  private val capOut = Seq(
+    "brand", "CAST(n AS BIGINT) AS n",
+    "CAST(round(1000.0 * CAST(sv AS DOUBLE)/CAST(n AS DOUBLE))" +
+      " AS BIGINT) AS mean_milli",
+    "CAST(round(1000.0 * 49.0 / (6.0 * sqrt((CAST(svv AS DOUBLE)" +
+      " - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/CAST(n AS DOUBLE))" +
+      "/(CAST(n AS DOUBLE) - 1.0)))) AS BIGINT) AS cp_milli",
+    "CAST(round(1000.0 * least(50.0 - CAST(sv AS DOUBLE)/CAST(n AS DOUBLE)," +
+      " CAST(sv AS DOUBLE)/CAST(n AS DOUBLE) - 1.0)" +
+      " / (3.0 * sqrt((CAST(svv AS DOUBLE)" +
+      " - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/CAST(n AS DOUBLE))" +
+      "/(CAST(n AS DOUBLE) - 1.0)))) AS BIGINT) AS cpk_milli")
+
+  /** q421 — SPC process-capability indices per part brand:
+    * Cp = (USL−LSL)/6σ and Cpk = min(USL−μ, μ−LSL)/3σ for order
+    * quantity against the spec window [1, 50] — the manufacturing
+    * lens on fill-quantity consistency (Cp < 1 ⇒ the process cannot
+    * hold the spec even when centered; Cpk ≪ Cp ⇒ off-center). ONE
+    * map-side-combined grouped pass over lineitem⋈part collects
+    * exact (n, Σv, Σv²) per brand (Σv² in DECIMAL(38,0) — immune at
+    * any SF); the O(brands)=25-row frame computes the indices in
+    * double with oracle-shared text. */
+  val processCapability: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"), $"l_quantity".cast("long").as("v"))
+      .groupBy($"brand")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"))
+      .selectExpr(capOut: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q408_iv_wald" -> ivWald,
     "q409_chow_test" -> chowTest,
@@ -383,6 +689,12 @@ object Inference {
     "q413_bartlett" -> bartlett,
     "q414_mood_median" -> moodMedian,
     "q415_cvm_two_sample" -> cvmTwoSample,
+    "q416_ansari_bradley" -> ansariBradley,
+    "q417_quade_test" -> quadeTest,
+    "q418_lepage_test" -> lepageTest,
+    "q419_cucconi_test" -> cucconiTest,
+    "q420_yule_walker_ar2" -> yuleWalkerAr2,
+    "q421_process_capability" -> processCapability,
   )
 
   val oracles: Map[String, String] = Map(
@@ -519,5 +831,137 @@ object Inference {
         |    sum(CASE WHEN g = 2 THEN c1::HUGEINT * c1 ELSE 0 END) AS su2
         |  FROM cum)
         |SELECT ${cvmOut.mkString(", ")} FROM m""".stripMargin,
+    "q416_ansari_bradley" ->
+      s"""WITH rows_ AS (SELECT
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    o_orderkey AS ok
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |tot AS (SELECT count(*)::BIGINT AS nn FROM rows_),
+        |cum AS (SELECT g,
+        |    coalesce(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c1,
+        |    coalesce(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c2
+        |  FROM rows_
+        |  WINDOW w AS (ORDER BY v, ok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT g, least(c1 + c2 + 1, nn - c1 - c2) AS sc
+        |  FROM cum CROSS JOIN tot),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 1 THEN sc::HUGEINT ELSE 0 END) AS a1,
+        |    sum(sc::HUGEINT) AS t1, sum(sc::HUGEINT * sc) AS t2
+        |  FROM sc),
+        |dbl AS (SELECT ${abDbl.mkString(", ")} FROM m)
+        |SELECT ${abOut.mkString(", ")} FROM dbl""".stripMargin,
+    "q417_quade_test" ->
+      s"""WITH cells AS (SELECT n_regionkey AS b,
+        |    (year(CAST(o_orderdate AS DATE)) - 1994)::BIGINT AS j,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT b, j, row_number() OVER (
+        |    PARTITION BY b ORDER BY rev ASC, j ASC)::BIGINT AS r
+        |  FROM cells),
+        |bl AS (SELECT b, (max(rev) - min(rev))::BIGINT AS rng
+        |  FROM cells GROUP BY 1),
+        |blq AS (SELECT bl.b AS bq, 1 + sum(CASE WHEN b2.rng < bl.rng
+        |      OR (b2.rng = bl.rng AND b2.b < bl.b) THEN 1 ELSE 0 END)
+        |    ::BIGINT AS q
+        |  FROM bl CROSS JOIN bl b2 GROUP BY bl.b, bl.rng),
+        |sc AS (SELECT j, q * (2*r - 8) AS s2
+        |  FROM ranked JOIN blq ON b = bq),
+        |perj AS (SELECT j, sum(s2 * s2)::BIGINT AS aj,
+        |    sum(s2)::BIGINT AS sj2 FROM sc GROUP BY 1),
+        |m AS (SELECT count(DISTINCT j)::BIGINT AS kk,
+        |    sum(aj)::BIGINT AS a4, sum(sj2 * sj2)::BIGINT AS sb4,
+        |    5::BIGINT AS b FROM perj)
+        |SELECT ${quadeOut.mkString(", ")} FROM m""".stripMargin,
+    "q418_lepage_test" ->
+      s"""WITH rows_ AS (SELECT
+        |    CASE WHEN l_linestatus = 'F' THEN 1 ELSE 2 END AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    l_orderkey AS ok, l_linenumber AS lnum
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::BIGINT AS nn FROM rows_),
+        |cum AS (SELECT g,
+        |    coalesce(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c1,
+        |    coalesce(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c2
+        |  FROM rows_
+        |  WINDOW w AS (ORDER BY v, ok, lnum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sc AS (SELECT g, c1 + c2 + 1 AS p,
+        |    least(c1 + c2 + 1, nn - c1 - c2) AS sc
+        |  FROM cum CROSS JOIN tot),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 1 THEN p::HUGEINT ELSE 0 END) AS w1,
+        |    sum(CASE WHEN g = 1 THEN sc::HUGEINT ELSE 0 END) AS a1,
+        |    sum(sc::HUGEINT) AS t1, sum(sc::HUGEINT * sc) AS t2
+        |  FROM sc),
+        |dbl AS (SELECT ${lepDbl.mkString(", ")} FROM m),
+        |mid AS (SELECT ${lepMid.mkString(", ")} FROM dbl)
+        |SELECT ${lepOut.mkString(", ")} FROM mid""".stripMargin,
+    "q419_cucconi_test" ->
+      s"""WITH rows_ AS (SELECT
+        |    CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 5
+        |      THEN 1 ELSE 2 END AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    l_orderkey AS ok, l_linenumber AS lnum
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::BIGINT AS nn FROM rows_),
+        |cum AS (SELECT g,
+        |    coalesce(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c1,
+        |    coalesce(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c2
+        |  FROM rows_
+        |  WINDOW w AS (ORDER BY v, ok, lnum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pp AS (SELECT g, c1 + c2 + 1 AS p, nn FROM cum CROSS JOIN tot),
+        |m AS (SELECT
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 2 THEN p::HUGEINT * p ELSE 0 END) AS s2,
+        |    sum(CASE WHEN g = 2 THEN (nn + 1 - p)::HUGEINT * (nn + 1 - p)
+        |      ELSE 0 END) AS s2c
+        |  FROM pp),
+        |dbl AS (SELECT ${cucDbl.mkString(", ")} FROM m),
+        |mid AS (SELECT ${cucMid.mkString(", ")} FROM dbl)
+        |SELECT ${cucOut.mkString(", ")} FROM mid""".stripMargin,
+    "q420_yule_walker_ar2" ->
+      s"""WITH daily AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      ::BIGINT AS t,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT count(*)::BIGINT AS dd, sum(y)::BIGINT AS sy,
+        |    sum(y::HUGEINT * y) AS syy FROM daily),
+        |lag1 AS (SELECT count(*)::BIGINT AS m1,
+        |    sum(d0.y::HUGEINT * d1.y) AS p1, sum(d0.y)::BIGINT AS a1,
+        |    sum(d1.y)::BIGINT AS b1
+        |  FROM daily d0 JOIN daily d1 ON d1.t = d0.t - 1),
+        |lag2 AS (SELECT count(*)::BIGINT AS m2,
+        |    sum(d0.y::HUGEINT * d2.y) AS p2, sum(d0.y)::BIGINT AS a2,
+        |    sum(d2.y)::BIGINT AS b2
+        |  FROM daily d0 JOIN daily d2 ON d2.t = d0.t - 2),
+        |j AS (SELECT * FROM base CROSS JOIN lag1 CROSS JOIN lag2),
+        |dbl AS (SELECT ${ywDbl.mkString(", ")} FROM j),
+        |gam AS (SELECT ${ywGam.mkString(", ")} FROM dbl)
+        |SELECT ${ywOut.mkString(", ")} FROM gam""".stripMargin,
+    "q421_process_capability" ->
+      s"""WITH f AS (SELECT p_brand AS brand,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT brand, count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+        |    sum(v::HUGEINT * v) AS svv
+        |  FROM f GROUP BY 1)
+        |SELECT ${capOut.mkString(", ")} FROM g""".stripMargin,
   )
 }

@@ -110,4 +110,77 @@ class InferenceSpec extends SparkSpec {
     assert(t >= -1)
     assert(t <= (n + m) * 1000000L / 6 + 1000000L)
   }
+
+  test("q416 Ansari-Bradley: A within the exact score-sum bounds") {
+    val r = Inference.ansariBradley(spark, sfDir).collect().head
+    val n1 = r.getAs[Long]("n1")
+    val n2 = r.getAs[Long]("n2")
+    val total = Tables(spark, sfDir, "orders")
+      .filter($"o_orderstatus".isin("F", "O")).count()
+    assert(n1 + n2 == total && n1 > 1 && n2 > 1)
+    // A is a sum of n1 scores, each in [1, ceil(N/2)]
+    val a = r.getAs[Long]("a_stat")
+    assert(a >= n1 && a <= n1 * ((n1 + n2 + 1) / 2))
+  }
+
+  test("q417 Quade: F non-negative; 5 blocks x 7 treatments") {
+    val r = Inference.quadeTest(spark, sfDir).collect().head
+    assert(r.getAs[Long]("b_blocks") == 5)
+    assert(r.getAs[Long]("k_treatments") == 7)
+    // A - B = sum of block-wise squared deviations around treatment
+    // means >= 0 and B >= 0 => F >= 0
+    assert(r.getAs[Long]("f_milli") >= 0)
+  }
+
+  test("q418 Lepage: L = zw^2 + za^2 within rounding") {
+    val r = Inference.lepageTest(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") ==
+      Tables(spark, sfDir, "lineitem").count())
+    val zw = r.getAs[Long]("zw_milli") / 1000.0
+    val za = r.getAs[Long]("za_milli") / 1000.0
+    val l = r.getAs[Long]("l_milli") / 1000.0
+    assert(l >= 0)
+    // quantized components must reassemble to L within quantization
+    // slack (each z carries <=0.5 milli rounding)
+    assert(math.abs(l - (zw * zw + za * za)) <
+      0.002 * (math.abs(zw) + math.abs(za)) + 0.002)
+  }
+
+  test("q419 Cucconi: C non-negative, U/V finite") {
+    val r = Inference.cucconiTest(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n1") > 1 && r.getAs[Long]("n2") > 1)
+    // C is a positive-definite quadratic form in (U, V): |rho| < 1
+    assert(r.getAs[Long]("c_milli") >= 0)
+    assert(math.abs(r.getAs[Long]("u_milli")) < 100000000L)
+    assert(math.abs(r.getAs[Long]("v_milli")) < 100000000L)
+  }
+
+  test("q420 Yule-Walker: AR(2) stationary-region and variance ratio") {
+    val r = Inference.yuleWalkerAr2(spark, sfDir).collect().head
+    val days = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate")).distinct().count()
+    assert(r.getAs[Long]("d_days") == days)
+    val p1 = r.getAs[Long]("phi1_micro") / 1e6
+    val p2 = r.getAs[Long]("phi2_micro") / 1e6
+    // YW estimates from a true autocovariance sequence lie in the
+    // stationarity triangle (|phi2| <= 1, phi2 +- phi1 < 1); allow
+    // gap-induced slack at tiny SF
+    assert(math.abs(p2) <= 1.5 && math.abs(p1) <= 2.5)
+    // innovation variance cannot exceed the series variance
+    val ir = r.getAs[Long]("innov_ratio_micro")
+    assert(ir <= 1000001L)
+  }
+
+  test("q421 Cp/Cpk: per-brand, Cpk <= Cp, mean inside spec") {
+    val rows = Inference.processCapability(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 1)
+      val mean = r.getAs[Long]("mean_milli")
+      assert(mean >= 1000 && mean <= 50000)
+      // Cpk = Cp - |centering penalty| <= Cp always
+      assert(r.getAs[Long]("cpk_milli") <= r.getAs[Long]("cp_milli"))
+      assert(r.getAs[Long]("cpk_milli") > 0)
+    }
+  }
 }
