@@ -350,6 +350,52 @@ object Analytics {
         expr("sum_err_micro div n_queries").as("err_micro"))
   }
 
+  // -------------------------------------------- q422 MAP ranking eval
+
+  /** q422 — Mean Average Precision at 10 of the cosine neighbors per
+    * held-out query — the set-based companion completing the ranking-
+    * eval quartet (q308 MRR, q216 nDCG, q412 ERR). Relevance is the
+    * exact label match; AP@10 = Σ_{rel ranks r≤10} P@r, normalized by
+    * the retrieved-relevant count (declared contract: queries with no
+    * relevant in the top 10 contribute AP = 0). Each P@r = cumrel/r
+    * micro-quantizes from an exact integer ratio and sums exactly per
+    * query; the per-label macro mean is an integer division. Scale
+    * posture = q308/q412: query sample broadcasts, corpus scans once,
+    * the rank window prunes to 10 pre-exchange (WindowGroupLimit). */
+  val mapEval: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Similarity
+    val e = Tables(s, dir, "embeddings")
+    val qs = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        $"label".as("tl"))
+    val byCs = Window.partitionBy($"q_id")
+      .orderBy($"cs".desc, $"vec_id".asc)
+    val incl = Window.partitionBy($"q_id").orderBy($"rank".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"tl", $"vec_id", $"label",
+        Similarity.cosine($"embedding", $"qv").as("cs"))
+      .withColumn("rank", row_number().over(byCs))
+      .filter($"rank" <= 10)
+      .withColumn("rel", when($"label" === $"tl", 1L).otherwise(0L))
+      .withColumn("cumrel", sum($"rel").over(incl))
+      .withColumn("term_micro", expr("CASE WHEN rel = 1 THEN" +
+        " CAST(round(1000000.0 * cumrel / rank) AS BIGINT)" +
+        " ELSE 0 END"))
+      .groupBy($"q_id", $"tl")
+      .agg(sum($"term_micro").as("ap_num_micro"),
+        sum($"rel").as("r10"))
+      .withColumn("ap_micro",
+        expr("ap_num_micro div greatest(r10, 1)"))
+      .groupBy($"tl".as("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum($"ap_micro").as("sum_ap_micro"))
+      .select($"true_label", $"n_queries", $"sum_ap_micro",
+        expr("sum_ap_micro div n_queries").as("map_micro"))
+  }
+
   // ----------------------------------- q309 query-likelihood ranking
 
   /** q309 — Dirichlet-smoothed query-likelihood retrieval (Zhai &
@@ -1996,6 +2042,7 @@ object Analytics {
     "q308_mrr_eval" -> mrrEval,
     "q309_query_likelihood" -> queryLikelihood,
     "q412_err_eval" -> errEval,
+    "q422_map_eval" -> mapEval,
     "q310_binary_hamming_ann" -> binaryHammingAnn,
     "q311_kruskal_wallis" -> kruskalWallis,
     "q312_effect_sizes" -> effectSizes,
@@ -2203,6 +2250,37 @@ object Analytics {
         |  CAST(sum(err_q)::BIGINT // count(*)::BIGINT AS BIGINT)
         |    AS err_micro
         |FROM per GROUP BY tl""".stripMargin,
+    "q422_map_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+        |    label AS tl FROM embeddings WHERE vec_id % 10 = 0),
+        |rk AS (SELECT q_id, tl, label, vec_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |      ${sqlCosCols("embedding", "qv")} DESC, vec_id ASC) AS rank
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |top AS (SELECT q_id, tl, rank,
+        |    CASE WHEN label = tl THEN 1 ELSE 0 END::BIGINT AS rel
+        |  FROM rk WHERE rank <= 10),
+        |cr AS (SELECT q_id, tl, rank, rel,
+        |    sum(rel) OVER (PARTITION BY q_id ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS cumrel
+        |  FROM top),
+        |t AS (SELECT q_id, tl,
+        |    CASE WHEN rel = 1 THEN
+        |      CAST(round(1000000.0 * cumrel / rank) AS BIGINT)
+        |      ELSE 0 END AS term_micro,
+        |    rel
+        |  FROM cr),
+        |per AS (SELECT q_id, tl, sum(term_micro)::BIGINT AS ap_num,
+        |    sum(rel)::BIGINT AS r10 FROM t GROUP BY 1, 2),
+        |ap AS (SELECT q_id, tl,
+        |    CAST(ap_num // greatest(r10, 1) AS BIGINT) AS ap_micro
+        |  FROM per)
+        |SELECT tl AS true_label, count(*)::BIGINT AS n_queries,
+        |  sum(ap_micro)::BIGINT AS sum_ap_micro,
+        |  CAST(sum(ap_micro)::BIGINT // count(*)::BIGINT AS BIGINT)
+        |    AS map_micro
+        |FROM ap GROUP BY tl""".stripMargin,
     "q309_query_likelihood" -> {
       val toks = "list_filter(string_split_regex(lower(text)," +
         " '[^a-z]+'), w -> w <> '')"

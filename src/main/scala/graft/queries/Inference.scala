@@ -681,6 +681,110 @@ object Inference {
       .selectExpr(capOut: _*)
   }
 
+  // --------------------- q423 Baumgartner–Weiß–Schindler test
+
+  // one per-row term template for both groups: own count no, other
+  // count nb, own index ii, combined rank rr
+  private val bwsTerm =
+    "CAST(round(1000000.0 * power(CAST(rr AS DOUBLE)" +
+      " - (CAST(no AS DOUBLE)+CAST(nb AS DOUBLE))/CAST(no AS DOUBLE)" +
+      "*CAST(ii AS DOUBLE), 2.0)" +
+      " / ((CAST(ii AS DOUBLE)/(CAST(no AS DOUBLE)+1.0))" +
+      "*(1.0 - CAST(ii AS DOUBLE)/(CAST(no AS DOUBLE)+1.0))" +
+      "*CAST(nb AS DOUBLE)*(CAST(no AS DOUBLE)+CAST(nb AS DOUBLE))" +
+      "/CAST(no AS DOUBLE))) AS BIGINT)"
+  private val bwsOut = Seq(
+    "CAST(n1 AS BIGINT) AS n", "CAST(n2 AS BIGINT) AS m",
+    "CAST(round((CAST(sx AS DOUBLE)/CAST(n1 AS DOUBLE)" +
+      " + CAST(sy AS DOUBLE)/CAST(n2 AS DOUBLE))/2.0) AS BIGINT)" +
+      " AS b_micro")
+
+  /** q423 — Baumgartner–Weiß–Schindler two-sample test (1998):
+    * weighted squared ECDF gaps, weighting the TAILS where KS (q192)
+    * and CvM (q415) are least sensitive — the completion of the
+    * returned-vs-accepted distribution-comparison triple. B averages
+    * the two one-sided statistics; each per-row term depends on the
+    * row's combined rank rr and within-group index ii, both exact
+    * integers from ONE rangeCumSums pass over the keyed total order
+    * (q415 tie contract). Each term micro-quantizes from the
+    * oracle-shared double template (deterministic per row, so the
+    * quantized sum is partition-order independent) and B assembles on
+    * the one-row frame. */
+  val bwsTest: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "lineitem")
+      .filter($"l_returnflag".isin("R", "A"))
+      .select(when($"l_returnflag" === "R", 1).otherwise(2).as("g"),
+        round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey".as("ok"), $"l_linenumber".as("lnum"))
+    val counts = rows.agg(
+      sum(when($"g" === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when($"g" === 2, 1L).otherwise(0L)).as("n2"))
+    val cum = ScaleWindows.rangeCumSums(rows,
+      Seq($"v", $"ok", $"lnum"),
+      Seq(when($"g" === 1, 1L).otherwise(0L) -> "c1",
+        when($"g" === 2, 1L).otherwise(0L) -> "c2"))
+    cum.crossJoin(broadcast(counts))
+      .withColumn("no", when($"g" === 1, $"n1").otherwise($"n2"))
+      .withColumn("nb", when($"g" === 1, $"n2").otherwise($"n1"))
+      .withColumn("ii", when($"g" === 1, expr("c1 + 1"))
+        .otherwise(expr("c2 + 1")))
+      .withColumn("rr", expr("c1 + c2 + 1"))
+      .withColumn("term", expr(bwsTerm))
+      .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+        sum(when($"g" === 1, $"term").otherwise(0L)).as("sx"),
+        sum(when($"g" === 2, $"term").otherwise(0L)).as("sy"))
+      .selectExpr(bwsOut: _*)
+  }
+
+  // ------------------------------- q424 Dunn post-hoc pairwise
+
+  private val dunnOut = Seq(
+    "g_i", "g_j", "CAST(ni AS BIGINT) AS n_i", "CAST(nj AS BIGINT) AS n_j",
+    "CAST(round(1000.0 * (CAST(r2i AS DOUBLE)/(2.0*CAST(ni AS DOUBLE))" +
+      " - CAST(r2j AS DOUBLE)/(2.0*CAST(nj AS DOUBLE)))" +
+      " / sqrt((CAST(nn AS DOUBLE)*(CAST(nn AS DOUBLE)+1.0)/12.0" +
+      " - CAST(st AS DOUBLE)/(12.0*(CAST(nn AS DOUBLE)-1.0)))" +
+      "*(1.0/CAST(ni AS DOUBLE) + 1.0/CAST(nj AS DOUBLE))))" +
+      " AS BIGINT) AS z_milli")
+
+  /** q424 — Dunn's post-hoc pairwise comparisons after q311's
+    * Kruskal–Wallis omnibus: which of the 10 priority pairs actually
+    * differ, with the tie-corrected pooled-variance z (Dunn 1964).
+    * Midranks come from the VALUE HISTOGRAM (q410 discipline): one
+    * groupBy on cents + one rangeCumSum gives every distinct value's
+    * doubled midrank 2c+m+1; per-group doubled rank sums then land by
+    * joining the per-(group, value) counts — all exact integers
+    * (DECIMAL(38,0) for the rank sums), with the tie term Σ(t³−t)
+    * from the same histogram. Only the 10-row pair frame (broadcast
+    * triangular self-join of the 5-row group frame) sees doubles,
+    * with oracle-shared text. */
+  val dunnPosthoc: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val rows = Tables(s, dir, "orders")
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice" * 100).cast("long").as("v"))
+    val hist = rows.groupBy($"v").agg(count(lit(1)).as("m"))
+    val cum = ScaleWindows.rangeCumSum(hist, Seq($"v"), col("m"), "c")
+      .withColumn("mr2", expr("2*c + m + 1"))
+    val gv = rows.groupBy($"g", $"v").agg(count(lit(1)).as("ngv"))
+    val grp = gv.join(cum.select($"v".as("vv"), $"mr2"), $"v" === $"vv")
+      .groupBy($"g")
+      .agg(sum($"ngv").as("ng"),
+        sum(expr("CAST(ngv AS DECIMAL(38,0)) * mr2")).as("r2g"))
+    val glob = hist.agg(sum($"m").as("nn"),
+      sum(expr("CAST(m AS DECIMAL(38,0)) * m * m - m")).as("st"))
+    val rhs = grp.select($"g".as("g_j"), $"ng".as("nj"),
+      $"r2g".as("r2j"))
+    grp.select($"g".as("g_i"), $"ng".as("ni"), $"r2g".as("r2i"))
+      .crossJoin(broadcast(rhs))
+      .filter($"g_i" < $"g_j")
+      .crossJoin(broadcast(glob))
+      .selectExpr(dunnOut: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q408_iv_wald" -> ivWald,
     "q409_chow_test" -> chowTest,
@@ -695,6 +799,8 @@ object Inference {
     "q419_cucconi_test" -> cucconiTest,
     "q420_yule_walker_ar2" -> yuleWalkerAr2,
     "q421_process_capability" -> processCapability,
+    "q423_bws_test" -> bwsTest,
+    "q424_dunn_posthoc" -> dunnPosthoc,
   )
 
   val oracles: Map[String, String] = Map(
@@ -963,5 +1069,55 @@ object Inference {
         |    sum(v::HUGEINT * v) AS svv
         |  FROM f GROUP BY 1)
         |SELECT ${capOut.mkString(", ")} FROM g""".stripMargin,
+    "q423_bws_test" ->
+      s"""WITH rows_ AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 2 END AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    l_orderkey AS ok, l_linenumber AS lnum
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |counts AS (SELECT
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM rows_),
+        |cum AS (SELECT g,
+        |    coalesce(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c1,
+        |    coalesce(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) OVER w, 0)
+        |      ::BIGINT AS c2
+        |  FROM rows_
+        |  WINDOW w AS (ORDER BY v, ok, lnum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pre AS (SELECT g,
+        |    CASE WHEN g = 1 THEN n1 ELSE n2 END AS no,
+        |    CASE WHEN g = 1 THEN n2 ELSE n1 END AS nb,
+        |    CASE WHEN g = 1 THEN c1 + 1 ELSE c2 + 1 END AS ii,
+        |    c1 + c2 + 1 AS rr, n1, n2
+        |  FROM cum CROSS JOIN counts),
+        |t AS (SELECT g, n1, n2, $bwsTerm AS term FROM pre),
+        |m AS (SELECT max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+        |    sum(CASE WHEN g = 1 THEN term ELSE 0 END)::BIGINT AS sx,
+        |    sum(CASE WHEN g = 2 THEN term ELSE 0 END)::BIGINT AS sy
+        |  FROM t)
+        |SELECT ${bwsOut.mkString(", ")} FROM m""".stripMargin,
+    "q424_dunn_posthoc" ->
+      s"""WITH rows_ AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |hist AS (SELECT v, count(*)::BIGINT AS m FROM rows_ GROUP BY 1),
+        |cum AS (SELECT v, m, coalesce(sum(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    ::BIGINT AS c FROM hist),
+        |mr AS (SELECT v, 2*c + m + 1 AS mr2 FROM cum),
+        |gv AS (SELECT g, v, count(*)::BIGINT AS ngv
+        |  FROM rows_ GROUP BY 1, 2),
+        |grp AS (SELECT g, sum(ngv)::BIGINT AS ng,
+        |    sum(ngv::HUGEINT * mr2) AS r2g
+        |  FROM gv JOIN mr USING (v) GROUP BY 1),
+        |gtot AS (SELECT sum(m)::BIGINT AS nn,
+        |    sum(m::HUGEINT * m * m - m) AS st FROM hist),
+        |pairs AS (SELECT a.g AS g_i, b.g AS g_j, a.ng AS ni,
+        |    b.ng AS nj, a.r2g AS r2i, b.r2g AS r2j
+        |  FROM grp a CROSS JOIN grp b WHERE a.g < b.g),
+        |j AS (SELECT * FROM pairs CROSS JOIN gtot)
+        |SELECT ${dunnOut.mkString(", ")} FROM j""".stripMargin,
   )
 }

@@ -183,4 +183,42 @@ class InferenceSpec extends SparkSpec {
       assert(r.getAs[Long]("cpk_milli") > 0)
     }
   }
+
+  test("q422 MAP: per-label MAP in [0, 1e6], counts positive") {
+    val r = graft.queries.Analytics.mapEval(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // AP is an average of precisions, each in [0, 1]
+      val m = row.getAs[Long]("map_micro")
+      assert(m >= 0 && m <= 1000000)
+      assert(row.getAs[Long]("n_queries") > 0)
+    }
+  }
+
+  test("q423 BWS: B non-negative, counts match the R/A split") {
+    val r = Inference.bwsTest(spark, sfDir).collect().head
+    val counts = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.getAs[Long]("n") == counts("R"))
+    assert(r.getAs[Long]("m") == counts("A"))
+    // B is an average of squared standardized gaps
+    assert(r.getAs[Long]("b_micro") >= 0)
+  }
+
+  test("q424 Dunn: 10 ordered pairs, z antisymmetry consistency") {
+    val rows = Inference.dunnPosthoc(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { row =>
+      assert(row.getAs[String]("g_i") < row.getAs[String]("g_j"))
+      assert(row.getAs[Long]("n_i") > 0 && row.getAs[Long]("n_j") > 0)
+    }
+    // total row count partitions across the 5 groups
+    val seen = rows.flatMap(r => Seq(
+      r.getAs[String]("g_i") -> r.getAs[Long]("n_i"),
+      r.getAs[String]("g_j") -> r.getAs[Long]("n_j"))).toMap
+    assert(seen.size == 5)
+    assert(seen.values.sum ==
+      Tables(spark, sfDir, "orders").count())
+  }
 }
