@@ -275,6 +275,38 @@ class PlanSpec extends SparkSpec {
       s"new unpartitioned windows (scale cliff at 100 TB): $unexpected")
   }
 
+  test("suite-wide: no nested-loop join over an unreduced build side, " +
+    "no cartesian outside the documented whitelist") {
+    // The other 100 TB cliff class: Spark plans a
+    // BroadcastNestedLoopJoin whenever the build side LOOKS small at
+    // test SF; if that side is corpus-shaped the same query OOMs on
+    // real data. PlanQuality walks each BNLJ's build subtree and
+    // requires a cardinality-reducing operator (aggregate / limit /
+    // literal-bounded filter / small grid / checkpointed trunk) —
+    // classification shared with the committed PLAN_AUDIT.md table.
+    // Cartesian whitelist: q177's Theil-Sen pair expansion runs on the
+    // per-day aggregate (O(days)^2, calendar-bounded).
+    val cartesianOk = Set("q177_theil_sen")
+    // AQE wraps the plan in AdaptiveSparkPlanExec, hiding join nodes
+    // until execution — plan statically for the sweep
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val p = fn(spark, sfDir).queryExecution.executedPlan
+          val bad = graft.plans.PlanQuality.unreducedBnljs(p)
+          val carts = graft.plans.PlanQuality.cartesians(p)
+          if (bad > 0) Some(s"$name: $bad unreduced BNLJ")
+          else if (carts > 0 && !cartesianOk(name))
+            Some(s"$name: $carts cartesian")
+          else None
+      }
+      assert(offenders.isEmpty,
+        s"corpus-shaped nested loops (OOM cliff at 100 TB): $offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q119 pareto front: partition-carry deployed, no global window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("q119_pareto_front")(spark, sfDir)
