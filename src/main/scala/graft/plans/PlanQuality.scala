@@ -35,8 +35,15 @@ object PlanQuality {
     case _: LocalLimitExec => true
     case l: LocalTableScanExec => l.rows.size <= 1024
     case r: RangeExec => r.numElements <= BigInt(4096)
-    // localCheckpoint truncates lineage to an RDD scan; checkpoints in
-    // this codebase pin only reduced frames (CheckpointHygiene)
+    // localCheckpoint truncates lineage to an RDD scan, hiding any
+    // reducing history. Accepting it is still sound for the BUILD side
+    // of a BNLJ specifically: a LogicalRDD either carries forward the
+    // pre-checkpoint plan's statistics (so the planner's broadcast
+    // decision saw the true reduced size) or reports
+    // defaultSizeInBytes = Long.Max, in which case it can only become
+    // a broadcast build via an explicit broadcast() hint — a
+    // deliberate smallness assertion at the call site, not a silent
+    // planner guess.
     case _: RDDScanExec => true
     case r: ReusedExchangeExec => reducedBuild(r.child)
     case f: FilterExec =>
