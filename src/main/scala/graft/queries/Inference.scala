@@ -785,7 +785,85 @@ object Inference {
       .selectExpr(dunnOut: _*)
   }
 
+  // ------------------------------------- q425 Bradley–Terry strengths
+
+  /** q425 — Bradley–Terry pairwise-preference strength estimation,
+    * the batch-native model behind preference-data curation (reward
+    * modeling consumes exactly this: pairwise wins → per-item
+    * strength). Elo is sequential and order-dependent — useless on a
+    * cluster; the BT minorize–maximize update
+    * `s_i ← W_i / Σ_j n_ij/(s_i+s_j)` is a pure aggregate over the
+    * pair frame, so each iteration is one join + one group-by.
+    *
+    * Comparisons: within each order, brand a beats brand b when its
+    * summed quantity is strictly larger (ties contribute nothing).
+    * The self-join runs equi on l_orderkey — co-partitioned, group
+    * size bounded by lines-per-order — then collapses to the
+    * O(brands²) pair frame (≤600 rows at ANY corpus size); the three
+    * fixed MM iterations run entirely on broadcast-small frames.
+    *
+    * Exactness: strengths live in integer micro-units; each MM term
+    * is `n_ij·10¹⁵ div (s_i+s_j)` with the numerator in
+    * DECIMAL(38,0) (exact to ~10²² — far past any SF) and positive
+    * truncating division, so Spark's `div` and DuckDB's `//` agree
+    * bit-for-bit and the whole fit is order-independent. */
+  val bradleyTerry: Q = (s, dir) => {
+    import s.implicits._
+    val ob = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey", $"p_brand")
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+    val wins = ob.as("a").join(ob.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") =!= col("b.p_brand") &&
+          col("a.q") > col("b.q"))
+      .groupBy(col("a.p_brand").as("wb"), col("b.p_brand").as("lb"))
+      .agg(count(lit(1)).as("wl"))
+    // directed win counts with explicit zero rows for the reverse
+    // direction, so n_ij = w_ij + w_ji lands on a plain equi join
+    val dir0 = wins.select($"wb".as("i"), $"lb".as("j"), $"wl")
+      .unionByName(
+        wins.select($"lb".as("i"), $"wb".as("j"), lit(0L).as("wl")))
+      .groupBy($"i", $"j").agg(sum($"wl").as("wij"))
+    // everything below runs on the O(brands²) pair frame (≤600 rows
+    // at any corpus size) — broadcast explicitly so the three MM
+    // iterations never shuffle
+    // localCheckpoint: the MM loop and the final join each branch off
+    // this frame — without pinning, every branch would re-run the
+    // corpus self-join. ≤600 rows; released by CheckpointHygiene at
+    // the query boundary.
+    val nij = dir0.as("p").join(broadcast(dir0.as("r")),
+        col("p.i") === col("r.j") && col("p.j") === col("r.i"))
+      .select(col("p.i"), col("p.j"), col("p.wij"),
+        (col("p.wij") + col("r.wij")).as("nij"))
+      .localCheckpoint()
+    val w = nij.groupBy($"i")
+      .agg(sum($"wij").as("wi"), sum($"nij").as("ncomp"))
+    var sdf = w.select($"i", lit(1000000L).as("s"))
+    for (_ <- 1 to 3) {
+      val den = nij
+        .join(broadcast(sdf.select($"i".as("ii"), $"s".as("si"))),
+          $"i" === $"ii")
+        .join(broadcast(sdf.select($"i".as("jj"), $"s".as("sj"))),
+          $"j" === $"jj")
+        .groupBy($"i")
+        .agg(sum(expr("CAST(CAST(nij AS DECIMAL(38,0)) * " +
+          "1000000000000000 div (si + sj) AS BIGINT)")).as("den"))
+      // GREATEST(..., 1): BT strengths are strictly positive — only
+      // micro-truncation can reach 0, and a 0+0 pair would divide by
+      // zero on the next pass (NULL here, an error in DuckDB)
+      sdf = w.join(broadcast(den), Seq("i"))
+        .select($"i", expr("GREATEST(CAST(CAST(wi AS DECIMAL(38,0)) * " +
+          "1000000000000000 div den AS BIGINT), 1)").as("s"))
+    }
+    w.join(broadcast(sdf), Seq("i"))
+      .select($"i".as("brand"), $"wi".as("wins"),
+        $"ncomp".as("comparisons"), $"s".as("strength_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q425_bradley_terry" -> bradleyTerry,
     "q408_iv_wald" -> ivWald,
     "q409_chow_test" -> chowTest,
     "q410_brunner_munzel" -> brunnerMunzel,
@@ -804,6 +882,46 @@ object Inference {
   )
 
   val oracles: Map[String, String] = Map(
+    "q425_bradley_terry" ->
+      s"""WITH ob AS (SELECT l_orderkey, p_brand,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |wins AS (SELECT a.p_brand AS wb, b.p_brand AS lb,
+        |    count(*)::BIGINT AS wl
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |    AND a.p_brand <> b.p_brand AND a.q > b.q
+        |  GROUP BY 1, 2),
+        |dir0 AS (SELECT i, j, sum(wl)::BIGINT AS wij FROM (
+        |    SELECT wb AS i, lb AS j, wl FROM wins
+        |    UNION ALL SELECT lb, wb, 0 FROM wins) GROUP BY 1, 2),
+        |nij AS (SELECT p.i, p.j, p.wij,
+        |    (p.wij + r.wij)::BIGINT AS nij
+        |  FROM dir0 p JOIN dir0 r ON p.i = r.j AND p.j = r.i),
+        |w AS (SELECT i, sum(wij)::BIGINT AS wi,
+        |    sum(nij)::BIGINT AS ncomp FROM nij GROUP BY 1),
+        |s0 AS (SELECT i, 1000000::BIGINT AS s FROM w),
+        |d1 AS (SELECT n.i, sum((n.nij::HUGEINT * 1000000000000000)
+        |      // (si.s + sj.s))::BIGINT AS den
+        |  FROM nij n JOIN s0 si ON n.i = si.i JOIN s0 sj ON n.j = sj.i
+        |  GROUP BY 1),
+        |s1 AS (SELECT w.i, greatest(((w.wi::HUGEINT * 1000000000000000)
+        |    // d1.den)::BIGINT, 1) AS s FROM w JOIN d1 ON w.i = d1.i),
+        |d2 AS (SELECT n.i, sum((n.nij::HUGEINT * 1000000000000000)
+        |      // (si.s + sj.s))::BIGINT AS den
+        |  FROM nij n JOIN s1 si ON n.i = si.i JOIN s1 sj ON n.j = sj.i
+        |  GROUP BY 1),
+        |s2 AS (SELECT w.i, greatest(((w.wi::HUGEINT * 1000000000000000)
+        |    // d2.den)::BIGINT, 1) AS s FROM w JOIN d2 ON w.i = d2.i),
+        |d3 AS (SELECT n.i, sum((n.nij::HUGEINT * 1000000000000000)
+        |      // (si.s + sj.s))::BIGINT AS den
+        |  FROM nij n JOIN s2 si ON n.i = si.i JOIN s2 sj ON n.j = sj.i
+        |  GROUP BY 1),
+        |s3 AS (SELECT w.i, greatest(((w.wi::HUGEINT * 1000000000000000)
+        |    // d3.den)::BIGINT, 1) AS s FROM w JOIN d3 ON w.i = d3.i)
+        |SELECT w.i AS brand, w.wi AS wins, w.ncomp AS comparisons,
+        |  s3.s AS strength_micro
+        |FROM w JOIN s3 ON w.i = s3.i""".stripMargin,
     "q408_iv_wald" ->
       s"""WITH f AS (SELECT
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,

@@ -221,4 +221,57 @@ class InferenceSpec extends SparkSpec {
     assert(seen.values.sum ==
       Tables(spark, sfDir, "orders").count())
   }
+
+  test("q425 Bradley-Terry: plain-Scala MM replay is bit-identical; " +
+    "wins consistent with the pair frame") {
+    val rows = Inference.bradleyTerry(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    // rebuild the pair frame independently and replay the 3 MM steps
+    // in plain Scala with the same integer micro arithmetic
+    val ob = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part")
+        .select($"p_partkey", $"p_brand"), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey", $"p_brand")
+      .agg(sum($"l_quantity".cast("long")).as("q"))
+      .collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+    val winCount = collection.mutable.Map.empty[(String, String), Long]
+    ob.values.foreach { grp =>
+      for (a <- grp; b <- grp) {
+        val (ba, bb) = (a.getAs[String]("p_brand"),
+          b.getAs[String]("p_brand"))
+        if (ba != bb && a.getAs[Long]("q") > b.getAs[Long]("q"))
+          winCount((ba, bb)) = winCount.getOrElse((ba, bb), 0L) + 1L
+      }
+    }
+    val pairs = winCount.keySet.flatMap(p => Seq(p, (p._2, p._1)))
+    val wij = pairs.map(p => p -> winCount.getOrElse(p, 0L)).toMap
+    val nij = pairs.map(p =>
+      p -> (wij(p) + wij((p._2, p._1)))).toMap
+    // .toSeq before the value maps: these fold over PAIRS, and a Set
+    // of mapped values would collapse equal counts
+    val pairSeq = pairs.toSeq
+    val brands = pairs.map(_._1)
+    val wi = brands.map(b => b -> pairSeq.filter(_._1 == b)
+      .map(wij).sum).toMap
+    var s = brands.map(b => b -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      s = brands.map { b =>
+        val den = pairSeq.filter(_._1 == b).map { p =>
+          (BigInt(nij(p)) * BigInt("1000000000000000") /
+            BigInt(s(p._1) + s(p._2))).toLong
+        }.sum
+        b -> math.max((BigInt(wi(b)) * BigInt("1000000000000000") /
+          BigInt(den)).toLong, 1L)
+      }.toMap
+    }
+    rows.foreach { r =>
+      val b = r.getAs[String]("brand")
+      assert(r.getAs[Long]("wins") == wi(b), s"wins mismatch for $b")
+      assert(r.getAs[Long]("strength_micro") == s(b),
+        s"MM replay mismatch for $b: engine " +
+          s"${r.getAs[Long]("strength_micro")} vs scala ${s(b)}")
+    }
+    assert(rows.length == brands.size)
+  }
 }
