@@ -807,7 +807,13 @@ object Inference {
     * DECIMAL(38,0) (exact to ~10²² — far past any SF) and positive
     * truncating division, so Spark's `div` and DuckDB's `//` agree
     * bit-for-bit and the whole fit is order-independent. */
-  val bradleyTerry: Q = (s, dir) => {
+  /** Directed within-order brand win counts `(i, j, wij)`, with
+    * explicit zero rows for the reverse direction so `n_ij = w_ij +
+    * w_ji` lands on a plain equi join. One equi self-join on
+    * l_orderkey (co-partitioned, group size bounded by
+    * lines-per-order) collapsing to the O(brands²) pair frame —
+    * shared by q425 (BT fit) and q426 (transitivity audit). */
+  private def pairWins(s: SparkSession, dir: String) = {
     import s.implicits._
     val ob = Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "part").select($"p_partkey", $"p_brand"),
@@ -820,12 +826,15 @@ object Inference {
           col("a.q") > col("b.q"))
       .groupBy(col("a.p_brand").as("wb"), col("b.p_brand").as("lb"))
       .agg(count(lit(1)).as("wl"))
-    // directed win counts with explicit zero rows for the reverse
-    // direction, so n_ij = w_ij + w_ji lands on a plain equi join
-    val dir0 = wins.select($"wb".as("i"), $"lb".as("j"), $"wl")
+    wins.select($"wb".as("i"), $"lb".as("j"), $"wl")
       .unionByName(
         wins.select($"lb".as("i"), $"wb".as("j"), lit(0L).as("wl")))
       .groupBy($"i", $"j").agg(sum($"wl").as("wij"))
+  }
+
+  val bradleyTerry: Q = (s, dir) => {
+    import s.implicits._
+    val dir0 = pairWins(s, dir)
     // everything below runs on the O(brands²) pair frame (≤600 rows
     // at any corpus size) — broadcast explicitly so the three MM
     // iterations never shuffle
@@ -862,8 +871,51 @@ object Inference {
         $"ncomp".as("comparisons"), $"s".as("strength_micro"))
   }
 
+  // --------------------------------- q426 preference transitivity
+
+  /** q426 — preference-transitivity audit: the count of circular
+    * triads (i beats j beats k beats i by strict majority of
+    * within-order wins) over the q425 pair frame. This is the QC
+    * gate a preference-data pipeline runs BEFORE fitting
+    * Bradley–Terry: intransitive majorities mean noisy or
+    * inconsistent preference labels, and Kendall's circular-triad
+    * count is the classical measure. The dominance digraph has
+    * O(brands²) edges, so the cyclic-triple join is O(brands³)
+    * pairs-of-edges at worst (~2.6k rows for 25 brands) at ANY
+    * corpus size; every join below the pair frame broadcasts. Each
+    * directed 3-cycle is counted once per rotation — the count is
+    * exactly divisible by 3. Ties (equal majority counts) join the
+    * dominance digraph for neither direction and are reported
+    * separately. */
+  val prefTransitivity: Q = (s, dir) => {
+    import s.implicits._
+    val dir0 = pairWins(s, dir).localCheckpoint()
+    val faced = dir0.as("p").join(broadcast(dir0.as("r")),
+        col("p.i") === col("r.j") && col("p.j") === col("r.i"))
+      .select(col("p.i").as("u"), col("p.j").as("v"),
+        col("p.wij").as("wuv"), col("r.wij").as("wvu"))
+    val dom = faced.filter($"wuv" > $"wvu").select($"u", $"v")
+      .localCheckpoint()
+    val items = dir0.select($"i").distinct()
+      .agg(count(lit(1)).as("n_items"))
+    val edges = faced.agg(
+      sum(when($"wuv" > $"wvu", 1L).otherwise(0L)).as("dominant_pairs"),
+      expr("CAST(sum(CASE WHEN wuv = wvu THEN 1 ELSE 0 END) div 2 " +
+        "AS BIGINT)").as("tied_pairs"))
+    val cyc = dom.as("a")
+      .join(broadcast(dom.as("b")), col("a.v") === col("b.u"))
+      .join(broadcast(dom.as("c")),
+        col("b.v") === col("c.u") && col("c.v") === col("a.u"))
+      .agg(expr("CAST(count(1) div 3 AS BIGINT)")
+        .as("circular_triads"))
+    items.crossJoin(broadcast(edges)).crossJoin(broadcast(cyc))
+      .select($"n_items", $"dominant_pairs", $"tied_pairs",
+        $"circular_triads")
+  }
+
   val queries: Map[String, Q] = Map(
     "q425_bradley_terry" -> bradleyTerry,
+    "q426_pref_transitivity" -> prefTransitivity,
     "q408_iv_wald" -> ivWald,
     "q409_chow_test" -> chowTest,
     "q410_brunner_munzel" -> brunnerMunzel,
@@ -882,6 +934,36 @@ object Inference {
   )
 
   val oracles: Map[String, String] = Map(
+    "q426_pref_transitivity" ->
+      s"""WITH ob AS (SELECT l_orderkey, p_brand,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |wins AS (SELECT a.p_brand AS wb, b.p_brand AS lb,
+        |    count(*)::BIGINT AS wl
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |    AND a.p_brand <> b.p_brand AND a.q > b.q
+        |  GROUP BY 1, 2),
+        |dir0 AS (SELECT i, j, sum(wl)::BIGINT AS wij FROM (
+        |    SELECT wb AS i, lb AS j, wl FROM wins
+        |    UNION ALL SELECT lb, wb, 0 FROM wins) GROUP BY 1, 2),
+        |faced AS (SELECT p.i AS u, p.j AS v, p.wij AS wuv,
+        |    r.wij AS wvu
+        |  FROM dir0 p JOIN dir0 r ON p.i = r.j AND p.j = r.i),
+        |dom AS (SELECT u, v FROM faced WHERE wuv > wvu),
+        |items AS (SELECT count(DISTINCT i)::BIGINT AS n_items
+        |  FROM dir0),
+        |edges AS (SELECT
+        |    sum(CASE WHEN wuv > wvu THEN 1 ELSE 0 END)::BIGINT
+        |      AS dominant_pairs,
+        |    (sum(CASE WHEN wuv = wvu THEN 1 ELSE 0 END) // 2)::BIGINT
+        |      AS tied_pairs
+        |  FROM faced),
+        |cyc AS (SELECT (count(*) // 3)::BIGINT AS circular_triads
+        |  FROM dom a JOIN dom b ON a.v = b.u
+        |    JOIN dom c ON b.v = c.u AND c.v = a.u)
+        |SELECT n_items, dominant_pairs, tied_pairs, circular_triads
+        |FROM items, edges, cyc""".stripMargin,
     "q425_bradley_terry" ->
       s"""WITH ob AS (SELECT l_orderkey, p_brand,
         |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS q

@@ -273,5 +273,23 @@ class InferenceSpec extends SparkSpec {
           s"${r.getAs[Long]("strength_micro")} vs scala ${s(b)}")
     }
     assert(rows.length == brands.size)
+
+    // q426 rides the same pair frame: replay the transitivity audit
+    // brute-force and assert the engine counts bit-for-bit
+    val t = Inference.prefTransitivity(spark, sfDir).collect().head
+    val dom = pairSeq.filter(p => wij(p) > wij((p._2, p._1))).toSet
+    val ties = pairSeq.count(p =>
+      wij(p) == wij((p._2, p._1))) / 2
+    val bs = brands.toSeq.sorted
+    val cyc = (for {
+      i <- bs; j <- bs; k <- bs
+      if i < j && i < k && j != k // each cycle once: smallest first
+      if dom((i, j)) && dom((j, k)) && dom((k, i))
+    } yield 1).size
+    assert(t.getAs[Long]("n_items") == brands.size)
+    assert(t.getAs[Long]("dominant_pairs") == dom.size)
+    assert(t.getAs[Long]("tied_pairs") == ties)
+    assert(t.getAs[Long]("circular_triads") == cyc,
+      s"engine ${t.getAs[Long]("circular_triads")} vs scala $cyc")
   }
 }
