@@ -26,6 +26,7 @@ object SparkEntry {
       (gq.Analytics.queries, gq.Analytics.oracles),
       (gq.Modeling.queries, gq.Modeling.oracles),
       (gq.Inference.queries, gq.Inference.oracles),
+      (gq.Olap.queries, gq.Olap.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
