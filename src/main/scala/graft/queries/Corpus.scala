@@ -695,7 +695,64 @@ object Corpus {
     perThreshold.reduce(_ unionByName _)
   }
 
+  // --------------------------------------- q438 C4-style line dedup
+
+  /** q438 — global line-level exact dedup (C4's "discard every
+    * three-sentence span seen before", Raffel et al. 2020 §2.2,
+    * adapted to this corpus's newline-free text as fixed 8-word
+    * chunks): every chunk keeps only its FIRST occurrence corpus-wide
+    * (min (doc_id, pos)), and each document reassembles from its
+    * surviving chunks in order. Scale stance: first-occurrence is a
+    * groupBy(chunk).min(struct) — map-side combine collapses a
+    * billion-fold boilerplate chunk to one row per map task BEFORE the
+    * shuffle (a row_number window would sort the full copy list in one
+    * partition); the join-back is a plain hash join on the chunk key
+    * that AQE skew-splits. Reassembly sorts WITHIN each doc's
+    * collected array (collect_list + array_sort), never a global sort. */
+  val lineDedup: Q = (s, dir) => {
+    import s.implicits._
+    val chunks = Tables(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, (size(ws)+7) div 8 - 1), " +
+          "i -> array_join(slice(ws, i*8+1, 8), ' '))")))
+      .toDF("doc_id", "pos", "chunk")
+    val first = chunks.groupBy($"chunk".as("fchunk"))
+      .agg(min(struct($"doc_id", $"pos")).as("f"))
+      .select($"fchunk", $"f.doc_id".as("kdoc"), $"f.pos".as("kpos"))
+    chunks.join(first, $"chunk" === $"fchunk")
+      .select($"doc_id", $"pos", $"chunk",
+        ($"doc_id" === $"kdoc" && $"pos" === $"kpos").as("kept"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(pos, chunk) END)), x -> x.chunk)"),
+          " ").as("kept_text"))
+      .orderBy($"doc_id")
+  }
+
+  private val sqlLineDedup: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |c AS (SELECT doc_id, unnest(range(0, (len(ws)+7)//8)) AS pos, ws
+      |  FROM w),
+      |ch AS (SELECT doc_id, pos,
+      |    array_to_string(list_slice(ws, pos*8+1, pos*8+8), ' ') AS chunk
+      |  FROM c),
+      |k AS (SELECT doc_id, pos, chunk,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+      |      AS kept
+      |  FROM ch)
+      |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+      |    ORDER BY pos), '') AS kept_text
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q438_line_dedup" -> lineDedup,
     "q240_split_leakage" -> splitLeakage,
     "q241_dedup_savings" -> dedupSavings,
     "q237_oov_rate_by_source" -> oovRateBySource,
@@ -1106,6 +1163,7 @@ object Corpus {
   }
 
   val oracles: Map[String, String] = Map(
+    "q438_line_dedup" -> sqlLineDedup,
     "q240_split_leakage" -> sqlSplitLeakage,
     "q241_dedup_savings" -> sqlDedupSavings,
     "q237_oov_rate_by_source" -> sqlOovRateBySource,

@@ -2100,7 +2100,53 @@ object Insights {
     Seq(dup, langH, short, hapax, overflow).reduce(_ unionByName _)
   }
 
+  // ------------------------------------ q440 grouped weighted median
+
+  /** q440 — revenue-weighted median quantity per return flag: the
+    * quantity q at which half the flag's revenue sits on lines with
+    * quantity ≤ q (lower weighted median, ties→smallest q). The
+    * 100 TB shape: lineitem collapses to a (flag, qty) histogram with
+    * exact cent weights FIRST (map-side combine; ≤ 50 cells per flag),
+    * so the cumulative-sum window runs over O(flags·50) rows — never a
+    * percentile UDAF single-reducer merge and never a window over raw
+    * lines. The half-total fence is the integer cross-multiply
+    * `2·cum ≥ total`. */
+  val weightedMedian: Q = (s, dir) => {
+    import s.implicits._
+    val hist = Tables(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"qty")
+      .agg(sum($"cents").as("w"))
+    val cum = hist.select($"l_returnflag", $"qty", $"w",
+      sum($"w").over(Window.partitionBy($"l_returnflag")
+        .orderBy($"qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"),
+      sum($"w").over(Window.partitionBy($"l_returnflag")).as("total"))
+    cum.filter($"cum" * 2 >= $"total")
+      .groupBy($"l_returnflag")
+      .agg(min($"qty").as("w_median_qty"), min($"total").as("total_cents"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val sqlWeightedMedian: String =
+    """WITH hist AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (SELECT l_returnflag, qty, w,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cum,
+      |    sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS total
+      |  FROM hist)
+      |SELECT l_returnflag, min(qty)::BIGINT AS w_median_qty,
+      |  min(total)::BIGINT AS total_cents
+      |FROM cum WHERE cum * 2 >= total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q440_weighted_median" -> weightedMedian,
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
     "q244_mcnemar" -> mcnemar,
@@ -3213,6 +3259,7 @@ object Insights {
   }
 
   val oracles: Map[String, String] = Map(
+    "q440_weighted_median" -> sqlWeightedMedian,
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
     "q244_mcnemar" -> sqlMcnemar,

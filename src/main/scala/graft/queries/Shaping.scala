@@ -1740,7 +1740,40 @@ object Shaping {
           " AS attribution_micro")
   }
 
+  // ------------------------------------------- q439 GROUPING SETS
+
+  /** q439 — explicit GROUPING SETS (the asymmetric-hierarchy shape
+    * ROLLUP (q47) and CUBE (q93) can't express: detail + one marginal
+    * + grand total, skipping the linestatus marginal), with
+    * `grouping_id` disambiguating rolled-up NULLs from data NULLs.
+    * Plans as ONE pass — Spark's Expand replicates each input row
+    * once per grouping set before a single hash aggregate, so the
+    * 100 TB cost is 3× map-side rows into partial aggregation, never
+    * three scans. Money stays exact cents per row. */
+  val groupingSets: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+        |  count(1) AS n_lines
+        |FROM li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin)
+  }
+
+  private val sqlGroupingSets: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+      |    AS rev_cents,
+      |  count(*)::BIGINT AS n_lines
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q439_grouping_sets" -> groupingSets,
     "q223_markov_attribution" -> markovAttribution,
     "q41_sessionize" -> sessionize,
     "q163_bounce_rate" -> bounceRate,
@@ -1949,6 +1982,7 @@ object Shaping {
   }
 
   val oracles: Map[String, String] = Map(
+    "q439_grouping_sets" -> sqlGroupingSets,
     "q223_markov_attribution" -> sqlMarkov,
     "q219_ewma_smooth" -> sqlEwma,
     "q211_ols_normal" -> sqlOlsNormal,
