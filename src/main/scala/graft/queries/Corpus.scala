@@ -42,7 +42,11 @@ object Corpus {
     * so the shuffle dimension is distinct-pair count, and the per-doc
     * aggregation is the only corpus-sized exchange. The mean is an
     * exact integral division of micro-nat longs. */
-  val heldoutCrossEntropy: Q = (s, dir) => {
+  val heldoutCrossEntropy: Q = (s, dir) => heldoutScores(s, dir)
+
+  /** (doc_id, n_pairs, mean_nll_micro) for every held-out doc — q227's
+    * body, shared with q441's band filter. */
+  private def heldoutScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def pairs(df: DataFrame) = df.select($"doc_id", explode(transform(
         when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
@@ -751,7 +755,78 @@ object Corpus {
       |    ORDER BY pos), '') AS kept_text
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- q441 CCNet perplexity-band filter
+
+  /** q441 — CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+    * held-out docs band into thirds by LM score, the step that turns
+    * q227's per-doc perplexity into a corpus filter. Scale stance:
+    * banding by exact GLOBAL doc-count tertiles would total-order the
+    * per-doc frame, so scores first collapse to milli-nat histogram
+    * cells (map-side combine, O(cells) rows at any SF); the cumulative
+    * count runs as a broadcast triangular join on that tiny frame
+    * (never a global window), the two cut cells broadcast back, and
+    * band membership is a stateless comparison. Thirds are doc-count
+    * fences on the cell grid: `3·cum ≥ total` and `3·cum ≥ 2·total`
+    * integer cross-multiplies, so every engine draws the same line. */
+  val perplexityBands: Q = (s, dir) => {
+    import s.implicits._
+    val sc = heldoutScores(s, dir)
+      .select($"doc_id", $"n_pairs", $"mean_nll_micro",
+        expr("mean_nll_micro div 1000").as("cell"))
+    val cells = sc.groupBy($"cell").agg(count(lit(1)).as("n"))
+    val rhs = cells.select($"cell".as("cell2"), $"n".as("n2"))
+    val cuts = cells.crossJoin(broadcast(rhs))
+      .groupBy($"cell")
+      .agg(sum(when($"cell2" <= $"cell", $"n2").otherwise(0L)).as("cum"),
+        sum($"n2").as("total"))
+      .agg(min(when($"cum" * 3 >= $"total", $"cell")).as("c1"),
+        min(when($"cum" * 3 >= $"total" * 2, $"cell")).as("c2"))
+    sc.crossJoin(broadcast(cuts))
+      .select(
+        when($"cell" <= $"c1", "1-head")
+          .when($"cell" <= $"c2", "2-middle")
+          .otherwise("3-tail").as("ppl_band"),
+        $"n_pairs", $"mean_nll_micro")
+      .groupBy($"ppl_band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_pairs").as("n_pairs"),
+        expr("sum(mean_nll_micro) div count(1)").as("band_mean_nll_micro"),
+        min($"mean_nll_micro").as("min_nll_micro"),
+        max($"mean_nll_micro").as("max_nll_micro"))
+      .orderBy($"ppl_band")
+  }
+
+  // lazy: refers to sqlHeldoutCtes/sqlHeldoutSelect declared further
+  // down the object — eager init order would interpolate nulls
+  private lazy val sqlPerplexityBands: String =
+    s"""WITH $sqlHeldoutCtes,
+       |sc0 AS ($sqlHeldoutSelect),
+       |sc AS (SELECT doc_id, n_pairs, mean_nll_micro,
+       |    mean_nll_micro // 1000 AS cell FROM sc0),
+       |cells AS (SELECT cell, count(*)::BIGINT AS n FROM sc GROUP BY cell),
+       |cum AS (SELECT cell,
+       |    sum(n) OVER (ORDER BY cell
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |      AS cum,
+       |    sum(n) OVER ()::BIGINT AS total
+       |  FROM cells),
+       |cuts AS (SELECT
+       |    min(CASE WHEN cum * 3 >= total THEN cell END)::BIGINT AS c1,
+       |    min(CASE WHEN cum * 3 >= 2 * total THEN cell END)::BIGINT AS c2
+       |  FROM cum)
+       |SELECT CASE WHEN cell <= c1 THEN '1-head'
+       |    WHEN cell <= c2 THEN '2-middle' ELSE '3-tail' END AS ppl_band,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(n_pairs)::BIGINT AS n_pairs,
+       |  (sum(mean_nll_micro)::BIGINT // count(*)::BIGINT)
+       |    AS band_mean_nll_micro,
+       |  min(mean_nll_micro)::BIGINT AS min_nll_micro,
+       |  max(mean_nll_micro)::BIGINT AS max_nll_micro
+       |FROM sc CROSS JOIN cuts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q441_perplexity_bands" -> perplexityBands,
     "q438_line_dedup" -> lineDedup,
     "q240_split_leakage" -> splitLeakage,
     "q241_dedup_savings" -> dedupSavings,
@@ -772,8 +847,8 @@ object Corpus {
 
   // ---------------------------------------------------------- oracle SQL
 
-  private val sqlHeldoutCrossEntropy =
-    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+  private val sqlHeldoutCtes =
+    s"""t AS (SELECT doc_id, ${sqlTokens("text")} AS toks
        |  FROM documents),
        |trainp AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2 FROM
        |  (SELECT unnest(list_transform(range(1, len(toks)::BIGINT),
@@ -796,11 +871,16 @@ object Corpus {
        |  FROM (SELECT DISTINCT w1, w2 FROM heldp) hp
        |  LEFT JOIN bi ON hp.w1 = bi.w1 AND hp.w2 = bi.w2
        |  LEFT JOIN lft ON hp.w1 = lft.w1
-       |  CROSS JOIN vocab)
-       |SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
-       |  (sum(s.nlp_u)::BIGINT // count(*)::BIGINT) AS mean_nll_micro
-       |FROM heldp p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
-       |GROUP BY p.doc_id""".stripMargin
+       |  CROSS JOIN vocab)""".stripMargin
+
+  private val sqlHeldoutSelect =
+    """SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+      |  (sum(s.nlp_u)::BIGINT // count(*)::BIGINT) AS mean_nll_micro
+      |FROM heldp p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+      |GROUP BY p.doc_id""".stripMargin
+
+  private val sqlHeldoutCrossEntropy =
+    s"WITH $sqlHeldoutCtes\n$sqlHeldoutSelect"
 
   private def sqlLshDedupEval: String = {
     val jac =
@@ -1163,6 +1243,7 @@ object Corpus {
   }
 
   val oracles: Map[String, String] = Map(
+    "q441_perplexity_bands" -> sqlPerplexityBands,
     "q438_line_dedup" -> sqlLineDedup,
     "q240_split_leakage" -> sqlSplitLeakage,
     "q241_dedup_savings" -> sqlDedupSavings,

@@ -2145,7 +2145,86 @@ object Insights {
       |FROM cum WHERE cum * 2 >= total
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------ q442 RFF-kernel MMD
+
+  /** Shared literal tables for q442: 16 random-feature frequency rows
+    * over the 64 embedding dims plus 16 phases, hash-derived at
+    * plan-build time on a 1/1000 grid (the q27 literal-hyperplane
+    * discipline) so the runtime plan is pure arithmetic and the oracle
+    * carries bit-identical decimal literals. */
+  private val RffD = 16
+  private val RffDims = 64
+  private def rffWK(p: Int, d: Int): Int =
+    (Hashing.hash60(s"rff${p}_$d") % 2001).toInt - 1000
+  private def rffBK(p: Int): Int = (Hashing.hash60(s"rffb_$p") % 6284).toInt
+
+  /** q442 — kernel two-sample test via random Fourier features (Rahimi
+    * & Recht 2007): MMD² between the even- and odd-id embedding
+    * populations under the shift-invariant kernel the literal
+    * frequency table realizes, z_p(x) = cos(ω_p·x + b_p). Complements
+    * q324's polynomial-kernel MMD with the RBF-family estimator that
+    * needs NO pairwise term: each vector maps to 16 features
+    * (map-only), features quantize to micro longs BEFORE aggregation
+    * (the q111 discipline — partial-agg order can't move the result),
+    * and MMD² is exact integer arithmetic on the 16 per-population
+    * micro-mean pairs. One reduce over conditional sums; the corpus
+    * never shuffles or pairs. */
+  val rffMmd: Q = (s, dir) => {
+    import s.implicits._
+    def zq(p: Int): Column = {
+      val wArr = array((0 until RffDims).map(d =>
+        lit(rffWK(p, d) / 1000.0)): _*)
+      val dot = aggregate(
+        zip_with($"embedding", wArr, (x, wv) => x.cast("double") * wv),
+        lit(0.0), (acc, v) => acc + v)
+      round(cos(dot + lit(rffBK(p) / 1000.0)) * 1000000.0).cast("long")
+    }
+    val even = $"vec_id" % 2 === 0
+    val sums =
+      Seq(sum(when(even, 1L).otherwise(0L)).as("n_x"),
+        sum(when(!even, 1L).otherwise(0L)).as("n_y")) ++
+      (0 until RffD).flatMap(p => Seq(
+        sum(when(even, zq(p)).otherwise(0L)).as(s"sx$p"),
+        sum(when(!even, zq(p)).otherwise(0L)).as(s"sy$p")))
+    val mmd = (0 until RffD).map(p =>
+        expr(s"(sx$p div n_x - sy$p div n_y) * " +
+          s"(sx$p div n_x - sy$p div n_y)"))
+      .reduce(_ + _)
+    Tables(s, dir, "embeddings")
+      .agg(sums.head, sums.tail: _*)
+      .select($"n_x", $"n_y", mmd.as("mmd2_micro2"))
+  }
+
+  private val sqlRffMmd: String = {
+    def lit3(k: Int): String =
+      java.math.BigDecimal.valueOf(k.toLong, 3).toPlainString
+    def z(p: Int): String = {
+      val dot = (0 until RffDims).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE) * ${lit3(rffWK(p, d))}")
+        .mkString("0.0 + ", " + ", "")
+      s"CAST(round(cos($dot + ${lit3(rffBK(p))}) * 1000000.0) AS BIGINT)"
+    }
+    val featCols = (0 until RffD).map(p => s"${z(p)} AS z$p").mkString(",\n    ")
+    val sumCols = (0 until RffD).map(p =>
+      s"sum(CASE WHEN even THEN z$p ELSE 0 END)::BIGINT AS sx$p,\n" +
+      s"    sum(CASE WHEN NOT even THEN z$p ELSE 0 END)::BIGINT AS sy$p")
+      .mkString(",\n    ")
+    val mmd = (0 until RffD).map(p =>
+      s"(sx$p // n_x - sy$p // n_y) * (sx$p // n_x - sy$p // n_y)")
+      .mkString(" + ")
+    s"""WITH z AS (SELECT vec_id % 2 = 0 AS even,
+       |    $featCols
+       |  FROM embeddings),
+       |agg AS (SELECT
+       |    sum(CASE WHEN even THEN 1 ELSE 0 END)::BIGINT AS n_x,
+       |    sum(CASE WHEN NOT even THEN 1 ELSE 0 END)::BIGINT AS n_y,
+       |    $sumCols
+       |  FROM z)
+       |SELECT n_x, n_y, ($mmd)::BIGINT AS mmd2_micro2 FROM agg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q442_rff_mmd" -> rffMmd,
     "q440_weighted_median" -> weightedMedian,
     "q242_dsir_weights" -> dsirWeights,
     "q243_chunk_dedup" -> chunkDedup,
@@ -3259,6 +3338,7 @@ object Insights {
   }
 
   val oracles: Map[String, String] = Map(
+    "q442_rff_mmd" -> sqlRffMmd,
     "q440_weighted_median" -> sqlWeightedMedian,
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,
