@@ -1772,7 +1772,91 @@ object Shaping {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
       |  (l_returnflag), ())""".stripMargin
 
+  // --------------------------------- q443 multiset set operations
+
+  /** q443 — INTERSECT ALL / EXCEPT ALL (the multiset forms q48's
+    * distinct set ops can't express): per-user CLICK occurrences vs
+    * PURCHASE occurrences as bags — intersect-all keeps
+    * min(multiplicity) copies (paired click-for-purchase), except-all
+    * keeps the excess clicks. Spark plans both as a single aggregate
+    * computing the two per-key multiplicities then a generator
+    * replicating rows — one shuffle each, no join. Output stays
+    * compact by re-counting the multiset (the duplicated rows are the
+    * operator's output; the count is just transport). */
+  val setOpsAll: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    def occ(t: String) =
+      e.filter($"event_type" === t).select($"user_id")
+    val paired = occ("click").intersectAll(occ("purchase"))
+      .withColumn("segment", lit("click_matched_by_purchase"))
+    val excess = occ("click").exceptAll(occ("purchase"))
+      .withColumn("segment", lit("click_excess"))
+    paired.unionByName(excess)
+      .groupBy($"segment", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"segment", $"user_id")
+  }
+
+  private val sqlSetOpsAll: String =
+    """WITH paired AS (
+      |  SELECT 'click_matched_by_purchase' AS segment, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    INTERSECT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'purchase')),
+      |excess AS (
+      |  SELECT 'click_excess' AS segment, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    EXCEPT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |SELECT segment, user_id, count(*)::BIGINT AS n
+      |FROM (SELECT * FROM paired UNION ALL SELECT * FROM excess)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------- q444 interval-RANGE window burst scan
+
+  /** q444 — event-time RANGE frame (the value-based window family;
+    * q57's moving average is ROWS-based): for every event, the count
+    * and spend inside the user's trailing hour, reduced to each
+    * user's worst one-hour burst — the rate-limit / fraud-scan shape.
+    * The frame is `RANGE [-3599, 0]` over epoch seconds, so ties and
+    * gaps are handled by VALUE, not row position — deterministic under
+    * any partition order. Window partitions by user (scales with
+    * users); spend is exact cents. */
+  val burstScan: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3599, 0)
+    Tables(s, dir, "events")
+      .select($"user_id",
+        unix_timestamp(date_trunc("second", $"ts")).as("sec"),
+        round($"value" * 100).cast("long").as("cents"))
+      .select($"user_id",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"cents").over(w).as("cents_1h"))
+      .groupBy($"user_id")
+      .agg(max($"n_1h").as("max_burst_1h"),
+        max($"cents_1h").as("max_spend_1h_cents"))
+      .orderBy($"user_id")
+  }
+
+  private val sqlBurstScan: String =
+    """WITH e AS (SELECT user_id,
+      |    epoch(date_trunc('second', ts))::BIGINT AS sec,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT user_id,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY sec
+      |      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h,
+      |    sum(cents) OVER (PARTITION BY user_id ORDER BY sec
+      |      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS cents_1h
+      |  FROM e)
+      |SELECT user_id, max(n_1h)::BIGINT AS max_burst_1h,
+      |  max(cents_1h)::BIGINT AS max_spend_1h_cents
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q443_set_ops_all" -> setOpsAll,
+    "q444_burst_scan" -> burstScan,
     "q439_grouping_sets" -> groupingSets,
     "q223_markov_attribution" -> markovAttribution,
     "q41_sessionize" -> sessionize,
@@ -1982,6 +2066,8 @@ object Shaping {
   }
 
   val oracles: Map[String, String] = Map(
+    "q443_set_ops_all" -> sqlSetOpsAll,
+    "q444_burst_scan" -> sqlBurstScan,
     "q439_grouping_sets" -> sqlGroupingSets,
     "q223_markov_attribution" -> sqlMarkov,
     "q219_ewma_smooth" -> sqlEwma,
