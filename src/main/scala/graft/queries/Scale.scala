@@ -106,6 +106,67 @@ object Scale {
         (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
   }
 
+  /** q445 — NEAREST as-of (either direction): each purchase linked to
+    * its user's closest click in absolute time, completing the as-of
+    * family (q50 backward, q81 tolerance, q82 forward). Two passes of
+    * the same native exec — backward on the real timeline, forward as
+    * backward on the negated one — joined on the unique probe id;
+    * equal gaps prefer the backward match (documented tie policy; at
+    * the same microsecond both passes resolve to the same largest
+    * event id, so the preference is consistent). Three keyed
+    * shuffles total, no fan-out — the naive formulation is an
+    * O(purchases × clicks) range join. */
+  val asofNearest: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    def side(t: String) = e.filter($"event_type" === t)
+      .select($"user_id", $"ts", $"event_id",
+        unix_micros($"ts").as("tus"), (-unix_micros($"ts")).as("tneg"))
+    val purchases = side("purchase")
+    val clicks = side("click")
+    val b = AsOfJoin.backwardNative(
+        purchases.select($"user_id", $"ts", $"event_id"),
+        clicks.select($"user_id", $"ts", $"event_id"),
+        Seq("user_id"), "ts", "event_id", Seq("event_id", "ts"))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        $"asof_event_id".as("b_id"),
+        (unix_micros($"ts") - unix_micros($"asof_ts")).as("b_gap"))
+    val f = AsOfJoin.backwardNative(
+        purchases.select($"user_id", $"tneg", $"event_id", $"tus"),
+        clicks.select($"user_id", $"tneg", $"event_id", $"tus"),
+        Seq("user_id"), "tneg", "event_id", Seq("event_id", "tus"))
+      .select($"event_id".as("purchase_id"),
+        $"asof_event_id".as("f_id"), ($"asof_tus" - $"tus").as("f_gap"))
+    val useB = $"f_id".isNull || ($"b_id".isNotNull && $"b_gap" <= $"f_gap")
+    b.join(f, Seq("purchase_id"))
+      .select($"purchase_id", $"user_id",
+        when(useB, $"b_id").otherwise($"f_id").as("nearest_click_id"),
+        when(useB, $"b_gap").otherwise($"f_gap").as("gap_us"),
+        when($"b_id".isNull && $"f_id".isNull, lit(null).cast("string"))
+          .when(useB, "before").otherwise("after").as("side"))
+  }
+
+  private val sqlAsofNearest =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |cand AS (SELECT p.event_id AS purchase_id,
+      |    c.event_id AS click_id,
+      |    abs(epoch_us(c.ts) - epoch_us(p.ts))::BIGINT AS gap_us,
+      |    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS is_after,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+      |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+      |        c.event_id DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  w.click_id AS nearest_click_id, w.gap_us,
+      |  CASE WHEN w.is_after = 0 THEN 'before'
+      |    WHEN w.is_after = 1 THEN 'after' END AS side
+      |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) w
+      |  ON p.event_id = w.purchase_id""".stripMargin
+
   /** q83 — skew-safe aggregation through the salting path, oracle-gated:
     * a synthetically skewed key (80% of events collapse onto one hot
     * key) is counted via `Skew.saltedCount` — phase 1 spreads the hot
@@ -1430,6 +1491,7 @@ object Scale {
 
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
+    "q445_asof_nearest" -> asofNearest,
     "q81_asof_tolerance" -> asofTolerance,
     "q82_asof_forward" -> asofForward,
     "q92_asof_sql" -> asofSql,
@@ -1952,6 +2014,7 @@ object Scale {
         |  count(*)::BIGINT AS n_orders
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "q50_asof_join" -> sqlAsof,
+    "q445_asof_nearest" -> sqlAsofNearest,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
     "q92_asof_sql" -> sqlAsof,

@@ -1854,7 +1854,42 @@ object Shaping {
       |  max(cents_1h)::BIGINT AS max_spend_1h_cents
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------- q447 top-k with ties (RANK)
+
+  /** q447 — top-3 busiest days per event type WITH ties (RANK, not
+    * row_number — q18-style top-k silently drops tied rows; reporting
+    * and SLA queries need all of them). The rank window orders by a
+    * non-unique count on purpose: tied rows share a rank, so the
+    * output is deterministic without a tie-break column. Day counts
+    * collapse first (map-side combine), so the window runs over
+    * O(types × days) rows, never raw events. */
+  val topkWithTies: Q = (s, dir) => {
+    import s.implicits._
+    val daily = Tables(s, dir, "events")
+      .groupBy($"event_type",
+        to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"n_events".desc)
+    daily.withColumn("rnk", rank().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .orderBy($"event_type", $"rnk", $"day")
+  }
+
+  private val sqlTopkWithTies: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, day, n_events,
+      |    rank() OVER (PARTITION BY event_type ORDER BY n_events DESC)
+      |      ::BIGINT AS rnk
+      |  FROM daily)
+      |SELECT event_type, day, n_events, rnk
+      |FROM r WHERE rnk <= 3
+      |ORDER BY event_type, rnk, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q447_topk_with_ties" -> topkWithTies,
     "q443_set_ops_all" -> setOpsAll,
     "q444_burst_scan" -> burstScan,
     "q439_grouping_sets" -> groupingSets,
@@ -2067,6 +2102,7 @@ object Shaping {
 
   val oracles: Map[String, String] = Map(
     "q443_set_ops_all" -> sqlSetOpsAll,
+    "q447_topk_with_ties" -> sqlTopkWithTies,
     "q444_burst_scan" -> sqlBurstScan,
     "q439_grouping_sets" -> sqlGroupingSets,
     "q223_markov_attribution" -> sqlMarkov,

@@ -859,6 +859,40 @@ object TrainingData {
         $"rank")
   }
 
+  /** q446 — reciprocal nearest neighbors: pairs where each vector is
+    * the OTHER's top-1 neighbor (the mutual-argmax rule bitext mining
+    * and RNN-clustering use to cut false pairs — one-sided nearest is
+    * noisy, mutual is high-precision). Pure composition on q84's kNN
+    * trunk: rank-1 edges self-joined on the reversed key, canonical
+    * a<b orientation. The self-join keys on vec_id (uniform), never on
+    * similarity — no new scale surface beyond q84. */
+  val reciprocalNn: Q = (s, dir) => {
+    import s.implicits._
+    val top1 = knnGraph(s, dir).filter($"rank" === 1)
+      .select($"vec_id", $"neighbor_id", $"cos_sim")
+    top1.as("a").join(top1.as("b"),
+        col("a.neighbor_id") === col("b.vec_id") &&
+          col("b.neighbor_id") === col("a.vec_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"),
+        col("a.neighbor_id").as("vec_b"), col("a.cos_sim"))
+  }
+
+  private lazy val sqlKnnGraph: String = {
+    val cos = sqlCosCols("a.embedding", "b.embedding")
+    s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cos AS cs
+       |  FROM wb a JOIN wb b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cs, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rank
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, round(cs, 6) AS cos_sim,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= $KnnK""".stripMargin
+  }
+
   /** q85 — SemDeDup-style semantic dedup decision: q40's embedding
     * near-dup PAIRS (LSH buckets → cosine ≥ 0.9 over the twin-planted
     * corpus) closed into clusters by min-label propagation, then keep
@@ -2154,6 +2188,7 @@ object TrainingData {
     "q73_kmeans_train" -> kmeansTrain,
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
     "q84_knn_graph" -> knnGraph,
+    "q446_reciprocal_nn" -> reciprocalNn,
     "q85_semantic_dedup" -> semanticDedup,
   )
 
@@ -2237,20 +2272,13 @@ object TrainingData {
          |  n = min(lab) AS keep
          |FROM reach GROUP BY n""".stripMargin
     },
-    "q84_knn_graph" -> {
-      val cos = sqlCosCols("a.embedding", "b.embedding")
-      s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
-         |  FROM embeddings),
-         |p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $cos AS cs
-         |  FROM wb a JOIN wb b
-         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         |r AS (SELECT vec_id, neighbor_id, cs, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY cs DESC, neighbor_id) AS rank
-         |  FROM p)
-         |SELECT vec_id, neighbor_id, round(cs, 6) AS cos_sim,
-         |  CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= $KnnK""".stripMargin
-    },
+    "q84_knn_graph" -> sqlKnnGraph,
+    "q446_reciprocal_nn" ->
+      s"""WITH knn AS ($sqlKnnGraph)
+         |SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cos_sim
+         |FROM knn a JOIN knn b
+         |  ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+         |  AND a.rank = 1 AND b.rank = 1 AND a.vec_id < b.vec_id""".stripMargin,
     "q40_dedup_embedding" -> sqlDedupEmbedding,
     "q24_dedup_simhash" -> sqlSimhash,
     "q182_prefix_jaccard_join" ->
