@@ -490,7 +490,62 @@ object Governance {
     perSrc.unionByName(root)
   }
 
+  // ----------------------------------- q448 column stats collection
+
+  /** q448 — ANALYZE-grade column statistics (the CBO inputs: ndv,
+    * null count, min/max, equi-width histogram) for three lineitem
+    * measures in one pass over an unpivoted (col, value) frame.
+    * Two-phase like every real stats collector: per-column extrema +
+    * ndv first (map-side partial aggs; countDistinct plans as the
+    * two-stage distinct aggregate), then bins assigned by the integer
+    * cross-multiply `(v−min)·8 div (max−min+1)` against the broadcast
+    * 3-row summary — no second pass reads the raw doubles, no
+    * percentile single-reducer anywhere. Money/discount quantize to
+    * their exact grids before anything aggregates. */
+  val columnStats: Q = (s, dir) => {
+    import s.implicits._
+    val vals = Tables(s, dir, "lineitem")
+      .select(explode(map(
+        lit("quantity"), $"l_quantity".cast("long"),
+        lit("disc_pct"), round($"l_discount" * 100).cast("long"),
+        lit("price_cents"),
+        round($"l_extendedprice" * 100).cast("long"))).as(Seq("c", "v")))
+    val summary = vals.groupBy($"c")
+      .agg(min($"v").as("min_v"), max($"v").as("max_v"),
+        countDistinct($"v").as("ndv"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_nulls"))
+    vals.join(broadcast(summary), Seq("c"))
+      .groupBy($"c", expr("(v - min_v) * 8 div (max_v - min_v + 1)")
+        .as("bin"))
+      .agg(count(lit(1)).as("bin_cnt"),
+        min($"min_v").as("min_v"), min($"max_v").as("max_v"),
+        min($"ndv").as("ndv"), min($"n_nulls").as("n_nulls"))
+      .orderBy($"c", $"bin")
+  }
+
+  private val sqlColumnStats: String =
+    """WITH vals AS (
+      |  SELECT 'quantity' AS c, CAST(l_quantity AS BIGINT) AS v
+      |    FROM lineitem
+      |  UNION ALL
+      |  SELECT 'disc_pct', CAST(round(l_discount * 100) AS BIGINT)
+      |    FROM lineitem
+      |  UNION ALL
+      |  SELECT 'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    FROM lineitem),
+      |summary AS (SELECT c, min(v)::BIGINT AS min_v, max(v)::BIGINT
+      |    AS max_v, count(DISTINCT v)::BIGINT AS ndv,
+      |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls
+      |  FROM vals GROUP BY c)
+      |SELECT vals.c, (v - min_v) * 8 // (max_v - min_v + 1) AS bin,
+      |  count(*)::BIGINT AS bin_cnt,
+      |  min(min_v)::BIGINT AS min_v, min(max_v)::BIGINT AS max_v,
+      |  min(ndv)::BIGINT AS ndv, min(n_nulls)::BIGINT AS n_nulls
+      |FROM vals JOIN summary ON vals.c = summary.c
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q448_column_stats" -> columnStats,
     "q226_content_fingerprint" -> contentFingerprint,
     "q213_l_diversity" -> lDiversity,
     "q161_reconciliation" -> reconciliation,
@@ -721,6 +776,7 @@ object Governance {
       |ORDER BY abs_diff_cents DESC, o.o_orderkey ASC LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q448_column_stats" -> sqlColumnStats,
     "q226_content_fingerprint" -> {
       val h = graft.functions.Hashing.sqlHash60(
         "CAST(doc_id AS VARCHAR) || '|' || text")

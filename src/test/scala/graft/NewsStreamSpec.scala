@@ -188,6 +188,70 @@ class NewsStreamSpec extends SparkSpec {
     assert(out.head.getAs[Double]("sentiment_mark") == 0.35)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched articles " +
+    "null-padded only after both watermarks close their window") {
+    val base = Files.createTempDirectory("graft-ssjo").toString
+    val (aDir, sDir, ckpt) =
+      (s"$base/articles", s"$base/sentiment", s"$base/ckpt")
+    def aid(title: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$title-globalnews-https://news/$title".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // mkRow pins publishedat; the outer join needs per-article times
+    def mkRowP(id: Long, title: String, pub: String): Row =
+      Row(id, "globalnews", "ca", "politics", "Jane Doe", null, null,
+        title, null, s"https://news/$title", ts(pub), "content",
+        "left", "english", ts(pub))
+    def sentRow(id: Long, article: String, scored: String): Row =
+      Row(id, article, "0.35", "0.70", "m1", ts(scored))
+    def writeSent(rows: Seq[Row]): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), Schemas.sentimentRaw)
+        .coalesce(1).write.mode("append").parquet(sDir)
+    // file sink (not memory): the test restarts from the checkpoint,
+    // which only fault-tolerant sinks support
+    val outDir = s"$base/out"
+    def runOnce(): Array[Row] = {
+      val q = NewsStream.joinSentimentStreamOuter(
+          spark.readStream.schema(Schemas.rawNews).parquet(aDir),
+          spark.readStream.schema(Schemas.sentimentRaw).parquet(sDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+    }
+    // batch 1: A1 gets scored in-window, A2 never gets scored
+    writeBatch(aDir, Seq(
+      mkRowP(1, "A1", "2024-01-01 00:00:00"),
+      mkRowP(2, "A2", "2024-01-01 00:00:00")))
+    writeSent(Seq(sentRow(1, aid("A1"), "2024-01-01 12:00:00")))
+    val out1 = runOnce()
+    assert(out1.count(_.getAs[String]("title") == "A1") == 1,
+      "in-window match must emit immediately")
+    assert(!out1.exists(r => r.getAs[String]("title") == "A2"),
+      "A2's window is still open — the outer row must NOT emit yet")
+    // batch 2: far-future rows on BOTH sides advance both watermarks
+    // past A2's pub + 2-day window, proving no sentiment can ever match
+    writeBatch(aDir, Seq(mkRowP(3, "A3", "2024-02-01 00:00:00")))
+    writeSent(Seq(sentRow(2, "nosuch", "2024-02-05 00:00:00")))
+    val out2 = runOnce()
+    val a2 = out2.filter(_.getAs[String]("title") == "A2")
+    assert(a2.length == 1,
+      s"closed-window unmatched article must emit exactly once, " +
+        s"got ${a2.length}")
+    assert(a2.head.getAs[Timestamp]("scored_ts") == null &&
+      a2.head.isNullAt(a2.head.fieldIndex("sentiment_mark")),
+      "outer row must be null-padded on the sentiment side")
+    assert(!out2.exists(_.getAs[String]("title") == "A3"),
+      "A3's window is still open — it must stay in state, not emit")
+    assert(out2.count(_.getAs[String]("title") == "A1") == 1,
+      "A1's match must not re-emit on restart (exactly-once)")
+  }
+
   test("stream-static join enriches micro-batches from the dimension") {
     val base = Files.createTempDirectory("graft-ssd").toString
     writeBatch(s"$base/landing", Seq(

@@ -57,4 +57,37 @@ class PlanQualitySpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
+
+  test("dynamic partition pruning fires on a date-partitioned mart " +
+    "joined through a filtered dimension") {
+    // the 100 TB shape: a fact laid out by ingest date (the Warehouse
+    // mart convention) joined to a dimension whose FILTER — not the
+    // fact's own predicates — decides which partitions matter. DPP
+    // must inject the dim's key set as a runtime partition filter so
+    // the scan reads only the matching date directories.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    Tables(spark, sfDir, "orders")
+      .withColumn("order_date", to_date($"o_orderdate"))
+      .write.partitionBy("order_date").parquet(s"$base/fact")
+    // dim: one row per date, filtered to a single month
+    Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate").as("d")).distinct()
+      .withColumn("tag", lit("keep"))
+      .write.parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim")
+      .filter($"d" >= "1996-01-01" && $"d" < "1996-02-01")
+    val joined = fact.join(dim, $"order_date" === $"d")
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the fact scan:\n$plan")
+    // and the pruned result is correct (only January 1996 orders)
+    val n = joined.collect().head.getAs[Long]("n")
+    val expected = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= "1996-01-01" &&
+        $"o_orderdate" < "1996-02-01").count()
+    assert(n == expected, s"DPP changed the result: $n vs $expected")
+  }
 }
