@@ -21,13 +21,13 @@ import graft.Tables
   * same two longs on both engines then round on a 6-dec grid;
   * fractional fences are integer cross-multiplies.
   *
-  * Scale stance (100 TB): nation/region and filtered part key-lists
-  * broadcast (O(100)–O(brand-slice) rows at any SF). customer /
-  * supplier / part / orders / lineitem all grow with SF, so fact-dim
-  * joins that TPC-H treats as "dim" joins are written as plain
-  * equi-joins — AQE converts them to broadcast when the filtered side
-  * is small at the running SF, and they degrade gracefully to shuffle
-  * joins at 100 TB where customer alone is billions of rows. Top-k
+  * Scale stance (100 TB): nation/region (fixed 25/5 rows) are the ONLY
+  * hint-broadcast frames. customer / supplier / part / orders /
+  * lineitem — and every slice derived from them, brand lists
+  * included — grow with SF, so their joins are plain equi-joins: AQE
+  * broadcasts them while they fit the threshold at test SFs and they
+  * degrade gracefully to shuffle joins at 100 TB, where a part brand
+  * slice alone is hundreds of millions of rows. Top-k
   * outputs go through orderBy+limit (TakeOrderedAndProject: per-
   * partition heap, no global sort).
   */
@@ -94,7 +94,7 @@ object Olap {
   val volumeShipping: Q = (s, dir) => {
     import s.implicits._
     val nat = Tables(s, dir, "nation")
-      .filter($"n_name".isin("NATION_1", "NATION_2"))
+      .filter($"n_name".isin("NATION_3", "NATION_8"))
       .select($"n_nationkey", $"n_name")
     val sup = Tables(s, dir, "supplier")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
@@ -143,7 +143,7 @@ object Olap {
       .select($"o_orderkey", $"o_custkey",
         year($"o_orderdate").cast("long").as("yr"))
     Tables(s, dir, "lineitem")
-      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .join(promo, $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"l_suppkey",
         round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
           .cast("long").as("cents"))
@@ -166,8 +166,9 @@ object Olap {
   /** q431 — Q9 adapted (no partsupp.supplycost): per-(supplier-nation,
     * order-year) profit on a part-name slice, costing each unit at
     * half retail price. Cost stays exact: `qty · round(retail·50)` is
-    * integer cents per row. Part slice broadcasts (LIKE-filtered key
-    * list); supplier joins shuffle on suppkey; nation broadcasts. */
+    * integer cents per row. Part slice joins plain (AQE
+    * broadcasts it while small; it grows with SF); supplier joins
+    * shuffle on suppkey; nation broadcasts. */
   val productProfit: Q = (s, dir) => {
     import s.implicits._
     val pts = Tables(s, dir, "part")
@@ -179,7 +180,7 @@ object Olap {
     val ord = Tables(s, dir, "orders")
       .select($"o_orderkey", year($"o_orderdate").cast("long").as("yr"))
     Tables(s, dir, "lineitem")
-      .join(broadcast(pts), $"l_partkey" === $"p_partkey")
+      .join(pts, $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"l_suppkey",
         (round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
           .cast("long") -
@@ -334,7 +335,7 @@ object Olap {
     * so this is one hash join plus a residual filter, never a
     * nested-loop. A derived brand whitelist pre-filters the part side
     * (the union of the three brands) so the join only carries
-    * candidate parts. */
+    * candidate parts; the slice grows with SF, so no broadcast hint. */
   val discountedRevenue: Q = (s, dir) => {
     import s.implicits._
     val pts = Tables(s, dir, "part")
@@ -344,7 +345,7 @@ object Olap {
       .select($"l_partkey", $"l_quantity",
         round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
           .cast("long").as("cents"))
-      .join(broadcast(pts), $"l_partkey" === $"p_partkey")
+      .join(pts, $"l_partkey" === $"p_partkey")
       .filter(
         ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
           $"l_quantity".between(1, 11)) ||
@@ -394,7 +395,7 @@ object Olap {
         |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
     "q429_volume_shipping" ->
       """WITH nat AS (SELECT n_nationkey, n_name FROM nation
-        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |  WHERE n_name IN ('NATION_3', 'NATION_8')),
         |sup AS (SELECT s_suppkey, n_name AS supp_nation
         |  FROM supplier JOIN nat ON s_nationkey = n_nationkey),
         |cus AS (SELECT c_custkey, n_name AS cust_nation

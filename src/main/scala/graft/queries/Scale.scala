@@ -106,6 +106,43 @@ object Scale {
         (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
   }
 
+  /** q450 — skew-safe JOIN through the salting path, oracle-gated (the
+    * join-side counterpart of q83's salted aggregation; until now
+    * saltedEquiJoin was only row-count spec-asserted): events keyed on
+    * q83's 80%-hot synthetic key join a per-key attribute dim via
+    * fact-salt + dim-replicate-S×, spreading the hot key over S
+    * reducers — the rewrite for broadcast-ineligible dims where AQE's
+    * sort-merge skew split doesn't apply. The salt column is derived
+    * from runtime row position (nondeterministic), so the gate is the
+    * point: the aggregated RESULT must be bit-identical to the plain
+    * join the oracle runs, whatever the salt assignment. */
+  val saltedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val hot = when($"user_id" % 10 < 8, lit("hot"))
+      .otherwise($"user_id".cast("string"))
+    val e = Tables(s, dir, "events")
+      .select(hot.as("k"), round($"value" * 100).cast("long").as("cents"))
+    val dim = e.groupBy($"k").agg(max($"cents").as("max_cents"))
+    graft.functions.Skew.saltedEquiJoin(e, dim, "k", 8)
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"),
+        min($"max_cents").as("max_cents"))
+      .orderBy($"k")
+  }
+
+  private val sqlSaltedJoin =
+    """WITH e AS (SELECT CASE WHEN user_id % 10 < 8 THEN 'hot'
+      |    ELSE CAST(user_id AS VARCHAR) END AS k,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |dim AS (SELECT k, max(cents)::BIGINT AS max_cents
+      |  FROM e GROUP BY k)
+      |SELECT e.k, count(*)::BIGINT AS n_events,
+      |  sum(cents)::BIGINT AS sum_cents,
+      |  min(max_cents)::BIGINT AS max_cents
+      |FROM e JOIN dim ON e.k = dim.k
+      |GROUP BY e.k ORDER BY e.k""".stripMargin
+
   /** q445 — NEAREST as-of (either direction): each purchase linked to
     * its user's closest click in absolute time, completing the as-of
     * family (q50 backward, q81 tolerance, q82 forward). Two passes of
@@ -1492,6 +1529,7 @@ object Scale {
   val queries: Map[String, Q] = Map(
     "q50_asof_join" -> asofJoin,
     "q445_asof_nearest" -> asofNearest,
+    "q450_salted_join" -> saltedJoin,
     "q81_asof_tolerance" -> asofTolerance,
     "q82_asof_forward" -> asofForward,
     "q92_asof_sql" -> asofSql,
@@ -2015,6 +2053,7 @@ object Scale {
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "q50_asof_join" -> sqlAsof,
     "q445_asof_nearest" -> sqlAsofNearest,
+    "q450_salted_join" -> sqlSaltedJoin,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
     "q92_asof_sql" -> sqlAsof,

@@ -1888,7 +1888,43 @@ object Shaping {
       |FROM r WHERE rnk <= 3
       |ORDER BY event_type, rnk, day""".stripMargin
 
+  // --------------------------------- q449 LATERAL correlated subquery
+
+  /** q449 — the SQL LATERAL surface: per-nation top-2 suppliers by
+    * account balance through a correlated LATERAL derived table
+    * (`FROM nation, LATERAL (... WHERE s_nationkey = n.n_nationkey
+    * ORDER BY ... LIMIT 2)`), the form ELT tools emit for per-row
+    * lookups. Catalyst decorrelates the ORDER BY + LIMIT into a
+    * partitioned rank window on ONE supplier shuffle — proving the
+    * engine rewrites the row-at-a-time formulation into the same
+    * distributed plan q07's explicit window uses, instead of
+    * executing a nested loop. */
+  val lateralTopk: Q = (s, dir) => {
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_lat")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_lat")
+    s.sql(
+      """SELECT n.n_name, t.s_suppkey, t.bal_cents
+        |FROM nation_lat n,
+        |LATERAL (SELECT s_suppkey,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM supplier_lat
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY bal_cents DESC, s_suppkey ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.bal_cents DESC, t.s_suppkey""".stripMargin)
+  }
+
+  private val sqlLateralTopk: String =
+    """SELECT n.n_name, t.s_suppkey, t.bal_cents
+      |FROM nation n,
+      |LATERAL (SELECT s_suppkey,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM supplier
+      |  WHERE s_nationkey = n.n_nationkey
+      |  ORDER BY bal_cents DESC, s_suppkey ASC LIMIT 2) t
+      |ORDER BY n.n_name, t.bal_cents DESC, t.s_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q449_lateral_topk" -> lateralTopk,
     "q447_topk_with_ties" -> topkWithTies,
     "q443_set_ops_all" -> setOpsAll,
     "q444_burst_scan" -> burstScan,
@@ -2103,6 +2139,7 @@ object Shaping {
   val oracles: Map[String, String] = Map(
     "q443_set_ops_all" -> sqlSetOpsAll,
     "q447_topk_with_ties" -> sqlTopkWithTies,
+    "q449_lateral_topk" -> sqlLateralTopk,
     "q444_burst_scan" -> sqlBurstScan,
     "q439_grouping_sets" -> sqlGroupingSets,
     "q223_markov_attribution" -> sqlMarkov,
