@@ -1923,7 +1923,62 @@ object Shaping {
       |  ORDER BY bal_cents DESC, s_suppkey ASC LIMIT 2) t
       |ORDER BY n.n_name, t.bal_cents DESC, t.s_suppkey""".stripMargin
 
+  // ------------------------------ q452 net-dollar-retention cohorts
+
+  /** q452 — revenue-retention cohort matrix (the dollar counterpart
+    * of q79's user-count cohorts): customers cohort by first-order
+    * month; each (cohort, month-offset) cell reports active
+    * customers, revenue, and net dollar retention vs the cohort's
+    * month-0 revenue. NDR is the exact integer micro division
+    * `rev·10⁶ div rev0` — no float share. Scale: orders collapse to
+    * per-(customer, month) before anything else (map-side combine);
+    * the first-order month is a per-customer min on the custkey
+    * shuffle the cell aggregate reuses; the month-0 base joins back
+    * on the O(months) cohort key. */
+  val ndrCohorts: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_custkey",
+        to_date(date_trunc("month", $"o_orderdate")).as("mon"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val first = o.groupBy($"o_custkey").agg(min($"mon").as("cohort"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .select($"cohort",
+        months_between($"mon", $"cohort").cast("long").as("month_offset"),
+        $"o_custkey", $"cents")
+      .groupBy($"cohort", $"month_offset")
+      .agg(countDistinct($"o_custkey").as("n_custs"),
+        sum($"cents").as("rev_cents"))
+    val base = cells.filter($"month_offset" === 0)
+      .select($"cohort", $"rev_cents".as("rev0_cents"))
+    cells.join(base, Seq("cohort"))
+      .select($"cohort", $"month_offset", $"n_custs", $"rev_cents",
+        expr("rev_cents * 1000000 div rev0_cents").as("ndr_micro"))
+      .orderBy($"cohort", $"month_offset")
+  }
+
+  private val sqlNdrCohorts: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |first AS (SELECT o_custkey, min(mon) AS cohort
+      |  FROM o GROUP BY o_custkey),
+      |cells AS (SELECT cohort,
+      |    datediff('month', cohort, mon)::BIGINT AS month_offset,
+      |    count(DISTINCT o.o_custkey)::BIGINT AS n_custs,
+      |    sum(cents)::BIGINT AS rev_cents
+      |  FROM o JOIN first ON o.o_custkey = first.o_custkey
+      |  GROUP BY 1, 2),
+      |base AS (SELECT cohort, rev_cents AS rev0_cents
+      |  FROM cells WHERE month_offset = 0)
+      |SELECT cells.cohort, month_offset, n_custs, rev_cents,
+      |  rev_cents * 1000000 // rev0_cents AS ndr_micro
+      |FROM cells JOIN base ON cells.cohort = base.cohort
+      |ORDER BY cells.cohort, month_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q452_ndr_cohorts" -> ndrCohorts,
     "q449_lateral_topk" -> lateralTopk,
     "q447_topk_with_ties" -> topkWithTies,
     "q443_set_ops_all" -> setOpsAll,
@@ -2140,6 +2195,7 @@ object Shaping {
     "q443_set_ops_all" -> sqlSetOpsAll,
     "q447_topk_with_ties" -> sqlTopkWithTies,
     "q449_lateral_topk" -> sqlLateralTopk,
+    "q452_ndr_cohorts" -> sqlNdrCohorts,
     "q444_burst_scan" -> sqlBurstScan,
     "q439_grouping_sets" -> sqlGroupingSets,
     "q223_markov_attribution" -> sqlMarkov,

@@ -878,6 +878,67 @@ object TrainingData {
         col("a.neighbor_id").as("vec_b"), col("a.cos_sim"))
   }
 
+  /** q451 — c-TF-IDF cluster labeling (the BERTopic §3.3 step a
+    * curation pipeline runs after clustering to NAME what each
+    * embedding cluster is about): per trained k-means cell (q73/q74's
+    * one-Lloyd-round quantizer, doc_id = vec_id), the top-5 terms by
+    * class-based TF-IDF — tf(t, cell) · ln(1 + A/f(t)) with A the
+    * per-cell token budget and f the corpus term frequency. Exactness:
+    * A is the integer `total div K`, the idf factor is ln of exact
+    * longs micro-quantized PER TERM (the q77/q121 value-type
+    * discipline), and the score is the exact product tf · w_micro —
+    * aggregation order can never move a rank. Scale: term frames are
+    * vocab-bounded (Zipf-collapsed); the only corpus-sized exchanges
+    * are the token explode and the doc→cell join on the uniform id;
+    * the per-cell top-5 rank-cuts via WindowGroupLimit. */
+  val ctfidfClusterTerms: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val init = e.filter($"vec_id" < KmK)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val trained = Similarity.kmeansUpdate(
+      Similarity.kmeansAssign(e, init).localCheckpoint())
+    val assign = Similarity.kmeansAssign(e, trained)
+      .select($"vec_id", $"cid")
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("t"))
+      .join(assign, $"doc_id" === $"vec_id")
+    val tf = toks.groupBy($"cid", $"t").agg(count(lit(1)).as("tf"))
+    val f = toks.groupBy($"t").agg(count(lit(1)).as("f"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val w = f.crossJoin(broadcast(tot))
+      .select($"t",
+        round(log(lit(1.0) + expr("n div " + KmK).cast("double") /
+          $"f".cast("double")) * 1000000.0).cast("long").as("w_micro"))
+    val rk = Window.partitionBy($"cid")
+      .orderBy(($"tf" * $"w_micro").desc, $"t".asc)
+    tf.join(w, Seq("t"))
+      .withColumn("score_micro", $"tf" * $"w_micro")
+      .withColumn("rnk", row_number().over(rk).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"cid", $"t".as("term"), $"tf", $"score_micro", $"rnk")
+      .orderBy($"cid", $"rnk")
+  }
+
+  private lazy val sqlCtfidfClusterTerms: String =
+    s"""WITH $sqlKmeansCtes,
+       |tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t
+       |  FROM documents),
+       |j AS (SELECT r2.cid, t FROM tok JOIN r2 ON doc_id = vec_id),
+       |tf AS (SELECT cid, t, count(*)::BIGINT AS tf FROM j GROUP BY 1, 2),
+       |f AS (SELECT t, count(*)::BIGINT AS f FROM j GROUP BY t),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM j),
+       |w AS (SELECT t, CAST(round(ln(1.0 +
+       |    CAST(n // $KmK AS DOUBLE) / CAST(f AS DOUBLE)) * 1000000.0)
+       |    AS BIGINT) AS w_micro
+       |  FROM f CROSS JOIN tot),
+       |s AS (SELECT cid, tf.t, tf, tf * w_micro AS score_micro,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY tf * w_micro DESC, tf.t ASC)::BIGINT AS rnk
+       |  FROM tf JOIN w ON tf.t = w.t)
+       |SELECT cid, t AS term, tf, score_micro, rnk
+       |FROM s WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin
+
   private lazy val sqlKnnGraph: String = {
     val cos = sqlCosCols("a.embedding", "b.embedding")
     s"""WITH wb AS (SELECT vec_id, embedding, $sqlBucket AS bucket
@@ -2189,6 +2250,7 @@ object TrainingData {
     "q74_ann_ivf_trained" -> annIvfTrainedTopK,
     "q84_knn_graph" -> knnGraph,
     "q446_reciprocal_nn" -> reciprocalNn,
+    "q451_ctfidf_cluster_terms" -> ctfidfClusterTerms,
     "q85_semantic_dedup" -> semanticDedup,
   )
 
@@ -2253,6 +2315,7 @@ object TrainingData {
         |FROM enc GROUP BY vec_id""".stripMargin,
     "q68_centroid_outliers" -> sqlCentroidOutliers,
     "q73_kmeans_train" -> sqlKmeans,
+    "q451_ctfidf_cluster_terms" -> sqlCtfidfClusterTerms,
     "q74_ann_ivf_trained" -> sqlIvfTrained,
     "q85_semantic_dedup" -> {
       s"""WITH RECURSIVE pairs AS (
