@@ -1171,6 +1171,77 @@ object Curation {
         min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
   }
 
+  /** q454 — consistent-hash ring rebalance audit (q220's rendezvous
+    * sibling, the OTHER minimal-reshuffle placement scheme): documents
+    * place on a 4-node × 16-vnode hash ring (owner = first vnode
+    * clockwise of the key), then node 4 joins with 16 more vnodes and
+    * the audit reports, per original owner, how many documents stay
+    * vs move — consistent hashing's contract is that EVERY move lands
+    * on the new node (~1/(n+1) of data total), never between old
+    * nodes. Ring positions are plan-time hash60 literals, so placement
+    * is a pure per-row array probe (no shuffle until the census);
+    * vnode count is the balance dial. Move shares are integer micro
+    * divisions. */
+  val ringRebalance: Q = (s, dir) => {
+    import s.implicits._
+    def positions(nodes: Int): Seq[(Long, Int)] =
+      (for { n <- 0 until nodes; v <- 0 until 16 }
+        yield (Hashing.hash60(s"ring|$n|$v"), n)).sortBy(_._1)
+    def owner(nodes: Int, h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val ps = positions(nodes)
+      val arr = array(ps.map(p => lit(p._1)): _*)
+      val m = map(ps.flatMap(p => Seq(lit(p._1), lit(p._2))): _*)
+      element_at(m, coalesce(
+        try_element_at(filter(arr, x => x >= h), lit(1)),
+        lit(ps.head._1)))
+    }
+    Tables(s, dir, "documents")
+      .select(Hashing.hash60($"doc_id".cast("string")).as("h"))
+      .select(owner(4, $"h").cast("long").as("owner_before"),
+        owner(5, $"h").cast("long").as("owner_after"))
+      .groupBy($"owner_before")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when($"owner_before" =!= $"owner_after", 1L).otherwise(0L))
+          .as("n_moved_away"),
+        sum(when($"owner_before" =!= $"owner_after" &&
+          $"owner_after" =!= 4, 1L).otherwise(0L))
+          .as("n_moved_between_old"))
+      .select($"owner_before", $"n_before", $"n_moved_away",
+        expr("n_moved_away * 1000000 div n_before")
+          .as("moved_share_micro"),
+        $"n_moved_between_old")
+      .orderBy($"owner_before")
+  }
+
+  private val sqlRingRebalance: String = {
+    def positions(nodes: Int): Seq[(Long, Int)] =
+      (for { n <- 0 until nodes; v <- 0 until 16 }
+        yield (Hashing.hash60(s"ring|$n|$v"), n)).sortBy(_._1)
+    def owner(nodes: Int): String = {
+      val ps = positions(nodes)
+      val poss = ps.map(_._1).mkString("[", ", ", "]")
+      val nds = ps.map(_._2).mkString("[", ", ", "]")
+      s"""$nds[list_position($poss,
+         |    coalesce(list_filter($poss, x -> x >= h)[1],
+         |      ${ps.head._1}))]""".stripMargin
+    }
+    s"""WITH d AS (SELECT
+       |    ${Hashing.sqlHash60("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |o AS (SELECT CAST(${owner(4)} AS BIGINT) AS owner_before,
+       |    CAST(${owner(5)} AS BIGINT) AS owner_after
+       |  FROM d)
+       |SELECT owner_before, count(*)::BIGINT AS n_before,
+       |  sum(CASE WHEN owner_before <> owner_after THEN 1 ELSE 0 END)
+       |    ::BIGINT AS n_moved_away,
+       |  CAST(sum(CASE WHEN owner_before <> owner_after THEN 1 ELSE 0
+       |    END) * 1000000 // count(*) AS BIGINT) AS moved_share_micro,
+       |  sum(CASE WHEN owner_before <> owner_after
+       |    AND owner_after <> 4 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_moved_between_old
+       |FROM o GROUP BY owner_before ORDER BY owner_before""".stripMargin
+  }
+
   /** q221 — cross-source vocabulary overlap matrix: pairwise Jaccard
     * of the per-source word sets — the corpus-composition diagnostic
     * that catches near-identical feeds (syndication at the vocabulary
@@ -1198,6 +1269,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "q218_textrank_keywords" -> textrankKeywords,
     "q220_rendezvous_shards" -> rendezvousShards,
+    "q454_ring_rebalance" -> ringRebalance,
     "q221_source_vocab_overlap" -> sourceVocabOverlap,
     "q214_good_turing" -> goodTuring,
     "q188_target_encode" -> targetEncode,
@@ -1733,6 +1805,7 @@ object Curation {
          |  FROM documents) t
          |GROUP BY shard""".stripMargin
     },
+    "q454_ring_rebalance" -> sqlRingRebalance,
     "q221_source_vocab_overlap" ->
       s"""WITH sw AS (SELECT DISTINCT source,
          |    unnest(${sqlTokens("text")}) AS w FROM documents),

@@ -106,6 +106,102 @@ object Scale {
         (unix_micros($"ts") - unix_micros($"asof_ts")).as("gap_us"))
   }
 
+  /** q453 — KMV (min-K / theta-style) sketch SET OPERATIONS: union and
+    * intersection cardinality of the click-user and purchase-user sets
+    * estimated from two 64-value bottom-k hash sketches, scored
+    * against the exact counts in the same row. This is the set-algebra
+    * tier the sketch family lacked: HLL union (q52) and
+    * inclusion-exclusion intersection (q217) exist, but KMV sketches
+    * compose set ops directly — k smallest of (A ∪ B) = k smallest of
+    * (sk(A) ∪ sk(B)), and the intersection estimate is the matched
+    * fraction of the union sketch times its cardinality estimate
+    * (Beyer et al. 2007). Hashes truncate to 48 bits so every value is
+    * exact in the sketch's double buffer; the estimator divides the
+    * same two exact numbers on both engines; fraction math is integer
+    * micro division. Scale: each side is ONE ≤64-pair mergeable buffer
+    * through the exchange (the streaming-capable MinKSampleAgg), built
+    * over the distinct-hash frame — O(users) map-side, O(k) reduce. */
+  val kmvSetOps: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val KmvK = 64
+    val Kmv48 = 281474976710656L // 2^48: exact in a double
+    val e = Tables(s, dir, "events")
+    def sketch(t: String, out: String) = {
+      val h = e.filter($"event_type" === t)
+        .select((Hashing.hash60($"user_id".cast("string")) % Kmv48)
+          .as("h")).distinct()
+      val agg = ColumnBridge.column(graft.expressions.MinKSampleAgg(
+        ColumnBridge.expression($"h"),
+        ColumnBridge.expression($"h".cast("double")), KmvK)
+        .toAggregateExpression())
+      h.select(lit(1).as("g"), $"h").groupBy($"g").agg(agg.as(out))
+    }
+    val exact = e.filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"user_id").distinct()
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L))
+          .as("n_click_exact"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchase_exact"),
+        countDistinct($"user_id").as("union_exact"))
+      .select($"n_click_exact", $"n_purchase_exact", $"union_exact",
+        ($"n_click_exact" + $"n_purchase_exact" - $"union_exact")
+          .as("inter_exact"))
+    sketch("click", "ska").join(sketch("purchase", "skb"), Seq("g"))
+      .select(
+        slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, KmvK)
+          .as("uk"), $"ska", $"skb")
+      .select($"ska", $"skb", $"uk", size($"uk").as("usz"),
+        element_at($"uk", size($"uk")).as("kth"))
+      .select(
+        when($"usz" < KmvK, $"usz".cast("long"))
+          .otherwise(round(lit((KmvK - 1).toDouble) * lit(Kmv48.toDouble)
+            / $"kth").cast("long")).as("union_est"),
+        size(array_intersect(array_intersect($"ska", $"skb"), $"uk"))
+          .cast("long").as("matched"),
+        $"usz".cast("long").as("usz"))
+      .select($"union_est",
+        expr("matched * 1000000 div usz").as("jaccard_micro"),
+        expr("matched * union_est div usz").as("inter_est"))
+      .crossJoin(broadcast(exact))
+  }
+
+  private val sqlKmvSetOps: String = {
+    val h = Hashing.sqlHash60("CAST(user_id AS VARCHAR)")
+    s"""WITH ah AS (SELECT DISTINCT ($h % 281474976710656) AS h
+       |  FROM events WHERE event_type = 'click'),
+       |bh AS (SELECT DISTINCT ($h % 281474976710656) AS h
+       |  FROM events WHERE event_type = 'purchase'),
+       |ska AS (SELECT list_sort(list(h))[1:64] AS a FROM ah),
+       |skb AS (SELECT list_sort(list(h))[1:64] AS b FROM bh),
+       |u AS (SELECT a, b,
+       |    list_sort(list_distinct(list_concat(a, b)))[1:64] AS uk
+       |  FROM ska CROSS JOIN skb),
+       |est AS (SELECT
+       |    CASE WHEN len(uk) < 64 THEN len(uk)::BIGINT
+       |      ELSE CAST(round(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+       |        / CAST(uk[len(uk)] AS DOUBLE))
+       |        AS BIGINT) END AS union_est,
+       |    len(list_intersect(list_intersect(a, b), uk))::BIGINT
+       |      AS matched,
+       |    len(uk)::BIGINT AS usz
+       |  FROM u),
+       |exact AS (SELECT
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_click_exact,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      ::BIGINT AS n_purchase_exact,
+       |    count(DISTINCT user_id)::BIGINT AS union_exact
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events
+       |        WHERE event_type IN ('click', 'purchase')))
+       |SELECT union_est, matched * 1000000 // usz AS jaccard_micro,
+       |  matched * union_est // usz AS inter_est,
+       |  n_click_exact, n_purchase_exact, union_exact,
+       |  n_click_exact + n_purchase_exact - union_exact AS inter_exact
+       |FROM est CROSS JOIN exact""".stripMargin
+  }
+
   /** q450 — skew-safe JOIN through the salting path, oracle-gated (the
     * join-side counterpart of q83's salted aggregation; until now
     * saltedEquiJoin was only row-count spec-asserted): events keyed on
@@ -1530,6 +1626,7 @@ object Scale {
     "q50_asof_join" -> asofJoin,
     "q445_asof_nearest" -> asofNearest,
     "q450_salted_join" -> saltedJoin,
+    "q453_kmv_set_ops" -> kmvSetOps,
     "q81_asof_tolerance" -> asofTolerance,
     "q82_asof_forward" -> asofForward,
     "q92_asof_sql" -> asofSql,
@@ -2054,6 +2151,7 @@ object Scale {
     "q50_asof_join" -> sqlAsof,
     "q445_asof_nearest" -> sqlAsofNearest,
     "q450_salted_join" -> sqlSaltedJoin,
+    "q453_kmv_set_ops" -> sqlKmvSetOps,
     "q81_asof_tolerance" -> sqlAsofTolerance,
     "q82_asof_forward" -> sqlAsofForward,
     "q92_asof_sql" -> sqlAsof,
