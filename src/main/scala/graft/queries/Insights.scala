@@ -2223,7 +2223,96 @@ object Insights {
        |SELECT n_x, n_y, ($mmd)::BIGINT AS mmd2_micro2 FROM agg""".stripMargin
   }
 
+  // ------------------------------------ q455 rank-biased overlap
+
+  /** Tail weights for truncated RBO (Webber et al. 2010) at p = 0.9,
+    * k = 10, micro-quantized: a nation whose WORST rank across the two
+    * lists is g contributes Σ_{d=g..10} (1-p)·p^(d-1)/d — precomputed
+    * here so the distributed sum is exact long addition (the per-value
+    * quantization discipline; float summation order can never move the
+    * score). */
+  private val RboP = 0.9
+  private val RboK = 10
+  private def rboTailMicro(g: Int): Long = {
+    val v = (g to RboK).map(d =>
+      (1 - RboP) * math.pow(RboP, d - 1) / d).sum
+    math.round(v * 1000000.0)
+  }
+
+  /** q455 — rank-biased overlap between the 1996 and 1997 nation
+    * revenue top-10 lists: the top-weighted list-comparison metric
+    * (RBO) that Kendall/Jaccard miss — agreement at rank 1 matters
+    * more than at rank 10, and the lists need not share members. The
+    * identity that makes it scale: truncated RBO = Σ over common
+    * members of tail(worst-rank), so after the two rank frames
+    * (grouped aggregates + a ≤10 rank cut each) the metric is ONE
+    * equi-join on the member key and an exact long sum of literal
+    * tail weights — no per-depth pass, no order-sensitive float
+    * accumulation. The YoY rank-stability audit a revenue dashboard
+    * runs. */
+  val rboToplists: Q = (s, dir) => {
+    import s.implicits._
+    def yearRank(y: Int): DataFrame = {
+      val rev = Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit(s"$y-01-01") &&
+          $"l_shipdate" < lit(s"${y + 1}-01-01"))
+        .select($"l_orderkey",
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long").as("cents"))
+        .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables(s, dir, "nation")
+          .select($"n_nationkey", $"n_name")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(sum($"cents").as("rev"))
+      rev.withColumn("rnk", row_number().over(
+          Window.orderBy($"rev".desc, $"n_name".asc)))
+        .filter($"rnk" <= RboK)
+        .select($"n_name", $"rnk")
+      // the unpartitioned window is safe: the frame is O(nations)=25
+      // rows post-aggregate (documented small-frame whitelist class)
+    }
+    val coefMap = map((1 to RboK).flatMap(g =>
+      Seq(lit(g), lit(rboTailMicro(g)))): _*)
+    val a = yearRank(1996).withColumnRenamed("rnk", "rnk_a")
+    val b = yearRank(1997).withColumnRenamed("rnk", "rnk_b")
+    a.join(b, Seq("n_name"))
+      .select(element_at(coefMap,
+        greatest($"rnk_a", $"rnk_b").cast("int")).as("w"))
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum($"w"), lit(0L)).as("rbo_micro"))
+  }
+
+  private lazy val sqlRboToplists: String = {
+    def yearRank(y: Int): String =
+      s"""SELECT n_name, row_number() OVER
+         |    (ORDER BY rev DESC, n_name ASC) AS rnk
+         |  FROM (SELECT n_name,
+         |      sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+         |        AS BIGINT))::BIGINT AS rev
+         |    FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation ON c_nationkey = n_nationkey
+         |    WHERE l_shipdate >= TIMESTAMP '$y-01-01'
+         |      AND l_shipdate < TIMESTAMP '${y + 1}-01-01'
+         |    GROUP BY n_name)
+         |  QUALIFY rnk <= $RboK""".stripMargin
+    val cases = (1 to RboK).map(g =>
+      s"WHEN ${g} THEN ${rboTailMicro(g)}").mkString(" ")
+    s"""WITH a AS (${yearRank(1996)}),
+       |b AS (${yearRank(1997)})
+       |SELECT count(*)::BIGINT AS n_common,
+       |  coalesce(sum(CASE greatest(a.rnk, b.rnk) $cases END), 0)::BIGINT
+       |    AS rbo_micro
+       |FROM a JOIN b ON a.n_name = b.n_name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q455_rbo_toplists" -> rboToplists,
     "q442_rff_mmd" -> rffMmd,
     "q440_weighted_median" -> weightedMedian,
     "q242_dsir_weights" -> dsirWeights,
@@ -3339,6 +3428,7 @@ object Insights {
 
   val oracles: Map[String, String] = Map(
     "q442_rff_mmd" -> sqlRffMmd,
+    "q455_rbo_toplists" -> sqlRboToplists,
     "q440_weighted_median" -> sqlWeightedMedian,
     "q242_dsir_weights" -> sqlDsir,
     "q243_chunk_dedup" -> sqlChunkDedup,

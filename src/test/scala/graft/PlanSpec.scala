@@ -262,7 +262,10 @@ class PlanSpec extends SparkSpec {
       // q297: rank windows on the 20-row top-k frames
       "q297_toplist_stability",
       // q294: neighbor lag over the sorted vocabulary (q160 family)
-      "q294_front_coding")
+      "q294_front_coding",
+      // q455: rank over the post-aggregate per-nation revenue frame —
+      // O(nations) = 25 rows by construction (q297 top-k precedent)
+      "q455_rbo_toplists")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
