@@ -163,6 +163,42 @@ class ScaleSpec extends SparkSpec {
       "forward matches must be at-or-after the probe")
   }
 
+  test("nearest as-of equals a plain-Scala brute-force replay " +
+    "(tie rules included)") {
+    // q445's two-native-pass composition vs an independent third
+    // formulation: for every purchase, scan ALL the user's clicks and
+    // pick by (|gap| asc, before-preferred, event_id desc) — the
+    // documented tie policy. The oracle already gates the SQL
+    // formulation; this pins the Scala-side semantics against a
+    // non-Spark implementation (the q425/q426 replay discipline).
+    val ev = graft.Tables(spark, sfDir, "events")
+      .select($"event_type", $"user_id", $"event_id",
+        unix_micros($"ts").as("tus"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clicksBy = ev.filter(_._1 == "click").groupBy(_._2)
+    val expected = ev.filter(_._1 == "purchase").map {
+      case (_, user, pid, pt) =>
+        val best = clicksBy.getOrElse(user, Array.empty).minByOption {
+          case (_, _, cid, ct) =>
+            (math.abs(ct - pt), if (ct <= pt) 0 else 1, -cid)
+        }
+        pid -> best.map { case (_, _, cid, ct) =>
+          (cid, math.abs(ct - pt), if (ct <= pt) "before" else "after")
+        }
+    }.toMap
+    val got = Scale.asofNearest(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(r.fieldIndex("nearest_click_id"))) None
+         else Some((r.getAs[Long]("nearest_click_id"),
+           r.getAs[Long]("gap_us"), r.getAs[String]("side"))))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    val diffs = got.collect {
+      case (pid, v) if v != expected(pid) => (pid, v, expected(pid)) }
+    assert(diffs.isEmpty, s"mismatches: ${diffs.take(3).toSeq}")
+  }
+
   // -------------------------------------------------------- range join
 
   test("band join equals the nested-loop formulation, boundaries inclusive") {
