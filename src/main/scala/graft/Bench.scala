@@ -50,7 +50,25 @@ object Bench {
     // So afterwards, any query whose min is >3× the suite median gets
     // ONE retry — by then the sweep has moved minutes past the burst.
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // continuous ScaleGuard sweep (VERDICT r6 item 8): every benched
+    // query passes its own cliff gate on every bench run, not only in
+    // PlanSpec — findings on the analyzed plan, minus the per-query
+    // allowances PlanContracts documents. Counted into the JSON line so
+    // a regression is visible in the committed artifact, not just logs.
+    val guardHits = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     for ((name, fn) <- selected) {
+      try {
+        val hits = graft.plans.ScaleGuard
+          .findings(fn(spark, sfDir).queryExecution.analyzed)
+          .filterNot(graft.plans.PlanContracts.allowances
+            .getOrElse(name, Set.empty))
+        if (hits.nonEmpty) {
+          guardHits(name) = hits
+          System.err.println(
+            s"SCALEGUARD $name: ${hits.mkString(", ")}")
+        }
+      } catch { case _: Throwable => () } // execution-time failures are
+                                          // recorded by timeOnce below
       for (_ <- 1 to runs)
         times(name) =
           math.min(timeOnce(name, fn), times.getOrElse(name, Double.MaxValue))
@@ -84,8 +102,10 @@ object Bench {
     val errs = failed.map { case (k, m) =>
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val guards = guardHits.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.mkString(",") + "\"" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"scaleguard":$guards,"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     // only a full (unfiltered) sweep may overwrite the committed map —
     // a SPARK_GRAFT_ONLY dev run would otherwise clobber it with a subset
     if (only.isEmpty)
@@ -115,7 +135,7 @@ object Bench {
     val head = if (isHeadline) head0 else results.take(34)
     val qs = head.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

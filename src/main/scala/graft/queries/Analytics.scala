@@ -749,15 +749,29 @@ object Analytics {
       sum(dec($"n2" * ($"v" * $"e1" - $"s1"))).as("l21"),
       sum(dec($"n1" * ($"v" * $"e1" - $"s1"))).as("l11"),
       sum(dec($"n2" * ($"v" * $"e2" - $"s2"))).as("l22"))
+    // r7 integral finish: E·10⁶ is round(10⁶·N/D) of the EXACT rational
+    // N = 2a·m1·m2 − b·m2² − c·m1², D = m1²·m2² — quotient + half-up
+    // remainder correction, all in decimal(38,0) / integral `div`, so
+    // NO double enters the plan and the value is bit-stable under any
+    // partitioning (energy distance ≥ 0 ⇒ N ≥ 0, so unsigned half-up
+    // is exact). The exact numerators ship as STRINGS: a decimal128
+    // output column is the one type the round-6 gate hashed
+    // differently across engines even at equal values.
     one.select($"m1", $"m2",
         dec($"l12" + $"l21").as("a_num"),
         dec(lit(2L) * $"l11").as("b_num"),
         dec(lit(2L) * $"l22").as("c_num"))
       .select($"m1", $"m2", $"a_num", $"b_num", $"c_num",
-        expr("CAST(round(1000000.0 * (" +
-          "2.0 * CAST(a_num AS DOUBLE) / (CAST(m1 AS DOUBLE) * m2) -" +
-          " CAST(b_num AS DOUBLE) / (CAST(m1 AS DOUBLE) * m1) -" +
-          " CAST(c_num AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2)))" +
+        expr("CAST(2 * a_num * m1 * m2 - b_num * m2 * m2 -" +
+          " c_num * m1 * m1 AS DECIMAL(38,0))").as("nprime"),
+        expr("CAST(CAST(m1 AS DECIMAL(38,0)) * m1 * m2 * m2" +
+          " AS DECIMAL(38,0))").as("den"))
+      .select($"m1", $"m2",
+        $"a_num".cast("string").as("a_num"),
+        $"b_num".cast("string").as("b_num"),
+        $"c_num".cast("string").as("c_num"),
+        expr("CAST(1000000 * (nprime div den) +" +
+          " (2000000 * (nprime % den) + den) div (2 * den)" +
           " AS BIGINT)").as("energy_micro_cents"))
   }
 
@@ -1959,20 +1973,31 @@ object Analytics {
         " CAST(st AS DOUBLE) / nn) * (CAST(sv AS DOUBLE) / n -" +
         " CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0))").as("t"))
       .agg(sum($"t").as("ssc"))
+    // r7 integral finish: each F·10³ is round(N/D) of the exact
+    // rational N = 1000·SS_effect·(nn−nc), D = df_effect·ssw — sign-
+    // safe half-away-from-zero via integral `div` on decimal(38,0)
+    // operands (SSAB can be negative under the weighted decomposition),
+    // so no double enters the final tree. SS values ship as STRINGS
+    // (decimal128 output columns hash engine-differently in the gate).
+    def fMilli(num: String, den: String): Column = expr(
+      s"CAST(CASE WHEN ($num) < 0" +
+        s" THEN -((-2 * ($num) + ($den)) div (2 * ($den)))" +
+        s" ELSE (2 * ($num) + ($den)) div (2 * ($den)) END AS BIGINT)")
     tot.crossJoin(broadcast(ssa)).crossJoin(broadcast(ssb))
       .crossJoin(broadcast(ssc))
-      .select($"nn", $"ka", $"kb",
+      .select($"nn", $"nc", $"ka", $"kb",
         dec($"ssa").as("ssa"), dec($"ssb").as("ssb"),
-        dec($"ssc" - $"ssa" - $"ssb").as("ssab"), dec($"ssw").as("ssw"),
-        expr("CAST(round(1000.0 * (CAST(ssa AS DOUBLE) / (ka - 1)) /" +
-          " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
+        dec($"ssc" - $"ssa" - $"ssb").as("ssab"), dec($"ssw").as("ssw"))
+      .select($"nn", $"ka", $"kb",
+        $"ssa".cast("string").as("ssa"),
+        $"ssb".cast("string").as("ssb"),
+        $"ssab".cast("string").as("ssab"),
+        $"ssw".cast("string").as("ssw"),
+        fMilli("1000 * ssa * (nn - nc)", "(ka - 1) * ssw")
           .as("f_a_milli"),
-        expr("CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (kb - 1)) /" +
-          " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
+        fMilli("1000 * ssb * (nn - nc)", "(kb - 1) * ssw")
           .as("f_b_milli"),
-        expr("CAST(round(1000.0 * ((CAST(ssc AS DOUBLE) - ssa - ssb)" +
-          " / ((ka - 1) * (kb - 1))) /" +
-          " (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)")
+        fMilli("1000 * ssab * (nn - nc)", "(ka - 1) * (kb - 1) * ssw")
           .as("f_ab_milli"))
   }
 
@@ -2517,21 +2542,25 @@ object Analytics {
         |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s2
         |  FROM g2),
         |one AS (SELECT sum(n1)::BIGINT AS m1, sum(n2)::BIGINT AS m2,
-        |    sum(n1 * (v * e2 - s2))::BIGINT AS l12,
-        |    sum(n2 * (v * e1 - s1))::BIGINT AS l21,
-        |    sum(n1 * (v * e1 - s1))::BIGINT AS l11,
-        |    sum(n2 * (v * e2 - s2))::BIGINT AS l22
-        |  FROM cum)
-        |SELECT m1, m2, (l12 + l21)::DECIMAL(38,0) AS a_num,
-        |  (2 * l11)::DECIMAL(38,0) AS b_num,
-        |  (2 * l22)::DECIMAL(38,0) AS c_num,
-        |  CAST(round(1000000.0 * (
-        |    2.0 * CAST(l12 + l21 AS DOUBLE) /
-        |    (CAST(m1 AS DOUBLE) * m2) -
-        |    CAST(2 * l11 AS DOUBLE) / (CAST(m1 AS DOUBLE) * m1) -
-        |    CAST(2 * l22 AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2)))
+        |    sum(n1 * (v * e2 - s2))::HUGEINT AS l12,
+        |    sum(n2 * (v * e1 - s1))::HUGEINT AS l21,
+        |    sum(n1 * (v * e1 - s1))::HUGEINT AS l11,
+        |    sum(n2 * (v * e2 - s2))::HUGEINT AS l22
+        |  FROM cum),
+        |fin AS (SELECT m1, m2, (l12 + l21)::HUGEINT AS a_num,
+        |    (2 * l11)::HUGEINT AS b_num, (2 * l22)::HUGEINT AS c_num
+        |  FROM one),
+        |fin2 AS (SELECT m1, m2, a_num, b_num, c_num,
+        |    (2 * a_num * m1 * m2 - b_num * m2 * m2 -
+        |     c_num * m1 * m1) AS nprime,
+        |    (m1::HUGEINT * m1 * m2 * m2) AS den
+        |  FROM fin)
+        |SELECT m1, m2, a_num::VARCHAR AS a_num,
+        |  b_num::VARCHAR AS b_num, c_num::VARCHAR AS c_num,
+        |  CAST(1000000 * (nprime // den) +
+        |    (2000000 * (nprime % den) + den) // (2 * den)
         |    AS BIGINT) AS energy_micro_cents
-        |FROM one""".stripMargin,
+        |FROM fin2""".stripMargin,
     "q317_link_prediction" ->
       """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
@@ -3374,20 +3403,32 @@ object Analytics {
         |  FROM (SELECT CAST(round(n * (CAST(sv AS DOUBLE) / n -
         |      CAST(st AS DOUBLE) / nn) * (CAST(sv AS DOUBLE) / n -
         |      CAST(st AS DOUBLE) / nn)) AS DECIMAL(38,0)) AS t
-        |    FROM cells CROSS JOIN tot))
-        |SELECT nn, ka, kb, ssa, ssb,
-        |  (ssc - ssa - ssb)::DECIMAL(38,0) AS ssab, ssw,
-        |  CAST(round(1000.0 * (CAST(ssa AS DOUBLE) / (ka - 1)) /
-        |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
-        |    AS f_a_milli,
-        |  CAST(round(1000.0 * (CAST(ssb AS DOUBLE) / (kb - 1)) /
-        |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
-        |    AS f_b_milli,
-        |  CAST(round(1000.0 * ((CAST(ssc AS DOUBLE) - ssa - ssb) /
-        |    ((ka - 1) * (kb - 1))) /
-        |    (CAST(ssw AS DOUBLE) / (nn - nc))) AS BIGINT)
+        |    FROM cells CROSS JOIN tot)),
+        |fin AS (SELECT nn, nc, ka, kb, ssa::HUGEINT AS ssa,
+        |    ssb::HUGEINT AS ssb,
+        |    (ssc - ssa - ssb)::HUGEINT AS ssab, ssw::HUGEINT AS ssw
+        |  FROM tot CROSS JOIN ssa CROSS JOIN ssb CROSS JOIN ssc)
+        |SELECT nn, ka, kb, ssa::VARCHAR AS ssa, ssb::VARCHAR AS ssb,
+        |  ssab::VARCHAR AS ssab, ssw::VARCHAR AS ssw,
+        |  CAST(CASE WHEN 1000 * ssa * (nn - nc) < 0
+        |    THEN -((-2 * (1000 * ssa * (nn - nc)) + (ka - 1) * ssw) //
+        |      (2 * (ka - 1) * ssw))
+        |    ELSE (2 * (1000 * ssa * (nn - nc)) + (ka - 1) * ssw) //
+        |      (2 * (ka - 1) * ssw) END AS BIGINT) AS f_a_milli,
+        |  CAST(CASE WHEN 1000 * ssb * (nn - nc) < 0
+        |    THEN -((-2 * (1000 * ssb * (nn - nc)) + (kb - 1) * ssw) //
+        |      (2 * (kb - 1) * ssw))
+        |    ELSE (2 * (1000 * ssb * (nn - nc)) + (kb - 1) * ssw) //
+        |      (2 * (kb - 1) * ssw) END AS BIGINT) AS f_b_milli,
+        |  CAST(CASE WHEN 1000 * ssab * (nn - nc) < 0
+        |    THEN -((-2 * (1000 * ssab * (nn - nc)) +
+        |      (ka - 1) * (kb - 1) * ssw) //
+        |      (2 * (ka - 1) * (kb - 1) * ssw))
+        |    ELSE (2 * (1000 * ssab * (nn - nc)) +
+        |      (ka - 1) * (kb - 1) * ssw) //
+        |      (2 * (ka - 1) * (kb - 1) * ssw) END AS BIGINT)
         |    AS f_ab_milli
-        |FROM tot CROSS JOIN ssa CROSS JOIN ssb CROSS JOIN ssc""".stripMargin,
+        |FROM fin""".stripMargin,
     "q345_jonckheere_terpstra" ->
       """WITH base AS (SELECT
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,

@@ -135,7 +135,13 @@ object Scale {
         ColumnBridge.expression($"h"),
         ColumnBridge.expression($"h".cast("double")), KmvK)
         .toAggregateExpression())
-      h.select(lit(1).as("g"), $"h").groupBy($"g").agg(agg.as(out))
+      // GLOBAL agg (one row even on an empty slice — DuckDB's ungrouped
+      // semantics; a groupBy on a synthetic key would return ZERO rows
+      // and silently empty the whole query), with empty → NULL so both
+      // engines null-propagate identically through the union sketch
+      h.agg(agg.as(out))
+        .select(when(size(col(out)) === 0, lit(null)).otherwise(col(out))
+          .as(out))
     }
     val exact = e.filter($"event_type".isin("click", "purchase"))
       .select($"event_type", $"user_id").distinct()
@@ -148,7 +154,7 @@ object Scale {
       .select($"n_click_exact", $"n_purchase_exact", $"union_exact",
         ($"n_click_exact" + $"n_purchase_exact" - $"union_exact")
           .as("inter_exact"))
-    sketch("click", "ska").join(sketch("purchase", "skb"), Seq("g"))
+    sketch("click", "ska").crossJoin(sketch("purchase", "skb"))
       .select(
         slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, KmvK)
           .as("uk"), $"ska", $"skb")
@@ -271,6 +277,11 @@ object Scale {
       .select($"event_id".as("purchase_id"),
         $"asof_event_id".as("f_id"), ($"asof_tus" - $"tus").as("f_gap"))
     val useB = $"f_id".isNull || ($"b_id".isNotNull && $"b_gap" <= $"f_gap")
+    // inner join is safe ONLY because backwardNative is left-outer over
+    // probes (every probe emitted, null payload when unmatched — pinned
+    // by PropertySpec's as-of replay and ScaleSpec's keyset assertion);
+    // if that contract ever weakened, this would DROP purchases with no
+    // backward click instead of null-padding them
     b.join(f, Seq("purchase_id"))
       .select($"purchase_id", $"user_id",
         when(useB, $"b_id").otherwise($"f_id").as("nearest_click_id"),

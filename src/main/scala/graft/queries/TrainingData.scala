@@ -2104,14 +2104,26 @@ object TrainingData {
       .withColumn("rn", row_number().over(wRank))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"rn" <= $"sz" - expr("(sz + 1) div 2") + 1)
-      .select($"doc_id", $"tok", $"sz")
+      .select($"doc_id", $"tok", $"sz", $"rn")
     // candidate pruning layer 2 — the AllPairs length filter: J ≥ θ
     // forces θ·|x| ≤ |y| ≤ |x|/θ (J ≤ min/max of the sizes), so
-    // size-incompatible collisions never become candidates
+    // size-incompatible collisions never become candidates.
+    // Layer 3 — the PPJoin+ positional filter (Xiao et al. 2011): a
+    // token shared at rarity positions (i, j) bounds the overlap by
+    // (min(i,j) − 1) + 1 + min(sa−i, sb−j) — tokens before the match on
+    // each side can align only pairwise, tokens after likewise — and
+    // J ≥ 0.5 needs overlap ≥ ⌈(sa+sb)/3⌉. LOSSLESS: the bound holds
+    // for EVERY shared token of a qualifying pair, so dropping
+    // collisions whose bound can't reach the min-overlap never drops a
+    // pair that some other collision would keep.
     val cand = prefix.as("pa").join(prefix.as("pb"), Seq("tok"))
       .filter(col("pa.doc_id") < col("pb.doc_id") &&
         col("pb.sz") * 2 >= col("pa.sz") &&
-        col("pb.sz") <= col("pa.sz") * 2)
+        col("pb.sz") <= col("pa.sz") * 2 &&
+        least(col("pa.rn"), col("pb.rn")) +
+          least(col("pa.sz") - col("pa.rn"),
+            col("pb.sz") - col("pb.rn")) >=
+          expr("(pa.sz + pb.sz + 2) div 3"))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     val repPairs = cand
@@ -2194,7 +2206,132 @@ object TrainingData {
         ($"chapman_est" - $"n_union").as("est_missed"))
   }
 
+  // ------------------------------------ q456 sequence packing plan
+
+  /** q456 — GPT-style concat-and-chunk sequence packing plan: documents
+    * in deterministic doc_id order are concatenated into one token
+    * stream and cut into fixed ctx=128-token training sequences; each
+    * doc's row reports its stream offset, first/last sequence index,
+    * and boundary-crossing count (the packing waste metric teams tune
+    * ctx against). The whole plan is ONE exclusive prefix sum over the
+    * global doc order — [[graft.functions.ScaleWindows.rangeCumSum]]'s
+    * range exchange, never a single-task global window — plus per-row
+    * integer division, so it holds at any corpus size. Zero-token docs
+    * (no [a-z] text) occupy no stream positions: they land AT their
+    * offset with last_seq = first_seq and 0 crossings. */
+  val packSequences: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.ScaleWindows
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    ScaleWindows.rangeCumSum(docs, Seq($"doc_id"), $"n_tokens",
+        "start_tok")
+      .select($"doc_id", $"n_tokens", $"start_tok",
+        expr("start_tok div 128").as("first_seq"),
+        expr("(start_tok + greatest(n_tokens, 1) - 1) div 128")
+          .as("last_seq"))
+      .withColumn("n_crossings", $"last_seq" - $"first_seq")
+  }
+
+  private val sqlPackSequences =
+    s"""WITH d AS (SELECT doc_id,
+       |    len(${sqlTokens("text")})::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS start_tok
+       |  FROM d)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  start_tok // 128 AS first_seq,
+       |  (start_tok + greatest(n_tokens, 1) - 1) // 128 AS last_seq,
+       |  (start_tok + greatest(n_tokens, 1) - 1) // 128 -
+       |    start_tok // 128 AS n_crossings
+       |FROM c""".stripMargin
+
+  // -------------------------------- q457 duplicated-span detection
+
+  /** q457 — cross-corpus repeated-substring detection at k-token-gram
+    * granularity (the ExactSubstr pass of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): every 8-token window whose gram
+    * occurs ≥2 times ANYWHERE in the corpus (other docs or the same
+    * doc) marks its span duplicated; per doc the spans union into
+    * covered-token counts and a dup fraction — the signal used to cut
+    * memorization-prone spans from pretraining data. Shapes: windows
+    * key on [[Hashing.hash60]] of the gram so the corpus-wide
+    * frequency shuffle moves 8-byte keys, not strings (collision
+    * 2⁻⁶⁰; the oracle mirrors the same hash so the gate stays exact);
+    * the interval union is a doc-partitioned window (bounded by doc
+    * length), never global. Runs on the twin corpus: every twin pair
+    * is wall-to-wall duplicated spans by construction, plus whatever
+    * natural template repetition the synthetic corpus carries. */
+  val dupNgramSpans: Q = (s, dir) => {
+    import s.implicits._
+    val K = 8
+    val toks = corpus(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("ws"))
+    val base = toks
+      .select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+    val wins = toks
+      .select($"doc_id",
+        posexplode(TextOps.slidingNgrams($"ws", K)).as(Seq("p", "gram")))
+      .select($"doc_id", $"p".cast("long").as("p"),
+        Hashing.hash60($"gram").as("g"))
+    val dupG = wins.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"g")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = wins.join(dupG, Seq("g"))
+      .select($"doc_id", $"p", ($"p" + K).as("e"))
+      .withColumn("cme", max($"e").over(w))
+      .select($"doc_id",
+        greatest(lit(0L), $"e" - greatest($"p", coalesce($"cme", $"p")))
+          .as("add"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum($"add").as("covered_tokens"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac_micro",
+        expr("(1000000 * covered_tokens) div greatest(n_tokens, 1)"))
+  }
+
+  private val sqlDupNgramSpans =
+    s"""WITH c AS $sqlCorpus,
+       |toks AS (SELECT doc_id, ${sqlTokens("text")} AS ws FROM c),
+       |base AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM toks),
+       |wins AS (SELECT doc_id, i::BIGINT - 1 AS p,
+       |    ${sqlHash60("array_to_string(ws[i:i+7], ' ')")} AS g
+       |  FROM (SELECT doc_id, ws,
+       |      unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+       |    FROM toks)),
+       |dupg AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2),
+       |covered AS (SELECT doc_id,
+       |    count(*)::BIGINT AS n_dup_windows,
+       |    sum(a)::BIGINT AS covered_tokens
+       |  FROM (SELECT doc_id,
+       |      greatest(0, e - greatest(p, coalesce(cme, p))) AS a
+       |    FROM (SELECT w.doc_id, w.p, w.p + 8 AS e,
+       |        max(w.p + 8) OVER (PARTITION BY w.doc_id ORDER BY w.p
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |          AS cme
+       |      FROM wins w JOIN dupg ON w.g = dupg.g))
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |  coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       |  coalesce(covered_tokens, 0)::BIGINT AS covered_tokens,
+       |  (1000000 * coalesce(covered_tokens, 0)) //
+       |    greatest(b.n_tokens, 1) AS dup_frac_micro
+       |FROM base b LEFT JOIN covered ON b.doc_id = covered.doc_id"""
+      .stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q456_pack_sequences" -> packSequences,
+    "q457_dup_ngram_spans" -> dupNgramSpans,
     "q336_capture_recapture" -> capRecapDedup,
     "q22_dedup_exact" -> dedupExact,
     "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -2277,6 +2414,8 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "q456_pack_sequences" -> sqlPackSequences,
+    "q457_dup_ngram_spans" -> sqlDupNgramSpans,
     "q22_dedup_exact" ->
       s"""SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
          | count(*) AS n_copies

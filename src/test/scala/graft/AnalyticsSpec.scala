@@ -139,8 +139,9 @@ class AnalyticsSpec extends SparkSpec {
 
   test("q316 energy distance: non-negative, symmetric parts positive") {
     val row = Analytics.energyDistance(spark, sfDir).collect().head
-    // a_num is DECIMAL(38,0) since the 10x-overflow fix
-    assert(row.getAs[java.math.BigDecimal]("a_num").signum >= 0)
+    // a_num carries the exact decimal numerator as a STRING since r7
+    // (decimal128 output columns hash engine-differently in the gate)
+    assert(BigDecimal(row.getAs[String]("a_num")).signum >= 0)
     assert(row.getAs[Long]("energy_micro_cents") >= 0,
       "energy distance is a metric — must be >= 0")
   }

@@ -243,29 +243,11 @@ class PlanSpec extends SparkSpec {
     // Zipf-collapsed vocabulary, q207/q216 on retrieval top-k lists.
     // A NEW query showing up in this set is a scale regression: fix it
     // (rangeCumSum/rangeNtile/rangeCumMax) or justify it here.
-    val whitelist = Set(
-      "q26_ann_cosine_topk", "q27_ann_lsh_topk", "q42_ann_ivf_topk",
-      "q74_ann_ivf_trained", "q129_ann_multiprobe",
-      "q57_moving_avg", "q116_zscore_anomaly", "q146_ts_similarity",
-      "q175_interpolate_gaps", "q149_score_calibration",
-      "q160_zipf_exponent", "q207_rrf_fusion", "q216_ndcg_eval",
-      // q262/q265: the BH staircase and the greedy budget prefix-sum
-      // rank the per-SOURCE frame — bounded by source count, not
-      // corpus size
-      "q262_fdr_screen", "q265_token_budget",
-      // q276: rank over the Zipf-collapsed vocabulary (q160 precedent)
-      "q276_vocab_coverage",
-      // q284/q286/q288/q295: lag/ntile/cummax/MA windows on the
-      // per-day or per-week aggregate series (q57 family)
-      "q284_forecast_mase", "q286_sax_motifs", "q288_record_days",
-      "q295_seasonal_strength", "q298_runs_test",
-      // q297: rank windows on the 20-row top-k frames
-      "q297_toplist_stability",
-      // q294: neighbor lag over the sorted vocabulary (q160 family)
-      "q294_front_coding",
-      // q455: rank over the post-aggregate per-nation revenue frame —
-      // O(nations) = 25 rows by construction (q297 top-k precedent)
-      "q455_rbo_toplists")
+    // single source of truth shared with the bench harness's continuous
+    // ScaleGuard sweep (graft.plans.PlanContracts documents each grant)
+    val whitelist = graft.plans.PlanContracts.allowances.collect {
+      case (name, classes) if classes("globalWindow") => name
+    }.toSet
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
@@ -288,8 +270,11 @@ class PlanSpec extends SparkSpec {
     // literal-bounded filter / small grid / checkpointed trunk) —
     // classification shared with the committed PLAN_AUDIT.md table.
     // Cartesian whitelist: q177's Theil-Sen pair expansion runs on the
-    // per-day aggregate (O(days)^2, calendar-bounded).
-    val cartesianOk = Set("q177_theil_sen")
+    // per-day aggregate (O(days)^2, calendar-bounded). Shared with the
+    // bench harness's ScaleGuard sweep via PlanContracts.
+    val cartesianOk = graft.plans.PlanContracts.allowances.collect {
+      case (name, classes) if classes("crossJoin") => name
+    }.toSet
     // AQE wraps the plan in AdaptiveSparkPlanExec, hiding join nodes
     // until execution — plan statically for the sweep
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -488,4 +488,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(row.getLong(4) === 1000000L * dcg / idcg)
     assert(row.getLong(4) > 0L && row.getLong(4) <= 1000000L)
   }
+
+  test("q456 packing plan tiles the token stream exactly: offsets " +
+    "chain, sequence spans consistent") {
+    import graft.queries.TrainingData
+    val rows = TrainingData.packSequences(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"start_tok", $"first_seq",
+        $"last_seq", $"n_crossings")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the stream is a perfect tiling: each doc starts where the
+    // previous one ended, beginning at offset 0
+    rows.foldLeft(0L) { case (expectedStart, r) =>
+      assert(r._3 == expectedStart,
+        s"doc ${r._1} starts at ${r._3}, expected $expectedStart")
+      expectedStart + r._2
+    }
+    rows.foreach { r =>
+      assert(r._4 == r._3 / 128 &&
+        r._5 == (r._3 + math.max(r._2, 1) - 1) / 128 &&
+        r._6 == r._5 - r._4 && r._6 >= 0, s"span drift on $r")
+    }
+    // ctx=128 with ~50-token docs: some doc must cross a boundary
+    assert(rows.exists(_._6 > 0), "no boundary crossing — ctx too big?")
+  }
+
+  test("q457 duplicated spans: twinned originals are fully covered, " +
+    "coverage bounded by doc length") {
+    import graft.queries.TrainingData
+    val rows = TrainingData.dupNgramSpans(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"n_dup_windows",
+        $"covered_tokens", $"dup_frac_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._4 <= r._2, s"covered > n_tokens on $r")
+      assert(r._3 <= math.max(r._2 - 7, 0), s"too many windows on $r")
+      assert(r._5 >= 0 && r._5 <= 1000000L, s"frac out of range on $r")
+    }
+    // every original long enough to have windows is a full duplicate of
+    // its twin's prefix → every token covered
+    val originals = rows.filter(r => r._1 < 100000L && r._2 >= 8)
+    assert(originals.nonEmpty)
+    originals.foreach { r =>
+      assert(r._5 == 1000000L && r._4 == r._2,
+        s"twinned original not fully covered: $r")
+    }
+  }
 }
