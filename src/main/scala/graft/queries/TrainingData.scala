@@ -837,13 +837,35 @@ object TrainingData {
     * WindowGroupLimit path (≤k rows per vector kept before the
     * shuffle). Vectors in singleton buckets legitimately have no
     * neighbors — recall/coverage is the LSH dial (more probes = more
-    * planes unioned), same trade as q27. */
+    * planes unioned), same trade as q27.
+    *
+    * Plane depth FOLLOWS THE CORPUS ([[planesFor]]): with a fixed
+    * plane count, bucket occupancy grows linearly in N and the
+    * same-bucket self-join quadratically — the r7 100× probe measured
+    * e = 1.20 on the fixed-depth form. Depth ⌈log₂(N/16)⌉ (floored at
+    * the static 6) holds expected occupancy at ~16, making the build
+    * O(N·16) at any corpus size; past that, recall is bought with
+    * multi-probe (q129's dial), never bucket bloat. At the gate and
+    * bench SFs (N ≤ 1024 vectors) the formula resolves to exactly the
+    * static 6 planes, so the DuckDB oracle's 6-plane mirror pins the
+    * same semantics. The one driver-side count() is a metadata-only
+    * scalar (the BPE-argmax precedent). */
   private val KnnK = 3
+
+  /** Smallest p with 2^p ≥ ⌈n/target⌉, floored at the static
+    * [[NumPlanes]] — integer arithmetic so plane depth can never
+    * wobble on a float-log boundary. */
+  private[graft] def planesFor(n: Long, target: Long = 16L): Int = {
+    val q = math.max((n + target - 1) / target, 1L)
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.max(NumPlanes, needed.toInt)
+  }
+
   val knnGraph: Q = (s, dir) => {
     import s.implicits._
-    val wb = Tables(s, dir, "embeddings")
-      .withColumn("bucket",
-        Similarity.lshBucket($"embedding", NumPlanes, Dims))
+    val e = Tables(s, dir, "embeddings")
+    val wb = e.withColumn("bucket",
+      Similarity.lshBucket($"embedding", planesFor(e.count()), Dims))
     val pairs = wb.as("a").join(wb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -2096,8 +2118,21 @@ object TrainingData {
       .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
         collect_list($"doc_id").as("ids"), count(lit(1)).as("gn"))
       .localCheckpoint()
-    val shs = groups.select($"rep_id".as("doc_id"), $"sh_set")
-    val toks = shs.select($"doc_id", explode($"sh_set").as("tok"))
+    // verification payload: the shingle SET as a SORTED hash60 long
+    // array + its size. The candidate verify is the cost center here
+    // (the template-heavy corpus yields ~1.3M candidate pairs at
+    // sf0.1), and a two-pointer merge over pre-sorted primitives
+    // (native SortedIntersectCount, sorted ONCE per doc, not per pair)
+    // beats string-set array_intersect per pair — and ships 3× fewer
+    // shuffle bytes through both verify joins. The oracle mirrors the
+    // hash inside its intersect, so the gate stays exact even in the
+    // 2⁻⁶⁰ collision case (set sizes stay string-derived on both
+    // engines).
+    val shs = groups.select($"rep_id".as("doc_id"),
+      sort_array(transform($"sh_set", t => Hashing.hash60(t))).as("hs"),
+      size($"sh_set").cast("long").as("ssz"))
+    val toks = groups.select($"rep_id".as("doc_id"),
+      explode($"sh_set").as("tok"))
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
     val prefix = toks.join(freq, Seq("tok"))
@@ -2127,15 +2162,18 @@ object TrainingData {
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
     val repPairs = cand
-      .join(shs.select($"doc_id".as("doc_a"), $"sh_set".as("sa_set")),
-        Seq("doc_a"))
-      .join(shs.select($"doc_id".as("doc_b"), $"sh_set".as("sb_set")),
-        Seq("doc_b"))
+      .join(shs.select($"doc_id".as("doc_a"), $"hs".as("ha"),
+        $"ssz".as("sa")), Seq("doc_a"))
+      .join(shs.select($"doc_id".as("doc_b"), $"hs".as("hb"),
+        $"ssz".as("sb")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"sa_set", $"sb_set")).cast("long")
-          .as("inter"),
-        size($"sa_set").cast("long").as("sa"),
-        size($"sb_set").cast("long").as("sb"))
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.SortedIntersectCount(
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression($"ha"),
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression($"hb"))).cast("long").as("inter"),
+        $"sa", $"sb")
       .withColumn("jac_micro",
         expr("(1000000 * inter) div (sa + sb - inter)"))
       .filter($"jac_micro" >= 500000L)
@@ -2208,17 +2246,21 @@ object TrainingData {
 
   // ------------------------------------ q456 sequence packing plan
 
-  /** q456 — GPT-style concat-and-chunk sequence packing plan: documents
+  /** q456 — GLOBAL concat-and-chunk sequence packing plan: documents
     * in deterministic doc_id order are concatenated into one token
     * stream and cut into fixed ctx=128-token training sequences; each
     * doc's row reports its stream offset, first/last sequence index,
     * and boundary-crossing count (the packing waste metric teams tune
-    * ctx against). The whole plan is ONE exclusive prefix sum over the
-    * global doc order — [[graft.functions.ScaleWindows.rangeCumSum]]'s
-    * range exchange, never a single-task global window — plus per-row
-    * integer division, so it holds at any corpus size. Zero-token docs
-    * (no [a-z] text) occupy no stream positions: they land AT their
-    * offset with last_seq = first_seq and 0 crossings. */
+    * ctx against). Completes the packing family: q64 packs WITHIN each
+    * source via a source-partitioned window (its state is bounded by
+    * the stratum), q231 cuts token-balanced shards ABOVE both; the
+    * single global stream here is the shape that needs the scale
+    * machinery — ONE exclusive prefix sum over the corpus-total order
+    * via [[graft.functions.ScaleWindows.rangeCumSum]]'s range
+    * exchange, never a single-task global window, plus per-row integer
+    * division. Zero-token docs (no [a-z] text) occupy no stream
+    * positions: they land AT their offset with last_seq = first_seq
+    * and 0 crossings. */
   val packSequences: Q = (s, dir) => {
     import s.implicits._
     import graft.functions.ScaleWindows
@@ -2252,14 +2294,17 @@ object TrainingData {
 
   // -------------------------------- q457 duplicated-span detection
 
-  /** q457 — cross-corpus repeated-substring detection at k-token-gram
-    * granularity (the ExactSubstr pass of Lee et al. 2022,
-    * "Deduplicating Training Data Makes Language Models Better",
+  /** q457 — cross-corpus repeated-substring SPAN detection at
+    * k-token-gram granularity (the ExactSubstr pass of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
     * re-expressed relationally): every 8-token window whose gram
     * occurs ≥2 times ANYWHERE in the corpus (other docs or the same
     * doc) marks its span duplicated; per doc the spans union into
-    * covered-token counts and a dup fraction — the signal used to cut
-    * memorization-prone spans from pretraining data. Shapes: windows
+    * covered-TOKEN counts and a coverage fraction. q232 measures the
+    * duplicated-gram INSTANCE rate (how much boilerplate pressure);
+    * this adds the positional interval union — covered token mass is
+    * what a span-CUTTING pass actually removes, and overlapping
+    * windows must not double-count. Shapes: windows
     * key on [[Hashing.hash60]] of the gram so the corpus-wide
     * frequency shuffle moves 8-byte keys, not strings (collision
     * 2⁻⁶⁰; the oracle mirrors the same hash so the gate stays exact);
@@ -2488,10 +2533,13 @@ object TrainingData {
          |tk AS (SELECT doc_id,
          |    ${sqlShingles("text", ShingleN)} AS toks
          |  FROM corpus),
+         |hk AS (SELECT doc_id, toks,
+         |    list_transform(toks, t -> ${sqlHash60("t")}) AS hs
+         |  FROM tk),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+         |    len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
          |    len(a.toks)::BIGINT AS sa, len(b.toks)::BIGINT AS sb
-         |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id)
+         |  FROM hk a JOIN hk b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, inter, sa, sb,
          |  (1000000 * inter) // (sa + sb - inter) AS jac_micro
          |FROM p

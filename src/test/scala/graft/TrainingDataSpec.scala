@@ -489,6 +489,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(row.getLong(4) > 0L && row.getLong(4) <= 1000000L)
   }
 
+  test("q84 plane depth follows the corpus: static 6 at gate/bench " +
+    "sizes, log2(N/16) beyond — integer-exact at power boundaries") {
+    import graft.queries.TrainingData.planesFor
+    // gate (sf0.01: 100 vectors) and bench (sf0.1: 1000) resolve to
+    // the static depth — the 6-plane DuckDB oracle pins exact behavior
+    assert(planesFor(100) == 6 && planesFor(1000) == 6 &&
+      planesFor(1024) == 6)
+    // beyond: smallest p with 2^p >= ceil(n/16), no float-log wobble
+    assert(planesFor(1025) == 7)
+    assert(planesFor(16L << 12) == 12 && planesFor((16L << 12) + 1) == 13)
+    assert(planesFor(100000) == 13)
+    assert(planesFor(10000000) == 20)
+    // expected occupancy stays ~16: n / 2^planes <= 16 for n > 1024
+    for (n <- Seq(2000L, 50000L, 3000000L))
+      assert(n.toDouble / (1L << planesFor(n)) <= 16.0)
+  }
+
   test("q456 packing plan tiles the token stream exactly: offsets " +
     "chain, sequence spans consistent") {
     import graft.queries.TrainingData
