@@ -25,6 +25,11 @@ object PlanContracts {
     "q57_moving_avg", "q116_zscore_anomaly", "q146_ts_similarity",
     "q175_interpolate_gaps", "q149_score_calibration",
     "q160_zipf_exponent", "q207_rrf_fusion", "q216_ndcg_eval",
+    // q208: recall eval ranks the exact-top-k vs ANN-top-k frames —
+    // both ≤k rows by construction (q207/q216's retrieval-eval class).
+    // Flagged on the ANALYZED plan only; the optimizer collapses it,
+    // which is why PlanSpec's optimized-plan sweep never saw it.
+    "q208_ann_recall_eval",
     "q262_fdr_screen", "q265_token_budget",
     "q276_vocab_coverage",
     "q284_forecast_mase", "q286_sax_motifs", "q288_record_days",

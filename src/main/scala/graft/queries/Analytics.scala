@@ -1872,7 +1872,7 @@ object Analytics {
         expr("CAST(ssw AS DOUBLE) / (n - k)").as("msw"))
     val means = g.select($"grp", $"nj",
       expr("sj div nj").as("mean_cents"))
-    means.as("a").join(means.as("b"), $"a.grp" < $"b.grp")
+    means.as("a").join(broadcast(means.as("b")), $"a.grp" < $"b.grp")
       .crossJoin(broadcast(msw))
       .select($"a.grp".as("g1"), $"b.grp".as("g2"),
         ($"a.mean_cents" - $"b.mean_cents").as("diff_cents"),

@@ -196,7 +196,7 @@ object Insights {
       .groupBy(to_date($"o_orderdate").as("day"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"),
         count(lit(1)).as("cnt"))
-    val p = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+    val p = d.as("a").join(broadcast(d.as("b")), col("a.day") < col("b.day"))
       .select(
         when((col("a.rev") > col("b.rev") && col("a.cnt") > col("b.cnt"))
           || (col("a.rev") < col("b.rev") && col("a.cnt") < col("b.cnt")),

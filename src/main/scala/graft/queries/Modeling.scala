@@ -2424,7 +2424,7 @@ object Modeling {
       .groupBy($"h").agg(count(lit(1)).as("n"), sum($"err").as("e"))
     val days = hours.select((($"h" + 1L) % 24L === 0).as("boundary"),
       $"h").filter($"boundary").select($"h".as("hb"))
-    def windowAgg(w: Long, pfx: String) = days
+    def windowAgg(w: Long, pfx: String) = broadcast(days)
       .join(hours, $"h" > $"hb" - w && $"h" <= $"hb")
       .groupBy($"hb")
       .agg(sum($"n").as(s"n_$pfx"), sum($"e").as(s"e_$pfx"))
@@ -2809,7 +2809,7 @@ object Modeling {
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
       .localCheckpoint()
     val pairs = daily.select($"t".as("ti"), $"y".as("yi"))
-      .join(daily.select($"t".as("tj"), $"y".as("yj")),
+      .join(broadcast(daily.select($"t".as("tj"), $"y".as("yj"))),
         $"ti" < $"tj")
       .agg(sum(when($"yj" > $"yi", 1L).when($"yj" < $"yi", -1L)
         .otherwise(0L)).as("s_stat"))
@@ -2867,7 +2867,7 @@ object Modeling {
       .localCheckpoint()
     // Walsh averages (i <= j) in half-cent units to stay integral
     val walsh = daily.select($"t".as("ti"), $"y".as("yi"))
-      .join(daily.select($"t".as("tj"), $"y".as("yj")),
+      .join(broadcast(daily.select($"t".as("tj"), $"y".as("yj"))),
         $"ti" <= $"tj")
       .select(($"yi" + $"yj").as("w2"), $"ti", $"tj")
     val n = walsh.agg(count(lit(1)).as("nw"))

@@ -402,7 +402,8 @@ object Scale {
     val exact = e.groupBy($"user_id")
       .agg(countDistinct($"event_type").as("nt")).filter($"nt" === 2)
       .agg(count(lit(1)).as("exact_inter"))
-    a.crossJoin(b).crossJoin(u).crossJoin(exact)
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(u))
+      .crossJoin(broadcast(exact))
       .select($"est_a", $"est_b", $"est_union",
         round($"est_a" + $"est_b" - $"est_union", 4).as("inter_est"),
         $"exact_inter")
@@ -906,7 +907,7 @@ object Scale {
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"dim", $"sv"))),
         x => x.getField("sv")).as("cv"))
-    cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+    cent.as("a").join(broadcast(cent.as("b")), col("a.label") < col("b.label"))
       .select(col("a.label").as("label_a"),
         col("b.label").as("label_b"),
         round(graft.functions.Similarity.cosineFold(
@@ -940,7 +941,7 @@ object Scale {
     // the frame runs on the dense (day × bucket) spine
     val days = daily.select($"day").distinct()
     val buckets = daily.select($"b").distinct()
-    val spine = days.crossJoin(buckets)
+    val spine = days.crossJoin(broadcast(buckets))
     val dense = spine.join(daily, Seq("day", "b"), "left")
       .select($"day", $"b", coalesce($"r", lit(0)).as("r"))
     val merged = dense
@@ -1190,9 +1191,9 @@ object Scale {
       Sketches.hllEstimate(r, "side").select($"hll_est".as(name))
     val exact = a.join(b, Seq("k"), "left_semi")
       .agg(count(lit(1)).as("exact_overlap"))
-    est(ra, "est_a").crossJoin(est(rb, "est_b"))
-      .crossJoin(est(ru, "est_union"))
-      .crossJoin(exact)
+    est(ra, "est_a").crossJoin(broadcast(est(rb, "est_b")))
+      .crossJoin(broadcast(est(ru, "est_union")))
+      .crossJoin(broadcast(exact))
       .select($"est_a", $"est_b", $"est_union",
         round($"est_a" + $"est_b" - $"est_union", 4).as("est_overlap"),
         $"exact_overlap")
