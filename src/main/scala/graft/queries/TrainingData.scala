@@ -2374,9 +2374,122 @@ object TrainingData {
        |FROM base b LEFT JOIN covered ON b.doc_id = covered.doc_id"""
       .stripMargin
 
+  // ------------------------------------- q458 MMR diversified top-k
+
+  /** q458 — Maximal Marginal Relevance re-ranking (Carbonell &
+    * Goldstein 1998): the diversified-retrieval primitive RAG serving
+    * and training-data sampling run AFTER a similarity search — from
+    * the query's top-20 relevance pool, greedily pick k=10 where each
+    * pick maximizes λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7,
+    * kept integral as 7·rel_micro − 3·penalty_micro). The selection
+    * completes the retrieval family: q26/q42 rank by pure relevance,
+    * q207 fuses rankings, q222 mines negatives; MMR is the
+    * anti-redundancy step between them.
+    *
+    * Exactness: relevance and pairwise similarities quantize ONCE to
+    * micro longs (the q26 mirrored-cosine discipline), so the greedy
+    * argmax compares exact integers at every stage — ties break on
+    * vec_id, and the oracle unrolls the same 10 stages as generated
+    * CTEs in lockstep. Scale: only the pool scan touches the corpus
+    * (TakeOrderedAndProject, the q26 shape); every greedy stage is a
+    * broadcast join on the ≤20-row pool — O(k²·pool) total, corpus-
+    * independent after the scan. The inherently-sequential greedy is
+    * unrolled a fixed k times (the q247/q425 fixed-iteration rule). */
+  private val MmrPool = 20
+  private val MmrK = 10
+  val mmrRerank: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val pool = Similarity.bruteForceTopK(e, 0L, MmrPool)
+      .select($"vec_id", $"label",
+        round($"cos_sim" * 1000000.0).cast("long").as("rel_micro"))
+      .localCheckpoint()
+    val pe = pool.select($"vec_id").join(e, Seq("vec_id"))
+      .select($"vec_id", $"embedding")
+    val pairs = pe.as("x").join(broadcast(pe.as("y")),
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(Similarity.cosine(col("x.embedding"), col("y.embedding"))
+          * 1000000.0).cast("long").as("sim_micro"))
+      .localCheckpoint()
+    var selected = pool
+      .orderBy($"rel_micro".desc, $"vec_id".asc).limit(1)
+      .select($"vec_id", $"label", $"rel_micro",
+        lit(0L).as("penalty_micro"), lit(1).as("mmr_rank"))
+      .localCheckpoint()
+    for (i <- 2 to MmrK) {
+      val pen = pairs
+        .join(broadcast(selected.select($"vec_id".as("b"))), Seq("b"))
+        .groupBy($"a").agg(max($"sim_micro").as("pen"))
+        .select($"a".as("vec_id"), $"pen")
+      val next = pool
+        .join(broadcast(selected.select($"vec_id")), Seq("vec_id"),
+          "left_anti")
+        .join(broadcast(pen), Seq("vec_id"), "left")
+        .select($"vec_id", $"label", $"rel_micro",
+          coalesce($"pen", lit(0L)).as("penalty_micro"))
+        .orderBy((lit(7L) * $"rel_micro" - lit(3L) * $"penalty_micro")
+          .desc, $"vec_id".asc)
+        .limit(1)
+        .withColumn("mmr_rank", lit(i))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select($"vec_id", $"label", $"rel_micro", $"penalty_micro",
+      (lit(7L) * $"rel_micro" - lit(3L) * $"penalty_micro")
+        .as("mmr_score"), $"mmr_rank")
+  }
+
+  /** The q458 oracle: the same greedy unrolled as generated CTE
+    * stages — sel1 seeds with the relevance argmax, stage i computes
+    * each remaining candidate's max similarity into sel(i−1) and
+    * picks the integral-MMR argmax. Kept in lockstep with
+    * [[mmrRerank]] (same pool bound, λ split, tie order). */
+  // lazy: refers to sqlCos/sqlCosCols declared later in this object
+  private lazy val sqlMmrRerank: String = {
+    val stages = (2 to MmrK).map { i =>
+      s"""cand$i AS MATERIALIZED (SELECT c.vec_id, c.label, c.rel_micro,
+         |    coalesce((SELECT max(p.sim_micro) FROM pairs p
+         |      WHERE p.a = c.vec_id
+         |        AND p.b IN (SELECT vec_id FROM sel${i - 1})), 0)::BIGINT
+         |      AS penalty_micro
+         |  FROM pool c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+         |pick$i AS MATERIALIZED (SELECT vec_id, label, rel_micro, penalty_micro,
+         |    $i AS mmr_rank
+         |  FROM cand$i
+         |  ORDER BY 7 * rel_micro - 3 * penalty_micro DESC, vec_id ASC
+         |  LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+         |  UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+       |           WHERE vec_id = 0),
+       |scored AS MATERIALIZED (SELECT vec_id, label, $sqlCos AS cs
+       |  FROM embeddings, q),
+       |pool AS MATERIALIZED (SELECT vec_id, label,
+       |    CAST(round(1000000 * cs) AS BIGINT) AS rel_micro
+       |  FROM scored ORDER BY cs DESC, vec_id ASC LIMIT $MmrPool),
+       |pe AS MATERIALIZED (SELECT p.vec_id, e.embedding FROM pool p
+       |  JOIN embeddings e ON p.vec_id = e.vec_id),
+       |pairs AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(round(1000000 *
+       |      ${sqlCosCols("x.embedding", "y.embedding")}) AS BIGINT)
+       |      AS sim_micro
+       |  FROM pe x JOIN pe y ON x.vec_id <> y.vec_id),
+       |sel1 AS MATERIALIZED (SELECT vec_id, label, rel_micro, 0::BIGINT
+       |    AS penalty_micro, 1 AS mmr_rank
+       |  FROM pool ORDER BY rel_micro DESC, vec_id ASC LIMIT 1),
+       |$stages
+       |SELECT vec_id, label, rel_micro, penalty_micro,
+       |  (7 * rel_micro - 3 * penalty_micro)::BIGINT AS mmr_score,
+       |  mmr_rank
+       |FROM sel$MmrK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q456_pack_sequences" -> packSequences,
     "q457_dup_ngram_spans" -> dupNgramSpans,
+    "q458_mmr_rerank" -> mmrRerank,
     "q336_capture_recapture" -> capRecapDedup,
     "q22_dedup_exact" -> dedupExact,
     "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -2461,6 +2574,7 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     "q456_pack_sequences" -> sqlPackSequences,
     "q457_dup_ngram_spans" -> sqlDupNgramSpans,
+    "q458_mmr_rerank" -> sqlMmrRerank,
     "q22_dedup_exact" ->
       s"""SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
          | count(*) AS n_copies

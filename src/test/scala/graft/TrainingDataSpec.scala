@@ -506,6 +506,51 @@ class TrainingDataSpec extends SparkSpec {
       assert(n.toDouble / (1L << planesFor(n)) <= 16.0)
   }
 
+  test("q458 MMR selection equals a plain-Scala greedy replay from " +
+    "the same quantized pool and pair sims") {
+    import graft.queries.TrainingData
+    import graft.functions.Similarity
+    import org.apache.spark.sql.functions.{broadcast, round => rnd}
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val pool = Similarity.bruteForceTopK(e, 0L, 20)
+      .select($"vec_id", rnd($"cos_sim" * 1000000.0).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val ids = pool.map(_._1).toSet
+    val pe = e.filter($"vec_id".isin(ids.toSeq: _*))
+      .select($"vec_id", $"embedding")
+    val sims = pe.as("x").join(broadcast(pe.as("y")),
+        $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id", $"y.vec_id",
+        rnd(Similarity.cosine($"x.embedding", $"y.embedding")
+          * 1000000.0).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    // greedy replay: argmax rel first, then argmax 7·rel − 3·maxsim
+    val rel = pool.toMap
+    var sel = Vector(pool.maxBy { case (id, r) => (r, -id) }._1)
+    while (sel.size < 10) {
+      val next = pool.filterNot(p => sel.contains(p._1))
+        .maxBy { case (id, r) =>
+          val pen = sel.map(s => sims((id, s))).max
+          (7L * r - 3L * pen, -id)
+        }._1
+      sel = sel :+ next
+    }
+    val got = TrainingData.mmrRerank(spark, sfDir)
+      .orderBy($"mmr_rank")
+      .select($"vec_id", $"mmr_rank".cast("long"), $"penalty_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == sel,
+      s"selection order drift: got ${got.map(_._1)} want $sel")
+    // penalties are the true max-sim into the prior selection
+    got.zipWithIndex.foreach { case ((id, rk, pen), i) =>
+      val want = if (i == 0) 0L
+        else sel.take(i).map(s => sims((id, s))).max
+      assert(pen == want, s"penalty drift at rank $rk: $pen vs $want")
+    }
+    CheckpointHygiene.release(spark)
+  }
+
   test("q456 packing plan tiles the token stream exactly: offsets " +
     "chain, sequence spans consistent") {
     import graft.queries.TrainingData
