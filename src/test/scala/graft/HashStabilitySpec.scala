@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.DoubleType
   *
   * The family is discovered from the plan, not a hand-kept list, so a
   * new query that adds a fragile float tree is enrolled automatically.
+  *
+  * Known blind spot: a Round sitting UPSTREAM of a localCheckpoint is
+  * invisible here (the analyzed plan shows the truncated LogicalRDD),
+  * so checkpoint-trunk queries (e.g. q458's quantized pool) must pin
+  * determinism with their own replay specs — q458 does.
   */
 class HashStabilitySpec extends SparkSpec {
 
