@@ -732,6 +732,51 @@ object Curation {
         !$"too_short" && !$"off_distribution" && !$"low_stopword")
   }
 
+  /** q463 — curation-rule ABLATION census (the filter-tuning view
+    * behind Gopher/RefinedWeb appendix tables): document count, token
+    * mass, and surviving token mass for EVERY combination of q86's
+    * rule flags plus all marginals, in one pass — GROUP BY CUBE over
+    * the three booleans is a single Expand (8× map fan-out of an
+    * already per-doc-collapsed frame) feeding one aggregate, never
+    * eight scans. The explicit grouping-id disambiguates rolled-up
+    * NULLs from genuine flag values (q439's discipline). The 8 leaf
+    * cells answer "what does each rule uniquely remove" (a doc counted
+    * in too_short=true, others false is lost to that rule ALONE);
+    * marginals give each rule's gross removal mass. ≤ 27 output rows
+    * at any corpus size. */
+  val filterAblation: Q = (s, dir) => {
+    import s.implicits._
+    curationVerdict(s, dir)
+      .select($"doc_id", $"n_toks", $"too_short", $"off_distribution",
+        $"low_stopword", $"keep")
+      .cube($"too_short", $"off_distribution", $"low_stopword")
+      .agg(
+        (grouping($"too_short") * 4 + grouping($"off_distribution") * 2 +
+          grouping($"low_stopword")).cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").cast("long").as("tok_mass"),
+        sum(when($"keep", $"n_toks").otherwise(0L)).cast("long")
+          .as("kept_tok_mass"))
+      .select($"gid", $"too_short", $"off_distribution", $"low_stopword",
+        $"n_docs", $"tok_mass", $"kept_tok_mass")
+  }
+
+  // def, not val: sqlVerdict is declared later in the file and object
+  // vals initialize in declaration order
+  private def sqlFilterAblation: String =
+    s"""WITH v AS ($sqlVerdict)
+       |SELECT CAST(GROUPING(too_short) * 4
+       |    + GROUPING(off_distribution) * 2
+       |    + GROUPING(low_stopword) AS INTEGER) AS gid,
+       |  too_short, off_distribution, low_stopword,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(n_toks)::BIGINT AS tok_mass,
+       |  sum(CASE WHEN keep THEN n_toks ELSE 0 END)::BIGINT
+       |    AS kept_tok_mass
+       |FROM v
+       |GROUP BY CUBE(too_short, off_distribution, low_stopword)"""
+      .stripMargin
+
   // ------------------------------------------------- boilerplate removal
 
   /** q88 — corpus-level boilerplate removal (the CCNet/RefinedWeb move:
@@ -1287,6 +1332,7 @@ object Curation {
     "q77_unigram_surprise" -> unigramSurprise,
     "q80_weighted_sample" -> weightedSample,
     "q86_curation_verdict" -> curationVerdict,
+    "q463_filter_ablation" -> filterAblation,
     "q59_chunk" -> chunk,
     "q60_pii_scrub" -> piiScrub,
     "q61_cms_heavy_hitters" -> cmsHeavyHitters,
@@ -1999,6 +2045,7 @@ object Curation {
     "q77_unigram_surprise" -> sqlSurprise,
     "q80_weighted_sample" -> sqlWeighted,
     "q86_curation_verdict" -> sqlVerdict,
+    "q463_filter_ablation" -> sqlFilterAblation,
     "q59_chunk" -> sqlChunk,
     "q60_pii_scrub" -> sqlPii,
     "q61_cms_heavy_hitters" -> sqlCms,

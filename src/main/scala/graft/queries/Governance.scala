@@ -353,6 +353,95 @@ object Governance {
         round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
   }
 
+  /** q461 — incremental JOIN-view maintenance (the delta-join algebra
+    * of classic IVM / DBToaster, insert-only form): the revenue-by-
+    * priority view over orders ⋈ lineitem is maintained from a stored
+    * base plus deltas on BOTH sides — ΔV = γ(ΔA⋈B₀) ⊎ γ(A₀⋈ΔB) ⊎
+    * γ(ΔA⋈ΔB) — instead of recomputed. The oracle computes the final
+    * view DIRECTLY from the full join, so the gate proves the delta
+    * algebra itself (any double-counted or missed cross term breaks
+    * equality); the per-term row counts are also mirrored so each
+    * leg is individually pinned. Deletes ride the same algebra with
+    * signed counts (not exercised here). Revenue is exact 10⁻⁴-dollar
+    * longs. Scale: the deltas are time-bounded maintenance ticks —
+    * both delta joins DECLARE the delta side broadcast, so the stored
+    * relations are scanned once each and never re-joined old×old at
+    * tick time; only the base term (computed once, then carried as
+    * state in production) pays a full shuffle. */
+  val ivmJoinView: Q = (s, dir) => {
+    import s.implicits._
+    val cut = lit(IvmCut).cast("timestamp")
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    val l = Tables(s, dir, "lineitem").select($"l_orderkey",
+      (round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long")))
+        .as("rev_e4"),
+      $"l_shipdate")
+    val aOld = o.filter($"o_orderdate" < cut)
+    val aNew = o.filter($"o_orderdate" >= cut)
+    val bOld = l.filter($"l_shipdate" < cut)
+    val bNew = l.filter($"l_shipdate" >= cut)
+    // bcast marks which side is the bounded maintenance delta
+    def term(a: DataFrame, b: DataFrame, tag: String,
+             bcast: String): DataFrame = {
+      val (aa, bb) =
+        if (bcast == "a") (broadcast(a), b)
+        else if (bcast == "b") (a, broadcast(b))
+        else (a, b)
+      aa.join(bb, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"rev_e4").as("rev"))
+        .select($"o_orderpriority", lit(tag).as("term"), $"n", $"rev")
+    }
+    term(aOld, bOld, "base", "none")
+      .unionByName(term(aNew, bOld, "da_b", "a"))
+      .unionByName(term(aOld, bNew, "a_db", "b"))
+      .unionByName(term(aNew, bNew, "da_db", "a"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_rows"), sum($"rev").as("rev_e4"),
+        sum(when($"term" === "base", $"n").otherwise(0L)).as("n_base"),
+        sum(when($"term" === "da_b", $"n").otherwise(0L)).as("n_da_b"),
+        sum(when($"term" === "a_db", $"n").otherwise(0L)).as("n_a_db"),
+        sum(when($"term" === "da_db", $"n").otherwise(0L)).as("n_da_db"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val IvmCut = "2001-01-01"
+
+  private val sqlIvmJoinView: String = {
+    val rev = """CAST(round(l_extendedprice * 100) AS BIGINT)
+      | * (100 - CAST(round(l_discount * 100) AS BIGINT))""".stripMargin
+    def leg(tag: String, aCmp: String, bCmp: String) =
+      s"""SELECT o_orderpriority, '$tag' AS term, count(*)::BIGINT AS n
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate $aCmp TIMESTAMP '$IvmCut'
+         |    AND l_shipdate $bCmp TIMESTAMP '$IvmCut'
+         |  GROUP BY 1""".stripMargin
+    s"""WITH t AS (${leg("base", "<", "<")}
+       |  UNION ALL ${leg("da_b", ">=", "<")}
+       |  UNION ALL ${leg("a_db", "<", ">=")}
+       |  UNION ALL ${leg("da_db", ">=", ">=")}),
+       |terms AS (SELECT o_orderpriority,
+       |    sum(CASE WHEN term = 'base' THEN n ELSE 0 END)::BIGINT
+       |      AS n_base,
+       |    sum(CASE WHEN term = 'da_b' THEN n ELSE 0 END)::BIGINT
+       |      AS n_da_b,
+       |    sum(CASE WHEN term = 'a_db' THEN n ELSE 0 END)::BIGINT
+       |      AS n_a_db,
+       |    sum(CASE WHEN term = 'da_db' THEN n ELSE 0 END)::BIGINT
+       |      AS n_da_db
+       |  FROM t GROUP BY 1),
+       |direct AS (SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+       |    sum($rev)::BIGINT AS rev_e4
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1)
+       |SELECT o_orderpriority, n_rows, rev_e4,
+       |  n_base, n_da_b, n_a_db, n_da_db
+       |FROM direct JOIN terms USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** q157 — join fan-out diagnosis (the skew post-mortem as a query):
     * before running orders⋈lineitem at scale, which keys explode? Per
     * key the output contribution is n_left·n_right; the top offenders
@@ -553,6 +642,7 @@ object Governance {
     "q159_k_anonymity" -> kAnonymity,
     "q157_join_fanout" -> joinFanout,
     "q147_incremental_agg_view" -> incrementalAggView,
+    "q461_ivm_join_view" -> ivmJoinView,
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
@@ -805,6 +895,7 @@ object Governance {
     "q159_k_anonymity" -> sqlKAnon,
     "q157_join_fanout" -> sqlJoinFanout,
     "q147_incremental_agg_view" -> sqlIncAggView,
+    "q461_ivm_join_view" -> sqlIvmJoinView,
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
     "q117_compaction_plan" -> sqlCompaction,

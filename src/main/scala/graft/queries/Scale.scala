@@ -843,6 +843,204 @@ object Scale {
       .filter($"edit_dist" <= 3)
   }
 
+  /** q462 — declarative recursive-CTE reachability (the WITH RECURSIVE
+    * SQL surface, executed by Spark 4's UnionLoop): BFS depth from the
+    * seed users (id ≡ 0 mod 50) over the handoff graph — consecutive
+    * events on the same props-k channel hand off src→dst. This is the
+    * same algorithm class as q107's hand-rolled driver loop, but the
+    * fixpoint is stated in SQL and iterated by the engine; the oracle
+    * runs the IDENTICAL statement in DuckDB, gating Spark's recursion
+    * semantics (working set = previous step's rows) directly. The
+    * recursive step dedups its frontier (SELECT DISTINCT), so each
+    * iteration is bounded by NODE count — without it the step would
+    * enumerate paths (degree^depth; this graph's mean degree is ~50).
+    * Scale: edges build from one keyed window (channel-partitioned);
+    * each iteration is one equi-join of an O(nodes) frontier against
+    * the edge table; depth is capped at $ReachMaxDepth. */
+  val recursiveReach: Q = (s, dir) => {
+    Tables(s, dir, "events").createOrReplaceTempView("rr_events")
+    s.sql(sqlRecursiveReach("rr_events"))
+  }
+
+  private val ReachMaxDepth = 4
+  /** One statement, two engines: the table name is the only difference. */
+  private def sqlRecursiveReach(tbl: String): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT user_id AS src,
+       |      lead(user_id) OVER (PARTITION BY k ORDER BY ts, event_id)
+       |        AS dst
+       |    FROM (SELECT user_id, ts, event_id,
+       |            CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
+       |          FROM $tbl) t) x
+       |  WHERE dst IS NOT NULL AND dst <> src
+       |  GROUP BY src, dst),
+       |seeds AS (SELECT DISTINCT user_id AS node FROM $tbl
+       |  WHERE user_id % 50 = 0),
+       |reach AS (
+       |  SELECT node, 0 AS depth FROM seeds
+       |  UNION ALL
+       |  SELECT DISTINCT e.dst AS node, r.depth + 1 AS depth
+       |  FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.depth < $ReachMaxDepth)
+       |SELECT node AS user_id, CAST(min(depth) AS INT) AS hops,
+       |  count(*) AS n_frontier_visits
+       |FROM reach GROUP BY node ORDER BY user_id""".stripMargin
+
+  /** q460 — Fellegi–Sunter probabilistic record linkage (the splink /
+    * Dedupe.io model; Fellegi & Sunter 1969) with one EM refinement
+    * step, over customers vs a deterministically perturbed
+    * re-registration file (id+500000; ~20% segment corrupted, account
+    * balance jittered ±$10, ~10% nation corrupted). Blocked on
+    * (nation, $100-balance-bucket) with the B side registered under
+    * its ±jitter neighbor buckets too, so every same-nation true pair
+    * is co-blocked by construction and candidates stay O(block²·
+    * blocks), never |A|×|B|. Each pair scores a comparison vector
+    * (segment equality, balance-within-$10); the E-step posterior is
+    * one of FOUR plan-time literal micro values (computed once from
+    * the init params λ=0.5, m=(0.8,0.95), u=(0.2,0.2) — no in-engine
+    * float at all), and the M-step re-estimates λ/m/u as integral
+    * micro ratios over exact long sums, so the whole EM step is
+    * hash-stable by construction. Output: one scorecard row — pair
+    * census, re-estimated parameters, link decisions at posterior
+    * ≥ 0.9, and precision/recall against the planted ground truth
+    * (recall < 1 comes from nation-corrupted records falling out of
+    * the block — the classic blocking-loss the method documents).
+    * Scale: two scans + one keyed join + one global agg; Σp·1e6 fits
+    * a long to ~9·10¹² pairs (switch the two M-step numerators to
+    * DECIMAL(38,0) beyond that). */
+  val recordLinkage: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "customer")
+      .select($"c_custkey".as("id"), $"c_nationkey".as("nat"),
+        $"c_mktsegment".as("seg"),
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val a = c.select($"id".as("a_id"), $"nat", $"seg".as("a_seg"),
+      $"cents".as("a_cents"),
+      expr(s"(cents + $RlShift) div $RlBucket").as("bk"))
+    def h(seed: Int) = Hashing.hash60($"id".cast("string"), seed)
+    val b0 = c.select(($"id" + RlBOffset).as("b_id"),
+      when(h(1) % 10 === 0, ($"nat" + 1) % 25).otherwise($"nat")
+        .as("nat"),
+      when(h(2) % 5 === 0, concat($"seg", lit("_X"))).otherwise($"seg")
+        .as("b_seg"),
+      ($"cents" + (h(3) % 2001) - 1000).as("b_cents"))
+    val b = b0.select($"b_id", $"nat", $"b_seg", $"b_cents",
+      explode(array_distinct(array(
+        expr(s"(b_cents - $RlJitter + $RlShift) div $RlBucket"),
+        expr(s"(b_cents + $RlShift) div $RlBucket"),
+        expr(s"(b_cents + $RlJitter + $RlShift) div $RlBucket"))))
+        .as("bk"))
+    val pairs = a.join(b, Seq("nat", "bk"))
+      .select($"a_id", $"b_id", ($"a_seg" === $"b_seg").as("gs"),
+        (abs($"a_cents" - $"b_cents") <= RlJitter).as("gb"))
+    val pm = pairs.select($"a_id", $"b_id", $"gs", $"gb",
+      when($"gs" && $"gb", lit(rlPostMicro(true, true)))
+        .when($"gs" && !$"gb", lit(rlPostMicro(true, false)))
+        .when(!$"gs" && $"gb", lit(rlPostMicro(false, true)))
+        .otherwise(lit(rlPostMicro(false, false))).as("p"))
+    val nRecords = c.agg(count(lit(1)).as("n_records"))
+    pm.agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"p").as("sp"),
+        sum(when($"gs", $"p").otherwise(0L)).as("sps"),
+        sum(when($"gb", $"p").otherwise(0L)).as("spb"),
+        sum(when($"gs", lit(1000000L) - $"p").otherwise(0L)).as("sqs"),
+        sum(when($"gb", lit(1000000L) - $"p").otherwise(0L)).as("sqb"),
+        sum(when($"p" >= RlLinkMicro, 1L).otherwise(0L)).as("n_linked"),
+        sum(when($"p" >= RlLinkMicro &&
+            $"b_id" === $"a_id" + RlBOffset, 1L).otherwise(0L))
+          .as("n_true_linked"),
+        sum(when($"b_id" === $"a_id" + RlBOffset, 1L).otherwise(0L))
+          .as("n_truth_candidates"))
+      .crossJoin(broadcast(nRecords))
+      .select($"n_pairs",
+        expr("sp div n_pairs").as("lambda1_micro"),
+        expr("(sps * 1000000) div sp").as("m_seg_micro"),
+        expr("(spb * 1000000) div sp").as("m_bal_micro"),
+        expr("(sqs * 1000000) div (n_pairs * 1000000 - sp)")
+          .as("u_seg_micro"),
+        expr("(sqb * 1000000) div (n_pairs * 1000000 - sp)")
+          .as("u_bal_micro"),
+        $"n_linked", $"n_true_linked", $"n_truth_candidates",
+        expr("(n_true_linked * 1000000) div n_linked")
+          .as("precision_micro"),
+        expr("(n_true_linked * 1000000) div n_records")
+          .as("recall_micro"))
+  }
+
+  private val RlBOffset = 500000L
+  private val RlBucket = 10000L // cents per block bucket ($100)
+  private val RlShift = 10000000L // keeps div operands positive
+  private val RlJitter = 1000L // planted balance noise bound (cents)
+  private val RlLinkMicro = 900000L
+  /** E-step posterior (micro) for a comparison vector under the init
+    * params — four plan-time literals shared verbatim by both engines. */
+  private def rlPostMicro(gs: Boolean, gb: Boolean): Long = {
+    val (lam, mS, uS, mB, uB) = (0.5, 0.8, 0.2, 0.95, 0.2)
+    def t(p: Double, g: Boolean) = if (g) p else 1.0 - p
+    val num = lam * t(mS, gs) * t(mB, gb)
+    val den = (1.0 - lam) * t(uS, gs) * t(uB, gb)
+    math.round(num / (num + den) * 1e6)
+  }
+
+  private val sqlRecordLinkage: String = {
+    def post(gs: Boolean, gb: Boolean) = rlPostMicro(gs, gb)
+    s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat,
+       |    c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+       |  FROM customer),
+       |a AS (SELECT id AS a_id, nat, seg AS a_seg, cents AS a_cents,
+       |    (cents + $RlShift) // $RlBucket AS bk FROM c),
+       |b0 AS (SELECT id + $RlBOffset AS b_id,
+       |    CASE WHEN ${Hashing.sqlHash60("CAST(id AS VARCHAR)", 1)} % 10
+       |      = 0 THEN (nat + 1) % 25 ELSE nat END AS nat,
+       |    CASE WHEN ${Hashing.sqlHash60("CAST(id AS VARCHAR)", 2)} % 5
+       |      = 0 THEN seg || '_X' ELSE seg END AS b_seg,
+       |    cents + (${Hashing.sqlHash60("CAST(id AS VARCHAR)", 3)}
+       |      % 2001) - 1000 AS b_cents
+       |  FROM c),
+       |b AS (SELECT DISTINCT b_id, nat, b_seg, b_cents, bk FROM (
+       |    SELECT b_id, nat, b_seg, b_cents,
+       |      unnest([(b_cents - $RlJitter + $RlShift) // $RlBucket,
+       |              (b_cents + $RlShift) // $RlBucket,
+       |              (b_cents + $RlJitter + $RlShift) // $RlBucket])
+       |        AS bk
+       |    FROM b0) t),
+       |pairs AS (SELECT a_id, b_id, a_seg = b_seg AS gs,
+       |    abs(a_cents - b_cents) <= $RlJitter AS gb
+       |  FROM a JOIN b USING (nat, bk)),
+       |pm AS (SELECT a_id, b_id, gs, gb,
+       |    CASE WHEN gs AND gb THEN ${post(true, true)}
+       |         WHEN gs AND NOT gb THEN ${post(true, false)}
+       |         WHEN NOT gs AND gb THEN ${post(false, true)}
+       |         ELSE ${post(false, false)} END AS p
+       |  FROM pairs),
+       |agg AS (SELECT count(*)::BIGINT AS n_pairs,
+       |    sum(p)::BIGINT AS sp,
+       |    sum(CASE WHEN gs THEN p ELSE 0 END)::BIGINT AS sps,
+       |    sum(CASE WHEN gb THEN p ELSE 0 END)::BIGINT AS spb,
+       |    sum(CASE WHEN gs THEN 1000000 - p ELSE 0 END)::BIGINT AS sqs,
+       |    sum(CASE WHEN gb THEN 1000000 - p ELSE 0 END)::BIGINT AS sqb,
+       |    sum(CASE WHEN p >= $RlLinkMicro THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_linked,
+       |    sum(CASE WHEN p >= $RlLinkMicro AND b_id = a_id + $RlBOffset
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_true_linked,
+       |    sum(CASE WHEN b_id = a_id + $RlBOffset THEN 1 ELSE 0 END)
+       |      ::BIGINT AS n_truth_candidates
+       |  FROM pm),
+       |nr AS (SELECT count(*)::BIGINT AS n_records FROM c)
+       |SELECT n_pairs, sp // n_pairs AS lambda1_micro,
+       |  (sps * 1000000) // sp AS m_seg_micro,
+       |  (spb * 1000000) // sp AS m_bal_micro,
+       |  (sqs * 1000000) // (n_pairs * 1000000 - sp) AS u_seg_micro,
+       |  (sqb * 1000000) // (n_pairs * 1000000 - sp) AS u_bal_micro,
+       |  n_linked, n_true_linked, n_truth_candidates,
+       |  (n_true_linked * 1000000) // n_linked AS precision_micro,
+       |  (n_true_linked * 1000000) // n_records AS recall_micro
+       |FROM agg CROSS JOIN nr""".stripMargin
+  }
+
   /** q146 — time-series similarity search (the EDBT/ICDE distributed
     * subsequence-matching shape, matrix-profile-lite): which past
     * 7-day revenue windows moved like the LAST one — z-normalized
@@ -1669,6 +1867,8 @@ object Scale {
     "q125_hll_rollup" -> hllRollup,
     "q138_join_overlap_sketch" -> joinOverlapSketch,
     "q139_fuzzy_name_join" -> fuzzyNameJoin,
+    "q460_record_linkage" -> recordLinkage,
+    "q462_recursive_reach" -> recursiveReach,
     "q141_poisson_bootstrap" -> poissonBootstrap,
     "q142_grouped_trend" -> groupedTrend,
     "q143_label_similarity" -> labelSimilarity,
@@ -2327,6 +2527,8 @@ object Scale {
         |SELECT name_a, name_b,
         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
+    "q460_record_linkage" -> sqlRecordLinkage,
+    "q462_recursive_reach" -> sqlRecursiveReach("events"),
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{ConnectedComponents, Dedup, Hashing, Multimodal,
-  MediaRecord, Similarity, StubImageDecoder, TextOps}
+  MediaRecord, ScaleWindows, Similarity, StubImageDecoder, TextOps}
 import Hashing.{sqlHash60}
 import TextOps.{sqlShingles, sqlTokens}
 
@@ -230,6 +230,79 @@ object TrainingData {
       .select($"doc_id",
         round(Dedup.jaccard($"sh_set", $"twin_set"), 6).as("jaccard"))
       .withColumn("is_near", $"jaccard" >= 0.5)
+  }
+
+  /** q459 — MULTI-PASS sorted-neighborhood blocking (Hernández &
+    * Stolfo 1995, the classic merge/purge method, §4's multi-pass
+    * form): the entity-resolution alternative to LSH banding (q23).
+    * Each pass totally orders the corpus by one 40-char key (pass 1:
+    * text prefix; pass 2: chars 41–80) and verifies each doc only
+    * against its w−1 = 3 successors in that order, so candidates are
+    * exactly O(passes·N·(w−1)) with zero signature computation and no
+    * hash-collision false-positive mass. Multi-pass is load-bearing,
+    * not decoration: a single prefix pass provably misses any
+    * key-cluster wider than the window (sf0.001 has a 4-doc shared-
+    * prefix cluster whose 8-row orig+twin run defeats w=4), while a
+    * second independent key makes a pair's miss require a ≥w cluster
+    * in BOTH orders. Recall against q25's direct-Jaccard ground truth
+    * is spec-asserted ≥ 99%. Scale: each total order is ONE
+    * rangeCumSum range exchange — never a single-partition ORDER BY
+    * window — and successor pairing is an equi-join on the dense
+    * index (3 exploded offsets), uniform by construction. Pairs are
+    * canonicalized (doc_a < doc_b) and deduped across passes;
+    * verification is q25's 3-shingle Jaccard. */
+  val sortedNeighborhood: Q = (s, dir) => {
+    import s.implicits._
+    val base = corpus(s, dir).select($"doc_id",
+      substring($"text", 1, SnmKeyLen).as("k1"),
+      substring($"text", SnmKeyLen + 1, SnmKeyLen).as("k2"),
+      TextOps.shinglesFromTokens(TextOps.tokens($"text"), ShingleN)
+        .as("sh_set"))
+    def pass(key: String): DataFrame = {
+      val idx = ScaleWindows.rangeCumSum(
+        base.select($"doc_id", col(key).as("skey"), $"sh_set"),
+        Seq($"skey", $"doc_id"), lit(1L), "rn")
+      val left = idx
+        .select($"doc_id".as("id_a"), $"sh_set".as("sh_a"), $"rn",
+          explode(sequence(lit(1), lit(SnmWindow - 1))).as("d"))
+        .select($"id_a", $"sh_a", ($"rn" + $"d").as("rn"))
+      val right = idx.select($"doc_id".as("id_b"),
+        $"sh_set".as("sh_b"), $"rn")
+      left.join(right, Seq("rn"))
+        .select(least($"id_a", $"id_b").as("doc_a"),
+          greatest($"id_a", $"id_b").as("doc_b"),
+          round(Dedup.jaccard($"sh_a", $"sh_b"), 6).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+    }
+    pass("k1").unionByName(pass("k2")).distinct()
+  }
+
+  private val SnmKeyLen = 40
+  private val SnmWindow = 4
+
+  private val sqlSortedNeighborhood: String = {
+    def pass(keyExpr: String) =
+      s"""SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b,
+         |    ${sqlJaccard("a.sh_set", "b.sh_set")} AS jaccard
+         |  FROM idx a JOIN idx b
+         |    ON b.$keyExpr - a.$keyExpr BETWEEN 1 AND ${SnmWindow - 1}
+         |  WHERE ${sqlJaccard("a.sh_set", "b.sh_set")} >= 0.5"""
+        .stripMargin
+    s"""WITH corpus AS $sqlCorpus,
+       |keyed AS (SELECT doc_id,
+       |    substr(text, 1, $SnmKeyLen) AS k1,
+       |    substr(text, ${SnmKeyLen + 1}, $SnmKeyLen) AS k2,
+       |    ${sqlShingles("text", ShingleN)} AS sh_set
+       |  FROM corpus),
+       |idx AS (SELECT doc_id, sh_set,
+       |    row_number() OVER (ORDER BY k1, doc_id) AS rn1,
+       |    row_number() OVER (ORDER BY k2, doc_id) AS rn2
+       |  FROM keyed)
+       |SELECT DISTINCT doc_a, doc_b, jaccard FROM (
+       |  ${pass("rn1")}
+       |  UNION ALL
+       |  ${pass("rn2")}) u""".stripMargin
   }
 
   // ----------------------------------------------------------- similarity
@@ -2496,6 +2569,7 @@ object TrainingData {
     "q123_containment_dedup" -> containmentDedup,
     "q24_dedup_simhash" -> dedupSimhash,
     "q25_ngram_jaccard" -> ngramJaccard,
+    "q459_sorted_neighborhood" -> sortedNeighborhood,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
     "q40_dedup_embedding" -> dedupEmbedding,
@@ -2667,6 +2741,7 @@ object TrainingData {
          |  ${sqlJaccard("o.sh_set", "t.sh_set")} >= 0.5 AS is_near
          |FROM sh o JOIN sh t ON t.doc_id = o.doc_id + $TwinOffset
          |WHERE o.doc_id < $TwinOffset""".stripMargin,
+    "q459_sorted_neighborhood" -> sqlSortedNeighborhood,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
          |           WHERE vec_id = 0),

@@ -9,6 +9,34 @@ import graft.queries.Governance
 class GovernanceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ivm join view: the delta-maintained view equals a direct " +
+    "recompute, and the four terms partition the row count") {
+    val m = Governance.ivmJoinView(spark, sfDir).collect()
+    val o = Tables(spark, sfDir, "orders")
+    val l = Tables(spark, sfDir, "lineitem")
+    val direct = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long")))
+          .as("rev_e4"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (nd, revd) = direct(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_rows") === nd)
+      assert(r.getAs[Long]("rev_e4") === revd)
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_da_b") +
+        r.getAs[Long]("n_a_db") + r.getAs[Long]("n_da_db") === nd)
+      // a maintenance tick on this data must actually exercise the
+      // delta legs, not collapse to base-only
+      assert(r.getAs[Long]("n_base") > 0L)
+    }
+    assert(m.map(r => r.getAs[Long]("n_da_b") + r.getAs[Long]("n_a_db") +
+      r.getAs[Long]("n_da_db")).sum > 0L)
+  }
+
   test("contract suite: PK/FK/not-null contracts hold, the deliberately " +
     "strict ones report real violations") {
     val r = Governance.contractChecks(spark, sfDir)

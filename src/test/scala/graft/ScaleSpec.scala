@@ -12,6 +12,31 @@ class ScaleSpec extends SparkSpec {
 
   private def ts(sec: Long) = timestamp_seconds(lit(sec))
 
+  test("record linkage: blocking keeps exactly the clean-nation truth " +
+    "pairs, links exactly the fully-clean ones, parameters discriminate") {
+    val row = Scale.recordLinkage(spark, sfDir).collect().head
+    val ids = Tables(spark, sfDir, "customer")
+      .select($"c_custkey").as[Long].collect()
+    def h(id: Long, seed: Int) =
+      graft.functions.Hashing.hash60(s"$id|$seed")
+    // nation-clean records stay co-blocked (±jitter bucket registration
+    // covers the balance noise); nation-perturbed ones fall out — the
+    // documented blocking loss
+    val natClean = ids.count(h(_, 1) % 10 != 0).toLong
+    // links happen only at the (seg=, bal≈) posterior (0.95); truth
+    // pairs have bal≈ by construction, so linked-truth = both-clean
+    val bothClean =
+      ids.count(id => h(id, 1) % 10 != 0 && h(id, 2) % 5 != 0).toLong
+    assert(row.getAs[Long]("n_truth_candidates") === natClean)
+    assert(row.getAs[Long]("n_true_linked") === bothClean)
+    assert(row.getAs[Long]("n_linked") >= bothClean)
+    // EM step must find both comparison fields discriminative
+    assert(row.getAs[Long]("m_seg_micro") > row.getAs[Long]("u_seg_micro"))
+    assert(row.getAs[Long]("m_bal_micro") > row.getAs[Long]("u_bal_micro"))
+    val lam = row.getAs[Long]("lambda1_micro")
+    assert(lam > 0L && lam < 1000000L)
+  }
+
   // ------------------------------------------- fixpoint graph kernels
 
   test("fixpoint loops equal the unrolled kernels (q107 BFS, q109 " +

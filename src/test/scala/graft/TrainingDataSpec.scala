@@ -8,6 +8,32 @@ import graft.queries.TrainingData
 class TrainingDataSpec extends SparkSpec {
   import spark.implicits._
 
+  test("multi-pass sorted-neighborhood: ≥99% twin recall and jaccard " +
+    "parity with q25 on every recovered twin") {
+    val found = TrainingData.sortedNeighborhood(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    val twinJ = TrainingData.ngramJaccard(spark, sfDir)
+      .filter($"is_near")
+      .select($"doc_id", $"jaccard").as[(Long, Double)].collect()
+    // q25 ground truth at the same threshold and metric: the suffix
+    // perturbation keeps twins sort-adjacent in pass 1 unless a
+    // shared-prefix cluster outspans the window, and pass 2's
+    // independent key must then recover them — a residual miss needs
+    // a ≥window cluster in BOTH orders (none in this corpus family,
+    // but the bound is the method's honest contract, so assert ≥99%)
+    val pairs = found.map(p => (p._1, p._2)).toSet
+    val all = twinJ.map { case (id, _) => (id, id + 100000L) }
+    val recall = all.count(pairs.contains).toDouble / all.length
+    assert(recall >= 0.99, s"multi-pass SNM twin recall $recall < 0.99")
+    // the verified jaccard must equal q25's direct computation
+    val byPair = found.map(p => ((p._1, p._2), p._3)).toMap
+    twinJ.foreach { case (id, j) =>
+      byPair.get((id, id + 100000L)).foreach(v =>
+        assert(v === j, s"jaccard mismatch for twin of $id"))
+    }
+  }
+
   test("minhash LSH finds high-Jaccard twins and ≥99% of all twins") {
     val pairs = TrainingData.dedupMinhashLsh(spark, sfDir)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
