@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -253,28 +253,37 @@ object TrainingData {
     * verification is q25's 3-shingle Jaccard. */
   val sortedNeighborhood: Q = (s, dir) => {
     import s.implicits._
-    val base = corpus(s, dir).select($"doc_id",
-      substring($"text", 1, SnmKeyLen).as("k1"),
-      substring($"text", SnmKeyLen + 1, SnmKeyLen).as("k2"),
-      TextOps.shinglesFromTokens(TextOps.tokens($"text"), ShingleN)
-        .as("sh_set"))
-    def pass(key: String): DataFrame = {
+    val c = corpus(s, dir)
+    // pairs first, shingles after: each pass's range exchange carries
+    // only (doc_id, 40-char key), and the Jaccard verify runs ONCE per
+    // distinct candidate pair instead of once per (pass, pair)
+    def pass(key: Column): DataFrame = {
       val idx = ScaleWindows.rangeCumSum(
-        base.select($"doc_id", col(key).as("skey"), $"sh_set"),
+        c.select($"doc_id", key.as("skey")),
         Seq($"skey", $"doc_id"), lit(1L), "rn")
       val left = idx
-        .select($"doc_id".as("id_a"), $"sh_set".as("sh_a"), $"rn",
+        .select($"doc_id".as("id_a"), $"rn",
           explode(sequence(lit(1), lit(SnmWindow - 1))).as("d"))
-        .select($"id_a", $"sh_a", ($"rn" + $"d").as("rn"))
-      val right = idx.select($"doc_id".as("id_b"),
-        $"sh_set".as("sh_b"), $"rn")
+        .select($"id_a", ($"rn" + $"d").as("rn"))
+      val right = idx.select($"doc_id".as("id_b"), $"rn")
       left.join(right, Seq("rn"))
         .select(least($"id_a", $"id_b").as("doc_a"),
-          greatest($"id_a", $"id_b").as("doc_b"),
-          round(Dedup.jaccard($"sh_a", $"sh_b"), 6).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
+          greatest($"id_a", $"id_b").as("doc_b"))
     }
-    pass("k1").unionByName(pass("k2")).distinct()
+    val cand = pass(substring($"text", 1, SnmKeyLen))
+      .unionByName(pass(substring($"text", SnmKeyLen + 1, SnmKeyLen)))
+      .distinct()
+    val shs = c.select($"doc_id",
+      TextOps.shinglesFromTokens(TextOps.tokens($"text"), ShingleN)
+        .as("sh_set"))
+    cand
+      .join(shs.select($"doc_id".as("doc_a"), $"sh_set".as("sh_a")),
+        Seq("doc_a"))
+      .join(shs.select($"doc_id".as("doc_b"), $"sh_set".as("sh_b")),
+        Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        round(Dedup.jaccard($"sh_a", $"sh_b"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
   }
 
   private val SnmKeyLen = 40
