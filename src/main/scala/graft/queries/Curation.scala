@@ -704,6 +704,149 @@ object Curation {
         expr("(1000000 * n_pieces) div n_words").as("fertility_micro"))
   }
 
+  /** q464 — UNIGRAM-LM tokenizer step (Kudo 2018, the SentencePiece
+    * model family — the other tokenizer-induction school next to BPE
+    * q97/q98/q113/q289): candidate pieces are all ≤4-char substrings
+    * of the vocabulary with corpus-frequency-derived −log-probability
+    * costs; each distinct word is segmented by exact VITERBI dynamic
+    * programming (lexicographic (cost, boundary-mask) minimum — the
+    * mask makes the argmin segmentation unique and engine-portable,
+    * since equal-cost ties resolve to the smallest boundary bitmask);
+    * one hard-EM step then re-estimates piece probabilities from the
+    * winning segmentations weighted by word frequency. The whole DP is
+    * ONE codegen'd higher-order `aggregate` over the word's positions
+    * (best[j] = min over the ≤4 last-piece lengths), with span costs
+    * pre-joined as a flat (i,k)-indexed array — no driver loop, no
+    * UDF. The oracle is an INDEPENDENT formulation: DuckDB enumerates
+    * every segmentation by recursive CTE and takes the same
+    * lexicographic argmin, so the DP's optimal-substructure claim
+    * itself is what the gate checks. Scale: like BPE, every frame
+    * after the token count rides the Zipf-collapsed DISTINCT-word
+    * table (corpus-size-independent); costs are per-row micro-
+    * quantized ln (q77's portability discipline) and all sums are
+    * exact longs. */
+  val unigramLm: Q = (s, dir) => {
+    import s.implicits._
+    val words = tokenized(s, dir)
+      .select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wfreq"))
+    // every (i,k) span slot, k ≤ 4; invalid slots carry a NULL piece so
+    // the per-word cost array below is dense and (i,k)-indexable
+    val spans = words.select($"w", $"wfreq",
+      explode(expr(s"""flatten(transform(sequence(1, length(w)),
+          i -> transform(sequence(1, $UlmPieceMax),
+            k -> named_struct('i', i, 'k', k,
+              'piece', CASE WHEN i + k - 1 <= length(w)
+                THEN substring(w, i, k) END))))""")).as("sp"))
+      .select($"w", $"wfreq", $"sp.i".as("i"), $"sp.k".as("k"),
+        $"sp.piece".as("piece"))
+    val counts = spans.filter($"piece".isNotNull)
+      .groupBy($"piece").agg(sum($"wfreq").as("c_init"))
+    val total = counts.agg(sum($"c_init").as("t"))
+    val costs = counts.crossJoin(broadcast(total))
+      .select($"piece", $"c_init",
+        round(-log($"c_init".cast("double") / $"t".cast("double"))
+          * 1000000.0).cast("long").as("cost_micro"))
+    val sc = spans
+      .join(broadcast(costs.select($"piece", $"cost_micro")),
+        Seq("piece"), "left")
+      .groupBy($"w", $"wfreq")
+      .agg(array_sort(collect_list(struct($"i", $"k",
+        coalesce($"cost_micro", lit(UlmHuge)).as("c")))).as("sca"))
+      .select($"w", $"wfreq",
+        expr("transform(sca, x -> x.c)").as("sc"))
+    val dp = sc.select($"w", $"wfreq", expr(s"""
+      element_at(
+        aggregate(sequence(1, length(w)),
+          array(named_struct('c', CAST(0 AS BIGINT),
+                             'm', CAST(0 AS BIGINT))),
+          (acc, j) -> concat(acc, array(
+            array_min(filter(transform(sequence(1, $UlmPieceMax),
+              k -> CASE WHEN k <= j THEN named_struct(
+                'c', element_at(acc, j - k + 1).c
+                   + element_at(sc, (j - k) * $UlmPieceMax + k),
+                'm', element_at(acc, j - k + 1).m
+                   | shiftleft(CAST(1 AS BIGINT), j)) END),
+              x -> x IS NOT NULL))))),
+        length(w) + 1)""").as("best"))
+    // boundary mask → piece list (one more position fold)
+    val segs = dp.select($"w", $"wfreq", expr(s"""
+      aggregate(sequence(1, length(w)),
+        named_struct('s', 0, 'ps', CAST(array() AS ARRAY<STRING>)),
+        (acc, j) -> IF((shiftright(best.m, j) & 1) = 1,
+          named_struct('s', j,
+            'ps', concat(acc.ps,
+              array(substring(w, acc.s + 1, j - acc.s)))),
+          acc)).ps""").as("pieces"))
+    val used = segs.select($"wfreq", explode($"pieces").as("piece"))
+      .groupBy($"piece").agg(sum($"wfreq").as("used_count"))
+    val usedTotal = used.agg(sum($"used_count").as("ut"))
+    costs.join(used, Seq("piece"))
+      .crossJoin(broadcast(usedTotal))
+      .select($"piece", $"c_init", $"cost_micro", $"used_count",
+        expr("(used_count * 1000000) div ut").as("new_prob_micro"))
+      .orderBy($"piece")
+  }
+
+  private val UlmPieceMax = 4
+  private val UlmHuge = 1000000000000L
+
+  private def sqlUnigramLm: String = {
+    val toks = TextOps.sqlTokens("text")
+    s"""WITH RECURSIVE
+       |toks AS (SELECT unnest($toks) AS w FROM documents),
+       |words AS (SELECT w, count(*)::BIGINT AS wfreq
+       |  FROM toks GROUP BY w),
+       |spans AS (SELECT w, wfreq, i, k,
+       |    substr(w, i::INT, k::INT) AS piece
+       |  FROM words,
+       |    unnest(range(1, len(w) + 1)) AS t1(i),
+       |    unnest(range(1, ${UlmPieceMax + 1})) AS t2(k)
+       |  WHERE i + k - 1 <= len(w)),
+       |counts AS (SELECT piece, sum(wfreq)::BIGINT AS c_init
+       |  FROM spans GROUP BY piece),
+       |tot AS (SELECT sum(c_init)::BIGINT AS t FROM counts),
+       |costs AS (SELECT piece, c_init,
+       |    CAST(round(-ln(CAST(c_init AS DOUBLE) / CAST(t AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS cost_micro
+       |  FROM counts CROSS JOIN tot),
+       |scost AS (SELECT s.w, s.i, s.k, c.cost_micro
+       |  FROM spans s JOIN costs c USING (piece)),
+       |paths AS (
+       |  SELECT w, wfreq, 0::BIGINT AS pos, 0::BIGINT AS cost,
+       |    0::BIGINT AS mask
+       |  FROM words
+       |  UNION ALL
+       |  SELECT p.w, p.wfreq, p.pos + s.k AS pos,
+       |    p.cost + s.cost_micro AS cost,
+       |    p.mask | (1::BIGINT << (p.pos + s.k)::INT) AS mask
+       |  FROM paths p JOIN scost s
+       |    ON s.w = p.w AND s.i = p.pos + 1),
+       |best AS (SELECT w, wfreq, mask,
+       |    row_number() OVER (PARTITION BY w ORDER BY cost, mask)
+       |      AS rnk
+       |  FROM paths WHERE pos = len(w)),
+       |seg AS (SELECT w, wfreq,
+       |    list_filter(range(1, len(w) + 1),
+       |      j -> (mask >> j::INT) & 1 = 1) AS ends
+       |  FROM best WHERE rnk = 1),
+       |pieces AS (SELECT wfreq,
+       |    unnest(list_transform(range(1, len(ends) + 1),
+       |      x -> substr(w,
+       |        (CASE WHEN x = 1 THEN 0 ELSE ends[x::INT - 1] END
+       |          + 1)::INT,
+       |        (ends[x::INT] - CASE WHEN x = 1 THEN 0
+       |          ELSE ends[x::INT - 1] END)::INT))) AS piece
+       |  FROM seg),
+       |used AS (SELECT piece, sum(wfreq)::BIGINT AS used_count
+       |  FROM pieces GROUP BY piece),
+       |ut AS (SELECT sum(used_count)::BIGINT AS u FROM used)
+       |SELECT c.piece, c.c_init, c.cost_micro, used_count,
+       |  (used_count * 1000000) // u AS new_prob_micro
+       |FROM costs c JOIN used USING (piece) CROSS JOIN ut
+       |ORDER BY piece""".stripMargin
+  }
+
   /** q86 — curation verdict (the final keep/drop gate of the pipeline,
     * with reason codes): three independent signals — document length,
     * unigram LM surprise (q77's score), stopword fraction — each
@@ -1347,6 +1490,7 @@ object Curation {
     "q97_bpe_pair_stats" -> bpePairStats,
     "q98_bpe_train" -> bpeTrain,
     "q113_bpe_encode" -> bpeEncode,
+    "q464_unigram_lm" -> unigramLm,
     "q168_temperature_mixture" -> temperatureMixture,
     "q169_snapshot_diff" -> snapshotDiff,
     "q178_dataset_card" -> datasetCard,
@@ -2072,6 +2216,7 @@ object Curation {
     },
     "q98_bpe_train" -> sqlBpeTrain,
     "q113_bpe_encode" -> sqlBpeEncode,
+    "q464_unigram_lm" -> sqlUnigramLm,
     "q178_dataset_card" -> {
       val toks = sqlTokens("text")
       val h = Hashing.sqlHash60("text")

@@ -167,6 +167,49 @@ class CurationSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("unigram-LM step matches a plain-Scala Viterbi replay " +
+    "piece-for-piece (third formulation after the DP and the oracle's " +
+    "path enumeration)") {
+    // independent reference: same model, direct JVM implementation
+    val words = Tables(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextOps.tokens($"text")).as("w"))
+      .as[String].collect()
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length;
+         k <- 1 to 4 if i + k <= w.length)
+      counts(w.substring(i, i + k)) =
+        counts.getOrElse(w.substring(i, i + k), 0L) + f
+    val t = counts.values.sum.toDouble
+    val cost = counts.map { case (p, c) =>
+      p -> math.round(-math.log(c / t) * 1e6) }
+    def viterbi(w: String): Seq[String] = {
+      // lexicographic (cost, boundary-mask) minimum, as documented
+      val best = Array.fill(w.length + 1)((Long.MaxValue, Long.MaxValue))
+      best(0) = (0L, 0L)
+      for (j <- 1 to w.length) {
+        val cands = for (k <- 1 to math.min(4, j)) yield
+          (best(j - k)._1 + cost(w.substring(j - k, j)),
+            best(j - k)._2 | (1L << j))
+        best(j) = cands.min
+      }
+      val ends = (1 to w.length).filter(j => (best(w.length)._2 >> j & 1) == 1)
+      ends.zip(0 +: ends.init).map { case (e, s) => w.substring(s, e) }
+    }
+    val refUsed = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; p <- viterbi(w))
+      refUsed(p) = refUsed.getOrElse(p, 0L) + f
+    val got = Curation.unigramLm(spark, sfDir)
+      .select($"piece", $"used_count", $"cost_micro")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === refUsed.keySet)
+    refUsed.foreach { case (p, f) =>
+      assert(got(p)._1 === f, s"used_count mismatch for piece '$p'")
+      assert(got(p)._2 === cost(p), s"cost mismatch for piece '$p'")
+    }
+  }
+
   test("BPE trainer matches a plain-Scala reference merge-for-merge") {
     import graft.functions.Bpe
     // reference BPE with the trainer's exact tie-break
