@@ -906,9 +906,13 @@ object Scale {
     * ≥ 0.9, and precision/recall against the planted ground truth
     * (recall < 1 comes from nation-corrupted records falling out of
     * the block — the classic blocking-loss the method documents).
-    * Scale: two scans + one keyed join + one global agg; Σp·1e6 fits
-    * a long to ~9·10¹² pairs (switch the two M-step numerators to
-    * DECIMAL(38,0) beyond that). */
+    * Scale: two scans + one keyed join + one global agg; the M-step
+    * ratio numerators (Σp·1e6) carry as DECIMAL(38,0) — they outgrow
+    * a long past ~9·10⁶ pairs — while every shipped column stays an
+    * exact long. Block occupancy is bounded by the fixed (nation ×
+    * $100) grid, so candidate pairs grow as N²/|blocks|; production
+    * linkage adds more discriminative blocking keys as N grows (the
+    * 100× probe measured e = 0.34 at this range). */
   val recordLinkage: Q = (s, dir) => {
     import s.implicits._
     val c = Tables(s, dir, "customer")
@@ -954,13 +958,21 @@ object Scale {
         sum(when($"b_id" === $"a_id" + RlBOffset, 1L).otherwise(0L))
           .as("n_truth_candidates"))
       .crossJoin(broadcast(nRecords))
+      // M-step numerators carry as DECIMAL(38,0): Σp·1e6 outgrows a
+      // long past ~9·10⁶ pairs (the 100× probe hit it); the ratios
+      // land back in [0, 1e6] so the OUTPUT stays a long (never ship
+      // decimal in a final projection — the r6 hash lesson)
       .select($"n_pairs",
         expr("sp div n_pairs").as("lambda1_micro"),
-        expr("(sps * 1000000) div sp").as("m_seg_micro"),
-        expr("(spb * 1000000) div sp").as("m_bal_micro"),
-        expr("(sqs * 1000000) div (n_pairs * 1000000 - sp)")
+        expr("(CAST(sps AS DECIMAL(38,0)) * 1000000) div sp")
+          .as("m_seg_micro"),
+        expr("(CAST(spb AS DECIMAL(38,0)) * 1000000) div sp")
+          .as("m_bal_micro"),
+        expr("(CAST(sqs AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 - sp)")
           .as("u_seg_micro"),
-        expr("(sqb * 1000000) div (n_pairs * 1000000 - sp)")
+        expr("(CAST(sqb AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 - sp)")
           .as("u_bal_micro"),
         $"n_linked", $"n_true_linked", $"n_truth_candidates",
         expr("(n_true_linked * 1000000) div n_linked")
@@ -1031,10 +1043,12 @@ object Scale {
        |  FROM pm),
        |nr AS (SELECT count(*)::BIGINT AS n_records FROM c)
        |SELECT n_pairs, sp // n_pairs AS lambda1_micro,
-       |  (sps * 1000000) // sp AS m_seg_micro,
-       |  (spb * 1000000) // sp AS m_bal_micro,
-       |  (sqs * 1000000) // (n_pairs * 1000000 - sp) AS u_seg_micro,
-       |  (sqb * 1000000) // (n_pairs * 1000000 - sp) AS u_bal_micro,
+       |  ((sps::HUGEINT * 1000000) // sp)::BIGINT AS m_seg_micro,
+       |  ((spb::HUGEINT * 1000000) // sp)::BIGINT AS m_bal_micro,
+       |  ((sqs::HUGEINT * 1000000)
+       |    // (n_pairs::HUGEINT * 1000000 - sp))::BIGINT AS u_seg_micro,
+       |  ((sqb::HUGEINT * 1000000)
+       |    // (n_pairs::HUGEINT * 1000000 - sp))::BIGINT AS u_bal_micro,
        |  n_linked, n_true_linked, n_truth_candidates,
        |  (n_true_linked * 1000000) // n_linked AS precision_micro,
        |  (n_true_linked * 1000000) // n_records AS recall_micro
