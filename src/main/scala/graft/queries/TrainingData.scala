@@ -289,6 +289,112 @@ object TrainingData {
   private val SnmKeyLen = 40
   private val SnmWindow = 4
 
+  /** q465 — blocking-scheme QUALITY evaluation (the pair-completeness /
+    * reduction-ratio table every entity-resolution survey reports,
+    * e.g. Christen 2012): three candidate-generation schemes run over
+    * the twin corpus and score against the planted ground truth in one
+    * query — 'prefix8' (exact 8-char prefix key: cheap, near-complete
+    * here because the perturbation is a suffix), 'length20' (20-char
+    * length bucket: the deliberately BAD scheme — the +18-char twin
+    * suffix usually crosses the bucket edge, so completeness collapses
+    * — exactly what the eval exists to expose), and 'rare_shingle'
+    * (any shared ≤6-doc-frequency shingle, q139's gram-blocking
+    * shape). Pair completeness = found truth pairs / all truth pairs;
+    * reduction ratio = 1 − candidates / C(n,2), both exact micro.
+    * Scale: the eval runs on a corpus-size-capped deterministic
+    * hash sample of BASE ids (orig+twin kept together, so truth pairs
+    * survive sampling intact) — blocking evals must bound their own
+    * candidate census because the bad scheme under test is, by
+    * definition, the one whose blocks explode; the sample holds the
+    * worst block at ~(cap/|keys|) regardless of N. The sample modulus
+    * follows the corpus via one metadata-scalar count() (q84's
+    * planesFor discipline) and resolves to 1 — no sampling — at the
+    * gate and bench SFs, so the oracle pins unchanged semantics.
+    * Within the sample every scheme is a key-bounded self-join and
+    * the C(n,2) denominator is arithmetic on one count row. */
+  val blockingQuality: Q = (s, dir) => {
+    import s.implicits._
+    val c0 = corpus(s, dir)
+    val m = math.max(1L, (c0.count() + BqSampleCap - 1) / BqSampleCap)
+    val c = c0.filter(
+      Hashing.hash60(($"doc_id" % TwinOffset).cast("string")) % m === 0)
+    def canon(df: DataFrame): DataFrame = df
+      .filter($"id_a" =!= $"id_b")
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b")).distinct()
+    def byKey(keyed: DataFrame): DataFrame = canon(
+      keyed.select($"doc_id".as("id_a"), $"bk")
+        .join(keyed.select($"doc_id".as("id_b"), $"bk"), Seq("bk")))
+    val prefix8 = byKey(c.select($"doc_id",
+      substring($"text", 1, 8).as("bk")))
+    val length20 = byKey(c.select($"doc_id",
+      (length($"text") - 1).cast("long").divide(20).cast("long")
+        .as("bk")))
+    val sh = c.select($"doc_id",
+      explode(TextOps.shinglesFromTokens(TextOps.tokens($"text"),
+        ShingleN)).as("bk"))
+    val rare = sh.groupBy($"bk").agg(count(lit(1)).as("f"))
+      .filter($"f" <= BqRareCap).select($"bk")
+    val rareShingle = byKey(sh.join(rare, Seq("bk")))
+    val n = c.agg(count(lit(1)).as("n_docs"),
+      sum(when($"doc_id" < TwinOffset, 1L).otherwise(0L))
+        .as("n_truth"))
+    def score(name: String, cand: DataFrame): DataFrame = cand
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"doc_b" === $"doc_a" + TwinOffset, 1L).otherwise(0L))
+          .as("n_truth_found"))
+      .crossJoin(broadcast(n))
+      .select(lit(name).as("scheme"), $"n_candidates", $"n_truth_found",
+        expr("(n_truth_found * 1000000) div n_truth")
+          .as("completeness_micro"),
+        expr("1000000 - (CAST(n_candidates AS DECIMAL(38,0)) * 2000000)"
+          + " div (n_docs * (n_docs - 1))").as("reduction_micro"))
+    score("prefix8", prefix8)
+      .unionByName(score("length20", length20))
+      .unionByName(score("rare_shingle", rareShingle))
+      .orderBy($"scheme")
+  }
+
+  private val BqRareCap = 6
+  private val BqSampleCap = 20000L
+
+  private val sqlBlockingQuality: String = {
+    def canon(src: String) =
+      s"""SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM $src a JOIN $src b USING (bk)
+         |  WHERE a.doc_id <> b.doc_id""".stripMargin
+    def score(name: String, cand: String) =
+      s"""SELECT '$name' AS scheme, count(*)::BIGINT AS n_candidates,
+         |    sum(CASE WHEN doc_b = doc_a + $TwinOffset THEN 1 ELSE 0
+         |      END)::BIGINT AS n_truth_found
+         |  FROM $cand""".stripMargin
+    s"""WITH corpus AS $sqlCorpus,
+       |p8 AS (SELECT doc_id, substr(text, 1, 8) AS bk FROM corpus),
+       |l20 AS (SELECT doc_id, (len(text) - 1) // 20 AS bk FROM corpus),
+       |sh AS (SELECT doc_id,
+       |    unnest(${sqlShingles("text", ShingleN)}) AS bk
+       |  FROM corpus),
+       |rare AS (SELECT bk FROM sh GROUP BY bk
+       |  HAVING count(*) <= $BqRareCap),
+       |shr AS (SELECT doc_id, bk FROM sh JOIN rare USING (bk)),
+       |cp8 AS (${canon("p8")}),
+       |cl20 AS (${canon("l20")}),
+       |cshr AS (${canon("shr")}),
+       |n AS (SELECT count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN doc_id < $TwinOffset THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_truth FROM corpus),
+       |raw AS (${score("prefix8", "cp8")}
+       |  UNION ALL ${score("length20", "cl20")}
+       |  UNION ALL ${score("rare_shingle", "cshr")})
+       |SELECT scheme, n_candidates, n_truth_found,
+       |  (n_truth_found * 1000000) // n_truth AS completeness_micro,
+       |  1000000 - ((n_candidates::HUGEINT * 2000000)
+       |    // (n_docs * (n_docs - 1)))::BIGINT AS reduction_micro
+       |FROM raw CROSS JOIN n
+       |ORDER BY scheme""".stripMargin
+  }
+
   private val sqlSortedNeighborhood: String = {
     def pass(keyExpr: String) =
       s"""SELECT least(a.doc_id, b.doc_id) AS doc_a,
@@ -2579,6 +2685,7 @@ object TrainingData {
     "q24_dedup_simhash" -> dedupSimhash,
     "q25_ngram_jaccard" -> ngramJaccard,
     "q459_sorted_neighborhood" -> sortedNeighborhood,
+    "q465_blocking_quality" -> blockingQuality,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
     "q40_dedup_embedding" -> dedupEmbedding,
@@ -2751,6 +2858,7 @@ object TrainingData {
          |FROM sh o JOIN sh t ON t.doc_id = o.doc_id + $TwinOffset
          |WHERE o.doc_id < $TwinOffset""".stripMargin,
     "q459_sorted_neighborhood" -> sqlSortedNeighborhood,
+    "q465_blocking_quality" -> sqlBlockingQuality,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
          |           WHERE vec_id = 0),
