@@ -843,6 +843,72 @@ object Scale {
       .filter($"edit_dist" <= 3)
   }
 
+  /** q466 — alias/redirect RESOLUTION by pointer doubling (the
+    * Wyllie/Jaja list-ranking primitive — the parallel form of
+    * union-find path compression): every alias record points at one
+    * predecessor (canonical-URL redirects, merged-account links,
+    * superseded document versions), forming a functional forest, and
+    * each alias must resolve to its terminal root WITH its chain
+    * depth. Sequential chain-walking is O(chain) round trips; pointer
+    * doubling squares the jump table each round — f ← f∘f, d ← d +
+    * d∘f — so ⌈log₂ L⌉ keyed self-joins resolve every chain of length
+    * ≤ L (4 rounds cover this forest's ≤15-hop chains; the round
+    * count is the only thing that grows with chain length, never the
+    * row count). This is a DIFFERENT primitive from q55/q87/q99's
+    * min-label closure: functional graphs need no label voting — each
+    * round is one equi-join, and depth rides along exactly. The alias
+    * forest derives deterministically from customer ids (roots at
+    * id ≡ 0 mod 16; parent steps hash-sized but block-bounded so
+    * chains stay inside their 16-id block); the oracle walks the same
+    * chains one hop at a time by recursive CTE — an independent
+    * sequential formulation gating the doubling algebra. */
+  val aliasResolution: Q = (s, dir) => {
+    import s.implicits._
+    val ids = Tables(s, dir, "customer").select($"c_custkey".as("id"))
+    val step = lit(1) + Hashing.hash60(concat($"id".cast("string"),
+      lit("|p"))) % ($"id" % 16)
+    val aliases = ids.select($"id",
+      when($"id" % 16 === 0, $"id").otherwise($"id" - step).as("parent"))
+    var f = aliases.select($"id", $"parent".as("nxt"),
+      when($"parent" === $"id", 0L).otherwise(1L).as("depth"))
+    for (_ <- 1 to AliasRounds) {
+      val g = f.select($"id".as("g_id"), $"nxt".as("g_nxt"),
+        $"depth".as("g_depth"))
+      // left join: a pointer to an id absent from the table (possible
+      // on non-contiguous id spaces) is terminal, same as the oracle's
+      // chain walk simply stopping there
+      f = f.join(g, $"nxt" === $"g_id", "left")
+        .select($"id", coalesce($"g_nxt", $"nxt").as("nxt"),
+          ($"depth" + coalesce($"g_depth", lit(0L))).as("depth"))
+    }
+    f.select($"id".as("alias_id"), $"nxt".as("root_id"), $"depth")
+      .orderBy($"alias_id")
+  }
+
+  private val AliasRounds = 4 // 2^4 ≥ the forest's max chain length 15
+
+  private val sqlAliasResolution: String = {
+    val h = Hashing.sqlHash60("CAST(id AS VARCHAR) || '|p'")
+    s"""WITH RECURSIVE al AS (
+       |  SELECT c_custkey AS id,
+       |    CASE WHEN c_custkey % 16 = 0 THEN c_custkey
+       |      ELSE c_custkey - (1 + $h % (c_custkey % 16)) END AS parent
+       |  FROM (SELECT c_custkey, c_custkey AS id FROM customer) t),
+       |w AS (
+       |  SELECT id, id AS cur, 0 AS depth FROM al
+       |  UNION ALL
+       |  SELECT w.id, a.parent AS cur, w.depth + 1 AS depth
+       |  FROM w JOIN al a ON a.id = w.cur
+       |  WHERE a.parent <> a.id),
+       |r AS (SELECT id, cur, depth,
+       |    row_number() OVER (PARTITION BY id ORDER BY depth DESC)
+       |      AS rnk
+       |  FROM w)
+       |SELECT id AS alias_id, cur AS root_id, CAST(depth AS BIGINT)
+       |  AS depth
+       |FROM r WHERE rnk = 1 ORDER BY alias_id""".stripMargin
+  }
+
   /** q462 — declarative recursive-CTE reachability (the WITH RECURSIVE
     * SQL surface, executed by Spark 4's UnionLoop): BFS depth from the
     * seed users (id ≡ 0 mod 50) over the handoff graph — consecutive
@@ -1883,6 +1949,7 @@ object Scale {
     "q139_fuzzy_name_join" -> fuzzyNameJoin,
     "q460_record_linkage" -> recordLinkage,
     "q462_recursive_reach" -> recursiveReach,
+    "q466_alias_resolution" -> aliasResolution,
     "q141_poisson_bootstrap" -> poissonBootstrap,
     "q142_grouped_trend" -> groupedTrend,
     "q143_label_similarity" -> labelSimilarity,
@@ -2543,6 +2610,7 @@ object Scale {
         |FROM cand WHERE levenshtein(name_a, name_b) <= 3""".stripMargin,
     "q460_record_linkage" -> sqlRecordLinkage,
     "q462_recursive_reach" -> sqlRecursiveReach("events"),
+    "q466_alias_resolution" -> sqlAliasResolution,
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,

@@ -37,6 +37,28 @@ class ScaleSpec extends SparkSpec {
     assert(lam > 0L && lam < 1000000L)
   }
 
+  test("alias resolution: pointer doubling equals a plain-Scala chain " +
+    "walk (root, depth), roots are the declared mod-16 bases") {
+    val got = Scale.aliasResolution(spark, sfDir)
+      .select($"alias_id", $"root_id", $"depth")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val ids = Tables(spark, sfDir, "customer")
+      .select($"c_custkey").as[Long].collect().toSet
+    def parent(i: Long): Long =
+      if (i % 16 == 0) i
+      else i - (1 + graft.functions.Hashing.hash60(s"$i|p") % (i % 16))
+    ids.foreach { i =>
+      var cur = i; var d = 0L
+      while (ids.contains(cur) && parent(cur) != cur) {
+        cur = parent(cur); d += 1
+      }
+      assert(got(i) === ((cur, d)), s"alias $i resolved wrong")
+      assert(cur % 16 === 0L)
+      assert(d <= 15L)
+    }
+  }
+
   // ------------------------------------------- fixpoint graph kernels
 
   test("fixpoint loops equal the unrolled kernels (q107 BFS, q109 " +
