@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Hashing
+import graft.functions.{Hashing, ScaleWindows}
 
 /** Data-governance operators (round 2): the executable form of the
   * reference's dbt schema tests, plus a bloom-filter membership
@@ -442,6 +442,86 @@ object Governance {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q467 — histogram selectivity estimation q-error (the optimizer-
+    * statistics quality loop: ANALYZE builds the histogram, the
+    * planner estimates predicate selectivity from it, and this query
+    * measures how wrong those estimates are — Moerkotte et al.'s
+    * q-error, the metric the cardinality-estimation literature
+    * standardizes on). A 20-bucket equi-depth histogram of order
+    * totals is built with rangeNtile (range exchange, never a global
+    * NTILE window); ten range predicates are estimated by
+    * uniform-within-bucket interpolation (integer milli-rows per
+    * bucket, summed exactly) and compared against the true counts
+    * from ONE broadcast-predicate scan; q-error = max(est/act,
+    * act/est) as exact micro. Estimation numerators carry as
+    * DECIMAL(38,0) (cnt·1000·overlap outgrows a long near 10⁹-row
+    * buckets). Scale: histogram + truth are each one scan; the
+    * estimate itself is arithmetic on the 20×10 broadcast grid. */
+  val selectivityQerror: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").select($"o_orderkey",
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val tiled = ScaleWindows.rangeNtile(o, SelBuckets,
+      Seq($"cents", $"o_orderkey"), "b")
+    val hist = tiled.groupBy($"b").agg(min($"cents").as("mn"),
+      max($"cents").as("mx"), count(lit(1)).as("cnt"))
+    val preds = s.range(SelPreds).select($"id".cast("int").as("pred_id"),
+      ($"id" * SelStep).as("lo"), ($"id" * SelStep + SelWidth).as("hi"))
+    val est = hist.crossJoin(broadcast(preds))
+      .select($"pred_id", $"lo", $"hi", $"cnt",
+        greatest(lit(0L),
+          least($"hi" - 1, $"mx") - greatest($"lo", $"mn") + 1).as("ov"),
+        ($"mx" - $"mn" + 1).as("w"))
+      .groupBy($"pred_id", $"lo", $"hi")
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * 1000 * ov div w"))
+        .cast("long").as("est_milli"))
+    val actual = o.crossJoin(broadcast(preds))
+      .filter($"cents" >= $"lo" && $"cents" < $"hi")
+      .groupBy($"pred_id").agg(count(lit(1)).as("actual"))
+    est.join(actual, Seq("pred_id"), "left")
+      .select($"pred_id", $"lo", $"hi", $"est_milli",
+        coalesce($"actual", lit(0L)).as("actual"))
+      .select($"pred_id", $"lo", $"hi", $"est_milli", $"actual",
+        expr("greatest(" +
+          "(CAST(est_milli AS DECIMAL(38,0)) * 1000000)" +
+          " div greatest(actual * 1000, 1), " +
+          "(CAST(actual AS DECIMAL(38,0)) * 1000 * 1000000)" +
+          " div greatest(est_milli, 1))").as("qerr_micro"))
+      .orderBy($"pred_id")
+  }
+
+  private val SelBuckets = 20
+  private val SelPreds = 10L
+  private val SelStep = 5000000L // cents
+  private val SelWidth = 7500000L
+
+  private val sqlSelectivityQerror: String =
+    s"""WITH o AS (SELECT o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |t AS (SELECT cents, ntile($SelBuckets)
+       |    OVER (ORDER BY cents, o_orderkey) AS b FROM o),
+       |hist AS (SELECT b, min(cents) AS mn, max(cents) AS mx,
+       |    count(*)::BIGINT AS cnt FROM t GROUP BY b),
+       |preds AS (SELECT i::INT AS pred_id, i * $SelStep AS lo,
+       |    i * $SelStep + $SelWidth AS hi
+       |  FROM unnest(range(0, $SelPreds)) AS u(i)),
+       |est AS (SELECT pred_id, lo, hi,
+       |    sum((cnt::HUGEINT * 1000 *
+       |        greatest(0, least(hi - 1, mx) - greatest(lo, mn) + 1))
+       |      // (mx - mn + 1))::BIGINT AS est_milli
+       |  FROM hist CROSS JOIN preds GROUP BY 1, 2, 3),
+       |act AS (SELECT pred_id, count(*)::BIGINT AS actual
+       |  FROM o JOIN preds ON cents >= lo AND cents < hi GROUP BY 1)
+       |SELECT pred_id, lo, hi, est_milli,
+       |  coalesce(actual, 0) AS actual,
+       |  greatest(
+       |    (est_milli::HUGEINT * 1000000) // greatest(actual * 1000, 1),
+       |    (actual::HUGEINT * 1000 * 1000000) // greatest(est_milli, 1))
+       |    ::BIGINT AS qerr_micro
+       |FROM est LEFT JOIN act USING (pred_id)
+       |ORDER BY pred_id""".stripMargin
+
   /** q157 — join fan-out diagnosis (the skew post-mortem as a query):
     * before running orders⋈lineitem at scale, which keys explode? Per
     * key the output contribution is n_left·n_right; the top offenders
@@ -643,6 +723,7 @@ object Governance {
     "q157_join_fanout" -> joinFanout,
     "q147_incremental_agg_view" -> incrementalAggView,
     "q461_ivm_join_view" -> ivmJoinView,
+    "q467_selectivity_qerror" -> selectivityQerror,
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
@@ -896,6 +977,7 @@ object Governance {
     "q157_join_fanout" -> sqlJoinFanout,
     "q147_incremental_agg_view" -> sqlIncAggView,
     "q461_ivm_join_view" -> sqlIvmJoinView,
+    "q467_selectivity_qerror" -> sqlSelectivityQerror,
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
     "q117_compaction_plan" -> sqlCompaction,
