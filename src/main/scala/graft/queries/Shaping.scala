@@ -1923,6 +1923,71 @@ object Shaping {
       |  ORDER BY bal_cents DESC, s_suppkey ASC LIMIT 2) t
       |ORDER BY n.n_name, t.bal_cents DESC, t.s_suppkey""".stripMargin
 
+  /** q468 — the MODERN AGGREGATE surface in one statement (the
+    * SQL:2023-era functions a user migrating from Snowflake/BigQuery
+    * reaches for first): mode() with the deterministic lowest-value
+    * tie-break, percentile_cont / percentile_disc as WITHIN GROUP
+    * inverse-distribution aggregates, listagg(DISTINCT … ORDER BY),
+    * count_if, bool_and/bool_or, and any_value — used honestly, on an
+    * expression constant within its group, which is the only case
+    * where any_value is deterministic. The oracle restates each in
+    * DuckDB's dialect (quantile_cont/quantile_disc, string_agg,
+    * explicit (freq DESC, value ASC) argmin for mode — pinning the
+    * tie-break SEMANTICS, not the function name). percentile_cont
+    * interpolates over exact cent longs so the double is grid-exact.
+    * Scale: one partial-aggregable pass; percentile_cont/disc are the
+    * only non-sketch members (exact quantiles need a sort per group —
+    * five groups here; q54/q96 are the corpus-scale quantile paths). */
+  val modernAggregates: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_ma")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  mode(o_orderstatus, true) AS modal_status,
+        |  round(percentile_cont(0.5) WITHIN GROUP
+        |    (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)), 6)
+        |    AS med_cents,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP
+        |    (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS p25_cents,
+        |  listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP
+        |    (ORDER BY o_orderstatus) AS statuses,
+        |  count_if(o_orderstatus = 'O') AS n_open,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(CAST(round(o_totalprice * 100) AS BIGINT) > 45000000)
+        |    AS any_above_450k,
+        |  any_value(substring(o_orderpriority, 1, 1)) AS prio_digit
+        |FROM orders_ma
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val sqlModernAggregates: String =
+    """WITH o AS (SELECT o_orderpriority, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_totalprice
+      |  FROM orders),
+      |modal AS (SELECT o_orderpriority, o_orderstatus AS modal_status
+      |  FROM (SELECT o_orderpriority, o_orderstatus,
+      |      row_number() OVER (PARTITION BY o_orderpriority
+      |        ORDER BY count(*) DESC, o_orderstatus ASC) AS rnk
+      |    FROM o GROUP BY o_orderpriority, o_orderstatus) t
+      |  WHERE rnk = 1)
+      |SELECT o.o_orderpriority,
+      |  count(*)::BIGINT AS n,
+      |  any_value(m.modal_status) AS modal_status,
+      |  round(quantile_cont(cents, 0.5), 6) AS med_cents,
+      |  quantile_disc(cents, 0.25)::BIGINT AS p25_cents,
+      |  string_agg(DISTINCT o_orderstatus, ','
+      |    ORDER BY o_orderstatus) AS statuses,
+      |  count_if(o_orderstatus = 'O')::BIGINT AS n_open,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(cents > 45000000) AS any_above_450k,
+      |  substring(o.o_orderpriority, 1, 1) AS prio_digit
+      |FROM o JOIN modal m USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   // ------------------------------ q452 net-dollar-retention cohorts
 
   /** q452 — revenue-retention cohort matrix (the dollar counterpart
@@ -1980,6 +2045,7 @@ object Shaping {
   val queries: Map[String, Q] = Map(
     "q452_ndr_cohorts" -> ndrCohorts,
     "q449_lateral_topk" -> lateralTopk,
+    "q468_modern_aggregates" -> modernAggregates,
     "q447_topk_with_ties" -> topkWithTies,
     "q443_set_ops_all" -> setOpsAll,
     "q444_burst_scan" -> burstScan,
@@ -2195,6 +2261,7 @@ object Shaping {
     "q443_set_ops_all" -> sqlSetOpsAll,
     "q447_topk_with_ties" -> sqlTopkWithTies,
     "q449_lateral_topk" -> sqlLateralTopk,
+    "q468_modern_aggregates" -> sqlModernAggregates,
     "q452_ndr_cohorts" -> sqlNdrCohorts,
     "q444_burst_scan" -> sqlBurstScan,
     "q439_grouping_sets" -> sqlGroupingSets,
