@@ -522,6 +522,82 @@ object Governance {
        |FROM est LEFT JOIN act USING (pred_id)
        |ORDER BY pred_id""".stripMargin
 
+  /** q469 — zone-map DATA-SKIPPING audit (the min/max file-statistics
+    * story behind Parquet row groups, Iceberg/Delta file pruning, and
+    * this repo's own Warehouse z-order layout): the same order rows
+    * are laid out two ways — CLUSTERED (files cut along the order-date
+    * sort) and UNCLUSTERED (files cut along arrival order, i.e.
+    * orderkey) — each cut into 64 files by rangeNtile; per-file
+    * (min, max) date zone maps are computed, and six month-window
+    * predicates report how many files each layout can PROVE empty
+    * and how many rows the surviving files force it to read. The
+    * clustered layout skips nearly everything, the unclustered one
+    * nearly nothing — the quantitative form of "sort your data or
+    * your statistics are useless". All counts exact; skip ratio is
+    * integer micro. Scale: two range exchanges + two 64-row zone-map
+    * aggregates; predicates join the 64-row maps broadcast. */
+  val zonemapSkipping: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").select($"o_orderkey",
+      datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+        .as("day"))
+    val preds = s.range(ZmPreds).select($"id".cast("int").as("pred_id"),
+      ($"id" * 365L + 120L).as("lo"), ($"id" * 365L + 150L).as("hi"))
+    def layout(name: String, keys: Seq[org.apache.spark.sql.Column]) = {
+      val filed = ScaleWindows.rangeNtile(o, ZmFiles, keys, "file_id")
+      val zones = filed.groupBy($"file_id")
+        .agg(min($"day").as("mn"), max($"day").as("mx"),
+          count(lit(1)).as("zrows"))
+      zones.crossJoin(broadcast(preds))
+        .select($"pred_id", $"lo", $"hi", $"zrows",
+          ($"mx" < $"lo" || $"mn" >= $"hi").as("skipped"))
+        .groupBy($"pred_id", $"lo", $"hi")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when($"skipped", 1L).otherwise(0L)).as("files_skipped"),
+          sum(when($"skipped", 0L).otherwise($"zrows")).as("rows_read"))
+        .select(lit(name).as("layout"), $"pred_id", $"lo", $"hi",
+          $"n_files", $"files_skipped", $"rows_read",
+          expr("(files_skipped * 1000000) div n_files")
+            .as("skip_micro"))
+    }
+    layout("clustered", Seq($"day", $"o_orderkey"))
+      .unionByName(layout("unclustered", Seq($"o_orderkey")))
+      .orderBy($"layout", $"pred_id")
+  }
+
+  private val ZmFiles = 64
+  private val ZmPreds = 6L
+
+  private val sqlZonemapSkipping: String = {
+    def layout(name: String, order: String) =
+      s"""SELECT '$name' AS layout, pred_id, lo, hi,
+         |    count(*)::BIGINT AS n_files,
+         |    sum(CASE WHEN mx < lo OR mn >= hi THEN 1 ELSE 0 END)
+         |      ::BIGINT AS files_skipped,
+         |    sum(CASE WHEN mx < lo OR mn >= hi THEN 0 ELSE zrows END)
+         |      ::BIGINT AS rows_read,
+         |    ((sum(CASE WHEN mx < lo OR mn >= hi THEN 1 ELSE 0 END)
+         |      * 1000000) // count(*))::BIGINT AS skip_micro
+         |  FROM (SELECT file_id, min(day) AS mn, max(day) AS mx,
+         |      count(*)::BIGINT AS zrows
+         |    FROM (SELECT day, ntile($ZmFiles) OVER (ORDER BY $order)
+         |        AS file_id FROM o) t
+         |    GROUP BY file_id) z
+         |  CROSS JOIN preds
+         |  GROUP BY pred_id, lo, hi""".stripMargin
+    s"""WITH o AS (SELECT o_orderkey,
+       |    datediff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) AS day
+       |  FROM orders),
+       |preds AS (SELECT i::INT AS pred_id, i * 365 + 120 AS lo,
+       |    i * 365 + 150 AS hi
+       |  FROM unnest(range(0, $ZmPreds)) AS u(i))
+       |${layout("clustered", "day, o_orderkey")}
+       |UNION ALL
+       |${layout("unclustered", "o_orderkey")}
+       |ORDER BY layout, pred_id""".stripMargin
+  }
+
   /** q157 — join fan-out diagnosis (the skew post-mortem as a query):
     * before running orders⋈lineitem at scale, which keys explode? Per
     * key the output contribution is n_left·n_right; the top offenders
@@ -724,6 +800,7 @@ object Governance {
     "q147_incremental_agg_view" -> incrementalAggView,
     "q461_ivm_join_view" -> ivmJoinView,
     "q467_selectivity_qerror" -> selectivityQerror,
+    "q469_zonemap_skipping" -> zonemapSkipping,
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
@@ -978,6 +1055,7 @@ object Governance {
     "q147_incremental_agg_view" -> sqlIncAggView,
     "q461_ivm_join_view" -> sqlIvmJoinView,
     "q467_selectivity_qerror" -> sqlSelectivityQerror,
+    "q469_zonemap_skipping" -> sqlZonemapSkipping,
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
     "q117_compaction_plan" -> sqlCompaction,
