@@ -825,7 +825,104 @@ object Corpus {
        |FROM sc CROSS JOIN cuts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q470 — PLSA topic model, one exact EM step (Hofmann 1999 — the
+    * probabilistic-topic-model family member the text stack lacked
+    * next to TF-IDF/BM25/c-TF-IDF retrieval scores and the LM scoring
+    * family): deterministic hash-seeded φ₀(w|z), θ₀(z|d) over K = 4
+    * topics, an E-step posterior q(z|d,w) ∝ φ·θ per observed doc-term
+    * pair, and an M-step re-estimate φ₁(w|z) from expected counts.
+    * Every probability lives as an exact integer micro value the whole
+    * way (numerators ≤ 10¹² before the div; M-step numerators carry as
+    * DECIMAL(38,0)), so EM is hash-stable by construction — the same
+    * discipline as q460's linkage EM. Scale: the only corpus-sized
+    * frames are the doc-term counts and their K-way explode; φ/θ
+    * normalizers are K-row / per-doc aggregates; everything downstream
+    * of the (d,w) count is vocab- or doc-bounded. */
+  val plsaStep: Q = (s, dir) => {
+    import s.implicits._
+    val dw = tokenized(s, dir)
+      .select($"doc_id".as("d"), explode($"toks").as("w"))
+      .groupBy($"d", $"w").agg(count(lit(1)).as("n"))
+    val zs = sequence(lit(0), lit(PlsaK - 1))
+    // φ0(w|z): hash-seeded raw mass, normalized per topic (micro)
+    val phiRaw = dw.select($"w").distinct()
+      .select($"w", explode(zs).as("z"))
+      .select($"w", $"z", (lit(1L) + Hashing.hash60(
+        concat($"w", lit("|phi"), $"z".cast("string"))) % 1000)
+        .as("r"))
+    val phiTot = phiRaw.groupBy($"z").agg(sum($"r").as("rt"))
+    val phi0 = phiRaw.join(broadcast(phiTot), Seq("z"))
+      .select($"w", $"z", expr("(r * 1000000) div rt").as("phi0"))
+    // θ0(z|d): hash-seeded, normalized per document (micro)
+    val thRaw = dw.select($"d").distinct()
+      .select($"d", explode(zs).as("z"))
+      .select($"d", $"z", (lit(1L) + Hashing.hash60(
+        concat($"d".cast("string"), lit("|th"), $"z".cast("string")))
+        % 1000).as("r"))
+    val thTot = thRaw.groupBy($"d").agg(sum($"r").as("rt"))
+    val th0 = thRaw.join(thTot, Seq("d"))
+      .select($"d", $"z", expr("(r * 1000000) div rt").as("th0"))
+    // E-step: q(z|d,w) = φ·θ / Σ_z φ·θ, exact micro
+    val e = dw.join(phi0, Seq("w")).join(th0, Seq("d", "z"))
+      .select($"d", $"w", $"n", $"z", ($"phi0" * $"th0").as("num"))
+    val den = e.groupBy($"d", $"w").agg(sum($"num").as("den"))
+    val q = e.join(den, Seq("d", "w"))
+      .select($"w", $"z", $"n",
+        expr("(num * 1000000) div den").as("q_micro"))
+    // M-step: φ1(w|z) from expected counts (micro-count units)
+    val swz = q.groupBy($"w", $"z")
+      .agg(sum($"n" * $"q_micro").as("eff_count_micro"))
+    val tz = swz.groupBy($"z").agg(sum($"eff_count_micro").as("tz"))
+    swz.join(broadcast(tz), Seq("z"))
+      .join(phi0, Seq("w", "z"))
+      .select($"z", $"w", $"phi0".as("phi0_micro"), $"eff_count_micro",
+        expr("(CAST(eff_count_micro AS DECIMAL(38,0)) * 1000000) div tz")
+          .as("phi1_micro"))
+      .orderBy($"z", $"w")
+  }
+
+  private val PlsaK = 4
+
+  private def sqlPlsaStep: String = {
+    val toks = TextOps.sqlTokens("text")
+    def h(e: String) = Hashing.sqlHash60(e)
+    s"""WITH dw AS (SELECT d, w, count(*)::BIGINT AS n FROM (
+       |    SELECT doc_id AS d, unnest($toks) AS w FROM documents) t
+       |  GROUP BY d, w),
+       |zl AS (SELECT i::INT AS z FROM unnest(range(0, $PlsaK)) AS u(i)),
+       |phiraw AS (SELECT w, z,
+       |    1 + ${h("w || '|phi' || CAST(z AS VARCHAR)")} % 1000 AS r
+       |  FROM (SELECT DISTINCT w FROM dw) CROSS JOIN zl),
+       |phitot AS (SELECT z, sum(r)::BIGINT AS rt FROM phiraw GROUP BY z),
+       |phi0 AS (SELECT w, z, (r * 1000000) // rt AS phi0
+       |  FROM phiraw JOIN phitot USING (z)),
+       |thraw AS (SELECT d, z,
+       |    1 + ${h("CAST(d AS VARCHAR) || '|th' || CAST(z AS VARCHAR)")}
+       |      % 1000 AS r
+       |  FROM (SELECT DISTINCT d FROM dw) CROSS JOIN zl),
+       |thtot AS (SELECT d, sum(r)::BIGINT AS rt FROM thraw GROUP BY d),
+       |th0 AS (SELECT d, z, (r * 1000000) // rt AS th0
+       |  FROM thraw JOIN thtot USING (d)),
+       |e AS (SELECT d, w, n, z, phi0 * th0 AS num
+       |  FROM dw JOIN phi0 USING (w) JOIN th0 USING (d, z)),
+       |den AS (SELECT d, w, sum(num)::BIGINT AS den
+       |  FROM e GROUP BY d, w),
+       |q AS (SELECT w, z, n, (num * 1000000) // den AS q_micro
+       |  FROM e JOIN den USING (d, w)),
+       |swz AS (SELECT w, z,
+       |    sum(n * q_micro)::BIGINT AS eff_count_micro
+       |  FROM q GROUP BY w, z),
+       |tz AS (SELECT z, sum(eff_count_micro)::BIGINT AS tz
+       |  FROM swz GROUP BY z)
+       |SELECT z, w, phi0 AS phi0_micro, eff_count_micro,
+       |  ((eff_count_micro::HUGEINT * 1000000) // tz)::BIGINT
+       |    AS phi1_micro
+       |FROM swz JOIN tz USING (z) JOIN phi0 USING (w, z)
+       |ORDER BY z, w""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q470_plsa_step" -> plsaStep,
     "q441_perplexity_bands" -> perplexityBands,
     "q438_line_dedup" -> lineDedup,
     "q240_split_leakage" -> splitLeakage,
@@ -1244,6 +1341,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q441_perplexity_bands" -> sqlPerplexityBands,
+    "q470_plsa_step" -> sqlPlsaStep,
     "q438_line_dedup" -> sqlLineDedup,
     "q240_split_leakage" -> sqlSplitLeakage,
     "q241_dedup_savings" -> sqlDedupSavings,
