@@ -598,6 +598,109 @@ object Governance {
        |ORDER BY layout, pred_id""".stripMargin
   }
 
+  /** q471 — JOIN-cardinality estimation vs truth (q467's companion,
+    * closing the optimizer-statistics loop: selectivity THEN join
+    * size): the clicks × views join on q83’s 80%-hot user key,
+    * estimated three ways — the System-R textbook formula
+    * |A|·|B| / max(ndv_A, ndv_B) from global stats, the same formula
+    * refined per hash bucket of the key (the histogram-join
+    * refinement every industrial estimator applies), and the exact
+    * per-key product (q157’s fan-out census, the upper bound of what
+    * statistics can know) — each scored with Moerkotte q-error
+    * against the true join size. The skewed key is the case the eval
+    * exists for: the global formula’s uniformity assumption
+    * underestimates a skew-dominated join by an order of magnitude,
+    * bucketing confines the error to the hot key’s bucket, and the
+    * per-key census is exact by construction. Scale: three aggregate
+    * passes, no join materialized anywhere — the estimate of a
+    * 10¹⁵-row join costs the same as a 10³-row one. */
+  val joinCardest: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val hot = when($"user_id" % 10 < 8, lit("hot"))
+      .otherwise($"user_id".cast("string")).as("k")
+    val a = e.filter($"event_type" === "click").select(hot)
+    val b = e.filter($"event_type" === "view").select(hot)
+    def side(df: DataFrame, tag: String) = df
+      .select($"k", (Hashing.hash60($"k") % JceBucket).as("bk"))
+      .groupBy($"bk").agg(count(lit(1)).as(s"n_$tag"),
+        countDistinct($"k").as(s"d_$tag"))
+    val g = side(a, "a").join(side(b, "b"), Seq("bk"), "full")
+      .select(coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"d_a", lit(0L)).as("d_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"),
+        coalesce($"d_b", lit(0L)).as("d_b"))
+    val bucketed = g.agg(sum(expr(
+      "CAST(n_a AS DECIMAL(38,0)) * n_b div greatest(d_a, d_b, 1)"))
+      .cast("long").as("est_bucketed"),
+      sum($"n_a").as("na"), sum($"d_a").as("da"),
+      sum($"n_b").as("nb"), sum($"d_b").as("db"))
+    val perKey = a.groupBy($"k").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy($"k").agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(sum($"ca" * $"cb").as("actual"))
+    bucketed.crossJoin(broadcast(perKey))
+      .select(
+        expr("CAST(na AS DECIMAL(38,0)) * nb div greatest(da, db, 1)")
+          .cast("long").as("est_global"),
+        $"est_bucketed", $"actual")
+      .select($"est_global", $"est_bucketed", $"actual",
+        expr("greatest((CAST(est_global AS DECIMAL(38,0)) * 1000000)" +
+          " div greatest(actual, 1)," +
+          " (CAST(actual AS DECIMAL(38,0)) * 1000000)" +
+          " div greatest(est_global, 1))").as("qerr_global_micro"),
+        expr("greatest((CAST(est_bucketed AS DECIMAL(38,0)) * 1000000)" +
+          " div greatest(actual, 1)," +
+          " (CAST(actual AS DECIMAL(38,0)) * 1000000)" +
+          " div greatest(est_bucketed, 1))").as("qerr_bucketed_micro"))
+  }
+
+  private val JceBucket = 32L // stats buckets (hash of key)
+
+  private val sqlJoinCardest: String = {
+    val hk = Hashing.sqlHash60("k")
+    s"""WITH ke AS (SELECT event_type,
+       |    CASE WHEN user_id % 10 < 8 THEN 'hot'
+       |      ELSE CAST(user_id AS VARCHAR) END AS k
+       |  FROM events),
+       |a AS (SELECT k FROM ke WHERE event_type = 'click'),
+       |b AS (SELECT k FROM ke WHERE event_type = 'view'),
+       |sa AS (SELECT $hk % $JceBucket AS bk,
+       |    count(*)::BIGINT AS n_a,
+       |    count(DISTINCT k)::BIGINT AS d_a
+       |  FROM a GROUP BY 1),
+       |sb AS (SELECT $hk % $JceBucket AS bk,
+       |    count(*)::BIGINT AS n_b,
+       |    count(DISTINCT k)::BIGINT AS d_b
+       |  FROM b GROUP BY 1),
+       |g AS (SELECT coalesce(n_a, 0) AS n_a, coalesce(d_a, 0) AS d_a,
+       |    coalesce(n_b, 0) AS n_b, coalesce(d_b, 0) AS d_b
+       |  FROM sa FULL JOIN sb USING (bk)),
+       |agg AS (SELECT
+       |    sum((n_a::HUGEINT * n_b) // greatest(d_a, d_b, 1))::BIGINT
+       |      AS est_bucketed,
+       |    sum(n_a)::BIGINT AS na, sum(d_a)::BIGINT AS da,
+       |    sum(n_b)::BIGINT AS nb, sum(d_b)::BIGINT AS db
+       |  FROM g),
+       |pk AS (SELECT sum(ca::HUGEINT * cb)::BIGINT AS actual FROM
+       |  (SELECT k, count(*)::BIGINT AS ca FROM a GROUP BY 1) x
+       |  JOIN (SELECT k, count(*)::BIGINT AS cb FROM b GROUP BY 1) y
+       |  USING (k)),
+       |est AS (SELECT
+       |    ((na::HUGEINT * nb) // greatest(da, db, 1))::BIGINT
+       |      AS est_global,
+       |    est_bucketed, actual
+       |  FROM agg CROSS JOIN pk)
+       |SELECT est_global, est_bucketed, actual,
+       |  greatest((est_global::HUGEINT * 1000000) // greatest(actual, 1),
+       |    (actual::HUGEINT * 1000000) // greatest(est_global, 1))
+       |    ::BIGINT AS qerr_global_micro,
+       |  greatest(
+       |    (est_bucketed::HUGEINT * 1000000) // greatest(actual, 1),
+       |    (actual::HUGEINT * 1000000) // greatest(est_bucketed, 1))
+       |    ::BIGINT AS qerr_bucketed_micro
+       |FROM est""".stripMargin
+  }
+
   /** q157 — join fan-out diagnosis (the skew post-mortem as a query):
     * before running orders⋈lineitem at scale, which keys explode? Per
     * key the output contribution is n_left·n_right; the top offenders
@@ -801,6 +904,7 @@ object Governance {
     "q461_ivm_join_view" -> ivmJoinView,
     "q467_selectivity_qerror" -> selectivityQerror,
     "q469_zonemap_skipping" -> zonemapSkipping,
+    "q471_join_cardest" -> joinCardest,
     "q71_contract_checks" -> contractChecks,
     "q72_bloom_dedup" -> bloomIncrementalDedup,
     "q75_snapshot_diff" -> snapshotDiff,
@@ -1056,6 +1160,7 @@ object Governance {
     "q461_ivm_join_view" -> sqlIvmJoinView,
     "q467_selectivity_qerror" -> sqlSelectivityQerror,
     "q469_zonemap_skipping" -> sqlZonemapSkipping,
+    "q471_join_cardest" -> sqlJoinCardest,
     "q71_contract_checks" -> sqlContracts,
     "q114_psi_drift" -> sqlPsi,
     "q117_compaction_plan" -> sqlCompaction,
