@@ -921,8 +921,120 @@ object Corpus {
        |ORDER BY z, w""".stripMargin
   }
 
+  /** q472 — LM-based DOMAIN CLASSIFICATION (the CCNet/fastText move:
+    * route each incoming document to the source whose language model
+    * explains it best — used both for domain labeling of unlabeled
+    * crawl and as a quality router): per-source add-1-smoothed
+    * unigram LMs train on a hash-based 80/20 split (hash of doc_id, NOT
+    * doc_id %5 — the id-modulo split is confounded with this corpus's
+    * id-derived source assignment, leaving four sources depleted in
+    * training and never predicted; split keys must be independent of
+    * the label), every held-out
+    * document scores against ALL 20 source LMs (per-token micro-nat
+    * costs summed as exact longs; unseen-in-source tokens pay the
+    * source's smoothed floor), argmin-with-source-tiebreak predicts,
+    * and the output is the confusion matrix. On THIS corpus the
+    * matrix shows chance-level accuracy (~1/20) — the generator draws
+    * every source from one template vocabulary, so there is no domain
+    * signal to find, and the eval reports exactly that; on a real
+    * crawl the same plan is the CCNet router. Scale: scoring joins the
+    * held-out doc-term frame to the (w, source) cost table by WORD —
+    * the explode is ×|sources|, the LM table is vocab-bounded, and no
+    * per-doc loop exists; the argmin is a per-doc window. The same
+    * per-row ln-quantization discipline as q77 keeps both engines
+    * bit-identical. */
+  val lmDomainClassifier: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+    val split = Hashing.hash60($"doc_id".cast("string")) % 5
+    val train = docs.filter(split =!= 0)
+      .select($"source".as("src"), explode($"toks").as("w"))
+    val counts = train.groupBy($"src", $"w").agg(count(lit(1)).as("c"))
+    val totals = train.groupBy($"src").agg(count(lit(1)).as("t"))
+    val vsize = train.agg(countDistinct($"w").as("v"))
+    val lm = counts.join(totals, Seq("src")).crossJoin(broadcast(vsize))
+      .select($"src", $"w",
+        round(-log(($"c" + 1).cast("double") /
+          ($"t" + $"v").cast("double")) * 1000000.0).cast("long")
+          .as("nlp"))
+    val floor = totals.crossJoin(broadcast(vsize))
+      .select($"src",
+        round(-log(lit(1.0) / ($"t" + $"v").cast("double")) * 1000000.0)
+          .cast("long").as("nlp0"))
+    val ho = docs.filter(split === 0)
+      .select($"doc_id", $"source".as("true_src"),
+        explode($"toks").as("w"))
+      .groupBy($"doc_id", $"true_src", $"w")
+      .agg(count(lit(1)).as("n_dw"))
+    val docTotals = ho.groupBy($"doc_id", $"true_src")
+      .agg(sum($"n_dw").as("n_d"))
+    val part = ho.join(lm, Seq("w"))
+      .groupBy($"doc_id", $"src")
+      .agg(sum($"n_dw" * $"nlp").as("hit_cost"),
+        sum($"n_dw").as("hit_toks"))
+    val scored = docTotals.crossJoin(broadcast(floor))
+      .join(part, Seq("doc_id", "src"), "left")
+      .select($"doc_id", $"true_src", $"src",
+        (coalesce($"hit_cost", lit(0L)) +
+          ($"n_d" - coalesce($"hit_toks", lit(0L))) * $"nlp0")
+          .as("cost"))
+    val w = Window.partitionBy($"doc_id").orderBy($"cost", $"src")
+    scored.withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
+      .groupBy($"true_src", $"src".as("pred_src"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"true_src", $"pred_src")
+  }
+
+  private def sqlLmDomainClassifier: String = {
+    val toks = TextOps.sqlTokens("text")
+    s"""WITH docs AS (SELECT doc_id, source, $toks AS toks
+       |  FROM documents),
+       |train AS (SELECT source AS src, unnest(toks) AS w
+       |  FROM docs WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 5 <> 0),
+       |counts AS (SELECT src, w, count(*)::BIGINT AS c
+       |  FROM train GROUP BY src, w),
+       |totals AS (SELECT src, count(*)::BIGINT AS t
+       |  FROM train GROUP BY src),
+       |vs AS (SELECT count(DISTINCT w)::BIGINT AS v FROM train),
+       |lm AS (SELECT src, w,
+       |    CAST(round(-ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS nlp
+       |  FROM counts JOIN totals USING (src) CROSS JOIN vs),
+       |floor AS (SELECT src,
+       |    CAST(round(-ln(1.0 / CAST(t + v AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS nlp0
+       |  FROM totals CROSS JOIN vs),
+       |ho AS (SELECT doc_id, true_src, w, count(*)::BIGINT AS n_dw
+       |  FROM (SELECT doc_id, source AS true_src, unnest(toks) AS w
+       |        FROM docs WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 5 = 0) t
+       |  GROUP BY doc_id, true_src, w),
+       |dt AS (SELECT doc_id, true_src, sum(n_dw)::BIGINT AS n_d
+       |  FROM ho GROUP BY doc_id, true_src),
+       |part AS (SELECT doc_id, src,
+       |    sum(n_dw * nlp)::BIGINT AS hit_cost,
+       |    sum(n_dw)::BIGINT AS hit_toks
+       |  FROM ho JOIN lm USING (w) GROUP BY doc_id, src),
+       |scored AS (SELECT dt.doc_id, dt.true_src, f.src,
+       |    coalesce(hit_cost, 0)
+       |      + (n_d - coalesce(hit_toks, 0)) * nlp0 AS cost
+       |  FROM dt CROSS JOIN floor f
+       |  LEFT JOIN part ON part.doc_id = dt.doc_id
+       |    AND part.src = f.src),
+       |pred AS (SELECT true_src, src AS pred_src FROM (
+       |    SELECT true_src, src,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY cost, src) AS rnk
+       |    FROM scored) t
+       |  WHERE rnk = 1)
+       |SELECT true_src, pred_src, count(*)::BIGINT AS n_docs
+       |FROM pred GROUP BY true_src, pred_src
+       |ORDER BY true_src, pred_src""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q470_plsa_step" -> plsaStep,
+    "q472_lm_domain_classifier" -> lmDomainClassifier,
     "q441_perplexity_bands" -> perplexityBands,
     "q438_line_dedup" -> lineDedup,
     "q240_split_leakage" -> splitLeakage,
@@ -1342,6 +1454,7 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "q441_perplexity_bands" -> sqlPerplexityBands,
     "q470_plsa_step" -> sqlPlsaStep,
+    "q472_lm_domain_classifier" -> sqlLmDomainClassifier,
     "q438_line_dedup" -> sqlLineDedup,
     "q240_split_leakage" -> sqlSplitLeakage,
     "q241_dedup_savings" -> sqlDedupSavings,
