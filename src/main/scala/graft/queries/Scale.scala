@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{AsOfJoin, ConnectedComponents, Hashing, PageRank,
-  RangeJoin, Sketches}
+  RangeJoin, ScaleWindows, Sketches}
 
 /** Scale-path operators (round 2, beyond the reference's surface): the
   * join/aggregate shapes a 100 TB training-data or analytics run needs
@@ -841,6 +841,69 @@ object Scale {
     cand.select($"name_a", $"name_b",
         levenshtein($"name_a", $"name_b").as("edit_dist"))
       .filter($"edit_dist" <= 3)
+  }
+
+  /** q473 — watermark LATENESS census (the query a streaming team
+    * runs BEFORE picking `withWatermark`'s delay: how much event mass
+    * arrives more than D behind the stream's high-watermark, for a
+    * menu of candidate delays — each row is the exact data loss a
+    * delay of D would cause under dropDuplicates/window semantics).
+    * The synthetic feed is perfectly time-ordered, so ingest disorder
+    * is simulated deterministically: arrival position = event time +
+    * a hash-derived jitter of up to 2 h (a replay of the same feed
+    * through a jittery transport). The high-watermark at each arrival
+    * is a running max of event time over ARRIVAL order — ONE
+    * rangeCumMax range exchange, never a single-partition window —
+    * and the census is one 6-literal broadcast grid aggregate.
+    * Everything is exact microsecond longs. */
+  val latenessCensus: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events").select($"event_id",
+      unix_micros($"ts").as("tsus"),
+      (unix_micros($"ts") + Hashing.hash60($"event_id".cast("string"),
+        9) % LatJitterUs).as("arr"))
+    val hw = ScaleWindows.rangeCumMax(e, Seq($"arr", $"event_id"),
+      $"tsus", "prevmax")
+    val late = hw.select($"event_id",
+      greatest(lit(0L), $"prevmax" - $"tsus").as("late_us"))
+    val delays = s.range(LatDelaysS.length)
+      .select($"id".cast("int").as("delay_idx"))
+      .withColumn("delay_s",
+        element_at(typedLit(LatDelaysS), $"delay_idx" + 1))
+    late.crossJoin(broadcast(delays))
+      .groupBy($"delay_idx", $"delay_s")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > $"delay_s" * 1000000L, 1L).otherwise(0L))
+          .as("n_dropped"))
+      .select($"delay_s", $"n_events", $"n_dropped",
+        expr("(n_dropped * 1000000) div n_events").as("dropped_micro"))
+      .orderBy($"delay_s")
+  }
+
+  private val LatJitterUs = 7200000000L // ≤ 2 h simulated ingest jitter
+  private val LatDelaysS: Seq[Long] = Seq(0L, 60L, 300L, 900L, 3600L, 7200L)
+
+  private val sqlLatenessCensus: String = {
+    val h = Hashing.sqlHash60("CAST(event_id AS VARCHAR)", 9)
+    val delays = LatDelaysS.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS tsus,
+       |    epoch_us(ts) + $h % $LatJitterUs AS arr
+       |  FROM events),
+       |hw AS (SELECT event_id, tsus,
+       |    coalesce(max(tsus) OVER (ORDER BY arr, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      tsus) AS prevmax
+       |  FROM e),
+       |late AS (SELECT event_id,
+       |    greatest(0, prevmax - tsus) AS late_us FROM hw),
+       |delays AS (SELECT unnest($delays)::BIGINT AS delay_s)
+       |SELECT delay_s, count(*)::BIGINT AS n_events,
+       |  sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+       |    ::BIGINT AS n_dropped,
+       |  ((sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0
+       |    END) * 1000000) // count(*))::BIGINT AS dropped_micro
+       |FROM late CROSS JOIN delays
+       |GROUP BY delay_s ORDER BY delay_s""".stripMargin
   }
 
   /** q466 — alias/redirect RESOLUTION by pointer doubling (the
@@ -1950,6 +2013,7 @@ object Scale {
     "q460_record_linkage" -> recordLinkage,
     "q462_recursive_reach" -> recursiveReach,
     "q466_alias_resolution" -> aliasResolution,
+    "q473_lateness_census" -> latenessCensus,
     "q141_poisson_bootstrap" -> poissonBootstrap,
     "q142_grouped_trend" -> groupedTrend,
     "q143_label_similarity" -> labelSimilarity,
@@ -2611,6 +2675,7 @@ object Scale {
     "q460_record_linkage" -> sqlRecordLinkage,
     "q462_recursive_reach" -> sqlRecursiveReach("events"),
     "q466_alias_resolution" -> sqlAliasResolution,
+    "q473_lateness_census" -> sqlLatenessCensus,
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,
