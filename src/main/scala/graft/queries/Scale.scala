@@ -843,6 +843,64 @@ object Scale {
       .filter($"edit_dist" <= 3)
   }
 
+  /** q474 — as-of TOP-K join (the k-nearest-predecessors completion of
+    * the as-of family q50/q81/q82/q92/q445: not just the latest click
+    * before each purchase but the last THREE, rank-preserved — the
+    * multi-touch attribution shape). The naive form is a per-probe
+    * correlated top-k over an unbounded past; the scale plan gives
+    * every click its per-user SEQUENCE NUMBER (keyed window), counts
+    * clicks at-or-before each purchase with one union-sweep cumulative
+    * count over the interleaved stream (the q50 window trick), and
+    * then equi-joins purchase × {seq, seq−1, seq−2} on (user, seq) —
+    * bounded 3× fan-out, no frame that grows with user activity, no
+    * correlated subquery. Ties at the same microsecond follow the
+    * as-of family's inclusive ≤ bound with event-id order inside the
+    * window sort. Unmatched ranks (fewer than k prior clicks) are
+    * dropped — rank presence itself carries the information. */
+  val asofTopK: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables(s, dir, "events")
+    val mixed = e.filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        when($"event_type" === "click", 1L).otherwise(0L).as("is_click"))
+    // clicks at-or-before each row, per user (clicks sort before
+    // simultaneous purchases via the is_click DESC tiebreak, keeping
+    // the family's inclusive bound)
+    val wseq = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_click".desc, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqd = mixed.withColumn("cseq", sum($"is_click").over(wseq))
+    val clicks = seqd.filter($"event_type" === "click")
+      .select($"user_id", $"cseq".as("seq"),
+        $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = seqd.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"), $"cseq",
+        explode(sequence(lit(0), lit(AsofK - 1))).as("back"))
+      .select($"user_id", $"ts", $"purchase_id",
+        ($"back" + 1).as("rank_back"), ($"cseq" - $"back").as("seq"))
+      .filter($"seq" >= 1)
+    purchases.join(clicks, Seq("user_id", "seq"))
+      .select($"purchase_id", $"user_id", $"rank_back", $"click_id",
+        (unix_micros($"ts") - unix_micros($"click_ts")).as("gap_us"))
+  }
+
+  private val AsofK = 3
+
+  private val sqlAsofTopK: String =
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id, user_id, ts FROM events
+       |  WHERE event_type = 'click'),
+       |ranked AS (SELECT p.event_id AS purchase_id, p.user_id,
+       |    c.event_id AS click_id,
+       |    CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+       |    row_number() OVER (PARTITION BY p.event_id
+       |      ORDER BY c.ts DESC, c.event_id DESC) AS rank_back
+       |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+       |SELECT purchase_id, user_id, CAST(rank_back AS INT) AS rank_back,
+       |  click_id, gap_us
+       |FROM ranked WHERE rank_back <= $AsofK""".stripMargin
+
   /** q473 — watermark LATENESS census (the query a streaming team
     * runs BEFORE picking `withWatermark`'s delay: how much event mass
     * arrives more than D behind the stream's high-watermark, for a
@@ -2014,6 +2072,7 @@ object Scale {
     "q462_recursive_reach" -> recursiveReach,
     "q466_alias_resolution" -> aliasResolution,
     "q473_lateness_census" -> latenessCensus,
+    "q474_asof_topk" -> asofTopK,
     "q141_poisson_bootstrap" -> poissonBootstrap,
     "q142_grouped_trend" -> groupedTrend,
     "q143_label_similarity" -> labelSimilarity,
@@ -2676,6 +2735,7 @@ object Scale {
     "q462_recursive_reach" -> sqlRecursiveReach("events"),
     "q466_alias_resolution" -> sqlAliasResolution,
     "q473_lateness_census" -> sqlLatenessCensus,
+    "q474_asof_topk" -> sqlAsofTopK,
     "q53_scd2_history" -> sqlScd2,
     "q54_quantiles" -> sqlQuantiles,
     "q96_sample_quantiles" -> sqlSampleQuantiles,
