@@ -32,7 +32,7 @@ object TrainingData {
   private val NumPlanes = 6
   private val Dims = 64
 
-  private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables(s, dir, "documents").select($"doc_id", $"text")
     d.unionByName(d.select(($"doc_id" + TwinOffset).as("doc_id"),
@@ -418,6 +418,126 @@ object TrainingData {
        |  ${pass("rn1")}
        |  UNION ALL
        |  ${pass("rn2")}) u""".stripMargin
+  }
+
+  /** q475 — hamming-radius SEARCH over simhash fingerprints by block
+    * pigeonhole (Manku, Jain & Sarma, WWW 2007 — the production
+    * near-dup index behind Google's crawl dedup): q24 computes
+    * fingerprints and compares planted twins directly; this is the
+    * INDEX that finds all pairs within hamming radius 3 without an
+    * all-pairs scan. The 60-bit fingerprint splits into 4 15-bit
+    * blocks; any two fingerprints within distance 3 must agree on at
+    * least one whole block (pigeonhole: 3 flipped bits touch ≤ 3 of 4
+    * blocks), so candidates = pairs sharing a (block-index, block-
+    * value) key — an equi-join on the block table, 4 rows per doc —
+    * and only those pay the exact bit_count verify. Zero false
+    * negatives BY CONSTRUCTION (spec-asserted against q24's direct
+    * twin hamming); false-positive candidates are bounded by 15-bit
+    * block collisions. Scale: the block table is 4×corpus rows with a
+    * uniform hash key; at 100 TB the same join keys the block tables
+    * partitioned by (blk, bval) — this is literally the Manku table
+    * layout re-expressed relationally. */
+  val simhashHammingIndex: Q = (s, dir) => {
+    import s.implicits._
+    val fp = Dedup.simhash(corpus(s, dir), "doc_id", "text", SimhashBits)
+    // table layout follows the corpus (planesFor discipline — one
+    // metadata count; the r7 probe measured e = 0.92 on the fixed
+    // 4×15 layout at 100×, the 15-bit key space saturating): small
+    // corpora use 4 tables × 15-bit blocks, large ones Manku's
+    // blocks-choose scheme — 6 blocks of 10 bits keyed on every
+    // 3-combination (C(6,3) = 20 tables, 30-bit keys; 3 flips touch
+    // ≤ 3 blocks so some kept 3-combination is untouched). BOTH
+    // layouts are zero-false-negative and the exact verify dedups
+    // false positives, so the OUTPUT is layout-independent at every
+    // SF (spec-asserted) — the switch moves cost, never results.
+    // DISTINCT-fingerprint collapse first (the q23/nearDupGroups
+    // production ordering): a re-ingested corpus with copy-groups of
+    // size g would otherwise emit g² hamming-0 pairs per fingerprint —
+    // the r7 probe measured the un-collapsed form going quadratic on
+    // the replicated 100× corpus. Each fingerprint carries its min-id
+    // representative and copy count; pair output is then linear in
+    // DISTINCT fingerprints and a pair's duplicate mass is n_a·n_b.
+    val fpg = fp.groupBy($"simhash")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_docs"))
+    // the layout probe counts the RAW corpus (cheap scan), never fp —
+    // counting fp would execute the whole 60-vote simhash twice
+    val blocks = shBlockTable(fpg,
+      large = corpus(s, dir).count() > ShSmallCorpus)
+    val left = blocks.select($"doc_id".as("doc_a"),
+      $"simhash".as("ha"), $"blk", $"bval")
+    val right = blocks.select($"doc_id".as("doc_b"),
+      $"simhash".as("hb"), $"blk", $"bval")
+    val reps = fpg.select($"doc_id", $"n_docs")
+    left.join(right, Seq("blk", "bval"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        Dedup.hamming($"ha", $"hb").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= ShRadius)
+      .join(reps.select($"doc_id".as("doc_a"), $"n_docs".as("n_a")),
+        Seq("doc_a"))
+      .join(reps.select($"doc_id".as("doc_b"), $"n_docs".as("n_b")),
+        Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"hamming", $"n_a", $"n_b")
+  }
+
+  private[graft] def shBlockTable(fp: DataFrame,
+      large: Boolean): DataFrame = {
+    import fp.sparkSession.implicits._
+    val slots =
+      if (!large)
+        (0 until ShBlocks).map(b =>
+          shiftright($"simhash", b * ShBlockBits)
+            .bitwiseAND(lit(ShBlockMask)))
+      else {
+        def blk(b: Int) = shiftright($"simhash", b * 10)
+          .bitwiseAND(lit(0x3FFL))
+        (0 until 6).combinations(3).toSeq.map(c =>
+          blk(c(0)) + blk(c(1)) * 1024L + blk(c(2)) * 1048576L)
+      }
+    fp.select($"doc_id", $"simhash",
+      posexplode(array(slots: _*)).as(Seq("blk", "bval")))
+  }
+
+  private val ShBlocks = 4
+  private val ShBlockBits = 15
+  private val ShBlockMask = 0x7FFFL
+  private val ShRadius = 3
+  private val ShSmallCorpus = 65536L
+
+  private def sqlSimhashHammingIndex: String = {
+    val votes = (0 until SimhashBits)
+      .map(b =>
+        s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val fpExpr = (0 until SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS $sqlCorpus,
+       |ex AS (SELECT doc_id, ${sqlHash60("tok")} AS th FROM
+       |  (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+       |   FROM corpus) t),
+       |votes AS (SELECT doc_id, $votes FROM ex GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash
+       |  FROM votes),
+       |fpg AS (SELECT simhash, min(doc_id) AS doc_id,
+       |    count(*)::BIGINT AS n_docs
+       |  FROM fp GROUP BY simhash),
+       |blocks AS (SELECT doc_id, simhash, b::INT AS blk,
+       |    (simhash >> (b * $ShBlockBits)::INT) & $ShBlockMask AS bval
+       |  FROM fpg, unnest(range(0, $ShBlocks)) AS u(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+       |      AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $ShRadius)
+       |SELECT doc_a, doc_b, hamming, ga.n_docs AS n_a,
+       |  gb.n_docs AS n_b
+       |FROM pairs
+       |JOIN fpg ga ON ga.doc_id = doc_a
+       |JOIN fpg gb ON gb.doc_id = doc_b"""
+      .stripMargin
   }
 
   // ----------------------------------------------------------- similarity
@@ -2683,6 +2803,7 @@ object TrainingData {
     "q23_dedup_minhash_lsh" -> dedupMinhashLsh,
     "q123_containment_dedup" -> containmentDedup,
     "q24_dedup_simhash" -> dedupSimhash,
+    "q475_simhash_hamming_index" -> simhashHammingIndex,
     "q25_ngram_jaccard" -> ngramJaccard,
     "q459_sorted_neighborhood" -> sortedNeighborhood,
     "q465_blocking_quality" -> blockingQuality,
@@ -2832,6 +2953,7 @@ object TrainingData {
          |  AND a.rank = 1 AND b.rank = 1 AND a.vec_id < b.vec_id""".stripMargin,
     "q40_dedup_embedding" -> sqlDedupEmbedding,
     "q24_dedup_simhash" -> sqlSimhash,
+    "q475_simhash_hamming_index" -> sqlSimhashHammingIndex,
     "q182_prefix_jaccard_join" ->
       s"""WITH corpus AS $sqlCorpus,
          |tk AS (SELECT doc_id,

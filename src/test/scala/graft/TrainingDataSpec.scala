@@ -34,6 +34,52 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("simhash hamming index: pigeonhole guarantee — every twin " +
+    "within radius 3 is found at representative level, and every " +
+    "emitted pair verifies") {
+    val found = TrainingData.simhashHammingIndex(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    val fp = graft.functions.Dedup.simhash(
+      TrainingData.corpus(spark, sfDir), "doc_id", "text", 60)
+    val fpMap = fp.select($"doc_id", $"simhash")
+      .as[(Long, Long)].collect().toMap
+    val repOf = fpMap.groupBy(_._2).map { case (h, g) =>
+      h -> g.keys.min }
+    // ground truth from q24's direct twin comparison; the index
+    // collapses identical fingerprints, so twins surface as a pair of
+    // GROUP REPRESENTATIVES (hamming-0 twins share a group — nothing
+    // to emit; their mass is the group's n_docs)
+    val close = TrainingData.dedupSimhash(spark, sfDir)
+      .filter($"twin_hamming" >= 1 && $"twin_hamming" <= 3)
+      .select($"doc_id").as[Long].collect()
+    val pairs = found.map(p => (p._1, p._2)).toSet
+    val missed = close.filter { id =>
+      val (ra, rb) = (repOf(fpMap(id)), repOf(fpMap(id + 100000L)))
+      !pairs.contains((math.min(ra, rb), math.max(ra, rb)))
+    }
+    assert(missed.isEmpty,
+      s"pigeonhole index missed radius-3 twins: ${missed.take(5)}")
+    found.foreach(p => assert(p._3 <= 3 && p._3 >= 1))
+    // layout independence: the 4×15 and 6-choose-3 tables must emit
+    // the SAME verified pairs (both are zero-false-negative; the
+    // exact verify dedups the rest) — this is what licenses the
+    // corpus-size-adaptive layout switch
+    def pairsOf(large: Boolean) = {
+      val blocks = TrainingData.shBlockTable(fp, large)
+      val l = blocks.select($"doc_id".as("doc_a"), $"simhash".as("ha"),
+        $"blk", $"bval")
+      val r = blocks.select($"doc_id".as("doc_b"), $"simhash".as("hb"),
+        $"blk", $"bval")
+      l.join(r, Seq("blk", "bval")).filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          graft.functions.Dedup.hamming($"ha", $"hb").as("h"))
+        .distinct().filter($"h" <= 3)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    }
+    assert(pairsOf(large = false) === pairsOf(large = true))
+  }
+
   test("minhash LSH finds high-Jaccard twins and ≥99% of all twins") {
     val pairs = TrainingData.dedupMinhashLsh(spark, sfDir)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
