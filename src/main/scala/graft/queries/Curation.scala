@@ -727,8 +727,15 @@ object Curation {
     * exact longs. */
   val unigramLm: Q = (s, dir) => {
     import s.implicits._
+    // boundary-mask guard: the DP encodes segmentation boundaries as
+    // bit j of a 64-bit mask; j > UlmMaxWordLen would hit the sign bit
+    // (breaking the lexicographic tie-break) or wrap mod 64 in Spark
+    // while DuckDB diverges. Both engines apply the SAME length cap so
+    // the excluded set is identical (r7 ADVICE item; empty at all
+    // current SFs — the tokenizer never emits 63-char words).
     val words = tokenized(s, dir)
       .select(explode($"toks").as("w"))
+      .filter(length($"w") <= UlmMaxWordLen)
       .groupBy($"w").agg(count(lit(1)).as("wfreq"))
     // every (i,k) span slot, k ≤ 4; invalid slots carry a NULL piece so
     // the per-word cost array below is dense and (i,k)-indexable
@@ -790,13 +797,14 @@ object Curation {
 
   private val UlmPieceMax = 4
   private val UlmHuge = 1000000000000L
+  private val UlmMaxWordLen = 62
 
   private def sqlUnigramLm: String = {
     val toks = TextOps.sqlTokens("text")
     s"""WITH RECURSIVE
        |toks AS (SELECT unnest($toks) AS w FROM documents),
        |words AS (SELECT w, count(*)::BIGINT AS wfreq
-       |  FROM toks GROUP BY w),
+       |  FROM toks WHERE len(w) <= $UlmMaxWordLen GROUP BY w),
        |spans AS (SELECT w, wfreq, i, k,
        |    substr(w, i::INT, k::INT) AS piece
        |  FROM words,

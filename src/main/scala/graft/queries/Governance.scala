@@ -635,9 +635,13 @@ object Governance {
       .cast("long").as("est_bucketed"),
       sum($"n_a").as("na"), sum($"d_a").as("da"),
       sum($"n_b").as("nb"), sum($"d_b").as("db"))
+    // DECIMAL(38,0) carry: ca*cb as plain longs wraps silently (non-
+    // ANSI) past ~3e9 events/side while the HUGEINT oracle stays
+    // exact — same discipline as the estimate numerators (r7 ADVICE).
     val perKey = a.groupBy($"k").agg(count(lit(1)).as("ca"))
       .join(b.groupBy($"k").agg(count(lit(1)).as("cb")), Seq("k"))
-      .agg(sum($"ca" * $"cb").as("actual"))
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb"))
+        .cast("long").as("actual"))
     bucketed.crossJoin(broadcast(perKey))
       .select(
         expr("CAST(na AS DECIMAL(38,0)) * nb div greatest(da, db, 1)")

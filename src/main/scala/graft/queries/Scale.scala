@@ -1162,7 +1162,10 @@ object Scale {
           "(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 - sp)")
           .as("u_bal_micro"),
         $"n_linked", $"n_true_linked", $"n_truth_candidates",
-        expr("(n_true_linked * 1000000) div n_linked")
+        // greatest(,1): on degenerate data where no pair reaches the
+        // posterior cutoff, bare div yields NULL in Spark but raises
+        // in DuckDB — the q467/q471 q-error guard pattern (r7 ADVICE).
+        expr("(n_true_linked * 1000000) div greatest(n_linked, 1)")
           .as("precision_micro"),
         expr("(n_true_linked * 1000000) div n_records")
           .as("recall_micro"))
@@ -1237,7 +1240,8 @@ object Scale {
        |  ((sqb::HUGEINT * 1000000)
        |    // (n_pairs::HUGEINT * 1000000 - sp))::BIGINT AS u_bal_micro,
        |  n_linked, n_true_linked, n_truth_candidates,
-       |  (n_true_linked * 1000000) // n_linked AS precision_micro,
+       |  (n_true_linked * 1000000) // greatest(n_linked, 1)
+       |    AS precision_micro,
        |  (n_true_linked * 1000000) // n_records AS recall_micro
        |FROM agg CROSS JOIN nr""".stripMargin
   }

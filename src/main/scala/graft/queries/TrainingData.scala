@@ -308,8 +308,10 @@ object TrainingData {
     * definition, the one whose blocks explode; the sample holds the
     * worst block at ~(cap/|keys|) regardless of N. The sample modulus
     * follows the corpus via one metadata-scalar count() (q84's
-    * planesFor discipline) and resolves to 1 — no sampling — at the
-    * gate and bench SFs, so the oracle pins unchanged semantics.
+    * planesFor discipline) and the ORACLE computes the SAME modulus
+    * from the same count (CTE `m` in sqlBlockingQuality), so parity
+    * holds at any SF — including ones where m > 1 and the sample is
+    * real, not just the m = 1 gate/bench SFs (r7 ADVICE item).
     * Within the sample every scheme is a key-bounded self-join and
     * the C(n,2) denominator is arithmetic on one count row. */
   val blockingQuality: Q = (s, dir) => {
@@ -369,7 +371,12 @@ object TrainingData {
          |    sum(CASE WHEN doc_b = doc_a + $TwinOffset THEN 1 ELSE 0
          |      END)::BIGINT AS n_truth_found
          |  FROM $cand""".stripMargin
-    s"""WITH corpus AS $sqlCorpus,
+    s"""WITH corpus0 AS $sqlCorpus,
+       |m AS (SELECT greatest(1, (count(*) + ${BqSampleCap - 1})
+       |    // $BqSampleCap) AS m FROM corpus0),
+       |corpus AS (SELECT c.* FROM corpus0 c CROSS JOIN m
+       |  WHERE ${sqlHash60(s"(c.doc_id % $TwinOffset)::VARCHAR")}
+       |    % m.m = 0),
        |p8 AS (SELECT doc_id, substr(text, 1, 8) AS bk FROM corpus),
        |l20 AS (SELECT doc_id, (len(text) - 1) // 20 AS bk FROM corpus),
        |sh AS (SELECT doc_id,
