@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +37,7 @@ object Bpe {
     var syms = words
       .select(col("word"), concat_ws(" ", split(col("word"), "")).as("sym"),
         col("n"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String)]
     var round = 0
     var exhausted = false
@@ -59,7 +60,7 @@ object Bpe {
         syms = syms.withColumn("sym",
           trim(regexp_replace(concat(lit(" "), $"sym", lit(" ")),
             lit(s" $a $b(?= )"), lit(s" $a$b"))))
-          .localCheckpoint()
+          .trunkCheckpoint()
         // The new checkpoint is materialized; drop the previous round's
         // blocks so R-round training holds one word-table copy in
         // memory, not R of them (a 30k-merge vocab run would otherwise

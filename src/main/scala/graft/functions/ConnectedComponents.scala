@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,16 +28,16 @@ object ConnectedComponents {
       maxIter: Int = 20): DataFrame = {
     val both = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().trunkCheckpoint()
     // iterate ONLY over nodes that touch an edge: in a near-dup graph
     // the overwhelming majority of nodes are singletons, and dragging
     // them through every join/groupBy/convergence-probe round multiplies
     // each iteration's work by nodes/endpoints for labels that cannot
     // change. Singletons are appended unchanged at the end.
     val touched = both.select(col("src").as("id")).distinct()
-      .localCheckpoint()
+      .trunkCheckpoint()
     var labels = touched.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -44,7 +45,7 @@ object ConnectedComponents {
         .select(col("dst").as("id"), col("component"))
       val next = labels.unionByName(viaNeighbour)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .trunkCheckpoint()
       // convergence probe: scalar, short-circuits. Round 1 never
       // converges when edges exist (every edge's larger endpoint
       // adopts the smaller label), so its probe job is skipped.
@@ -131,10 +132,10 @@ object ConnectedComponents {
   def largeSmallStar(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 30): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct().trunkCheckpoint()
     val touched = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().trunkCheckpoint()
     // convergence = edge-set fixpoint, probed as (count, hash-xor) —
     // two scalars per round instead of a full-set anti-join. XOR is
     // order-independent and can't overflow (the set is distinct, so no
@@ -171,7 +172,7 @@ object ConnectedComponents {
         .unionByName(o.join(ssMin, "u")
           .filter(col("v") =!= col("m"))
           .select(col("v").as("src"), col("m").as("dst")))
-        .distinct().localCheckpoint()
+        .distinct().trunkCheckpoint()
       val next = checksum(ss)
       done = next == sig
       sig = next

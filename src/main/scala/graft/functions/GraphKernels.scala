@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,8 +33,8 @@ object GraphKernels {
   def bfsHops(edges: DataFrame, seeds: DataFrame,
       maxHops: Int = Int.MaxValue): DataFrame = {
     var visited = seeds.select(col("node_id")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint()
-    var frontier = visited.select("node_id").localCheckpoint()
+      .withColumn("hops", lit(0)).trunkCheckpoint()
+    var frontier = visited.select("node_id").trunkCheckpoint()
     var hop = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && hop < maxHops) {
@@ -42,12 +43,12 @@ object GraphKernels {
         .join(frontier.select(col("node_id").as("src")), Seq("src"))
         .select(col("dst").as("node_id")).distinct()
         .join(visited.select("node_id"), Seq("node_id"), "left_anti")
-        .localCheckpoint()
+        .trunkCheckpoint()
       frontierSize = next.count()
       if (frontierSize > 0) {
         visited = visited
           .unionByName(next.withColumn("hops", lit(hop)))
-          .localCheckpoint()
+          .trunkCheckpoint()
         frontier = next
       }
     }
@@ -60,7 +61,7 @@ object GraphKernels {
     * round, all keyed on node id — q109's round, looped. */
   def kcore(edges: DataFrame, k: Int,
       maxIter: Int = Int.MaxValue): DataFrame = {
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var e = edges.select(col("u"), col("v")).trunkCheckpoint()
     var prevCount = e.count()
     var i = 0
     var done = prevCount == 0
@@ -69,7 +70,7 @@ object GraphKernels {
         .filter(col("d") >= k).select(col("u").as("n"))
       val next = e.join(keep.select(col("n").as("u")), Seq("u"))
         .join(keep.select(col("n").as("v")), Seq("v"))
-        .select(col("u"), col("v")).localCheckpoint()
+        .select(col("u"), col("v")).trunkCheckpoint()
       val c = next.count()
       done = c == prevCount // monotone shrink: equal count = fixpoint
       prevCount = c
@@ -91,7 +92,7 @@ object GraphKernels {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var labels = edges.select(col("src").as("node_id")).distinct()
-      .withColumn("lbl", col("node_id")).localCheckpoint()
+      .withColumn("lbl", col("node_id")).trunkCheckpoint()
     var sig = signature(labels)
     var i = 0
     var done = false
@@ -106,7 +107,7 @@ object GraphKernels {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node_id"), col("lbl"))
-        .localCheckpoint()
+        .trunkCheckpoint()
       val ns = signature(next)
       done = ns == sig
       sig = ns

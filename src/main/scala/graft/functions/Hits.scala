@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object Hits {
   def scores(edges: DataFrame, iters: Int = 2,
       scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint()
+      .trunkCheckpoint()
     val srcs = e.select(col("src").as("id")).distinct()
     val dsts = e.select(col("dst").as("id")).distinct()
     def normalize(raw: DataFrame, ids: DataFrame,
@@ -45,7 +46,7 @@ object Hits {
       // the whole preceding chain twice (2^halfrounds passes over the
       // edge list — measured 14 s vs 6 s at 6M edges). The frame is
       // O(nodes), so materializing it is cheap.
-      val r = raw.localCheckpoint()
+      val r = raw.trunkCheckpoint()
       val tot = r.agg(sum(col("raw").cast("decimal(38,0)")).as("tot"))
       ids.join(r, Seq("id"), "left")
         .crossJoin(broadcast(tot))

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -41,12 +42,12 @@ object PageRank {
       iters: Int = 2, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").localCheckpoint()
+    val ed = e.join(deg, "src").trunkCheckpoint()
     val nodes = ed.select(col("src").as("id"))
       .unionByName(ed.select(col("dst").as("id")))
       .distinct()
       .withColumn("seed", isSeed)
-      .localCheckpoint()
+      .trunkCheckpoint()
     // NOTE: this count() is an eager action inside the plan builder
     // (the seed count is needed as a literal in the teleport term)
     val nSeeds = nodes.filter(col("seed")).count()
@@ -73,10 +74,10 @@ object PageRank {
       scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").localCheckpoint()
+    val ed = e.join(deg, "src").trunkCheckpoint()
     val nodes = ed.select(col("src").as("id"))
       .unionByName(ed.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().trunkCheckpoint()
     val n = nodes.count()
     val base = (15L * scale / 100L) / n
     var r = nodes.select(col("id"), lit(scale / n).as("rank"))

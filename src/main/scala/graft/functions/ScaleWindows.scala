@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,7 +62,7 @@ object ScaleWindows {
     require(k > 0, s"rangeNtile: k must be positive, got $k")
     val ranged0 = df.repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
-    val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
+    val ranged = if (checkpoint) ranged0.trunkCheckpoint() else ranged0
     val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
     // offsets without a window: triangular sum over the P-row frame
@@ -123,7 +124,7 @@ object ScaleWindows {
                    checkpoint: Boolean = true): DataFrame = {
     val ranged0 = df.repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
-    val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
+    val ranged = if (checkpoint) ranged0.trunkCheckpoint() else ranged0
     val psums = values.map { case (v, o) => sum(v).as(s"__psum_$o") }
     val sums = ranged.groupBy(col("__pid")).agg(psums.head, psums.tail: _*)
     val rhs = sums.select(col("__pid").as("__pid2") +:
@@ -165,7 +166,7 @@ object ScaleWindows {
     // the samples can disagree and the carry then describes a
     // DIFFERENT partitioning. `checkpoint = true` materializes the
     // exchange once so both branches share one boundary set.
-    val ranged = if (checkpoint) ranged0.localCheckpoint() else ranged0
+    val ranged = if (checkpoint) ranged0.trunkCheckpoint() else ranged0
     val maxes = ranged.groupBy(col("__pid"))
       .agg(max(col("__v")).as("__pmax"))
     val rhs = maxes.select(col("__pid").as("__pid2"),
@@ -198,7 +199,7 @@ object ScaleWindows {
     val tagged0 = df.withColumn("__v", value)
       .repartitionByRange(resolveParts(df, parts), keys: _*)
       .withColumn("__pid", spark_partition_id())
-    val tagged = if (checkpoint) tagged0.localCheckpoint() else tagged0
+    val tagged = if (checkpoint) tagged0.trunkCheckpoint() else tagged0
     val keyStruct = struct(
       keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } :+
         col("__v").as("__vv"): _*)

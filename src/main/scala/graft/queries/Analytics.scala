@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -789,15 +790,11 @@ object Analytics {
     * division of exact longs. */
   val linkPrediction: Q = (s, dir) => {
     import s.implicits._
-    val io = Tables(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = io.as("x")
-      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
-      .localCheckpoint() // feeds und (twice) and the anti-join probe
+    val e = GraphTrunk.coOrderEdges(s, dir) // shared trunk checkpoint
     val und = e.select($"u".as("w"), $"v".as("n"))
       .unionByName(e.select($"v".as("w"), $"u".as("n")))
-    val deg = und.groupBy($"w").agg(count(lit(1)).as("d"))
+    val deg = GraphTrunk.coOrderDegrees(s, dir)
+      .select($"nid".as("w"), $"d")
     val mid = deg.filter($"d" >= 2 && $"d" <= 64).select($"w")
     val capped = und.join(mid, Seq("w"))
     val sc = capped.as("a")
@@ -830,10 +827,7 @@ object Analytics {
     * are integral micro divisions summed as exact longs. */
   val harmonicCentrality: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("src"),
-        (lit(100000L) + $"l_partkey").as("dst"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
     val edges = e0.unionByName(
       e0.select($"dst".as("src"), $"src".as("dst")))
     val d0 = Tables(s, dir, "supplier").filter($"s_suppkey" <= 2)
@@ -1462,7 +1456,7 @@ object Analytics {
         $"o_custkey" === $"c_custkey")
       .groupBy($"r", $"o_orderpriority".as("p"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val nTot = cells.agg(sum($"n").as("nn"))
     val rowT = Tables(s, dir, "customer")
       .groupBy(($"c_nationkey" % 5).as("r"))
@@ -1479,15 +1473,15 @@ object Analytics {
       val rs = d.groupBy($"r").agg(sum($"w").as("rs"))
       d.join(broadcast(rs), Seq("r")).join(broadcast(tr), Seq("r"))
         .select($"r", $"p", $"n", expr("(w * tr) div rs").as("w"))
-        .localCheckpoint()
+        .trunkCheckpoint()
     }
     def colStep(d: DataFrame): DataFrame = {
       val cs = d.groupBy($"p").agg(sum($"w").as("cs"))
       d.join(broadcast(cs), Seq("p")).join(broadcast(tc), Seq("p"))
         .select($"r", $"p", $"n", expr("(w * tc) div cs").as("w"))
-        .localCheckpoint()
+        .trunkCheckpoint()
     }
-    (1 to 3).foldLeft(w0.localCheckpoint())((d, _) => colStep(rowStep(d)))
+    (1 to 3).foldLeft(w0.trunkCheckpoint())((d, _) => colStep(rowStep(d)))
   }
 
   /** q332 — survey raking: the per-cell calibrated weights after 3

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -137,7 +138,7 @@ object Corpus {
     // bench/verify query boundary by CheckpointHygiene.release.
     val perGram = g.groupBy($"g")
       .agg(sum($"gn").as("gdf"), minkMembers.as("ds"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     // rep pairs routed through a shared rare shingle (ground truth
     // candidates): i < j expansion over the ≤64-member list. Keeping
     // the per-gram multiplicity (count, not distinct) gives the
@@ -681,7 +682,7 @@ object Corpus {
     val scored = TrainingData.repCandidates(groups)
       .select($"doc_a".as("src"), $"doc_b".as("dst"),
         round(Dedup.jaccard($"sa_set", $"sb_set"), 6).as("j"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val perThreshold = Seq(0.5, 0.7, 0.9).map { t =>
       val edges = scored.filter($"j" >= t).select($"src", $"dst")
         .unionByName(star)

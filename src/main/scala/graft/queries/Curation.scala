@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -960,7 +961,7 @@ object Curation {
     val spark = grams.sparkSession
     val cap = spark.conf.get("graft.scrub.maxBroadcastRows",
       "5000000").toLong
-    val s = dupSet.localCheckpoint()
+    val s = dupSet.trunkCheckpoint()
     if (s.count() <= cap) grams.join(broadcast(s), cond, joinType)
     else grams.join(s.hint("shuffle_hash"), cond, joinType)
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -846,7 +847,7 @@ object Inference {
         col("p.i") === col("r.j") && col("p.j") === col("r.i"))
       .select(col("p.i"), col("p.j"), col("p.wij"),
         (col("p.wij") + col("r.wij")).as("nij"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val w = nij.groupBy($"i")
       .agg(sum($"wij").as("wi"), sum($"nij").as("ncomp"))
     var sdf = w.select($"i", lit(1000000L).as("s"))
@@ -889,13 +890,13 @@ object Inference {
     * separately. */
   val prefTransitivity: Q = (s, dir) => {
     import s.implicits._
-    val dir0 = pairWins(s, dir).localCheckpoint()
+    val dir0 = pairWins(s, dir).trunkCheckpoint()
     val faced = dir0.as("p").join(broadcast(dir0.as("r")),
         col("p.i") === col("r.j") && col("p.j") === col("r.i"))
       .select(col("p.i").as("u"), col("p.j").as("v"),
         col("p.wij").as("wuv"), col("r.wij").as("wvu"))
     val dom = faced.filter($"wuv" > $"wvu").select($"u", $"v")
-      .localCheckpoint()
+      .trunkCheckpoint()
     val items = dir0.select($"i").distinct()
       .agg(count(lit(1)).as("n_items"))
     val edges = faced.agg(

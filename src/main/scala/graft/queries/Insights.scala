@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -692,24 +693,8 @@ object Insights {
     * micro division per node. Reference: q105 scaladoc. */
   val localClustering: Q = (s, dir) => {
     import s.implicits._
-    val io = Tables(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = io.as("x")
-      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
-    val deg = e.select($"u".as("nid"))
-      .unionByName(e.select($"v".as("nid")))
-      .groupBy($"nid").agg(count(lit(1)).as("d"))
-    val ori = e
-      .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
-      .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
-      .select(
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-          .otherwise($"v").as("a"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-          .otherwise($"u").as("b"))
-    val adj = ori.groupBy($"a")
-      .agg(sort_array(collect_list($"b")).as("nbrs"))
+    val deg = GraphTrunk.coOrderDegrees(s, dir)
+    val adj = GraphTrunk.coOrderAdjacency(s, dir)
     val tr = adj.select($"a", $"nbrs".as("na"), explode($"nbrs").as("b"))
       .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
       .select($"a", $"b", explode(array_intersect($"na", $"nb")).as("c"))
@@ -735,14 +720,8 @@ object Insights {
     * are the degree aggregation and two degree-lookup joins. */
   val degreeAssortativity: Q = (s, dir) => {
     import s.implicits._
-    val io = Tables(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = io.as("x")
-      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
-    val deg = e.select($"u".as("nid"))
-      .unionByName(e.select($"v".as("nid")))
-      .groupBy($"nid").agg(count(lit(1)).as("d"))
+    val e = GraphTrunk.coOrderEdges(s, dir)
+    val deg = GraphTrunk.coOrderDegrees(s, dir)
     val t = e
       .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
       .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
@@ -890,7 +869,7 @@ object Insights {
       .select($"doc_id", TextOps.shinglesFromTokens($"toks", 3)
         .as("sh_set"))
     val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
-      TrainingData.NumHashes).localCheckpoint()
+      TrainingData.NumHashes).trunkCheckpoint()
     val rows = Seq(2, 4, 8).map { r =>
       val b = TrainingData.NumHashes / r
       val p = math.round(1000000.0 *

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -568,7 +569,7 @@ object Modeling {
       sum(when($"g" === 1, 1L).otherwise(0L)).as("x1"),
       sum(when($"g" === 0 && $"evt" === 1, 1L).otherwise(0L)).as("d0"),
       sum(when($"g" === 1 && $"evt" === 1, 1L).otherwise(0L)).as("d1"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     // totals from the O(horizon) grid, NOT a second pass over the
     // user-level frame (which would re-run the per-user reduction)
     val tot = grid.agg(sum($"x0").as("t0"), sum($"x1").as("t1"))
@@ -894,7 +895,7 @@ object Modeling {
         "CAST(round(CAST(st AS DOUBLE) / n +" +
           " b1 * (x1 - CAST(sx1 AS DOUBLE) / n) +" +
           " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
-      .localCheckpoint()
+      .trunkCheckpoint()
     val back = ScaleWindows.rangeCumMax(scored,
       Seq($"p", $"t", $"o_orderkey"),
       when($"t" === 0, $"p"), "p_back")
@@ -956,7 +957,7 @@ object Modeling {
     val dense = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("np"))
       .filter($"np" >= 5)
       .select(($"cx" * 100000L + $"cy").as("id"), $"cx", $"cy", $"np")
-      .localCheckpoint()
+      .trunkCheckpoint()
     val offs = Seq(-1L, 0L, 1L)
       .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
       .filter { case (dx, dy) => dx != 0 || dy != 0 }
@@ -1452,7 +1453,7 @@ object Modeling {
           1L).otherwise(0L).as("evt"))
     val grid = durs.groupBy($"d").agg(count(lit(1)).as("x"),
       sum($"evt").as("de"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     // totals from the O(horizon) grid — never a second user-level pass
     val tot = grid.agg(sum($"x").as("t"))
     // exits before each day -> at-risk; quantized ln(1 - d/r) per day
@@ -1509,7 +1510,7 @@ object Modeling {
     val grid = durs.groupBy($"d").agg(count(lit(1)).as("x"),
       sum(when($"cause" === 1L, 1L).otherwise(0L)).as("d1"),
       sum(when($"cause" === 2L, 1L).otherwise(0L)).as("d2"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val tot = grid.agg(sum($"x").as("t"))
     val cum = graft.functions.ScaleWindows.rangeCumSum(grid, Seq($"d"),
       $"x", "e_before")
@@ -2807,7 +2808,7 @@ object Modeling {
       .groupBy(datediff(to_date($"o_orderdate"),
         lit("1995-01-01").cast("date")).cast("long").as("t"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val pairs = daily.select($"t".as("ti"), $"y".as("yi"))
       .join(broadcast(daily.select($"t".as("tj"), $"y".as("yj"))),
         $"ti" < $"tj")
@@ -2864,7 +2865,7 @@ object Modeling {
       .groupBy(datediff(to_date($"o_orderdate"),
         lit("1995-01-01").cast("date")).cast("long").as("t"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     // Walsh averages (i <= j) in half-cent units to stay integral
     val walsh = daily.select($"t".as("ti"), $"y".as("yi"))
       .join(broadcast(daily.select($"t".as("tj"), $"y".as("yj"))),

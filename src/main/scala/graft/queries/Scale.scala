@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -388,7 +389,7 @@ object Scale {
       .filter($"event_type".isin("click", "purchase"))
       .select($"event_type", $"user_id")
     val regs = Sketches.hllRegisters(e, "event_type",
-      $"user_id".cast("string")).localCheckpoint()
+      $"user_id".cast("string")).trunkCheckpoint()
     val regsU = regs.groupBy($"b").agg(max($"r").as("r"))
       .select(lit("union").as("event_type"), $"b", $"r")
     val est = Sketches.hllEstimate(regs.unionByName(regsU),
@@ -575,9 +576,7 @@ object Scale {
     * arithmetic in SQL, not a float approximation. */
   val pagerank: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
     val edges = e0.unionByName(
       e0.select($"dst".as("src"), $"src".as("dst")))
     PageRank.ranks(edges, iters = 2)
@@ -615,9 +614,8 @@ object Scale {
     * partition order. */
   val graphSage: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("supp"), $"l_partkey".as("part"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
+      .select($"src".as("supp"), ($"dst" - 100000L).as("part"))
     val pf = Tables(s, dir, "part").select($"p_partkey".as("part"),
       round($"p_retailprice" * 100).cast("long").as("price_c"),
       $"p_size".cast("long").as("psize"))
@@ -646,9 +644,7 @@ object Scale {
     * in ≤2 hops hold rank 0 — compare q107's hop labels. */
   val personalizedPagerank: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
     PageRank.personalizedRanks(edges, col("id") <= 2L, iters = 2)
       .select($"id".as("node_id"), $"rank")
@@ -667,20 +663,8 @@ object Scale {
     * equi-joins on node keys; nothing is driver-side. */
   val triangles: Q = (s, dir) => {
     import s.implicits._
-    val io = Tables(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = io.as("x").join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
-    val deg = e.select($"u".as("nid")).unionByName(e.select($"v".as("nid")))
-      .groupBy($"nid").agg(count(lit(1)).as("d"))
-    val ori = e
-      .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
-      .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
-      .select(
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-          .otherwise($"v").as("a"),
-        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-          .otherwise($"u").as("b"))
+    val e = GraphTrunk.coOrderEdges(s, dir)
+    val deg = GraphTrunk.coOrderDegrees(s, dir)
     // Edge-iterator with sorted adjacency instead of the wedge self-join:
     // the (deg, id) orientation is a total order, so every triangle is a
     // DAG a→b, a→c, b→c and is found exactly once — on edge (a,b) as
@@ -689,8 +673,7 @@ object Scale {
     // ≤O(√m)-element sorted arrays per EDGE does the same comparisons
     // inside codegen over |E| rows (23.5 s → 3.8 s at sf0.1 with the
     // native intersect below).
-    val adj = ori.groupBy($"a")
-      .agg(sort_array(collect_list($"b")).as("nbrs"))
+    val adj = GraphTrunk.coOrderAdjacency(s, dir)
     // re-derive the edge list by exploding the adjacency itself: each
     // edge row comes out with N⁺(a) already attached (no join), leaving
     // ONE shuffle join to fetch N⁺(b)
@@ -713,6 +696,64 @@ object Scale {
         expr("(3000000 * n_triangles) div n_wedges").as("gcc_micro"))
   }
 
+  /** q476 — DOULION triangle ESTIMATE (Tsourakakis et al., KDD 2009:
+    * sparsify by keeping each edge with probability p, count triangles
+    * exactly on the sample, scale by 1/p³): the 100-TB posture for the
+    * graph-kernel family, whose exact members (q105/q259) are honestly
+    * O(m·√m) — the only super-linear-by-nature family in the registry.
+    * The sample is the stateless hash60-threshold sparsifier q56/q109
+    * use (keep iff hash60('tri|u|v') % 5 = 0, p = 1/5), so both engines
+    * draw the IDENTICAL subgraph and the estimate is deterministic —
+    * an integer t_s·125, exact-parity with the oracle, no float
+    * anywhere. The sampled count runs q105's degree-oriented sorted-
+    * adjacency intersect on the sparsified edges (work drops ~p^1.5·m^1.5);
+    * the EXACT count rides the shared trunk adjacency at marginal cost,
+    * so the query doubles as the estimator's own error audit
+    * (err_abs_micro vs truth — the number a platform team checks
+    * before trusting the estimator at the next scale-up). */
+  val trianglesSampled: Q = (s, dir) => {
+    import s.implicits._
+    val e = GraphTrunk.coOrderEdges(s, dir)
+    val samp = e.filter(Hashing.hash60(
+      concat(lit("tri|"), $"u".cast("string"), lit("|"),
+        $"v".cast("string"))) % TriSampleMod === 0)
+    val deg = samp.select($"u".as("nid"))
+      .unionByName(samp.select($"v".as("nid")))
+      .groupBy($"nid").agg(count(lit(1)).as("d"))
+    val ori = samp
+      .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("b"))
+    val adj = ori.groupBy($"a")
+      .agg(sort_array(collect_list($"b")).as("nbrs"))
+    val ts = adj.select($"nbrs".as("na"), explode($"nbrs").as("b"))
+      .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
+      .select(size(array_intersect($"na", $"nb")).as("t"))
+      .agg(coalesce(sum($"t"), lit(0L)).cast("long").as("t_sampled"))
+    val nSamp = samp.agg(count(lit(1)).as("n_sample_edges"))
+    val exactAdj = GraphTrunk.coOrderAdjacency(s, dir)
+    val exact = exactAdj
+      .select($"nbrs".as("na"), explode($"nbrs").as("b"))
+      .join(exactAdj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
+      .select(size(array_intersect($"na", $"nb")).as("t"))
+      .agg(coalesce(sum($"t"), lit(0L)).cast("long").as("n_triangles"))
+    ts.crossJoin(broadcast(nSamp)).crossJoin(broadcast(exact))
+      .select($"n_sample_edges", $"t_sampled",
+        ($"t_sampled" * lit(TriSampleMod * TriSampleMod * TriSampleMod))
+          .as("est_triangles"),
+        $"n_triangles")
+      .select($"n_sample_edges", $"t_sampled", $"est_triangles",
+        $"n_triangles",
+        expr("(1000000 * abs(est_triangles - n_triangles))" +
+          " div greatest(n_triangles, 1)").as("err_abs_micro"))
+  }
+
+  private val TriSampleMod = 5L
+
   /** q215 — Adamic–Adar link prediction over the co-order part graph
     * (q105's projection): for part pairs NOT currently connected, the
     * classic common-neighbor score Σ_w 1/ln(deg w) — the first-line
@@ -729,15 +770,11 @@ object Scale {
     * anti-join; top-20 via TakeOrderedAndProject (no global sort). */
   val adamicAdar: Q = (s, dir) => {
     import s.implicits._
-    val io = Tables(s, dir, "lineitem")
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val e = io.as("x")
-      .join(io.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .select($"x.p".as("u"), $"y.p".as("v")).distinct()
-      .localCheckpoint() // feeds und (twice), the anti-join probe
+    val e = GraphTrunk.coOrderEdges(s, dir) // shared trunk checkpoint
     val und = e.select($"u".as("w"), $"v".as("n"))
       .unionByName(e.select($"v".as("w"), $"u".as("n")))
-    val wt = und.groupBy($"w").agg(count(lit(1)).as("d"))
+    val wt = GraphTrunk.coOrderDegrees(s, dir)
+      .select($"nid".as("w"), $"d")
       .filter($"d" >= 2 && $"d" <= 64)
       .select($"w",
         round(lit(1000000.0) / log($"d".cast("double"))).cast("long")
@@ -1421,7 +1458,7 @@ object Scale {
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
       .select(datediff($"day", lit("1995-01-01").cast("date"))
         .as("d"), $"cents")
-      .localCheckpoint()
+      .trunkCheckpoint()
     val pairs = daily.repartition(s.sparkContext.defaultParallelism).as("a")
       .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
       .select(expr("(1000000 * (b.cents - a.cents)) div (b.d - a.d)")
@@ -1434,7 +1471,7 @@ object Scale {
     // double (integer deltas < 2^53, ×0.5 a power of two), so the
     // interpolated median is bit-identical on both engines.
     val hist = pairs.groupBy($"slope_micro").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val cum = graft.functions.ScaleWindows
       .rangeCumSum(hist, Seq($"slope_micro".asc), $"c", "cs",
         checkpoint = true)
@@ -1640,24 +1677,30 @@ object Scale {
     * with a signature early-exit, spec-asserted equal when capped. */
   val lpaCommunities: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
-      .distinct()
-    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint()
-    val l0 = edges.select($"src".as("node_id")).distinct()
-      .withColumn("lbl", $"node_id")
-    def round(labels: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"node_id")
-        .orderBy($"c".desc, $"lbl".asc)
-      edges.join(labels.select($"node_id".as("dst"), $"lbl"), Seq("dst"))
-        .groupBy($"src".as("node_id"), $"lbl")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"node_id", $"lbl")
+    // resolve the edge dependency BEFORE entering the stage cache —
+    // nested computeIfAbsent on the shared trunk map can throw
+    // "Recursive update" (see NewsPipeline.articlesShared)
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
+    // labels memoized on the trunk: q130's modularity audit reuses the
+    // identical frame instead of re-running both LPA rounds
+    GraphTrunk.stage(s, dir, "lpa_labels") {
+      val edges = e0.unionByName(
+        e0.select($"dst".as("src"), $"src".as("dst")))
+      val l0 = edges.select($"src".as("node_id")).distinct()
+        .withColumn("lbl", $"node_id")
+      def round(labels: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"node_id")
+          .orderBy($"c".desc, $"lbl".asc)
+        edges.join(labels.select($"node_id".as("dst"), $"lbl"),
+            Seq("dst"))
+          .groupBy($"src".as("node_id"), $"lbl")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"node_id", $"lbl")
+      }
+      round(round(l0)).select($"node_id", $"lbl".as("community"))
     }
-    round(round(l0)).select($"node_id", $"lbl".as("community"))
   }
 
   /** q130 — modularity audit of q118's communities: per-community
@@ -1672,9 +1715,8 @@ object Scale {
     * O(communities) output at any graph size. */
   val modularityAudit: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("u"), (lit(100000L) + $"l_partkey").as("v"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
+      .select($"src".as("u"), $"dst".as("v"))
     val labels = lpaCommunities(s, dir)
     val mTot = e0.agg(count(lit(1)).as("m"))
     val lu = labels.select($"node_id".as("u"), $"community".as("cu"))
@@ -1777,9 +1819,7 @@ object Scale {
     * expressible. */
   val bfsHops: Q = (s, dir) => {
     import s.implicits._
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("src"), (lit(100000L) + $"l_partkey").as("dst"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
     val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
     val d0 = Tables(s, dir, "supplier").filter($"s_suppkey" <= 2)
       .select($"s_suppkey".as("node_id"))
@@ -1814,9 +1854,8 @@ object Scale {
   val kcorePeel: Q = (s, dir) => {
     import s.implicits._
     val k = 4
-    val e0 = Tables(s, dir, "lineitem")
-      .select($"l_suppkey".as("u"), (lit(100000L) + $"l_partkey").as("v"))
-      .distinct()
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
+      .select($"src".as("u"), $"dst".as("v"))
       .filter(Hashing.hash60(concat(lit("kcore|"), $"u".cast("string"),
         lit("|"), $"v".cast("string"))) % 20 === 0)
     val und = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
@@ -2060,6 +2099,7 @@ object Scale {
     "q131_personalized_pagerank" -> personalizedPagerank,
     "q132_graph_sage" -> graphSage,
     "q105_triangles" -> triangles,
+    "q476_triangles_sampled" -> trianglesSampled,
     "q215_adamic_adar" -> adamicAdar,
     "q107_bfs_hops" -> bfsHops,
     "q109_kcore_peel" -> kcorePeel,
@@ -2815,6 +2855,52 @@ object Scale {
         |  CAST((3000000 * (SELECT n_triangles FROM tri))
         |    // (SELECT sum(d * (d - 1)) // 2 FROM deg) AS BIGINT)
         |    AS gcc_micro""".stripMargin,
+    "q476_triangles_sampled" -> {
+      val h = Hashing.sqlHash60(
+        "'tri|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+      val m3 = TriSampleMod * TriSampleMod * TriSampleMod
+      s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM io a JOIN io b ON a.o = b.o AND a.p < b.p),
+        |samp AS (SELECT u, v FROM e WHERE $h % $TriSampleMod = 0),
+        |sdeg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS x FROM samp UNION ALL SELECT v FROM samp)
+        |  GROUP BY x),
+        |sori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |         THEN u ELSE v END AS a,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |         THEN v ELSE u END AS b
+        |  FROM samp JOIN sdeg du ON du.x = samp.u
+        |  JOIN sdeg dv ON dv.x = samp.v),
+        |stri AS (SELECT CAST(count(*) AS BIGINT) AS t_sampled
+        |  FROM sori e1
+        |  JOIN sori e2 ON e1.a = e2.a AND e1.b <> e2.b
+        |  JOIN sori e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY x),
+        |ori AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |         THEN u ELSE v END AS a,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+        |         THEN v ELSE u END AS b
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.a = e2.a AND e1.b <> e2.b
+        |  JOIN ori e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample_edges,
+        |  (SELECT t_sampled FROM stri) AS t_sampled,
+        |  (SELECT t_sampled FROM stri) * $m3 AS est_triangles,
+        |  (SELECT n_triangles FROM tri) AS n_triangles,
+        |  CAST((1000000 * abs((SELECT t_sampled FROM stri) * $m3
+        |      - (SELECT n_triangles FROM tri)))
+        |    // greatest((SELECT n_triangles FROM tri), 1) AS BIGINT)
+        |    AS err_abs_micro""".stripMargin
+    },
     "q56_sample_stratified" -> sqlSample,
     "q107_bfs_hops" -> sqlBfsHops,
     "q109_kcore_peel" -> sqlKcorePeel,

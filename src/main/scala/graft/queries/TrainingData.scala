@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,9 +73,8 @@ object TrainingData {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
   private[queries] def nearDupGroups(s: SparkSession,
-      dir: String): DataFrame =
-    groupCache.computeIfAbsent((s, dir), _ =>
-      graft.CheckpointHygiene.pinning(s) {
+      dir: String): DataFrame = {
+    def build = {
       import s.implicits._
       corpus(s, dir)
         .select($"doc_id", TextOps.tokens($"text").as("toks"))
@@ -83,8 +83,12 @@ object TrainingData {
         .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
         .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
           collect_list($"doc_id").as("ids"), count(lit(1)).as("gn"))
-        .localCheckpoint()
-    })
+        .trunkCheckpoint()
+    }
+    if (graft.Materialize.bypassMemo) build // tool modes: no memo/pin
+    else groupCache.computeIfAbsent((s, dir), _ =>
+      graft.CheckpointHygiene.pinning(s) { build })
+  }
 
   /** Representative-level LSH candidate pairs (doc_a < doc_b, both
     * rep ids) with both shingle sets attached for verification.
@@ -101,9 +105,8 @@ object TrainingData {
     * not drop a truncated-lineage frame other queries still read. */
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
-  private[queries] def repCandidates(groups: DataFrame): DataFrame =
-    candCache.computeIfAbsent(groups, g =>
-      graft.CheckpointHygiene.pinning(g.sparkSession) {
+  private[queries] def repCandidates(groups: DataFrame): DataFrame = {
+    def build(g: DataFrame) = {
         val shs = g.select(col("rep_id").as("doc_id"), col("sh_set"))
         val sigs = Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
           NumHashes)
@@ -114,8 +117,12 @@ object TrainingData {
             col("sh_set").as("sa_set")), Seq("doc_a"))
           .join(shs.select(col("doc_id").as("doc_b"),
             col("sh_set").as("sb_set")), Seq("doc_b"))
-          .localCheckpoint()
-      })
+          .trunkCheckpoint()
+    }
+    if (graft.Materialize.bypassMemo) build(groups)
+    else candCache.computeIfAbsent(groups, g =>
+      graft.CheckpointHygiene.pinning(g.sparkSession) { build(g) })
+  }
 
   /** Member expansion of a rep-level pair verdict: cross-group pairs
     * inherit the payload (columns listed in `sym` are symmetric;
@@ -623,7 +630,7 @@ object TrainingData {
       .groupBy($"embedding")
       .agg(min($"vec_id").as("rep_id"),
         collect_list($"vec_id").as("ids"), count(lit(1)).as("gn"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val wb = groups
       .select($"rep_id".as("vec_id"), $"embedding")
       .withColumn("bucket",
@@ -717,13 +724,13 @@ object TrainingData {
       .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
       .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
         collect_list($"doc_id").as("ids"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     def repShs(g: DataFrame) =
       g.select($"rep_id".as("doc_id"), $"sh_set")
     def bands(g: DataFrame) = Dedup.lshBands(
       Dedup.minhashFromShingleSets(repShs(g), "doc_id", "sh_set",
         NumHashes),
-      NumHashes, RowsPerBand).localCheckpoint()
+      NumHashes, RowsPerBand).trunkCheckpoint()
     def star(g: DataFrame) = g
       .select($"rep_id".as("src"), explode($"ids").as("dst"))
       .filter($"src" =!= $"dst")
@@ -945,7 +952,7 @@ object TrainingData {
   val farthestPointSample: Q = (s, dir) => {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
-      .select($"vec_id", $"embedding").localCheckpoint()
+      .select($"vec_id", $"embedding").trunkCheckpoint()
     def farthest(selected: DataFrame): DataFrame =
       e.join(broadcast(selected.select($"vec_id")), Seq("vec_id"),
           "left_anti")
@@ -1115,7 +1122,7 @@ object TrainingData {
     val e = Tables(s, dir, "embeddings")
     val init = e.filter($"vec_id" < KmK)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
-    val a1 = Similarity.kmeansAssign(e, init).localCheckpoint()
+    val a1 = Similarity.kmeansAssign(e, init).trunkCheckpoint()
     val a2 = Similarity.kmeansAssign(e, Similarity.kmeansUpdate(a1))
     a1.select($"vec_id", $"label", $"cid".as("cid_iter1"))
       .join(a2.select($"vec_id", $"cid".as("cid_iter2")), Seq("vec_id"))
@@ -1234,7 +1241,7 @@ object TrainingData {
     val init = e.filter($"vec_id" < KmK)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
     val trained = Similarity.kmeansUpdate(
-      Similarity.kmeansAssign(e, init).localCheckpoint())
+      Similarity.kmeansAssign(e, init).trunkCheckpoint())
     val assign = Similarity.kmeansAssign(e, trained)
       .select($"vec_id", $"cid")
     val toks = Tables(s, dir, "documents")
@@ -2432,7 +2439,7 @@ object TrainingData {
       .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
       .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
         collect_list($"doc_id").as("ids"), count(lit(1)).as("gn"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     // verification payload: the shingle SET as a SORTED hash60 long
     // array + its size. The candidate verify is the cost center here
     // (the template-heavy corpus yields ~1.3M candidate pairs at
@@ -2532,7 +2539,7 @@ object TrainingData {
     val sh = corpus(s, dir)
       .select($"doc_id", TextOps.shinglesFromTokens(
         TextOps.tokens($"text"), ShingleN).as("sh_set"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val sigs = Dedup.minhashFromShingleSets(sh, "doc_id", "sh_set",
       NumHashes)
     val bands = Dedup.lshBands(sigs, NumHashes, RowsPerBand)
@@ -2718,7 +2725,7 @@ object TrainingData {
     val pool = Similarity.bruteForceTopK(e, 0L, MmrPool)
       .select($"vec_id", $"label",
         round($"cos_sim" * 1000000.0).cast("long").as("rel_micro"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     val pe = pool.select($"vec_id").join(e, Seq("vec_id"))
       .select($"vec_id", $"embedding")
     val pairs = pe.as("x").join(broadcast(pe.as("y")),
@@ -2726,12 +2733,12 @@ object TrainingData {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         round(Similarity.cosine(col("x.embedding"), col("y.embedding"))
           * 1000000.0).cast("long").as("sim_micro"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     var selected = pool
       .orderBy($"rel_micro".desc, $"vec_id".asc).limit(1)
       .select($"vec_id", $"label", $"rel_micro",
         lit(0L).as("penalty_micro"), lit(1).as("mmr_rank"))
-      .localCheckpoint()
+      .trunkCheckpoint()
     for (i <- 2 to MmrK) {
       val pen = pairs
         .join(broadcast(selected.select($"vec_id".as("b"))), Seq("b"))
@@ -2747,7 +2754,7 @@ object TrainingData {
           .desc, $"vec_id".asc)
         .limit(1)
         .withColumn("mmr_rank", lit(i))
-      selected = selected.unionByName(next).localCheckpoint()
+      selected = selected.unionByName(next).trunkCheckpoint()
     }
     selected.select($"vec_id", $"label", $"rel_micro", $"penalty_micro",
       (lit(7L) * $"rel_micro" - lit(3L) * $"penalty_micro")

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.Round
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.types.DoubleType
 
 /** Partitioning-perturbation hash stability for the mirrored-double
@@ -21,37 +23,95 @@ import org.apache.spark.sql.types.DoubleType
   * The family is discovered from the plan, not a hand-kept list, so a
   * new query that adds a fragile float tree is enrolled automatically.
   *
-  * Known blind spot: a Round sitting UPSTREAM of a localCheckpoint is
-  * invisible here (the analyzed plan shows the truncated LogicalRDD),
-  * so checkpoint-trunk queries (e.g. q458's quantized pool) must pin
-  * determinism with their own replay specs — q458 does.
+  * The former localCheckpoint blind spot (a Round UPSTREAM of a
+  * checkpoint is invisible in the analyzed plan — the truncated
+  * LogicalRDD hides it; this is how the r6 q316/q344 class escaped the
+  * detector) is closed via [[Materialize]] provenance: every
+  * trunkCheckpoint records its pre-truncation analyzed plan keyed by
+  * the checkpoint RDD id, and the detector resumes its walk on the
+  * recorded plan whenever it reaches a LogicalRDD leaf — full-lineage
+  * discovery at zero rebuild cost. Queries whose Round is reachable
+  * ONLY through provenance ("checkpoint-hidden") execute their
+  * perturbation pair in [[Materialize.fresh]] mode, so the trunk
+  * rebuilds under the hostile config instead of being read from a
+  * frame materialized under the default one.
   */
 class HashStabilitySpec extends SparkSpec {
 
-  private def roundsADouble(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.collectWithSubqueries {
+  private def directRounds(plan: LogicalPlan): Boolean =
+    plan.collectWithSubqueries {
       case p => p.expressions.flatMap(_.collect {
         case r: Round if r.child.dataType == DoubleType => r
       })
     }.flatten.nonEmpty
 
+  /** Full-lineage scan: the analyzed plan, plus (recursively) the
+    * recorded pre-checkpoint plan of every LogicalRDD leaf that came
+    * from trunkCheckpoint. */
+  private def scanLineage(plan: LogicalPlan,
+      seen: Set[Int] = Set.empty): Boolean =
+    directRounds(plan) || {
+      val leaves = plan.collectWithSubqueries {
+        case lr: LogicalRDD => lr }
+      leaves.exists { lr =>
+        !seen(lr.rdd.id) && Materialize.lineageOf(lr).exists(
+          scanLineage(_, seen + lr.rdd.id))
+      }
+    }
+
   private def rowsSorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
+
+  test("planted Round behind a localCheckpoint is visible through " +
+    "checkpoint provenance (the r6 escape path)") {
+    import Materialize.TrunkCheckpointOps
+    import org.apache.spark.sql.functions.{avg, col, round => rnd}
+    val planted = spark.range(100)
+      .select(rnd(avg(col("id")).cast("double"), 2).as("x"))
+      .trunkCheckpoint()
+      .select(col("x") + 1)
+    assert(!directRounds(planted.queryExecution.analyzed),
+      "checkpointed plan should hide the Round from a direct walk " +
+        "(LogicalRDD) — if this fires, localCheckpoint semantics " +
+        "changed and the blind spot no longer exists")
+    assert(scanLineage(planted.queryExecution.analyzed),
+      "provenance recursion must surface the Round behind the " +
+        "checkpoint")
+    // and a self-join copy (newInstance → new exprIds, same RDD) must
+    // still resolve through the RDD-id key
+    val joined = planted.as("l").join(planted.as("r"))
+    assert(scanLineage(joined.queryExecution.analyzed),
+      "provenance lookup must survive LogicalRDD newInstance copies")
+  }
 
   test("mirrored-double family: bit-identical under partitioning " +
     "perturbation (shuffle partitions, scan splits, AQE)") {
     val conf = spark.conf
-    val family = SparkEntry.queries.toSeq.sortBy(_._1).filter {
-      case (_, fn) =>
-        try roundsADouble(fn(spark, sfDir))
-        catch { case _: Throwable => false } // analysis errors surface in
-                                             // the query's own spec/gate
+    // discover on the FULL lineage (direct walk + checkpoint
+    // provenance); members whose Round is reachable only through
+    // provenance must EXECUTE trunk-fresh below
+    val family = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try Some(fn(spark, sfDir).queryExecution.analyzed)
+          catch { case _: Throwable => None } // analysis errors surface
+                                              // in the query's own gate
+        plan.flatMap { p =>
+          if (!scanLineage(p)) None
+          else Some((name, fn, !directRounds(p)))
+        }
     }
     assert(family.nonEmpty, "family discovery returned nothing — the " +
       "Round-over-double detector is broken")
-    info(s"mirrored-double family: ${family.size} queries")
-    val diffs = family.flatMap { case (name, fn) =>
-      val base = rowsSorted(fn(spark, sfDir))
+    val hidden = family.count(_._3)
+    info(s"mirrored-double family: ${family.size} queries " +
+      s"($hidden checkpoint-hidden)")
+    val diffs = family.flatMap { case (name, fn, checkpointHidden) =>
+      def run() =
+        if (checkpointHidden)
+          Materialize.fresh { rowsSorted(fn(spark, sfDir)) }
+        else rowsSorted(fn(spark, sfDir))
+      val base = run()
       val saved = Seq("spark.sql.shuffle.partitions",
         "spark.sql.files.maxPartitionBytes",
         "spark.sql.adaptive.enabled").map(k => k -> conf.get(k))
@@ -59,11 +119,14 @@ class HashStabilitySpec extends SparkSpec {
         conf.set("spark.sql.shuffle.partitions", "7")
         conf.set("spark.sql.files.maxPartitionBytes", "1m")
         conf.set("spark.sql.adaptive.enabled", "false")
-        val perturbed = rowsSorted(fn(spark, sfDir))
+        val perturbed = run()
         if (base == perturbed) None
         else Some(s"$name: ${base.size} vs ${perturbed.size} rows; " +
           s"first diff ${base.zip(perturbed).find(p => p._1 != p._2)}")
-      } finally saved.foreach { case (k, v) => conf.set(k, v) }
+      } finally {
+        saved.foreach { case (k, v) => conf.set(k, v) }
+        CheckpointHygiene.release(spark) // reclaim fresh-mode trunks
+      }
     }
     assert(diffs.isEmpty,
       s"${diffs.size} mirrored-double queries drifted under partitioning " +
