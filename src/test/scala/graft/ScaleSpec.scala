@@ -550,6 +550,30 @@ class ScaleSpec extends SparkSpec {
     assert(got === want, "degree-capped AA top-20 diverged")
   }
 
+  test("q476 DOULION estimate: unbiased-by-construction scaling and " +
+    "bounded error vs q105's exact count at test SF") {
+    val est = Scale.trianglesSampled(spark, sfDir).head()
+    val exact = Scale.triangles(spark, sfDir)
+      .select($"n_triangles", $"n_edges").head()
+    // ×125 scaling is exact arithmetic on the sampled count
+    assert(est.getAs[Long]("est_triangles") ==
+      est.getAs[Long]("t_sampled") * 125L)
+    // p=1/5 hash sampling keeps roughly a fifth of edges (loose 2×
+    // band: the hash is uniform, the corpus is small at test SF)
+    val keepRatio = est.getAs[Long]("n_sample_edges").toDouble /
+      exact.getAs[Long]("n_edges")
+    assert(keepRatio > 0.1 && keepRatio < 0.4,
+      s"sample ratio $keepRatio far from p=0.2")
+    // estimator error vs truth: DOULION variance at p=1/5 on this
+    // corpus stays well inside a factor-2 band; a blowout here means
+    // the sampler or the scaling broke, not bad luck (hash60 is fixed)
+    val t = exact.getAs[Long]("n_triangles").toDouble
+    val e = est.getAs[Long]("est_triangles").toDouble
+    assert(t > 0 && e > 0 && e / t < 2.0 && t / e < 2.0,
+      s"estimate $e vs exact $t outside the factor-2 audit band")
+    CheckpointHygiene.release(spark)
+  }
+
   test("7-day RANGE window equals the join formulation (gap days widen)") {
     val got = Scale.movingAvg(spark, sfDir)
     val daily = Tables(spark, sfDir, "orders")
