@@ -1807,6 +1807,204 @@ object Scale {
     * [[graft.functions.GraphKernels.bfsHops]], spec-asserted equal to
     * this unroll when capped; the bounded unroll keeps the oracle
     * expressible. */
+  /** q477 — ANF 2-hop neighborhood-size ESTIMATE (Palmer, Gibbons &
+    * Faloutsos, KDD 2002 — the approximate-neighborhood-function
+    * algorithm web-scale graph systems use where q107's exact BFS ball
+    * would explode): every node carries K Flajolet-Martin bitmasks
+    * (lowest-set-bit of a seeded hash60, capped at bit $AnfCapBit);
+    * one hop = bit_or of neighbor masks — associative, commutative,
+    * map-side combinable, O(m·K) per hop with NO frontier blowup —
+    * and |ball(v,2)| ≈ 2^R̄/0.77351 where R̄ averages the masks'
+    * trailing-ones counts. Everything stays integral: the lowest-zero
+    * bit is extracted as a MASK ((m+1) & ~m — no log2 anywhere), R is
+    * a bit_count, the K-lane average uses floor division and the bias
+    * constant divides as micro ints, so both engines produce
+    * bit-identical estimates. Per-lane masks are computed once on the
+    * NODE table (O(nodes·K) md5s, not O(edges·K)). The estimate-only
+    * discipline is q476's: the exact-ball audit lives in ScaleSpec at
+    * gate SF, never inline. */
+  val anfTwoHop: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = GraphTrunk.suppPartEdges(s, dir)
+    val edges = e0.unionByName(
+      e0.select($"dst".as("src"), $"src".as("dst")))
+    val lanes = spark_lanes(s)
+    val nodes = edges.select($"src".as("node_id")).distinct()
+    val masks = nodes.crossJoin(broadcast(lanes))
+      .select($"node_id", $"k",
+        least(Hashing.hash60(concat(lit("anf|"), $"k", lit("|"),
+            $"node_id".cast("string")))
+          .bitwiseAND(-Hashing.hash60(concat(lit("anf|"), $"k",
+            lit("|"), $"node_id".cast("string")))),
+          lit(1L << AnfCapBit)).as("m0"))
+    def hop(prev: DataFrame): DataFrame = edges
+      .join(prev.select($"node_id".as("dst"), $"k", $"m"), Seq("dst"))
+      .groupBy($"src".as("node_id"), $"k")
+      .agg(expr("bit_or(m)").as("mn"))
+      .join(prev, Seq("node_id", "k"))
+      .select($"node_id", $"k", $"mn".bitwiseOR($"m").as("m"))
+    val m1 = hop(masks.select($"node_id", $"k", $"m0".as("m")))
+    val m2 = hop(m1)
+    m2.select($"node_id", $"k",
+        expr("bit_count(((m + 1) & ~m) - 1)").cast("long").as("r"))
+      .groupBy($"node_id")
+      .agg(sum($"r").as("sum_r"))
+      .select($"node_id", $"sum_r",
+        expr(s"(shiftleft(1L, CAST(sum_r div $AnfLanes AS INT))" +
+          s" * 100000000000) div 77351").as("est_ball2_micro"))
+  }
+
+  /** q478 — k-TRUSS decomposition peel (Cohen 2008, the
+    * triangle-support analogue of q109's k-core: every surviving edge
+    * must sit in ≥ k−2 triangles of the surviving subgraph — the
+    * community-core filter that is strictly stronger than degree
+    * peeling, standard in graph-ML data prep). Same bounded-unroll
+    * contract as q109: two peel rounds with a per-round audit row
+    * (surviving nodes/edges), on the q109-style 1/5 hash-sampled
+    * co-order subgraph where k = 4 genuinely cascades. Per round the
+    * per-EDGE triangle support reuses q105's degree-oriented sorted-
+    * adjacency intersect — each triangle credits its three edges via
+    * an output-bound explode (q259's shape), so a round costs
+    * O(m·√m / 5^1.5) with no wedge shuffle; the peel itself is one
+    * support join. Fixpoint trussing at scale loops this same round
+    * to an edge-count fixpoint — the unroll keeps the oracle
+    * expressible (the recursive-CTE alternative enumerates
+    * per-iteration graphs DuckDB-side at strictly worse cost). */
+  val ktrussPeel: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = GraphTrunk.coOrderEdges(s, dir)
+      .filter(Hashing.hash60(concat(lit("truss|"), $"u".cast("string"),
+        lit("|"), $"v".cast("string"))) % TrussSampleMod === 0)
+    def support(e: DataFrame): DataFrame = {
+      val deg = e.select($"u".as("nid"))
+        .unionByName(e.select($"v".as("nid")))
+        .groupBy($"nid").agg(count(lit(1)).as("d"))
+      val ori = e
+        .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
+        .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+            .otherwise($"v").as("a"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+            .otherwise($"u").as("b"))
+      val adj = ori.groupBy($"a")
+        .agg(sort_array(collect_list($"b")).as("nbrs"))
+      val tri = adj
+        .select($"a", $"nbrs".as("na"), explode($"nbrs").as("b"))
+        .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
+        .select($"a", $"b",
+          explode(array_intersect($"na", $"nb")).as("c"))
+      tri.select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+        .unionByName(tri.select(least($"a", $"c").as("u"),
+          greatest($"a", $"c").as("v")))
+        .unionByName(tri.select(least($"b", $"c").as("u"),
+          greatest($"b", $"c").as("v")))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("sup"))
+    }
+    def peel(e: DataFrame): DataFrame = e
+      .join(support(e), Seq("u", "v"))
+      .filter($"sup" >= TrussK - 2).select($"u", $"v")
+    def audit(e: DataFrame, round: Int): DataFrame = e
+      .select(explode(array($"u", $"v")).as("nid"))
+      .agg(countDistinct($"nid").as("n_nodes"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(lit(round).as("round"), $"n_nodes", $"n_edges")
+    val r1 = peel(e0)
+    val r2 = peel(r1)
+    audit(e0, 0).unionByName(audit(r1, 1)).unionByName(audit(r2, 2))
+  }
+
+  private val TrussK = 4
+  private val TrussSampleMod = 5L
+
+  private val sqlKtrussPeel: String = {
+    val h = Hashing.sqlHash60(
+      "'truss|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+    // AS MATERIALIZED: each round's CTEs are referenced several times
+    // (tri reads ori 3×, the audits read keep twice); DuckDB inlines
+    // un-hinted CTEs per reference, which compounds multiplicatively
+    // down the 2-round chain (first cut ran >12 min at sf0.01;
+    // materialized, sub-second)
+    def round(in: String, i: Int): String =
+      s"""deg$i AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS x FROM $in UNION ALL SELECT v FROM $in)
+         |  GROUP BY x),
+         |ori$i AS MATERIALIZED (SELECT
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+         |         THEN u ELSE v END AS a,
+         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+         |         THEN v ELSE u END AS b
+         |  FROM $in JOIN deg$i du ON du.x = $in.u
+         |  JOIN deg$i dv ON dv.x = $in.v),
+         |tri$i AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM ori$i e1
+         |  JOIN ori$i e2 ON e1.a = e2.a AND e1.b <> e2.b
+         |  JOIN ori$i e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sup$i AS (SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri$i
+         |    UNION ALL
+         |    SELECT least(a, c) AS u, greatest(a, c) AS v FROM tri$i
+         |    UNION ALL
+         |    SELECT least(b, c) AS u, greatest(b, c) AS v FROM tri$i)
+         |  GROUP BY u, v),
+         |keep$i AS MATERIALIZED (SELECT $in.u, $in.v FROM $in
+         |  JOIN sup$i ON sup$i.u = $in.u AND sup$i.v = $in.v
+         |  WHERE sup >= ${TrussK - 2})""".stripMargin
+    def audit(in: String, r: Int): String =
+      s"""SELECT $r AS round,
+         |  (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM
+         |    (SELECT u AS x FROM $in UNION ALL SELECT v FROM $in))
+         |    AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $in) AS n_edges"""
+        .stripMargin
+    s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |eall AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM io a JOIN io b ON a.o = b.o AND a.p < b.p),
+       |e0 AS MATERIALIZED (SELECT u, v FROM eall
+       |  WHERE $h % $TrussSampleMod = 0),
+       |${round("e0", 0)},
+       |${round("keep0", 1)}
+       |${audit("e0", 0)}
+       |UNION ALL ${audit("keep0", 1)}
+       |UNION ALL ${audit("keep1", 2)}""".stripMargin
+  }
+
+  private val AnfLanes = 8
+  private val AnfCapBit = 25
+  private def spark_lanes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until AnfLanes).toDF("k")
+  }
+
+  private val sqlAnfTwoHop: String = {
+    val h = Hashing.sqlHash60(
+      "'anf|' || CAST(k AS VARCHAR) || '|' || CAST(node_id AS VARCHAR)")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+       |    100000 + l_partkey AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+       |lanes AS (SELECT unnest(range(0, $AnfLanes)) AS k),
+       |masks AS (SELECT node_id, k,
+       |    least($h & (-($h)), 1::BIGINT << $AnfCapBit) AS m0
+       |  FROM nodes CROSS JOIN lanes),
+       |m1 AS (SELECT p.node_id, p.k, bit_or(n.m0) | p.m0 AS m
+       |  FROM masks p JOIN edges ON edges.src = p.node_id
+       |  JOIN masks n ON n.node_id = edges.dst AND n.k = p.k
+       |  GROUP BY p.node_id, p.k, p.m0),
+       |m2 AS (SELECT p.node_id, p.k, bit_or(n.m) | p.m AS m
+       |  FROM m1 p JOIN edges ON edges.src = p.node_id
+       |  JOIN m1 n ON n.node_id = edges.dst AND n.k = p.k
+       |  GROUP BY p.node_id, p.k, p.m),
+       |r AS (SELECT node_id, k,
+       |    bit_count(((m + 1) & ~m) - 1)::BIGINT AS r FROM m2)
+       |SELECT node_id, sum(r)::BIGINT AS sum_r,
+       |  ((1::BIGINT << CAST(sum(r) // $AnfLanes AS INT))
+       |    * 100000000000) // 77351 AS est_ball2_micro
+       |FROM r GROUP BY node_id""".stripMargin
+  }
+
   val bfsHops: Q = (s, dir) => {
     import s.implicits._
     val e0 = GraphTrunk.suppPartEdges(s, dir)
@@ -2090,6 +2288,8 @@ object Scale {
     "q132_graph_sage" -> graphSage,
     "q105_triangles" -> triangles,
     "q476_triangles_sampled" -> trianglesSampled,
+    "q477_anf_two_hop" -> anfTwoHop,
+    "q478_ktruss_peel" -> ktrussPeel,
     "q215_adamic_adar" -> adamicAdar,
     "q107_bfs_hops" -> bfsHops,
     "q109_kcore_peel" -> kcorePeel,
@@ -2875,6 +3075,8 @@ object Scale {
         .stripMargin
     },
     "q56_sample_stratified" -> sqlSample,
+    "q477_anf_two_hop" -> sqlAnfTwoHop,
+    "q478_ktruss_peel" -> sqlKtrussPeel,
     "q107_bfs_hops" -> sqlBfsHops,
     "q109_kcore_peel" -> sqlKcorePeel,
     "q57_moving_avg" -> sqlMovingAvg,

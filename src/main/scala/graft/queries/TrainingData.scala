@@ -364,6 +364,101 @@ object TrainingData {
       .orderBy($"scheme")
   }
 
+  /** q479 — EDIT-DISTANCE similarity join by positional-segment
+    * blocking (the PassJoin/Ed-Join family, Li et al. VLDB 2011 — the
+    * OTHER near-dup metric next to Jaccard: token-set methods miss
+    * character-level corruption, OCR noise, typo'd entity mentions).
+    * Planted target: every 39-char document prefix gets a twin with
+    * one or two deterministic character substitutions. Pigeonhole
+    * blocking: a string splits into 3 fixed 13-char segments; two
+    * equal-length strings within substitution distance ≤ 2 MUST agree
+    * on at least one whole (position, segment) — so candidates are an
+    * equi-join on the segment table (3 rows per string, bounded
+    * blocks) and only candidates pay the exact `levenshtein` verify,
+    * which both engines implement natively. Zero false negatives for
+    * the substitution-radius-2 contract BY CONSTRUCTION (same
+    * pigeonhole as q475's Manku tables, transplanted from hamming to
+    * edit space); indel tolerance would add PassJoin's shifted
+    * segments — documented extension, not needed by the planted
+    * perturbation. Scale: segment blocks are uniform hash-like keys;
+    * nothing all-pairs anywhere. */
+  val editDistanceJoin: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, EdLen).as("s"))
+      .filter(length($"s") === EdLen)
+    // build twins with explicit working columns so the Spark tree and
+    // the oracle SQL stay token-for-token mirrorable
+    val twins = base
+      .withColumn("p1",
+        (Hashing.hash60(concat(lit("ed1|"), $"doc_id".cast("string")))
+          % EdLen + 1).cast("int"))
+      .withColumn("two",
+        Hashing.hash60(concat(lit("ed2|"), $"doc_id".cast("string")))
+          % 2 === 1)
+      .withColumn("p2",
+        (Hashing.hash60(concat(lit("ed3|"), $"doc_id".cast("string")))
+          % EdLen + 1).cast("int"))
+      .withColumn("e1", expr(
+        "concat(substring(s, 1, p1 - 1), '~', substring(s, p1 + 1))"))
+      .withColumn("e2", expr("CASE WHEN two THEN " +
+        "concat(substring(e1, 1, p2 - 1), '~', substring(e1, p2 + 1)) " +
+        "ELSE e1 END"))
+      .select(($"doc_id" + EdTwinOffset).as("doc_id"), $"e2".as("s"))
+    val corpus = base.unionByName(twins)
+    val segs = corpus.select($"doc_id", $"s",
+        explode(expr(s"transform(sequence(0, 2), k -> " +
+          s"named_struct('k', k, 'seg', " +
+          s"substring(s, k * ${EdLen / 3} + 1, ${EdLen / 3})))"))
+          .as("x"))
+      .select($"doc_id", $"s", $"x.k".as("k"), $"x.seg".as("seg"))
+    val cand = segs.as("a")
+      .join(segs.as("b"),
+        $"a.k" === $"b.k" && $"a.seg" === $"b.seg" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.s".as("sa"), $"b.s".as("sb"))
+      .distinct()
+    cand.select($"doc_a", $"doc_b",
+        levenshtein($"sa", $"sb").cast("long").as("dist"))
+      .filter($"dist" <= 2)
+  }
+
+  private val EdLen = 39
+  private val EdTwinOffset = 500000L
+
+  private val sqlEditDistanceJoin: String = {
+    def h(tag: String) =
+      Hashing.sqlHash60(s"'$tag|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (SELECT doc_id, substr(text, 1, $EdLen) AS s
+       |  FROM documents WHERE len(substr(text, 1, $EdLen)) = $EdLen),
+       |tw AS (SELECT doc_id, s,
+       |    CAST(${h("ed1")} % $EdLen + 1 AS INT) AS p1,
+       |    ${h("ed2")} % 2 = 1 AS two,
+       |    CAST(${h("ed3")} % $EdLen + 1 AS INT) AS p2
+       |  FROM base),
+       |tw1 AS (SELECT doc_id, two, p2,
+       |    substr(s, 1, p1 - 1) || '~' || substr(s, p1 + 1) AS e1
+       |  FROM tw),
+       |twins AS (SELECT doc_id + $EdTwinOffset AS doc_id,
+       |    CASE WHEN two THEN substr(e1, 1, p2 - 1) || '~'
+       |      || substr(e1, p2 + 1) ELSE e1 END AS s
+       |  FROM tw1),
+       |corpus AS (SELECT doc_id, s FROM base
+       |  UNION ALL SELECT doc_id, s FROM twins),
+       |segs AS (SELECT doc_id, s, k,
+       |    substr(s, CAST(k * ${EdLen / 3} + 1 AS INT),
+       |      ${EdLen / 3}) AS seg
+       |  FROM corpus, unnest(range(0, 3)) t(k)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.s AS sa, b.s AS sb
+       |  FROM segs a JOIN segs b
+       |    ON a.k = b.k AND a.seg = b.seg AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(sa, sb) <= 2""".stripMargin
+  }
+
   private val BqRareCap = 6
   private val BqSampleCap = 20000L
 
@@ -2820,6 +2915,7 @@ object TrainingData {
     "q475_simhash_hamming_index" -> simhashHammingIndex,
     "q25_ngram_jaccard" -> ngramJaccard,
     "q459_sorted_neighborhood" -> sortedNeighborhood,
+    "q479_edit_distance_join" -> editDistanceJoin,
     "q465_blocking_quality" -> blockingQuality,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
@@ -2994,6 +3090,7 @@ object TrainingData {
          |FROM sh o JOIN sh t ON t.doc_id = o.doc_id + $TwinOffset
          |WHERE o.doc_id < $TwinOffset""".stripMargin,
     "q459_sorted_neighborhood" -> sqlSortedNeighborhood,
+    "q479_edit_distance_join" -> sqlEditDistanceJoin,
     "q465_blocking_quality" -> sqlBlockingQuality,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
