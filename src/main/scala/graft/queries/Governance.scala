@@ -353,6 +353,91 @@ object Governance {
         round($"sum_qty" / $"n_rows", 6).as("avg_qty"))
   }
 
+  /** q481 — incremental AGGREGATE-view maintenance with RETRACTIONS
+    * (the signed-count half of IVM that q461's insert-only join form
+    * leaves unexercised — DBToaster/Materialize semantics: a delete is
+    * an insert with multiplicity −1): the orders-by-priority view
+    * (count, sum of cents) is maintained from the stored view plus a
+    * signed delta batch — a deterministic 10% of rows retracted
+    * (−1, −cents) and another 10% re-inserted with a 1-dollar bump
+    * (+1, +cents+100) — via one full outer merge of view and
+    * delta-aggregate, with groups whose maintained count reaches 0
+    * REMOVED (the retraction edge case naive IVM gets wrong). The
+    * query emits the maintained view NEXT TO the full recompute over
+    * (base − deletes + inserts); the oracle mirrors both, so hash
+    * equality proves the maintenance algebra equals recomputation
+    * column-for-column. Scale: the delta aggregate is tick-sized, the
+    * merge is keyed on the view's own grouping key — maintenance cost
+    * is O(delta + |view|), never a base rescan (the base scan here
+    * only materializes what production carries as state). */
+  val ivmAggRetract: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders").select($"o_orderkey",
+      $"o_orderpriority".as("priority"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val mark = Hashing.hash60(
+      concat(lit("ivr|"), $"o_orderkey".cast("string"))) % 10
+    val baseView = o.groupBy($"priority")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+    val dels = o.filter(mark === 0)
+      .select($"priority", lit(-1L).as("dn"), (-$"cents").as("dc"))
+    val ins = o.filter(mark === 1)
+      .select($"priority", lit(1L).as("dn"),
+        ($"cents" + 100L).as("dc"))
+    val delta = dels.unionByName(ins)
+      .groupBy($"priority")
+      .agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+    val maintained = baseView.join(delta, Seq("priority"), "full")
+      .select($"priority",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_view"),
+        (coalesce($"sc", lit(0L)) + coalesce($"dc", lit(0L)))
+          .as("sum_view"))
+      .filter($"n_view" > 0)
+    val full = o.filter(mark =!= 0)
+      .select($"priority", $"cents")
+      .unionByName(o.filter(mark === 1)
+        .select($"priority", ($"cents" + 100L).as("cents")))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_full"), sum($"cents").as("sum_full"))
+    maintained.join(full, Seq("priority"))
+      .select($"priority", $"n_view", $"sum_view", $"n_full",
+        $"sum_full")
+      .orderBy($"priority")
+  }
+
+  private val sqlIvmAggRetract: String = {
+    val h = Hashing.sqlHash60("'ivr|' || CAST(o_orderkey AS VARCHAR)")
+    s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS priority,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    $h % 10 AS mark
+       |  FROM orders),
+       |bv AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+       |    sum(cents)::BIGINT AS sc FROM o GROUP BY priority),
+       |delta AS (SELECT priority, sum(dn)::BIGINT AS dn,
+       |    sum(dc)::BIGINT AS dc FROM (
+       |    SELECT priority, -1 AS dn, -cents AS dc FROM o WHERE mark = 0
+       |    UNION ALL
+       |    SELECT priority, 1 AS dn, cents + 100 AS dc FROM o
+       |    WHERE mark = 1) d
+       |  GROUP BY priority),
+       |maintained AS (SELECT priority,
+       |    coalesce(n, 0) + coalesce(dn, 0) AS n_view,
+       |    coalesce(sc, 0) + coalesce(dc, 0) AS sum_view
+       |  FROM bv FULL JOIN delta USING (priority)
+       |  WHERE coalesce(n, 0) + coalesce(dn, 0) > 0),
+       |fullv AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_full,
+       |    sum(cents)::BIGINT AS sum_full FROM (
+       |    SELECT priority, cents FROM o WHERE mark <> 0
+       |    UNION ALL
+       |    SELECT priority, cents + 100 AS cents FROM o WHERE mark = 1)
+       |    f
+       |  GROUP BY priority)
+       |SELECT priority, n_view::BIGINT AS n_view,
+       |  sum_view::BIGINT AS sum_view, n_full, sum_full
+       |FROM maintained JOIN fullv USING (priority)
+       |ORDER BY priority""".stripMargin
+  }
+
   /** q461 — incremental JOIN-view maintenance (the delta-join algebra
     * of classic IVM / DBToaster, insert-only form): the revenue-by-
     * priority view over orders ⋈ lineitem is maintained from a stored
@@ -906,6 +991,7 @@ object Governance {
     "q157_join_fanout" -> joinFanout,
     "q147_incremental_agg_view" -> incrementalAggView,
     "q461_ivm_join_view" -> ivmJoinView,
+    "q481_ivm_agg_retract" -> ivmAggRetract,
     "q467_selectivity_qerror" -> selectivityQerror,
     "q469_zonemap_skipping" -> zonemapSkipping,
     "q471_join_cardest" -> joinCardest,
@@ -1162,6 +1248,7 @@ object Governance {
     "q157_join_fanout" -> sqlJoinFanout,
     "q147_incremental_agg_view" -> sqlIncAggView,
     "q461_ivm_join_view" -> sqlIvmJoinView,
+    "q481_ivm_agg_retract" -> sqlIvmAggRetract,
     "q467_selectivity_qerror" -> sqlSelectivityQerror,
     "q469_zonemap_skipping" -> sqlZonemapSkipping,
     "q471_join_cardest" -> sqlJoinCardest,

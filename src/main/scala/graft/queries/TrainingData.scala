@@ -661,6 +661,167 @@ object TrainingData {
         $"rank")
   }
 
+  /** q480 — INT8 scalar quantization with a recall@10 audit (the SQ
+    * compression every vector store ships next to PQ q100: 4× smaller
+    * than float32, distance arithmetic in exact integers): per-DIM
+    * min/max over the corpus define a 0..255 grid, each component
+    * quantizes onto it, and the query-time score is the integer dot
+    * product of quantized vectors — computed RELATIONALLY as an
+    * exploded (vec, pos) join against the query's 64 quantized
+    * components (broadcast), one map-side-combined sum per vector, no
+    * array re-assembly in either engine. The audit joins the SQ top-10
+    * against q26's exact-cosine top-10 for recall@10 — corpus-LINEAR
+    * like every eval in the q228 tier (one brute-force pass; nothing
+    * super-linear, unlike the q476 trap). Quantization arithmetic is
+    * double-precision on both engines from identical parquet floats →
+    * identical grids; everything after is exact integers. */
+  val sqRecall: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val dims = emb.select($"vec_id",
+      posexplode($"embedding").as(Seq("pos", "x")))
+    val stats = dims.groupBy($"pos")
+      .agg(min($"x".cast("double")).as("mn"),
+        max($"x".cast("double")).as("mx"))
+    val q8 = dims.join(broadcast(stats), Seq("pos"))
+      .select($"vec_id", $"pos",
+        expr("CASE WHEN mx = mn THEN 0L ELSE " +
+          "CAST(round((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255)" +
+          " AS BIGINT) END").as("q"))
+    val q0 = q8.filter($"vec_id" === 0L)
+      .select($"pos", $"q".as("q0"))
+    val dots = q8.join(broadcast(q0), Seq("pos"))
+      .groupBy($"vec_id").agg(sum($"q" * $"q0").as("dot"))
+    val topSq = dots
+      .orderBy($"dot".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id")
+    val topExact = Similarity
+      .bruteForceTopK(emb, 0L, 10)
+      .orderBy($"cos_sim".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id")
+    topSq.join(topExact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10L).as("k"), $"n_overlap",
+        expr("(n_overlap * 1000000) div 10").as("recall_micro"))
+  }
+
+  private val sqlSqRecall: String =
+    s"""WITH dims AS (SELECT vec_id, k - 1 AS pos,
+       |    CAST(embedding[CAST(k AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings,
+       |    unnest(range(1, len(embedding) + 1)) t(k)),
+       |stats AS (SELECT pos, min(x) AS mn, max(x) AS mx
+       |  FROM dims GROUP BY pos),
+       |q8 AS MATERIALIZED (SELECT vec_id, dims.pos,
+       |    CASE WHEN mx = mn THEN 0
+       |      ELSE CAST(round((x - mn) / (mx - mn) * 255) AS BIGINT)
+       |    END AS q
+       |  FROM dims JOIN stats ON stats.pos = dims.pos),
+       |dots AS (SELECT a.vec_id, sum(a.q * b.q)::BIGINT AS dot
+       |  FROM q8 a JOIN q8 b ON a.pos = b.pos AND b.vec_id = 0
+       |  GROUP BY a.vec_id),
+       |topsq AS (SELECT vec_id FROM dots
+       |  ORDER BY dot DESC, vec_id ASC LIMIT 10),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id, $sqlCos AS cs FROM embeddings, q),
+       |topex AS (SELECT vec_id FROM c
+       |  ORDER BY cs DESC, vec_id ASC LIMIT 10),
+       |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM topsq JOIN topex USING (vec_id))
+       |SELECT 10::BIGINT AS k, n_overlap,
+       |  (n_overlap * 1000000) // 10 AS recall_micro FROM ov"""
+      .stripMargin
+
+  /** q482 — perceptual-hash MEDIA near-dup (the image-corpus dedup
+    * path: aHash/blockhash fingerprints + hamming-radius index — what
+    * you run on 100 TB of images where byte-exact dedup q152 misses
+    * re-encodes): the stub "decode" treats the first 63 payload bytes
+    * as the pixel grid — 63, not 64, because bit 63 is the sign bit
+    * and `1 << 63` raises in DuckDB while Spark wraps, the q464
+    * shiftleft divergence class — (the container has no codec libs; a real
+    * pHash swaps a DCT into the same seam, exactly the Multimodal
+    * contract), the fingerprint sets bit i iff pixel i clears a fixed
+    * luminance threshold (fixed, not mean-relative, so a k-pixel
+    * perturbation flips EXACTLY ≤ k bits — the property the planted
+    * two-pixel twins and the radius-3 guarantee hang off), and
+    * candidate pairs come from q475's Manku block pigeonhole (4×16-bit
+    * blocks; radius ≤ 3 ⇒ one whole block agrees) — an equi-join on
+    * (block, value), never all-pairs — with the exact bit_count(xor)
+    * verify only on candidates. */
+  val mediaPhashDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 63).as("px"))
+      .filter(length($"px") === 63)
+    val twins = base
+      .withColumn("p1",
+        (Hashing.hash60(concat(lit("ph1|"), $"doc_id".cast("string")))
+          % 63 + 1).cast("int"))
+      .withColumn("p2",
+        (Hashing.hash60(concat(lit("ph2|"), $"doc_id".cast("string")))
+          % 63 + 1).cast("int"))
+      .withColumn("e1", expr(
+        "concat(substring(px, 1, p1 - 1), 'z', substring(px, p1 + 1))"))
+      .withColumn("e2", expr(
+        "concat(substring(e1, 1, p2 - 1), 'z', substring(e1, p2 + 1))"))
+      .select(($"doc_id" + PhTwinOffset).as("doc_id"), $"e2".as("px"))
+    val corpus = base.unionByName(twins)
+    val fp = corpus.select($"doc_id", expr(
+      "aggregate(transform(sequence(0, 62), i -> " +
+        "IF(ascii(substring(px, CAST(i + 1 AS INT), 1)) > 96, " +
+        "shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, x) -> a + x)")
+      .as("fp"))
+    val blocks = fp.select($"doc_id", $"fp",
+        explode(expr("sequence(0, 3)")).as("blk"))
+      .select($"doc_id", $"fp", $"blk",
+        expr("shiftright(fp, CAST(blk * 16 AS INT)) & 65535")
+          .as("bval"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= PhRadius)
+  }
+
+  private val PhTwinOffset = 700000L
+  private val PhRadius = 3
+
+  private val sqlMediaPhashDedup: String = {
+    def h(tag: String) =
+      Hashing.sqlHash60(s"'$tag|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (SELECT doc_id, substr(text, 1, 63) AS px
+       |  FROM documents WHERE len(substr(text, 1, 63)) = 63),
+       |tw AS (SELECT doc_id, px,
+       |    CAST(${h("ph1")} % 63 + 1 AS INT) AS p1,
+       |    CAST(${h("ph2")} % 63 + 1 AS INT) AS p2
+       |  FROM base),
+       |tw1 AS (SELECT doc_id, p2,
+       |    substr(px, 1, p1 - 1) || 'z' || substr(px, p1 + 1) AS e1
+       |  FROM tw),
+       |twins AS (SELECT doc_id + $PhTwinOffset AS doc_id,
+       |    substr(e1, 1, p2 - 1) || 'z' || substr(e1, p2 + 1) AS px
+       |  FROM tw1),
+       |corpus AS (SELECT doc_id, px FROM base
+       |  UNION ALL SELECT doc_id, px FROM twins),
+       |fp AS MATERIALIZED (SELECT doc_id,
+       |    list_sum(list_transform(range(0, 63), i ->
+       |      CASE WHEN ascii(substr(px, CAST(i + 1 AS INT), 1)) > 96
+       |        THEN 1::BIGINT << CAST(i AS INT) ELSE 0::BIGINT END))
+       |      ::BIGINT AS fp
+       |  FROM corpus),
+       |blocks AS (SELECT doc_id, fp, blk,
+       |    (fp >> CAST(blk * 16 AS INT)) & 65535 AS bval
+       |  FROM fp, unnest(range(0, 4)) t(blk))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $PhRadius""".stripMargin
+  }
+
   /** q27 — LSH-bucketed ANN: 6 deterministic hyperplanes prune the scan
     * to the query's bucket before the cosine top-k. */
   val annLshTopK: Q = (s, dir) => {
@@ -2916,6 +3077,8 @@ object TrainingData {
     "q25_ngram_jaccard" -> ngramJaccard,
     "q459_sorted_neighborhood" -> sortedNeighborhood,
     "q479_edit_distance_join" -> editDistanceJoin,
+    "q480_sq_recall" -> sqRecall,
+    "q482_media_phash_dedup" -> mediaPhashDedup,
     "q465_blocking_quality" -> blockingQuality,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
@@ -3091,6 +3254,8 @@ object TrainingData {
          |WHERE o.doc_id < $TwinOffset""".stripMargin,
     "q459_sorted_neighborhood" -> sqlSortedNeighborhood,
     "q479_edit_distance_join" -> sqlEditDistanceJoin,
+    "q480_sq_recall" -> sqlSqRecall,
+    "q482_media_phash_dedup" -> sqlMediaPhashDedup,
     "q465_blocking_quality" -> sqlBlockingQuality,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
