@@ -1872,9 +1872,16 @@ object Scale {
     * per-iteration graphs DuckDB-side at strictly worse cost). */
   val ktrussPeel: Q = (s, dir) => {
     import s.implicits._
+    import graft.Materialize.TrunkCheckpointOps
+    // each round's edge set is referenced 5× downstream (the support
+    // self-reference, the peel join, both audit scalars, the next
+    // round) — checkpoint per round or the lineage recomputes
+    // multiplicatively, the Spark twin of the DuckDB MATERIALIZED
+    // lesson in sqlKtrussPeel (un-checkpointed: 21.7 s at sf0.1)
     val e0 = GraphTrunk.coOrderEdges(s, dir)
       .filter(Hashing.hash60(concat(lit("truss|"), $"u".cast("string"),
         lit("|"), $"v".cast("string"))) % TrussSampleMod === 0)
+      .trunkCheckpoint()
     def support(e: DataFrame): DataFrame = {
       val deg = e.select($"u".as("nid"))
         .unionByName(e.select($"v".as("nid")))
@@ -1909,8 +1916,8 @@ object Scale {
       .agg(countDistinct($"nid").as("n_nodes"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .select(lit(round).as("round"), $"n_nodes", $"n_edges")
-    val r1 = peel(e0)
-    val r2 = peel(r1)
+    val r1 = peel(e0).trunkCheckpoint()
+    val r2 = peel(r1).trunkCheckpoint()
     audit(e0, 0).unionByName(audit(r1, 1)).unionByName(audit(r2, 2))
   }
 
