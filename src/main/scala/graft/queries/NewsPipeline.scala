@@ -35,7 +35,12 @@ object NewsPipeline {
       DataFrame]()
   private def cached(s: SparkSession, dir: String, stage: String)
       (build: => DataFrame): DataFrame =
-    trunkCache.computeIfAbsent((s, dir, stage), _ =>
+    // tool modes (Materialize.transparent / fresh): bypass the memo AND
+    // the persist, so a perturbation run rebuilds the trunk under the
+    // perturbed session config instead of reading a frame persisted
+    // under the default one — same contract as GraphTrunk.cached
+    if (graft.Materialize.bypassMemo) build
+    else trunkCache.computeIfAbsent((s, dir, stage), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def transformedShared(s: SparkSession, dir: String): DataFrame =

@@ -1878,85 +1878,143 @@ object Scale {
     // round) — checkpoint per round or the lineage recomputes
     // multiplicatively, the Spark twin of the DuckDB MATERIALIZED
     // lesson in sqlKtrussPeel (un-checkpointed: 21.7 s at sf0.1)
-    val e0 = GraphTrunk.coOrderEdges(s, dir)
-      .filter(Hashing.hash60(concat(lit("truss|"), $"u".cast("string"),
-        lit("|"), $"v".cast("string"))) % TrussSampleMod === 0)
-      .trunkCheckpoint()
-    def support(e: DataFrame): DataFrame = {
-      val deg = e.select($"u".as("nid"))
-        .unionByName(e.select($"v".as("nid")))
-        .groupBy($"nid").agg(count(lit(1)).as("d"))
-      val ori = e
-        .join(deg.select($"nid".as("u"), $"d".as("du")), Seq("u"))
-        .join(deg.select($"nid".as("v"), $"d".as("dv")), Seq("v"))
-        .select(
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-            .otherwise($"v").as("a"),
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-            .otherwise($"u").as("b"))
-      val adj = ori.groupBy($"a")
-        .agg(sort_array(collect_list($"b")).as("nbrs"))
-      val tri = adj
-        .select($"a", $"nbrs".as("na"), explode($"nbrs").as("b"))
-        .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
-        .select($"a", $"b",
-          explode(array_intersect($"na", $"nb")).as("c"))
-      tri.select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
-        .unionByName(tri.select(least($"a", $"c").as("u"),
-          greatest($"a", $"c").as("v")))
-        .unionByName(tri.select(least($"b", $"c").as("u"),
-          greatest($"b", $"c").as("v")))
-        .groupBy($"u", $"v").agg(count(lit(1)).as("sup"))
-    }
-    def peel(e: DataFrame): DataFrame = e
-      .join(support(e), Seq("u", "v"))
-      .filter($"sup" >= TrussK - 2).select($"u", $"v")
+    val e0 = trussSampledEdges(s, dir).trunkCheckpoint()
     def audit(e: DataFrame, round: Int): DataFrame = e
       .select(explode(array($"u", $"v")).as("nid"))
       .agg(countDistinct($"nid").as("n_nodes"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .select(lit(round).as("round"), $"n_nodes", $"n_edges")
-    val r1 = peel(e0).trunkCheckpoint()
-    val r2 = peel(r1).trunkCheckpoint()
+    val r1 = trussPeelRound(e0).trunkCheckpoint()
+    val r2 = trussPeelRound(r1).trunkCheckpoint()
     audit(e0, 0).unionByName(audit(r1, 1)).unionByName(audit(r2, 2))
+  }
+
+  private def trussSampledEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraphTrunk.coOrderEdges(s, dir)
+      .filter(Hashing.hash60(concat(lit("truss|"), $"u".cast("string"),
+        lit("|"), $"v".cast("string"))) % TrussSampleMod === 0)
+  }
+
+  /** One k-truss peel round (shared by q478's bounded unroll and
+    * q483's fixpoint loop): per-edge triangle support via q105's
+    * degree-oriented sorted-adjacency intersect, each triangle
+    * crediting its three edges through an output-bound explode, then
+    * one support join keeps edges with sup ≥ k−2. */
+  private def trussPeelRound(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("nid"))
+      .unionByName(e.select(col("v").as("nid")))
+      .groupBy(col("nid")).agg(count(lit(1)).as("d"))
+    val lower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e
+      .join(deg.select(col("nid").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("nid").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+    val adj = ori.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val tri = adj
+      .select(col("a"), col("nbrs").as("na"), explode(col("nbrs")).as("b"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
+    val sup = tri
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .unionByName(tri.select(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))
+      .unionByName(tri.select(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    e.join(sup, Seq("u", "v"))
+      .filter(col("sup") >= TrussK - 2).select(col("u"), col("v"))
+  }
+
+  /** q483 — k-TRUSS to FIXPOINT (the peel-to-convergence variant of
+    * q478, under the same per-round trunkCheckpoint contract): loop
+    * [[trussPeelRound]] until the edge count stops changing. Peeling
+    * only removes edges, so count equality IS set equality — the
+    * convergence test is one driver-side scalar per round (the
+    * Bpe/GD-class justified collect: O(rounds) rows total, never
+    * data), and each round's frame is checkpointed so the next round
+    * starts from a materialized scan, exactly q478's lineage
+    * discipline. Output is the convergence audit row a curation job
+    * logs: effective peel count + fixpoint nodes/edges. The oracle
+    * unrolls 7 rounds (comfortably past the measured sf0.01 fixpoint
+    * at 3 effective peels; post-fixpoint rounds run on the tiny
+    * converged set, near-free) and detects convergence in-SQL from
+    * the per-round count table — if the data ever needed more rounds
+    * than the unroll, `conv` comes back NULL and the gate fails
+    * loudly rather than silently diverging. */
+  val ktrussFixpoint: Q = (s, dir) => {
+    import s.implicits._
+    import graft.Materialize.TrunkCheckpointOps
+    var cur = trussSampledEdges(s, dir).trunkCheckpoint()
+    var n = cur.count()
+    var rounds = 0L
+    var converged = false
+    while (!converged && rounds < TrussFixCap) {
+      val next = trussPeelRound(cur).trunkCheckpoint()
+      val m = next.count()
+      if (m == n) converged = true
+      else { cur = next; n = m; rounds += 1 }
+    }
+    cur.select(explode(array($"u", $"v")).as("nid"))
+      .agg(countDistinct($"nid").as("n_nodes"))
+      .crossJoin(broadcast(cur.agg(count(lit(1)).as("n_edges"))))
+      .select(lit(rounds).as("n_rounds"), $"n_nodes", $"n_edges")
   }
 
   private val TrussK = 4
   private val TrussSampleMod = 5L
+  private val TrussFixCap = 40L
+  private val TrussFixUnroll = 7
+
+  // AS MATERIALIZED: each round's CTEs are referenced several times
+  // (tri reads ori 3×, the audits read keep twice); DuckDB inlines
+  // un-hinted CTEs per reference, which compounds multiplicatively
+  // down the round chain (first cut ran >12 min at sf0.01;
+  // materialized, sub-second)
+  private def sqlTrussRound(in: String, i: Int): String =
+    s"""deg$i AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS x FROM $in UNION ALL SELECT v FROM $in)
+       |  GROUP BY x),
+       |ori$i AS MATERIALIZED (SELECT
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+       |         THEN u ELSE v END AS a,
+       |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+       |         THEN v ELSE u END AS b
+       |  FROM $in JOIN deg$i du ON du.x = $in.u
+       |  JOIN deg$i dv ON dv.x = $in.v),
+       |tri$i AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM ori$i e1
+       |  JOIN ori$i e2 ON e1.a = e2.a AND e1.b <> e2.b
+       |  JOIN ori$i e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |sup$i AS (SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+       |    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri$i
+       |    UNION ALL
+       |    SELECT least(a, c) AS u, greatest(a, c) AS v FROM tri$i
+       |    UNION ALL
+       |    SELECT least(b, c) AS u, greatest(b, c) AS v FROM tri$i)
+       |  GROUP BY u, v),
+       |keep$i AS MATERIALIZED (SELECT $in.u, $in.v FROM $in
+       |  JOIN sup$i ON sup$i.u = $in.u AND sup$i.v = $in.v
+       |  WHERE sup >= ${TrussK - 2})""".stripMargin
+
+  private val sqlTrussHash = Hashing.sqlHash60(
+    "'truss|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+
+  private val sqlTrussEdges: String =
+    s"""io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |eall AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM io a JOIN io b ON a.o = b.o AND a.p < b.p),
+       |e0 AS MATERIALIZED (SELECT u, v FROM eall
+       |  WHERE $sqlTrussHash % $TrussSampleMod = 0)""".stripMargin
 
   private val sqlKtrussPeel: String = {
-    val h = Hashing.sqlHash60(
-      "'truss|' || CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
-    // AS MATERIALIZED: each round's CTEs are referenced several times
-    // (tri reads ori 3×, the audits read keep twice); DuckDB inlines
-    // un-hinted CTEs per reference, which compounds multiplicatively
-    // down the 2-round chain (first cut ran >12 min at sf0.01;
-    // materialized, sub-second)
-    def round(in: String, i: Int): String =
-      s"""deg$i AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
-         |  FROM (SELECT u AS x FROM $in UNION ALL SELECT v FROM $in)
-         |  GROUP BY x),
-         |ori$i AS MATERIALIZED (SELECT
-         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-         |         THEN u ELSE v END AS a,
-         |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-         |         THEN v ELSE u END AS b
-         |  FROM $in JOIN deg$i du ON du.x = $in.u
-         |  JOIN deg$i dv ON dv.x = $in.v),
-         |tri$i AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
-         |  FROM ori$i e1
-         |  JOIN ori$i e2 ON e1.a = e2.a AND e1.b <> e2.b
-         |  JOIN ori$i e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |sup$i AS (SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
-         |    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri$i
-         |    UNION ALL
-         |    SELECT least(a, c) AS u, greatest(a, c) AS v FROM tri$i
-         |    UNION ALL
-         |    SELECT least(b, c) AS u, greatest(b, c) AS v FROM tri$i)
-         |  GROUP BY u, v),
-         |keep$i AS MATERIALIZED (SELECT $in.u, $in.v FROM $in
-         |  JOIN sup$i ON sup$i.u = $in.u AND sup$i.v = $in.v
-         |  WHERE sup >= ${TrussK - 2})""".stripMargin
+    def round(in: String, i: Int): String = sqlTrussRound(in, i)
     def audit(in: String, r: Int): String =
       s"""SELECT $r AS round,
          |  (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM
@@ -1964,17 +2022,32 @@ object Scale {
          |    AS n_nodes,
          |  (SELECT CAST(count(*) AS BIGINT) FROM $in) AS n_edges"""
         .stripMargin
-    s"""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-       |  FROM lineitem),
-       |eall AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-       |  FROM io a JOIN io b ON a.o = b.o AND a.p < b.p),
-       |e0 AS MATERIALIZED (SELECT u, v FROM eall
-       |  WHERE $h % $TrussSampleMod = 0),
+    s"""WITH $sqlTrussEdges,
        |${round("e0", 0)},
        |${round("keep0", 1)}
        |${audit("e0", 0)}
        |UNION ALL ${audit("keep0", 1)}
        |UNION ALL ${audit("keep1", 2)}""".stripMargin
+  }
+
+  private val sqlKtrussFixpoint: String = {
+    val ins = "e0" +: (0 until TrussFixUnroll).map(i => s"keep$i")
+    val rounds = (0 until TrussFixUnroll)
+      .map(i => sqlTrussRound(ins(i), i)).mkString(",\n")
+    val counts = ins.zipWithIndex.map { case (t, r) =>
+      s"SELECT $r AS r, (SELECT count(*) FROM $t) AS c" }
+      .mkString("\n  UNION ALL ")
+    val last = ins.last
+    s"""WITH $sqlTrussEdges,
+       |$rounds,
+       |counts AS MATERIALIZED ($counts),
+       |conv AS (SELECT min(a.r) AS rfix FROM counts a
+       |  JOIN counts b ON b.r = a.r - 1 AND b.c = a.c)
+       |SELECT ((SELECT rfix FROM conv) - 1)::BIGINT AS n_rounds,
+       |  (SELECT count(DISTINCT x) FROM
+       |    (SELECT u AS x FROM $last UNION ALL SELECT v FROM $last))
+       |    ::BIGINT AS n_nodes,
+       |  (SELECT count(*) FROM $last)::BIGINT AS n_edges""".stripMargin
   }
 
   private val AnfLanes = 8
@@ -2297,6 +2370,7 @@ object Scale {
     "q476_triangles_sampled" -> trianglesSampled,
     "q477_anf_two_hop" -> anfTwoHop,
     "q478_ktruss_peel" -> ktrussPeel,
+    "q483_ktruss_fixpoint" -> ktrussFixpoint,
     "q215_adamic_adar" -> adamicAdar,
     "q107_bfs_hops" -> bfsHops,
     "q109_kcore_peel" -> kcorePeel,
@@ -3084,6 +3158,7 @@ object Scale {
     "q56_sample_stratified" -> sqlSample,
     "q477_anf_two_hop" -> sqlAnfTwoHop,
     "q478_ktruss_peel" -> sqlKtrussPeel,
+    "q483_ktruss_fixpoint" -> sqlKtrussFixpoint,
     "q107_bfs_hops" -> sqlBfsHops,
     "q109_kcore_peel" -> sqlKcorePeel,
     "q57_moving_avg" -> sqlMovingAvg,

@@ -380,8 +380,21 @@ object TrainingData {
     * pigeonhole as q475's Manku tables, transplanted from hamming to
     * edit space); indel tolerance would add PassJoin's shifted
     * segments — documented extension, not needed by the planted
-    * perturbation. Scale: segment blocks are uniform hash-like keys;
-    * nothing all-pairs anywhere. */
+    * perturbation.
+    *
+    * Scale — REP-COLLAPSE (added after the round-8 measurement of
+    * 19.2× wall at 10× data): a web corpus is full of byte-identical
+    * 39-char prefixes (boilerplate), and every duplicate group of size
+    * g used to put g copies of each segment into its (position,
+    * segment) block — g² candidate pairs all verifying the same two
+    * strings. The fix is the same move as q475's fingerprint collapse
+    * and the near-dup trunk's exact-dup collapse: group identical
+    * strings to one representative BEFORE blocking, run the segment
+    * join and the levenshtein verify once per DISTINCT string pair,
+    * then expand members back through two equi-joins. Within-group
+    * pairs (dist 0 by definition) are emitted directly from a
+    * group-key self-join — output-bound, never verify-bound. Candidate
+    * work now scales with distinct-string count, not row count. */
   val editDistanceJoin: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
@@ -406,22 +419,40 @@ object TrainingData {
         "ELSE e1 END"))
       .select(($"doc_id" + EdTwinOffset).as("doc_id"), $"e2".as("s"))
     val corpus = base.unionByName(twins)
-    val segs = corpus.select($"doc_id", $"s",
+    // rep-collapse: one row per distinct string carries the blocking
+    val reps = corpus.groupBy($"s").agg(min($"doc_id").as("rep_id"))
+    val segs = reps.select($"rep_id", $"s",
         explode(expr(s"transform(sequence(0, 2), k -> " +
           s"named_struct('k', k, 'seg', " +
           s"substring(s, k * ${EdLen / 3} + 1, ${EdLen / 3})))"))
           .as("x"))
-      .select($"doc_id", $"s", $"x.k".as("k"), $"x.seg".as("seg"))
-    val cand = segs.as("a")
+      .select($"rep_id", $"s", $"x.k".as("k"), $"x.seg".as("seg"))
+    // verify once per distinct string pair (rep_id is unique per
+    // distinct string, so `<` canonicalizes the unordered pair)
+    val verified = segs.as("a")
       .join(segs.as("b"),
         $"a.k" === $"b.k" && $"a.seg" === $"b.seg" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.s".as("sa"), $"b.s".as("sb"))
+          $"a.rep_id" < $"b.rep_id")
+      .select($"a.s".as("sa"), $"b.s".as("sb"))
       .distinct()
-    cand.select($"doc_a", $"doc_b",
+      .select($"sa", $"sb",
         levenshtein($"sa", $"sb").cast("long").as("dist"))
       .filter($"dist" <= 2)
+    // expand distinct-pair verdicts back to member doc pairs; each doc
+    // has exactly one string, so no pair is produced twice
+    val cross = verified
+      .join(corpus.select($"doc_id".as("ida"), $"s".as("sa")), Seq("sa"))
+      .join(corpus.select($"doc_id".as("idb"), $"s".as("sb")), Seq("sb"))
+      .select(least($"ida", $"idb").as("doc_a"),
+        greatest($"ida", $"idb").as("doc_b"), $"dist")
+    // identical strings share every segment and have dist 0: emit the
+    // within-group pairs directly (output-bound by definition)
+    val within = corpus.as("x")
+      .join(corpus.as("y"),
+        $"x.s" === $"y.s" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        lit(0L).as("dist"))
+    cross.unionByName(within)
   }
 
   private val EdLen = 39
@@ -747,7 +778,18 @@ object TrainingData {
     * candidate pairs come from q475's Manku block pigeonhole (4×16-bit
     * blocks; radius ≤ 3 ⇒ one whole block agrees) — an equi-join on
     * (block, value), never all-pairs — with the exact bit_count(xor)
-    * verify only on candidates. */
+    * verify only on candidates.
+    *
+    * Scale — FINGERPRINT COLLAPSE (the q479 rep-collapse applied to the
+    * media column, per the round-8 verdict): a real image corpus has
+    * massive exact-duplicate asset groups (same logo, same stock photo
+    * re-hosted), and every group of g identical fingerprints used to
+    * pay g block rows per block and g² block collisions. Distinct
+    * fingerprints are collapsed to one representative before the
+    * (block, value) join; the bit_count verify runs once per distinct
+    * fp pair; members expand back via two fp equi-joins, and
+    * within-group pairs (hamming 0) come straight off a group-key
+    * self-join. Candidate work scales with distinct-fp count. */
   val mediaPhashDedup: Q = (s, dir) => {
     import s.implicits._
     val base = Tables(s, dir, "documents")
@@ -771,19 +813,33 @@ object TrainingData {
         "IF(ascii(substring(px, CAST(i + 1 AS INT), 1)) > 96, " +
         "shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, x) -> a + x)")
       .as("fp"))
-    val blocks = fp.select($"doc_id", $"fp",
+    // fingerprint collapse: block the distinct fps, not the rows
+    val reps = fp.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
+    val blocks = reps.select($"rep_id", $"fp",
         explode(expr("sequence(0, 3)")).as("blk"))
-      .select($"doc_id", $"fp", $"blk",
+      .select($"rep_id", $"fp", $"blk",
         expr("shiftright(fp, CAST(blk * 16 AS INT)) & 65535")
           .as("bval"))
-    blocks.as("a")
+    val verified = blocks.as("a")
       .join(blocks.as("b"),
         $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+          $"a.rep_id" < $"b.rep_id")
+      .select($"a.fp".as("fpa"), $"b.fp".as("fpb"))
       .distinct()
+      .select($"fpa", $"fpb",
+        expr("bit_count(fpa ^ fpb)").cast("long").as("hamming"))
       .filter($"hamming" <= PhRadius)
+    val cross = verified
+      .join(fp.select($"doc_id".as("ida"), $"fp".as("fpa")), Seq("fpa"))
+      .join(fp.select($"doc_id".as("idb"), $"fp".as("fpb")), Seq("fpb"))
+      .select(least($"ida", $"idb").as("doc_a"),
+        greatest($"ida", $"idb").as("doc_b"), $"hamming")
+    val within = fp.as("x")
+      .join(fp.as("y"),
+        $"x.fp" === $"y.fp" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   private val PhTwinOffset = 700000L
@@ -820,6 +876,136 @@ object TrainingData {
        |FROM blocks a JOIN blocks b
        |  ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= $PhRadius""".stripMargin
+  }
+
+  /** q484 — intra-document REPETITION filter (the Gopher/MassiveText
+    * quality rules, Rae et al. 2021 §A1.1: drop documents dominated by
+    * repeated n-grams — boilerplate, keyword stuffing, scraper loops):
+    * per doc, the top-2-gram occupancy (occurrences of the most common
+    * 2-gram over all 2-gram slots) and the duplicate-3-gram fraction
+    * (slots beyond first occurrence), both in exact micro units with
+    * integral division, plus the keep verdict at the 20% / 30%
+    * thresholds. Everything is computed INSIDE the row with array
+    * higher-order functions over [[TextOps.slidingNgrams]] — a
+    * map-only pass, no shuffle, no explode: the 100 TB plan is scan →
+    * project → done, embarrassingly parallel (the O(d²) distinct×scan
+    * count is per-row over ~10² tokens, not per-corpus). */
+  val repetitionFilter: Q = (s, dir) => {
+    import s.implicits._
+    val Top2Max = 200000L // 20% in micro units
+    val Dup3Max = 300000L // 30%
+    Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id",
+        TextOps.slidingNgrams($"toks", 2).as("g2"),
+        TextOps.slidingNgrams($"toks", 3).as("g3"))
+      .select($"doc_id",
+        size($"g2").cast("long").as("n2"),
+        coalesce(array_max(transform(array_distinct($"g2"),
+          x => size(filter($"g2", y => y === x)))), lit(0))
+          .cast("long").as("top2"),
+        size($"g3").cast("long").as("n3"),
+        (size($"g3") - size(array_distinct($"g3")))
+          .cast("long").as("dup3"))
+      .select($"doc_id",
+        when($"n2" === 0, 0L)
+          .otherwise(expr("top2 * 1000000 div n2")).as("top2_micro"),
+        when($"n3" === 0, 0L)
+          .otherwise(expr("dup3 * 1000000 div n3")).as("dup3_micro"))
+      .select($"doc_id", $"top2_micro", $"dup3_micro",
+        ($"top2_micro" <= Top2Max && $"dup3_micro" <= Dup3Max)
+          .as("keep"))
+  }
+
+  private def sqlSliding(toks: String, n: Int): String =
+    s"""list_transform(
+       |  range(1, greatest(len($toks) - ${n - 1} + 1, 1)),
+       |  i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))"""
+      .stripMargin
+
+  private val sqlRepetitionFilter: String = {
+    val toks = TextOps.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |    ${sqlSliding("toks", 2)} AS g2,
+       |    ${sqlSliding("toks", 3)} AS g3
+       |  FROM t),
+       |m AS (SELECT doc_id,
+       |    len(g2)::BIGINT AS n2,
+       |    coalesce(list_max(list_transform(list_distinct(g2),
+       |      x -> len(list_filter(g2, y -> y = x)))), 0)::BIGINT AS top2,
+       |    len(g3)::BIGINT AS n3,
+       |    (len(g3) - len(list_distinct(g3)))::BIGINT AS dup3
+       |  FROM g),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN n2 = 0 THEN 0
+       |      ELSE top2 * 1000000 // n2 END::BIGINT AS top2_micro,
+       |    CASE WHEN n3 = 0 THEN 0
+       |      ELSE dup3 * 1000000 // n3 END::BIGINT AS dup3_micro
+       |  FROM m)
+       |SELECT doc_id, top2_micro, dup3_micro,
+       |  top2_micro <= 200000 AND dup3_micro <= 300000 AS keep
+       |FROM f""".stripMargin
+  }
+
+  /** q485 — SEQUENCE PACKING audit (the concat-and-chunk batching step
+    * every LLM training pipeline runs before the trainer: concatenate
+    * documents in a deterministic order, cut into fixed-capacity token
+    * bins, count how many documents straddle a bin boundary — the
+    * attention-contamination metric that decides whether you pay for
+    * best-fit packing): documents shard by id hash (packing is
+    * per-shard in production — the only way a 100 TB corpus packs in
+    * parallel), a per-shard running token sum places each doc, and
+    * bin arithmetic is exact integral division. One narrow shuffle to
+    * the 32 shards, one window pass per shard — no global ordering
+    * bottleneck (a single ORDER BY over the corpus is the naive
+    * formulation that cannot scale). */
+  val sequencePacking: Q = (s, dir) => {
+    import s.implicits._
+    val cap = PackCapacity
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        Hashing.hash60(concat(lit("pack|"), $"doc_id".cast("string")))
+          % PackShards)
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"shard", $"n_tok",
+        expr(s"(cum - n_tok) div $cap").as("bin_start"),
+        expr(s"(cum - 1) div $cap").as("bin_end"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        expr(s"(sum(n_tok) + ${cap - 1}) div $cap").as("n_bins"),
+        sum(when($"bin_end" > $"bin_start", 1L).otherwise(0L))
+          .as("n_split_docs"))
+      .orderBy($"shard")
+  }
+
+  private val PackCapacity = 512L
+  private val PackShards = 32L
+
+  private val sqlSequencePacking: String = {
+    val toks = TextOps.sqlTokens("text")
+    val h = Hashing.sqlHash60("'pack|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id,
+       |    len($toks)::BIGINT AS n_tok,
+       |    $h % $PackShards AS shard
+       |  FROM documents),
+       |c AS (SELECT shard, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  sum(n_tok)::BIGINT AS n_tokens,
+       |  ((sum(n_tok) + ${PackCapacity - 1}) // $PackCapacity)::BIGINT
+       |    AS n_bins,
+       |  sum(CASE WHEN (cum - 1) // $PackCapacity
+       |    > (cum - n_tok) // $PackCapacity THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_split_docs
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin
   }
 
   /** q27 — LSH-bucketed ANN: 6 deterministic hyperplanes prune the scan
@@ -915,39 +1101,86 @@ object TrainingData {
     cross.unionByName(within)
   }
 
+  /** The INGEST-EPOCH trunk shared by q67 and q99 (r8 VERDICT item 9,
+    * the q55/q87/q120 pattern applied to the cross-corpus family): the
+    * history corpus's exact-dup groups + rep-level LSH bands are the
+    * artifact production writes ONCE per ingest epoch and every
+    * arriving batch joins against — recomputing them per query
+    * minhashed the same documents twice across q67+q99. Memoized per
+    * (session, dir), checkpointed and pinned; [[Materialize]] tool
+    * modes bypass both the memo and the pin, so perturbation runs
+    * rebuild under their own config. Both corpus halves collapse
+    * identical shingle-sets to a representative before banding
+    * (nearDupGroups' trick): bucket occupancy and verify work scale
+    * with distinct texts, and the `ids` arrays restore members. */
+  private val ingestCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+  private def ingestTrunk(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    def build = {
+      val d = Tables(s, dir, "documents").select($"doc_id", $"text")
+      val batch = d.filter($"doc_id" % 2 === 0)
+        .select(($"doc_id" + TwinOffset).as("doc_id"),
+          concat($"text", lit(TwinSuffix)).as("text"))
+      def collapse(df: DataFrame) = df
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .select($"doc_id",
+          TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
+        .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
+        .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
+          collect_list($"doc_id").as("ids"))
+        .trunkCheckpoint()
+      def bands(g: DataFrame) = Dedup.lshBands(
+        Dedup.minhashFromShingleSets(
+          g.select($"rep_id".as("doc_id"), $"sh_set"), "doc_id", "sh_set",
+          NumHashes),
+        NumHashes, RowsPerBand).trunkCheckpoint()
+      val gD = collapse(d)
+      val gB = collapse(batch)
+      (gD, gB, bands(gD), bands(gB))
+    }
+    if (graft.Materialize.bypassMemo) build
+    else ingestCache.computeIfAbsent((s, dir), _ =>
+      graft.CheckpointHygiene.pinning(s) { build })
+  }
+
   /** q67 — incremental cross-corpus near-dup dedup: an arriving batch
     * (perturbed twins of half the corpus) LSH-banded against the banded
     * HISTORY — a band-bucket equi-join between corpora, never the
     * all-pairs product and never a self-join of the union. At scale the
     * history side's signatures/bands are precomputed once and bucketed
-    * by (band, band_hash); each new batch joins co-located. Candidates
-    * are Jaccard-verified ≥ 0.5; output = batch docs that must NOT be
-    * ingested, with their matched history doc. */
+    * by (band, band_hash) — here literally: both sides come from
+    * [[ingestTrunk]], shared with q99. Candidate generation and the
+    * Jaccard ≥ 0.5 verify run once per distinct (history text, batch
+    * text) pair — band collision and jaccard are functions of the
+    * shingle set alone, so the rep-level pair set expands to exactly
+    * the per-doc pair set (the q479 rep-collapse argument). Output =
+    * batch docs that must NOT be ingested, with their matched history
+    * doc. */
   val incrementalNearDup: Q = (s, dir) => {
     import s.implicits._
-    val d = Tables(s, dir, "documents").select($"doc_id", $"text")
-    val batch = d.filter($"doc_id" % 2 === 0)
-      .select(($"doc_id" + TwinOffset).as("doc_id"),
-        concat($"text", lit(TwinSuffix)).as("text"))
-    def bands(df: DataFrame) = Dedup.lshBands(
-      Dedup.minhashSignatures(df, "doc_id", "text", NumHashes, ShingleN),
-      NumHashes, RowsPerBand)
-    val cand = bands(d).as("h").join(bands(batch).as("b"),
+    val (gD, gB, bd, bb) = ingestTrunk(s, dir)
+    val candRep = bd.as("h").join(bb.as("b"),
         col("h.band") === col("b.band") &&
           col("h.band_hash") === col("b.band_hash"))
-      .select(col("h.doc_id").as("hist_id"), col("b.doc_id").as("batch_id"))
+      .select(col("h.doc_id").as("hist_rep"),
+        col("b.doc_id").as("batch_rep"))
       .distinct()
-    def shingleSets(df: DataFrame) = df
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id",
-        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
-    cand.join(shingleSets(d).as("sh"), col("hist_id") === col("sh.doc_id"))
-      .join(shingleSets(batch).as("sb"),
-        col("batch_id") === col("sb.doc_id"))
-      .select($"batch_id", $"hist_id",
-        round(Dedup.jaccard(col("sh.sh_set"), col("sb.sh_set")), 6)
-          .as("jaccard"))
+    val verified = candRep
+      .join(gD.select($"rep_id".as("hist_rep"), $"sh_set".as("sh_h")),
+        Seq("hist_rep"))
+      .join(gB.select($"rep_id".as("batch_rep"), $"sh_set".as("sh_b")),
+        Seq("batch_rep"))
+      .select($"hist_rep", $"batch_rep",
+        round(Dedup.jaccard($"sh_h", $"sh_b"), 6).as("jaccard"))
       .filter($"jaccard" >= 0.5)
+    verified
+      .join(gD.select($"rep_id".as("hist_rep"),
+        explode($"ids").as("hist_id")), Seq("hist_rep"))
+      .join(gB.select($"rep_id".as("batch_rep"),
+        explode($"ids").as("batch_id")), Seq("batch_rep"))
+      .select($"batch_id", $"hist_id", $"jaccard")
   }
 
   /** q99 — incremental cluster maintenance
@@ -969,29 +1202,18 @@ object TrainingData {
     // (nearDupGroups' trick, applied to each corpus half): the
     // bucket-collision and verify work scales with distinct texts;
     // member→rep star edges restore the full connectivity for CC.
+    // Groups and bands come from [[ingestTrunk]] — shared with q67,
+    // materialized once per ingest epoch (r8 VERDICT item 9).
     val d = Tables(s, dir, "documents").select($"doc_id", $"text")
     val batch = d.filter($"doc_id" % 2 === 0)
       .select(($"doc_id" + TwinOffset).as("doc_id"),
         concat($"text", lit(TwinSuffix)).as("text"))
-    def collapse(df: DataFrame) = df
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id",
-        TextOps.shinglesFromTokens($"toks", ShingleN).as("sh_set"))
-      .groupBy(md5(concat_ws("", $"sh_set")).as("gkey"))
-      .agg(min($"doc_id").as("rep_id"), first($"sh_set").as("sh_set"),
-        collect_list($"doc_id").as("ids"))
-      .trunkCheckpoint()
     def repShs(g: DataFrame) =
       g.select($"rep_id".as("doc_id"), $"sh_set")
-    def bands(g: DataFrame) = Dedup.lshBands(
-      Dedup.minhashFromShingleSets(repShs(g), "doc_id", "sh_set",
-        NumHashes),
-      NumHashes, RowsPerBand).trunkCheckpoint()
     def star(g: DataFrame) = g
       .select($"rep_id".as("src"), explode($"ids").as("dst"))
       .filter($"src" =!= $"dst")
-    val (gD, gB) = (collapse(d), collapse(batch))
-    val (bd, bb) = (bands(gD), bands(gB))
+    val (gD, gB, bd, bb) = ingestTrunk(s, dir)
     def verified(cand: DataFrame, shA: DataFrame, shB: DataFrame) =
       cand.join(shA.as("sa"), col("src") === col("sa.doc_id"))
         .join(shB.as("sb"), col("dst") === col("sb.doc_id"))
@@ -3079,6 +3301,8 @@ object TrainingData {
     "q479_edit_distance_join" -> editDistanceJoin,
     "q480_sq_recall" -> sqRecall,
     "q482_media_phash_dedup" -> mediaPhashDedup,
+    "q484_repetition_filter" -> repetitionFilter,
+    "q485_sequence_packing" -> sequencePacking,
     "q465_blocking_quality" -> blockingQuality,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
@@ -3256,6 +3480,8 @@ object TrainingData {
     "q479_edit_distance_join" -> sqlEditDistanceJoin,
     "q480_sq_recall" -> sqlSqRecall,
     "q482_media_phash_dedup" -> sqlMediaPhashDedup,
+    "q484_repetition_filter" -> sqlRepetitionFilter,
+    "q485_sequence_packing" -> sqlSequencePacking,
     "q465_blocking_quality" -> sqlBlockingQuality,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings

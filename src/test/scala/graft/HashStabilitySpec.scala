@@ -38,6 +38,10 @@ import org.apache.spark.sql.types.DoubleType
   */
 class HashStabilitySpec extends SparkSpec {
 
+  /** Pinned count of checkpoint-hidden family members (the enrollment
+    * fence). Recount printed by the family-discovery `info` line. */
+  private val ExpectedCheckpointHidden = 19
+
   private def directRounds(plan: LogicalPlan): Boolean =
     plan.collectWithSubqueries {
       case p => p.expressions.flatMap(_.collect {
@@ -45,19 +49,27 @@ class HashStabilitySpec extends SparkSpec {
       })
     }.flatten.nonEmpty
 
-  /** Full-lineage scan: the analyzed plan, plus (recursively) the
+  /** A Round reachable ONLY through checkpoint provenance: walks the
     * recorded pre-checkpoint plan of every LogicalRDD leaf that came
-    * from trunkCheckpoint. */
-  private def scanLineage(plan: LogicalPlan,
-      seen: Set[Int] = Set.empty): Boolean =
-    directRounds(plan) || {
-      val leaves = plan.collectWithSubqueries {
-        case lr: LogicalRDD => lr }
-      leaves.exists { lr =>
-        !seen(lr.rdd.id) && Materialize.lineageOf(lr).exists(
-          scanLineage(_, seen + lr.rdd.id))
-      }
+    * from trunkCheckpoint, recursively. Detected INDEPENDENTLY of
+    * direct Rounds — a query with both a direct Round and a hidden one
+    * must still run trunk-fresh, or the hidden Round's trunk is served
+    * from the default-config materialization and never sees the
+    * perturbation (the r6-class blind spot for mixed queries). */
+  private def hiddenRounds(plan: LogicalPlan,
+      seen: Set[Int] = Set.empty): Boolean = {
+    val leaves = plan.collectWithSubqueries {
+      case lr: LogicalRDD => lr }
+    leaves.exists { lr =>
+      !seen(lr.rdd.id) && Materialize.lineageOf(lr).exists(p =>
+        directRounds(p) || hiddenRounds(p, seen + lr.rdd.id))
     }
+  }
+
+  /** Full-lineage scan: the analyzed plan, plus (recursively) the
+    * recorded pre-truncation plans behind every trunkCheckpoint. */
+  private def scanLineage(plan: LogicalPlan): Boolean =
+    directRounds(plan) || hiddenRounds(plan)
 
   private def rowsSorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
@@ -98,7 +110,7 @@ class HashStabilitySpec extends SparkSpec {
                                               // in the query's own gate
         plan.flatMap { p =>
           if (!scanLineage(p)) None
-          else Some((name, fn, !directRounds(p)))
+          else Some((name, fn, hiddenRounds(p)))
         }
     }
     assert(family.nonEmpty, "family discovery returned nothing — the " +
@@ -106,6 +118,17 @@ class HashStabilitySpec extends SparkSpec {
     val hidden = family.count(_._3)
     info(s"mirrored-double family: ${family.size} queries " +
       s"($hidden checkpoint-hidden)")
+    // enrollment fence: the provenance-discovered count is pinned, so a
+    // NEW trunkCheckpoint query that rounds a double upstream of its
+    // checkpoint cannot land silently unenrolled (the r6 escape cannot
+    // reopen for query 483+). Bump the constant when such a query
+    // legitimately lands — the bump is the enrollment review.
+    assert(hidden == ExpectedCheckpointHidden,
+      s"checkpoint-hidden enrollment changed: $hidden discovered vs " +
+        s"$ExpectedCheckpointHidden pinned. A query that rounds a " +
+        "double behind a trunkCheckpoint was added or removed — verify " +
+        "it executes trunk-fresh here, then bump " +
+        "ExpectedCheckpointHidden.")
     val diffs = family.flatMap { case (name, fn, checkpointHidden) =>
       def run() =
         if (checkpointHidden)
