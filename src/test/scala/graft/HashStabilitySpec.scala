@@ -39,8 +39,11 @@ import org.apache.spark.sql.types.DoubleType
 class HashStabilitySpec extends SparkSpec {
 
   /** Pinned count of checkpoint-hidden family members (the enrollment
-    * fence). Recount printed by the family-discovery `info` line. */
-  private val ExpectedCheckpointHidden = 19
+    * fence). Recount printed by the family-discovery `info` line.
+    * 51 at registry 485: the r8 detector's 19 provenance-only queries
+    * plus 32 MIXED queries (direct Round + provenance Round) that the
+    * `!directRounds` formulation used to run non-fresh. */
+  private val ExpectedCheckpointHidden = 51
 
   private def directRounds(plan: LogicalPlan): Boolean =
     plan.collectWithSubqueries {
@@ -55,16 +58,31 @@ class HashStabilitySpec extends SparkSpec {
     * direct Rounds — a query with both a direct Round and a hidden one
     * must still run trunk-fresh, or the hidden Round's trunk is served
     * from the default-config materialization and never sees the
-    * perturbation (the r6-class blind spot for mixed queries). */
-  private def hiddenRounds(plan: LogicalPlan,
-      seen: Set[Int] = Set.empty): Boolean = {
-    val leaves = plan.collectWithSubqueries {
-      case lr: LogicalRDD => lr }
-    leaves.exists { lr =>
-      !seen(lr.rdd.id) && Materialize.lineageOf(lr).exists(p =>
-        directRounds(p) || hiddenRounds(p, seen + lr.rdd.id))
+    * perturbation (the r6-class blind spot for mixed queries).
+    *
+    * The verdict is MEMOIZED per checkpoint RDD id: provenance forms a
+    * DAG (a pre-checkpoint plan references its own upstream checkpoints
+    * several times — k-truss rounds reference the previous round ~5×,
+    * and the fixpoint chain stacks four of those), and walking the DAG
+    * as a tree is exponential in chain depth (the un-memoized form
+    * burned 45+ CPU-minutes on round-9's registry). RDD ids are
+    * monotone per context, never reused, and a checkpoint's lineage is
+    * immutable, so the cache is sound across queries and modes. */
+  private val lineageRoundMemo = scala.collection.mutable.Map[Int, Boolean]()
+
+  private def leafHasRound(lr: LogicalRDD): Boolean =
+    lineageRoundMemo.get(lr.rdd.id) match {
+      case Some(b) => b
+      case None =>
+        val b = Materialize.lineageOf(lr).exists(p =>
+          directRounds(p) || hiddenRounds(p))
+        lineageRoundMemo(lr.rdd.id) = b
+        b
     }
-  }
+
+  private def hiddenRounds(plan: LogicalPlan): Boolean =
+    plan.collectWithSubqueries { case lr: LogicalRDD => lr }
+      .distinctBy(_.rdd.id).exists(leafHasRound)
 
   /** Full-lineage scan: the analyzed plan, plus (recursively) the
     * recorded pre-truncation plans behind every trunkCheckpoint. */
