@@ -1008,6 +1008,65 @@ object TrainingData {
        |FROM c GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** q486 — train/eval SPLIT-LEAKAGE audit (the near-dup-across-splits
+    * check run before trusting any eval number: an eval doc whose
+    * near-duplicate sits in training is contamination, Lee et al.
+    * 2022): documents split 90/10 by id HASH (hash60, not id modulo —
+    * a modulo split is confounded with this corpus's id-derived source
+    * assignment, the r7 q472 lesson), near-dup pairs come from the
+    * SAME rep-collapsed LSH chain as q23 (groups + candidates are the
+    * memoized session trunks — zero marginal candidate cost), and the
+    * output is the pair census by split class with exact micro
+    * shares. Scale: adds one projection and one 3-group aggregate on
+    * top of the q23 pair set. */
+  val splitLeakage: Q = (s, dir) => {
+    import s.implicits._
+    val groups = nearDupGroups(s, dir)
+    val repPairs = repCandidates(groups)
+      .select($"doc_a", $"doc_b",
+        round(Dedup.jaccard($"sa_set", $"sb_set"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b")
+    val pairs = expandMemberPairs(repPairs, groups, Seq.empty, Seq.empty)
+      .unionByName(withinGroupPairs(groups, Seq.empty))
+    def split(c: Column) = when(
+      Hashing.hash60(concat(lit("split|"), c.cast("string"))) % 10 === 0,
+      lit("eval")).otherwise(lit("train"))
+    val tagged = pairs
+      .select(split($"doc_a").as("sa"), split($"doc_b").as("sb"))
+      .select(when($"sa" === $"sb", concat($"sa", lit("-"), $"sb"))
+        .otherwise(lit("cross-split")).as("pair_class"))
+    val tot = tagged.agg(count(lit(1)).as("tot"))
+    tagged.groupBy($"pair_class").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select($"pair_class", $"n_pairs",
+        expr("n_pairs * 1000000 div tot").as("share_micro"))
+      .orderBy($"pair_class")
+  }
+
+  private def sqlSplitLeakage: String = {
+    def h(col: String) =
+      Hashing.sqlHash60(s"'split|' || CAST($col AS VARCHAR)")
+    s"""$sqlLshCandCtes,
+       |vp AS (SELECT doc_a, doc_b FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE ${sqlJaccard("sa.sh_set", "sb.sh_set")} >= 0.5),
+       |tagged AS (SELECT CASE WHEN sa2 = sb2 THEN sa2 || '-' || sb2
+       |    ELSE 'cross-split' END AS pair_class
+       |  FROM (SELECT
+       |      CASE WHEN ${h("doc_a")} % 10 = 0 THEN 'eval'
+       |        ELSE 'train' END AS sa2,
+       |      CASE WHEN ${h("doc_b")} % 10 = 0 THEN 'eval'
+       |        ELSE 'train' END AS sb2
+       |    FROM vp) t),
+       |tot AS (SELECT count(*) AS tot FROM tagged)
+       |SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  (count(*) * 1000000 // tot)::BIGINT AS share_micro
+       |FROM tagged CROSS JOIN tot GROUP BY pair_class, tot
+       |ORDER BY pair_class""".stripMargin
+  }
+
   /** q27 — LSH-bucketed ANN: 6 deterministic hyperplanes prune the scan
     * to the query's bucket before the cosine top-k. */
   val annLshTopK: Q = (s, dir) => {
@@ -3303,6 +3362,7 @@ object TrainingData {
     "q482_media_phash_dedup" -> mediaPhashDedup,
     "q484_repetition_filter" -> repetitionFilter,
     "q485_sequence_packing" -> sequencePacking,
+    "q486_split_leakage" -> splitLeakage,
     "q465_blocking_quality" -> blockingQuality,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
@@ -3482,6 +3542,7 @@ object TrainingData {
     "q482_media_phash_dedup" -> sqlMediaPhashDedup,
     "q484_repetition_filter" -> sqlRepetitionFilter,
     "q485_sequence_packing" -> sqlSequencePacking,
+    "q486_split_leakage" -> sqlSplitLeakage,
     "q465_blocking_quality" -> sqlBlockingQuality,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
