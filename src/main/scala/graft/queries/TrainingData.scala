@@ -419,6 +419,15 @@ object TrainingData {
         "ELSE e1 END"))
       .select(($"doc_id" + EdTwinOffset).as("doc_id"), $"e2".as("s"))
     val corpus = base.unionByName(twins)
+    editDistancePairs(corpus)
+  }
+
+  /** The q479 core over an arbitrary (doc_id, s) corpus of
+    * equal-length strings — factored out so the duplicate-group
+    * stress spec can drive it with a planted mega-group
+    * (TrainingDataSpec). */
+  private[graft] def editDistancePairs(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
     // rep-collapse: one row per distinct string carries the blocking
     val reps = corpus.groupBy($"s").agg(min($"doc_id").as("rep_id"))
     val segs = reps.select($"rep_id", $"s",
@@ -885,11 +894,17 @@ object TrainingData {
     * 2-gram over all 2-gram slots) and the duplicate-3-gram fraction
     * (slots beyond first occurrence), both in exact micro units with
     * integral division, plus the keep verdict at the 20% / 30%
-    * thresholds. Everything is computed INSIDE the row with array
+    * thresholds. Relation to q45: q45 is the SCORER (2-gram ratios as
+    * engine-exact doubles, explode → per-gram aggregate — the shape
+    * you want when the gram table feeds further analysis); this is
+    * the FILTER (thresholded keep/drop verdict, 3-gram duplicate
+    * dimension added, exact integer micros) in the other legitimate
+    * plan shape: everything computed INSIDE the row with array
     * higher-order functions over [[TextOps.slidingNgrams]] — a
     * map-only pass, no shuffle, no explode: the 100 TB plan is scan →
     * project → done, embarrassingly parallel (the O(d²) distinct×scan
-    * count is per-row over ~10² tokens, not per-corpus). */
+    * count is per-row over ~10² tokens, not per-corpus), which is the
+    * formulation a drop-before-shuffle ingest filter needs. */
   val repetitionFilter: Q = (s, dir) => {
     import s.implicits._
     val Top2Max = 200000L // 20% in micro units

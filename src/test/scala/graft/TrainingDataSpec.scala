@@ -670,4 +670,38 @@ class TrainingDataSpec extends SparkSpec {
         s"twinned original not fully covered: $r")
     }
   }
+
+  test("q479 rep-collapse: a 1500-copy duplicate group is exact — " +
+    "within-group pairs, cross-group expansion, and the radius-2 " +
+    "exclusions all hold on the collapsed plan") {
+    // the gate corpus has few byte-identical prefixes, so the
+    // duplicate-heavy codepath (the whole point of the round-9
+    // rep-collapse) is exercised here with a planted mega-group:
+    // 1500 copies of A, one dist-1 neighbor, one dist-2 neighbor, a
+    // dist-3 string that still shares segments (blocked candidate,
+    // must die to the verify), and a disjoint string (never a
+    // candidate)
+    val A = "abcdefghijklmnopqrstuvwxyz0123456789abc"
+    assert(A.length == 39)
+    def sub(s: String, p: Int, c: Char) = s.updated(p - 1, c)
+    val b = sub(A, 5, '~')                      // dist 1 from A
+    val c2 = sub(sub(A, 5, '#'), 20, '#')       // dist 2 from A, 2 from b
+    val e3 = sub(sub(sub(A, 1, '!'), 2, '!'), 3, '!') // dist 3, shares k1,k2
+    val f = "z" * 39                            // disjoint
+    val g = 1500
+    val rows = (0 until g).map(i => (i.toLong, A)) ++
+      Seq((2000L, b), (2001L, c2), (2002L, e3), (2003L, f))
+    val out = TrainingData.editDistancePairs(rows.toDF("doc_id", "s"))
+    val byDist = out.groupBy($"dist").count()
+      .as[(Long, Long)].collect().toMap
+    val within = g.toLong * (g - 1) / 2
+    assert(byDist == Map(0L -> within, 1L -> g.toLong, 2L -> (g + 1L)),
+      s"dist census was $byDist")
+    assert(out.filter($"doc_a".isin(2002L, 2003L) ||
+      $"doc_b".isin(2002L, 2003L)).count() == 0,
+      "dist-3 and disjoint strings must not pair")
+    val bc = out.filter($"doc_a" === 2000L && $"doc_b" === 2001L)
+      .select($"dist").as[Long].collect().toSeq
+    assert(bc == Seq(2L), s"b-c pair was $bc")
+  }
 }
