@@ -50,6 +50,22 @@ object Bench {
     // So afterwards, any query whose min is >3× the suite median gets
     // ONE retry — by then the sweep has moved minutes past the burst.
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // contention sentinel (r9 VERDICT item 3): one fixed cheap query
+    // timed at sweep start AND end, emitted as a pair in the JSON —
+    // a contended window (r9's driver run was uniformly ~1.2×
+    // inflated) is then self-diagnosing inside the artifact instead
+    // of needing a cross-reference to BASELINE.md's quiet-window
+    // records. Warmed once untimed first so the pair measures the
+    // window, not cold-start costs.
+    val sentinelName = "q01_pricing_summary"
+    def timeSentinel(): Double =
+      SparkEntry.queries.get(sentinelName).map { fn =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.getOrElse(-1.0)
+    timeSentinel() // untimed warm: plan + codegen + page cache
+    val sentinelFirst = timeSentinel()
     // continuous ScaleGuard sweep (VERDICT r6 item 8): every benched
     // query passes its own cliff gate on every bench run, not only in
     // PlanSpec — findings on the analyzed plan, minus the per-query
@@ -87,6 +103,7 @@ object Bench {
       times(name) = math.min(timeOnce(name, fn), times(name))
       CheckpointHygiene.release(spark)
     }
+    val sentinelLast = timeSentinel()
     val results = selected.map { case (name, _) => name -> times(name) }
     val total = results.map(_._2).sum
     // Full per-query detail goes to a FILE: at 345 queries the flat JSON
@@ -104,8 +121,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val guards = guardHits.map { case (k, v) =>
       "\"" + k + "\":\"" + v.mkString(",") + "\"" }.mkString("{", ",", "}")
+    val sentinel =
+      s"""{"name":"$sentinelName","first":${fmt(sentinelFirst)},"last":${fmt(sentinelLast)}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"scaleguard":$guards,"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"sentinel":$sentinel,"scaleguard":$guards,"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     // only a full (unfiltered) sweep may overwrite the committed map —
     // a SPARK_GRAFT_ONLY dev run would otherwise clobber it with a subset
     if (only.isEmpty)
@@ -135,7 +154,7 @@ object Bench {
     val head = if (isHeadline) head0 else results.take(34)
     val qs = head.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"sentinel":$sentinel,"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

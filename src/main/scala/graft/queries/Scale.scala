@@ -1456,24 +1456,31 @@ object Scale {
     // median WITHOUT the percentile UDAF: its value→count map over
     // ~3M distinct slopes merges single-threaded (measured 12 s for
     // the aggregate alone). The two middle order statistics come from
-    // the slope histogram + rangeCumSum instead — parallel all the
-    // way — and since they are integers, a + 0.5·(b−a) is EXACT in
-    // double (integer deltas < 2^53, ×0.5 a power of two), so the
-    // interpolated median is bit-identical on both engines.
-    val hist = pairs.groupBy($"slope_micro").agg(count(lit(1)).as("c"))
-      .trunkCheckpoint()
+    // rangeCumSum DIRECTLY over the pair frame (r10: the old
+    // intermediate slope histogram was ~1 group per pair — a 3M-row
+    // groupBy shuffle plus its trunkCheckpoint bought nothing, so
+    // both are gone), with the pair count in closed form from the
+    // day count — C(days, 2) — instead of a second 3M-row aggregate.
+    // Slope order statistics are integers, so a + 0.5·(b−a) is EXACT
+    // in double (integer deltas < 2^53, ×0.5 a power of two) and the
+    // interpolated median is bit-identical on both engines. Ties:
+    // equal slopes order arbitrarily in the range sort, but the t-th
+    // order statistic VALUE is tie-invariant.
+    val nAgg = daily.agg(count(lit(1)).as("nd"))
+      .select(expr("nd * (nd - 1) div 2").as("n"))
     val cum = graft.functions.ScaleWindows
-      .rangeCumSum(hist, Seq($"slope_micro".asc), $"c", "cs",
-        checkpoint = true)
-    val nAgg = hist.agg(sum($"c").as("n"))
+      .rangeCumSum(pairs.withColumn("one", lit(1L)),
+        Seq($"slope_micro".asc), $"one", "cs", checkpoint = true)
+    // exclusive prefix count ⇒ a row IS order statistic `cs`; one
+    // pass selects both middle indexes (the old lo/hi double scan
+    // merged per the r9 verdict's q177 item)
     val withN = cum.crossJoin(broadcast(nAgg))
-    val lo = withN.filter($"cs" <= expr("(n - 1) div 2") &&
-        expr("(n - 1) div 2") < $"cs" + $"c")
-      .select($"slope_micro".as("av"))
-    val hi = withN.filter($"cs" <= expr("(n - 1) - (n - 1) div 2") &&
-        expr("(n - 1) - (n - 1) div 2") < $"cs" + $"c")
-      .select($"slope_micro".as("bv"))
-    lo.crossJoin(hi).crossJoin(broadcast(nAgg))
+    val t1 = expr("(n - 1) div 2")
+    val t2 = expr("(n - 1) - (n - 1) div 2")
+    withN.filter($"cs" === t1 || $"cs" === t2)
+      .agg(min(when($"cs" === t1, $"slope_micro")).as("av"),
+        min(when($"cs" === t2, $"slope_micro")).as("bv"))
+      .crossJoin(broadcast(nAgg))
       .select($"n".as("n_pairs"),
         round($"av" + ($"bv" - $"av") * 0.5, 4)
           .as("median_slope_micro"))
@@ -1949,21 +1956,38 @@ object Scale {
     * loudly rather than silently diverging. */
   val ktrussFixpoint: Q = (s, dir) => {
     import s.implicits._
+    val (cur, rounds, converged) =
+      trussFixpointLoop(trussSampledEdges(s, dir), TrussFixCap)
+    // cap exit must be DISTINGUISHABLE from convergence (r9 ADVICE):
+    // without this, n_rounds == cap over a non-fixpoint frame looks
+    // like a valid answer that only the oracle's unroll would reject
+    if (!converged) throw new IllegalStateException(
+      s"q483 k-truss did not converge within $TrussFixCap rounds — " +
+        "raise TrussFixCap (and the oracle's TrussFixUnroll with it)")
+    cur.select(explode(array($"u", $"v")).as("nid"))
+      .agg(countDistinct($"nid").as("n_nodes"))
+      .crossJoin(broadcast(cur.agg(count(lit(1)).as("n_edges"))))
+      .select(lit(rounds).as("n_rounds"), $"n_nodes", $"n_edges")
+  }
+
+  /** q483's peel loop, cap as a parameter so the spec can drive a
+    * forced cap exit. Returns (frame at exit, effective peel rounds,
+    * converged?) — count equality is set equality because peeling
+    * only removes edges. */
+  private[graft] def trussFixpointLoop(
+      edges: DataFrame, cap: Long): (DataFrame, Long, Boolean) = {
     import graft.Materialize.TrunkCheckpointOps
-    var cur = trussSampledEdges(s, dir).trunkCheckpoint()
+    var cur = edges.trunkCheckpoint()
     var n = cur.count()
     var rounds = 0L
     var converged = false
-    while (!converged && rounds < TrussFixCap) {
+    while (!converged && rounds < cap) {
       val next = trussPeelRound(cur).trunkCheckpoint()
       val m = next.count()
       if (m == n) converged = true
       else { cur = next; n = m; rounds += 1 }
     }
-    cur.select(explode(array($"u", $"v")).as("nid"))
-      .agg(countDistinct($"nid").as("n_nodes"))
-      .crossJoin(broadcast(cur.agg(count(lit(1)).as("n_edges"))))
-      .select(lit(rounds).as("n_rounds"), $"n_nodes", $"n_edges")
+    (cur, rounds, converged)
   }
 
   private val TrussK = 4

@@ -1716,8 +1716,16 @@ object Shaping {
     val m = trans.agg(aggs.head, aggs.tail: _*)
     val p0 = m.selectExpr(mkPStage("div"): _*)
     val init = p0.selectExpr(mkCarryP ++ mkInit: _*)
-    val iterated = (1 to 15).foldLeft(init) { (df, _) =>
-      df.selectExpr(mkCarryP ++ mkRound("div"): _*)
+    // barrier every 5 rounds (r9 VERDICT item 2): all 15 stacked
+    // projection rounds in ONE WholeStageCodegen unit generate a
+    // >64 KB processNext — janino rejects it and the whole stage
+    // silently runs interpreted (the one ERROR line in full Verify
+    // logs). The localCheckpoint is on the ONE-ROW carry frame, so
+    // the split costs O(1) rows and each compiled unit stays small.
+    import graft.Materialize.TrunkCheckpointOps
+    val iterated = (1 to 15).foldLeft(init) { (df, i) =>
+      val next = df.selectExpr(mkCarryP ++ mkRound("div"): _*)
+      if (i % 5 == 0 && i < 15) next.trunkCheckpoint() else next
     }
     val withRe = iterated.selectExpr(
       Seq("a_base_st") ++

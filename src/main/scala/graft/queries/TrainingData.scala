@@ -425,7 +425,16 @@ object TrainingData {
   /** The q479 core over an arbitrary (doc_id, s) corpus of
     * equal-length strings — factored out so the duplicate-group
     * stress spec can drive it with a planted mega-group
-    * (TrainingDataSpec). */
+    * (TrainingDataSpec).
+    *
+    * PRECONDITION (r9 ADVICE): `doc_id` must be UNIQUE in the corpus
+    * — each doc carries exactly one string. The two-sided
+    * group-member expansion joins (below) attribute each verified
+    * rep pair back to member docs via doc_id equi-joins; a repeated
+    * doc_id would make a doc a member of two groups and double-emit
+    * its pairs. Both production callers (q479's base+twin corpus,
+    * the spec's planted mega-group) construct unique ids by design;
+    * a new caller must guarantee the same or pre-dedup. */
   private[graft] def editDistancePairs(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
     // rep-collapse: one row per distinct string carries the blocking
@@ -972,11 +981,32 @@ object TrainingData {
     * per-shard in production — the only way a 100 TB corpus packs in
     * parallel), a per-shard running token sum places each doc, and
     * bin arithmetic is exact integral division. One narrow shuffle to
-    * the 32 shards, one window pass per shard — no global ordering
+    * the shards, one window pass per shard — no global ordering
     * bottleneck (a single ORDER BY over the corpus is the naive
-    * formulation that cannot scale). */
-  val sequencePacking: Q = (s, dir) => {
+    * formulation that cannot scale).
+    *
+    * SHARD-COUNT RULE (the r9 verdict's parallelism-ceiling fix): the
+    * window `sum over (partition by shard order by doc_id)` sorts each
+    * shard's rows in ONE task, so shard count IS the packing
+    * parallelism and must scale with the corpus. The gate pins
+    * `PackShards = 32` (shard is part of the output schema — the
+    * DuckDB oracle mirrors the constant), but production derives it
+    * via [[packShardsFor]]: `ceil(totalTokens / PackTokensPerShard)`
+    * with a 50M-token shard target (~200 MB of text — one comfortably
+    * in-memory sort per task; 100 TB of text ≈ 25T tokens → ~500k
+    * shards, each still a single narrow window pass). The hash-mod
+    * assignment means any two shard counts where one divides the other
+    * form a refinement — total n_bins is weakly monotone under
+    * refinement (ceil subadditivity), spec-asserted at 8/32/64. */
+  val sequencePacking: Q = (s, dir) => sequencePackingSharded(s, dir, PackShards)
+
+  /** q485's body with the shard count as a parameter. Shard assignment
+    * is `hash60("pack|" || doc_id) % shards`, so counts in a
+    * divisibility chain (8 | 32 | 64) refine each other. */
+  private[graft] def sequencePackingSharded(
+      s: SparkSession, dir: String, shards: Long): DataFrame = {
     import s.implicits._
+    require(shards > 0, s"shard count must be positive, got $shards")
     val cap = PackCapacity
     val w = Window.partitionBy($"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -985,7 +1015,7 @@ object TrainingData {
         size(TextOps.tokens($"text")).cast("long").as("n_tok"))
       .withColumn("shard",
         Hashing.hash60(concat(lit("pack|"), $"doc_id".cast("string")))
-          % PackShards)
+          % shards)
       .withColumn("cum", sum($"n_tok").over(w))
       .select($"shard", $"n_tok",
         expr(s"(cum - n_tok) div $cap").as("bin_start"),
@@ -999,8 +1029,19 @@ object TrainingData {
       .orderBy($"shard")
   }
 
-  private val PackCapacity = 512L
+  private[graft] val PackCapacity = 512L
   private val PackShards = 32L
+  /** Production tokens-per-shard target: ~50M tokens ≈ 200 MB of raw
+    * text per shard — one in-memory window sort per task. */
+  private[graft] val PackTokensPerShard = 50000000L
+
+  /** Production shard-count derivation for [[sequencePackingSharded]]:
+    * one shard per `PackTokensPerShard` tokens, floor 1. At 100 TB
+    * (~25T tokens) this yields ~500k shards — each shard's window sort
+    * stays a bounded single-task pass regardless of corpus size. */
+  private[graft] def packShardsFor(totalTokens: Long): Long =
+    math.max(1L,
+      (totalTokens + PackTokensPerShard - 1L) / PackTokensPerShard)
 
   private val sqlSequencePacking: String = {
     val toks = TextOps.sqlTokens("text")
@@ -1036,19 +1077,8 @@ object TrainingData {
     * top of the q23 pair set. */
   val splitLeakage: Q = (s, dir) => {
     import s.implicits._
-    val groups = nearDupGroups(s, dir)
-    val repPairs = repCandidates(groups)
-      .select($"doc_a", $"doc_b",
-        round(Dedup.jaccard($"sa_set", $"sb_set"), 6).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b")
-    val pairs = expandMemberPairs(repPairs, groups, Seq.empty, Seq.empty)
-      .unionByName(withinGroupPairs(groups, Seq.empty))
-    def split(c: Column) = when(
-      Hashing.hash60(concat(lit("split|"), c.cast("string"))) % 10 === 0,
-      lit("eval")).otherwise(lit("train"))
-    val tagged = pairs
-      .select(split($"doc_a").as("sa"), split($"doc_b").as("sb"))
+    val tagged = splitLeakagePairs(s, dir)
+      .select(splitTag($"doc_a").as("sa"), splitTag($"doc_b").as("sb"))
       .select(when($"sa" === $"sb", concat($"sa", lit("-"), $"sb"))
         .otherwise(lit("cross-split")).as("pair_class"))
     val tot = tagged.agg(count(lit(1)).as("tot"))
@@ -1058,6 +1088,30 @@ object TrainingData {
         expr("n_pairs * 1000000 div tot").as("share_micro"))
       .orderBy($"pair_class")
   }
+
+  /** q486's near-dup pair set (rep pairs verified at J ≥ 0.5, expanded
+    * to members, plus within-group pairs) — factored out so the
+    * streaming census twin (streaming.SplitLeakageCensus) can replay
+    * the SAME pairs through its stateful operator and be asserted
+    * equal to the batch census. */
+  private[graft] def splitLeakagePairs(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = nearDupGroups(s, dir)
+    val repPairs = repCandidates(groups)
+      .select($"doc_a", $"doc_b",
+        round(Dedup.jaccard($"sa_set", $"sb_set"), 6).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b")
+    expandMemberPairs(repPairs, groups, Seq.empty, Seq.empty)
+      .unionByName(withinGroupPairs(groups, Seq.empty))
+  }
+
+  /** The q486 train/eval tag: hash60 split, never id-modulo (the r7
+    * q472 confounding lesson). Shared with the streaming census. */
+  private[graft] def splitTag(c: Column): Column = when(
+    Hashing.hash60(concat(lit("split|"), c.cast("string"))) % 10 === 0,
+    lit("eval")).otherwise(lit("train"))
 
   private def sqlSplitLeakage: String = {
     def h(col: String) =
@@ -1080,6 +1134,252 @@ object TrainingData {
        |  (count(*) * 1000000 // tot)::BIGINT AS share_micro
        |FROM tagged CROSS JOIN tot GROUP BY pair_class, tot
        |ORDER BY pair_class""".stripMargin
+  }
+
+  /** q487 — EXACT-SUBSTRING dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §4.1: alongside
+    * MinHash near-dup, production corpus pipelines remove verbatim
+    * shared spans ≥ k tokens — leaked boilerplate, quoted chunks,
+    * mirrored articles): per distinct document, every k-token window
+    * becomes a positioned fingerprint; windows matching ACROSS
+    * documents (equi-join on the gram — exact match, the hash is only
+    * the shuffle key) group by their position DIAGONAL (pos_b − pos_a)
+    * where consecutive matches merge into maximal shared runs; the
+    * output is the per-pair span census: run count, longest span, and
+    * summed span tokens, at REP level with both group sizes attached.
+    *
+    * Architecture vs the paper: Lee et al. build one corpus-global
+    * suffix array — inherently single-machine and O(corpus) memory.
+    * This formulation is the bucketed equivalent: candidate work is an
+    * equi-join keyed by the k-gram (shuffle-bucketed, perfectly
+    * parallel), run-merging is a per-(pair, diagonal) window — never a
+    * global sort of the corpus. hash60-of-window is the portable test
+    * configuration (one md5 per window); production swaps a Karp-Rabin
+    * rolling hash into the same column for O(1)-per-position work, the
+    * Hashing scaladoc contract.
+    *
+    * Scale: identical documents collapse to reps FIRST (the q479/q482
+    * rep-collapse — a g-copy boilerplate group costs one gram set, not
+    * g), so bucket occupancy is the k-gram's distinct-document
+    * frequency; pairs that share heavy grams are genuine shared
+    * content, i.e. the operator's OUTPUT, not overhead. Twins replace
+    * one mid-token (position hash-derived per doc), giving each
+    * base–twin pair exactly two runs — prefix p−1, suffix n−p — with
+    * sum_span = n − 1, the spec's closed-form invariant. */
+  val substringDedup: Q = (s, dir) => {
+    import s.implicits._
+    val k = EsubK
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val twins = base
+      .withColumn("n", size($"toks"))
+      .filter($"n" >= 2 * k + 1)
+      .withColumn("p",
+        (Hashing.hash60(concat(lit("ess|"), $"doc_id".cast("string")))
+          % ($"n" - 2 * k) + k + 1).cast("int"))
+      .select(($"doc_id" + EsubTwinOffset).as("doc_id"),
+        concat(slice($"toks", lit(1), $"p" - 1),
+          array(lit("qzxq")),
+          slice($"toks", $"p" + 1, $"n" - $"p")).as("toks"))
+    val corpus = base.unionByName(twins)
+      .select($"doc_id", concat_ws(" ", $"toks").as("tkey"))
+    // rep-collapse on the full token sequence: identical docs share
+    // every window — one gram set per distinct text
+    val reps = corpus.groupBy($"tkey")
+      .agg(min($"doc_id").as("rep_id"),
+        count(lit(1)).cast("long").as("n_docs"))
+    val grams = reps
+      .select($"rep_id",
+        posexplode(TextOps.slidingNgrams(split($"tkey", " "), k)))
+      .select($"rep_id", ($"pos" + 1).cast("long").as("gpos"),
+        $"col".as("gram"), Hashing.hash60($"col").as("g"))
+    // cross-document window matches: hash bucket + exact gram equality
+    val m = grams.as("a")
+      .join(grams.as("b"),
+        $"a.g" === $"b.g" && $"a.gram" === $"b.gram" &&
+          $"a.rep_id" < $"b.rep_id")
+      .select($"a.rep_id".as("ra"), $"b.rep_id".as("rb"),
+        $"a.gpos".as("pa"), ($"b.gpos" - $"a.gpos").as("diag"))
+    // merge consecutive matches on each diagonal into maximal runs
+    val wd = Window.partitionBy($"ra", $"rb", $"diag").orderBy($"pa")
+    val runs = m
+      .withColumn("brk",
+        when(lag($"pa", 1).over(wd) === $"pa" - 1, 0L).otherwise(1L))
+      .withColumn("run_id", sum($"brk").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"ra", $"rb", $"diag", $"run_id")
+      .agg((max($"pa") - min($"pa") + k).as("span"))
+    runs.groupBy($"ra", $"rb")
+      .agg(count(lit(1)).as("n_runs"), max($"span").as("max_span"),
+        sum($"span").as("sum_span"))
+      .join(reps.select($"rep_id".as("ra"), $"n_docs".as("n_docs_a")),
+        Seq("ra"))
+      .join(reps.select($"rep_id".as("rb"), $"n_docs".as("n_docs_b")),
+        Seq("rb"))
+      .select($"ra".as("doc_a"), $"rb".as("doc_b"), $"n_runs",
+        $"max_span", $"sum_span", $"n_docs_a", $"n_docs_b")
+  }
+
+  private val EsubK = 8
+  private val EsubTwinOffset = 800000L
+
+  private val sqlSubstringDedup: String = {
+    val k = EsubK
+    val toks = TextOps.sqlTokens("text")
+    val h = Hashing.sqlHash60("'ess|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH b0 AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tw AS (SELECT doc_id, toks, len(toks) AS n,
+       |    CAST($h % (len(toks) - ${2 * k}) + ${k + 1} AS INT) AS p
+       |  FROM b0 WHERE len(toks) >= ${2 * k + 1}),
+       |twins AS (SELECT doc_id + $EsubTwinOffset AS doc_id,
+       |    list_concat(list_concat(
+       |      list_slice(toks, 1, p - 1), ['qzxq']),
+       |      list_slice(toks, p + 1, n)) AS toks
+       |  FROM tw),
+       |corpus AS (SELECT doc_id, array_to_string(toks, ' ') AS tkey
+       |  FROM (SELECT doc_id, toks FROM b0
+       |        UNION ALL SELECT doc_id, toks FROM twins) u),
+       |reps AS MATERIALIZED (SELECT tkey, min(doc_id) AS rep_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM corpus GROUP BY tkey),
+       |rt AS (SELECT rep_id, string_split(tkey, ' ') AS toks FROM reps),
+       |grams AS MATERIALIZED (SELECT rep_id, CAST(pos AS BIGINT) AS gpos,
+       |    array_to_string(list_slice(toks, pos, pos + ${k - 1}), ' ')
+       |      AS gram
+       |  FROM rt, unnest(range(1, greatest(len(toks) - $k + 2, 1)))
+       |    t(pos)),
+       |m AS (SELECT a.rep_id AS ra, b.rep_id AS rb, a.gpos AS pa,
+       |    b.gpos - a.gpos AS diag
+       |  FROM grams a JOIN grams b
+       |    ON a.gram = b.gram AND a.rep_id < b.rep_id),
+       |r AS (SELECT ra, rb, diag, pa,
+       |    CASE WHEN lag(pa) OVER (PARTITION BY ra, rb, diag
+       |      ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk
+       |  FROM m),
+       |rr AS (SELECT ra, rb, diag, pa, sum(brk) OVER (
+       |    PARTITION BY ra, rb, diag ORDER BY pa
+       |    ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM r),
+       |runs AS (SELECT ra, rb, diag, run_id,
+       |    (max(pa) - min(pa) + $k)::BIGINT AS span
+       |  FROM rr GROUP BY ra, rb, diag, run_id),
+       |census AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS n_runs,
+       |    max(span)::BIGINT AS max_span, sum(span)::BIGINT AS sum_span
+       |  FROM runs GROUP BY ra, rb)
+       |SELECT ra AS doc_a, rb AS doc_b, n_runs, max_span, sum_span,
+       |  na.n_docs AS n_docs_a, nb.n_docs AS n_docs_b
+       |FROM census
+       |JOIN reps na ON na.rep_id = census.ra
+       |JOIN reps nb ON nb.rep_id = census.rb""".stripMargin
+  }
+
+  /** q488 — AUDIO temporal-fingerprint near-dup (the audio-corpus twin
+    * of q482's image pHash, rounding out the multimodal dedup tier:
+    * Haitsma–Kingma 2002-style banded-energy fingerprints — what you
+    * run on 100 TB of audio where byte-exact dedup misses re-encodes):
+    * the stub "decode" treats the first 96 payload bytes as the PCM
+    * stream (a real codec decodes into the same seam — the Multimodal
+    * contract, exactly q482's stance), the stream frames into 12
+    * frames × 8 samples, each frame yields 4 two-sample band energies,
+    * and bit (3f+b) of the 36-bit fingerprint is the SIGN of the
+    * adjacent-band energy difference E[f][b] > E[f][b+1] — the
+    * temporal frame sequence laid out along the bit index. A one-
+    * sample perturbation touches one band, so it flips AT MOST the two
+    * difference bits that band feeds — the planted one-sample twins
+    * sit within hamming radius 2 by construction.
+    *
+    * Candidates come from the Manku block pigeonhole (3 × 12-bit
+    * blocks; radius ≤ 2 ⇒ at least one block agrees) as an equi-join
+    * on (block, value) — never all-pairs — with the exact
+    * bit_count(xor) verify only on candidates; identical fingerprints
+    * collapse to reps first (the q479/q482 fingerprint-collapse
+    * discipline: a g-copy asset group costs one block row set, not g²
+    * block collisions), members expand back via two fp equi-joins, and
+    * within-group pairs come straight off the group-key self-join. */
+  val audioFingerprintDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 96).as("px"))
+      .filter(length($"px") === 96)
+    val twins = base
+      .withColumn("p1",
+        (Hashing.hash60(concat(lit("af1|"), $"doc_id".cast("string")))
+          % 96 + 1).cast("int"))
+      .select(($"doc_id" + AfTwinOffset).as("doc_id"), expr(
+        "concat(substring(px, 1, p1 - 1), 'z', substring(px, p1 + 1))")
+        .as("px"))
+    val corpus = base.unionByName(twins)
+    def eBand(off: String) =
+      s"ascii(substring(px, CAST($off AS INT), 1)) + " +
+        s"ascii(substring(px, CAST($off + 1 AS INT), 1))"
+    val fp = corpus.select($"doc_id", expr(
+      "aggregate(transform(sequence(0, 11), f -> " +
+        "aggregate(transform(sequence(0, 2), b -> " +
+        s"IF((${eBand("8 * f + 2 * b + 1")}) > " +
+        s"(${eBand("8 * f + 2 * b + 3")}), " +
+        "shiftleft(1L, CAST(3 * f + b AS INT)), 0L)), " +
+        "0L, (a, x) -> a + x)), 0L, (a, x) -> a + x)").as("fp"))
+    val reps = fp.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
+    val blocks = reps.select($"rep_id", $"fp",
+        explode(expr("sequence(0, 2)")).as("blk"))
+      .select($"rep_id", $"fp", $"blk",
+        expr("shiftright(fp, CAST(blk * 12 AS INT)) & 4095")
+          .as("bval"))
+    val verified = blocks.as("a")
+      .join(blocks.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
+          $"a.rep_id" < $"b.rep_id")
+      .select($"a.fp".as("fpa"), $"b.fp".as("fpb"))
+      .distinct()
+      .select($"fpa", $"fpb",
+        expr("bit_count(fpa ^ fpb)").cast("long").as("hamming"))
+      .filter($"hamming" <= AfRadius)
+    val cross = verified
+      .join(fp.select($"doc_id".as("ida"), $"fp".as("fpa")), Seq("fpa"))
+      .join(fp.select($"doc_id".as("idb"), $"fp".as("fpb")), Seq("fpb"))
+      .select(least($"ida", $"idb").as("doc_a"),
+        greatest($"ida", $"idb").as("doc_b"), $"hamming")
+    val within = fp.as("x")
+      .join(fp.as("y"),
+        $"x.fp" === $"y.fp" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
+  private val AfTwinOffset = 900000L
+  private val AfRadius = 2
+
+  private val sqlAudioFingerprintDedup: String = {
+    val h = Hashing.sqlHash60("'af1|' || CAST(doc_id AS VARCHAR)")
+    def eBand(off: String) =
+      s"ascii(substr(px, CAST($off AS INT), 1)) + " +
+        s"ascii(substr(px, CAST($off + 1 AS INT), 1))"
+    s"""WITH base AS (SELECT doc_id, substr(text, 1, 96) AS px
+       |  FROM documents WHERE len(substr(text, 1, 96)) = 96),
+       |tw AS (SELECT doc_id, px, CAST($h % 96 + 1 AS INT) AS p1
+       |  FROM base),
+       |twins AS (SELECT doc_id + $AfTwinOffset AS doc_id,
+       |    substr(px, 1, p1 - 1) || 'z' || substr(px, p1 + 1) AS px
+       |  FROM tw),
+       |corpus AS (SELECT doc_id, px FROM base
+       |  UNION ALL SELECT doc_id, px FROM twins),
+       |fp AS MATERIALIZED (SELECT doc_id,
+       |    list_sum(list_transform(range(0, 12), f ->
+       |      list_sum(list_transform(range(0, 3), b ->
+       |        CASE WHEN (${eBand("8 * f + 2 * b + 1")}) >
+       |          (${eBand("8 * f + 2 * b + 3")})
+       |        THEN 1::BIGINT << CAST(3 * f + b AS INT)
+       |        ELSE 0::BIGINT END))::BIGINT))::BIGINT AS fp
+       |  FROM corpus),
+       |blocks AS (SELECT doc_id, fp, blk,
+       |    (fp >> CAST(blk * 12 AS INT)) & 4095 AS bval
+       |  FROM fp, unnest(range(0, 3)) t(blk))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $AfRadius""".stripMargin
   }
 
   /** q27 — LSH-bucketed ANN: 6 deterministic hyperplanes prune the scan
@@ -3378,6 +3678,8 @@ object TrainingData {
     "q484_repetition_filter" -> repetitionFilter,
     "q485_sequence_packing" -> sequencePacking,
     "q486_split_leakage" -> splitLeakage,
+    "q487_substring_dedup" -> substringDedup,
+    "q488_audio_fingerprint_dedup" -> audioFingerprintDedup,
     "q465_blocking_quality" -> blockingQuality,
     "q182_prefix_jaccard_join" -> prefixJaccardJoin,
     "q26_ann_cosine_topk" -> annCosineTopK,
@@ -3558,6 +3860,8 @@ object TrainingData {
     "q484_repetition_filter" -> sqlRepetitionFilter,
     "q485_sequence_packing" -> sqlSequencePacking,
     "q486_split_leakage" -> sqlSplitLeakage,
+    "q487_substring_dedup" -> sqlSubstringDedup,
+    "q488_audio_fingerprint_dedup" -> sqlAudioFingerprintDedup,
     "q465_blocking_quality" -> sqlBlockingQuality,
     "q26_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings

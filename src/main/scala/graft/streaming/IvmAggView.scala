@@ -21,6 +21,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * re-created restarts at 1 — ordering across lifetimes is the sink
   * log's job, exactly as in production changelog consumers.
   *
+  * Lifecycle edges (r9 ADVICE): a micro-batch whose deltas net to
+  * zero for a group that never existed emits NOTHING and creates no
+  * state (a tombstone for an absent key would feed a DELETE for a row
+  * the sink never had); a retraction that would drive a group's count
+  * negative fails the query — the changelog is malformed and any
+  * clamped continuation would diverge from the source.
+  *
   * 100 TB stance: state is O(live groups) — the view itself, nothing
   * row-shaped; each micro-batch costs O(delta + touched groups), the
   * same bound q481's batch merge proves (the delta aggregate happens
@@ -53,12 +60,26 @@ object IvmAggView {
       var dn = 0L
       var dc = 0L
       rows.foreach { d => dn += d.dn; dc += d.dc }
-      val prev = if (view.exists()) view.get() else ViewState(0L, 0L, 0L)
+      val existed = view.exists()
+      val prev = if (existed) view.get() else ViewState(0L, 0L, 0L)
       val next = ViewState(prev.ver + 1, prev.n + dn, prev.sc + dc)
-      if (next.n == 0L) view.clear() // group removed; emit tombstone
-      else view.update(next)
-      Iterator.single(ViewRow(key, next.ver, next.n,
-        if (next.n == 0L) 0L else next.sc))
+      // malformed changelog: more retractions than the group ever had
+      // inserts. Fail the query loudly — clamping would store a view
+      // the deltas don't support, and a downstream DELETE/UPSERT sink
+      // would silently diverge from the source.
+      if (next.n < 0L) throw new IllegalStateException(
+        s"IvmAggView: group '$key' retracted below zero " +
+          s"(count ${prev.n} + delta $dn = ${next.n})")
+      // net-zero batch for a group that never existed (e.g. +1 and −1
+      // in one micro-batch): a no-op, NOT a tombstone — emitting a
+      // DELETE for an absent key corrupts idempotent-upsert sinks
+      if (!existed && next.n == 0L) Iterator.empty
+      else {
+        if (next.n == 0L) view.clear() // group removed; emit tombstone
+        else view.update(next)
+        Iterator.single(ViewRow(key, next.ver, next.n,
+          if (next.n == 0L) 0L else next.sc))
+      }
     }
   }
 

@@ -40,9 +40,12 @@ class HashStabilitySpec extends SparkSpec {
 
   /** Pinned count of checkpoint-hidden family members (the enrollment
     * fence). Recount printed by the family-discovery `info` line.
-    * 51 at registry 485: the r8 detector's 19 provenance-only queries
-    * plus 32 MIXED queries (direct Round + provenance Round) that the
-    * `!directRounds` formulation used to run non-fresh. */
+    * 51 last recounted at registry 486 (q483–q486 round only through
+    * paths the fence already covered): the r8 detector's 19
+    * provenance-only queries plus 32 MIXED queries (direct Round +
+    * provenance Round) that the `!directRounds` formulation used to
+    * run non-fresh. Any q487+ query that rounds through a checkpoint
+    * must bump this count IN THE SAME COMMIT. */
   private val ExpectedCheckpointHidden = 51
 
   private def directRounds(plan: LogicalPlan): Boolean =

@@ -108,4 +108,46 @@ class IvmAggViewSpec extends SparkSpec {
       s"changelog was $got")
     CheckpointHygiene.release(spark)
   }
+
+  test("net-zero first batch for a never-existed group is a no-op: " +
+    "no tombstone emitted, no state created (r9 ADVICE)") {
+    val base = Files.createTempDirectory("graft-ivmzero").toString
+    val landing = s"$base/landing"
+    val out = s"$base/out"
+    def land(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("key", "dn", "dc").coalesce(1)
+        .write.mode("append").parquet(landing)
+    // 'ghost' nets to zero in its first-ever batch; 'real' is a
+    // control that must still emit normally from the same batch
+    land(Seq(("ghost", 1L, 3L), ("ghost", -1L, -3L), ("real", 1L, 4L)))
+    runAvailable(landing, s"$base/ckpt", out)
+    val b1 = spark.read.parquet(out).as[ViewRow].collect().toSeq
+    assert(b1.map(r => (r.key, r.ver, r.n, r.sc)) == Seq(("real", 1L, 1L, 4L)),
+      s"expected only the control row, got $b1")
+    // no state was created for 'ghost': a later insert starts at ver 1
+    land(Seq(("ghost", 1L, 8L)))
+    runAvailable(landing, s"$base/ckpt", out)
+    val ghost = spark.read.parquet(out).as[ViewRow].collect()
+      .filter(_.key == "ghost").map(r => (r.ver, r.n, r.sc)).toSeq
+    assert(ghost == Seq((1L, 1L, 8L)),
+      s"ghost's first real lifetime must start at ver 1, got $ghost")
+    CheckpointHygiene.release(spark)
+  }
+
+  test("over-retraction fails the query loudly instead of storing a " +
+    "negative count (r9 ADVICE)") {
+    val base = Files.createTempDirectory("graft-ivmneg").toString
+    val landing = s"$base/landing"
+    Seq(("y", -1L, -5L)).toDF("key", "dn", "dc").coalesce(1)
+      .write.mode("append").parquet(landing)
+    val ex = intercept[Exception] {
+      runAvailable(landing, s"$base/ckpt", s"$base/out")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("retracted below zero"))),
+      s"expected the malformed-changelog failure, got: $ex")
+    CheckpointHygiene.release(spark)
+  }
 }

@@ -587,4 +587,27 @@ class ScaleSpec extends SparkSpec {
       .except(exp.select($"day", $"avg_7d"))
     assert(diff.count() == 0, "window and join formulations disagree")
   }
+
+  test("k-truss fixpoint loop: cap exit reports converged=false " +
+    "(distinguishable from a real fixpoint, r9 ADVICE), and the full " +
+    "loop peels a crafted cascade to its K4 core") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles — a stable 4-truss)
+    // plus a cascade: triangle {4,5,6} and triangle {5,6,7}. Round 1
+    // peels 4-5, 4-6, 5-7, 6-7 (support 1); edge 5-6 survives round 1
+    // with support 2 but loses both triangles, so round 2 peels it —
+    // convergence needs 2 effective rounds, making cap=1 a forced
+    // non-converged exit.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L))
+      .toDF("u", "v")
+    val (_, r1, conv1) = Scale.trussFixpointLoop(edges, 1L)
+    assert(!conv1 && r1 == 1L,
+      s"cap=1 must exit unconverged after 1 round, got ($r1, $conv1)")
+    val (fix, r2, conv2) = Scale.trussFixpointLoop(edges, 10L)
+    assert(conv2 && r2 == 2L, s"expected fixpoint in 2 rounds, got ($r2, $conv2)")
+    val kept = fix.as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)), s"fixpoint edge set was $kept")
+    CheckpointHygiene.release(spark)
+  }
 }

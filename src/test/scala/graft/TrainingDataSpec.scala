@@ -704,4 +704,158 @@ class TrainingDataSpec extends SparkSpec {
       .select($"dist").as[Long].collect().toSeq
     assert(bc == Seq(2L), s"b-c pair was $bc")
   }
+
+  test("sequence packing parameterized shards: per-shard bin " +
+    "arithmetic holds at 8/32/64, totals are shard-count invariant, " +
+    "total bins weakly monotone under hash-mod refinement, and the " +
+    "production shard derivation is exact") {
+    val cap = TrainingData.PackCapacity
+    // shard counts in a divisibility chain: hash % 8 == (hash % 64) % 8,
+    // so 64 shards REFINE 8 — the precondition for the ceil-subadditivity
+    // monotonicity assertion below
+    val runs = Seq(8L, 32L, 64L).map { n =>
+      n -> TrainingData.sequencePackingSharded(spark, sfDir, n)
+        .select($"shard", $"n_docs", $"n_tokens", $"n_bins",
+          $"n_split_docs")
+        .as[(Long, Long, Long, Long, Long)].collect()
+    }
+    for ((n, rows) <- runs) {
+      assert(rows.nonEmpty && rows.length <= n, s"$n shards: ${rows.length}")
+      for ((shard, nDocs, nTok, nBins, nSplit) <- rows) {
+        assert(shard >= 0 && shard < n)
+        assert(nBins == (nTok + cap - 1) / cap,
+          s"$n shards, shard $shard: n_bins $nBins != ceil($nTok/$cap)")
+        // each internal bin boundary lies inside at most one doc, so
+        // split docs are bounded by the n_bins-1 internal boundaries
+        assert(nSplit <= math.max(nBins - 1, 0L) && nSplit <= nDocs,
+          s"$n shards, shard $shard: n_split_docs $nSplit out of bounds")
+      }
+    }
+    // totals invariant: sharding redistributes docs, never drops them
+    val totals = runs.map { case (n, rows) =>
+      n -> ((rows.map(_._2).sum, rows.map(_._3).sum)) }
+    assert(totals.map(_._2).distinct.size == 1,
+      s"doc/token totals differ across shard counts: $totals")
+    // refinement monotonicity: sum-of-ceils over a finer partition ≥
+    // ceil over the coarser one (split-doc counts are NOT monotone —
+    // boundaries shift when the stream is re-sharded — so no such
+    // assertion is made for them)
+    val bins = runs.map { case (n, rows) => n -> rows.map(_._4).sum }
+    assert(bins(0)._2 <= bins(1)._2 && bins(1)._2 <= bins(2)._2,
+      s"total n_bins not monotone under refinement: $bins")
+    // production derivation rule: one shard per 50M tokens, floor 1
+    val per = TrainingData.PackTokensPerShard
+    assert(TrainingData.packShardsFor(0L) == 1L)
+    assert(TrainingData.packShardsFor(per) == 1L)
+    assert(TrainingData.packShardsFor(per + 1L) == 2L)
+    assert(TrainingData.packShardsFor(25L * 1000L * 1000L * 1000L * 1000L)
+      == 500000L, "100 TB-of-text derivation (~25T tokens) != 500k shards")
+  }
+
+  test("exact-substring dedup (q487): full census equals an " +
+    "independent plain-Scala inverted-index replay, including the " +
+    "planted prefix+suffix twin runs") {
+    val got = TrainingData.substringDedup(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"n_runs", $"max_span", $"sum_span",
+        $"n_docs_a", $"n_docs_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6, r._7))).toMap
+
+    // independent replay: same corpus derivation, direct string
+    // comparison via an inverted gram index (no hashing, no Spark)
+    val k = 8
+    def toks(t: String): Vector[String] =
+      t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector
+    val base = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> toks(t) }
+    val twins = base.flatMap { case (id, tk) =>
+      val n = tk.length
+      if (n >= 2 * k + 1) {
+        val p = (graft.functions.Hashing.hash60("ess|" + id)
+          % (n - 2 * k) + k + 1).toInt
+        Some((id + 800000L) ->
+          (tk.take(p - 1) ++ Vector("qzxq") ++ tk.drop(p)))
+      } else None
+    }
+    val reps = (base ++ twins).groupBy(_._2).map { case (tk, g) =>
+      g.map(_._1).min -> (tk, g.size.toLong) }
+    val inv = scala.collection.mutable.Map
+      .empty[String, List[(Long, Int)]]
+    for ((rid, (tk, _)) <- reps; i <- 0 to tk.length - k)
+      inv(tk.slice(i, i + k).mkString(" ")) =
+        (rid, i + 1) :: inv.getOrElse(tk.slice(i, i + k).mkString(" "), Nil)
+    val matches = inv.values.flatMap { occ =>
+      for ((da, pa) <- occ; (db, pb) <- occ if da < db)
+        yield ((da, db, (pb - pa).toLong), pa.toLong)
+    }.toSeq
+    val runs = matches.groupBy(_._1).toSeq.flatMap { case ((da, db, _), ms) =>
+      val ps = ms.map(_._2).sorted
+      // maximal consecutive runs on this diagonal
+      val spans = scala.collection.mutable.Buffer.empty[Long]
+      var start = ps.head; var prev = ps.head
+      for (p <- ps.tail) {
+        if (p != prev + 1) { spans += prev - start + k; start = p }
+        prev = p
+      }
+      spans += prev - start + k
+      spans.map(sp => (da, db) -> sp)
+    }
+    val want = runs.groupBy(_._1).map { case ((da, db), ss) =>
+      val sp = ss.map(_._2)
+      (da, db) -> ((sp.size.toLong, sp.max, sp.sum,
+        reps(da)._2, reps(db)._2))
+    }
+    assert(got.size == want.size,
+      s"census sizes differ: spark ${got.size} vs replay ${want.size}")
+    val bad = want.collect { case (p, v) if got.get(p) != Some(v) =>
+      (p, v, got.get(p)) }
+    assert(bad.isEmpty, s"first census diffs: ${bad.take(3)}")
+    // the planted structure actually exercised run-splitting: twin
+    // pairs with the two-run prefix+suffix census exist in numbers
+    val twinTwoRun = want.count { case ((da, db), v) =>
+      db == da + 800000L && v._1 == 2L }
+    assert(twinTwoRun > 50,
+      s"expected many two-run base-twin pairs, got $twinTwoRun")
+  }
+
+  test("audio fingerprint dedup (q488): one-sample twins stay within " +
+    "hamming radius 2 (band-difference bound) and every twin pair " +
+    "surfaces through the block pigeonhole") {
+    // plain-Scala replay of the banded-energy fingerprint
+    def fpOf(px: String): Long = {
+      var fp = 0L
+      for (f <- 0 until 12; b <- 0 until 3) {
+        def e(i: Int) = px(i - 1).toInt + px(i).toInt
+        if (e(8 * f + 2 * b + 1) > e(8 * f + 2 * b + 3))
+          fp |= 1L << (3 * f + b)
+      }
+      fp
+    }
+    val base = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .collect { case (id, t) if t.length >= 96 => id -> t.take(96) }
+    assert(base.length > 100, "corpus too short for the 96-byte stub")
+    val found = TrainingData.audioFingerprintDedup(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .as[(Long, Long, Long)].collect()
+    val pairSet = found.map(p => (p._1, p._2)).toSet
+    for ((id, px) <- base) {
+      val p1 = (graft.functions.Hashing.hash60("af1|" + id) % 96 + 1).toInt
+      val twinPx = px.updated(p1 - 1, 'z')
+      val h = java.lang.Long.bitCount(fpOf(px) ^ fpOf(twinPx))
+      assert(h <= 2, s"doc $id: one-sample twin at hamming $h > 2")
+      assert(pairSet.contains((id, id + 900000L)),
+        s"twin pair of doc $id (hamming $h) missed by the block index")
+    }
+    // every emitted pair verifies against the replayed fingerprints
+    val fpMap = (base.map { case (id, px) => id -> fpOf(px) } ++
+      base.map { case (id, px) =>
+        val p1 = (graft.functions.Hashing.hash60("af1|" + id) % 96 + 1).toInt
+        (id + 900000L) -> fpOf(px.updated(p1 - 1, 'z'))
+      }).toMap
+    for ((a, b, h) <- found)
+      assert(java.lang.Long.bitCount(fpMap(a) ^ fpMap(b)) == h,
+        s"pair ($a,$b) hamming $h disagrees with replay")
+  }
 }
