@@ -38,6 +38,19 @@ object ConnectedComponents {
       .trunkCheckpoint()
     var labels = touched.select(col("id"), col("id").as("component"))
       .trunkCheckpoint()
+    // convergence = label-frame fixpoint, probed as (count, hash-xor)
+    // — the same two-scalar signature largeSmallStar and lpa use. One
+    // agg pass over the just-checkpointed frame replaces the former
+    // two-sided join probe (next ⋈ labels is a whole extra shuffle job
+    // per round on exactly the suite's hottest iterative path). The
+    // node set never changes, so equal signatures on consecutive
+    // rounds = fixpoint w.h.p.; maxIter backstops.
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(id, component))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = (-1L, 0L)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -46,16 +59,13 @@ object ConnectedComponents {
       val next = labels.unionByName(viaNeighbour)
         .groupBy("id").agg(min("component").as("component"))
         .trunkCheckpoint()
-      // convergence probe: scalar, short-circuits. Round 1 never
-      // converges when edges exist (every edge's larger endpoint
-      // adopts the smaller label), so its probe job is skipped.
-      val changed =
-        if (i == 0) 1L
-        else next.as("n").join(labels.as("o"), Seq("id"))
-          .filter(col("n.component") =!= col("o.component"))
-          .limit(1).count()
+      val ns = signature(next)
       labels = next
-      converged = changed == 0
+      // i == 0 guard: the initial self-labels frame is never signed
+      // (sig starts as a sentinel), so round 1's comparison is always
+      // against round 0's REAL signature
+      converged = i > 0 && ns == sig
+      sig = ns
       i += 1
     }
     labels.unionByName(
