@@ -91,7 +91,17 @@ object ConnectedComponents {
     * @param newEdges  (src, dst) between any old/new ids */
   def incremental(oldLabels: DataFrame, newNodes: DataFrame,
       newEdges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // `lab` is deliberately NOT checkpointed: a same-window A/B at
+    // sf0.1 measured eagerly materializing the O(all nodes) frame as a
+    // net loss for q99 (the upstream chain is minLabel's already-
+    // checkpointed labels + a cheap singleton anti-join, so the four
+    // reads are cheap; pinning the full node set was not).
     val lab = oldLabels.select(col("id"), col("component"))
+    // trunkCheckpoint: `mapped` feeds minLabel's edge set, deltaNodes,
+    // AND (through delta's trailing singleton union) both relabeled and
+    // fresh — left lazy, the caller's whole newEdges chain (for q99
+    // that is the band join + two Jaccard-verify joins) re-executes
+    // ~3×; the frame is O(new edges), so pinning it is cheap
     val mapped = newEdges.select(col("src"), col("dst"))
       .join(lab.select(col("id").as("src"), col("component").as("lsrc")),
         Seq("src"), "left")
@@ -100,6 +110,7 @@ object ConnectedComponents {
       .select(coalesce(col("lsrc"), col("src")).as("src"),
         coalesce(col("ldst"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .trunkCheckpoint()
     val deltaNodes = mapped.select(col("src").as("id"))
       .unionByName(mapped.select(col("dst").as("id"))).distinct()
     val delta = minLabel(deltaNodes, mapped, maxIter)

@@ -37,8 +37,11 @@ object Hits {
       scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .trunkCheckpoint()
-    val srcs = e.select(col("src").as("id")).distinct()
-    val dsts = e.select(col("dst").as("id")).distinct()
+    // checkpointed: each normalize() re-reads its id universe, so lazy
+    // frames would re-run a distinct over the edge list once per
+    // half-round (2·iters extra edge-list shuffles). O(nodes) each.
+    val srcs = e.select(col("src").as("id")).distinct().trunkCheckpoint()
+    val dsts = e.select(col("dst").as("id")).distinct().trunkCheckpoint()
     def normalize(raw: DataFrame, ids: DataFrame,
         out: String): DataFrame = {
       // localCheckpoint: the raw frame feeds BOTH the normalizer and

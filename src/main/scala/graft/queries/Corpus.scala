@@ -673,9 +673,13 @@ object Corpus {
   val dedupSavings: Q = (s, dir) => {
     import s.implicits._
     val groups = TrainingData.nearDupGroups(s, dir)
+    // trunkCheckpoint: the token-count frame joins into all THREE
+    // threshold branches — lazy, the corpus tokenization pass ran 3×;
+    // O(docs) rows of (id, long) once materialized
     val toks = TrainingData.corpus(s, dir)
       .select($"doc_id", size(TextOps.tokens($"text")).cast("long")
         .as("n_toks"))
+      .trunkCheckpoint()
     val nodes = groups.select(explode($"ids").as("id"))
     val star = groups.select($"rep_id".as("src"), explode($"ids").as("dst"))
       .filter($"src" =!= $"dst")

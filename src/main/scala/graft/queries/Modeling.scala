@@ -1910,6 +1910,10 @@ object Modeling {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val vals = Tables(s, dir, "orders")
       .select(round($"o_totalprice" * 100).cast("long").as("v"))
+    // trunkCheckpoint the ONE-ROW moment frame: it feeds pts, dens and
+    // (through them) every downstream broadcast — lazy, each consumer
+    // re-ran the full orders moment scan (plan showed the agg chain
+    // duplicated under 3 broadcast exchanges)
     val m = vals.agg(count(lit(1)).as("n"), sum($"v").as("sv"),
         sum(dec($"v") * dec($"v")).as("qv"),
         min($"v").as("lo"), max($"v").as("hi"))
@@ -1918,6 +1922,7 @@ object Modeling {
           " / (n - 1)) AS sd")
       .selectExpr("n", "lo", "hi",
         "1.06 * sd * POW(CAST(n AS DOUBLE), -0.2) AS h")
+      .trunkCheckpoint()
     val grid = (0L to 20L).toDF("gi")
     val pts = grid.crossJoin(broadcast(m))
       .select($"gi", $"n", $"h",
@@ -1927,11 +1932,15 @@ object Modeling {
         expr("CAST(round(1000000.0 * exp(-0.5 * POW((v - x) / h, 2)))" +
           " AS BIGINT)").as("k_u"))
       .groupBy($"gi").agg(sum($"k_u").as("sk"))
+    // trunkCheckpoint the 21-ROW density frame: it feeds both the mode
+    // argmax and the final projection — lazy, the 21×N kernel pass
+    // (contrib) executed TWICE, which was most of this query's cost
     val dens = contrib.crossJoin(broadcast(m.select($"n", $"h")))
       .select($"gi",
         // density × 1e9 cents⁻¹ (values are ~1e-9/cent scale)
         expr("CAST(round(1000000000.0 * CAST(sk AS DOUBLE) / 1000000.0" +
           " / (n * h * sqrt(2 * pi()))) AS BIGINT)").as("dens_nano"))
+      .trunkCheckpoint()
     val mode = dens.agg(max(struct($"dens_nano", (-$"gi").as("ngi")))
       .as("b")).select((-$"b.ngi").as("mode_gi"))
     dens.crossJoin(broadcast(mode))

@@ -1844,13 +1844,22 @@ object Scale {
           .bitwiseAND(-Hashing.hash60(concat(lit("anf|"), $"k",
             lit("|"), $"node_id".cast("string")))),
           lit(1L << AnfCapBit)).as("m0"))
+    // each hop reads its input TWICE (the neighbor-OR join and the
+    // self-OR join-back), so un-checkpointed inputs re-execute their
+    // whole upstream chain per read — hop 2 was re-running hop 1's
+    // edge join + groupBy, and hop 1 was re-running the O(nodes·K)
+    // mask hashing. Checkpoint the mask frame and each hop's output:
+    // O(nodes·K) rows per pin, the same per-round discipline as the
+    // k-truss peel below.
     def hop(prev: DataFrame): DataFrame = edges
       .join(prev.select($"node_id".as("dst"), $"k", $"m"), Seq("dst"))
       .groupBy($"src".as("node_id"), $"k")
       .agg(expr("bit_or(m)").as("mn"))
       .join(prev, Seq("node_id", "k"))
       .select($"node_id", $"k", $"mn".bitwiseOR($"m").as("m"))
-    val m1 = hop(masks.select($"node_id", $"k", $"m0".as("m")))
+    val m0 = masks.select($"node_id", $"k", $"m0".as("m"))
+      .trunkCheckpoint()
+    val m1 = hop(m0).trunkCheckpoint()
     val m2 = hop(m1)
     m2.select($"node_id", $"k",
         expr("bit_count(((m + 1) & ~m) - 1)").cast("long").as("r"))

@@ -280,9 +280,13 @@ object TrainingData {
     val cand = pass(substring($"text", 1, SnmKeyLen))
       .unionByName(pass(substring($"text", SnmKeyLen + 1, SnmKeyLen)))
       .distinct()
+    // trunkCheckpoint: the shingle-set frame joins the candidate list
+    // on BOTH sides (doc_a, doc_b) — lazy, the corpus tokenize+shingle
+    // pass ran twice; O(docs) rows
     val shs = c.select($"doc_id",
       TextOps.shinglesFromTokens(TextOps.tokens($"text"), ShingleN)
         .as("sh_set"))
+      .trunkCheckpoint()
     cand
       .join(shs.select($"doc_id".as("doc_a"), $"sh_set".as("sh_a")),
         Seq("doc_a"))
@@ -435,8 +439,13 @@ object TrainingData {
     * its pairs. Both production callers (q479's base+twin corpus,
     * the spec's planted mega-group) construct unique ids by design;
     * a new caller must guarantee the same or pre-dedup. */
-  private[graft] def editDistancePairs(corpus: DataFrame): DataFrame = {
-    import corpus.sparkSession.implicits._
+  private[graft] def editDistancePairs(corpus0: DataFrame): DataFrame = {
+    import corpus0.sparkSession.implicits._
+    // checkpoint the (doc_id, s) corpus: it feeds the rep collapse,
+    // both member-expansion joins and both sides of the within-group
+    // self-join — lazy, a caller's twin-construction chain (q479:
+    // three hash60 derivations per row) re-ran five times
+    val corpus = corpus0.trunkCheckpoint()
     // rep-collapse: one row per distinct string carries the blocking
     val reps = corpus.groupBy($"s").agg(min($"doc_id").as("rep_id"))
     val segs = reps.select($"rep_id", $"s",
@@ -831,6 +840,11 @@ object TrainingData {
         "IF(ascii(substring(px, CAST(i + 1 AS INT), 1)) > 96, " +
         "shiftleft(1L, CAST(i AS INT)), 0L)), 0L, (a, x) -> a + x)")
       .as("fp"))
+      .trunkCheckpoint()
+    // fp checkpointed: it feeds the collapse, both expansion joins and
+    // both sides of the within-group self-join — lazy, the 63-byte
+    // luminance fold (plus the twin construction) ran 5×. blocks
+    // checkpointed because its a/b self-join re-ran the collapse.
     // fingerprint collapse: block the distinct fps, not the rows
     val reps = fp.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
     val blocks = reps.select($"rep_id", $"fp",
@@ -838,6 +852,7 @@ object TrainingData {
       .select($"rep_id", $"fp", $"blk",
         expr("shiftright(fp, CAST(blk * 16 AS INT)) & 65535")
           .as("bval"))
+      .trunkCheckpoint()
     val verified = blocks.as("a")
       .join(blocks.as("b"),
         $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
@@ -1185,9 +1200,17 @@ object TrainingData {
       .select($"doc_id", concat_ws(" ", $"toks").as("tkey"))
     // rep-collapse on the full token sequence: identical docs share
     // every window — one gram set per distinct text
+    // reps feeds the gram explode AND both final group-size joins —
+    // checkpointed so the tokenize + rep collapse runs once (the Spark
+    // twin of the oracle's MATERIALIZED reps CTE). grams deliberately
+    // stays LAZY: it is a corpus-of-windows-sized string frame, and a
+    // same-window A/B showed materializing it costs more than the
+    // second explode it saves (the q465 `sh` lesson — big exploded
+    // string frames don't pay for their checkpoint).
     val reps = corpus.groupBy($"tkey")
       .agg(min($"doc_id").as("rep_id"),
         count(lit(1)).cast("long").as("n_docs"))
+      .trunkCheckpoint()
     val grams = reps
       .select($"rep_id",
         posexplode(TextOps.slidingNgrams(split($"tkey", " "), k)))
@@ -1319,12 +1342,18 @@ object TrainingData {
         s"(${eBand("8 * f + 2 * b + 3")}), " +
         "shiftleft(1L, CAST(3 * f + b AS INT)), 0L)), " +
         "0L, (a, x) -> a + x)), 0L, (a, x) -> a + x)").as("fp"))
+      .trunkCheckpoint()
+    // fp checkpointed above: it feeds the rep collapse, both member
+    // expansion joins AND both sides of the within-group self-join —
+    // lazy, the 96-byte banded-energy fold ran 5×. blocks checkpointed
+    // because its self-join (a/b) would re-run the rep collapse twice.
     val reps = fp.groupBy($"fp").agg(min($"doc_id").as("rep_id"))
     val blocks = reps.select($"rep_id", $"fp",
         explode(expr("sequence(0, 2)")).as("blk"))
       .select($"rep_id", $"fp", $"blk",
         expr("shiftright(fp, CAST(blk * 12 AS INT)) & 4095")
           .as("bval"))
+      .trunkCheckpoint()
     val verified = blocks.as("a")
       .join(blocks.as("b"),
         $"a.blk" === $"b.blk" && $"a.bval" === $"b.bval" &&
