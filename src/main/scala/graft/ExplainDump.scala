@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 object ExplainDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
-    val names = args(1).split(",").toSeq
+    val names =
+      if (args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
     val cpus = Runtime.getRuntime.availableProcessors.toString
     val spark = SparkSession.builder()

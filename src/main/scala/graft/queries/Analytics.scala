@@ -1615,11 +1615,18 @@ object Analytics {
     import graft.functions.TextOps
     val words = Tables(s, dir, "documents")
       .select($"source", explode(TextOps.tokens($"text")).as("w"))
-    val top = words.groupBy($"w").agg(count(lit(1)).as("n"))
+    // ONE corpus explode: top-30, per-source totals and per-cell counts
+    // all derive from the (source, w) count frame — identical values
+    // (Σc over sources = global word count; Σc over words = source
+    // token count) — where the three original consumers each re-ran
+    // the tokenize + explode. Vocab×sources-bounded, cheap to pin.
+    val swc = words.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .trunkCheckpoint()
+    val top = swc.groupBy($"w").agg(sum($"c").as("n"))
       .orderBy($"n".desc, $"w".asc).limit(30).select($"w")
-    val totals = words.groupBy($"source").agg(count(lit(1)).as("nt"))
-    val cnt = words.join(broadcast(top), Seq("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val totals = swc.groupBy($"source").agg(sum($"c").as("nt"))
+    val cnt = swc.join(broadcast(top), Seq("w"))
+      .select($"source", $"w", $"c")
     val dense = totals.crossJoin(broadcast(top))
       .join(cnt, Seq("source", "w"), "left")
       .select($"source", $"w",
@@ -1631,10 +1638,12 @@ object Analytics {
         expr("CAST(sf AS DOUBLE) / k").as("mu"),
         expr("sqrt((CAST(qf AS DOUBLE) - CAST(sf AS DOUBLE) *" +
           " CAST(sf AS DOUBLE) / k) / (k - 1))").as("sd"))
+    // z checkpointed: O(sources × 30) rows, self-joined below
     val z = dense.join(broadcast(stats), Seq("w"))
       .select($"source", $"w",
         expr("CAST(round(1000000.0 * (f - mu) / sd) AS BIGINT)")
           .as("z"))
+      .trunkCheckpoint()
     z.as("a").join(z.as("b"),
         $"a.w" === $"b.w" && $"a.source" < $"b.source")
       .select($"a.source".as("s1"), $"b.source".as("s2"),

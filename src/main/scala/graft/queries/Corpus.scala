@@ -46,8 +46,16 @@ object Corpus {
   val heldoutCrossEntropy: Q = (s, dir) => heldoutScores(s, dir)
 
   /** (doc_id, n_pairs, mean_nll_micro) for every held-out doc — q227's
-    * body, shared with q441's band filter. */
-  private def heldoutScores(s: SparkSession, dir: String): DataFrame = {
+    * body, shared with q441's band filter. Memoized per (session, dir)
+    * via GraphTrunk.stage: in a CCNet-shaped pipeline the per-doc LM
+    * score table is a persisted artifact every downstream filter reads
+    * — q227 and q441 each rebuilt the whole train/score chain, and
+    * q441 additionally read it twice (cell census + band tagging). */
+  private def heldoutScores(s: SparkSession, dir: String): DataFrame =
+    GraphTrunk.stage(s, dir, "heldout_scores") { heldoutScoresBuild(s, dir) }
+
+  private def heldoutScoresBuild(s: SparkSession,
+      dir: String): DataFrame = {
     import s.implicits._
     def pairs(df: DataFrame) = df.select($"doc_id", explode(transform(
         when(size($"toks") >= 2, sequence(lit(1), size($"toks") - 1))
@@ -58,7 +66,11 @@ object Corpus {
     val tok = tokenized(s, dir)
     val train = tok.filter($"doc_id" % 2 === 0)
     val held = tok.filter($"doc_id" % 2 =!= 0)
+    // bi checkpointed: it feeds the context-count rollup AND the score
+    // join — lazy, the train bigram explode + pair groupBy ran twice;
+    // the frame is distinct-pair (vocab²-bounded, Zipf-collapsed)
     val bi = pairs(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+      .trunkCheckpoint()
     val lft = bi.groupBy($"w1").agg(sum($"c").as("c1"))
     val vocab = train.select(explode($"toks").as("w"))
       .agg(countDistinct($"w").as("v"))
@@ -845,9 +857,13 @@ object Corpus {
     * of the (d,w) count is vocab- or doc-bounded. */
   val plsaStep: Q = (s, dir) => {
     import s.implicits._
+    // dw checkpointed: the collapsed doc-term count frame feeds the
+    // vocab grid, the doc grid AND the E-step join — lazy, the corpus
+    // tokenize + explode + groupBy ran three times
     val dw = tokenized(s, dir)
       .select($"doc_id".as("d"), explode($"toks").as("w"))
       .groupBy($"d", $"w").agg(count(lit(1)).as("n"))
+      .trunkCheckpoint()
     val zs = sequence(lit(0), lit(PlsaK - 1))
     // φ0(w|z): hash-seeded raw mass, normalized per topic (micro)
     val phiRaw = dw.select($"w").distinct()
@@ -856,8 +872,13 @@ object Corpus {
         concat($"w", lit("|phi"), $"z".cast("string"))) % 1000)
         .as("r"))
     val phiTot = phiRaw.groupBy($"z").agg(sum($"r").as("rt"))
+    // phi0/th0/den checkpointed: each is a bounded aggregate frame
+    // (vocab×K, docs×K, doc-term) read by two downstream branches —
+    // the E-step join and the M-step (or normalizer) join — so lazy
+    // they re-ran their hash-seeding (phi/θ) or the whole E-step (den)
     val phi0 = phiRaw.join(broadcast(phiTot), Seq("z"))
       .select($"w", $"z", expr("(r * 1000000) div rt").as("phi0"))
+      .trunkCheckpoint()
     // θ0(z|d): hash-seeded, normalized per document (micro)
     val thRaw = dw.select($"d").distinct()
       .select($"d", explode(zs).as("z"))
@@ -867,10 +888,12 @@ object Corpus {
     val thTot = thRaw.groupBy($"d").agg(sum($"r").as("rt"))
     val th0 = thRaw.join(thTot, Seq("d"))
       .select($"d", $"z", expr("(r * 1000000) div rt").as("th0"))
+      .trunkCheckpoint()
     // E-step: q(z|d,w) = φ·θ / Σ_z φ·θ, exact micro
     val e = dw.join(phi0, Seq("w")).join(th0, Seq("d", "z"))
       .select($"d", $"w", $"n", $"z", ($"phi0" * $"th0").as("num"))
     val den = e.groupBy($"d", $"w").agg(sum($"num").as("den"))
+      .trunkCheckpoint()
     val q = e.join(den, Seq("d", "w"))
       .select($"w", $"z", $"n",
         expr("(num * 1000000) div den").as("q_micro"))
@@ -955,9 +978,17 @@ object Corpus {
     val split = Hashing.hash60($"doc_id".cast("string")) % 5
     val train = docs.filter(split =!= 0)
       .select($"source".as("src"), explode($"toks").as("w"))
+    // ONE pass over the exploded train tokens: totals and vocabulary
+    // size derive from the (src, w) count frame — identical values
+    // (Σc per src = token count; distinct w over counts = distinct w
+    // over tokens) — where the original three consumers each re-ran
+    // the tokenize + explode. counts is vocab×source-bounded, so the
+    // pin is small (the q465 lesson applies to raw exploded frames,
+    // not to their Zipf-collapsed aggregates).
     val counts = train.groupBy($"src", $"w").agg(count(lit(1)).as("c"))
-    val totals = train.groupBy($"src").agg(count(lit(1)).as("t"))
-    val vsize = train.agg(countDistinct($"w").as("v"))
+      .trunkCheckpoint()
+    val totals = counts.groupBy($"src").agg(sum($"c").as("t"))
+    val vsize = counts.agg(countDistinct($"w").as("v"))
     val lm = counts.join(totals, Seq("src")).crossJoin(broadcast(vsize))
       .select($"src", $"w",
         round(-log(($"c" + 1).cast("double") /
@@ -967,11 +998,16 @@ object Corpus {
       .select($"src",
         round(-log(lit(1.0) / ($"t" + $"v").cast("double")) * 1000000.0)
           .cast("long").as("nlp0"))
+    // checkpointed: ho feeds docTotals AND the LM join — lazy, the
+    // holdout tokenize + explode + groupBy ran twice. This is the
+    // collapsed (doc, w) frame, not the raw explode, so the pin is
+    // bounded by distinct doc-term pairs.
     val ho = docs.filter(split === 0)
       .select($"doc_id", $"source".as("true_src"),
         explode($"toks").as("w"))
       .groupBy($"doc_id", $"true_src", $"w")
       .agg(count(lit(1)).as("n_dw"))
+      .trunkCheckpoint()
     val docTotals = ho.groupBy($"doc_id", $"true_src")
       .agg(sum($"n_dw").as("n_d"))
     val part = ho.join(lm, Seq("w"))

@@ -734,10 +734,14 @@ object Curation {
     // while DuckDB diverges. Both engines apply the SAME length cap so
     // the excluded set is identical (r7 ADVICE item; empty at all
     // current SFs — the tokenizer never emits 63-char words).
+    // pinned: the Zipf-collapsed word table anchors BOTH spans
+    // consumers (piece census + DP cost join) — lazy, the corpus
+    // explode + groupBy ran twice through the spans re-derivation
     val words = tokenized(s, dir)
       .select(explode($"toks").as("w"))
       .filter(length($"w") <= UlmMaxWordLen)
       .groupBy($"w").agg(count(lit(1)).as("wfreq"))
+      .trunkCheckpoint()
     // every (i,k) span slot, k ≤ 4; invalid slots carry a NULL piece so
     // the per-word cost array below is dense and (i,k)-indexable
     val spans = words.select($"w", $"wfreq",
@@ -751,10 +755,13 @@ object Curation {
     val counts = spans.filter($"piece".isNotNull)
       .groupBy($"piece").agg(sum($"wfreq").as("c_init"))
     val total = counts.agg(sum($"c_init").as("t"))
+    // pinned: piece-vocab-bounded, read by the DP cost join AND the
+    // final report join
     val costs = counts.crossJoin(broadcast(total))
       .select($"piece", $"c_init",
         round(-log($"c_init".cast("double") / $"t".cast("double"))
           * 1000000.0).cast("long").as("cost_micro"))
+      .trunkCheckpoint()
     val sc = spans
       .join(broadcast(costs.select($"piece", $"cost_micro")),
         Seq("piece"), "left")

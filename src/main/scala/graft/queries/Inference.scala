@@ -835,6 +835,9 @@ object Inference {
 
   val bradleyTerry: Q = (s, dir) => {
     import s.implicits._
+    // NOT checkpointed (tried in r10, A/B 2.2 → 3.2 s with the pin):
+    // nij is already pinned two lines down, so an extra dir0 pin only
+    // added a materialization job before the one real consumer pair
     val dir0 = pairWins(s, dir)
     // everything below runs on the O(brands²) pair frame (≤600 rows
     // at any corpus size) — broadcast explicitly so the three MM

@@ -678,10 +678,15 @@ object Modeling {
       .select($"source", explode(split(lower($"text"), "[^a-z]+"))
         .as("term"))
       .filter($"term" =!= "")
+    // tf pinned (vocab×sources-bounded): read by the top-200 census
+    // and the profile join — lazy, the corpus explode ran twice. prof
+    // pinned (200×sources rows): read by the totals and both sides of
+    // the Σmin self-join.
     val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("f"))
+      .trunkCheckpoint()
     val top = tf.groupBy($"term").agg(sum($"f").as("tot"))
       .orderBy($"tot".desc, $"term".asc).limit(200).select($"term")
-    val prof = tf.join(broadcast(top), Seq("term"))
+    val prof = tf.join(broadcast(top), Seq("term")).trunkCheckpoint()
     val totals = prof.groupBy($"source").agg(sum($"f").as("t"))
     val mins = prof.select($"term", $"source".as("sa"), $"f".as("fa"))
       .join(prof.select($"term", $"source".as("sb"), $"f".as("fb")),
@@ -717,6 +722,11 @@ object Modeling {
       .groupBy(year(to_date($"o_orderdate")).cast("long").as("yr"),
         $"c_nationkey".as("nat"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .trunkCheckpoint()
+    // cells pinned (O(nations×years)): read by the year census, the
+    // completeness filter and the rank window — lazy, the
+    // orders⋈customer rollup ran 3×. sums likewise feeds both the
+    // slate-size aggregate and the deviation pass.
     val nYears = cells.select($"yr").distinct().agg(count(lit(1)).as("m"))
     val complete = cells.groupBy($"nat").agg(count(lit(1)).as("k"))
       .crossJoin(broadcast(nYears)).filter($"k" === $"m").select($"nat")
@@ -724,6 +734,7 @@ object Modeling {
       .withColumn("r", row_number().over(Window.partitionBy($"yr")
         .orderBy($"cents".desc, $"nat".asc)).cast("long"))
     val sums = ranked.groupBy($"nat").agg(sum($"r").as("ri"))
+      .trunkCheckpoint()
     // two-pass: n (the slate size) is needed inside each deviation,
     // so aggregate it first and close over the one-row broadcast
     val nm = sums.crossJoin(broadcast(nYears))
@@ -768,10 +779,15 @@ object Modeling {
       .selectExpr("nat", "yr",
         "CAST(round(1000.0 * s / n) AS BIGINT) AS y_milli",
         "CAST(round(1000.0 * u / n) AS BIGINT) AS x_milli")
+      .trunkCheckpoint()
+    // cells pinned (read 3×: year census, completeness, balance join);
+    // bal pinned (read 4×: both margins, the totals row and the
+    // demeaning join) — both O(nations×years)
     val nYears = cells.select($"yr").distinct().agg(count(lit(1)).as("tt"))
     val complete = cells.groupBy($"nat").agg(count(lit(1)).as("k"))
       .crossJoin(broadcast(nYears)).filter($"k" === $"tt").select($"nat")
     val bal = cells.join(broadcast(complete), Seq("nat"))
+      .trunkCheckpoint()
     val si = bal.groupBy($"nat").agg(sum($"y_milli").as("siy"),
       sum($"x_milli").as("six"))
     val st = bal.groupBy($"yr").agg(sum($"y_milli").as("sty"),
@@ -1712,12 +1728,16 @@ object Modeling {
       .groupBy(year(to_date($"o_orderdate")).cast("long").as("yr"),
         $"c_nationkey".as("nat"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .trunkCheckpoint()
+    // cells pinned (read 3×) — with ranked below, this was the
+    // 126-Exchange plan: every branch re-ran the orders⋈customer rollup
     val nYears = cells.select($"yr").distinct().agg(count(lit(1)).as("m"))
     val complete = cells.groupBy($"nat").agg(count(lit(1)).as("k"))
       .crossJoin(broadcast(nYears)).filter($"k" === $"m").select($"nat")
     val ranked = cells.join(broadcast(complete), Seq("nat"))
       .withColumn("r", row_number().over(Window.partitionBy($"yr")
         .orderBy($"cents".desc, $"nat".asc)).cast("long"))
+      .trunkCheckpoint()
     val nm = ranked.agg(countDistinct($"nat").as("n"),
       countDistinct($"yr").as("m"))
     val borda = ranked.crossJoin(broadcast(nm))
@@ -1761,7 +1781,11 @@ object Modeling {
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nn"))
     val rare = sh.groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" <= 64).select($"g")
-    val posting = sh.join(rare, Seq("g"))
+    // posting checkpointed: the pair-discovery self-join reads it on
+    // both sides — lazy, the shingle explode + df census + join re-ran
+    // twice. The frame is df-capped (≤64 docs per gram), far smaller
+    // than the raw explode the q465 lesson warns about.
+    val posting = sh.join(rare, Seq("g")).trunkCheckpoint()
     val pairs = posting.select($"g", $"doc_id".as("da"), $"lang".as("la"))
       .join(posting.select($"g", $"doc_id".as("db"), $"lang".as("lb")),
         Seq("g"))
@@ -2598,10 +2622,16 @@ object Modeling {
     val half = rows.agg(max($"d").as("dmax"))
     val binned = ScaleWindows.rangeNtile(rows, 10,
       Seq($"v", $"o_orderkey"), "bin")
+    // cells checkpointed: the (seg, bin, period) census — ≤ segments ×
+    // 10 × 2 rows — feeds the distinct-segment grid AND the smoothing
+    // join; lazy, the whole upstream (orders⋈customer + rangeNtile's
+    // post-exchange rank arithmetic) re-ran per branch, which is why
+    // this query carried the suite's largest plan (190 Exchanges)
     val cells = binned.crossJoin(broadcast(half))
       .select($"seg", $"bin",
         when($"d" * 2L <= $"dmax", 0L).otherwise(1L).as("period"))
       .groupBy($"seg", $"bin", $"period").agg(count(lit(1)).as("c"))
+      .trunkCheckpoint()
     // complete (seg, bin, period) grid with add-one smoothing
     val segs = cells.select($"seg").distinct()
     val grid = segs
@@ -2625,7 +2655,10 @@ object Modeling {
         " (CAST(c0 AS DOUBLE) / t0 - CAST(c1 AS DOUBLE) / t1) *" +
         " ln((CAST(c0 AS DOUBLE) / t0) / (CAST(c1 AS DOUBLE) / t1)))" +
         " AS BIGINT)").as("term_u"))
+    // psi checkpointed: O(segments) rows read by the worst-segment
+    // argmax and the final projection
     val psi = terms.groupBy($"seg").agg(sum($"term_u").as("psi_micro"))
+      .trunkCheckpoint()
     val worst = psi.agg(max(struct($"psi_micro", $"seg")).as("b"))
       .select($"b.seg".as("worst_seg"))
     psi.crossJoin(broadcast(worst))

@@ -624,12 +624,20 @@ object TrainingData {
     // the replicated 100× corpus. Each fingerprint carries its min-id
     // representative and copy count; pair output is then linear in
     // DISTINCT fingerprints and a pair's duplicate mass is n_a·n_b.
+    // fpg checkpointed (q482/q488's fingerprint-pin): it feeds the
+    // block table — whose left/right SELF-join re-executes its input —
+    // and both n_docs joins; lazy, the whole 60-vote simhash chain ran
+    // up to 4×. The frame is one (long, long, long) row per DISTINCT
+    // fingerprint. blocks likewise: its self-join would re-run the
+    // explode (and the collapse) twice.
     val fpg = fp.groupBy($"simhash")
       .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_docs"))
+      .trunkCheckpoint()
     // the layout probe counts the RAW corpus (cheap scan), never fp —
     // counting fp would execute the whole 60-vote simhash twice
     val blocks = shBlockTable(fpg,
       large = corpus(s, dir).count() > ShSmallCorpus)
+      .trunkCheckpoint()
     val left = blocks.select($"doc_id".as("doc_a"),
       $"simhash".as("ha"), $"blk", $"bval")
     val right = blocks.select($"doc_id".as("doc_b"),
@@ -3338,6 +3346,11 @@ object TrainingData {
       explode($"sh_set").as("tok"))
     val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy($"doc_id").orderBy($"df".asc, $"tok".asc)
+    // NOT checkpointed (tried in r10, same-window A/B measured
+    // 2.8 → 6.9 s WITH the pin): even prefix-filtered, this is still
+    // an exploded shingle-string frame, and materializing it costs
+    // more than the second df-join + window pass it saves — the q465
+    // `sh` lesson again.
     val prefix = toks.join(freq, Seq("tok"))
       .withColumn("rn", row_number().over(wRank))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
