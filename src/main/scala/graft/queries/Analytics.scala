@@ -837,9 +837,12 @@ object Analytics {
           Seq("src"))
         .select($"lm", $"dst".as("node_id")).distinct()
         .join(visited, Seq("lm", "node_id"), "left_anti")
-    val d1 = expand(d0, d0)
+    // per-hop checkpoints (q107's fix applied here too): each frontier
+    // is read by the next expand, the visited anti-join and the final
+    // union — O(frontier) rows each
+    val d1 = expand(d0, d0).trunkCheckpoint()
     val v1 = d0.unionByName(d1)
-    val d2 = expand(d1, v1)
+    val d2 = expand(d1, v1).trunkCheckpoint()
     val d3 = expand(d2, v1.unionByName(d2))
     d1.select($"lm", $"node_id", lit(1L).as("hops"))
       .unionByName(d2.select($"lm", $"node_id", lit(2L).as("hops")))
@@ -942,8 +945,13 @@ object Analytics {
     val ms = s.range(0, 3).select(
       element_at(array(lit(16), lit(64), lit(256)),
         ($"id" + 1).cast("int")).cast("long").as("m"))
+    // blocks pinned (O(days×3)): read by the block-stat census AND the
+    // within-block deviation window — lazy, the rangeCumSum post-
+    // exchange rank arithmetic re-ran per branch. perM likewise feeds
+    // both the 3-point pin row and the final report.
     val blocks = ranked.crossJoin(broadcast(ms))
       .select($"m", expr("rk div m").as("blk"), $"rk", $"d", $"x")
+      .trunkCheckpoint()
     val bstat = blocks.groupBy($"m", $"blk")
       .agg(count(lit(1)).as("cnt"), sum($"x").as("sx"),
         sum(dec($"x") * dec($"x")).as("qx"))
@@ -963,6 +971,7 @@ object Analytics {
     val perM = rs.groupBy($"m")
       .agg(count(lit(1)).as("n_blocks"),
         expr("sum(rs_micro) div count(1)").as("mean_rs_micro"))
+      .trunkCheckpoint()
     val pins = perM.agg(
       sum(when($"m" === 16, $"mean_rs_micro")).as("y1"),
       sum(when($"m" === 64, $"mean_rs_micro")).as("y2"),
@@ -996,7 +1005,12 @@ object Analytics {
     val idx = Tables(s, dir, "documents")
       .select($"doc_id", posexplode(TextOps.tokens($"text")))
       .select($"doc_id", $"col".as("term"))
+    // tf pinned: the collapsed doc-term frame is read FIVE times (df,
+    // doc census, round-0 scoring, expansion, round-1 scoring) — lazy,
+    // each re-ran the corpus explode + groupBy. idf pinned likewise
+    // (vocab-bounded, read by all three scoring branches).
     val tf = idx.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .trunkCheckpoint()
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nd = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
     val seedFrame = s.createDataFrame(
@@ -1007,6 +1021,7 @@ object Analytics {
         expr("CAST(round(1000000.0 * ln(1.0 +" +
           " (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))) AS BIGINT)")
           .as("idf_micro"))
+      .trunkCheckpoint()
     val score0 = tf.join(broadcast(seedFrame), Seq("term"))
       .join(idf, Seq("term"))
       .groupBy($"doc_id")

@@ -582,10 +582,14 @@ object Corpus {
       .withColumn("orig_id",
         when($"doc_id" >= TrainingData.TwinOffset,
           $"doc_id" - TrainingData.TwinOffset).otherwise($"doc_id"))
+    // pinned: O(components×sources) rows read by the per-component
+    // rollup AND the entropy join — lazy, the entire q55 clustering
+    // chain upstream re-ran per branch (64-Exchange plan)
     val bySrc = labels
       .join(src.select($"doc_id".as("orig_id"), $"source"),
         Seq("orig_id"))
       .groupBy($"component", $"source").agg(count(lit(1)).as("cnt"))
+      .trunkCheckpoint()
     val byComp = bySrc.groupBy($"component")
       .agg(sum($"cnt").as("n"), count(lit(1)).as("n_sources"))
     bySrc.join(byComp, Seq("component"))

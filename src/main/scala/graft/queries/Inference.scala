@@ -307,7 +307,11 @@ object Inference {
     val rows = Tables(s, dir, "orders")
       .select($"o_orderpriority".as("g"),
         round($"o_totalprice" * 100).cast("long").as("v"))
+    // hist pinned (O(distinct cents)): read by the cum-rank pass AND
+    // the total row; grp pinned (O(priorities)): read by the column
+    // totals and the cell projection
     val hist = rows.groupBy($"v").agg(count(lit(1)).as("m"))
+      .trunkCheckpoint()
     val cum = ScaleWindows.rangeCumSum(hist, Seq($"v"), col("m"), "c")
     val tot = hist.agg(sum($"m").as("nn0"))
     val med = cum.crossJoin(broadcast(tot))
@@ -318,6 +322,7 @@ object Inference {
       .agg(count(lit(1)).as("ni"),
         sum(when($"v" > $"med", 1L).otherwise(0L)).as("ai"),
         first($"med").as("medv"))
+      .trunkCheckpoint()
     val colTot = grp.agg(sum($"ni").as("nn"), sum($"ai").as("ca"),
       max($"medv").as("med_cents"))
     grp.crossJoin(broadcast(colTot))

@@ -794,7 +794,11 @@ object Insights {
     import s.implicits._
     val docs = Tables(s, dir, "documents").select($"doc_id", $"source",
       when($"n_chars" < 200, 1L).otherwise(0L).as("def"))
+    // tot (1 row) and ranked (O(sources)) pinned: tot broadcasts into
+    // both the observed and the permutation branch; ranked feeds the
+    // BH cutoff row and the final report
     val tot = docs.agg(sum($"def").as("kk"), count(lit(1)).as("nn"))
+      .trunkCheckpoint()
     val diffExpr = expr("1000000 * k div greatest(n, 1)" +
       " - 1000000 * (kk - k) div greatest(nn - n, 1)")
     val obs = docs.groupBy($"source")
@@ -819,6 +823,7 @@ object Insights {
     val ranked = pv.withColumn("bh_rank",
       row_number().over(Window.orderBy($"p_micro", $"source"))
         .cast("long"))
+      .trunkCheckpoint()
     val imax = ranked.agg(
       max(when($"p_micro" <= $"bh_rank" * 5000, $"bh_rank")).as("imax"))
     ranked.crossJoin(broadcast(imax))
@@ -1174,7 +1179,11 @@ object Insights {
     val tfCols = $"doc_id" +: size($"toks").cast("long").as("dl") +:
       terms.map(t =>
         size(filter($"toks", x => x === t)).cast("long").as(s"tf_$t"))
+    // pinned: the per-doc tf/dl frame (numeric columns only) is scored
+    // by all four (k1, b) sweep points — lazy, the tokenize + stats
+    // scan re-ran per point. base10 likewise joins every sweep row.
     val withTf = tk.select(tfCols: _*).crossJoin(broadcast(stats))
+      .trunkCheckpoint()
     def top10(k1: Double, b: Double) = {
       val score = terms.map { t =>
         (col(s"tf_$t") * lit(k1 + 1.0)) /
@@ -1188,7 +1197,7 @@ object Insights {
         .orderBy($"bm25".desc, $"doc_id".asc).limit(10)
         .select($"doc_id")
     }
-    val base10 = top10(1.2, 0.75)
+    val base10 = top10(1.2, 0.75).trunkCheckpoint()
     Seq((900, 400, top10(0.9, 0.4)), (1200, 750, base10),
         (2000, 1000, top10(2.0, 1.0))).map { case (k1m, bm, t) =>
       t.join(base10, Seq("doc_id"))
@@ -1222,6 +1231,7 @@ object Insights {
         countDistinct($"status").as("n_status"),
         expr("CAST(datediff(max(day), min(day)) AS BIGINT)")
           .as("day_span"))
+      .trunkCheckpoint() // TWO rows, read by all 5×2 metric branches
     val a = h.filter($"half" === 0).drop("half")
     val b = h.filter($"half" === 1).drop("half")
     val metrics = Seq("n_rows", "mean_cents", "n_prio", "n_status",

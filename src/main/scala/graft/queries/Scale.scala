@@ -2128,9 +2128,12 @@ object Scale {
       edges.join(frontier.select($"node_id".as("src")), Seq("src"))
         .select($"dst".as("node_id")).distinct()
         .join(visited, Seq("node_id"), "left_anti")
-    val d1 = expand(d0, d0)
+    // per-hop checkpoints: each frontier is read by the next expand,
+    // the growing visited anti-join AND the final union — lazy, hop
+    // chains nest (88-Exchange plan). O(frontier) node-id rows each.
+    val d1 = expand(d0, d0).trunkCheckpoint()
     val v1 = d0.unionByName(d1)
-    val d2 = expand(d1, v1)
+    val d2 = expand(d1, v1).trunkCheckpoint()
     val d3 = expand(d2, v1.unionByName(d2))
     d0.select($"node_id", lit(0).as("hops"))
       .unionByName(d1.select($"node_id", lit(1).as("hops")))
@@ -2171,10 +2174,16 @@ object Scale {
         .join(keep.select($"n".as("v")), Seq("v"))
         .select($"u", $"v")
     }
-    val r1 = peel(und)
-    val r2 = peel(r1)
-    val r3 = peel(r2)
-    audit(und, 0).unionByName(audit(r1, 1))
+    // per-round checkpoints (the q478 k-truss discipline, which
+    // post-dates this query): every round frame is read by the next
+    // peel (degree agg + two semi-joins) AND its own audit — left
+    // lazy the rounds nest multiplicatively (this was a 160-Exchange
+    // plan, the second-largest in the suite)
+    val undC = und.trunkCheckpoint()
+    val r1 = peel(undC).trunkCheckpoint()
+    val r2 = peel(r1).trunkCheckpoint()
+    val r3 = peel(r2).trunkCheckpoint()
+    audit(undC, 0).unionByName(audit(r1, 1))
       .unionByName(audit(r2, 2)).unionByName(audit(r3, 3))
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize.TrunkCheckpointOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1044,14 +1045,20 @@ object Shaping {
     val hist = e.groupBy($"y")
       .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("na"),
         sum(when($"arm" === 1, 1L).otherwise(0L)).as("nb"))
+    // cum and gaps pinned (O(distinct values) each): cum feeds the
+    // totals row AND the gap projection; gaps feeds the max row AND
+    // the argmax filter — lazy, the rangeCumSums post-exchange chain
+    // re-ran per branch
     val cum = graft.functions.ScaleWindows
       .rangeCumSums(hist, Seq($"y".asc), Seq($"na" -> "ca", $"nb" -> "cb"))
       .select($"y", ($"ca" + $"na").as("ca"), ($"cb" + $"nb").as("cb"))
+      .trunkCheckpoint()
     val tot = cum.agg(max($"ca").as("ta"), max($"cb").as("tb"))
     val gaps = cum.crossJoin(broadcast(tot))
       .select($"y", $"ta", $"tb",
         abs(expr("CAST(ca AS DECIMAL(38,0)) * tb" +
           " - CAST(cb AS DECIMAL(38,0)) * ta")).as("gap"))
+      .trunkCheckpoint()
     val mx = gaps.agg(max($"gap").as("gmax"))
     gaps.crossJoin(broadcast(mx))
       .filter($"gap" === $"gmax")
@@ -1082,10 +1089,14 @@ object Shaping {
     import s.implicits._
     val spend = Tables(s, dir, "orders").groupBy($"o_custkey")
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    // pinned: the (x, y) point frame is read by the cell census AND
+    // both marginal rank histograms — lazy, the orders rollup +
+    // customer join ran 3×; O(customers) rows of two longs
     val pts = Tables(s, dir, "customer")
       .join(spend, $"c_custkey" === $"o_custkey", "left")
       .select(round($"c_acctbal" * 100).cast("long").as("x"),
         coalesce($"y", lit(0L)).as("y"))
+      .trunkCheckpoint()
     def rank2(df: org.apache.spark.sql.DataFrame, key: String) = {
       val h = df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
       graft.functions.ScaleWindows

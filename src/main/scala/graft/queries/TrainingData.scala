@@ -1850,11 +1850,15 @@ object TrainingData {
         .agg(min(Similarity.cosine($"embedding", $"sv")).as("min_cos"))
         .orderBy($"min_cos".asc, $"vec_id".asc).limit(1)
         .select($"vec_id", $"min_cos")
+    // f1/f2 pinned (ONE row each): every farthest() is a full corpus
+    // argmin, and each fk is read both by the next round's selected
+    // set and by the final union — lazy, round k re-ran every earlier
+    // round's corpus pass (98-Exchange plan)
     val s0 = e.filter($"vec_id" === 0L)
-    val f1 = farthest(s0)
+    val f1 = farthest(s0).trunkCheckpoint()
     val s1 = s0.unionByName(
       e.join(f1.select($"vec_id"), Seq("vec_id")))
-    val f2 = farthest(s1)
+    val f2 = farthest(s1).trunkCheckpoint()
     val s2 = s1.unionByName(
       e.join(f2.select($"vec_id"), Seq("vec_id")))
     val f3 = farthest(s2)
