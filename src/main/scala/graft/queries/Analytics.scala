@@ -687,8 +687,12 @@ object Analytics {
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
     val train = tok.filter($"doc_id" % 2 === 0)
     val held = tok.filter($"doc_id" % 2 =!= 0)
+    // bi pinned (vocab²-bounded, the q227 fix): read by the left/right
+    // continuation rollups, the type census AND the score join — lazy,
+    // the train bigram explode + groupBy ran 4×
     val bi = pairs(train).groupBy($"w1", $"w2")
       .agg(count(lit(1)).as("c"))
+      .trunkCheckpoint()
     val lft = bi.groupBy($"w1")
       .agg(sum($"c").as("c1"), count(lit(1)).as("n1p"))
     val rgt = bi.groupBy($"w2").agg(count(lit(1)).as("ncont"))
@@ -1414,11 +1418,16 @@ object Analytics {
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
     val train = tok.filter($"doc_id" % 2 === 0)
     val held = tok.filter($"doc_id" % 2 =!= 0)
+    // bi/uni pinned (vocab-bounded; the q227/q315/q236 fix): each is
+    // read by a rollup AND the score join, re-running the train
+    // explode per read
     val bi = pairs(train).groupBy($"w1", $"w2")
       .agg(count(lit(1)).as("cb"))
+      .trunkCheckpoint()
     val lft = bi.groupBy($"w1").agg(sum($"cb").as("c1"))
     val uni = train.select(explode($"toks").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cu"))
+      .trunkCheckpoint()
     val glob = uni.agg(count(lit(1)).as("v"), sum($"cu").as("ttok"))
     val lam = s.range(0, 5).select(($"id" * 2 + 1).cast("long").as("k"))
     val hp = pairs(held)
@@ -1964,6 +1973,9 @@ object Analytics {
       .groupBy($"r", $"p")
       .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
         sum(dec($"v") * dec($"v")).as("qv"))
+      // pinned: the ≤25-row cell table feeds tot, both margins and the
+      // cell-SS pass — lazy, the orders⋈customer rollup ran 4×
+      .trunkCheckpoint()
     // cell/margin SS values exceed int64 at 10× the bench SF (a single
     // cell's SSW already overflows the cast): quantize on the same unit
     // grid but carry every SS as DECIMAL(38,0)

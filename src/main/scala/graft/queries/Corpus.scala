@@ -499,11 +499,16 @@ object Corpus {
       .select(split_part($"g", lit(" "), lit(1)).as("w1"),
         split_part($"g", lit(" "), lit(2)).as("w2"),
         split_part($"g", lit(" "), lit(3)).as("w3"), $"t")
+    // bi (2 score-join sides) and uni (totals row + 2 score-join
+    // sides) pinned — vocab-bounded count frames whose train explode
+    // re-ran per read
     val bi = grams(train, 2).groupBy($"g").agg(count(lit(1)).as("b"))
       .select(split_part($"g", lit(" "), lit(1)).as("wa"),
         split_part($"g", lit(" "), lit(2)).as("wb"), $"b")
+      .trunkCheckpoint()
     val uni = train.select(explode($"toks").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("u"))
+      .trunkCheckpoint()
     val nv = uni.agg(sum($"u").as("nn"), count(lit(1)).as("v"))
     val hp = grams(held, 3)
       .select($"doc_id", split_part($"g", lit(" "), lit(1)).as("w1"),

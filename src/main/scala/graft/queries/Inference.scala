@@ -772,7 +772,10 @@ object Inference {
     val rows = Tables(s, dir, "orders")
       .select($"o_orderpriority".as("g"),
         round($"o_totalprice" * 100).cast("long").as("v"))
+    // hist pinned (O(distinct cents): rank pass + global moments);
+    // grp pinned (O(groups): both sides of the pair cross)
     val hist = rows.groupBy($"v").agg(count(lit(1)).as("m"))
+      .trunkCheckpoint()
     val cum = ScaleWindows.rangeCumSum(hist, Seq($"v"), col("m"), "c")
       .withColumn("mr2", expr("2*c + m + 1"))
     val gv = rows.groupBy($"g", $"v").agg(count(lit(1)).as("ngv"))
@@ -780,6 +783,7 @@ object Inference {
       .groupBy($"g")
       .agg(sum($"ngv").as("ng"),
         sum(expr("CAST(ngv AS DECIMAL(38,0)) * mr2")).as("r2g"))
+      .trunkCheckpoint()
     val glob = hist.agg(sum($"m").as("nn"),
       sum(expr("CAST(m AS DECIMAL(38,0)) * m * m - m")).as("st"))
     val rhs = grp.select($"g".as("g_j"), $"ng".as("nj"),
@@ -821,11 +825,15 @@ object Inference {
     * shared by q425 (BT fit) and q426 (transitivity audit). */
   private def pairWins(s: SparkSession, dir: String) = {
     import s.implicits._
+    // pinned: the within-order brand rollup is self-joined (a/b) —
+    // lazy, the lineitem⋈part join + groupBy ran twice (THIS, not the
+    // tiny pair frame downstream, is where q425/q426's real cost was)
     val ob = Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "part").select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey", $"p_brand")
       .agg(sum($"l_quantity".cast("long")).as("q"))
+      .trunkCheckpoint()
     val wins = ob.as("a").join(ob.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.p_brand") =!= col("b.p_brand") &&

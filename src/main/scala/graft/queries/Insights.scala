@@ -1883,8 +1883,13 @@ object Insights {
         Window.partitionBy($"h").orderBy($"doc_id")))
       .select($"doc_id", ($"rn" > 1).as("is_exact_dup"))
     // tier 2: near — verified banded candidates against a smaller id
+    // pinned: the shingle-set frame feeds the minhash chain AND both
+    // verify joins — lazy, the tokenize + shingle pass ran 3× (the
+    // same per-doc-set shape nearDupGroups pins; NOT the exploded
+    // per-shingle frame the q465 lesson forbids)
     val shs = docs.select($"doc_id",
       TextOps.shinglesFromTokens($"toks", 3).as("sh_set"))
+      .trunkCheckpoint()
     val cand = Dedup.lshCandidates(Dedup.lshBands(
         Dedup.minhashFromShingleSets(shs, "doc_id", "sh_set",
           TrainingData.NumHashes),

@@ -2818,6 +2818,9 @@ object Modeling {
       .selectExpr("n", "sx1", "sx2", "st",
         "(s22 * s1t - s12 * s2t) / (s11 * s22 - s12 * s12) AS b1",
         "(s11 * s2t - s12 * s1t) / (s11 * s22 - s12 * s12) AS b2")
+    // grid pinned (O(distinct scores)): read by the cum-rank pass AND
+    // the totals row — lazy, the whole LPM scoring pass (orders ⋈
+    // customer + moment broadcast) ran twice
     val grid = rows.crossJoin(broadcast(m))
       .selectExpr("t",
         "CAST(round(CAST(st AS DOUBLE) / n +" +
@@ -2825,6 +2828,7 @@ object Modeling {
           " b2 * (x2 - CAST(sx2 AS DOUBLE) / n)) AS BIGINT) AS p")
       .groupBy($"p").agg(sum($"t").as("pos"),
         sum(lit(1L) - $"t").as("neg"))
+      .trunkCheckpoint()
     val cum = ScaleWindows.rangeCumSums(grid, Seq($"p"),
       Seq(col("pos") -> "cp", col("neg") -> "cn"))
     val tot = grid.agg(sum($"pos").as("tp"), sum($"neg").as("tn"))

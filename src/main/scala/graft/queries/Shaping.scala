@@ -962,8 +962,12 @@ object Shaping {
         coalesce($"label", lit(0L)).as("label"))
     val dec = graft.functions.ScaleWindows.rangeNtile(scored, 10,
       Seq($"score_cents".desc, $"c_custkey".asc), "decile")
+    // pinned: the 10-row decile census feeds the triangular cum join
+    // (both sides) and the totals row — lazy, the rangeNtile chain
+    // re-ran per branch
     val per = dec.groupBy($"decile")
       .agg(count(lit(1)).as("n"), sum($"label").as("positives"))
+      .trunkCheckpoint()
     val rhs = per.select($"decile".as("d2"), $"n".as("n2"),
       $"positives".as("p2"))
     val tot = per.agg(sum($"positives").as("tot_pos"),

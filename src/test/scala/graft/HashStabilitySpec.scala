@@ -40,13 +40,17 @@ class HashStabilitySpec extends SparkSpec {
 
   /** Pinned count of checkpoint-hidden family members (the enrollment
     * fence). Recount printed by the family-discovery `info` line.
-    * 51 last recounted at registry 486 (q483–q486 round only through
-    * paths the fence already covered): the r8 detector's 19
-    * provenance-only queries plus 32 MIXED queries (direct Round +
-    * provenance Round) that the `!directRounds` formulation used to
-    * run non-fresh. Any q487+ query that rounds through a checkpoint
-    * must bump this count IN THE SAME COMMIT. */
-  private val ExpectedCheckpointHidden = 51
+    * 63 recounted at registry 488 after round-10's reused-subtree
+    * checkpointing batches: pinning a frame whose upstream rounds a
+    * double (q386's density grid, q441/q227's heldout scores, q475's
+    * vote fingerprints, the LM count frames, …) moves that Round
+    * behind a trunkCheckpoint, so 12 previously direct-only members
+    * became provenance-reachable — each verified to execute
+    * trunk-fresh here, which is exactly the behavior the
+    * perturbation pair needs. (History: 51 at registry 486.) Any
+    * query that newly rounds through a checkpoint must bump this
+    * count IN THE SAME COMMIT. */
+  private val ExpectedCheckpointHidden = 63
 
   private def directRounds(plan: LogicalPlan): Boolean =
     plan.collectWithSubqueries {

@@ -399,8 +399,11 @@ class PlanSpec extends SparkSpec {
   test("modeling batch (q346-q370) keeps its scale plan shapes") {
     // q346: the top-3 rank prunes inside each item partition BEFORE
     // any exchange — the property that keeps the serving table join
-    // O(k·items)
-    assert(plan("q346_item_cf_topk").contains("WindowGroupLimit"))
+    // O(k·items). The serving table is a memoized session trunk since
+    // r10 (shared with q398), so the assertion must look at the BUILD
+    // lineage (transparent mode), not the trunk-hit ExistingRDD scan.
+    assert(Materialize.transparent { plan("q346_item_cf_topk") }
+      .contains("WindowGroupLimit"))
     // q352: three OLS fits from one moment pass — no window, no
     // shuffled row-level join anywhere in the plan
     val p352 = plan("q352_doubly_robust_ate")
