@@ -7,7 +7,11 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // size-derived initial shuffle partitions (SessionTuning): equals
+      // the core count at every test SF, grows with the input past
+      // ~4 GB — AQE coalescing handles the downward direction
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -50,14 +54,23 @@ object Bench {
     // So afterwards, any query whose min is >3× the suite median gets
     // ONE retry — by then the sweep has moved minutes past the burst.
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // steady-state (cross-query memo HIT) seconds for queries that are
+    // backed by a pinned trunk — reported NEXT TO the build-charged
+    // number so the amortized production view stays visible (r10
+    // VERDICT item 1's "next to the hit time" half)
+    val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // contention sentinel (r9 VERDICT item 3): one fixed cheap query
     // timed at sweep start AND end, emitted as a pair in the JSON —
     // a contended window (r9's driver run was uniformly ~1.2×
     // inflated) is then self-diagnosing inside the artifact instead
     // of needing a cross-reference to BASELINE.md's quiet-window
     // records. Warmed once untimed first so the pair measures the
-    // window, not cold-start costs.
-    val sentinelName = "q01_pricing_summary"
+    // window, not cold-start costs. r10 VERDICT item 9: the sentinel
+    // is a NON-headline query (was q01, whose own timed runs the
+    // sentinel warm-ups flattered by ~1.6×); q05's timed entry is the
+    // one that now inherits that warm bias, disclosed here and cheap
+    // enough (≈0.1 s) for the bias to be noise-sized.
+    val sentinelName = "q05_orders_per_customer"
     def timeSentinel(): Double =
       SparkEntry.queries.get(sentinelName).map { fn =>
         val t0 = System.nanoTime()
@@ -73,6 +86,10 @@ object Bench {
     // a regression is visible in the committed artifact, not just logs.
     val guardHits = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     for ((name, fn) <- selected) {
+      // the probe also answers "does this query read a cross-query
+      // memoized trunk?" (r10 VERDICT item 1): memo sites flag every
+      // lookup, and queries resolve their trunks at CONSTRUCTION time
+      Materialize.resetMemoTouched()
       try {
         val hits = graft.plans.ScaleGuard
           .findings(fn(spark, sfDir).queryExecution.analyzed)
@@ -85,9 +102,25 @@ object Bench {
         }
       } catch { case _: Throwable => () } // execution-time failures are
                                           // recorded by timeOnce below
+      val usesMemo = Materialize.memoTouched
+      // BUILD-CHARGED timing (r10 VERDICT item 1: the trunk-memo
+      // steady state let a query whose result IS a memoized artifact
+      // report its cache-hit time): every timed run executes in
+      // Materialize.fresh, so cross-query memo caches are bypassed and
+      // each run pays its trunks' builds inside the timed region (once
+      // per run — the fresh scope dedups shared stages within a run).
+      // Queries that touch no memo site are bit-identically timed as
+      // before (fresh only changes behavior at memo cache sites).
       for (_ <- 1 to runs)
-        times(name) =
-          math.min(timeOnce(name, fn), times.getOrElse(name, Double.MaxValue))
+        times(name) = math.min(Materialize.fresh { timeOnce(name, fn) },
+          times.getOrElse(name, Double.MaxValue))
+      // ...and for memo-backed queries, ONE steady-state run against
+      // the session's pinned trunks — the amortized production number,
+      // reported in the JSON's "memoized" map next to the charged one
+      if (usesMemo) {
+        steady(name) = timeOnce(name, fn)
+        System.err.println(f"BENCH ${steady(name)}%9.3f s  $name (trunk-hit)")
+      }
       // per-query min to stderr: dev runs (SPARK_GRAFT_ONLY) otherwise
       // have no per-query visibility — stdout carries only the compact
       // headline line the driver tail-parses
@@ -100,7 +133,8 @@ object Bench {
     val sortedT = times.values.toSeq.sorted
     val median = sortedT(sortedT.size / 2)
     for ((name, fn) <- selected if times(name) > 3 * median) {
-      times(name) = math.min(timeOnce(name, fn), times(name))
+      times(name) = math.min(Materialize.fresh { timeOnce(name, fn) },
+        times(name))
       CheckpointHygiene.release(spark)
     }
     val sentinelLast = timeSentinel()
@@ -123,8 +157,12 @@ object Bench {
       "\"" + k + "\":\"" + v.mkString(",") + "\"" }.mkString("{", ",", "}")
     val sentinel =
       s"""{"name":"$sentinelName","first":${fmt(sentinelFirst)},"last":${fmt(sentinelLast)}}"""
+    // steady-state trunk-hit seconds for memo-backed queries; their
+    // entry in "queries" is the build-charged (Materialize.fresh) time
+    val memoQs = steady.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"sentinel":$sentinel,"scaleguard":$guards,"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"sentinel":$sentinel,"memoized":$memoQs,"scaleguard":$guards,"errors":$errs,"queries":$fullQs,"sf":"$sfDir"}"""
     // only a full (unfiltered) sweep may overwrite the committed map —
     // a SPARK_GRAFT_ONLY dev run would otherwise clobber it with a subset
     if (only.isEmpty)
@@ -154,7 +192,9 @@ object Bench {
     val head = if (isHeadline) head0 else results.take(34)
     val qs = head.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"sentinel":$sentinel,"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
+    // stdout stays compact (tail-buffer contract): the per-query
+    // trunk-hit map lives in BENCH_full.json; here only its size
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_scaleguard":${guardHits.size},"n_memoized":${steady.size},"sentinel":$sentinel,"headline":$isHeadline,"full":"BENCH_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

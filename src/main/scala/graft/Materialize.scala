@@ -47,6 +47,19 @@ object Materialize {
   private val freshDepth = new ThreadLocal[Integer] {
     override def initialValue: Integer = 0
   }
+  // per-[[fresh]]-scope memo: one trunk build per scope even when
+  // several consumers inside the scope ask for the same stage (the
+  // bare bypass used to rebuild co-order edges 2-3x inside ONE query
+  // because coOrderDegrees/coOrderAdjacency each re-enter the cache
+  // site). Created at the OUTERMOST fresh entry, dropped at its exit,
+  // so distinct timed/perturbed runs never share a build.
+  private val freshScope = new ThreadLocal[java.util.HashMap[Any, AnyRef]]
+  // set by every memo cache site on lookup (any mode): lets a harness
+  // detect "this query is backed by a cross-query memoized trunk"
+  // without a hard-coded query list (Bench's build-charged timing).
+  private val memoSeen = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
 
   def isTransparent: Boolean = transparentDepth.get > 0
 
@@ -62,11 +75,42 @@ object Materialize {
   }
 
   /** Run `body` with memo caches bypassed but checkpoints intact:
-    * trunks rebuild under the caller's current session config. */
+    * trunks rebuild under the caller's current session config. Within
+    * one (outermost) fresh scope, [[scopedMemo]] still deduplicates
+    * repeated builds of the same stage — the scope pays each trunk
+    * build exactly once, like a production run that writes the
+    * artifact once and reads it everywhere. */
   def fresh[T](body: => T): T = {
-    freshDepth.set(freshDepth.get + 1)
-    try body finally freshDepth.set(freshDepth.get - 1)
+    val depth = freshDepth.get
+    if (depth == 0) freshScope.set(new java.util.HashMap[Any, AnyRef])
+    freshDepth.set(depth + 1)
+    try body finally {
+      freshDepth.set(depth)
+      if (depth == 0) freshScope.remove()
+    }
   }
+
+  /** Memoize `build` per `key` for the lifetime of the current [[fresh]]
+    * scope; outside any scope (or in [[transparent]] mode) just builds.
+    * get/put rather than computeIfAbsent so nested trunk dependencies
+    * (stage builds that resolve other stages) cannot trip HashMap's
+    * recursive-update detection. */
+  def scopedMemo[T <: AnyRef](key: Any)(build: => T): T = {
+    val m = freshScope.get
+    if (m == null || isTransparent) build
+    else {
+      val hit = m.get(key)
+      if (hit != null) hit.asInstanceOf[T]
+      else { val v = build; m.put(key, v); v }
+    }
+  }
+
+  /** Memo-site instrumentation for harnesses: [[noteMemoLookup]] is
+    * called by every cross-query memo cache on every lookup;
+    * [[memoTouched]] reads-and-keeps, [[resetMemoTouched]] clears. */
+  def noteMemoLookup(): Unit = memoSeen.set(true)
+  def memoTouched: Boolean = memoSeen.get
+  def resetMemoTouched(): Unit = memoSeen.set(false)
 
   /** Pre-truncation analyzed plan of each checkpoint, by RDD id.
     * Bounded: one small plan tree per checkpoint in the session (the

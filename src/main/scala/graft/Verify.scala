@@ -10,7 +10,9 @@ object Verify {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // size-derived initial shuffle partitions — see SessionTuning
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -1738,8 +1738,13 @@ object Analytics {
         round($"o_totalprice" * 100).cast("long").as("v"))
     val tiled = ScaleWindows.rangeNtile(base, 10,
       Seq($"v", $"o_orderkey"), "decile")
+    // 10-row collapsed census, read by the total AND the cumsum —
+    // un-pinned, each consumer re-ran rangeNtile's corpus-sized
+    // window+join arithmetic past its internal checkpoint (r11 audit,
+    // the r10 count-frame class)
     val per = tiled.groupBy($"decile")
       .agg(count(lit(1)).as("n_orders"), sum($"v").as("decile_cents"))
+      .trunkCheckpoint()
     val tot = per.agg(sum($"decile_cents").as("t"))
     ScaleWindows.rangeCumSum(per, Seq($"decile"), $"decile_cents", "e")
       .crossJoin(broadcast(tot))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materialize.TrunkCheckpointOps
 import graft.Tables
 import graft.functions.{Hashing, ScaleWindows}
 
@@ -148,15 +149,19 @@ object Governance {
 
     val historyBits = laneBuckets(d.select(h31($"text").as("h31")))
       .select($"lane", $"bucket").distinct()
-    val probes = laneBuckets(
-      batch.select($"doc_id", h31($"text").as("h31")))
+    // hash the batch ONCE into a collapsed (id, md5, h31) scalar frame
+    // (r11 audit): the bloom probe AND the exact check each re-ran the
+    // two-filter union scan + text hashing when fed the raw batch
+    val bhash = batch.select($"doc_id", md5($"text").as("bm"),
+      h31($"text").as("h31")).trunkCheckpoint()
+    val probes = laneBuckets(bhash.select($"doc_id", $"h31"))
     val hits = probes
       .join(broadcast(historyBits.withColumn("hit", lit(1))),
         Seq("lane", "bucket"), "left")
       .groupBy($"doc_id")
       .agg(sum(coalesce($"hit", lit(0))).as("lanes_hit"))
     val exact = d.select(md5($"text").as("m")).distinct()
-    batch.withColumn("bm", md5($"text"))
+    bhash
       .join(broadcast(exact.withColumn("e", lit(1))),
         $"bm" === $"m", "left")
       .select($"doc_id", ($"e".isNotNull).as("exact_dup"))
@@ -947,14 +952,24 @@ object Governance {
         lit("disc_pct"), round($"l_discount" * 100).cast("long"),
         lit("price_cents"),
         round($"l_extendedprice" * 100).cast("long"))).as(Seq("c", "v")))
-    val summary = vals.groupBy($"c")
+    // collapse to per-(col, value) multiplicities FIRST (guide §2.3
+    // "aggregate before you shuffle"; r11 audit): the corpus-wide
+    // unpivot used to feed BOTH the summary agg and the bin join, so
+    // the explode + full shuffle ran twice. Every downstream stat is a
+    // function of the value histogram: ndv = rows with v non-null,
+    // null count and bin counts are Σm. The collapsed frame is
+    // ndv-bounded (a collapsed scalar aggregate — the r10-approved pin
+    // class), checkpointed for its two consumers.
+    val counts = vals.groupBy($"c", $"v").agg(count(lit(1)).as("m"))
+      .trunkCheckpoint()
+    val summary = counts.groupBy($"c")
       .agg(min($"v").as("min_v"), max($"v").as("max_v"),
-        countDistinct($"v").as("ndv"),
-        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_nulls"))
-    vals.join(broadcast(summary), Seq("c"))
+        sum(when($"v".isNotNull, 1L).otherwise(0L)).as("ndv"),
+        sum(when($"v".isNull, $"m").otherwise(0L)).as("n_nulls"))
+    counts.join(broadcast(summary), Seq("c"))
       .groupBy($"c", expr("(v - min_v) * 8 div (max_v - min_v + 1)")
         .as("bin"))
-      .agg(count(lit(1)).as("bin_cnt"),
+      .agg(sum($"m").as("bin_cnt"),
         min($"min_v").as("min_v"), min($"max_v").as("max_v"),
         min($"ndv").as("ndv"), min($"n_nulls").as("n_nulls"))
       .orderBy($"c", $"bin")

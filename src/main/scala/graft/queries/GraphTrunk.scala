@@ -47,12 +47,18 @@ object GraphTrunk {
     * shared hash bin throws "Recursive update" — see
     * NewsPipeline.articlesShared). */
   private def cached(s: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    graft.Materialize.noteMemoLookup()
     if (graft.Materialize.isTransparent) build // full lineage, no memo
     else if (graft.Materialize.bypassMemo)
-      build.trunkCheckpoint() // fresh mode: rebuilt, unpinned
+      // fresh mode: rebuilt, unpinned; memoized only for the life of
+      // the enclosing fresh scope (one build per timed/perturbed run)
+      graft.Materialize.scopedMemo((s, dir, stage)) {
+        build.trunkCheckpoint()
+      }
     else cache.computeIfAbsent((s, dir, stage), _ =>
       graft.CheckpointHygiene.pinning(s) { build.trunkCheckpoint() })
+  }
 
   /** Distinct co-order part edges, lower id first: (u < v). One
     * per-order self-join + one distinct, shared by the whole co-order

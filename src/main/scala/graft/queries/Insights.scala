@@ -66,12 +66,23 @@ object Insights {
       .select($"doc_id", (Hashing.hash60(concat_ws(" ",
         element_at($"toks", $"i"), element_at($"toks", $"i" + 1)))
         % B).as("b"))
+    // ONE tokenize+hash pass per corpus side (r11 audit; was 2× for
+    // target, 3× for raw — the r10 duplicated-subtree class): the
+    // target side collapses straight to its B-bounded bucket census,
+    // the raw side to per-(doc, bucket) multiplicities (both collapsed
+    // scalar aggregates, the r10-approved pin class). Totals derive
+    // from the censuses (Σ counts) instead of re-counting the corpus,
+    // and the final score is the multiplicity-weighted sum — exactly
+    // the per-occurrence sum it replaces.
     val tgt = buckets(tok.filter($"lang" === "en"))
     val raw = buckets(tok.filter($"lang" =!= "en"))
     val ct = tgt.groupBy($"b").agg(count(lit(1)).as("ct"))
-    val cr = raw.groupBy($"b").agg(count(lit(1)).as("cr"))
-    val tT = tgt.agg(count(lit(1)).as("t_tot"))
-    val tR = raw.agg(count(lit(1)).as("r_tot"))
+      .trunkCheckpoint()
+    val rawC = raw.groupBy($"doc_id", $"b").agg(count(lit(1)).as("m"))
+      .trunkCheckpoint()
+    val cr = rawC.groupBy($"b").agg(sum($"m").as("cr"))
+    val tT = ct.agg(sum($"ct").as("t_tot"))
+    val tR = rawC.agg(sum($"m").as("r_tot"))
     val w = ct.join(cr, Seq("b"), "full_outer")
       .crossJoin(broadcast(tT)).crossJoin(broadcast(tR))
       .select($"b",
@@ -80,10 +91,10 @@ object Insights {
              ($"t_tot" + B).cast("double")) -
            log((coalesce($"cr", lit(0L)) + 1).cast("double") /
              ($"r_tot" + B).cast("double")))).cast("long").as("w_micro"))
-    raw.join(broadcast(w), Seq("b"))
+    rawC.join(broadcast(w), Seq("b"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum($"w_micro").as("dsir_score_micro"))
+      .agg(sum($"m").as("n_bigrams"),
+        sum($"m" * $"w_micro").as("dsir_score_micro"))
   }
 
   // ------------------------------------------------ q243 chunk dedup
@@ -695,12 +706,19 @@ object Insights {
     import s.implicits._
     val deg = GraphTrunk.coOrderDegrees(s, dir)
     val adj = GraphTrunk.coOrderAdjacency(s, dir)
-    val tr = adj.select($"a", $"nbrs".as("na"), explode($"nbrs").as("b"))
+    // ONE generator emits all three corners of each triangle (a, b,
+    // and every c ∈ N⁺(a)∩N⁺(b)) straight off the oriented-edge row —
+    // the previous 3-way union of projections re-executed the
+    // adjacency self-join + intersection chain once per corner branch
+    // (r10's duplicated-subtree class; r11 audit). Same corner
+    // multiset, one evaluation. The expression is exploded DIRECTLY
+    // (never via a projected alias) so InferFiltersFromGenerate's
+    // synthesized size()>0 guard cannot push a second full evaluation
+    // below a repartition (the q58 lesson).
+    val pn = adj.select($"a", $"nbrs".as("na"), explode($"nbrs").as("b"))
       .join(adj.select($"a".as("b"), $"nbrs".as("nb")), Seq("b"))
-      .select($"a", $"b", explode(array_intersect($"na", $"nb")).as("c"))
-    val pn = tr.select($"a".as("nid"))
-      .unionByName(tr.select($"b".as("nid")))
-      .unionByName(tr.select($"c".as("nid")))
+      .select(explode(flatten(transform(array_intersect($"na", $"nb"),
+        c => array($"a", $"b", c)))).as("nid"))
       .groupBy($"nid").agg(count(lit(1)).as("n_tri"))
     deg.filter($"d" >= 2).join(pn, Seq("nid"), "left")
       .select($"nid", $"d".as("degree"),
@@ -1650,29 +1668,31 @@ object Insights {
     * training is worth buying. Greedy BPE is deterministic, so the
     * r-round vocabulary equals the first r rounds of the 8-round
     * chain (the oracle reads the s2/s4/s8 states of ONE chain); the
-    * Spark side re-trains per budget — each round is the q98
-    * argmax-collect seam and the encode join broadcasts the
-    * vocab-sized piece table. */
+    * Spark side now trains that ONE chain too
+    * ([[graft.functions.Bpe.trainSnapshots]], r10 VERDICT item 3 —
+    * re-training per budget re-derived rounds 0-1 three times and 2-3
+    * twice). Fertility reads off the snapshot directly: the word table
+    * carries corpus counts, so Σn / Σ(n·pieces) over the VOCAB equals
+    * the exploded-corpus join exactly (every token's word is in the
+    * vocab by construction) — three vocab-sized aggregates instead of
+    * three corpus explodes + broadcast joins. */
   val bpeMergeSweep: Q = (s, dir) => {
     import s.implicits._
-    val tok = Tables(s, dir, "documents")
+    val words = Tables(s, dir, "documents")
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
-    val words = tok.select(explode($"toks").as("word"))
+      .select(explode($"toks").as("word"))
       .groupBy($"word").agg(count(lit(1)).as("n"))
-    def total(r: Int) = {
-      val vocab = graft.functions.Bpe.train(words, rounds = r)._2
-        .select($"word", size(split($"sym", " ")).cast("long")
-          .as("pieces"))
-      tok.select(explode($"toks").as("word"))
-        .join(broadcast(vocab), Seq("word"))
-        .agg(count(lit(1)).as("total_words"),
-          sum($"pieces").as("total_pieces"))
-        .select(lit(r.toLong).as("merge_rounds"), $"total_words",
-          $"total_pieces",
-          expr("1000000 * total_pieces div total_words")
-            .as("fertility_micro"))
-    }
-    Seq(2, 4, 8).map(total).reduce(_ unionByName _)
+    graft.functions.Bpe.trainSnapshots(words, Seq(2, 4, 8)).map {
+      case (r, vocab) =>
+        vocab
+          .agg(sum($"n").as("total_words"),
+            sum(size(split($"sym", " ")).cast("long") * $"n")
+              .as("total_pieces"))
+          .select(lit(r.toLong).as("merge_rounds"), $"total_words",
+            $"total_pieces",
+            expr("1000000 * total_pieces div total_words")
+              .as("fertility_micro"))
+    }.reduce(_ unionByName _)
   }
 
   // ---------------------------------------- q290 context census

@@ -1514,13 +1514,19 @@ object Modeling {
   val competingRisks: Q = (s, dir) => {
     import s.implicits._
     val e = Tables(s, dir, "events")
-    val entry = e.groupBy($"user_id").agg(min($"ts").as("entry"))
-    val firsts = e.filter($"event_type".isin("purchase", "error"))
-      .groupBy($"user_id")
-      .agg(min(struct($"ts", $"event_id", $"event_type")).as("f"))
-      .select($"user_id", $"f.ts".as("fts"), $"f.event_type".as("cause"))
+    // ONE grouped pass computes entry AND the first terminal event —
+    // the old entry⋈firsts left join scanned + shuffled events twice
+    // and paid a join to reunite per-user scalars (r11 audit, guide
+    // §1.2). min(when(...)) ignores the nulls on non-terminal rows, so
+    // a user with no purchase/error gets a NULL f — exactly the old
+    // left-join miss.
     val horizon = 7L
-    val durs = entry.join(firsts, Seq("user_id"), "left")
+    val durs = e.groupBy($"user_id")
+      .agg(min($"ts").as("entry"),
+        min(when($"event_type".isin("purchase", "error"),
+          struct($"ts", $"event_id", $"event_type"))).as("f"))
+      .select($"user_id", $"entry", $"f.ts".as("fts"),
+        $"f.event_type".as("cause"))
       .select(
         when($"fts".isNotNull &&
             datediff(to_date($"fts"), to_date($"entry")) <= horizon,
@@ -1830,11 +1836,24 @@ object Modeling {
       .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
       .select($"vec_id", $"dim",
         round($"x".cast("double") * 1000000.0).cast("long").as("v"))
-    val n = coords.select($"vec_id").distinct()
+    // n from the BASE table (no posexplode + 64×-row distinct just to
+    // count vectors); same value by definition of the explode
+    val n = Tables(s, dir, "embeddings").select($"vec_id").distinct()
       .agg(count(lit(1)).as("n"))
-    val pairs = coords.select($"vec_id", $"dim".as("di"), $"v".as("vi"))
-      .join(coords.select($"vec_id", $"dim".as("dj"), $"v".as("vj")),
-        Seq("vec_id"))
+    // Gram matrix without shuffling the exploded frame twice (r11
+    // audit, guide §2.4/§3.1): the old coords⋈coords on vec_id
+    // sort-merge-shuffled 2×O(vecs·dims) rows; the second factor now
+    // rides a BROADCAST of the O(vecs) array-form table (vectors are
+    // dims-bounded — far under the broadcast cap) and fans out via a
+    // codegen posexplode straight into the (di,dj)-keyed partial
+    // aggregate, so the only exchange left is 4096 aggregate rows.
+    val varr = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding",
+        x => round(x.cast("double") * 1000000.0).cast("long")).as("vjs"))
+    val pairs = coords
+      .join(broadcast(varr), Seq("vec_id"))
+      .select($"dim".as("di"), $"v".as("vi"),
+        posexplode($"vjs").as(Seq("dj", "vj")))
       .groupBy($"di", $"dj")
       .agg(sum(dec($"vi") * dec($"vj")).as("sij"))
     val sums = coords.groupBy($"dim").agg(sum($"v").as("si"))
@@ -2924,7 +2943,12 @@ object Modeling {
       .join(broadcast(daily.select($"t".as("tj"), $"y".as("yj"))),
         $"ti" <= $"tj")
       .select(($"yi" + $"yj").as("w2"), $"ti", $"tj")
-    val n = walsh.agg(count(lit(1)).as("nw"))
+    // closed-form pair count from the (checkpointed, day-grid-sized)
+    // daily frame: |{(i,j): i<=j}| = nd(nd+1)/2 — counting the walsh
+    // frame itself re-ran the whole day² self-join once more just to
+    // learn its size (q177's r10 lesson, applied here; r11 audit)
+    val n = daily.agg(count(lit(1)).as("nd"))
+      .select(expr("nd * (nd + 1) div 2").as("nw"))
     val ranked = ScaleWindows.rangeCumSum(walsh,
       Seq($"w2", $"ti", $"tj"), lit(1L), "rk")
     ranked.crossJoin(broadcast(n))

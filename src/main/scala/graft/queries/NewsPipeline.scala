@@ -34,14 +34,25 @@ object NewsPipeline {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
   private def cached(s: SparkSession, dir: String, stage: String)
-      (build: => DataFrame): DataFrame =
+      (build: => DataFrame): DataFrame = {
     // tool modes (Materialize.transparent / fresh): bypass the memo AND
     // the persist, so a perturbation run rebuilds the trunk under the
     // perturbed session config instead of reading a frame persisted
-    // under the default one — same contract as GraphTrunk.cached
-    if (graft.Materialize.bypassMemo) build
+    // under the default one — same contract as GraphTrunk.cached.
+    // In fresh mode the rebuild is checkpointed and memoized for the
+    // life of the fresh SCOPE (one build per timed/perturbed run —
+    // bare `build` re-executed the backfill chain once per consuming
+    // plan branch, overcharging fresh-timed runs), and released at the
+    // next query boundary like any unpinned checkpoint.
+    graft.Materialize.noteMemoLookup()
+    if (graft.Materialize.isTransparent) build
+    else if (graft.Materialize.bypassMemo)
+      graft.Materialize.scopedMemo((s, dir, stage, "news")) {
+        graft.Materialize.TrunkCheckpointOps(build).trunkCheckpoint()
+      }
     else trunkCache.computeIfAbsent((s, dir, stage), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def transformedShared(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, "transformed")(

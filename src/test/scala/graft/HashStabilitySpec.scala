@@ -49,8 +49,11 @@ class HashStabilitySpec extends SparkSpec {
     * trunk-fresh here, which is exactly the behavior the
     * perturbation pair needs. (History: 51 at registry 486.) Any
     * query that newly rounds through a checkpoint must bump this
-    * count IN THE SAME COMMIT. */
-  private val ExpectedCheckpointHidden = 63
+    * count IN THE SAME COMMIT.
+    * 63 → 64 (r11): q448's value-histogram collapse pins the
+    * (col, value, multiplicity) frame, moving its money/discount
+    * Rounds behind the checkpoint — verified trunk-fresh here. */
+  private val ExpectedCheckpointHidden = 64
 
   private def directRounds(plan: LogicalPlan): Boolean =
     plan.collectWithSubqueries {
