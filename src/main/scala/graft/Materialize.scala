@@ -127,13 +127,23 @@ object Materialize {
   }
 
   /** `df.localCheckpoint()` (+ provenance recording) in normal and
-    * [[fresh]] modes; identity inside [[transparent]]. */
+    * [[fresh]] modes; identity inside [[transparent]].
+    *
+    * `eager = false` defers materialization to the frame's FIRST
+    * action (lineage is truncated immediately either way): an
+    * iterative kernel whose next round starts with a collect can fold
+    * the checkpoint's materialization into that job instead of paying
+    * a separate eager job per round (Bpe's pair-count table). The
+    * caller owns the drop discipline: the lazy frame's lineage reads
+    * its INPUTS' checkpoint blocks until it materializes, so those
+    * inputs must not be unpersisted before the first action on it. */
   implicit class TrunkCheckpointOps(private val df: DataFrame)
       extends AnyVal {
-    def trunkCheckpoint(): DataFrame =
+    def trunkCheckpoint(): DataFrame = trunkCheckpoint(eager = true)
+    def trunkCheckpoint(eager: Boolean): DataFrame =
       if (isTransparent) df
       else {
-        val cp = df.localCheckpoint()
+        val cp = df.localCheckpoint(eager)
         cp.queryExecution.analyzed match {
           case lr: LogicalRDD =>
             provenance.put(lr.rdd.id, df.queryExecution.analyzed)

@@ -81,11 +81,18 @@ object Bpe {
       .trunkCheckpoint()
     // exact pair-occurrence weights over the whole word table — the
     // ONLY full explode of the training run; every later round applies
-    // a delta
+    // a delta. LAZY checkpoint: the next round's argmax collect folds
+    // the materialization into its own job, so a round costs the same
+    // TWO jobs as the full-recount form did (an eager pc pin measured
+    // as a third job per round — pure overhead at test-SF word-table
+    // sizes). The price is a two-generation drop discipline: the lazy
+    // frame reads its inputs' checkpoint blocks until it materializes,
+    // so the previous round's pc/syms blocks are dropped only AFTER
+    // the argmax has run (both generations are vocab-bounded).
     var pc = syms
       .select($"n", explode(pairsOf($"sym")).as("pair"))
       .groupBy($"pair").agg(sum($"n").as("weight"))
-      .trunkCheckpoint()
+      .trunkCheckpoint(eager = false)
     val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
     val kept = scala.collection.mutable.Set.empty[DataFrame]
     def drop(prev: DataFrame): Unit =
@@ -105,10 +112,16 @@ object Bpe {
     val merges = Seq.newBuilder[(Int, String, String, String)]
     var round = 0
     var exhausted = false
+    // generation r-1 frames, droppable only after the NEXT argmax has
+    // materialized the lazy pc built from them
+    var dropAfterArgmax: Seq[DataFrame] = Nil
     if (snapshotAt.contains(0)) { snaps(0) = syms; kept += syms }
     while (round < rounds && !exhausted) {
       val top = pc.orderBy($"weight".desc, $"pair".asc).limit(1)
         .as[(String, Long)].collect()
+      // pc is materialized now; its inputs' blocks are safe to drop
+      dropAfterArgmax.foreach(drop)
+      dropAfterArgmax = Nil
       if (top.isEmpty) exhausted = true
       else {
         val Array(a, b) = top.head._1.split(" ", 2)
@@ -124,17 +137,18 @@ object Bpe {
           explode(pairsOf($"sym")).as("pair"))
         val plus = aff.select($"n".as("w"),
           explode(pairsOf(newSym)).as("pair"))
-        val prevPc = pc
+        dropAfterArgmax = Seq(pc, syms)
         pc = pc.select($"pair", $"weight".as("w"))
           .unionByName(minus.select($"pair", $"w"))
           .unionByName(plus.select($"pair", $"w"))
           .groupBy($"pair").agg(sum($"w").as("weight"))
           .filter($"weight" > 0)
-          .trunkCheckpoint()
-        drop(prevPc)
-        val prev = syms
+          .trunkCheckpoint(eager = false)
+        // syms stays EAGER: the new pc's delta reads the OLD syms
+        // blocks (kept alive by dropAfterArgmax), and downstream
+        // consumers (snapshots, the final encode) need a materialized
+        // frame whose lineage does not stack regexp rounds
         syms = syms.withColumn("sym", newSym).trunkCheckpoint()
-        drop(prev)
         round += 1
         if (snapshotAt.contains(round)) { snaps(round) = syms; kept += syms }
       }
