@@ -131,16 +131,19 @@ object Bpe {
           lit(s" $a $b(?= )"), lit(s" $a$b")))
         // ---- pair-count delta over words that contain the merged
         // pair (the padded containment test matches the regexp's hit
-        // set exactly: both demand the literal " a b " run)
-        val aff = syms.filter(contains(padded, lit(s" $a $b ")))
-        val minus = aff.select((-$"n").as("w"),
-          explode(pairsOf($"sym")).as("pair"))
-        val plus = aff.select($"n".as("w"),
-          explode(pairsOf(newSym)).as("pair"))
+        // set exactly: both demand the literal " a b " run). ONE
+        // generator emits the -n old pairs and +n new pairs together,
+        // so the delta costs a single scan of the word table, not two.
+        val delta = syms.filter(contains(padded, lit(s" $a $b ")))
+          .select($"n", explode(concat(
+            transform(pairsOf($"sym"),
+              p => struct(p.as("pair"), lit(-1L).as("sgn"))),
+            transform(pairsOf(newSym),
+              p => struct(p.as("pair"), lit(1L).as("sgn"))))).as("d"))
+          .select($"d.pair".as("pair"), ($"d.sgn" * $"n").as("w"))
         dropAfterArgmax = Seq(pc, syms)
         pc = pc.select($"pair", $"weight".as("w"))
-          .unionByName(minus.select($"pair", $"w"))
-          .unionByName(plus.select($"pair", $"w"))
+          .unionByName(delta)
           .groupBy($"pair").agg(sum($"w").as("weight"))
           .filter($"weight" > 0)
           .trunkCheckpoint(eager = false)
