@@ -866,13 +866,16 @@ object Corpus {
     * of the (d,w) count is vocab- or doc-bounded. */
   val plsaStep: Q = (s, dir) => {
     import s.implicits._
-    // dw checkpointed: the collapsed doc-term count frame feeds the
-    // vocab grid, the doc grid AND the E-step join — lazy, the corpus
-    // tokenize + explode + groupBy ran three times
+    // NOT checkpointed (r10 pinned dw/phi0/th0/den; r11's sf1 A/B
+    // measured the pins 1.5-2x SLOWER at 10x data — all four frames
+    // scale with the corpus (doc-terms, vocab x K, docs x K), so they
+    // are the q465 inversion class: recomputing from the vectorized
+    // scan beats round-tripping block storage once the frame grows.
+    // PIN 10.80/9.66 s vs NOPIN 8.14/5.47 s, interleaved same-window
+    // pairs at /tmp/sf1; reverted to the lazy r9 shape.)
     val dw = tokenized(s, dir)
       .select($"doc_id".as("d"), explode($"toks").as("w"))
       .groupBy($"d", $"w").agg(count(lit(1)).as("n"))
-      .trunkCheckpoint()
     val zs = sequence(lit(0), lit(PlsaK - 1))
     // φ0(w|z): hash-seeded raw mass, normalized per topic (micro)
     val phiRaw = dw.select($"w").distinct()
@@ -881,13 +884,8 @@ object Corpus {
         concat($"w", lit("|phi"), $"z".cast("string"))) % 1000)
         .as("r"))
     val phiTot = phiRaw.groupBy($"z").agg(sum($"r").as("rt"))
-    // phi0/th0/den checkpointed: each is a bounded aggregate frame
-    // (vocab×K, docs×K, doc-term) read by two downstream branches —
-    // the E-step join and the M-step (or normalizer) join — so lazy
-    // they re-ran their hash-seeding (phi/θ) or the whole E-step (den)
     val phi0 = phiRaw.join(broadcast(phiTot), Seq("z"))
       .select($"w", $"z", expr("(r * 1000000) div rt").as("phi0"))
-      .trunkCheckpoint()
     // θ0(z|d): hash-seeded, normalized per document (micro)
     val thRaw = dw.select($"d").distinct()
       .select($"d", explode(zs).as("z"))
@@ -897,12 +895,10 @@ object Corpus {
     val thTot = thRaw.groupBy($"d").agg(sum($"r").as("rt"))
     val th0 = thRaw.join(thTot, Seq("d"))
       .select($"d", $"z", expr("(r * 1000000) div rt").as("th0"))
-      .trunkCheckpoint()
     // E-step: q(z|d,w) = φ·θ / Σ_z φ·θ, exact micro
     val e = dw.join(phi0, Seq("w")).join(th0, Seq("d", "z"))
       .select($"d", $"w", $"n", $"z", ($"phi0" * $"th0").as("num"))
     val den = e.groupBy($"d", $"w").agg(sum($"num").as("den"))
-      .trunkCheckpoint()
     val q = e.join(den, Seq("d", "w"))
       .select($"w", $"z", $"n",
         expr("(num * 1000000) div den").as("q_micro"))

@@ -825,15 +825,16 @@ object Inference {
     * shared by q425 (BT fit) and q426 (transitivity audit). */
   private def pairWins(s: SparkSession, dir: String) = {
     import s.implicits._
-    // pinned: the within-order brand rollup is self-joined (a/b) —
-    // lazy, the lineitem⋈part join + groupBy ran twice (THIS, not the
-    // tiny pair frame downstream, is where q425/q426's real cost was)
+    // NOT checkpointed (r10 pinned this corpus-scaled (order, brand)
+    // rollup for its self-join; r11's interleaved sf1 A/B measured the
+    // pin 15-25% slower at 10x data — PIN 5.40/4.53 s vs NOPIN
+    // 4.15/4.17 s — the q465 inversion class, so the rollup recomputes
+    // per join side again)
     val ob = Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "part").select($"p_partkey", $"p_brand"),
         $"l_partkey" === $"p_partkey")
       .groupBy($"l_orderkey", $"p_brand")
       .agg(sum($"l_quantity".cast("long")).as("q"))
-      .trunkCheckpoint()
     val wins = ob.as("a").join(ob.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.p_brand") =!= col("b.p_brand") &&
